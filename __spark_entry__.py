@@ -1,38 +1,492 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: decode→H3-index→aggregate over the
+                     deterministic synthetic image table (BASELINE.json
+                     input_hint shape), smoke-scale.
+``queries()``      — one entry per implemented operator (SURVEY.md §2);
+                     each callable takes (spark, sf_dir).
+``oracle_sql()``   — DuckDB twins for everything relationally
+                     expressible; geospatial/UDF-kernel queries fall back
+                     to the rows-only check and are covered by
+                     ``python -m pytest -x -q`` invariants instead.
+
+Column aliases match between Spark and SQL exactly (driver hashes values
+under sorted column names).  Float aggregates are rounded on BOTH sides
+to keep partial-sum-order jitter out of the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic image tiles → decode (Arrow UDF) → pixel centres
+    → H3 cells (res 9) → per-cell band means; one shuffle total.
 
+    Uses the deterministic generator (seed 42) for the image payloads —
+    the driver's sf0.001 tables carry no binary image column — and reads
+    the sf0.001 parquet to keep the smoke check anchored on driver data."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import (
+        index_point_agg,
+        to_reference_output,
+    )
+
+    imgs = images_spark_df(spark, 64, seed=42)
+    agg = index_point_agg(imgs, res=9, agg="mean")
+    return to_reference_output(agg, "h3", 9, 3)
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# relational operator family (oracle-checked)
+# --------------------------------------------------------------------------
+
+def q_agg_mean_sum_count(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import agg_multi
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("count_order"),
+        _r4(F.sum("l_quantity")).alias("sum_qty"),
+        _r4(F.avg("l_extendedprice")).alias("avg_price"),
+    )
+    return g
+
+
+def q_agg_minmax_range(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import agg_multi
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_multi(li, ["l_linestatus"], ["l_extendedprice"], ["min", "max", "range"])
+    return out.select(
+        "l_linestatus",
+        _r4("l_extendedprice_min").alias("price_min"),
+        _r4("l_extendedprice_max").alias("price_max"),
+        _r4("l_extendedprice_range").alias("price_range"),
+    )
+
+
+def q_agg_stats(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import agg_multi
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_multi(li, ["l_returnflag"], ["l_quantity"], ["std", "var", "median"])
+    return out.select(
+        "l_returnflag",
+        _r4("l_quantity_std").alias("qty_std"),
+        _r4("l_quantity_var").alias("qty_var"),
+        _r4("l_quantity_median").alias("qty_median"),
+    )
+
+
+def q_agg_mode(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import agg_mode
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_mode(li, ["l_returnflag"], "l_quantity", out="qty_mode")
+    return out.select("l_returnflag", F.col("qty_mode").cast("double"))
+
+
+def q_agg_majority(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import agg_majority
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("long")
+    )
+    return agg_majority(ev, ["user_bucket"], "event_type", out="majority_type")
+
+
+def q_agg_multi(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import agg_multi
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_multi(
+        li, ["l_returnflag"], ["l_quantity", "l_discount"], ["min", "max", "mean"]
+    )
+    return out.select(
+        "l_returnflag",
+        _r4("l_quantity_min").alias("qty_min"),
+        _r4("l_quantity_max").alias("qty_max"),
+        _r4("l_quantity_mean").alias("qty_mean"),
+        _r4("l_discount_min").alias("disc_min"),
+        _r4("l_discount_max").alias("disc_max"),
+        _r4("l_discount_mean").alias("disc_mean"),
+    )
+
+
+def q_agg_list(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import agg_list
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ln", F.col("l_linenumber").cast("long")
+    )
+    return agg_list(li, ["l_orderkey"], "ln", out="linenumbers")
+
+
+def q_hist_categorical(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import hist_categorical
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = hist_categorical(li, ["l_returnflag"], "l_quantity", decimals=0)
+    return out.select(
+        "l_returnflag", F.col("value").cast("double"), _r4("weight").alias("weight")
+    )
+
+
+def q_hist_binned(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import hist_binned
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = hist_binned(li, ["l_returnflag"], "l_extendedprice", origin=0.0, width=5000.0)
+    return out.select(
+        "l_returnflag", _r4("left").alias("left"), _r4("right").alias("right"),
+        _r4("weight").alias("weight"),
+    )
+
+
+def q_hist_binned_edges(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import hist_binned_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = hist_binned_edges(
+        li, ["l_linestatus"], "l_extendedprice", [1000.0, 10000.0, 20000.0, 40000.0]
+    )
+    return out.select(
+        "l_linestatus", _r4("left").alias("left"), _r4("right").alias("right"),
+        _r4("weight").alias("weight"),
+    )
+
+
+def q_hist_normalized(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import hist_categorical, hist_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    h = hist_categorical(ev, ["event_type"], "value", decimals=-1)
+    out = hist_normalize(h, ["event_type"])
+    return out.select(
+        "event_type", F.col("value").cast("double"),
+        _r4("weight").alias("weight"), F.round("weight_frac", 6).alias("weight_frac"),
+    )
+
+
+def q_weighted_mean(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import weighted_mean
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = weighted_mean(li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+                        out="wmean_price")
+    return out.select("l_returnflag", _r4("wmean_price").alias("wmean_price"))
+
+
+def q_mass_preserve_sum(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import weighted_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = weighted_sum(li, ["l_returnflag"], "l_extendedprice", "l_discount",
+                       out="mass_sum")
+    return out.select("l_returnflag", _r4("mass_sum").alias("mass_sum"))
+
+
+def q_majority_by_weight(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import majority_by_weight
+
+    o = _t(spark, sf_dir, "orders")
+    return majority_by_weight(o, ["o_orderstatus"], "o_orderpriority",
+                              "o_totalprice", out="top_priority")
+
+
+def q_class_fractions(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import class_fractions
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 5).cast("long")
+    )
+    out = class_fractions(ev, ["user_bucket"], "event_type")
+    return out.select(
+        "user_bucket", "class", F.round("fraction", 6).alias("fraction")
+    )
+
+
+def q_vct(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import valid_coverage_threshold
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_suppkey").agg(
+        _r4(F.avg("l_extendedprice")).alias("mean_price"),
+        (F.count("l_quantity") / 60.0).alias("valid_frac"),
+    )
+    out = valid_coverage_threshold(g, ["mean_price"], "valid_frac", 0.5)
+    return out.select(
+        "l_suppkey", "mean_price", F.round("valid_frac", 6).alias("valid_frac")
+    )
+
+
+def q_decimals(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import round_decimals
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(F.avg("l_extendedprice").alias("price_r"))
+    return round_decimals(g, ["price_r"], -1)
+
+
+def q_dedupe_first(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import dedupe_first
+
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    # the ordering must be total for a deterministic "first"
+    out = dedupe_first(li, ["l_orderkey"], ["l_linenumber", "l_extendedprice"])
+    return out.select("l_orderkey", "l_linenumber", _r4("l_extendedprice").alias("price"))
+
+
+def q_topk_window(spark, sf_dir):
+    from raster2dggs_spark.operators.aggregates import top_k
+
+    o = _t(spark, sf_dir, "orders")
+    out = top_k(o, ["o_orderpriority"], "o_totalprice", 3, ascending=False,
+                tiebreak=["o_orderkey"])
+    return out.select(
+        "o_orderpriority", "o_orderkey", _r4("o_totalprice").alias("total"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# geospatial family (rows-only driver check; invariants in pytest)
+# --------------------------------------------------------------------------
+
+def q_h3_pixel_index(spark, sf_dir):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
+
+    imgs = images_spark_df(spark, 64, seed=42)
+    return to_reference_output(index_point_agg(imgs, res=9, agg="mean"), "h3", 9, 3)
+
+
+def q_s2_pixel_index(spark, sf_dir):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
+
+    imgs = images_spark_df(spark, 64, seed=42)
+    return to_reference_output(index_point_agg(imgs, res=14, dggs="s2", agg="mean"),
+                               "s2", 14, 6)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "agg_mean_sum_count": q_agg_mean_sum_count,
+        "agg_minmax_range": q_agg_minmax_range,
+        "agg_stats": q_agg_stats,
+        "agg_mode": q_agg_mode,
+        "agg_majority": q_agg_majority,
+        "agg_multi": q_agg_multi,
+        "agg_list": q_agg_list,
+        "hist_categorical": q_hist_categorical,
+        "hist_binned": q_hist_binned,
+        "hist_binned_edges": q_hist_binned_edges,
+        "hist_normalized": q_hist_normalized,
+        "weighted_mean": q_weighted_mean,
+        "mass_preserve_sum": q_mass_preserve_sum,
+        "majority_by_weight": q_majority_by_weight,
+        "class_fractions": q_class_fractions,
+        "vct": q_vct,
+        "decimals": q_decimals,
+        "dedupe_first": q_dedupe_first,
+        "topk_window": q_topk_window,
+        "h3_pixel_index": q_h3_pixel_index,
+        "s2_pixel_index": q_s2_pixel_index,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_mean_sum_count": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS count_order,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "agg_minmax_range": """
+            SELECT l_linestatus,
+                   round(min(l_extendedprice), 4) AS price_min,
+                   round(max(l_extendedprice), 4) AS price_max,
+                   round(max(l_extendedprice) - min(l_extendedprice), 4) AS price_range
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "agg_stats": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 4) AS qty_std,
+                   round(var_samp(l_quantity), 4) AS qty_var,
+                   round(median(l_quantity), 4) AS qty_median
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "agg_mode": """
+            SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty_mode FROM (
+                SELECT l_returnflag, l_quantity,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY count(*) DESC, l_quantity ASC) AS rn
+                FROM lineitem WHERE l_quantity IS NOT NULL
+                GROUP BY l_returnflag, l_quantity
+            ) WHERE rn = 1
+        """,
+        "agg_majority": """
+            WITH ev AS (SELECT user_id % 10 AS user_bucket, event_type FROM events),
+            tot AS (SELECT user_bucket, count(*) AS total FROM ev GROUP BY user_bucket),
+            cnt AS (SELECT user_bucket, event_type, count(*) AS c
+                    FROM ev WHERE event_type IS NOT NULL GROUP BY user_bucket, event_type),
+            win AS (SELECT user_bucket, event_type, c,
+                           row_number() OVER (PARTITION BY user_bucket
+                                              ORDER BY c DESC, event_type ASC) AS rn
+                    FROM cnt)
+            SELECT t.user_bucket,
+                   CASE WHEN w.c > t.total * 0.5 THEN w.event_type END AS majority_type
+            FROM tot t LEFT JOIN win w ON t.user_bucket = w.user_bucket AND w.rn = 1
+        """,
+        "agg_multi": """
+            SELECT l_returnflag,
+                   round(min(l_quantity), 4) AS qty_min,
+                   round(max(l_quantity), 4) AS qty_max,
+                   round(avg(l_quantity), 4) AS qty_mean,
+                   round(min(l_discount), 4) AS disc_min,
+                   round(max(l_discount), 4) AS disc_max,
+                   round(avg(l_discount), 4) AS disc_mean
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "agg_list": """
+            SELECT l_orderkey,
+                   list_sort(list(CAST(l_linenumber AS BIGINT))) AS linenumbers
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "hist_categorical": """
+            SELECT l_returnflag, CAST(round(l_quantity, 0) AS DOUBLE) AS value,
+                   round(sum(1.0), 4) AS weight
+            FROM lineitem WHERE l_quantity IS NOT NULL
+            GROUP BY l_returnflag, round(l_quantity, 0)
+        """,
+        "hist_binned": """
+            SELECT l_returnflag,
+                   round(floor(l_extendedprice / 5000.0) * 5000.0, 4) AS left,
+                   round((floor(l_extendedprice / 5000.0) + 1) * 5000.0, 4) AS right,
+                   round(sum(1.0), 4) AS weight
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            GROUP BY l_returnflag, floor(l_extendedprice / 5000.0)
+        """,
+        "hist_binned_edges": """
+            WITH b AS (
+              SELECT l_linestatus,
+                     CASE
+                       WHEN l_extendedprice >= 1000 AND l_extendedprice < 10000 THEN 0
+                       WHEN l_extendedprice >= 10000 AND l_extendedprice < 20000 THEN 1
+                       WHEN l_extendedprice >= 20000 AND l_extendedprice <= 40000 THEN 2
+                     END AS bin
+              FROM lineitem WHERE l_extendedprice IS NOT NULL)
+            SELECT l_linestatus,
+                   round([1000.0, 10000.0, 20000.0][bin + 1], 4) AS left,
+                   round([10000.0, 20000.0, 40000.0][bin + 1], 4) AS right,
+                   round(sum(1.0), 4) AS weight
+            FROM b WHERE bin IS NOT NULL GROUP BY l_linestatus, bin
+        """,
+        "hist_normalized": """
+            WITH h AS (
+              SELECT event_type, CAST(round(value, -1) AS DOUBLE) AS value,
+                     sum(1.0) AS weight
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type, round(value, -1))
+            SELECT event_type, value, round(weight, 4) AS weight,
+                   round(weight / sum(weight) OVER (PARTITION BY event_type), 6)
+                       AS weight_frac
+            FROM h
+        """,
+        "weighted_mean": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * l_quantity) /
+                         sum(CASE WHEN l_extendedprice IS NOT NULL
+                                  THEN l_quantity END), 4) AS wmean_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "mass_preserve_sum": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * l_discount), 4) AS mass_sum
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "majority_by_weight": """
+            SELECT o_orderstatus, o_orderpriority AS top_priority FROM (
+                SELECT o_orderstatus, o_orderpriority,
+                       row_number() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY sum(o_totalprice) DESC,
+                                                   o_orderpriority ASC) AS rn
+                FROM orders WHERE o_orderpriority IS NOT NULL
+                GROUP BY o_orderstatus, o_orderpriority
+            ) WHERE rn = 1
+        """,
+        "class_fractions": """
+            WITH g AS (
+              SELECT user_id % 5 AS user_bucket, event_type AS class,
+                     sum(1.0) AS w
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY user_id % 5, event_type)
+            SELECT user_bucket, class,
+                   round(w / sum(w) OVER (PARTITION BY user_bucket), 6) AS fraction
+            FROM g
+        """,
+        "vct": """
+            WITH g AS (
+              SELECT l_suppkey,
+                     round(avg(l_extendedprice), 4) AS mean_price,
+                     count(l_quantity) / 60.0 AS valid_frac
+              FROM lineitem GROUP BY l_suppkey)
+            SELECT l_suppkey,
+                   CASE WHEN valid_frac >= 0.5 THEN mean_price END AS mean_price,
+                   round(valid_frac, 6) AS valid_frac
+            FROM g
+        """,
+        "decimals": """
+            SELECT l_returnflag,
+                   CAST(round(avg(l_extendedprice), -1) AS BIGINT) AS price_r
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "dedupe_first": """
+            SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+            FROM lineitem
+            QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_linenumber ASC,
+                                                l_extendedprice ASC) = 1
+        """,
+        "topk_window": """
+            SELECT o_orderpriority, o_orderkey, round(o_totalprice, 4) AS total,
+                   CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice DESC,
+                                                    o_orderkey ASC) AS BIGINT) AS rank
+            FROM orders
+            QUALIFY rank <= 3
+        """,
+    }

@@ -1,0 +1,267 @@
+"""Aggregation surface — SURVEY.md §2.4 (A1–A15) as generic builders.
+
+The reference implements these as pandas groupby aggfuncs
+(/root/reference/raster2dggs/common.py:149-184, indexers/rasterindexer.py:
+247-324, histogram.py); here each is a *native* DataFrame expression so
+Catalyst plans partial/final HashAggregates, whole-stage codegen applies,
+and no Python runs in the hot path.  The builders are key-generic: the
+cell pipelines call them with (parent, cell) keys; the driver's oracle
+queries call them with relational keys.
+
+Deterministic tie-breaks (mode/majority: lowest value wins) replace the
+reference's documented-arbitrary pandas behavior
+(common.py:173-177 "ties → first") so Spark and the DuckDB oracle agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIMPLE_AGGS = {
+    "count": lambda c: F.count(c),
+    "mean": lambda c: F.avg(c),
+    "sum": lambda c: F.sum(c),
+    "prod": lambda c: F.product(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "std": lambda c: F.stddev_samp(c),
+    "var": lambda c: F.var_samp(c),
+    "median": lambda c: F.median(c),
+    "nunique": lambda c: F.count_distinct(c),
+    "range": lambda c: F.max(c) - F.min(c),
+}
+
+
+def agg_single(df: DataFrame, keys: list[str], vals: list[str], func: str) -> DataFrame:
+    """A1/A2/A5: one aggfunc per value column, aliased to the value name."""
+    fn = SIMPLE_AGGS[func]
+    return df.groupBy(*keys).agg(*[fn(v).alias(v) for v in vals])
+
+
+def agg_multi(df: DataFrame, keys: list[str], vals: list[str], funcs: list[str],
+              as_struct: bool = False) -> DataFrame:
+    """A6 multi-agg: every (value, func) in a single aggregation pass.
+
+    ``as_struct=True`` mirrors the reference's per-band struct output
+    (common.py:512-529); flat columns (``val_func``) otherwise."""
+    exprs = []
+    for v in vals:
+        cols = [SIMPLE_AGGS[f](v).alias(f) for f in funcs]
+        if as_struct:
+            exprs.append(F.struct(*cols).alias(v))
+        else:
+            exprs += [SIMPLE_AGGS[f](v).alias(f"{v}_{f}") for f in funcs]
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def agg_mode(df: DataFrame, keys: list[str], val: str, out: str = "mode") -> DataFrame:
+    """A3 mode: two-level count + deterministic top-1 (ties → lowest value).
+
+    Two-exchange plan (groupBy key+value, then window by key) — the
+    scalable idiom for top-1-by-count at skew."""
+    counted = df.where(F.col(val).isNotNull()).groupBy(*keys, val).count()
+    w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc(val))
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(*keys, F.col(val).alias(out))
+    )
+
+
+def agg_majority(df: DataFrame, keys: list[str], val: str, out: str = "majority") -> DataFrame:
+    """A4: mode but only if its count exceeds 50% of *all* rows in the
+    group (null-value rows included in the denominator — the reference's
+    NaN-inclusive rule, common.py:160-169); null otherwise."""
+    total = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__total"))
+    counted = df.where(F.col(val).isNotNull()).groupBy(*keys, val).count()
+    w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc(val))
+    winner = (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(*keys, F.col(val).alias("__cand"), F.col("count").alias("__cnt"))
+    )
+    return total.join(winner, keys, "left").select(
+        *keys,
+        F.when(F.col("__cnt") > F.col("__total") * 0.5, F.col("__cand")).alias(out),
+    )
+
+
+def agg_list(df: DataFrame, keys: list[str], val: str, out: str | None = None,
+             decimals: int | None = None) -> DataFrame:
+    """A7: per-group list, element-rounded then sorted ascending
+    (rasterindexer.py:385-423: lists are sorted, rounding applies to
+    elements)."""
+    out = out or val
+    c = F.col(val)
+    if decimals is not None:
+        c = F.round(c, decimals)
+    return df.groupBy(*keys).agg(F.sort_array(F.collect_list(c)).alias(out))
+
+
+def hist_categorical(df: DataFrame, keys: list[str], val: str,
+                     weight: str | None = None, decimals: int | None = None) -> DataFrame:
+    """A8: per-(key, value) summed weights, exploded representation
+    (value-sorted).  The reference packs this into parallel arrays
+    (histogram.py:186-204); the exploded relational form is shuffle-
+    friendly and SQL-oracle-comparable; pack at the output edge if the
+    struct form is needed."""
+    v = F.round(F.col(val), decimals) if decimals is not None else F.col(val)
+    w = F.col(weight) if weight else F.lit(1.0)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys, v.alias("value"))
+        .agg(F.sum(w).alias("weight"))
+    )
+
+
+def hist_binned(df: DataFrame, keys: list[str], val: str, origin: float, width: float,
+                weight: str | None = None) -> DataFrame:
+    """A10 uniform binning: floor((v-origin)/width); unbounded, nothing
+    dropped; only non-empty bins appear (histogram.py:220-227).  Returns
+    (keys..., left, right, weight)."""
+    idx = F.floor((F.col(val) - F.lit(origin)) / F.lit(width))
+    w = F.col(weight) if weight else F.lit(1.0)
+    g = (
+        df.where(F.col(val).isNotNull())
+        .groupBy(*keys, idx.alias("__bin"))
+        .agg(F.sum(w).alias("weight"))
+    )
+    return g.select(
+        *keys,
+        (F.lit(origin) + F.col("__bin") * F.lit(width)).alias("left"),
+        (F.lit(origin) + (F.col("__bin") + 1) * F.lit(width)).alias("right"),
+        "weight",
+    )
+
+
+def hist_binned_edges(df: DataFrame, keys: list[str], val: str, edges: list[float],
+                      weight: str | None = None) -> DataFrame:
+    """A9 explicit edges: half-open bins, last bin closed, out-of-range
+    dropped (reference README.md:361-427 semantics)."""
+    v = F.col(val)
+    w = F.col(weight) if weight else F.lit(1.0)
+    cond = None
+    idx = F.lit(None).cast("int")
+    # build reverse so earlier bins take precedence
+    for i in range(len(edges) - 1):
+        lo, hi = edges[i], edges[i + 1]
+        last = i == len(edges) - 2
+        c = (v >= lo) & ((v <= hi) if last else (v < hi))
+        idx = F.when(c, F.lit(i)).otherwise(idx)
+    g = (
+        df.where(v.isNotNull() & idx.isNotNull())
+        .groupBy(*keys, idx.alias("__bin"))
+        .agg(F.sum(w).alias("weight"))
+    )
+    lefts = F.array(*[F.lit(float(e)) for e in edges[:-1]])
+    rights = F.array(*[F.lit(float(e)) for e in edges[1:]])
+    return g.select(
+        *keys,
+        F.element_at(lefts, F.col("__bin") + 1).alias("left"),
+        F.element_at(rights, F.col("__bin") + 1).alias("right"),
+        "weight",
+    )
+
+
+def hist_normalize(hist: DataFrame, keys: list[str], weight_col: str = "weight",
+                   out: str = "weight_frac") -> DataFrame:
+    """A11 VALID_OVERLAP normalization: weight / total weight per group."""
+    w = Window.partitionBy(*keys)
+    return hist.withColumn(out, F.col(weight_col) / F.sum(weight_col).over(w))
+
+
+def weighted_mean(df: DataFrame, keys: list[str], val: str, weight: str,
+                  out: str = "wmean") -> DataFrame:
+    """A12: Σ(v·w)/Σ(w) over non-null values (exactextract weighted_mean,
+    overlay.py:178-220)."""
+    vw = F.when(F.col(val).isNotNull(), F.col(weight))
+    return df.groupBy(*keys).agg(
+        (F.sum(F.col(val) * F.col(weight)) / F.sum(vw)).alias(out)
+    )
+
+
+def weighted_sum(df: DataFrame, keys: list[str], val: str, weight: str,
+                 out: str = "wsum") -> DataFrame:
+    """A13 mass-preserving sum: Σ(v·coverage) — conserves the raster total
+    (common.py:205-209; conservation test mirrors
+    test_output_schema.py:555-570)."""
+    return df.groupBy(*keys).agg(F.sum(F.col(val) * F.col(weight)).alias(out))
+
+
+def majority_by_weight(df: DataFrame, keys: list[str], val: str, weight: str,
+                       out: str = "majority") -> DataFrame:
+    """A14: class with the largest summed weight (area), deterministic
+    tie-break by value."""
+    g = df.where(F.col(val).isNotNull()).groupBy(*keys, val).agg(
+        F.sum(weight).alias("__w")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.desc("__w"), F.asc(val))
+    return (
+        g.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(*keys, F.col(val).alias(out))
+    )
+
+
+def class_fractions(df: DataFrame, keys: list[str], val: str, weight: str | None = None
+                    ) -> DataFrame:
+    """A15: per-class fraction of the group's total weight, exploded
+    (keys..., class, fraction) sorted by class at the edge
+    (overlay.py:51-65, 492-517)."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    g = df.where(F.col(val).isNotNull()).groupBy(*keys, F.col(val).alias("class")).agg(
+        F.sum(w).alias("__w")
+    )
+    win = Window.partitionBy(*keys)
+    return g.select(
+        *keys, "class", (F.col("__w") / F.sum("__w").over(win)).alias("fraction")
+    )
+
+
+def valid_coverage_threshold(df: DataFrame, val_cols: list[str], frac_col: str,
+                             threshold: float) -> DataFrame:
+    """P6 VCT: null out values whose valid-coverage fraction < threshold
+    (overlay.py:426-488)."""
+    out = df
+    for c in val_cols:
+        out = out.withColumn(
+            c, F.when(F.col(frac_col) >= threshold, F.col(c))
+        )
+    return out
+
+
+def round_decimals(df: DataFrame, cols: list[str], decimals: int) -> DataFrame:
+    """P9: >0 round to decimals (double); <=0 round then cast long
+    (rasterindexer.py:269-283: Int64 output for non-positive decimals)."""
+    out = df
+    for c in cols:
+        e = F.round(F.col(c), decimals)
+        if decimals <= 0:
+            e = e.cast("long")
+        out = out.withColumn(c, e)
+    return out
+
+
+def dedupe_first(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """J4 window-boundary dedupe, made deterministic: keep the first row
+    per key under an explicit ordering (the reference's ``.first()`` is
+    order-of-arrival, rasterindexer.py:326-342 — values identical by
+    construction there; we pin the ordering so retries/AQE cannot flip
+    results)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
+    )
+
+
+def top_k(df: DataFrame, keys: list[str], order_col: str, k: int,
+          ascending: bool = True, tiebreak: list[str] | None = None) -> DataFrame:
+    """§2.5 generic windowed top-k (the kNN join's final stage)."""
+    order = [F.asc(order_col) if ascending else F.desc(order_col)]
+    order += [F.asc(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,213 @@
+"""Deterministic synthetic image+caption table (BASELINE.json input_hint).
+
+One row ≙ one georeferenced raster tile ≙ one GDAL block window in the
+reference (/root/reference/raster2dggs/common.py:831-835).  Scenarios mirror
+the reference's semantic fixture suite (/root/reference/make_samples.py:
+133-634 and tests/classes/helpers.py:7-56) — see FIXTURES.md §2.
+
+Everything is seeded NumPy; the same (n_images, seed) always produces
+byte-identical payloads, captions and phashes, so tests can recompute
+ground truth without storing golden files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from raster2dggs_spark.codecs import encode_image, average_hash64
+
+from pyspark.sql import types as T
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("bytes", T.BinaryType(), False),
+    T.StructField("w", T.IntegerType(), False),
+    T.StructField("h", T.IntegerType(), False),
+    T.StructField("fmt", T.StringType(), False),
+    T.StructField("caption", T.StringType(), False),
+    T.StructField("phash", T.LongType(), False),
+    T.StructField("affine_a", T.DoubleType(), False),
+    T.StructField("affine_b", T.DoubleType(), False),
+    T.StructField("affine_c", T.DoubleType(), False),
+    T.StructField("affine_d", T.DoubleType(), False),
+    T.StructField("affine_e", T.DoubleType(), False),
+    T.StructField("affine_f", T.DoubleType(), False),
+    T.StructField("crs", T.StringType(), False),
+    T.StructField("nodata", T.DoubleType(), True),
+    T.StructField("bands", T.IntegerType(), False),
+    T.StructField("band_names", T.ArrayType(T.StringType()), True),
+])
+
+SCENARIOS = (
+    "uniform42",
+    "gradient",
+    "landcover",
+    "popcount",
+    "temp_mean",
+    "multiband_nodata",
+    "geodesic2px",
+    "skew_coastline",
+)
+
+_SENTINEL = -9999.0
+
+
+def _pixels(scenario: str, rng: np.random.Generator, w: int, h: int):
+    """(bands, h, w) float32 pixels + nodata value (or None) + band names."""
+    if scenario == "uniform42":
+        arr = np.full((1, h, w), 42.0, dtype=np.float32)
+        if rng.random() < 0.5:
+            arr[0, 0, 0] = _SENTINEL
+            return arr, _SENTINEL, None
+        return arr, None, None
+    if scenario == "gradient":
+        arr = np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+        return arr, None, None
+    if scenario == "landcover":
+        # piecewise-constant classes 1..6 in vertical stripes + holes
+        classes = rng.integers(1, 7, size=max(2, w // 4))
+        arr = np.repeat(classes, int(np.ceil(w / len(classes))))[:w]
+        arr = np.tile(arr, (h, 1)).astype(np.float32)[None]
+        holes = rng.random((h, w)) < 0.05
+        arr[0][holes] = _SENTINEL
+        return arr, _SENTINEL, ["landcover"]
+    if scenario == "popcount":
+        # heavy-tailed counts
+        arr = np.floor(rng.pareto(1.5, (1, h, w)) * 10).astype(np.float32)
+        return arr, None, ["pop"]
+    if scenario == "temp_mean":
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = (15 + 10 * np.sin(xx / max(w, 2) * np.pi) *
+               np.cos(yy / max(h, 2) * np.pi)).astype(np.float32)[None]
+        arr = arr + rng.normal(0, 0.1, (1, h, w)).astype(np.float32)
+        return arr, np.nan, None
+    if scenario == "multiband_nodata":
+        arr = rng.uniform(0, 100, (4, h, w)).astype(np.float32)
+        for b in range(4):  # nodata at different pixels per band
+            m = rng.random((h, w)) < 0.15
+            arr[b][m] = _SENTINEL
+        return arr, _SENTINEL, ["red", "green", "blue", "nir"]
+    if scenario == "geodesic2px":
+        arr = np.array([[[0.0], [10.0]]], dtype=np.float32)  # 1 band, 2 rows
+        return arr, None, None
+    if scenario == "skew_coastline":
+        arr = rng.uniform(0, 1, (1, h, w)).astype(np.float32)
+        return arr, None, None
+    raise ValueError(scenario)
+
+
+def _georef(scenario: str, rng: np.random.Generator, w: int, h: int):
+    """North-up affine + crs. skew_coastline clusters tiles on a synthetic
+    coastline band (north-rule skew fixture, FIXTURES.md §2)."""
+    if scenario == "geodesic2px":
+        lon0 = rng.uniform(-170, 170)
+        lat0 = rng.uniform(20, 60)
+        return (0.9, 0.0, lon0, 0.0, -30.0, lat0), "EPSG:4326"
+    if scenario == "skew_coastline":
+        lon0 = rng.uniform(-30.0, -29.0)  # tight lon band
+        lat0 = 10.0 * np.sin(lon0 / 5.0) + rng.uniform(-0.05, 0.05)
+        px = 0.2 / max(w, h)
+        return (px, 0.0, lon0, 0.0, -px, lat0), "EPSG:4326"
+    lon0 = rng.uniform(-175, 170)
+    lat0 = rng.uniform(-80, 80)
+    ext = rng.uniform(0.05, 2.0)
+    if rng.random() < 0.25 and abs(lat0) < 70:
+        from raster2dggs_spark.geo import lonlat_to_mercator
+
+        x0, y0 = lonlat_to_mercator(np.array([lon0]), np.array([lat0]))
+        m = ext * 111_000.0
+        return (m / w, 0.0, float(x0[0]), 0.0, -m / h, float(y0[0])), "EPSG:3857"
+    return (ext / w, 0.0, lon0, 0.0, -ext / h, lat0), "EPSG:4326"
+
+
+def generate_images_pdf(
+    n_images: int,
+    seed: int = 42,
+    scenarios=SCENARIOS,
+    size_range=(8, 48),
+) -> pd.DataFrame:
+    """Deterministic pandas image table (FIXTURES.md §1 schema)."""
+    rows = []
+    for i in range(n_images):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+        scenario = scenarios[i % len(scenarios)]
+        if scenario == "geodesic2px":
+            w, h = 1, 2
+        else:
+            w = int(rng.integers(size_range[0], size_range[1] + 1))
+            h = int(rng.integers(size_range[0], size_range[1] + 1))
+        arr, nodata, band_names = _pixels(scenario, rng, w, h)
+        affine, crs = _georef(scenario, rng, w, h)
+        fmt = ("raw", "zlib", "q8")[i % 3]
+        if fmt == "q8" and (arr == _SENTINEL).any():
+            fmt = "zlib"  # keep sentinel exact for nodata fixtures
+        payload = encode_image(arr, fmt)
+        rows.append({
+            "image_id": f"img_{scenario}_{i:08d}",
+            "bytes": payload,
+            "w": w,
+            "h": h,
+            "fmt": fmt,
+            "caption": f"{scenario} tile {i} of seed {seed}",
+            "phash": average_hash64(arr[0]),
+            "affine_a": affine[0],
+            "affine_b": affine[1],
+            "affine_c": affine[2],
+            "affine_d": affine[3],
+            "affine_e": affine[4],
+            "affine_f": affine[5],
+            "crs": crs,
+            "nodata": None if nodata is None else float(nodata),
+            "bands": arr.shape[0],
+            "band_names": band_names,
+        })
+    return pd.DataFrame(rows)
+
+
+def images_spark_df(spark, n_images: int, seed: int = 42, **kw):
+    """Spark DataFrame of the synthetic table (small scales; driver-built).
+
+    For bench scales use :func:`write_images_table`, which generates
+    *distributed* (one seeded chunk per task — no driver bottleneck)."""
+    return spark.createDataFrame(generate_images_pdf(n_images, seed, **kw), IMAGE_SCHEMA)
+
+
+def write_images_table(spark, path: str, n_images: int, seed: int = 42,
+                       chunk: int = 512, scenarios=SCENARIOS, size_range=(8, 48)):
+    """Distributed deterministic generation → parquet at ``path``.
+
+    Each task generates rows [start, end) with per-image seeds, so output
+    content is independent of parallelism (determinism contract)."""
+    starts = [(s, min(s + chunk, n_images)) for s in range(0, n_images, chunk)]
+    rdd = spark.sparkContext.parallelize(starts, len(starts))
+
+    def gen(rng_bounds):
+        start, end = rng_bounds
+        out = []
+        for k in range(end - start):
+            i = start + k
+            rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+            scenario = scenarios[i % len(scenarios)]
+            if scenario == "geodesic2px":
+                w, h = 1, 2
+            else:
+                w = int(rng.integers(size_range[0], size_range[1] + 1))
+                h = int(rng.integers(size_range[0], size_range[1] + 1))
+            arr, nodata, band_names = _pixels(scenario, rng, w, h)
+            affine, crs = _georef(scenario, rng, w, h)
+            fmt = ("raw", "zlib", "q8")[i % 3]
+            if fmt == "q8" and (arr == _SENTINEL).any():
+                fmt = "zlib"
+            out.append((
+                f"img_{scenario}_{i:08d}", encode_image(arr, fmt), w, h, fmt,
+                f"{scenario} tile {i} of seed {seed}", average_hash64(arr[0]),
+                affine[0], affine[1], affine[2], affine[3], affine[4], affine[5],
+                crs, None if nodata is None else float(nodata), arr.shape[0],
+                band_names,
+            ))
+        return out
+
+    df = spark.createDataFrame(rdd.flatMap(gen), IMAGE_SCHEMA)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
