@@ -276,6 +276,103 @@ def q_topk_window(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# spatial joins (J5-J7) — oracle-checked via SQL-expressible geometry
+# --------------------------------------------------------------------------
+# Deterministic point/zone derivations shared between Spark and DuckDB:
+# customers → points, nations → rectangular zones (integer arithmetic only,
+# so both engines compute identical coordinates).
+
+def _customer_points(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        (((F.col("c_custkey") * 37) % 344) - 172 + 0.3).cast("double").alias("lon"),
+        (((F.col("c_custkey") * 53) % 160) - 80 + 0.3).cast("double").alias("lat"),
+    )
+
+
+_CUSTOMER_POINTS_SQL = """
+    SELECT c_custkey AS point_id,
+           CAST(((c_custkey * 37) % 344) - 172 + 0.3 AS DOUBLE) AS lon,
+           CAST(((c_custkey * 53) % 160) - 80 + 0.3 AS DOUBLE) AS lat
+    FROM customer
+"""
+
+
+def _supplier_points(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("t_id"),
+        (((F.col("s_suppkey") * 41) % 340) - 170 + 0.7).cast("double").alias("lon"),
+        (((F.col("s_suppkey") * 23) % 150) - 75 + 0.7).cast("double").alias("lat"),
+    )
+
+
+_SUPPLIER_POINTS_SQL = """
+    SELECT s_suppkey AS t_id,
+           CAST(((s_suppkey * 41) % 340) - 170 + 0.7 AS DOUBLE) AS lon,
+           CAST(((s_suppkey * 23) % 150) - 75 + 0.7 AS DOUBLE) AS lat
+    FROM supplier
+"""
+
+
+def _nation_rects(spark, sf_dir):
+    """Rect zones as 4-vertex polygons — the Spark side runs the *real*
+    PIP machinery (cover cells + ray-cast refinement); the oracle reduces
+    to BETWEEN because the polygons are rectangles."""
+    n = _t(spark, sf_dir, "nation")
+    lon0 = ((F.col("n_nationkey") * 29) % 330) - 165.0
+    lat0 = ((F.col("n_nationkey") * 17) % 130) - 65.0
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("poly_id"),
+        F.array(lon0, lon0 + 12.0, lon0 + 12.0, lon0).cast("array<double>").alias("xs"),
+        F.array(lat0, lat0, lat0 + 9.0, lat0 + 9.0).cast("array<double>").alias("ys"),
+    )
+
+
+_NATION_RECTS_SQL = """
+    SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+           CAST(((n_nationkey * 29) % 330) - 165.0 AS DOUBLE) AS lon0,
+           CAST(((n_nationkey * 17) % 130) - 65.0 AS DOUBLE) AS lat0
+    FROM nation
+"""
+
+
+def q_pip_join(spark, sf_dir):
+    from raster2dggs_spark.operators.joins import point_in_polygon_join
+
+    pts = _customer_points(spark, sf_dir)
+    zones = _nation_rects(spark, sf_dir)
+    out = point_in_polygon_join(pts, zones, res=4)
+    return out.select("point_id", "poly_id")
+
+
+def q_knn_join(spark, sf_dir):
+    from raster2dggs_spark.operators.joins import knn_join
+
+    q = _customer_points(spark, sf_dir).withColumnRenamed("point_id", "q_id")
+    t = _supplier_points(spark, sf_dir)
+    out = knn_join(q, t, k=3, radius_m=1_500_000.0, res=9)
+    return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
+
+
+def q_zonal_join(spark, sf_dir):
+    """Exact zonal statistics: PIP join (cover cells + ray-cast
+    refinement) then per-zone aggregation — J7 with point-exact
+    membership so the BETWEEN oracle applies.  The cell-granularity
+    fast path (zonal_join over the index) is pytest-verified."""
+    from raster2dggs_spark.operators.joins import point_in_polygon_join
+
+    pts = _customer_points(spark, sf_dir)
+    zones = _nation_rects(spark, sf_dir)
+    hits = point_in_polygon_join(pts, zones, res=4)
+    return hits.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("point_id").cast("long").alias("sum_ids"),
+    )
+
+
+# --------------------------------------------------------------------------
 # geospatial family (rows-only driver check; invariants in pytest)
 # --------------------------------------------------------------------------
 
@@ -321,6 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimals": q_decimals,
         "dedupe_first": q_dedupe_first,
         "topk_window": q_topk_window,
+        "pip_join": q_pip_join,
+        "knn_join": q_knn_join,
+        "zonal_join": q_zonal_join,
         "h3_pixel_index": q_h3_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
     }
@@ -488,5 +588,43 @@ def oracle_sql() -> dict[str, str]:
                                                     o_orderkey ASC) AS BIGINT) AS rank
             FROM orders
             QUALIFY rank <= 3
+        """,
+        "pip_join": f"""
+            WITH pts AS ({_CUSTOMER_POINTS_SQL}),
+                 z AS ({_NATION_RECTS_SQL})
+            SELECT p.point_id, z.poly_id
+            FROM pts p JOIN z
+              ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
+             AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
+        """,
+        "knn_join": f"""
+            WITH q AS (SELECT point_id AS q_id, lon, lat
+                       FROM ({_CUSTOMER_POINTS_SQL})),
+                 t AS ({_SUPPLIER_POINTS_SQL}),
+                 d AS (
+                   SELECT q.q_id, t.t_id,
+                          2.0 * 6371007.1809 * asin(sqrt(
+                            pow(sin(radians(t.lat - q.lat) / 2), 2)
+                            + cos(radians(q.lat)) * cos(radians(t.lat))
+                            * pow(sin(radians(t.lon - q.lon) / 2), 2)
+                          )) AS dist_m
+                   FROM q CROSS JOIN t)
+            SELECT q_id, t_id,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY dist_m ASC, t_id ASC)
+                        AS BIGINT) AS rank
+            FROM d
+            QUALIFY rank <= 3
+        """,
+        "zonal_join": f"""
+            WITH pts AS ({_CUSTOMER_POINTS_SQL}),
+                 z AS ({_NATION_RECTS_SQL})
+            SELECT z.poly_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(sum(p.point_id) AS BIGINT) AS sum_ids
+            FROM pts p JOIN z
+              ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
+             AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
+            GROUP BY z.poly_id
         """,
     }

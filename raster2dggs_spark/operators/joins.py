@@ -1,0 +1,361 @@
+"""Cell-index-powered spatial joins — SURVEY.md §2.3 J5–J7 (north rule).
+
+The DGGS index converts geometric theta-joins into *equi-joins on the cell
+key* that Catalyst can broadcast/hash/sort-merge:
+
+- J5 point-in-polygon: polygons → cover cells (interior / boundary
+  classified) → equi-join on cell → exact vectorized ray-cast refinement
+  only for boundary-cell candidates.
+- J6 kNN: targets indexed once; each query enumerates candidate cells in
+  an expanding radius → equi-join → windowed top-k by exact haversine.
+  (Radius expansion replaces libh3 ``grid_disk`` ring expansion — same
+  candidate semantics, no base-cell neighbor tables needed.)
+- J7 zonal: zone covers joined to any cell-keyed table → per-zone
+  aggregation; a plain shuffled hash join Catalyst already optimizes.
+
+Polygon sides are small in practice → ``F.broadcast`` hints; the point
+side never shuffles for PIP (broadcast hash join), and kNN shuffles once
+on the cell key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EARTH_R = 6371007.1809
+
+
+# ---------------------------------------------------------------------------
+# geometry kernels (pure NumPy — no shapely offline)
+# ---------------------------------------------------------------------------
+
+def raycast_contains(lon, lat, vx, vy):
+    """Vectorized even-odd ray casting: points (n,) vs one polygon
+    (vx, vy vertex arrays, closed implicitly).  Strict-interior for points
+    off edges; on-edge behavior is half-open (consistent, measure-zero)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    vx = np.asarray(vx, dtype=np.float64)
+    vy = np.asarray(vy, dtype=np.float64)
+    n = len(vx)
+    inside = np.zeros(lon.shape[0], dtype=bool)
+    j = n - 1
+    for i in range(n):
+        xi, yi = vx[i], vy[i]
+        xj, yj = vx[j], vy[j]
+        crosses = ((yi > lat) != (yj > lat)) & (
+            lon < (xj - xi) * (lat - yi) / (yj - yi + 1e-300) + xi
+        )
+        inside ^= crosses
+        j = i
+    return inside
+
+
+def _point_segment_dist_deg(lon, lat, x1, y1, x2, y2):
+    """Approx point-to-segment distance in degrees (equirect local)."""
+    px = np.asarray(lon) - x1
+    py = np.asarray(lat) - y1
+    dx, dy = x2 - x1, y2 - y1
+    denom = dx * dx + dy * dy
+    t = np.clip((px * dx + py * dy) / (denom + 1e-300), 0.0, 1.0)
+    ex = px - t * dx
+    ey = py - t * dy
+    return np.sqrt(ex * ex + ey * ey)
+
+
+def polygon_cover_cells(vx, vy, res: int, dggs: str = "h3"):
+    """Cover a polygon with cells at ``res``; classify interior vs
+    boundary.  A cell is *interior* when its center is inside and farther
+    than one circumradius from every edge — matches only need refinement
+    in boundary cells (J5 strategy, SURVEY.md §2.3)."""
+    from raster2dggs_spark.dggs import h3lib, s2lib
+
+    vx = np.asarray(vx, dtype=np.float64)
+    vy = np.asarray(vy, dtype=np.float64)
+    lon_min, lon_max = vx.min(), vx.max()
+    lat_min, lat_max = vy.min(), vy.max()
+    if dggs == "h3":
+        pitch_deg = np.degrees(h3lib.cell_pitch_rad(res))
+        lib = h3lib
+    else:
+        # s2 level pitch ≈ 90° / 2^level of a face edge
+        pitch_deg = 90.0 / (1 << res)
+        lib = None
+    step = pitch_deg * 0.35
+    pad = pitch_deg
+    lons = np.arange(lon_min - pad, lon_max + pad + step, step)
+    lats = np.arange(lat_min - pad, lat_max + pad + step, step)
+    glon = np.repeat(lons, lats.size)
+    glat = np.tile(lats, lons.size)
+    keep = raycast_contains(glon, glat, vx, vy)
+    # include a halo ring so boundary cells whose center is outside still
+    # appear (their interior overlaps the polygon)
+    near = np.zeros_like(keep)
+    n = len(vx)
+    j = n - 1
+    for i in range(n):
+        near |= _point_segment_dist_deg(glon, glat, vx[j], vy[j], vx[i], vy[i]) <= (
+            1.5 * pitch_deg
+        )
+        j = i
+    sel = keep | near
+    if not sel.any():
+        return (np.empty(0, np.int64), np.empty(0, bool), np.empty(0, bool))
+    if dggs == "h3":
+        cells = np.unique(h3lib.latlng_to_cell(glon[sel], glat[sel], res))
+        clon, clat = h3lib.cell_to_latlng(cells)
+    else:
+        cells = np.unique(s2lib.lonlat_to_cell(glon[sel], glat[sel], res))
+        clon, clat = s2lib.cell_to_lonlat(cells)
+    center_in = raycast_contains(clon, clat, vx, vy)
+    # distance of centers to nearest edge
+    mind = np.full(cells.shape[0], np.inf)
+    j = n - 1
+    for i in range(n):
+        d = _point_segment_dist_deg(clon, clat, vx[j], vy[j], vx[i], vy[i])
+        mind = np.minimum(mind, d)
+        j = i
+    interior = center_in & (mind > 1.3 * pitch_deg)
+    boundary = ~interior & (center_in | (mind <= 1.3 * pitch_deg))
+    sel2 = interior | boundary
+    return cells[sel2], interior[sel2], center_in[sel2]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side operators
+# ---------------------------------------------------------------------------
+
+POLY_SCHEMA = T.StructType([
+    T.StructField("poly_id", T.LongType(), False),
+    T.StructField("xs", T.ArrayType(T.DoubleType()), False),
+    T.StructField("ys", T.ArrayType(T.DoubleType()), False),
+])
+
+
+def index_points(points: DataFrame, res: int, dggs: str = "h3",
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Add a ``cell`` column (Arrow-vectorized batch encode; a *map*, not
+    a shuffle — J1)."""
+    @F.pandas_udf(T.LongType())
+    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from raster2dggs_spark.dggs import h3lib, s2lib
+
+        if dggs == "h3":
+            c = h3lib.latlng_to_cell(lon.values, lat.values, res)
+        else:
+            c = s2lib.lonlat_to_cell(lon.values, lat.values, res)
+        return pd.Series(c)
+
+    return points.withColumn("cell", enc(F.col(lon_col), F.col(lat_col)))
+
+
+def polygon_cells(polys: DataFrame, res: int, dggs: str = "h3") -> DataFrame:
+    """Explode polygons to (poly_id, cell, interior) cover rows."""
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("interior", T.BooleanType(), False),
+        T.StructField("center_in", T.BooleanType(), False),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                cells, interior, center_in = polygon_cover_cells(
+                    np.asarray(row.xs), np.asarray(row.ys), res, dggs
+                )
+                out.append(pd.DataFrame({
+                    "poly_id": np.repeat(np.int64(row.poly_id), cells.shape[0]),
+                    "cell": cells,
+                    "interior": interior,
+                    "center_in": center_in,
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return polys.mapInPandas(fn, schema)
+
+
+def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
+                          dggs: str = "h3", lon_col: str = "lon",
+                          lat_col: str = "lat") -> DataFrame:
+    """J5: returns points × containing polygons.
+
+    Plan shape: broadcast the exploded polygon cover (small), equi-join on
+    cell (no point-side shuffle), exact ray-cast only where
+    ``interior = false``."""
+    pts = index_points(points, res, dggs, lon_col, lat_col)
+    cover = polygon_cells(polys, res, dggs).drop("center_in")
+    joined = pts.join(F.broadcast(cover), "cell")
+    interior_hits = joined.where("interior").drop("interior", "cell")
+    boundary = joined.where(~F.col("interior")).drop("interior", "cell")
+    # refine boundary candidates with the exact polygon (broadcast verts)
+    verts = polys.select("poly_id", "xs", "ys")
+    cand = boundary.join(F.broadcast(verts), "poly_id")
+
+    @F.pandas_udf(T.BooleanType())
+    def inside(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        # group rows by polygon to vectorize the raycast over points
+        key = xs.map(lambda a: (len(a), a[0]))
+        for _, idx in pd.Series(range(len(lon))).groupby(key).groups.items():
+            ii = np.asarray(idx)
+            vx = np.asarray(xs.iloc[ii[0]])
+            vy = np.asarray(ys.iloc[ii[0]])
+            out[ii] = raycast_contains(lon.values[ii], lat.values[ii], vx, vy)
+        return pd.Series(out)
+
+    refined = cand.where(inside(F.col(lon_col), F.col(lat_col), "xs", "ys")).drop(
+        "xs", "ys"
+    )
+    return interior_hits.unionByName(refined)
+
+
+def parent_expr(cell_col, parent_res: int, dggs: str = "h3"):
+    """Native-Column cell→parent (pure bit arithmetic — zero Python).
+
+    H3: set res nibble, fill finer digits with 7 (h3lib.cell_to_parent
+    semantics).  S2: (id & -lsb) | lsb."""
+    c = F.col(cell_col) if isinstance(cell_col, str) else cell_col
+    if dggs == "h3":
+        res_mask = ~(0xF << 52)  # python int; fits int64
+        fill = (1 << (3 * (15 - parent_res))) - 1
+        return (c.bitwiseAND(F.lit(res_mask))).bitwiseOR(
+            F.lit(parent_res << 52)
+        ).bitwiseOR(F.lit(fill))
+    if dggs == "s2":
+        lsb = 1 << (2 * (30 - parent_res))
+        return (c.bitwiseAND(F.lit(-lsb))).bitwiseOR(F.lit(lsb))
+    raise ValueError(dggs)
+
+
+def _res_for_radius(radius_m: float, dggs: str, fine_res: int) -> int:
+    """Coarsest res whose cell pitch ≈ radius/8 — keeps disk covers at
+    O(100-1000) candidate cells regardless of radius."""
+    rad = radius_m / EARTH_R
+    if dggs == "h3":
+        # pitch_rad(res) = atan(RES0_U)/sqrt7^res
+        r = int(np.floor(np.log(0.3649 * 8.0 / rad) / np.log(np.sqrt(7.0))))
+    else:
+        r = int(np.floor(np.log2((np.pi / 2) * 8.0 / rad)))
+    return int(np.clip(r, 0, fine_res))
+
+
+def knn_join(queries: DataFrame, targets: DataFrame, k: int,
+             radius_m: float, res: int = 9, dggs: str = "h3",
+             q_id: str = "q_id", t_id: str = "t_id",
+             lon_col: str = "lon", lat_col: str = "lat",
+             max_rounds: int = 4) -> DataFrame:
+    """J6 kNN: targets indexed ONCE at fine ``res``; each round covers an
+    expanding disk with cells at a radius-adaptive coarser res and joins
+    on the *native bitwise parent* of the target cell — no re-indexing,
+    no Python in the join key.  Exact haversine top-k per query (Window),
+    ties broken by (distance, target id); queries short of k retry at 3×
+    radius on the unmatched subset only.
+
+    The candidate-generation semantics match libh3 ``grid_disk`` ring
+    expansion (SURVEY.md J6) expressed as radius expansion."""
+    t = index_points(targets, res, dggs, lon_col, lat_col).select(
+        F.col(t_id), F.col("cell"),
+        F.col(lon_col).alias("t_lon"), F.col(lat_col).alias("t_lat"),
+    )
+    t = t.persist()
+
+    def ring_cells(df: DataFrame, radius: float, cres: int) -> DataFrame:
+        schema = T.StructType([
+            T.StructField(q_id, df.schema[q_id].dataType, False),
+            T.StructField("q_lon", T.DoubleType(), False),
+            T.StructField("q_lat", T.DoubleType(), False),
+            T.StructField("jcell", T.LongType(), False),
+        ])
+
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from raster2dggs_spark.dggs import h3lib, s2lib
+
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    lon = getattr(row, lon_col)
+                    lat = getattr(row, lat_col)
+                    if dggs == "h3":
+                        cells = h3lib.cover_disk(lon, lat, radius, cres)
+                    else:
+                        ang = radius / EARTH_R
+                        pitch = (np.pi / 2) / (1 << cres) * 0.35
+                        steps = int(np.ceil(ang / pitch)) + 1
+                        pts_lon, pts_lat = [np.array([lon])], [np.array([lat])]
+                        for rad in np.linspace(0, ang, steps + 1)[1:]:
+                            kk = max(6, int(np.ceil(2 * np.pi * rad / pitch)))
+                            az = np.linspace(0, 2 * np.pi, kk, endpoint=False)
+                            la, lo = h3lib._geo_az_distance(
+                                np.radians(lat), np.radians(lon), az, rad
+                            )
+                            pts_lat.append(np.degrees(la))
+                            pts_lon.append(np.degrees(lo))
+                        cells = np.unique(s2lib.lonlat_to_cell(
+                            np.concatenate(pts_lon), np.concatenate(pts_lat), cres
+                        ))
+                    out.append(pd.DataFrame({
+                        q_id: np.repeat(getattr(row, q_id), cells.shape[0]),
+                        "q_lon": lon,
+                        "q_lat": lat,
+                        "jcell": cells,
+                    }))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        return df.mapInPandas(fn, schema)
+
+    from raster2dggs_spark.operators.aggregates import top_k
+
+    remaining = queries.select(q_id, lon_col, lat_col)
+    results = None
+    tk = None
+    radius = radius_m
+    for _ in range(max_rounds):
+        cres = _res_for_radius(radius, dggs, res)
+        tt = t.withColumn("jcell", parent_expr("cell", cres, dggs))
+        cand = ring_cells(remaining, radius, cres).join(tt, "jcell")
+        dist = 2.0 * EARTH_R * F.asin(F.sqrt(
+            F.pow(F.sin(F.radians(F.col("t_lat") - F.col("q_lat")) / 2), 2)
+            + F.cos(F.radians("q_lat")) * F.cos(F.radians("t_lat"))
+            * F.pow(F.sin(F.radians(F.col("t_lon") - F.col("q_lon")) / 2), 2)
+        ))
+        cand = cand.withColumn("dist_m", dist).where(F.col("dist_m") <= radius)
+        tk = top_k(cand, [q_id], "dist_m", k, ascending=True, tiebreak=[t_id])
+        tk = tk.select(q_id, t_id, "dist_m", "rank").persist()
+        counts = tk.groupBy(q_id).count()
+        done_ids = counts.where(F.col("count") >= k).select(q_id)
+        done = tk.join(done_ids, q_id, "left_semi")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_ids, q_id, "left_anti").persist()
+        if remaining.isEmpty():
+            break
+        radius *= 3.0
+    else:
+        # accept < k neighbors for queries that exhausted the max radius
+        leftover = tk.join(remaining.select(q_id), q_id, "left_semi")
+        results = results.unionByName(leftover)
+    return results
+
+
+def zonal_join(cells_df: DataFrame, zones: DataFrame, res: int,
+               agg_exprs: list, dggs: str = "h3",
+               zone_id: str = "poly_id") -> DataFrame:
+    """J7: zone polygons → cover cells → equi-join with any cell-keyed
+    table → per-zone aggregation.  Interior cells join directly; boundary
+    membership here is cell-center-based (zonal semantics over the index,
+    matching the reference's cell-granularity overlay joins)."""
+    cover = polygon_cells(zones, res, dggs).where("center_in").select(
+        F.col("poly_id").alias(zone_id), "cell"
+    )
+    joined = cells_df.join(F.broadcast(cover), "cell")
+    return joined.groupBy(zone_id).agg(*agg_exprs)
