@@ -373,6 +373,107 @@ def q_zonal_join(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline family (documents / embeddings tables)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from raster2dggs_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from raster2dggs_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n_hashes=8, bands=4)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from raster2dggs_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8)
+    return out.select(
+        "id_a", "id_b", F.col("inter").cast("long").alias("inter"),
+        F.col("sz_a").cast("long").alias("sz_a"),
+        F.col("sz_b").cast("long").alias("sz_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from raster2dggs_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+def q_lang_id(spark, sf_dir):
+    from raster2dggs_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d, "doc_id", "text")
+
+
+def q_quality_score(spark, sf_dir):
+    from raster2dggs_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d, "doc_id", "text")
+
+
+def q_token_stats(spark, sf_dir):
+    from raster2dggs_spark.operators.text import token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return token_stats(d, "doc_id", "text")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from raster2dggs_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return fingerprint(d, "doc_id", "text")
+
+
+def q_embedding_knn(spark, sf_dir):
+    from raster2dggs_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 30").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    t = e.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"))
+    out = cosine_topk(q, t, k=5)
+    return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
+
+
+def q_embedding_knn_ivf(spark, sf_dir):
+    """Approximate ANN: IVF with deterministic centroids (the first 12
+    vectors) — rows-only check; recall vs exact is pytest-gated."""
+    from raster2dggs_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.where("vec_id < 12").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    q = e.where("vec_id < 30").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    t = e.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"))
+    return ivf_topk(q, t, cents, k=5, n_probe=4)
+
+
+def q_image_stats(spark, sf_dir):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.multimodal import image_stats
+
+    return image_stats(images_spark_df(spark, 64, seed=42))
+
+
+# --------------------------------------------------------------------------
 # geospatial family (rows-only driver check; invariants in pytest)
 # --------------------------------------------------------------------------
 
@@ -421,9 +522,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": q_pip_join,
         "knn_join": q_knn_join,
         "zonal_join": q_zonal_join,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_stats": q_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_knn": q_embedding_knn,
+        "embedding_knn_ivf": q_embedding_knn_ivf,
+        "image_stats": q_image_stats,
         "h3_pixel_index": q_h3_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
     }
+
+
+# --- generated oracle SQL helpers (identical arithmetic to the Spark ops) --
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_WORDS_CTE = (
+    "w AS (SELECT DISTINCT doc_id, unnest(" + _TOKS + ") AS shingle FROM documents)"
+)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+        WITH {_WORDS_CTE},
+        h AS (SELECT doc_id, ({hexval}) AS hv FROM w),
+        s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+    """
+
+
+def _minhash_sql(n_hashes: int = 8, bands: int = 4) -> str:
+    rows = n_hashes // bands
+    mins = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(n_hashes)
+    )
+    bucket_selects = []
+    for b in range(bands):
+        parts = ", '#', ".join(f"mh_{b * rows + r}" for r in range(rows))
+        bucket_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat({parts})) AS bkey FROM sig"
+        )
+    buckets = " UNION ALL ".join(bucket_selects)
+    return f"""
+        WITH {_WORDS_CTE},
+        sig AS (SELECT doc_id, {mins} FROM w GROUP BY doc_id),
+        buckets AS ({buckets})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+def _lang_id_sql() -> str:
+    from raster2dggs_spark.operators.text import LANG_MARKERS
+
+    selects = []
+    for lg in sorted(LANG_MARKERS):
+        hits = " + ".join(
+            f"CASE WHEN list_contains(toks, '{wrd}') THEN 1 ELSE 0 END"
+            for wrd in LANG_MARKERS[lg]
+        )
+        selects.append(f"SELECT doc_id, '{lg}' AS lg, ({hits}) AS h FROM t")
+    union = " UNION ALL ".join(selects)
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS ({union})
+        SELECT doc_id, lg AS lang_guess, CAST(h AS BIGINT) AS lang_hits FROM s
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lg ASC) = 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -626,5 +805,97 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
              AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
             GROUP BY z.poly_id
+        """,
+        "dedup_exact": """
+            WITH h AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+            g AS (SELECT content_md5, min(doc_id) AS canonical_id,
+                         count(*) AS group_size
+                  FROM h GROUP BY content_md5)
+            SELECT h.doc_id, g.canonical_id, g.group_size, h.content_md5
+            FROM h JOIN g USING (content_md5)
+        """,
+        "minhash_lsh": _minhash_sql(8, 4),
+        "ngram_jaccard": f"""
+            WITH {_WORDS_CTE},
+            sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM w a JOIN w b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+                   CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+        """,
+        "simhash": _simhash_sql(32),
+        "lang_id": _lang_id_sql(),
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     len({_TOKS}) AS n_tokens,
+                     length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                         AS n_alnum,
+                     length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces,
+                     {_TOKS} AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, n_chars, n_tokens, n_alnum,
+                     CASE WHEN n_chars > 0
+                          THEN (n_chars - n_alnum - n_spaces) / n_chars
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tokens > 0 THEN n_alnum / n_tokens
+                          ELSE 0.0 END AS mean_word_len,
+                     (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+                      + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END)
+                         AS stop_hits
+              FROM t)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   round(least(n_tokens / 100.0, 1.0) * 0.4
+                         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                         + least(stop_hits / 3.0, 1.0) * 0.3, 6) AS quality
+            FROM f
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS ws_tokens,
+                   CAST(len({_TOKS}) AS BIGINT) AS alnum_tokens,
+                   CAST(ceil(length(regexp_replace(lower(text), '[^a-z0-9]', '',
+                                                   'g')) / 4.0) AS BIGINT)
+                       AS subword_est
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                       AS fingerprint
+            FROM documents
+        """,
+        "embedding_knn": """
+            WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 30),
+            t AS (SELECT vec_id AS t_id, embedding::DOUBLE[] AS tv FROM embeddings),
+            d AS (SELECT q_id, t_id,
+                         list_dot_product(qv, tv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(tv, tv))) AS cosine
+                  FROM q CROSS JOIN t WHERE q_id != t_id)
+            SELECT q_id, t_id,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                                           ORDER BY cosine DESC, t_id ASC)
+                        AS BIGINT) AS rank
+            FROM d QUALIFY rank <= 5
         """,
     }

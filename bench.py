@@ -1,0 +1,119 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+
+The north metric (pixels indexed to H3 cells per second) is reported in
+the extras; the bench image table is generated once (distributed,
+deterministic seed) and cached under .bench_cache/ so generation cost
+never pollutes query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4096"))
+SIZE_RANGE = (32, 96)
+
+
+def get_images(spark):
+    cache = os.path.join(REPO, ".bench_cache", f"images_n{N_IMAGES}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        from raster2dggs_spark.sources import write_images_table
+
+        # chunk sized so the table lands in >= 4*CPUS files — at real scale
+        # the input naturally has thousands of files; locally we must not
+        # accidentally serialize the scan onto one core
+        chunk = max(8, N_IMAGES // (CPUS * 4))
+        write_images_table(spark, cache, N_IMAGES, seed=42,
+                           size_range=SIZE_RANGE, chunk=chunk)
+    return spark.read.parquet(cache)
+
+
+def main():
+    from raster2dggs_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(8, CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    imgs = get_images(spark)
+    imgs = imgs.persist()
+    n_imgs = imgs.count()
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # -- q1: flagship pixel->H3 index + per-cell mean (north metric) -----
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    def q_pixels():
+        out = index_point_agg(imgs, res=9, agg="mean")
+        # force full computation incl. shuffle; agg avoids driver collect
+        return out.agg(
+            F.count(F.lit(1)).alias("cells"), F.sum("npx").alias("pixels")
+        ).collect()[0]
+
+    row = timed("pixel_index_h3", q_pixels)
+    extras["bench_images"] = n_imgs
+    extras["cells_h3"] = int(row["cells"])
+    extras["pixels_indexed"] = int(row["pixels"])
+    extras["pixels_per_sec"] = round(row["pixels"] / timings["pixel_index_h3"], 1)
+
+    # -- q2: S2 variant ---------------------------------------------------
+    def q_pixels_s2():
+        out = index_point_agg(imgs, res=14, dggs="s2", agg="mean")
+        return out.agg(F.count(F.lit(1))).collect()
+
+    timed("pixel_index_s2", q_pixels_s2)
+
+    # -- q3: PIP join on driver tables -------------------------------------
+    import __spark_entry__ as entrymod
+
+    timed("pip_join", lambda: entrymod.q_pip_join(spark, SF_DIR).count())
+    extras["pip_rows"] = entrymod.q_pip_join(spark, SF_DIR).count()
+
+    # -- q4: kNN join -------------------------------------------------------
+    timed("knn_join", lambda: entrymod.q_knn_join(spark, SF_DIR).count())
+
+    # -- q5: zonal ----------------------------------------------------------
+    timed("zonal_join", lambda: entrymod.q_zonal_join(spark, SF_DIR).count())
+
+    # -- q6: relational agg core (lineitem) ----------------------------------
+    timed("agg_core", lambda: entrymod.q_agg_mean_sum_count(spark, SF_DIR).count())
+    timed("hist_binned", lambda: entrymod.q_hist_binned(spark, SF_DIR).count())
+    timed("topk_window", lambda: entrymod.q_topk_window(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,10 +141,26 @@ def _to_face_ij(cell):
     return face.astype(np.int64), i.astype(np.int64), j.astype(np.int64)
 
 
+_ENCODE_CHUNK = 16384  # cache-sized passes (same rationale as h3lib)
+
+
 def lonlat_to_cell(lon_deg, lat_deg, level: int):
     """Vectorized lon/lat (degrees) -> S2 cell id (int64) at ``level``."""
     if not 0 <= level <= MAX_LEVEL:
         raise ValueError("level out of range")
+    lon_a = np.asarray(lon_deg, dtype=np.float64).ravel()
+    lat_a = np.asarray(lat_deg, dtype=np.float64).ravel()
+    if lon_a.shape[0] > 2 * _ENCODE_CHUNK:
+        out = np.empty(lon_a.shape[0], dtype=np.int64)
+        for i in range(0, lon_a.shape[0], _ENCODE_CHUNK):
+            out[i:i + _ENCODE_CHUNK] = _lonlat_to_cell_chunk(
+                lon_a[i:i + _ENCODE_CHUNK], lat_a[i:i + _ENCODE_CHUNK], level
+            )
+        return out
+    return _lonlat_to_cell_chunk(lon_a, lat_a, level)
+
+
+def _lonlat_to_cell_chunk(lon_deg, lat_deg, level: int):
     x, y, z = _lonlat_to_xyz(lon_deg, lat_deg)
     face, u, v = _xyz_to_face_uv(x, y, z)
     i = _st_to_ij(_uv_to_st(u))

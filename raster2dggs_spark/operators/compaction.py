@@ -1,0 +1,132 @@
+"""Hierarchical cell compaction (SURVEY.md §2.4 A16).
+
+Reference semantics (rasterindexer.py:474-513): bottom-up from res to
+parent_res, a parent replaces its children iff ALL expected children are
+present AND every value column is uniform across them; repeat per level.
+Our H3 layout is uniformly 7-ary (h3lib docstring), so expected_count is
+7 per level everywhere (libh3's pentagon-aware count differs — see
+h3lib).
+
+Spark expression of one level: groupBy(native-bitwise parent) with
+count + per-column distinct-count; qualifying groups collapse to one
+parent row.  The loop runs res−target levels; each level is one
+exchange over a strictly shrinking frame.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raster2dggs_spark.operators.joins import parent_expr
+
+
+def compact_cells(df: DataFrame, value_cols: list[str], res: int,
+                  min_res: int = 0, dggs: str = "h3",
+                  cell_col: str = "cell") -> DataFrame:
+    """Compact a single-resolution cell frame bottom-up to ``min_res``.
+
+    Returns the mixed-resolution frame (cell ids carry their res in the
+    bit layout).  Exact-equality uniformity, NaN-safe via null-safe
+    comparison on a canonical struct."""
+    children_per_parent = 7 if dggs == "h3" else 4
+    out_parts: list[DataFrame] = []
+    cur = df
+    for r in range(res, min_res, -1):
+        parent = parent_expr(cell_col, r - 1, dggs).alias("__parent")
+        val_struct = F.struct(*[F.col(c) for c in value_cols])
+        g = cur.select(parent, F.col(cell_col), val_struct.alias("__v"))
+        stats = g.groupBy("__parent").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(F.col("__v")).alias("__d"),
+            F.first("__v").alias("__fv"),
+        )
+        compactable = stats.where(
+            (F.col("__n") == children_per_parent) & (F.col("__d") == 1)
+        )
+        parents = compactable.select(
+            F.col("__parent").alias(cell_col),
+            *[F.col("__fv")[c].alias(c) for c in value_cols],
+        )
+        kept = (
+            g.join(compactable.select("__parent"), "__parent", "left_anti")
+            .select(
+                F.col(cell_col), *[F.col("__v")[c].alias(c) for c in value_cols]
+            )
+        )
+        out_parts.append(kept)
+        cur = parents  # parents may compact further at the next level
+    out_parts.append(cur.select(cell_col, *value_cols))
+    return reduce(lambda a, b: a.unionByName(b), out_parts)
+
+
+def uncompact_cells(df: DataFrame, res: int, dggs: str = "h3",
+                    cell_col: str = "cell") -> DataFrame:
+    """Inverse: expand every cell to its res-``res`` descendants (values
+    replicated).  Used by the round-trip invariant test; the descendant
+    enumeration happens in a vectorized UDF (digit arithmetic)."""
+    from pyspark.sql import types as T
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    other = [c for c in df.columns if c != cell_col]
+    schema = T.StructType(
+        [T.StructField(cell_col, T.LongType(), False)]
+        + [df.schema[c] for c in other]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.dggs import h3lib, s2lib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf[cell_col].values
+            if dggs == "h3":
+                cr = h3lib.get_resolution(cells)
+            else:
+                cr = s2lib.cell_level(cells)
+            out_cells = []
+            out_idx = []
+            for i in range(len(cells)):
+                c = int(cells[i])
+                depth = res - int(cr[i])
+                if depth == 0:
+                    out_cells.append(np.array([c], dtype=np.int64))
+                    out_idx.append(np.array([i]))
+                    continue
+                if dggs == "h3":
+                    # enumerate digit strings for the extra levels
+                    n = 7 ** depth
+                    digs = np.arange(n)
+                    kids = np.full(n, np.uint64(c))
+                    kids = (kids & ~(np.uint64(0xF) << np.uint64(52))) | (
+                        np.uint64(res) << np.uint64(52)
+                    )
+                    for lvl in range(depth):
+                        rr = int(cr[i]) + lvl + 1
+                        shift = np.uint64(3 * (15 - rr))
+                        d = ((digs // (7 ** (depth - lvl - 1))) % 7).astype(np.uint64)
+                        kids = (kids & ~(np.uint64(7) << shift)) | (d << shift)
+                    out_cells.append(kids.astype(np.int64))
+                else:
+                    n = 4 ** depth
+                    u = np.uint64(c)
+                    lsb = u & (~u + np.uint64(1))
+                    start = u - lsb + np.uint64(1)  # range_min leaf-ish
+                    step = np.uint64(2) << np.uint64(2 * (30 - res) )
+                    new_lsb = np.uint64(1) << np.uint64(2 * (30 - res))
+                    kids = start - np.uint64(1) + new_lsb + step * np.arange(n, dtype=np.uint64)
+                    out_cells.append(kids.astype(np.int64))
+                out_idx.append(np.full(out_cells[-1].shape[0], i))
+            cells_all = np.concatenate(out_cells)
+            idx_all = np.concatenate(out_idx)
+            data = {cell_col: cells_all}
+            for c in other:
+                data[c] = pdf[c].values[idx_all]
+            yield pd.DataFrame(data)
+
+    return df.mapInPandas(fn, schema)

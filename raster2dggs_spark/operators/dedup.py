@@ -1,0 +1,158 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are native Spark expressions (tokenize/explode/groupBy/
+join) so Catalyst plans them; hashing uses md5 (identical bytes in Spark
+and DuckDB → every stage below is oracle-checkable).
+
+- exact_dedup: hash-groupBy (content hash → canonical id per group)
+- minhash_lsh: shingle → md5-minhash signature → banded LSH buckets →
+  candidate pairs (the standard near-dup pipeline at corpus scale; the
+  signature join is an equi-join Spark shuffles once)
+- ngram_jaccard_pairs: exact n-gram Jaccard via shingle self-join
+  (verification stage for LSH candidates, or exact small-scale dedup)
+- simhash: 32-bit sign-of-sums fingerprint over word hashes
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokens_expr(text_col: str):
+    """lower → alnum tokens. Same expression exists in DuckDB
+    (regexp_extract_all) so oracles tokenize identically."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: md5(text) → (id, canonical_id, group_size).
+
+    canonical = min id per hash group; single shuffle on the hash."""
+    h = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+    g = h.groupBy("content_md5").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return h.join(g, "content_md5").select(
+        id_col, "canonical_id", "group_size", "content_md5"
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
+    """(id, shingle) distinct rows; n-word shingles (n=1 → word set)."""
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+    if n == 1:
+        sh = toks.select(id_col, F.explode("toks").alias("shingle"))
+    else:
+        # n-gram shingles via native slice over an index sequence
+        sh = toks.where(F.size("toks") >= n).select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                )
+            ).alias("shingle"),
+        )
+    return sh.distinct()
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int = 16, shingle_n: int = 1) -> DataFrame:
+    """MinHash signature per doc: for seed i, min(md5(i || '|' || shingle)).
+
+    md5-as-hash keeps every value reproducible in the SQL oracle (string
+    min over hex digests ≡ min over the 128-bit integers)."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 1) -> DataFrame:
+    """LSH candidate pairs: signatures split into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any band bucket are candidates.
+    Returns distinct (id_a, id_b), id_a < id_b.
+
+    Plan: one shuffle for signatures, one for the bucket self-join —
+    never a cross join."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("#", *parts)).alias("bkey"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 1, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard over n-gram shingle sets for all pairs sharing at
+    least one shingle: |A∩B| / (|A|+|B|−|A∩B|) >= threshold.
+
+    The shingle self-join only materializes co-occurring pairs (inverted-
+    index join), not the quadratic cross product."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: word hash = first 8 hex chars of md5 (32-bit);
+    bit b of the fingerprint = sign of Σ_words (±1 per bit).  The 32
+    per-bit sums are generated as native expressions (and identically in
+    the SQL oracle)."""
+    w = word_shingles(df, id_col, text_col, 1)
+    hv = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+    w = w.withColumn("hv", hv)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    g = w.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return g.select(id_col, fp.alias("simhash"))

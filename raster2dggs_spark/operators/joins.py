@@ -276,41 +276,58 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
             T.StructField("q_lat", T.DoubleType(), False),
             T.StructField("jcell", T.LongType(), False),
         ])
+        # the disk-sample pattern (azimuth, angular distance) is identical
+        # for every query in a round -> precompute once, vectorize across
+        # the whole batch (one encode for all queries)
+        ang = radius / EARTH_R
+        if dggs == "h3":
+            from raster2dggs_spark.dggs import h3lib
+
+            pitch = h3lib.cell_pitch_rad(cres) * 0.35
+        else:
+            pitch = (np.pi / 2) / (1 << cres) * 0.35
+        steps = int(np.ceil(ang / pitch)) + 1
+        pat_az = [np.array([0.0])]
+        pat_rad = [np.array([0.0])]
+        for rad in np.linspace(0.0, ang, steps + 1)[1:]:
+            kk = max(6, int(np.ceil(2 * np.pi * rad / pitch)))
+            pat_az.append(np.linspace(0.0, 2 * np.pi, kk, endpoint=False))
+            pat_rad.append(np.full(kk, rad))
+        pat_az = np.concatenate(pat_az)
+        pat_rad = np.concatenate(pat_rad)
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from raster2dggs_spark.dggs import h3lib, s2lib
 
             for pdf in batches:
-                out = []
-                for row in pdf.itertuples(index=False):
-                    lon = getattr(row, lon_col)
-                    lat = getattr(row, lat_col)
-                    if dggs == "h3":
-                        cells = h3lib.cover_disk(lon, lat, radius, cres)
-                    else:
-                        ang = radius / EARTH_R
-                        pitch = (np.pi / 2) / (1 << cres) * 0.35
-                        steps = int(np.ceil(ang / pitch)) + 1
-                        pts_lon, pts_lat = [np.array([lon])], [np.array([lat])]
-                        for rad in np.linspace(0, ang, steps + 1)[1:]:
-                            kk = max(6, int(np.ceil(2 * np.pi * rad / pitch)))
-                            az = np.linspace(0, 2 * np.pi, kk, endpoint=False)
-                            la, lo = h3lib._geo_az_distance(
-                                np.radians(lat), np.radians(lon), az, rad
-                            )
-                            pts_lat.append(np.degrees(la))
-                            pts_lon.append(np.degrees(lo))
-                        cells = np.unique(s2lib.lonlat_to_cell(
-                            np.concatenate(pts_lon), np.concatenate(pts_lat), cres
-                        ))
-                    out.append(pd.DataFrame({
-                        q_id: np.repeat(getattr(row, q_id), cells.shape[0]),
-                        "q_lon": lon,
-                        "q_lat": lat,
-                        "jcell": cells,
-                    }))
-                if out:
-                    yield pd.concat(out, ignore_index=True)
+                if not len(pdf):
+                    continue
+                qids = pdf[q_id].values
+                qlon = np.radians(pdf[lon_col].values.astype(np.float64))
+                qlat = np.radians(pdf[lat_col].values.astype(np.float64))
+                n, p = qlon.shape[0], pat_az.shape[0]
+                la, lo = h3lib._geo_az_distance(
+                    qlat[:, None], qlon[:, None], pat_az[None, :], pat_rad[None, :]
+                )
+                glon = np.degrees(lo).ravel()
+                glat = np.degrees(la).ravel()
+                if dggs == "h3":
+                    cells = h3lib.latlng_to_cell(glon, glat, cres)
+                else:
+                    cells = s2lib.lonlat_to_cell(glon, glat, cres)
+                qidx = np.repeat(np.arange(n), p)
+                # dedupe (query, cell) pairs: lexsort + consecutive-diff
+                order = np.lexsort((cells, qidx))
+                qi, ce = qidx[order], cells[order]
+                keep = np.ones(qi.shape[0], dtype=bool)
+                keep[1:] = (qi[1:] != qi[:-1]) | (ce[1:] != ce[:-1])
+                qi, ce = qi[keep], ce[keep]
+                yield pd.DataFrame({
+                    q_id: qids[qi],
+                    "q_lon": pdf[lon_col].values[qi],
+                    "q_lat": pdf[lat_col].values[qi],
+                    "jcell": ce,
+                })
 
         return df.mapInPandas(fn, schema)
 

@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline — a broadcast join of
+  the (small) query set against all targets, dot products as native
+  array expressions (zip_with/aggregate) in whole-stage codegen.
+- IVF top-k: the scale path — vectors assigned to their nearest of K
+  deterministic centroids; queries probe the P nearest centroid
+  partitions only.  Candidate set shrinks ~K/P-fold; an equi-join on the
+  centroid id replaces the cross join (same shape as the DGGS cell
+  trick: geometry → equi-join key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raster2dggs_spark.operators.aggregates import top_k
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(queries: DataFrame, targets: DataFrame, k: int,
+                q_id: str = "q_id", t_id: str = "t_id",
+                q_vec: str = "q_vec", t_vec: str = "t_vec",
+                exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k of each query against all targets.
+
+    Queries are broadcast (the query set is the small side); ties broken
+    by target id."""
+    q = queries.select(
+        F.col(q_id), _as_double(F.col(q_vec)).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    t = targets.select(
+        F.col(t_id), _as_double(F.col(t_vec)).alias("__tv")
+    ).withColumn("__tn", _norm(F.col("__tv")))
+    cand = t.crossJoin(F.broadcast(q))
+    if exclude_self:
+        cand = cand.where(F.col(q_id) != F.col(t_id))
+    cos = (_dot(F.col("__qv"), F.col("__tv")) / (F.col("__qn") * F.col("__tn")))
+    cand = cand.withColumn("cosine", cos).withColumn("__neg", -F.col("cosine"))
+    out = top_k(cand, [q_id], "__neg", k, ascending=True, tiebreak=[t_id])
+    return out.select(q_id, t_id, "cosine", "rank")
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               v_id: str = "vec_id", v_vec: str = "embedding",
+               c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
+    """Assign each vector to its nearest centroid (by cosine).  Centroids
+    are broadcast; output (v_id, centroid) is the IVF partition key."""
+    v = vectors.select(F.col(v_id), _as_double(F.col(v_vec)).alias("__v"))
+    v = v.withColumn("__vn", _norm(F.col("__v")))
+    c = centroids.select(F.col(c_id), _as_double(F.col(c_vec)).alias("__c"))
+    c = c.withColumn("__cn", _norm(F.col("__c")))
+    j = v.crossJoin(F.broadcast(c)).withColumn(
+        "__cos", _dot(F.col("__v"), F.col("__c")) / (F.col("__vn") * F.col("__cn"))
+    )
+    best = top_k(j, [v_id], "__cos", 1, ascending=False, tiebreak=[c_id])
+    return best.select(v_id, F.col(c_id).alias("centroid"), F.col("__cos").alias("c_cos"))
+
+
+def ivf_topk(queries: DataFrame, targets: DataFrame, centroids: DataFrame,
+             k: int, n_probe: int = 4,
+             q_id: str = "q_id", t_id: str = "t_id",
+             q_vec: str = "q_vec", t_vec: str = "t_vec") -> DataFrame:
+    """Approximate top-k: probe the ``n_probe`` nearest centroid
+    partitions per query; exact cosine within the probed subset."""
+    t_assigned = ivf_assign(targets, centroids, t_id, t_vec).select(
+        t_id, "centroid"
+    ).join(targets.select(F.col(t_id), F.col(t_vec)), t_id)
+    c = centroids
+    q = queries.select(F.col(q_id), F.col(q_vec))
+    qc = q.crossJoin(F.broadcast(c)).withColumn(
+        "__cos",
+        _dot(_as_double(F.col(q_vec)), _as_double(F.col("c_vec")))
+        / (_norm(_as_double(F.col(q_vec))) * _norm(_as_double(F.col("c_vec")))),
+    )
+    probes = top_k(qc, [q_id], "__cos", n_probe, ascending=False,
+                   tiebreak=["c_id"]).select(
+        q_id, F.col("c_id").alias("centroid"), F.col(q_vec)
+    )
+    cand = probes.join(t_assigned, "centroid").where(F.col(q_id) != F.col(t_id))
+    cos = (
+        _dot(_as_double(F.col(q_vec)), _as_double(F.col(t_vec)))
+        / (_norm(_as_double(F.col(q_vec))) * _norm(_as_double(F.col(t_vec))))
+    )
+    cand = cand.withColumn("cosine", cos).withColumn("__neg", -F.col("cosine"))
+    out = top_k(cand, [q_id], "__neg", k, ascending=True, tiebreak=[t_id])
+    return out.select(q_id, t_id, "cosine", "rank")

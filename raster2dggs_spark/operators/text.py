@@ -1,0 +1,115 @@
+"""Text-analysis operators (training-data pipeline surface).
+
+All native Spark SQL expressions — no Python in the hot path — and each
+arithmetic step has an exact DuckDB twin for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raster2dggs_spark.operators.dedup import tokens_expr
+
+# wordlist-scoring language ID: per-language marker lists; the synthetic
+# corpus is English-ish analytics prose, so EN markers dominate — the
+# heuristic (stopword-ratio langid) is the standard n-gram/wordlist trick.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "a", "to", "in", "is", "row", "table", "value"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+
+def _marker_hits(lang: str):
+    toks = F.col("__toks")
+    hits = F.lit(0)
+    for wrd in LANG_MARKERS[lang]:
+        hits = hits + F.when(F.array_contains(toks, wrd), 1).otherwise(0)
+    return hits
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, lang_guess, lang_hits): language with most distinct marker
+    words present; deterministic tie-break by language code."""
+    t = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    scored = t.select(
+        id_col,
+        *[_marker_hits(lg).alias(f"hits_{lg}") for lg in LANG_MARKERS],
+    )
+    # argmax over the fixed language set, ties -> lexicographically first
+    pairs = [
+        F.struct(F.col(f"hits_{lg}").alias("h"), F.lit(lg).alias("lg"))
+        for lg in sorted(LANG_MARKERS)
+    ]
+    # max over struct(h, lg) orders by h then lg; we want ties -> first
+    # lang code, so negate via ordering on (h, reversed lg) == use
+    # array_max over (h, -ord)? simplest: greatest of structs with lg
+    # replaced by its negative sort key is overkill — sorted() descending
+    # by h then ascending lg via expression:
+    best = F.array_sort(
+        F.array(*pairs),
+        lambda a, b: F.when(a["h"] > b["h"], -1)
+        .when(a["h"] < b["h"], 1)
+        .when(a["lg"] < b["lg"], -1)
+        .when(a["lg"] > b["lg"], 1)
+        .otherwise(0),
+    )[0]
+    return scored.select(
+        id_col,
+        best["lg"].alias("lang_guess"),
+        best["h"].cast("long").alias("lang_hits"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a scalar
+    score — the standard cheap quality filter for corpus curation."""
+    t = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_alnum = F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]", ""))
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - n_alnum - F.length(F.regexp_replace(t, "[^ ]", ""))) / n_chars
+    ).otherwise(0.0)
+    mean_word_len = F.when(n_tokens > 0, n_alnum / n_tokens).otherwise(0.0)
+    stop_hits = F.lit(0)
+    for wrd in ("the", "and", "of", "to", "a", "in"):
+        stop_hits = stop_hits + F.when(F.array_contains(toks, wrd), 1).otherwise(0)
+    score = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_hits / 3.0, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting: words, alnum runs, and a
+    subword estimate (ceil(chars/4) — the common budget heuristic)."""
+    toks = tokens_expr(text_col)
+    ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    n_alnum = F.length(F.regexp_replace(F.lower(text_col), "[^a-z0-9]", ""))
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        F.size(toks).cast("long").alias("alnum_tokens"),
+        F.ceil(n_alnum / 4.0).cast("long").alias("subword_est"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set (bag-of-words identity; catches shuffled near-copies)."""
+    toks = tokens_expr(text_col)
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -201,9 +201,10 @@ def write_images_table(spark, path: str, n_images: int, seed: int = 42,
                 fmt = "zlib"
             out.append((
                 f"img_{scenario}_{i:08d}", encode_image(arr, fmt), w, h, fmt,
-                f"{scenario} tile {i} of seed {seed}", average_hash64(arr[0]),
-                affine[0], affine[1], affine[2], affine[3], affine[4], affine[5],
-                crs, None if nodata is None else float(nodata), arr.shape[0],
+                f"{scenario} tile {i} of seed {seed}", int(average_hash64(arr[0])),
+                float(affine[0]), float(affine[1]), float(affine[2]),
+                float(affine[3]), float(affine[4]), float(affine[5]),
+                crs, None if nodata is None else float(nodata), int(arr.shape[0]),
                 band_names,
             ))
         return out

@@ -1,0 +1,76 @@
+"""Compaction (A16): uniform regions roll up; round-trip conservation.
+
+Mirrors the reference's compaction contract (rasterindexer.py:474-513):
+a parent replaces its children iff all children present and values
+uniform; mixed regions stay at full res."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_compact_uniform_rolls_up(spark):
+    from raster2dggs_spark.operators.compaction import compact_cells, uncompact_cells
+    from raster2dggs_spark.dggs import h3lib
+
+    # build: all res-9 children of two res-7 cells; one uniform, one mixed
+    base = h3lib.latlng_to_cell(np.array([10.0, 12.0]), np.array([45.0, 46.0]), 7)
+    rows = []
+    for which, cell7 in enumerate(base):
+        # enumerate all 49 res-9 descendants by digit arithmetic
+        u = np.uint64(cell7)
+        u = (u & ~(np.uint64(0xF) << np.uint64(52))) | (np.uint64(9) << np.uint64(52))
+        for d8 in range(7):
+            for d9 in range(7):
+                c = u & ~(np.uint64(7) << np.uint64(3 * (15 - 8)))
+                c |= np.uint64(d8) << np.uint64(3 * (15 - 8))
+                c = c & ~(np.uint64(7) << np.uint64(3 * (15 - 9)))
+                c |= np.uint64(d9) << np.uint64(3 * (15 - 9))
+                val = 42.0 if which == 0 else float(d8 * 7 + d9)
+                rows.append((np.int64(c), val))
+    pdf = pd.DataFrame(rows, columns=["cell", "v"])
+    sdf = spark.createDataFrame(pdf)
+    out = compact_cells(sdf, ["v"], res=9, min_res=7).toPandas()
+    from raster2dggs_spark.dggs import h3lib as h3
+
+    res_counts = pd.Series(h3.get_resolution(out["cell"].values)).value_counts()
+    # uniform subtree collapses to a single res-7 cell; mixed stays at 9
+    assert res_counts.get(7, 0) == 1
+    assert res_counts.get(9, 0) == 49
+    assert len(out) == 50
+    # values preserved
+    assert (out.loc[h3.get_resolution(out["cell"].values) == 7, "v"] == 42.0).all()
+
+    # round-trip: uncompact reproduces the original (cell, value) set
+    back = uncompact_cells(spark.createDataFrame(out), res=9).toPandas()
+    a = set(map(tuple, back[["cell", "v"]].itertuples(index=False)))
+    b = set(map(tuple, pdf.itertuples(index=False)))
+    assert a == b
+
+
+def test_compact_multi_level(spark):
+    from raster2dggs_spark.operators.compaction import compact_cells
+    from raster2dggs_spark.dggs import h3lib
+
+    # all 343 res-9 descendants of one res-6 cell, all uniform ->
+    # compacts through two levels to the single res-6 cell
+    cell6 = int(h3lib.latlng_to_cell(np.array([-70.0]), np.array([-30.0]), 6)[0])
+    u = np.uint64(cell6)
+    u = (u & ~(np.uint64(0xF) << np.uint64(52))) | (np.uint64(9) << np.uint64(52))
+    cells = []
+    for d7 in range(7):
+        for d8 in range(7):
+            for d9 in range(7):
+                c = u
+                for rr, d in ((7, d7), (8, d8), (9, d9)):
+                    sh = np.uint64(3 * (15 - rr))
+                    c = (c & ~(np.uint64(7) << sh)) | (np.uint64(d) << sh)
+                cells.append(np.int64(c))
+    sdf = spark.createDataFrame(pd.DataFrame({"cell": cells, "v": 1.0}))
+    out = compact_cells(sdf, ["v"], res=9, min_res=0).toPandas()
+    assert len(out) == 1
+    assert int(out["cell"].iloc[0]) == int(
+        h3lib.cell_to_parent(np.array([cells[0]]), 6)[0]
+    )

@@ -1,0 +1,222 @@
+"""Dedup / text / similarity operators vs brute-force python oracles."""
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _toks(s):
+    return re.findall(r"[a-z0-9]+", s.lower())
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (3, "completely different content about spark tables"),
+        (4, "spark tables about completely different content"),  # shuffled 3
+        (5, "unrelated short text"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_exact_dedup(spark, docs):
+    from raster2dggs_spark.operators.dedup import exact_dedup
+
+    pdf, sdf = docs
+    out = exact_dedup(sdf, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "canonical_id"] == 0 and out.loc[1, "canonical_id"] == 0
+    assert out.loc[0, "group_size"] == 2
+    assert out.loc[2, "group_size"] == 1
+    assert out.loc[0, "content_md5"] == hashlib.md5(
+        pdf.loc[0, "text"].encode()
+    ).hexdigest()
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    from raster2dggs_spark.operators.dedup import ngram_jaccard_pairs
+
+    pdf, sdf = docs
+    for n in (1, 3):
+        out = ngram_jaccard_pairs(sdf, "doc_id", "text", n=n, threshold=0.0)
+        got = {
+            (r.id_a, r.id_b): r.jaccard for r in out.collect()
+        }
+        # brute force
+        sets = {
+            r.doc_id: set(
+                " ".join(_toks(r.text)[i:i + n])
+                for i in range(len(_toks(r.text)) - n + 1)
+            )
+            for r in pdf.itertuples(index=False)
+        }
+        for a in range(6):
+            for b in range(a + 1, 6):
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    assert (a, b) not in got
+                else:
+                    exp = inter / len(sets[a] | sets[b])
+                    assert got[(a, b)] == pytest.approx(exp), (a, b, n)
+
+
+def test_minhash_lsh_finds_duplicates(spark, docs):
+    from raster2dggs_spark.operators.dedup import minhash_lsh_pairs
+
+    pdf, sdf = docs
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(sdf, "doc_id", "text", 16, 4).collect()
+    }
+    assert (0, 1) in pairs          # exact dup always collides
+    assert (3, 4) in pairs          # same word set (shuffled)
+    assert (0, 3) not in pairs      # unrelated docs don't collide
+    assert (0, 5) not in pairs
+
+
+def test_simhash_properties(spark, docs):
+    from raster2dggs_spark.operators.dedup import simhash
+
+    pdf, sdf = docs
+    out = simhash(sdf, "doc_id", "text").toPandas().set_index("doc_id")["simhash"]
+    assert out[0] == out[1]          # identical text
+    assert out[3] == out[4]          # same word set
+    # near dup: small hamming distance; unrelated: larger
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(out[0], out[2]) <= 10
+    assert ham(out[0], out[3]) >= ham(out[0], out[2])
+
+
+def test_lang_id_and_quality(spark):
+    from raster2dggs_spark.operators.text import lang_id, quality_score, token_stats
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "the table and the row of a value in the data",
+            "der hund und die katze ist nicht ein zu",
+            "le chat et la maison les des un une est",
+        ],
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = lang_id(sdf, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_guess"] == "en"
+    assert out.loc[1, "lang_guess"] == "de"
+    assert out.loc[2, "lang_guess"] == "fr"
+    q = quality_score(sdf, "doc_id", "text").toPandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    t = token_stats(sdf, "doc_id", "text").toPandas().set_index("doc_id")
+    assert t.loc[0, "alnum_tokens"] == len(_toks(pdf.loc[0, "text"]))
+
+
+def test_fingerprint_order_insensitive(spark, docs):
+    from raster2dggs_spark.operators.text import fingerprint
+
+    pdf, sdf = docs
+    out = fingerprint(sdf, "doc_id", "text").toPandas().set_index("doc_id")
+    assert out.loc[3, "fingerprint"] == out.loc[4, "fingerprint"]
+    assert out.loc[0, "fingerprint"] != out.loc[3, "fingerprint"]
+
+
+def test_cosine_topk_exact(spark):
+    from raster2dggs_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(5)
+    n, d, k = 60, 16, 4
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = sdf.limit(10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    t = sdf.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"))
+    out = cosine_topk(q, t, k).toPandas()
+    # brute force in float64
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    for qi in range(10):
+        cos = v64 @ v64[qi] / (norms * norms[qi])
+        cos[qi] = -np.inf
+        order = np.lexsort((np.arange(n), -cos))[:k]
+        got = out[out["q_id"] == qi].sort_values("rank")["t_id"].tolist()
+        assert got == [int(x) for x in order], qi
+
+
+def test_ivf_topk_recall(spark):
+    from raster2dggs_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(6)
+    # clustered vectors so IVF partitions are meaningful
+    centers = rng.normal(size=(8, 16)) * 4
+    vecs = np.vstack([
+        centers[i % 8] + rng.normal(size=16) * 0.4 for i in range(200)
+    ]).astype(np.float32)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    sdf = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        pd.DataFrame({
+            "c_id": np.arange(8, dtype=np.int64),
+            "c_vec": [c.astype(np.float32).tolist() for c in centers],
+        }),
+        "c_id long, c_vec array<float>",
+    )
+    q = sdf.limit(15).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    t = sdf.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"))
+    exact = cosine_topk(q, t, 5).toPandas()
+    approx = ivf_topk(q, t, cents, 5, n_probe=3).toPandas()
+    # recall@5 over the 15 queries
+    rec = []
+    for qi in exact["q_id"].unique():
+        e = set(exact[exact["q_id"] == qi]["t_id"])
+        a = set(approx[approx["q_id"] == qi]["t_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.8
+
+
+def test_image_stats_and_thumbnails(spark):
+    from raster2dggs_spark.sources import images_spark_df, generate_images_pdf
+    from raster2dggs_spark.operators.multimodal import image_stats, thumbnails
+
+    sdf = images_spark_df(spark, 12, seed=9)
+    out = image_stats(sdf).toPandas().set_index("image_id")
+    pdf = generate_images_pdf(12, seed=9).set_index("image_id")
+    # phash recomputed from decoded payload matches stored phash for
+    # lossless fmts
+    for iid, row in pdf.iterrows():
+        if row["fmt"] != "q8":
+            assert out.loc[iid, "phash_recomputed"] == row["phash"]
+    th = thumbnails(sdf, size=8).toPandas()
+    assert (th["thumb"].map(len) == 64).all()
+
+
+def test_frame_sample_stub_plumbing(spark):
+    from raster2dggs_spark.operators.multimodal import frame_sample
+
+    vids = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["v1"], "bytes": [b"xx"], "fmt": ["h264"]})
+    )
+    out = frame_sample(vids)
+    # schema is real even though decode is stubbed
+    assert [f.name for f in out.schema.fields] == [
+        "video_id", "frame_idx", "frame_bytes"
+    ]
+    with pytest.raises(Exception):
+        out.collect()
