@@ -477,6 +477,68 @@ def q_image_stats(spark, sf_dir):
 # geospatial family (rows-only driver check; invariants in pytest)
 # --------------------------------------------------------------------------
 
+def q_sample_bilinear(spark, sf_dir):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.sample import sample_cells
+    from raster2dggs_spark.operators.indexing import to_reference_output
+
+    imgs = images_spark_df(spark, 24, seed=42, size_range=(16, 24))
+    return to_reference_output(sample_cells(imgs, res=7, kernel="bilinear"),
+                               "h3", 7, 1)
+
+
+def q_overlay_weighted_mean(spark, sf_dir):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_agg
+    from raster2dggs_spark.operators.indexing import to_reference_output
+
+    imgs = images_spark_df(spark, 24, seed=42, size_range=(12, 20))
+    return to_reference_output(overlay_agg(imgs, res=6, op="weighted_mean"),
+                               "h3", 6, 0)
+
+
+def q_overlay_fractions(spark, sf_dir):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_classes
+    from raster2dggs_spark.operators.indexing import to_reference_output
+
+    imgs = images_spark_df(spark, 16, seed=42, scenarios=("landcover",),
+                           size_range=(12, 20))
+    out = overlay_classes(imgs, res=6, op="fractions")
+    return to_reference_output(
+        out.select("parent", "cell", "class", F.round("fraction", 6).alias("fraction")),
+        "h3", 6, 0,
+    )
+
+
+def q_compact_cells(spark, sf_dir):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
+    from raster2dggs_spark.operators.compaction import compact_cells
+
+    imgs = images_spark_df(spark, 16, seed=42, scenarios=("uniform42",))
+    idx = index_point_agg(imgs, res=8, agg="mean").select(
+        "cell", F.round("band_1", 6).alias("v")
+    )
+    out = compact_cells(idx, ["v"], res=8, min_res=2)
+    return out.select(F.lower(F.hex("cell")).alias("cell_hex"), "v")
+
+
+def q_windowed_events(spark, sf_dir):
+    """Batch analogue of streaming.windowed_event_stats (tumbling 1h
+    windows); date_trunc on the NTZ timestamp keeps it timezone-free so
+    the DuckDB twin is exact.  The streaming variant (watermark +
+    window()) is equivalence-tested in pytest."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r4(F.sum("value")).alias("sum_value"),
+    )
+
+
 def q_h3_pixel_index(spark, sf_dir):
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
@@ -533,6 +595,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "image_stats": q_image_stats,
+        "windowed_events": q_windowed_events,
+        "sample_bilinear": q_sample_bilinear,
+        "overlay_weighted_mean": q_overlay_weighted_mean,
+        "overlay_fractions": q_overlay_fractions,
+        "compact_cells": q_compact_cells,
         "h3_pixel_index": q_h3_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
     }
@@ -882,6 +949,13 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
                        AS fingerprint
             FROM documents
+        """,
+        "windowed_events": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv

@@ -544,6 +544,61 @@ def cell_to_latlng(cells):
 # --- bit-arithmetic hierarchy (exact H3 semantics) ----------------------
 
 
+def cell_to_boundary(cells):
+    """Hexagon boundary vertices, (n, 6, 2) arrays (lon_deg, lat_deg).
+
+    Vertices sit at circumradius 1/sqrt(3) lattice units from the center
+    at angles 30°+60k in the cell's res-frame, rendered through the same
+    face plane the center uses (cf. libh3 cellToBoundary)."""
+    c = np.asarray(cells).astype(np.uint64).ravel()
+    n = c.shape[0]
+    res = get_resolution(c)
+    # first find the rendering face per cell (same two-pass as centers)
+    lon_c, lat_c = cell_to_latlng(c)
+    cl = np.cos(np.radians(lat_c))
+    xyz = np.column_stack([
+        cl * np.cos(np.radians(lon_c)), cl * np.sin(np.radians(lon_c)),
+        np.sin(np.radians(lat_c)),
+    ])
+    face = np.argmax(xyz @ _FACE_CENTER_XYZ.T, axis=1).astype(np.int64)
+    bc = get_base_cell(c)
+    use_face = np.where(_BASE_ON_FACE_OK[bc, face], face, _BASE_HOME[bc])
+    rot = _BASE_ON_FACE_ROT[bc, use_face]
+    a0 = _BASE_ON_FACE_A[bc, use_face]
+    b0 = _BASE_ON_FACE_B[bc, use_face]
+    max_res = int(res.max()) if n else 0
+    digits = _extract_digits(c, res, max_res)
+    for step in range(1, 6):
+        m = rot >= step
+        if m.any():
+            digits[m] = _DIGIT_CCW[digits[m]]
+    # replay to axial coords on use_face
+    a, b = a0.astype(np.int64).copy(), b0.astype(np.int64).copy()
+    for rr in range(1, max_res + 1):
+        active = res >= rr
+        na, nb = _down_ap7(a, b, _is_class3(rr))
+        dig = digits[:, rr - 1]
+        a = np.where(active, na + _DIGIT_AXIAL[dig, 0], a)
+        b = np.where(active, nb + _DIGIT_AXIAL[dig, 1], b)
+    x, y = _axial_to_hex2d(a, b)
+    # 6 vertices in the res-frame plane
+    ang = np.radians(30.0 + 60.0 * np.arange(6))
+    vr = 1.0 / np.sqrt(3.0)
+    vx = x[:, None] + vr * np.cos(ang)[None, :]
+    vy = y[:, None] + vr * np.sin(ang)[None, :]
+    scale = (M_SQRT7 ** res.astype(np.float64))[:, None]
+    r2d = np.hypot(vx, vy)
+    rang = np.arctan(r2d * RES0_U_GNOMONIC / scale)
+    theta = np.arctan2(vy, vx)
+    theta = np.where((res % 2 == 1)[:, None], theta + M_AP7_ROT_RADS, theta)
+    az = _FACE_AXES_AZ[use_face, 0][:, None] - theta
+    lat0 = _FACE_CENTER_GEO[use_face, 0][:, None]
+    lon0 = _FACE_CENTER_GEO[use_face, 1][:, None]
+    vlat, vlon = _geo_az_distance(lat0, lon0, az, rang)
+    vlon = np.mod(vlon + np.pi, 2 * np.pi) - np.pi
+    return np.degrees(vlon), np.degrees(vlat)
+
+
 def get_resolution(cells):
     c = np.asarray(cells).astype(np.uint64)
     return ((c >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)

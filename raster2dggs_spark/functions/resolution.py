@@ -1,0 +1,53 @@
+"""Resolution auto-modes (reference F9: /root/reference/raster2dggs/
+common.py:67-122, invariants tests/classes/test_resolution_modes.py:
+152-217): choose the output resolution by comparing mean cell area to
+the raster's mean pixel area.
+
+Driver-side pure Python — no Spark involved.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_AREA_M2 = 4.0 * np.pi * 6371007.1809**2
+
+
+def n_cells(res: int, dggs: str = "h3") -> int:
+    # our H3 layout is uniformly 7-ary over 122 base cells; S2: 6*4^level
+    if dggs == "h3":
+        return 122 * 7**res
+    return 6 * 4**res
+
+
+def cell_area_m2_mean(res: int, dggs: str = "h3") -> float:
+    """Mean cell area at ``res`` (exact: cells partition the sphere)."""
+    return EARTH_AREA_M2 / n_cells(res, dggs)
+
+
+def resolve_resolution(mode: str, mean_pixel_area_m2: float,
+                       dggs: str = "h3", max_res: int = 15) -> int:
+    """Reference mode semantics:
+
+    - ``smaller-than-pixel``: coarsest res whose cells are smaller than
+      (or equal to) a pixel;
+    - ``larger-than-pixel``: finest res whose cells are still larger than
+      (or equal to) a pixel;
+    - ``min-diff``: res whose cell area is closest to the pixel area.
+    """
+    if dggs == "s2":
+        max_res = min(max_res, 30)
+    areas = np.array([cell_area_m2_mean(r, dggs) for r in range(max_res + 1)])
+    if mode == "smaller-than-pixel":
+        ok = np.flatnonzero(areas <= mean_pixel_area_m2)
+        if ok.size == 0:
+            return max_res
+        return int(ok[0])
+    if mode == "larger-than-pixel":
+        ok = np.flatnonzero(areas >= mean_pixel_area_m2)
+        if ok.size == 0:
+            return 0
+        return int(ok[-1])
+    if mode == "min-diff":
+        return int(np.argmin(np.abs(areas - mean_pixel_area_m2)))
+    raise ValueError(f"unknown mode {mode!r}")

@@ -1,0 +1,276 @@
+"""Overlay transfer (``--overlay``): area-weighted cell aggregates.
+
+Reference semantics (/root/reference/raster2dggs/indexers/overlay.py):
+exactextract computes pixel∩cell coverage fractions per cell, then
+weighted_mean / weighted_sum (geodesic pixel-area weights,
+overlay.py:178-220, 391-424), mass-preserving sum (Σ v·cov), majority by
+area, class fractions (overlay.py:51-65, 492-517), and a valid-coverage
+threshold (overlay.py:426-488).
+
+Our coverage core replaces polygon clipping with **subpixel
+supersampling through the forward encoder**: each pixel is split into
+S×S subsamples, each subsample is assigned to exactly one cell by
+``latlng_to_cell``.  Hence
+
+- coverage(cell, px) = (#subsamples in cell)/S² *partitions* every pixel
+  (Σ_cells cov = 1 exactly) → mass conservation holds to machine
+  precision, the property the reference pins at
+  tests/classes/test_output_schema.py:555-570;
+- the cell regions used are *definitionally* the encoder's (no polygon
+  approximation mismatch at seams);
+- accuracy of area weighting converges as S grows (default 4 ⇒ ±1/32
+  pixel edge resolution).
+
+Cross-tile behavior: tiles model GDAL block windows of one raster —
+disjoint — so per-tile partials are summed in the final groupBy (the
+Spark-native equivalent of the reference's full-raster-read-then-dedupe,
+overlay.py:7-11).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from raster2dggs_spark.operators.indexing import (
+    MAX_BANDS_DEFAULT,
+    band_cols,
+    default_parent_res,
+    _decode_rows,
+    _prune,
+)
+
+OPS = ("weighted_mean", "weighted_sum", "mass_sum", "fractions", "mode")
+
+
+def _subsample_grid(affine, w, h, crs, s):
+    """lon/lat of all w*h*s*s subsample centres + parent-pixel index."""
+    from raster2dggs_spark.geo.affine import apply_affine
+    from raster2dggs_spark.geo.crs import mercator_to_lonlat
+
+    step = 1.0 / s
+    offs = (np.arange(s) + 0.5) * step
+    cols = (np.repeat(np.arange(w), s) + np.tile(offs, w))  # (w*s,)
+    rows = (np.repeat(np.arange(h), s) + np.tile(offs, h))  # (h*s,)
+    cgrid = np.tile(cols, h * s)
+    rgrid = np.repeat(rows, w * s)
+    x, y = apply_affine(affine, cgrid, rgrid)
+    if crs == "EPSG:3857":
+        lon, lat = mercator_to_lonlat(x, y)
+    else:
+        lon, lat = x, y
+    # parent pixel (row-major) per subsample
+    pc = np.tile(np.repeat(np.arange(w), s), h * s)
+    pr = np.repeat(np.repeat(np.arange(h), s), w * s)
+    pix = pr * w + pc
+    return lon, lat, pix
+
+
+def overlay_partials(
+    images: DataFrame,
+    res: int,
+    parent_res: int | None = None,
+    dggs: str = "h3",
+    n_bands: int = MAX_BANDS_DEFAULT,
+    supersample: int = 4,
+) -> DataFrame:
+    """Per-(tile, cell) coverage partials for the scalar overlay ops:
+
+    cov_total      Σ cov over all pixels (cell∩tile area, pixel units)
+    {b}_num_area   Σ v·cov·pixel_area   (weighted_mean numerator / wsum)
+    {b}_den_area   Σ cov·pixel_area over valid pixels (weighted_mean den)
+    {b}_mass       Σ v·cov              (mass-preserving sum)
+    {b}_cov_valid  Σ cov over valid pixels (VCT numerator)
+    """
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    bcols = band_cols(n_bands)
+    fields = [
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("cov_total", T.DoubleType(), False),
+    ]
+    for c in bcols:
+        for suf in ("num_area", "den_area", "mass", "cov_valid"):
+            fields.append(T.StructField(f"{c}_{suf}", T.DoubleType(), True))
+    schema = T.StructType(fields)
+    s = supersample
+    inv_s2 = 1.0 / (s * s)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.dggs import h3lib, s2lib
+        from raster2dggs_spark.geo import geodesic_row_areas_m2
+
+        lib = {"h3": h3lib, "s2": s2lib}[dggs]
+        for pdf in batches:
+            out = []
+            for row, arr in _decode_rows(pdf, None):
+                k, h, w = arr.shape
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                lon, lat, pix = _subsample_grid(affine, w, h, row.crs, s)
+                if dggs == "h3":
+                    cells = h3lib.latlng_to_cell(lon, lat, res)
+                else:
+                    cells = s2lib.lonlat_to_cell(lon, lat, res)
+                ucell, inv = np.unique(cells, return_inverse=True)
+                m = ucell.shape[0]
+                # per-pixel geodesic areas (constant per row, north-up)
+                row_areas = geodesic_row_areas_m2(affine, w, h, row.crs)
+                px_area = np.repeat(row_areas, w)          # (w*h,)
+                sub_area = px_area[pix]
+                cov_total = np.bincount(inv, minlength=m) * inv_s2
+                data = {
+                    "parent": lib.cell_to_parent(ucell, parent_res),
+                    "cell": ucell,
+                    "cov_total": cov_total,
+                }
+                vals = arr.reshape(k, h * w).astype(np.float64)
+                for i, c in enumerate(bcols):
+                    if i >= k:
+                        for suf in ("num_area", "den_area", "mass", "cov_valid"):
+                            data[f"{c}_{suf}"] = np.full(m, np.nan)
+                        continue
+                    v_sub = vals[i][pix]
+                    ok = np.isfinite(v_sub)
+                    iv = inv[ok]
+                    data[f"{c}_num_area"] = np.bincount(
+                        iv, weights=(v_sub[ok] * sub_area[ok]), minlength=m
+                    ) * inv_s2
+                    data[f"{c}_den_area"] = np.bincount(
+                        iv, weights=sub_area[ok], minlength=m
+                    ) * inv_s2
+                    data[f"{c}_mass"] = np.bincount(
+                        iv, weights=v_sub[ok], minlength=m
+                    ) * inv_s2
+                    data[f"{c}_cov_valid"] = np.bincount(iv, minlength=m) * inv_s2
+                out.append(pd.DataFrame(data))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return _prune(images, keep_image_id=False).mapInPandas(fn, schema)
+
+
+def overlay_agg(
+    images: DataFrame,
+    res: int,
+    op: str = "weighted_mean",
+    parent_res: int | None = None,
+    dggs: str = "h3",
+    n_bands: int = MAX_BANDS_DEFAULT,
+    supersample: int = 4,
+    vct: float | None = None,
+) -> DataFrame:
+    """Scalar overlay aggregates per cell (A12/A13 + VCT P6).
+
+    op: weighted_mean (area-weighted mean), weighted_sum (density-
+    preserving Σ v·cov·area), mass_sum (Σ v·cov — conserves the raster
+    total; VCT deliberately inert, overlay.py:148-159)."""
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    p = overlay_partials(images, res, parent_res, dggs, n_bands, supersample)
+    bcols = band_cols(n_bands)
+    aggs = [F.sum("cov_total").alias("cov_total")]
+    for c in bcols:
+        for suf in ("num_area", "den_area", "mass", "cov_valid"):
+            aggs.append(F.sum(f"{c}_{suf}").alias(f"{c}_{suf}"))
+    g = p.groupBy("parent", "cell").agg(*aggs)
+    out_cols = [F.col("parent"), F.col("cell")]
+    for c in bcols:
+        if op == "weighted_mean":
+            e = F.when(F.col(f"{c}_den_area") > 0,
+                       F.col(f"{c}_num_area") / F.col(f"{c}_den_area"))
+        elif op == "weighted_sum":
+            e = F.col(f"{c}_num_area")
+        elif op == "mass_sum":
+            e = F.col(f"{c}_mass")
+        else:
+            raise ValueError(f"op {op!r}: use overlay_classes for class ops")
+        if vct is not None and op != "mass_sum":  # VCT inert for mass (P6)
+            valid_frac = F.col(f"{c}_cov_valid") / F.col("cov_total")
+            e = F.when(valid_frac >= vct, e)
+        out_cols.append(e.alias(c))
+    return g.select(*out_cols)
+
+
+def overlay_classes(
+    images: DataFrame,
+    res: int,
+    op: str = "fractions",
+    parent_res: int | None = None,
+    dggs: str = "h3",
+    band: int = 1,
+    supersample: int = 4,
+) -> DataFrame:
+    """Class-valued overlay ops over one band (A14/A15).
+
+    fractions: (parent, cell, class, fraction-of-covered-area);
+    mode: majority class by covered area (deterministic tie-break)."""
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    schema = T.StructType([
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("class", T.DoubleType(), False),
+        T.StructField("cov_area", T.DoubleType(), False),
+    ])
+    s = supersample
+    inv_s2 = 1.0 / (s * s)
+    bidx = band - 1
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.dggs import h3lib, s2lib
+        from raster2dggs_spark.geo import geodesic_row_areas_m2
+
+        lib = {"h3": h3lib, "s2": s2lib}[dggs]
+        for pdf in batches:
+            out = []
+            for row, arr in _decode_rows(pdf, None):
+                k, h, w = arr.shape
+                if bidx >= k:
+                    continue
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                lon, lat, pix = _subsample_grid(affine, w, h, row.crs, s)
+                if dggs == "h3":
+                    cells = h3lib.latlng_to_cell(lon, lat, res)
+                else:
+                    cells = s2lib.lonlat_to_cell(lon, lat, res)
+                v_sub = arr[bidx].astype(np.float64).ravel()[pix]
+                ok = np.isfinite(v_sub)
+                row_areas = geodesic_row_areas_m2(affine, w, h, row.crs)
+                sub_area = np.repeat(row_areas, w)[pix]
+                key = np.stack([cells[ok], v_sub[ok].view(np.int64)], axis=1)
+                uk, inv = np.unique(key, axis=0, return_inverse=True)
+                wsum = np.bincount(inv, weights=sub_area[ok], minlength=uk.shape[0])
+                out.append(pd.DataFrame({
+                    "parent": lib.cell_to_parent(uk[:, 0], parent_res),
+                    "cell": uk[:, 0],
+                    "class": uk[:, 1].view(np.float64),
+                    "cov_area": wsum * inv_s2,
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    p = _prune(images, keep_image_id=False).mapInPandas(fn, schema)
+    g = p.groupBy("parent", "cell", "class").agg(F.sum("cov_area").alias("cov_area"))
+    if op == "fractions":
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("parent", "cell")
+        return g.select(
+            "parent", "cell", "class",
+            (F.col("cov_area") / F.sum("cov_area").over(win)).alias("fraction"),
+        )
+    if op == "mode":
+        from raster2dggs_spark.operators.aggregates import majority_by_weight
+
+        return majority_by_weight(g, ["parent", "cell"], "class", "cov_area",
+                                  out="majority_class")
+    raise ValueError(op)

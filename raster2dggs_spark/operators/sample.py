@@ -1,0 +1,215 @@
+"""Sample transfer (``--sample``): per-cell interpolation at cell centres.
+
+Reference semantics (/root/reference/raster2dggs/interpolation.py):
+- enumerate cells whose centre falls in the tile bbox (cells_in_bbox),
+- ownership: a cell belongs to the tile containing its *nearest pixel*
+  (interpolation.py:216-231, 262-277 — prevents boundary double-counting),
+- kernels: NN (floor(frac+0.5)); bilinear 2×2 (weights renormalized over
+  valid corners, >=2 valid, OOB -> NaN, no edge repeat,
+  interpolation.py:241-371); bicubic Keys a=-0.5 4×4 (>=4 of 16 valid,
+  interpolation.py:38-53, 373-456); Lanczos-3 6×6 windowed sinc (>=4
+  valid, interpolation.py:56-74, 458-545).
+
+Spark architecture: each tile owns its full decoded payload, so the
+reference's margin-expanded locked re-read (interpolation.py:154-171)
+disappears — the stencil is a pure slice.  Cross-tile duplicates (tiles
+may overlap) are removed by a deterministic dedupe (SURVEY.md J4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from raster2dggs_spark.operators.indexing import (
+    MAX_BANDS_DEFAULT,
+    band_cols,
+    default_parent_res,
+    _decode_rows,
+    _prune,
+)
+
+KERNELS = ("nearest", "bilinear", "bicubic", "lanczos")
+
+
+# ----------------------------------------------------------------------
+# kernel weight functions (vectorized over offsets)
+# ----------------------------------------------------------------------
+
+def _keys_cubic(t, a=-0.5):
+    at = np.abs(t)
+    w = np.where(
+        at <= 1.0,
+        (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0,
+        np.where(at < 2.0, a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a, 0.0),
+    )
+    return w
+
+
+def _lanczos(t, lobes=3):
+    at = np.abs(t)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = np.sinc(t) * np.sinc(t / lobes)
+    return np.where(at < lobes, w, 0.0)
+
+
+def _stencil_sample(band: np.ndarray, col_f: np.ndarray, row_f: np.ndarray,
+                    kernel: str) -> np.ndarray:
+    """Vectorized kernel evaluation at fractional pixel coords.
+
+    Returns NaN where fewer than the kernel's minimum valid taps exist
+    (the reference's valid-renormalization contract)."""
+    h, w = band.shape
+    n = col_f.shape[0]
+    if kernel == "nearest":
+        ci = np.floor(col_f + 0.5).astype(np.int64)
+        ri = np.floor(row_f + 0.5).astype(np.int64)
+        ok = (ci >= 0) & (ci < w) & (ri >= 0) & (ri < h)
+        out = np.full(n, np.nan)
+        out[ok] = band[ri[ok], ci[ok]]
+        return out
+    if kernel == "bilinear":
+        size, off, min_valid = 2, 0, 2
+    elif kernel == "bicubic":
+        size, off, min_valid = 4, 1, 4
+    elif kernel == "lanczos":
+        size, off, min_valid = 6, 2, 4
+    else:
+        raise ValueError(kernel)
+    c0 = np.floor(col_f).astype(np.int64) - off
+    r0 = np.floor(row_f).astype(np.int64) - off
+    # offsets (size,) per axis
+    ks = np.arange(size)
+    cols = c0[:, None] + ks[None, :]          # (n, size)
+    rows = r0[:, None] + ks[None, :]
+    dx = col_f[:, None] - cols                # distance to tap
+    dy = row_f[:, None] - rows
+    if kernel == "bilinear":
+        wx = 1.0 - np.abs(dx)
+        wy = 1.0 - np.abs(dy)
+    elif kernel == "bicubic":
+        wx = _keys_cubic(dx)
+        wy = _keys_cubic(dy)
+    else:
+        wx = _lanczos(dx)
+        wy = _lanczos(dy)
+    in_c = (cols >= 0) & (cols < w)
+    in_r = (rows >= 0) & (rows < h)
+    cc = np.clip(cols, 0, w - 1)
+    rr = np.clip(rows, 0, h - 1)
+    vals = band[rr[:, :, None], cc[:, None, :]]       # (n, size_r, size_c)
+    valid = (
+        in_r[:, :, None] & in_c[:, None, :] & np.isfinite(vals)
+    )
+    wgt = (wy[:, :, None] * wx[:, None, :]) * valid
+    tot = wgt.sum(axis=(1, 2))
+    n_valid = valid.sum(axis=(1, 2))
+    num = np.nansum(np.where(valid, vals, 0.0) * wgt, axis=(1, 2))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = num / tot
+    out[(n_valid < min_valid) | (np.abs(tot) < 1e-12)] = np.nan
+    return out
+
+
+def sample_cells(
+    images: DataFrame,
+    res: int,
+    kernel: str = "bilinear",
+    parent_res: int | None = None,
+    dggs: str = "h3",
+    n_bands: int = MAX_BANDS_DEFAULT,
+    max_cells_per_tile: int = 500_000,
+) -> DataFrame:
+    """Per-cell sampled values: (parent, cell, band_1..k), deduped
+    deterministically across overlapping tiles (lowest image_id wins)."""
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    bcols = band_cols(n_bands)
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("parent", T.LongType(), False),
+            T.StructField("cell", T.LongType(), False),
+        ]
+        + [T.StructField(c, T.DoubleType(), True) for c in bcols]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.dggs import h3lib, s2lib
+        from raster2dggs_spark.geo import (
+            apply_affine,
+            invert_affine,
+            lonlat_to_mercator,
+            mercator_to_lonlat,
+        )
+
+        for pdf in batches:
+            out = []
+            for row, arr in _decode_rows(pdf, None):
+                k, h, w = arr.shape
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                # tile bbox in WGS84 (north-up affines: corners suffice)
+                cs = np.array([0.0, w, 0.0, w])
+                rs = np.array([0.0, 0.0, h, h])
+                x, y = apply_affine(affine, cs, rs)
+                if row.crs == "EPSG:3857":
+                    lons, lats = mercator_to_lonlat(x, y)
+                else:
+                    lons, lats = x, y
+                try:
+                    if dggs == "h3":
+                        cells = h3lib.cover_bbox(
+                            lons.min(), lats.min(), lons.max(), lats.max(), res,
+                            max_samples=max_cells_per_tile * 10,
+                        )
+                    else:
+                        raise ValueError("sample transfer ships h3 first")
+                except ValueError:
+                    continue  # res too fine for tile extent cap
+                if cells.size == 0:
+                    continue
+                clon, clat = h3lib.cell_to_latlng(cells)
+                if row.crs == "EPSG:3857":
+                    cx, cy = lonlat_to_mercator(clon, clat)
+                else:
+                    cx, cy = clon, clat
+                inv = invert_affine(affine)
+                col_p, row_p = apply_affine(inv, cx, cy)
+                # fractional pixel coords, centre registration (-0.5)
+                col_f = col_p - 0.5
+                row_f = row_p - 0.5
+                # ownership: nearest pixel inside this tile
+                nn_c = np.floor(col_f + 0.5).astype(np.int64)
+                nn_r = np.floor(row_f + 0.5).astype(np.int64)
+                own = (nn_c >= 0) & (nn_c < w) & (nn_r >= 0) & (nn_r < h)
+                if not own.any():
+                    continue
+                cells, col_f, row_f = cells[own], col_f[own], row_f[own]
+                data = {
+                    "image_id": np.repeat(row.image_id, cells.shape[0]),
+                    "parent": h3lib.cell_to_parent(cells, parent_res),
+                    "cell": cells,
+                }
+                for i, c in enumerate(bcols):
+                    if i < k:
+                        data[c] = _stencil_sample(
+                            arr[i].astype(np.float64), col_f, row_f, kernel
+                        )
+                    else:
+                        data[c] = np.full(cells.shape[0], np.nan)
+                out.append(pd.DataFrame(data))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    raw = _prune(images).mapInPandas(fn, schema)
+    # deterministic cross-tile dedupe (J4)
+    from raster2dggs_spark.operators.aggregates import dedupe_first
+
+    return dedupe_first(raw, ["cell"], ["image_id"]).drop("image_id")

@@ -1,0 +1,106 @@
+"""GeoParquet 1.1.0 sink (reference S7: /root/reference/raster2dggs/
+common.py:329-391) — WKB geometry column + ``geo`` schema metadata,
+hive-partitioned on the parent cell.
+
+WKB is encoded vectorized in NumPy (no shapely offline): little-endian
+Point (type 1) for cell centres, Polygon (type 3, one closed ring of the
+6 hex vertices) for cell boundaries.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def wkb_points(lon: np.ndarray, lat: np.ndarray) -> list[bytes]:
+    head = b"\x01\x01\x00\x00\x00"  # LE, Point
+    return [head + struct.pack("<dd", float(x), float(y)) for x, y in zip(lon, lat)]
+
+
+def wkb_polygons(vlon: np.ndarray, vlat: np.ndarray) -> list[bytes]:
+    """(n, k) vertex arrays -> closed-ring WKB polygons."""
+    out = []
+    k = vlon.shape[1]
+    head = b"\x01\x03\x00\x00\x00" + struct.pack("<I", 1) + struct.pack("<I", k + 1)
+    for i in range(vlon.shape[0]):
+        ring = b"".join(
+            struct.pack("<dd", float(vlon[i, j]), float(vlat[i, j])) for j in range(k)
+        )
+        ring += struct.pack("<dd", float(vlon[i, 0]), float(vlat[i, 0]))
+        out.append(head + ring)
+    return out
+
+
+def add_cell_geometry(df: DataFrame, dggs: str = "h3",
+                      geometry: str = "polygon") -> DataFrame:
+    """Append a WKB ``geometry`` BinaryType column derived from ``cell``."""
+    kind = geometry
+
+    @F.pandas_udf(T.BinaryType())
+    def geom(cell: pd.Series) -> pd.Series:
+        from raster2dggs_spark.dggs import h3lib, s2lib
+
+        cells = cell.values
+        if dggs == "h3":
+            if kind == "polygon":
+                vlon, vlat = h3lib.cell_to_boundary(cells)
+                return pd.Series(wkb_polygons(vlon, vlat))
+            lon, lat = h3lib.cell_to_latlng(cells)
+        else:
+            lon, lat = s2lib.cell_to_lonlat(cells)
+        return pd.Series(wkb_points(lon, lat))
+
+    return df.withColumn("geometry", geom(F.col("cell")))
+
+
+def geo_metadata(bbox: list[float], geometry_types: list[str]) -> bytes:
+    """GeoParquet 1.1.0 file metadata value for key b'geo'."""
+    return json.dumps({
+        "version": "1.1.0",
+        "primary_column": "geometry",
+        "columns": {
+            "geometry": {
+                "encoding": "WKB",
+                "geometry_types": geometry_types,
+                "crs": None,  # per spec: null -> OGC:CRS84 (lon/lat WGS84)
+                "bbox": bbox,
+            }
+        },
+    }).encode()
+
+
+def write_geoparquet(df: DataFrame, path: str, partition_col: str | None = None,
+                     geometry_types: list[str] = ("Polygon",)) -> None:
+    """Write a DataFrame carrying a WKB ``geometry`` column as GeoParquet:
+    plain partitioned parquet + the ``geo`` metadata stamped into every
+    file footer (Arrow rewrite of footers, cheap: metadata-only)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    w = df.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(path)
+    # compute bbox from the data (lon/lat coords inside WKB already known
+    # by caller at cell granularity; derive from parquet stats is overkill
+    # at this layer) — stamp a whole-world bbox unless caller narrows it
+    meta_val = geo_metadata([-180.0, -90.0, 180.0, 90.0], list(geometry_types))
+    for fp in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        t = pq.read_table(fp)
+        md = dict(t.schema.metadata or {})
+        md[b"geo"] = meta_val
+        pq.write_table(t.replace_schema_metadata(md), fp)
+    # the rewrite invalidates Hadoop's .crc sidecars — drop them so Spark
+    # can read the stamped files back
+    for crc in glob.glob(os.path.join(path, "**", ".*.crc"), recursive=True):
+        os.remove(crc)

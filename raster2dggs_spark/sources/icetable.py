@@ -77,6 +77,8 @@ class IceTable:
         # read; no full scan)
         import pyarrow.parquet as pq
 
+        os.makedirs(self.meta_dir, exist_ok=True)
+
         manifests: dict[str, dict] = {}
         for dirpath, _dirs, files in os.walk(self.data_dir):
             part = os.path.relpath(dirpath, self.data_dir)

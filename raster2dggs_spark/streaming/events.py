@@ -1,0 +1,76 @@
+"""Structured Streaming analogues of the batch aggregations.
+
+The reference is a batch CLI (SURVEY.md §2.8); these operators make the
+engine's aggregation surface incremental: the same logical plan runs on
+``readStream`` with watermarked event-time windows, which is how the
+100-TB pipeline ingests continuously arriving tiles/events.
+
+Each transformation is defined once over a DataFrame and works for BOTH
+batch and streaming inputs — tests assert streaming (availableNow) ==
+batch on identical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_stats(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type counts and value sums with late-data
+    tolerance.  Works on batch or streaming input."""
+    # parquet timestamps may arrive as TIMESTAMP_NTZ; watermarks need the
+    # instant type (session tz is pinned to UTC in session.py)
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, key: str = "event_id",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup on a key within the watermark horizon."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+        return e.dropDuplicatesWithinWatermark([key])
+    return e.dropDuplicates([key])
+
+
+def stream_events_from_parquet(spark: SparkSession, path: str,
+                               schema) -> DataFrame:
+    """File-source stream over a parquet directory (one file per
+    micro-batch by default)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         output_mode: str = "complete"):
+    """availableNow trigger → in-memory sink; returns the finished query.
+    (Test harness: processes everything currently available, then stops.)
+    ``output_mode``: "complete" for aggregations, "append" for row
+    streams (dedup)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

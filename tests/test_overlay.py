@@ -1,0 +1,118 @@
+"""Overlay transfer: conservation laws + analytic golden values, the
+reference's strongest oracle style (test_output_schema.py:555-570
+mass conservation; 940-1050 geodesic weighted means)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def imgs(spark):
+    from raster2dggs_spark.sources import images_spark_df
+
+    df = images_spark_df(spark, 8, seed=21, scenarios=("gradient", "popcount"),
+                         size_range=(16, 24))
+    df.cache().count()
+    return df
+
+
+def test_mass_conservation_exact(spark, imgs):
+    # Σ_cells mass == Σ_pixels value, to float round-off — the partition
+    # property of supersampled coverage makes this exact by construction
+    from raster2dggs_spark.operators.overlay import overlay_agg
+    from raster2dggs_spark.sources import generate_images_pdf
+    from raster2dggs_spark.codecs import decode_image
+
+    out = overlay_agg(imgs, res=6, op="mass_sum")
+    total = out.agg(F.sum("band_1")).collect()[0][0]
+    pdf = generate_images_pdf(8, 21, scenarios=("gradient", "popcount"),
+                              size_range=(16, 24))
+    expected = sum(
+        float(np.nansum(decode_image(b)[0], dtype=np.float64)) for b in pdf["bytes"]
+    )
+    assert total == pytest.approx(expected, rel=1e-9)
+
+
+def test_weighted_mean_constant_field(spark):
+    # constant raster -> weighted mean is exactly the constant in every cell
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_agg
+
+    imgs = images_spark_df(spark, 4, seed=22, scenarios=("uniform42",),
+                           size_range=(12, 16))
+    out = overlay_agg(imgs, res=6, op="weighted_mean").toPandas()
+    assert len(out) > 0
+    np.testing.assert_allclose(out["band_1"].dropna().values, 42.0, rtol=1e-9)
+
+
+def test_weighted_sum_equals_area_for_unit_field(spark):
+    # value≡1 -> weighted_sum per cell == covered geodesic area; total over
+    # cells == total raster area (authalic band formula golden value)
+    from raster2dggs_spark.sources import images_spark_df, generate_images_pdf
+    from raster2dggs_spark.operators.overlay import overlay_agg
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.geo import geodesic_row_areas_m2
+
+    imgs = images_spark_df(spark, 3, seed=23, scenarios=("uniform42",),
+                           size_range=(10, 12))
+    out = overlay_agg(imgs, res=5, op="weighted_sum")
+    total = out.agg(F.sum("band_1")).collect()[0][0] / 42.0
+    pdf = generate_images_pdf(3, 23, scenarios=("uniform42",), size_range=(10, 12))
+    exp = 0.0
+    for _, r in pdf.iterrows():
+        arr = decode_image(r["bytes"])[0]
+        h, w = arr.shape
+        aff = (r["affine_a"], r["affine_b"], r["affine_c"],
+               r["affine_d"], r["affine_e"], r["affine_f"])
+        areas = np.repeat(geodesic_row_areas_m2(aff, w, h, r["crs"]), w)
+        valid = np.isfinite(np.where(arr == -9999.0, np.nan, arr)).ravel()
+        exp += float(areas[valid].sum())
+    assert total == pytest.approx(exp, rel=1e-6)
+
+
+def test_fractions_sum_to_one(spark):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_classes
+
+    imgs = images_spark_df(spark, 4, seed=24, scenarios=("landcover",),
+                           size_range=(16, 20))
+    out = overlay_classes(imgs, res=6, op="fractions").toPandas()
+    assert len(out) > 0
+    sums = out.groupby(["parent", "cell"])["fraction"].sum()
+    np.testing.assert_allclose(sums.values, 1.0, rtol=1e-9)
+    assert ((out["fraction"] > 0) & (out["fraction"] <= 1 + 1e-12)).all()
+    assert out["class"].isin([1, 2, 3, 4, 5, 6]).all()
+
+
+def test_overlay_mode_majority_class(spark):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_classes
+
+    imgs = images_spark_df(spark, 4, seed=24, scenarios=("landcover",),
+                           size_range=(16, 20))
+    frac = overlay_classes(imgs, res=6, op="fractions").toPandas()
+    mode = overlay_classes(imgs, res=6, op="mode").toPandas()
+    # mode == class with the max fraction (ties -> lowest class)
+    top = (
+        frac.sort_values(["parent", "cell", "fraction", "class"],
+                         ascending=[True, True, False, True])
+        .groupby(["parent", "cell"]).first()["class"]
+    )
+    got = mode.set_index(["parent", "cell"])["majority_class"]
+    assert got.sort_index().equals(top.sort_index())
+
+
+def test_vct_nulls_low_coverage(spark):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_agg
+
+    imgs = images_spark_df(spark, 4, seed=25, scenarios=("multiband_nodata",),
+                           size_range=(16, 20))
+    strict = overlay_agg(imgs, res=6, op="weighted_mean", vct=0.99).toPandas()
+    loose = overlay_agg(imgs, res=6, op="weighted_mean", vct=0.0).toPandas()
+    # strict VCT nulls at least as many values as loose
+    assert strict["band_1"].isna().sum() >= loose["band_1"].isna().sum()
+    assert strict["band_1"].isna().sum() > 0  # 15% nodata per band -> some cut

@@ -1,0 +1,168 @@
+"""Streaming == batch equivalence; checkpoint/lineage resumability;
+GeoParquet sink; resolution modes; cell boundaries."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_windowed_equals_batch(spark, tmp_path):
+    from raster2dggs_spark.streaming.events import (
+        windowed_event_stats,
+        stream_events_from_parquet,
+        run_stream_to_memory,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    batch = windowed_event_stats(ev).toPandas()
+    # split events into 3 files to force multiple micro-batches
+    src = str(tmp_path / "events_stream")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = stream_events_from_parquet(spark, src, ev.schema)
+    run_stream_to_memory(windowed_event_stats(stream), "win_ev")
+    got = spark.sql("select * from win_ev").toPandas()
+    key = ["window_start", "event_type"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from raster2dggs_spark.streaming.events import (
+        dedup_stream,
+        stream_events_from_parquet,
+        run_stream_to_memory,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet")).limit(500)
+    dup = ev.unionByName(ev)  # every event twice
+    src = str(tmp_path / "dup_stream")
+    dup.repartition(4).write.mode("overwrite").parquet(src)
+    stream = stream_events_from_parquet(spark, src, ev.schema)
+    # watermark must span the fixture's event-time range: micro-batch file
+    # order is not event-time order, so a short horizon would *drop* rows
+    # as late rather than dedupe them
+    run_stream_to_memory(
+        dedup_stream(stream, watermark="60 days"), "dedup_ev", output_mode="append"
+    )
+    got = spark.sql("select count(*) c, count(distinct event_id) d from dedup_ev").collect()[0]
+    assert got["c"] == got["d"] == 500
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    from raster2dggs_spark.sources.icetable import IceTable
+    from raster2dggs_spark.plans.checkpoint import checkpointed_write
+
+    df = spark.range(2000).select(
+        (F.col("id") % 8).cast("string").alias("part"),
+        F.col("id"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    # one-shot reference output
+    t_ref = IceTable(str(tmp_path / "ref"))
+    checkpointed_write(df, t_ref, "part", lineage={"op": "oneshot"})
+    ref = t_ref.read(spark).toPandas().sort_values("id").reset_index(drop=True)
+
+    # crash after 3 partitions, then resume
+    t = IceTable(str(tmp_path / "resume"))
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        checkpointed_write(df, t, "part", fail_after_partitions=3)
+    snap1 = t.snapshot()
+    assert len(snap1["manifests"]) == 3
+    assert snap1["lineage"]["partial"] is True
+    snap2 = checkpointed_write(df, t, "part", lineage={"op": "resume"})
+    assert len(snap2["manifests"]) == 8
+    assert sorted(snap2["lineage"]["resumed_from"]) == sorted(
+        m["partition"] for m in snap1["manifests"]
+    )
+    got = t.read(spark).toPandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["id", "v"]], ref[["id", "v"]], check_like=True
+    )
+    assert t.verify_counts(spark)
+    # resuming a complete table is a no-op write (idempotent)
+    snap3 = checkpointed_write(df, t, "part")
+    assert snap3["total_rows"] == 2000
+
+
+def test_geoparquet_sink(spark, tmp_path):
+    import json
+    import pyarrow.parquet as pq
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.sources.geoparquet import add_cell_geometry, write_geoparquet
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    imgs = images_spark_df(spark, 6, seed=30)
+    agg = index_point_agg(imgs, res=7, agg="mean")
+    geo = add_cell_geometry(agg, geometry="polygon")
+    path = str(tmp_path / "geo")
+    write_geoparquet(geo.withColumn("parent_hex", F.lower(F.hex("parent"))),
+                     path, partition_col="parent_hex")
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    assert files
+    t = pq.read_table(files[0])
+    meta = json.loads(t.schema.metadata[b"geo"])
+    assert meta["version"] == "1.1.0"
+    assert meta["columns"]["geometry"]["encoding"] == "WKB"
+    wkb = t.column("geometry")[0].as_py()
+    assert wkb[:5] == b"\x01\x03\x00\x00\x00"  # LE polygon
+    back = spark.read.parquet(path)
+    assert back.count() == agg.count()
+
+
+def test_cell_boundary_contains_center(spark):
+    from raster2dggs_spark.dggs import h3lib
+
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(-170, 170, 500)
+    lat = rng.uniform(-80, 80, 500)
+    cells = np.unique(h3lib.latlng_to_cell(lon, lat, 7))
+    vlon, vlat = h3lib.cell_to_boundary(cells)
+    clon, clat = h3lib.cell_to_latlng(cells)
+    assert vlon.shape == (len(cells), 6)
+    # the center is inside its own boundary hexagon (ray cast per cell)
+    from raster2dggs_spark.operators.joins import raycast_contains
+
+    ok = np.array([
+        raycast_contains(np.array([clon[i]]), np.array([clat[i]]),
+                         vlon[i], vlat[i])[0]
+        for i in range(len(cells))
+    ])
+    assert ok.mean() > 0.995  # pentagon-sector cells may be slightly off
+    # vertex distance ≈ circumradius (pitch/sqrt(3)) within gnomonic
+    # distortion bounds
+    from raster2dggs_spark.geo import haversine_m
+
+    d = haversine_m(np.repeat(clon, 6), np.repeat(clat, 6),
+                    vlon.ravel(), vlat.ravel())
+    r = h3lib.cell_pitch_rad(7) / np.sqrt(3) * 6371007.1809
+    assert d.max() < 1.6 * r and d.min() > 0.4 * r
+
+
+def test_resolution_modes_invariants():
+    from raster2dggs_spark.functions import cell_area_m2_mean, resolve_resolution
+
+    pixel_area = 1.0e6  # 1 km² pixels
+    small = resolve_resolution("smaller-than-pixel", pixel_area)
+    large = resolve_resolution("larger-than-pixel", pixel_area)
+    mind = resolve_resolution("min-diff", pixel_area)
+    # defining properties (reference test_resolution_modes.py:152-217)
+    assert cell_area_m2_mean(small) <= pixel_area
+    assert cell_area_m2_mean(small - 1) > pixel_area
+    assert cell_area_m2_mean(large) >= pixel_area
+    assert cell_area_m2_mean(large + 1) < pixel_area
+    assert large <= mind <= small
+    for dggs in ("h3", "s2"):
+        m = resolve_resolution("min-diff", pixel_area, dggs)
+        others = [
+            abs(cell_area_m2_mean(r, dggs) - pixel_area)
+            for r in range(0, 16 if dggs == "h3" else 31)
+        ]
+        assert abs(cell_area_m2_mean(m, dggs) - pixel_area) == min(others)
