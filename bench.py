@@ -104,6 +104,17 @@ def main():
     timed("hist_binned", lambda: entrymod.q_hist_binned(spark, SF_DIR).count())
     timed("topk_window", lambda: entrymod.q_topk_window(spark, SF_DIR).count())
 
+    # -- q7: training-data pipeline ops ---------------------------------------
+    timed("minhash_lsh", lambda: entrymod.q_minhash_lsh(spark, SF_DIR).count())
+    timed("embedding_knn", lambda: entrymod.q_embedding_knn(spark, SF_DIR).count())
+
+    # -- q8: overlay (supersampled coverage) on a tile subset -----------------
+    from raster2dggs_spark.operators.overlay import overlay_agg
+
+    sub = imgs.limit(256)
+    timed("overlay_mass", lambda: overlay_agg(sub, res=7, op="mass_sum")
+          .agg(F.sum("band_1")).collect())
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

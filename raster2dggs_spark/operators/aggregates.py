@@ -58,15 +58,19 @@ def agg_multi(df: DataFrame, keys: list[str], vals: list[str], funcs: list[str],
 def agg_mode(df: DataFrame, keys: list[str], val: str, out: str = "mode") -> DataFrame:
     """A3 mode: two-level count + deterministic top-1 (ties → lowest value).
 
-    Two-exchange plan (groupBy key+value, then window by key) — the
-    scalable idiom for top-1-by-count at skew."""
+    Groups whose values are all null yield a null mode row (the
+    reference's ``dropna=False``, common.py:155-158) rather than
+    vanishing.  Two-exchange plan (groupBy key+value, then window by
+    key) — the scalable idiom for top-1-by-count at skew."""
+    all_keys = df.groupBy(*keys).agg(F.lit(1).alias("__one")).drop("__one")
     counted = df.where(F.col(val).isNotNull()).groupBy(*keys, val).count()
     w = Window.partitionBy(*keys).orderBy(F.desc("count"), F.asc(val))
-    return (
+    winner = (
         counted.withColumn("__rn", F.row_number().over(w))
         .where("__rn = 1")
         .select(*keys, F.col(val).alias(out))
     )
+    return all_keys.join(winner, keys, "left")
 
 
 def agg_majority(df: DataFrame, keys: list[str], val: str, out: str = "majority") -> DataFrame:

@@ -355,6 +355,53 @@ def index_point_agg(
     return g.select(*out_cols)
 
 
+def index_point(
+    images: DataFrame,
+    res: int,
+    agg: str = "mean",
+    parent_res: int | None = None,
+    dggs: str = "h3",
+    bands: list[int] | None = None,
+    n_bands: int = MAX_BANDS_DEFAULT,
+    nodata_policy: str = "omit",
+    decimals: int | None = None,
+) -> DataFrame:
+    """Full reference ``--point`` aggregation surface.
+
+    Algebraic aggs (mean/sum/count/min/max/std/var) route through the
+    map-side-combine partials path (one shuffle); holistic aggs
+    (median/mode/majority/nunique/range/list) route through exploded
+    pixel rows + the generic builders (aggregates.py) — Catalyst still
+    plans partial/final where the function allows."""
+    from raster2dggs_spark.operators import aggregates as A
+
+    if agg in _STATS_FOR_AGG:
+        out = index_point_agg(images, res, agg, parent_res, dggs, bands,
+                              n_bands, nodata_policy)
+    else:
+        px = pixel_cells(images, res, parent_res, dggs, bands, n_bands,
+                         nodata_policy, keep_image_id=False)
+        bcols = band_cols(n_bands)
+        if agg in ("median", "nunique", "range", "prod"):
+            out = A.agg_single(px, ["parent", "cell"], bcols, agg)
+        elif agg == "mode":
+            out = A.agg_mode(px, ["parent", "cell"], bcols[0], out=bcols[0])
+        elif agg == "majority":
+            out = A.agg_majority(px, ["parent", "cell"], bcols[0], out=bcols[0])
+        elif agg == "list":
+            out = A.agg_list(px, ["parent", "cell"], bcols[0], out=bcols[0],
+                             decimals=decimals)
+            decimals = None  # already applied to elements
+        else:
+            raise ValueError(f"unknown agg {agg!r}")
+    if decimals is not None:
+        from raster2dggs_spark.operators.aggregates import round_decimals
+
+        out = round_decimals(out, [c for c in band_cols(n_bands) if c in out.columns],
+                             decimals)
+    return out
+
+
 def to_reference_output(df: DataFrame, dggs: str, res: int, parent_res: int) -> DataFrame:
     """Output-edge formatting: hex-string cell ids in zero-padded columns,
     hive-partition-ready (reference output contract, common.py:533-572)."""

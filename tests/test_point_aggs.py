@@ -1,0 +1,89 @@
+"""index_point full aggregation surface on cells (reference --agg matrix,
+uniform-value exactness per tests/classes/helpers.py fixtures)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def uni(spark):
+    from raster2dggs_spark.sources import images_spark_df
+
+    df = images_spark_df(spark, 6, seed=31, scenarios=("uniform42",),
+                         size_range=(12, 16))
+    df.cache().count()
+    return df
+
+
+@pytest.mark.parametrize("agg", ["mean", "min", "max", "median", "mode",
+                                 "majority", "sum"])
+def test_uniform_value_invariants(spark, uni, agg):
+    from raster2dggs_spark.operators.indexing import index_point
+
+    out = index_point(uni, res=8, agg=agg).toPandas()
+    assert len(out) > 0
+    v = out["band_1"].dropna()
+    if agg == "sum":
+        # per-cell sum = 42 * npx -> multiples of 42
+        assert (np.abs(np.round(v / 42.0) * 42.0 - v) < 1e-9).all()
+    else:
+        np.testing.assert_allclose(v.values, 42.0)
+
+
+def test_list_agg_sorted_and_rounded(spark):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point
+
+    imgs = images_spark_df(spark, 4, seed=32, scenarios=("gradient",),
+                           size_range=(10, 12))
+    out = index_point(imgs, res=6, agg="list", decimals=0).toPandas()
+    assert len(out) > 0
+    for lst in out["band_1"]:
+        arr = list(lst)
+        assert arr == sorted(arr)
+        assert all(float(x).is_integer() for x in arr)
+    # conservation: total list elements == total pixels
+    from raster2dggs_spark.sources import generate_images_pdf
+    from raster2dggs_spark.codecs import decode_image
+
+    pdf = generate_images_pdf(4, 32, scenarios=("gradient",), size_range=(10, 12))
+    npx = sum(decode_image(b)[0].size for b in pdf["bytes"])
+    assert sum(len(lst) for lst in out["band_1"]) == npx
+
+
+def test_decimals_cast_to_long(spark, uni):
+    from raster2dggs_spark.operators.indexing import index_point
+
+    out = index_point(uni, res=8, agg="mean", decimals=-1)
+    # reference: decimals<=0 -> integer dtype (P9)
+    assert dict(out.dtypes)["band_1"] == "bigint"
+    vals = out.select("band_1").dropna().distinct().collect()
+    assert {r[0] for r in vals} == {40}  # 42 -> 40 at -1 decimals
+
+
+def test_skew_coastline_correctness_with_salt(spark):
+    # the skew fixture: many tiles into few parents; salted rollup over
+    # parents must equal the unsalted rollup exactly
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.plans.skew import salted_agg
+
+    imgs = images_spark_df(spark, 24, seed=33, scenarios=("skew_coastline",),
+                           size_range=(12, 16))
+    idx = index_point_agg(imgs, res=9, agg="mean").cache()
+    # heavy skew: few parents
+    parents = idx.select("parent").distinct().count()
+    cells = idx.count()
+    assert parents <= 6 and cells > 500
+    plain = idx.groupBy("parent").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("npx").alias("px")
+    ).toPandas().set_index("parent").sort_index()
+    salted = salted_agg(
+        idx, ["parent"], {"n": ("count", "cell"), "px": ("sum", "npx")},
+        salt_parts=8, salt_from="cell",
+    ).toPandas().set_index("parent").sort_index()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(plain, salted, check_like=True)
