@@ -115,6 +115,24 @@ def main():
     timed("overlay_mass", lambda: overlay_agg(sub, res=7, op="mass_sum")
           .agg(F.sum("band_1")).collect())
 
+    # -- q9: skewed parent rollup, salted (north-rule skew evidence) ----------
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.plans.skew import salted_agg
+
+    skew_imgs = images_spark_df(spark, 256, seed=77,
+                                scenarios=("skew_coastline",)).persist()
+    skew_idx = index_point_agg(skew_imgs, res=11, agg="mean").persist()
+    skew_idx.count()
+    timed("skew_rollup_salted", lambda: salted_agg(
+        skew_idx, ["parent"],
+        {"n": ("count", "cell"), "px": ("sum", "npx")},
+        salt_parts=CPUS, salt_from="cell",
+    ).collect())
+    timed("skew_rollup_plain", lambda: skew_idx.groupBy("parent").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("npx").alias("px")).collect())
+    extras["skew_parents"] = skew_idx.select("parent").distinct().count()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -702,7 +702,11 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int, max_samples: int = 
 
     Implementation: dense lattice sampling at 0.35× cell pitch (guarantees
     every center-inside cell is hit), then encode + unique + center filter.
-    """
+
+    Antimeridian: a bbox crossing ±180 is expressed in the *unwrapped*
+    frame (lon_max > 180 allowed, e.g. 175..185); the encode is periodic
+    and centers are unwrapped into the bbox frame before filtering
+    (reference F14 semantics, overlay.py:111-123)."""
     pitch_deg = np.degrees(cell_pitch_rad(res)) * 0.35
     lat_lo, lat_hi = lat_min - pitch_deg, lat_max + pitch_deg
     coslat = max(0.05, np.cos(np.radians(max(abs(lat_lo), abs(lat_hi)))))
@@ -718,8 +722,26 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int, max_samples: int = 
     glat = np.tile(lats, lons.size)
     cand = _sample_cover(glon, glat, res)
     clon, clat = cell_to_latlng(cand)
+    # unwrap centers into the bbox longitude frame
+    mid = 0.5 * (lon_min + lon_max)
+    clon = clon + 360.0 * np.round((mid - clon) / 360.0)
     keep = (clon >= lon_min) & (clon < lon_max) & (clat >= lat_min) & (clat < lat_max)
     return cand[keep]
+
+
+def cell_area_m2(cells, radius_m: float = 6371007.1809):
+    """Per-cell spherical area (F7) from the boundary polygon via the
+    spherical trapezoid (Green's theorem) formula:
+    A = R²/2 · |Σ (λ₂−λ₁)(sin φ₁ + sin φ₂)| over boundary edges."""
+    vlon, vlat = cell_to_boundary(cells)
+    lam = np.radians(vlon)
+    phi = np.radians(vlat)
+    # unwrap each ring's longitudes relative to its first vertex
+    lam = lam - 2 * np.pi * np.round((lam - lam[:, :1]) / (2 * np.pi))
+    lam2 = np.roll(lam, -1, axis=1)
+    phi2 = np.roll(phi, -1, axis=1)
+    s = np.sum((lam2 - lam) * (np.sin(phi) + np.sin(phi2)), axis=1)
+    return 0.5 * radius_m * radius_m * np.abs(s)
 
 
 def cover_disk(lon, lat, radius_m, res: int, earth_radius_m: float = 6371007.1809):

@@ -168,6 +168,27 @@ def hist_binned_edges(df: DataFrame, keys: list[str], val: str, edges: list[floa
     )
 
 
+def pack_histogram(hist: DataFrame, keys: list[str], value_col: str = "value",
+                   weight_col: str = "weight", out: str = "histogram") -> DataFrame:
+    """Output-edge packing of an exploded histogram into the reference's
+    struct form ``{values: array, counts: array}`` with values ascending
+    (histogram.py:53-73 categorical schema).  Keep histograms exploded
+    through the pipeline (shuffle-friendly); pack only for export."""
+    g = hist.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(value_col).alias("v"),
+                                    F.col(weight_col).alias("w")))
+        ).alias("__p")
+    )
+    return g.select(
+        *keys,
+        F.struct(
+            F.col("__p.v").alias("values"),
+            F.col("__p.w").alias("counts"),
+        ).alias(out),
+    )
+
+
 def hist_normalize(hist: DataFrame, keys: list[str], weight_col: str = "weight",
                    out: str = "weight_frac") -> DataFrame:
     """A11 VALID_OVERLAP normalization: weight / total weight per group."""

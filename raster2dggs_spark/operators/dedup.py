@@ -76,13 +76,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n_hashes: int = 16, bands: int = 4,
-                      shingle_n: int = 1) -> DataFrame:
+                      shingle_n: int = 1,
+                      max_bucket: int | None = None) -> DataFrame:
     """LSH candidate pairs: signatures split into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band bucket are candidates.
     Returns distinct (id_a, id_b), id_a < id_b.
 
     Plan: one shuffle for signatures, one for the bucket self-join —
-    never a cross join."""
+    never a cross join.  ``max_bucket`` caps the self-join's quadratic
+    blow-up at scale: buckets with more than N members are skipped (a
+    bucket of B docs yields B² pairs; giant buckets signal boilerplate
+    that exact-dedup or a finer shingle handles better).  None = exact
+    (the oracle-checked default)."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     band_cols = []
@@ -94,6 +99,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bkey")
+        buckets = (
+            buckets.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (

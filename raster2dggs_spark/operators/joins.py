@@ -189,34 +189,34 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
                           lat_col: str = "lat") -> DataFrame:
     """J5: returns points × containing polygons.
 
-    Plan shape: broadcast the exploded polygon cover (small), equi-join on
-    cell (no point-side shuffle), exact ray-cast only where
-    ``interior = false``."""
+    Plan shape (checked via .explain): the big point side is scanned and
+    encoded exactly ONCE; the exploded polygon cover (with vertices
+    attached) is broadcast; one equi-join on cell; one vectorized
+    predicate keeps interior-cell hits outright and ray-casts boundary
+    candidates.  No point-side shuffle, no branch-union re-scan."""
     pts = index_points(points, res, dggs, lon_col, lat_col)
     cover = polygon_cells(polys, res, dggs).drop("center_in")
+    cover = cover.join(polys.select("poly_id", "xs", "ys"), "poly_id")
     joined = pts.join(F.broadcast(cover), "cell")
-    interior_hits = joined.where("interior").drop("interior", "cell")
-    boundary = joined.where(~F.col("interior")).drop("interior", "cell")
-    # refine boundary candidates with the exact polygon (broadcast verts)
-    verts = polys.select("poly_id", "xs", "ys")
-    cand = boundary.join(F.broadcast(verts), "poly_id")
 
     @F.pandas_udf(T.BooleanType())
-    def inside(lon: pd.Series, lat: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
-        out = np.zeros(len(lon), dtype=bool)
-        # group rows by polygon to vectorize the raycast over points
-        key = xs.map(lambda a: (len(a), a[0]))
-        for _, idx in pd.Series(range(len(lon))).groupby(key).groups.items():
-            ii = np.asarray(idx)
-            vx = np.asarray(xs.iloc[ii[0]])
-            vy = np.asarray(ys.iloc[ii[0]])
-            out[ii] = raycast_contains(lon.values[ii], lat.values[ii], vx, vy)
+    def keep(lon: pd.Series, lat: pd.Series, interior: pd.Series,
+             xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = interior.values.astype(bool).copy()
+        todo = np.flatnonzero(~out)
+        if todo.size:
+            # group boundary rows by polygon to vectorize the ray cast
+            key = xs.iloc[todo].map(lambda a: (len(a), a[0]))
+            for _, idx in key.groupby(key).groups.items():
+                ii = np.asarray(idx)
+                vx = np.asarray(xs.iloc[ii[0]])
+                vy = np.asarray(ys.iloc[ii[0]])
+                out[ii] = raycast_contains(lon.values[ii], lat.values[ii], vx, vy)
         return pd.Series(out)
 
-    refined = cand.where(inside(F.col(lon_col), F.col(lat_col), "xs", "ys")).drop(
-        "xs", "ys"
-    )
-    return interior_hits.unionByName(refined)
+    return joined.where(
+        keep(F.col(lon_col), F.col(lat_col), F.col("interior"), F.col("xs"), F.col("ys"))
+    ).drop("interior", "cell", "xs", "ys")
 
 
 def parent_expr(cell_col, parent_res: int, dggs: str = "h3"):

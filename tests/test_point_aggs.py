@@ -87,3 +87,20 @@ def test_skew_coastline_correctness_with_salt(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(plain, salted, check_like=True)
+
+
+def test_multi_agg_struct_and_histogram_pack(spark, uni):
+    from raster2dggs_spark.operators.indexing import pixel_cells
+    from raster2dggs_spark.operators.aggregates import (
+        agg_multi, hist_categorical, pack_histogram,
+    )
+
+    px = pixel_cells(uni, res=8, keep_image_id=False)
+    multi = agg_multi(px, ["parent", "cell"], ["band_1"], ["min", "max", "mean"],
+                      as_struct=True)
+    row = multi.first()
+    assert row["band_1"]["min"] == row["band_1"]["max"] == 42.0
+    h = hist_categorical(px, ["cell"], "band_1", decimals=0)
+    packed = pack_histogram(h, ["cell"]).first()
+    assert list(packed["histogram"]["values"]) == [42.0]
+    assert packed["histogram"]["counts"][0] >= 1
