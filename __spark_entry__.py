@@ -556,6 +556,26 @@ def q_s2_pixel_index(spark, sf_dir):
                                "s2", 14, 6)
 
 
+def q_geohash_pixel_index(spark, sf_dir):
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    imgs = images_spark_df(spark, 64, seed=42)
+    out = index_point_agg(imgs, res=6, dggs="geohash", agg="mean")
+
+    @F.pandas_udf("string")
+    def gh_str(c):
+        from raster2dggs_spark.dggs import geohashlib
+        import pandas as pd
+
+        return pd.Series(geohashlib.cells_to_string(c.values))
+
+    return out.select(
+        gh_str("cell").alias("geohash_06"), gh_str("parent").alias("geohash_03"),
+        "band_1", "band_2", "band_3", "band_4",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -602,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells": q_compact_cells,
         "h3_pixel_index": q_h3_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
+        "geohash_pixel_index": q_geohash_pixel_index,
     }
 
 

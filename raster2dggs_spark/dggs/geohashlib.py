@@ -1,0 +1,123 @@
+"""Pure-NumPy geohash library — exact published geohash system.
+
+Replaces the reference's ``geohash`` backend
+(/root/reference/raster2dggs/indexers/geohashrasterindexer.py): base-32
+Z-order bisection of (lon, lat), precision 1..12 characters.
+
+Int64 packing (engine-internal; strings at the output edge):
+
+    id = (bits << 4) | precision        bits = 5*precision interleaved
+                                        bits, left-aligned at bit 5p-1..0
+
+so parent = drop characters = shift right 5*k then adjust the precision
+nibble — pure bit arithmetic, expressible as a native Spark Column like
+H3/S2 parents.  Known-vector pinned: geohash(57.64911N, 10.40744E, 11)
+== "u4pruydqqvj" (the canonical example).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_B32_INV = {c: i for i, c in enumerate(_B32)}
+MAX_PRECISION = 12
+
+
+def lonlat_to_cell(lon_deg, lat_deg, precision: int):
+    """Vectorized encode to packed int64 geohash ids."""
+    if not 1 <= precision <= MAX_PRECISION:
+        raise ValueError("precision 1..12")
+    lon = np.asarray(lon_deg, dtype=np.float64).ravel()
+    lat = np.asarray(lat_deg, dtype=np.float64).ravel()
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2  # lon gets the first (even) bit positions
+    nlat = nbits // 2
+    # quantized fractions
+    fx = np.clip((lon + 180.0) / 360.0, 0.0, np.nextafter(1.0, 0.0))
+    fy = np.clip((lat + 90.0) / 180.0, 0.0, np.nextafter(1.0, 0.0))
+    ix = (fx * (1 << nlon)).astype(np.uint64)
+    iy = (fy * (1 << nlat)).astype(np.uint64)
+    bits = np.zeros(lon.shape[0], dtype=np.uint64)
+    # interleave: bit k of the hash (from the MSB, k=0..nbits-1) is a lon
+    # bit for even k, lat bit for odd k
+    for k in range(nbits):
+        if k % 2 == 0:  # lon bit, from MSB of ix
+            src = (ix >> np.uint64(nlon - 1 - k // 2)) & np.uint64(1)
+        else:
+            src = (iy >> np.uint64(nlat - 1 - k // 2)) & np.uint64(1)
+        bits |= src << np.uint64(nbits - 1 - k)
+    return ((bits << np.uint64(4)) | np.uint64(precision)).astype(np.int64)
+
+
+def get_precision(cells):
+    c = np.asarray(cells).astype(np.uint64)
+    return (c & np.uint64(0xF)).astype(np.int64)
+
+
+def cell_to_parent(cells, parent_precision: int):
+    """Drop trailing characters — prefix truncation exactly as the
+    reference does (geohashrasterindexer.py:58-65)."""
+    c = np.asarray(cells).astype(np.uint64)
+    p = get_precision(c)
+    if np.any(np.int64(parent_precision) > p):
+        raise ValueError("parent_precision coarser than cell precision required")
+    shift = (np.uint64(5) * (p.astype(np.uint64) - np.uint64(parent_precision)))
+    bits = (c >> np.uint64(4)) >> shift
+    return ((bits << np.uint64(4)) | np.uint64(parent_precision)).astype(np.int64)
+
+
+def cell_to_lonlat(cells):
+    """Bbox-center lon/lat of packed geohash ids (vectorized)."""
+    c = np.asarray(cells).astype(np.uint64).ravel()
+    p = get_precision(c)
+    out_lon = np.empty(c.shape[0])
+    out_lat = np.empty(c.shape[0])
+    for prec in np.unique(p):
+        m = p == prec
+        nbits = int(5 * prec)
+        nlon = (nbits + 1) // 2
+        nlat = nbits // 2
+        bits = (c[m] >> np.uint64(4)).astype(np.uint64)
+        ix = np.zeros(m.sum(), dtype=np.uint64)
+        iy = np.zeros(m.sum(), dtype=np.uint64)
+        for k in range(nbits):
+            b = (bits >> np.uint64(nbits - 1 - k)) & np.uint64(1)
+            if k % 2 == 0:
+                ix |= b << np.uint64(nlon - 1 - k // 2)
+            else:
+                iy |= b << np.uint64(nlat - 1 - k // 2)
+        out_lon[m] = (ix.astype(np.float64) + 0.5) / (1 << nlon) * 360.0 - 180.0
+        out_lat[m] = (iy.astype(np.float64) + 0.5) / (1 << nlat) * 180.0 - 90.0
+    return out_lon, out_lat
+
+
+def cells_to_string(cells):
+    """Packed ids -> canonical geohash strings."""
+    c = np.asarray(cells).astype(np.uint64).ravel()
+    out = []
+    for v in c:
+        prec = int(v & np.uint64(0xF))
+        bits = int(v >> np.uint64(4))
+        s = []
+        for i in range(prec):
+            s.append(_B32[(bits >> (5 * (prec - 1 - i))) & 0x1F])
+        out.append("".join(s))
+    return out
+
+
+def strings_to_cells(strs):
+    out = np.empty(len(strs), dtype=np.int64)
+    for i, s in enumerate(strs):
+        bits = 0
+        for ch in s:
+            bits = (bits << 5) | _B32_INV[ch]
+        v = ((bits << 4) | len(s)) & 0xFFFFFFFFFFFFFFFF
+        out[i] = v - (1 << 64) if v >= (1 << 63) else v
+    return out
+
+
+def cell_pitch_deg(precision: int) -> float:
+    """Approx cell height in degrees (lat extent)."""
+    nlat = (5 * precision) // 2
+    return 180.0 / (1 << nlat)

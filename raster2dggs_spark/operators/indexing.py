@@ -78,7 +78,7 @@ def _decode_rows(pdf: pd.DataFrame, bands_sel):
 
 
 def _encode_points(lon, lat, res, parent_res, dggs):
-    from raster2dggs_spark.dggs import h3lib, s2lib
+    from raster2dggs_spark.dggs import h3lib, s2lib, geohashlib
 
     if dggs == "h3":
         cell = h3lib.latlng_to_cell(lon, lat, res)
@@ -86,6 +86,9 @@ def _encode_points(lon, lat, res, parent_res, dggs):
     elif dggs == "s2":
         cell = s2lib.lonlat_to_cell(lon, lat, res)
         parent = s2lib.cell_to_parent(cell, parent_res)
+    elif dggs == "geohash":
+        cell = geohashlib.lonlat_to_cell(lon, lat, res)
+        parent = geohashlib.cell_to_parent(cell, parent_res)
     else:
         raise ValueError(f"unknown dggs {dggs!r}")
     return cell, parent
@@ -94,8 +97,10 @@ def _encode_points(lon, lat, res, parent_res, dggs):
 def default_parent_res(res: int, dggs: str = "h3") -> int:
     """Reference default: parent_res = max(0, res - offset), offset sized
     for ~64K subcells per partition (cli_factory.py:124-161): H3 offset 6
-    (7^6≈117K), S2 offset 8 (4^8=65K)."""
-    return max(0, res - (6 if dggs == "h3" else 8))
+    (7^6≈117K), S2 offset 8 (4^8=65K), geohash offset 3 (32^3=33K)."""
+    floor = 1 if dggs == "geohash" else 0
+    off = {"h3": 6, "s2": 8, "geohash": 3}[dggs]
+    return max(floor, res - off)
 
 
 def pixel_cells(

@@ -249,8 +249,27 @@ def _res_for_radius(radius_m: float, dggs: str, fine_res: int) -> int:
     return int(np.clip(r, 0, fine_res))
 
 
+def estimate_knn_radius(targets: DataFrame, k: int,
+                        lon_col: str = "lon", lat_col: str = "lat",
+                        margin: float = 3.0) -> float:
+    """Density-derived starting radius: if the n targets were uniform over
+    their bounding cap, k neighbors live within r = sqrt(k/n · area/π);
+    ``margin``× covers clustering.  One cheap aggregate over targets."""
+    row = targets.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(lat_col).alias("lat0"), F.max(lat_col).alias("lat1"),
+        F.min(lon_col).alias("lon0"), F.max(lon_col).alias("lon1"),
+    ).collect()[0]
+    n = max(1, row["n"])
+    lat_m = (row["lat1"] - row["lat0"]) * 111_195.0
+    coslat = max(0.05, float(np.cos(np.radians((row["lat0"] + row["lat1"]) / 2))))
+    lon_m = (row["lon1"] - row["lon0"]) * 111_195.0 * coslat
+    area = max(lat_m * lon_m, 1.0)
+    return margin * float(np.sqrt((k + 1) / n * area / np.pi)) + 1.0
+
+
 def knn_join(queries: DataFrame, targets: DataFrame, k: int,
-             radius_m: float, res: int = 9, dggs: str = "h3",
+             radius_m: float | None = None, res: int = 9, dggs: str = "h3",
              q_id: str = "q_id", t_id: str = "t_id",
              lon_col: str = "lon", lat_col: str = "lat",
              max_rounds: int = 4) -> DataFrame:
@@ -263,6 +282,8 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
 
     The candidate-generation semantics match libh3 ``grid_disk`` ring
     expansion (SURVEY.md J6) expressed as radius expansion."""
+    if radius_m is None:
+        radius_m = estimate_knn_radius(targets, k, lon_col, lat_col)
     t = index_points(targets, res, dggs, lon_col, lat_col).select(
         F.col(t_id), F.col("cell"),
         F.col(lon_col).alias("t_lon"), F.col(lat_col).alias("t_lat"),

@@ -133,3 +133,22 @@ def test_salted_agg_equivalence(spark):
         F.min("v").alias("mn"), F.max("v").alias("mx"), F.avg("v").alias("avg_v"),
     ).toPandas().set_index("k").sort_index()
     pd.testing.assert_frame_equal(salted, plain, check_like=True)
+
+
+def test_knn_auto_radius(spark):
+    # radius_m=None: density-derived start; results equal brute force
+    from raster2dggs_spark.operators.joins import knn_join
+
+    rng = np.random.default_rng(12)
+    n_q, n_t, k = 25, 300, 4
+    qlon = rng.uniform(0, 5, n_q); qlat = rng.uniform(40, 45, n_q)
+    tlon = rng.uniform(0, 5, n_t); tlat = rng.uniform(40, 45, n_t)
+    q = spark.createDataFrame(pd.DataFrame({"q_id": np.arange(n_q, dtype=np.int64), "lon": qlon, "lat": qlat}))
+    t = spark.createDataFrame(pd.DataFrame({"t_id": np.arange(n_t, dtype=np.int64), "lon": tlon, "lat": tlat}))
+    out = knn_join(q, t, k=k).toPandas()
+    got = {int(qid): [int(x) for x in grp.sort_values("rank")["t_id"]]
+           for qid, grp in out.groupby("q_id")}
+    for i in range(n_q):
+        d = haversine_m(np.full(n_t, qlon[i]), np.full(n_t, qlat[i]), tlon, tlat)
+        exp = [int(j) for j in np.lexsort((np.arange(n_t), d))[:k]]
+        assert got[i] == exp, i
