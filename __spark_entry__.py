@@ -539,6 +539,23 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch plan; the applyInPandasWithState
+    streaming twin is equivalence-tested in pytest).  Timestamps emitted
+    as wall-clock strings (tz-safe: NTZ→LTZ→string round-trips in any
+    session timezone)."""
+    from raster2dggs_spark.streaming.sessions import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_seconds=900)
+    return out.select(
+        "user_id", "session_idx",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("start_ts").cast("string").alias("start_ts"),
+        F.col("end_ts").cast("string").alias("end_ts"),
+    )
+
+
 def q_h3_pixel_index(spark, sf_dir):
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
@@ -616,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "image_stats": q_image_stats,
         "windowed_events": q_windowed_events,
+        "sessionize": q_sessionize,
         "sample_bilinear": q_sample_bilinear,
         "overlay_weighted_mean": q_overlay_weighted_mean,
         "overlay_fractions": q_overlay_fractions,
@@ -977,6 +995,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "sessionize": """
+            WITH m AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 900
+                          THEN 1 ELSE 0 END AS new_flag
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_flag) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) - 1
+                         AS session_idx
+              FROM m)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(ts) AS VARCHAR) AS start_ts,
+                   CAST(max(ts) AS VARCHAR) AS end_ts
+            FROM s GROUP BY user_id, session_idx
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
