@@ -81,9 +81,10 @@ def _encode_points(lon, lat, res, parent_res, dggs):
     """Encode points; parent computed only when ``parent_res`` is not
     None (the shuffle-optimized paths derive parents post-aggregation
     with native bitwise expressions instead of shuffling them)."""
-    from raster2dggs_spark.dggs import h3lib, s2lib, geohashlib
+    from raster2dggs_spark.dggs import h3lib, s2lib, geohashlib, maidenheadlib
 
-    lib = {"h3": h3lib, "s2": s2lib, "geohash": geohashlib}.get(dggs)
+    lib = {"h3": h3lib, "s2": s2lib, "geohash": geohashlib,
+           "maidenhead": maidenheadlib}.get(dggs)
     if lib is None:
         raise ValueError(f"unknown dggs {dggs!r}")
     if dggs == "h3":
@@ -98,8 +99,8 @@ def default_parent_res(res: int, dggs: str = "h3") -> int:
     """Reference default: parent_res = max(0, res - offset), offset sized
     for ~64K subcells per partition (cli_factory.py:124-161): H3 offset 6
     (7^6≈117K), S2 offset 8 (4^8=65K), geohash offset 3 (32^3=33K)."""
-    floor = 1 if dggs == "geohash" else 0
-    off = {"h3": 6, "s2": 8, "geohash": 3}[dggs]
+    floor = 1 if dggs in ("geohash", "maidenhead") else 0
+    off = {"h3": 6, "s2": 8, "geohash": 3, "maidenhead": 2}[dggs]
     return max(floor, res - off)
 
 

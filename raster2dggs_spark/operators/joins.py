@@ -243,6 +243,19 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "h3",
         drop = 5 * (from_res - parent_res)
         bits = F.shiftrightunsigned(c, 4 + drop)
         return F.shiftleft(bits, 4).bitwiseOR(F.lit(parent_res))
+    if dggs == "maidenhead":
+        if from_res is None:
+            raise ValueError("maidenhead parent_expr needs from_res")
+        from raster2dggs_spark.dggs.maidenheadlib import BASES
+
+        prod = 1
+        for b in BASES[parent_res:from_res]:
+            prod *= b * b
+        # max packed value (18·10·24·10·24)² < 2^53 → double floor-div exact
+        bits = F.shiftrightunsigned(c, 4)
+        return F.shiftleft(F.floor(bits / F.lit(prod)).cast("long"), 4).bitwiseOR(
+            F.lit(parent_res)
+        )
     raise ValueError(dggs)
 
 
