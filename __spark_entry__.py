@@ -144,7 +144,15 @@ def q_agg_list(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").withColumn(
         "ln", F.col("l_linenumber").cast("long")
     )
-    return agg_list(li, ["l_orderkey"], "ln", out="linenumbers")
+    out = agg_list(li, ["l_orderkey"], "ln", out="linenumbers")
+    # the driver canonicalizes by sorting every output column — arrays are
+    # unhashable in pandas, so emit the sorted list as a joined string
+    return out.select(
+        "l_orderkey",
+        F.array_join(
+            F.transform("linenumbers", lambda x: x.cast("string")), ","
+        ).alias("linenumbers"),
+    )
 
 
 def q_hist_categorical(spark, sf_dir):
@@ -387,14 +395,18 @@ def q_minhash_lsh(spark, sf_dir):
     from raster2dggs_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", n_hashes=8, bands=4)
+    return minhash_lsh_pairs(d, "doc_id", "text", n_hashes=8, bands=4,
+                             max_bucket=1000)
 
 
 def q_ngram_jaccard(spark, sf_dir):
     from raster2dggs_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8)
+    # max_df=200 actually triggers at sf0.01 (500 docs: stopword shingles
+    # exceed it) so the DF-capped semantics are exercised by the oracle
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8,
+                              max_df=200)
     return out.select(
         "id_a", "id_b", F.col("inter").cast("long").alias("inter"),
         F.col("sz_a").cast("long").alias("sz_a"),
@@ -670,7 +682,8 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
-def _minhash_sql(n_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_sql(n_hashes: int = 8, bands: int = 4,
+                 max_bucket: int = 1000) -> str:
     rows = n_hashes // bands
     mins = ", ".join(
         f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(n_hashes)
@@ -685,7 +698,10 @@ def _minhash_sql(n_hashes: int = 8, bands: int = 4) -> str:
     return f"""
         WITH {_WORDS_CTE},
         sig AS (SELECT doc_id, {mins} FROM w GROUP BY doc_id),
-        buckets AS ({buckets})
+        buckets0 AS ({buckets}),
+        buckets AS (SELECT * FROM buckets0
+                    QUALIFY count(*) OVER (PARTITION BY band, bkey)
+                            <= {max_bucket})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -768,7 +784,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_list": """
             SELECT l_orderkey,
-                   list_sort(list(CAST(l_linenumber AS BIGINT))) AS linenumbers
+                   array_to_string(list_sort(list(CAST(l_linenumber AS BIGINT))),
+                                   ',') AS linenumbers
             FROM lineitem GROUP BY l_orderkey
         """,
         "hist_categorical": """
@@ -920,13 +937,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, g.canonical_id, g.group_size, h.content_md5
             FROM h JOIN g USING (content_md5)
         """,
-        "minhash_lsh": _minhash_sql(8, 4),
+        "minhash_lsh": _minhash_sql(8, 4, 1000),
         "ngram_jaccard": f"""
             WITH {_WORDS_CTE},
-            sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+            wf AS (SELECT doc_id, shingle FROM w
+                   QUALIFY count(*) OVER (PARTITION BY shingle) <= 200),
+            sz AS (SELECT doc_id, count(*) AS sz FROM wf GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-              FROM w a JOIN w b
+              FROM wf a JOIN wf b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
             SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
@@ -1000,7 +1019,8 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
               SELECT user_id, ts,
                      CASE WHEN lag(ts) OVER w IS NULL
-                               OR epoch(ts) - epoch(lag(ts) OVER w) > 900
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 900 * 1000000
                           THEN 1 ELSE 0 END AS new_flag
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -77,17 +77,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 1,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = 1000) -> DataFrame:
     """LSH candidate pairs: signatures split into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band bucket are candidates.
     Returns distinct (id_a, id_b), id_a < id_b.
 
     Plan: one shuffle for signatures, one for the bucket self-join —
     never a cross join.  ``max_bucket`` caps the self-join's quadratic
-    blow-up at scale: buckets with more than N members are skipped (a
-    bucket of B docs yields B² pairs; giant buckets signal boilerplate
-    that exact-dedup or a finer shingle handles better).  None = exact
-    (the oracle-checked default)."""
+    blow-up at scale and DEFAULTS ON (1000): a bucket of B docs yields B²
+    pairs, and giant buckets signal boilerplate that exact-dedup or a
+    finer shingle handles better, so buckets with more than N members are
+    skipped.  The SQL oracle twin applies the identical
+    count-over-(band,bkey) filter, so the capped semantics stay
+    hash-checked.  ``None`` disables the cap (exact candidate set)."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     band_cols = []
@@ -122,13 +124,30 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 1, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard over n-gram shingle sets for all pairs sharing at
-    least one shingle: |A∩B| / (|A|+|B|−|A∩B|) >= threshold.
+                        n: int = 1, threshold: float = 0.5,
+                        max_df: int | None = 100_000) -> DataFrame:
+    """Jaccard over DF-capped n-gram shingle sets for all pairs sharing
+    at least one shingle: |A∩B| / (|A|+|B|−|A∩B|) >= threshold.
 
     The shingle self-join only materializes co-occurring pairs (inverted-
-    index join), not the quadratic cross product."""
+    index join), not the quadratic cross product.  ``max_df`` (defaults
+    ON) drops shingles whose document frequency exceeds the cap BEFORE
+    both the sizes and the self-join — a ubiquitous shingle ("the" at
+    n=1) co-occurs in ~every doc and alone produces ~N²/2 intermediate
+    join rows at corpus scale.  The cap is part of the operator's defined
+    semantics (sets are the DF-filtered shingle sets) so the SQL oracle
+    twin applies the identical filter and the result stays hash-checked.
+    ``None`` disables the cap."""
     sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -70,62 +70,162 @@ def _point_segment_dist_deg(lon, lat, x1, y1, x2, y2):
     return np.sqrt(ex * ex + ey * ey)
 
 
+def _pitch_deg(res: int, dggs: str) -> float:
+    from raster2dggs_spark.dggs import h3lib
+
+    if dggs == "h3":
+        return float(np.degrees(h3lib.cell_pitch_rad(res)))
+    # s2 level pitch ≈ 90° / 2^level of a face edge
+    return 90.0 / (1 << res)
+
+
+def _cells_children(cells, res: int, dggs: str):
+    """All direct children of ``cells`` (at ``res``) — pure id arithmetic.
+
+    h3-layout: uniform 7-ary digit tree (clear the res-(res+1) digit,
+    bump the res nibble, OR in digit 0..6).  S2: the 4 children ids are
+    ``id + {-3,-1,1,3}·(lsb>>2)`` (standard S2 id arithmetic)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    if dggs == "h3":
+        r1 = res + 1
+        shift = 3 * (15 - r1)
+        base = (
+            (cells & ~np.int64(0xF << 52) & ~np.int64(7 << shift))
+            | np.int64(r1 << 52)
+        )
+        digits = (np.arange(7, dtype=np.int64) << shift)
+        return (base[:, None] | digits[None, :]).ravel()
+    lsb = cells & -cells
+    q = lsb >> 2
+    offs = np.array([-3, -1, 1, 3], dtype=np.int64)
+    return (cells[:, None] + offs[None, :] * q[:, None]).ravel()
+
+
+def _centers_edge_dist(cells, vx, vy, dggs: str):
+    """(center_in, min-edge-distance-deg) for every cell center."""
+    from raster2dggs_spark.dggs import h3lib, s2lib
+
+    if dggs == "h3":
+        clon, clat = h3lib.cell_to_latlng(cells)
+    else:
+        clon, clat = s2lib.cell_to_lonlat(cells)
+    center_in = raycast_contains(clon, clat, vx, vy)
+    mind = np.full(cells.shape[0], np.inf)
+    n = len(vx)
+    j = n - 1
+    for i in range(n):
+        d = _point_segment_dist_deg(clon, clat, vx[j], vy[j], vx[i], vy[i])
+        mind = np.minimum(mind, d)
+        j = i
+    return center_in, mind
+
+
+_SEED_MAX = 48  # max lattice samples per axis at the seed resolution
+
+
 def polygon_cover_cells(vx, vy, res: int, dggs: str = "h3"):
     """Cover a polygon with cells at ``res``; classify interior vs
     boundary.  A cell is *interior* when its center is inside and farther
-    than one circumradius from every edge — matches only need refinement
-    in boundary cells (J5 strategy, SURVEY.md §2.3)."""
+    than 1.3 pitch from every edge — matches only need refinement in
+    boundary cells (J5 strategy, SURVEY.md §2.3).
+
+    Coarse-to-fine descent: seed with a bounded lattice at the coarsest
+    resolution whose bbox fits ``_SEED_MAX`` steps per axis, then recurse
+    level by level through *boundary* cells only; interior cells expand
+    to descendants by pure id arithmetic.  Work is
+    O(area-in-cells + perimeter·depth) — a continent at res 9 no longer
+    samples a dense O((extent/pitch)²) lattice (the flat version's
+    failure mode at scale)."""
     from raster2dggs_spark.dggs import h3lib, s2lib
 
     vx = np.asarray(vx, dtype=np.float64)
     vy = np.asarray(vy, dtype=np.float64)
     lon_min, lon_max = vx.min(), vx.max()
     lat_min, lat_max = vy.min(), vy.max()
-    if dggs == "h3":
-        pitch_deg = np.degrees(h3lib.cell_pitch_rad(res))
-        lib = h3lib
-    else:
-        # s2 level pitch ≈ 90° / 2^level of a face edge
-        pitch_deg = 90.0 / (1 << res)
-        lib = None
-    step = pitch_deg * 0.35
-    pad = pitch_deg
+    extent = max(lon_max - lon_min, lat_max - lat_min)
+    # halo multiple of pitch that bounds a cell circumradius (hex:
+    # ~0.58·pitch; s2 cells distort up to ~1.4× the nominal edge)
+    halo = 1.5 if dggs == "h3" else 2.0
+    # edge distances are measured in raw lon/lat degrees, but a cell's
+    # lon extent grows by 1/cos(lat) — scale the descent margins so a
+    # "deep interior" verdict holds for every descendant at any latitude
+    maxlat = min(89.0, max(abs(lat_min), abs(lat_max)))
+    distort = 1.0 / max(0.1, float(np.cos(np.radians(maxlat))))
+    r0 = res
+    while r0 > 0 and extent / (0.35 * _pitch_deg(r0, dggs)) > _SEED_MAX:
+        r0 -= 1
+
+    # --- seed: dense-but-bounded lattice at r0 -------------------------
+    pitch0 = _pitch_deg(r0, dggs)
+    step = pitch0 * 0.35
+    pad = pitch0
     lons = np.arange(lon_min - pad, lon_max + pad + step, step)
     lats = np.arange(lat_min - pad, lat_max + pad + step, step)
     glon = np.repeat(lons, lats.size)
     glat = np.tile(lats, lons.size)
     keep = raycast_contains(glon, glat, vx, vy)
-    # include a halo ring so boundary cells whose center is outside still
-    # appear (their interior overlaps the polygon)
     near = np.zeros_like(keep)
     n = len(vx)
     j = n - 1
     for i in range(n):
         near |= _point_segment_dist_deg(glon, glat, vx[j], vy[j], vx[i], vy[i]) <= (
-            1.5 * pitch_deg
+            halo * pitch0
         )
         j = i
     sel = keep | near
     if not sel.any():
         return (np.empty(0, np.int64), np.empty(0, bool), np.empty(0, bool))
     if dggs == "h3":
-        cells = np.unique(h3lib.latlng_to_cell(glon[sel], glat[sel], res))
-        clon, clat = h3lib.cell_to_latlng(cells)
+        cells = np.unique(h3lib.latlng_to_cell(glon[sel], glat[sel], r0))
     else:
-        cells = np.unique(s2lib.lonlat_to_cell(glon[sel], glat[sel], res))
-        clon, clat = s2lib.cell_to_lonlat(cells)
-    center_in = raycast_contains(clon, clat, vx, vy)
-    # distance of centers to nearest edge
-    mind = np.full(cells.shape[0], np.inf)
-    j = n - 1
-    for i in range(n):
-        d = _point_segment_dist_deg(clon, clat, vx[j], vy[j], vx[i], vy[i])
-        mind = np.minimum(mind, d)
-        j = i
-    interior = center_in & (mind > 1.3 * pitch_deg)
-    boundary = ~interior & (center_in | (mind <= 1.3 * pitch_deg))
-    sel2 = interior | boundary
-    return cells[sel2], interior[sel2], center_in[sel2]
+        cells = np.unique(s2lib.lonlat_to_cell(glon[sel], glat[sel], r0))
+
+    # --- descend: boundary cells refine, interior cells expand ---------
+    interior_pool: list[tuple[np.ndarray, int]] = []
+    for r in range(r0, res):
+        pitch_r = _pitch_deg(r, dggs)
+        center_in, mind = _centers_edge_dist(cells, vx, vy, dggs)
+        # descendants of a cell wander up to ~1.2 pitch from its center
+        # (circumradius + aperture-7/4 center drift), times the lon
+        # distortion — only promote cells whose whole descendant union
+        # is provably inside
+        deep = center_in & (mind > 1.5 * distort * pitch_r)
+        if deep.any():
+            interior_pool.append((cells[deep], r))
+        band = ~deep & (center_in | (mind <= halo * distort * pitch_r))
+        cells = _cells_children(cells[band], r, dggs)
+        if cells.size == 0:
+            break
+
+    # --- final classification at res ------------------------------------
+    pitch_deg = _pitch_deg(res, dggs)
+    if cells.size:
+        center_in, mind = _centers_edge_dist(cells, vx, vy, dggs)
+        interior = center_in & (mind > 1.3 * pitch_deg)
+        boundary = ~interior & (center_in | (mind <= 1.3 * pitch_deg))
+        sel2 = interior | boundary
+        out_cells = [cells[sel2]]
+        out_int = [interior[sel2]]
+        out_cin = [center_in[sel2]]
+    else:
+        out_cells, out_int, out_cin = [], [], []
+
+    # expand the interior pool to res-level descendants (id arithmetic)
+    for pool_cells, r in interior_pool:
+        c = pool_cells
+        for rr in range(r, res):
+            c = _cells_children(c, rr, dggs)
+        out_cells.append(c)
+        out_int.append(np.ones(c.shape[0], dtype=bool))
+        out_cin.append(np.ones(c.shape[0], dtype=bool))
+
+    if not out_cells:
+        return (np.empty(0, np.int64), np.empty(0, bool), np.empty(0, bool))
+    return (
+        np.concatenate(out_cells),
+        np.concatenate(out_int),
+        np.concatenate(out_cin),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -200,22 +300,26 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
     joined = pts.join(F.broadcast(cover), "cell")
 
     @F.pandas_udf(T.BooleanType())
-    def keep(lon: pd.Series, lat: pd.Series, interior: pd.Series,
-             xs: pd.Series, ys: pd.Series) -> pd.Series:
+    def keep(pid: pd.Series, lon: pd.Series, lat: pd.Series,
+             interior: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
         out = interior.values.astype(bool).copy()
         todo = np.flatnonzero(~out)
         if todo.size:
-            # group boundary rows by polygon to vectorize the ray cast
-            key = xs.iloc[todo].map(lambda a: (len(a), a[0]))
-            for _, idx in key.groupby(key).groups.items():
-                ii = np.asarray(idx)
+            # group boundary rows by poly_id (the true polygon identity —
+            # geometry-derived keys can collide) to vectorize the ray cast
+            pidv = pid.values[todo]
+            order = np.argsort(pidv, kind="stable")
+            st = todo[order]
+            splits = np.flatnonzero(pidv[order][1:] != pidv[order][:-1]) + 1
+            for ii in np.split(st, splits):
                 vx = np.asarray(xs.iloc[ii[0]])
                 vy = np.asarray(ys.iloc[ii[0]])
                 out[ii] = raycast_contains(lon.values[ii], lat.values[ii], vx, vy)
         return pd.Series(out)
 
     return joined.where(
-        keep(F.col(lon_col), F.col(lat_col), F.col("interior"), F.col("xs"), F.col("ys"))
+        keep(F.col("poly_id"), F.col(lon_col), F.col(lat_col),
+             F.col("interior"), F.col("xs"), F.col("ys"))
     ).drop("interior", "cell", "xs", "ys")
 
 
@@ -380,6 +484,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     results = None
     tk = None
     radius = radius_m
+    rem_n = None  # count of unresolved queries (drives the round loop)
     for _ in range(max_rounds):
         cres = _res_for_radius(radius, dggs, res)
         tt = t.withColumn("jcell", parent_expr("cell", cres, dggs))
@@ -391,19 +496,29 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
         ))
         cand = cand.withColumn("dist_m", dist).where(F.col("dist_m") <= radius)
         tk = top_k(cand, [q_id], "dist_m", k, ascending=True, tiebreak=[t_id])
-        tk = tk.select(q_id, t_id, "dist_m", "rank").persist()
-        counts = tk.groupBy(q_id).count()
-        done_ids = counts.where(F.col("count") >= k).select(q_id)
+        # the round is driver-synced anyway (the loop needs the remaining
+        # count) — localCheckpoint the round's top-k so downstream unions
+        # don't re-run the candidate join and the per-round inputs can be
+        # unpersisted immediately
+        tk = tk.select(q_id, t_id, "dist_m", "rank").localCheckpoint(eager=True)
+        # a query is resolved when it has a rank-k row (top_k emits dense
+        # ranks 1..min(k, hits))
+        done_ids = tk.where(F.col("rank") >= k).select(q_id)
         done = tk.join(done_ids, q_id, "left_semi")
         results = done if results is None else results.unionByName(done)
+        prev_remaining = remaining
         remaining = remaining.join(done_ids, q_id, "left_anti").persist()
-        if remaining.isEmpty():
+        rem_n = remaining.count()
+        prev_remaining.unpersist()  # no-op on the first (unpersisted) round
+        if rem_n == 0:
             break
         radius *= 3.0
     else:
         # accept < k neighbors for queries that exhausted the max radius
         leftover = tk.join(remaining.select(q_id), q_id, "left_semi")
         results = results.unionByName(leftover)
+    remaining.unpersist()
+    t.unpersist()
     return results
 
 

@@ -43,12 +43,16 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
     w = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond gap arithmetic — identical to the streaming twin's
+    # (pd.Timestamp.value // 1000), so sub-second events sessionize the
+    # same way on both paths
     gap = (
-        F.unix_timestamp("ts")
-        - F.unix_timestamp(F.lag("ts").over(w))
+        F.unix_micros("ts")
+        - F.unix_micros(F.lag("ts").over(w))
     )
     marked = e.withColumn(
-        "__new", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        "__new",
+        F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0),
     )
     sess = marked.withColumn(
         "session_idx", F.sum("__new").over(w).cast("long") - 1
