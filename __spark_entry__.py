@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     imgs = images_spark_df(spark, 64, seed=42)
     agg = index_point_agg(imgs, res=9, agg="mean")
-    return to_reference_output(agg, "h3", 9, 3)
+    return to_reference_output(agg, "hex7", 9, 3)
 
 
 # --------------------------------------------------------------------------
@@ -496,7 +496,7 @@ def q_sample_bilinear(spark, sf_dir):
 
     imgs = images_spark_df(spark, 24, seed=42, size_range=(16, 24))
     return to_reference_output(sample_cells(imgs, res=7, kernel="bilinear"),
-                               "h3", 7, 1)
+                               "hex7", 7, 1)
 
 
 def q_overlay_weighted_mean(spark, sf_dir):
@@ -506,7 +506,7 @@ def q_overlay_weighted_mean(spark, sf_dir):
 
     imgs = images_spark_df(spark, 24, seed=42, size_range=(12, 20))
     return to_reference_output(overlay_agg(imgs, res=6, op="weighted_mean"),
-                               "h3", 6, 0)
+                               "hex7", 6, 0)
 
 
 def q_overlay_fractions(spark, sf_dir):
@@ -519,7 +519,7 @@ def q_overlay_fractions(spark, sf_dir):
     out = overlay_classes(imgs, res=6, op="fractions")
     return to_reference_output(
         out.select("parent", "cell", "class", F.round("fraction", 6).alias("fraction")),
-        "h3", 6, 0,
+        "hex7", 6, 0,
     )
 
 
@@ -568,12 +568,12 @@ def q_sessionize(spark, sf_dir):
     )
 
 
-def q_h3_pixel_index(spark, sf_dir):
+def q_hex7_pixel_index(spark, sf_dir):
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
 
     imgs = images_spark_df(spark, 64, seed=42)
-    return to_reference_output(index_point_agg(imgs, res=9, agg="mean"), "h3", 9, 3)
+    return to_reference_output(index_point_agg(imgs, res=9, agg="mean"), "hex7", 9, 3)
 
 
 def q_s2_pixel_index(spark, sf_dir):
@@ -650,7 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_weighted_mean": q_overlay_weighted_mean,
         "overlay_fractions": q_overlay_fractions,
         "compact_cells": q_compact_cells,
-        "h3_pixel_index": q_h3_pixel_index,
+        "hex7_pixel_index": q_hex7_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
         "geohash_pixel_index": q_geohash_pixel_index,
     }

@@ -74,11 +74,11 @@ def main():
             F.count(F.lit(1)).alias("cells"), F.sum("npx").alias("pixels")
         ).collect()[0]
 
-    row = timed("pixel_index_h3", q_pixels)
+    row = timed("pixel_index_hex7", q_pixels)
     extras["bench_images"] = n_imgs
-    extras["cells_h3"] = int(row["cells"])
+    extras["cells_hex7"] = int(row["cells"])
     extras["pixels_indexed"] = int(row["pixels"])
-    extras["pixels_per_sec"] = round(row["pixels"] / timings["pixel_index_h3"], 1)
+    extras["pixels_per_sec"] = round(row["pixels"] / timings["pixel_index_hex7"], 1)
 
     # -- q2: S2 variant ---------------------------------------------------
     def q_pixels_s2():

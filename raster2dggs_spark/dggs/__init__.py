@@ -1,3 +1,26 @@
 from raster2dggs_spark.dggs import geohashlib, h3lib, maidenheadlib, s2lib
 
-__all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib"]
+__all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "check_grid"]
+
+GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp")
+
+
+def check_grid(dggs: str) -> str:
+    """Validate a grid key at the output-contract level.
+
+    ``"h3"`` is rejected loudly: the hexagonal grid here is an
+    H3-*layout* grid (same bit layout, aperture-7 hierarchy, 122 base
+    cells) whose base-cell numbering is derived geometrically, NOT
+    libh3's — its ids do not join against real-world H3-indexed data, so
+    no output may claim the ``h3`` label (grid key and output columns
+    are ``hex7``)."""
+    if dggs == "h3":
+        raise ValueError(
+            "grid 'h3' is not available: cell ids here use an H3-layout "
+            "geometry but are NOT libh3-interoperable. Use dggs='hex7' "
+            "(outputs hex7_NN columns) — joining hex7 ids against "
+            "genuine H3 indexes would silently mismatch."
+        )
+    if dggs not in GRIDS:
+        raise ValueError(f"unknown dggs {dggs!r}; expected one of {GRIDS}")
+    return dggs

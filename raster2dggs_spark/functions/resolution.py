@@ -13,20 +13,20 @@ import numpy as np
 EARTH_AREA_M2 = 4.0 * np.pi * 6371007.1809**2
 
 
-def n_cells(res: int, dggs: str = "h3") -> int:
+def n_cells(res: int, dggs: str = "hex7") -> int:
     # our H3 layout is uniformly 7-ary over 122 base cells; S2: 6*4^level
-    if dggs == "h3":
+    if dggs == "hex7":
         return 122 * 7**res
     return 6 * 4**res
 
 
-def cell_area_m2_mean(res: int, dggs: str = "h3") -> float:
+def cell_area_m2_mean(res: int, dggs: str = "hex7") -> float:
     """Mean cell area at ``res`` (exact: cells partition the sphere)."""
     return EARTH_AREA_M2 / n_cells(res, dggs)
 
 
 def resolve_resolution(mode: str, mean_pixel_area_m2: float,
-                       dggs: str = "h3", max_res: int = 15) -> int:
+                       dggs: str = "hex7", max_res: int = 15) -> int:
     """Reference mode semantics:
 
     - ``smaller-than-pixel``: coarsest res whose cells are smaller than

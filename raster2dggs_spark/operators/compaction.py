@@ -24,14 +24,14 @@ from raster2dggs_spark.operators.joins import parent_expr
 
 
 def compact_cells(df: DataFrame, value_cols: list[str], res: int,
-                  min_res: int = 0, dggs: str = "h3",
+                  min_res: int = 0, dggs: str = "hex7",
                   cell_col: str = "cell") -> DataFrame:
     """Compact a single-resolution cell frame bottom-up to ``min_res``.
 
     Returns the mixed-resolution frame (cell ids carry their res in the
     bit layout).  Exact-equality uniformity, NaN-safe via null-safe
     comparison on a canonical struct."""
-    children_per_parent = 7 if dggs == "h3" else 4
+    children_per_parent = 7 if dggs == "hex7" else 4
     out_parts: list[DataFrame] = []
     cur = df
     for r in range(res, min_res, -1):
@@ -62,7 +62,7 @@ def compact_cells(df: DataFrame, value_cols: list[str], res: int,
     return reduce(lambda a, b: a.unionByName(b), out_parts)
 
 
-def uncompact_cells(df: DataFrame, res: int, dggs: str = "h3",
+def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
                     cell_col: str = "cell") -> DataFrame:
     """Inverse: expand every cell to its res-``res`` descendants (values
     replicated).  Used by the round-trip invariant test; the descendant
@@ -85,7 +85,7 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "h3",
             if not len(pdf):
                 continue
             cells = pdf[cell_col].values
-            if dggs == "h3":
+            if dggs == "hex7":
                 cr = h3lib.get_resolution(cells)
             else:
                 cr = s2lib.cell_level(cells)
@@ -98,7 +98,7 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "h3",
                     out_cells.append(np.array([c], dtype=np.int64))
                     out_idx.append(np.array([i]))
                     continue
-                if dggs == "h3":
+                if dggs == "hex7":
                     # enumerate digit strings for the extra levels
                     n = 7 ** depth
                     digs = np.arange(n)

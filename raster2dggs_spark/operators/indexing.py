@@ -83,11 +83,11 @@ def _encode_points(lon, lat, res, parent_res, dggs):
     with native bitwise expressions instead of shuffling them)."""
     from raster2dggs_spark.dggs import h3lib, s2lib, geohashlib, maidenheadlib
 
-    lib = {"h3": h3lib, "s2": s2lib, "geohash": geohashlib,
+    lib = {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
            "maidenhead": maidenheadlib}.get(dggs)
     if lib is None:
         raise ValueError(f"unknown dggs {dggs!r}")
-    if dggs == "h3":
+    if dggs == "hex7":
         cell = lib.latlng_to_cell(lon, lat, res)
     else:  # s2 / geohash use (lon, lat) naming
         cell = lib.lonlat_to_cell(lon, lat, res)
@@ -95,12 +95,12 @@ def _encode_points(lon, lat, res, parent_res, dggs):
     return cell, parent
 
 
-def default_parent_res(res: int, dggs: str = "h3") -> int:
+def default_parent_res(res: int, dggs: str = "hex7") -> int:
     """Reference default: parent_res = max(0, res - offset), offset sized
     for ~64K subcells per partition (cli_factory.py:124-161): H3 offset 6
     (7^6≈117K), S2 offset 8 (4^8=65K), geohash offset 3 (32^3=33K)."""
     floor = 1 if dggs in ("geohash", "maidenhead") else 0
-    off = {"h3": 6, "s2": 8, "geohash": 3, "maidenhead": 2}[dggs]
+    off = {"hex7": 6, "s2": 8, "geohash": 3, "maidenhead": 2}[dggs]
     return max(floor, res - off)
 
 
@@ -108,7 +108,7 @@ def pixel_cells(
     images: DataFrame,
     res: int,
     parent_res: int | None = None,
-    dggs: str = "h3",
+    dggs: str = "hex7",
     bands: list[int] | None = None,
     n_bands: int = MAX_BANDS_DEFAULT,
     nodata_policy: str = "omit",
@@ -121,6 +121,9 @@ def pixel_cells(
     schema: images with fewer bands emit nulls in the tail columns — the
     Spark-safe version of the reference's all-nodata band drop
     (SURVEY.md §2.2 P5)."""
+    from raster2dggs_spark.dggs import check_grid
+
+    check_grid(dggs)
     if parent_res is None:
         parent_res = default_parent_res(res, dggs)
     bcols = band_cols(n_bands)
@@ -208,7 +211,7 @@ def cell_partials(
     images: DataFrame,
     res: int,
     parent_res: int | None = None,
-    dggs: str = "h3",
+    dggs: str = "hex7",
     bands: list[int] | None = None,
     n_bands: int = MAX_BANDS_DEFAULT,
     nodata_policy: str = "omit",
@@ -309,7 +312,7 @@ def index_point_agg(
     res: int,
     agg: str = "mean",
     parent_res: int | None = None,
-    dggs: str = "h3",
+    dggs: str = "hex7",
     bands: list[int] | None = None,
     n_bands: int = MAX_BANDS_DEFAULT,
     nodata_policy: str = "omit",
@@ -319,6 +322,9 @@ def index_point_agg(
 
     agg ∈ {mean, sum, count, min, max, std, var}: computed from algebraic
     partials so the combine is exact and single-pass."""
+    from raster2dggs_spark.dggs import check_grid
+
+    check_grid(dggs)
     if parent_res is None:
         parent_res = default_parent_res(res, dggs)
     stats = _STATS_FOR_AGG[agg]
@@ -367,7 +373,7 @@ def index_point(
     res: int,
     agg: str = "mean",
     parent_res: int | None = None,
-    dggs: str = "h3",
+    dggs: str = "hex7",
     bands: list[int] | None = None,
     n_bands: int = MAX_BANDS_DEFAULT,
     nodata_policy: str = "omit",
@@ -411,7 +417,14 @@ def index_point(
 
 def to_reference_output(df: DataFrame, dggs: str, res: int, parent_res: int) -> DataFrame:
     """Output-edge formatting: hex-string cell ids in zero-padded columns,
-    hive-partition-ready (reference output contract, common.py:533-572)."""
+    hive-partition-ready (reference output contract, common.py:533-572).
+
+    The grid key is contract-checked here: the hexagonal grid labels its
+    outputs ``hex7_NN`` (H3-layout geometry, NOT libh3-interoperable ids
+    — see dggs.check_grid)."""
+    from raster2dggs_spark.dggs import check_grid
+
+    check_grid(dggs)
     cell_col = cell_column_name(dggs, res)
     parent_col = cell_column_name(dggs, parent_res)
     out = df.withColumn(cell_col, F.lower(F.hex("cell"))).withColumn(

@@ -73,7 +73,7 @@ def _point_segment_dist_deg(lon, lat, x1, y1, x2, y2):
 def _pitch_deg(res: int, dggs: str) -> float:
     from raster2dggs_spark.dggs import h3lib
 
-    if dggs == "h3":
+    if dggs == "hex7":
         return float(np.degrees(h3lib.cell_pitch_rad(res)))
     # s2 level pitch ≈ 90° / 2^level of a face edge
     return 90.0 / (1 << res)
@@ -86,7 +86,7 @@ def _cells_children(cells, res: int, dggs: str):
     bump the res nibble, OR in digit 0..6).  S2: the 4 children ids are
     ``id + {-3,-1,1,3}·(lsb>>2)`` (standard S2 id arithmetic)."""
     cells = np.asarray(cells, dtype=np.int64)
-    if dggs == "h3":
+    if dggs == "hex7":
         r1 = res + 1
         shift = 3 * (15 - r1)
         base = (
@@ -105,7 +105,7 @@ def _centers_edge_dist(cells, vx, vy, dggs: str):
     """(center_in, min-edge-distance-deg) for every cell center."""
     from raster2dggs_spark.dggs import h3lib, s2lib
 
-    if dggs == "h3":
+    if dggs == "hex7":
         clon, clat = h3lib.cell_to_latlng(cells)
     else:
         clon, clat = s2lib.cell_to_lonlat(cells)
@@ -123,7 +123,7 @@ def _centers_edge_dist(cells, vx, vy, dggs: str):
 _SEED_MAX = 48  # max lattice samples per axis at the seed resolution
 
 
-def polygon_cover_cells(vx, vy, res: int, dggs: str = "h3"):
+def polygon_cover_cells(vx, vy, res: int, dggs: str = "hex7"):
     """Cover a polygon with cells at ``res``; classify interior vs
     boundary.  A cell is *interior* when its center is inside and farther
     than 1.3 pitch from every edge — matches only need refinement in
@@ -145,7 +145,7 @@ def polygon_cover_cells(vx, vy, res: int, dggs: str = "h3"):
     extent = max(lon_max - lon_min, lat_max - lat_min)
     # halo multiple of pitch that bounds a cell circumradius (hex:
     # ~0.58·pitch; s2 cells distort up to ~1.4× the nominal edge)
-    halo = 1.5 if dggs == "h3" else 2.0
+    halo = 1.5 if dggs == "hex7" else 2.0
     # edge distances are measured in raw lon/lat degrees, but a cell's
     # lon extent grows by 1/cos(lat) — scale the descent margins so a
     # "deep interior" verdict holds for every descendant at any latitude
@@ -175,7 +175,7 @@ def polygon_cover_cells(vx, vy, res: int, dggs: str = "h3"):
     sel = keep | near
     if not sel.any():
         return (np.empty(0, np.int64), np.empty(0, bool), np.empty(0, bool))
-    if dggs == "h3":
+    if dggs == "hex7":
         cells = np.unique(h3lib.latlng_to_cell(glon[sel], glat[sel], r0))
     else:
         cells = np.unique(s2lib.lonlat_to_cell(glon[sel], glat[sel], r0))
@@ -239,15 +239,19 @@ POLY_SCHEMA = T.StructType([
 ])
 
 
-def index_points(points: DataFrame, res: int, dggs: str = "h3",
+def index_points(points: DataFrame, res: int, dggs: str = "hex7",
                  lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """Add a ``cell`` column (Arrow-vectorized batch encode; a *map*, not
     a shuffle — J1)."""
+    from raster2dggs_spark.dggs import check_grid
+
+    check_grid(dggs)
+
     @F.pandas_udf(T.LongType())
     def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
         from raster2dggs_spark.dggs import h3lib, s2lib
 
-        if dggs == "h3":
+        if dggs == "hex7":
             c = h3lib.latlng_to_cell(lon.values, lat.values, res)
         else:
             c = s2lib.lonlat_to_cell(lon.values, lat.values, res)
@@ -256,7 +260,7 @@ def index_points(points: DataFrame, res: int, dggs: str = "h3",
     return points.withColumn("cell", enc(F.col(lon_col), F.col(lat_col)))
 
 
-def polygon_cells(polys: DataFrame, res: int, dggs: str = "h3") -> DataFrame:
+def polygon_cells(polys: DataFrame, res: int, dggs: str = "hex7") -> DataFrame:
     """Explode polygons to (poly_id, cell, interior) cover rows."""
     schema = T.StructType([
         T.StructField("poly_id", T.LongType(), False),
@@ -285,7 +289,7 @@ def polygon_cells(polys: DataFrame, res: int, dggs: str = "h3") -> DataFrame:
 
 
 def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
-                          dggs: str = "h3", lon_col: str = "lon",
+                          dggs: str = "hex7", lon_col: str = "lon",
                           lat_col: str = "lat") -> DataFrame:
     """J5: returns points × containing polygons.
 
@@ -323,7 +327,7 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
     ).drop("interior", "cell", "xs", "ys")
 
 
-def parent_expr(cell_col, parent_res: int, dggs: str = "h3",
+def parent_expr(cell_col, parent_res: int, dggs: str = "hex7",
                 from_res: int | None = None):
     """Native-Column cell→parent (pure bit arithmetic — zero Python).
 
@@ -332,7 +336,7 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "h3",
     requires ``from_res`` (the cells' uniform precision) since the packed
     id carries its own length."""
     c = F.col(cell_col) if isinstance(cell_col, str) else cell_col
-    if dggs == "h3":
+    if dggs == "hex7":
         res_mask = ~(0xF << 52)  # python int; fits int64
         fill = (1 << (3 * (15 - parent_res))) - 1
         return (c.bitwiseAND(F.lit(res_mask))).bitwiseOR(
@@ -367,7 +371,7 @@ def _res_for_radius(radius_m: float, dggs: str, fine_res: int) -> int:
     """Coarsest res whose cell pitch ≈ radius/8 — keeps disk covers at
     O(100-1000) candidate cells regardless of radius."""
     rad = radius_m / EARTH_R
-    if dggs == "h3":
+    if dggs == "hex7":
         # pitch_rad(res) = atan(RES0_U)/sqrt7^res
         r = int(np.floor(np.log(0.3649 * 8.0 / rad) / np.log(np.sqrt(7.0))))
     else:
@@ -395,7 +399,7 @@ def estimate_knn_radius(targets: DataFrame, k: int,
 
 
 def knn_join(queries: DataFrame, targets: DataFrame, k: int,
-             radius_m: float | None = None, res: int = 9, dggs: str = "h3",
+             radius_m: float | None = None, res: int = 9, dggs: str = "hex7",
              q_id: str = "q_id", t_id: str = "t_id",
              lon_col: str = "lon", lat_col: str = "lat",
              max_rounds: int = 4) -> DataFrame:
@@ -427,7 +431,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
         # for every query in a round -> precompute once, vectorize across
         # the whole batch (one encode for all queries)
         ang = radius / EARTH_R
-        if dggs == "h3":
+        if dggs == "hex7":
             from raster2dggs_spark.dggs import h3lib
 
             pitch = h3lib.cell_pitch_rad(cres) * 0.35
@@ -458,7 +462,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
                 )
                 glon = np.degrees(lo).ravel()
                 glat = np.degrees(la).ravel()
-                if dggs == "h3":
+                if dggs == "hex7":
                     cells = h3lib.latlng_to_cell(glon, glat, cres)
                 else:
                     cells = s2lib.lonlat_to_cell(glon, glat, cres)
@@ -523,7 +527,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
 
 
 def zonal_join(cells_df: DataFrame, zones: DataFrame, res: int,
-               agg_exprs: list, dggs: str = "h3",
+               agg_exprs: list, dggs: str = "hex7",
                zone_id: str = "poly_id") -> DataFrame:
     """J7: zone polygons → cover cells → equi-join with any cell-keyed
     table → per-zone aggregation.  Interior cells join directly; boundary

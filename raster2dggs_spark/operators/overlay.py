@@ -76,7 +76,7 @@ def overlay_partials(
     images: DataFrame,
     res: int,
     parent_res: int | None = None,
-    dggs: str = "h3",
+    dggs: str = "hex7",
     n_bands: int = MAX_BANDS_DEFAULT,
     supersample: int = 4,
 ) -> DataFrame:
@@ -107,7 +107,7 @@ def overlay_partials(
         from raster2dggs_spark.dggs import h3lib, s2lib
         from raster2dggs_spark.geo import geodesic_row_areas_m2
 
-        lib = {"h3": h3lib, "s2": s2lib}[dggs]
+        lib = {"hex7": h3lib, "s2": s2lib}[dggs]
         for pdf in batches:
             out = []
             for row, arr in _decode_rows(pdf, None):
@@ -115,7 +115,7 @@ def overlay_partials(
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
                 lon, lat, pix = _subsample_grid(affine, w, h, row.crs, s)
-                if dggs == "h3":
+                if dggs == "hex7":
                     cells = h3lib.latlng_to_cell(lon, lat, res)
                 else:
                     cells = s2lib.lonlat_to_cell(lon, lat, res)
@@ -162,7 +162,7 @@ def overlay_agg(
     res: int,
     op: str = "weighted_mean",
     parent_res: int | None = None,
-    dggs: str = "h3",
+    dggs: str = "hex7",
     n_bands: int = MAX_BANDS_DEFAULT,
     supersample: int = 4,
     vct: float | None = None,
@@ -204,7 +204,7 @@ def overlay_classes(
     res: int,
     op: str = "fractions",
     parent_res: int | None = None,
-    dggs: str = "h3",
+    dggs: str = "hex7",
     band: int = 1,
     supersample: int = 4,
 ) -> DataFrame:
@@ -228,7 +228,7 @@ def overlay_classes(
         from raster2dggs_spark.dggs import h3lib, s2lib
         from raster2dggs_spark.geo import geodesic_row_areas_m2
 
-        lib = {"h3": h3lib, "s2": s2lib}[dggs]
+        lib = {"hex7": h3lib, "s2": s2lib}[dggs]
         for pdf in batches:
             out = []
             for row, arr in _decode_rows(pdf, None):
@@ -238,7 +238,7 @@ def overlay_classes(
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
                 lon, lat, pix = _subsample_grid(affine, w, h, row.crs, s)
-                if dggs == "h3":
+                if dggs == "hex7":
                     cells = h3lib.latlng_to_cell(lon, lat, res)
                 else:
                     cells = s2lib.lonlat_to_cell(lon, lat, res)

@@ -122,7 +122,7 @@ def sample_cells(
     res: int,
     kernel: str = "bilinear",
     parent_res: int | None = None,
-    dggs: str = "h3",
+    dggs: str = "hex7",
     n_bands: int = MAX_BANDS_DEFAULT,
     max_cells_per_tile: int = 500_000,
 ) -> DataFrame:
@@ -164,7 +164,7 @@ def sample_cells(
                 else:
                     lons, lats = x, y
                 try:
-                    if dggs == "h3":
+                    if dggs == "hex7":
                         cells = h3lib.cover_bbox(
                             lons.min(), lats.min(), lons.max(), lats.max(), res,
                             max_samples=max_cells_per_tile * 10,

@@ -39,7 +39,7 @@ def wkb_polygons(vlon: np.ndarray, vlat: np.ndarray) -> list[bytes]:
     return out
 
 
-def add_cell_geometry(df: DataFrame, dggs: str = "h3",
+def add_cell_geometry(df: DataFrame, dggs: str = "hex7",
                       geometry: str = "polygon") -> DataFrame:
     """Append a WKB ``geometry`` BinaryType column derived from ``cell``."""
     kind = geometry
@@ -49,7 +49,7 @@ def add_cell_geometry(df: DataFrame, dggs: str = "h3",
         from raster2dggs_spark.dggs import h3lib, s2lib
 
         cells = cell.values
-        if dggs == "h3":
+        if dggs == "hex7":
             if kind == "polygon":
                 vlon, vlat = h3lib.cell_to_boundary(cells)
                 return pd.Series(wkb_polygons(vlon, vlat))

@@ -143,7 +143,25 @@ def test_s2_pipeline(spark, imgs):
 def test_reference_output_format(spark, imgs):
     from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
 
-    out = to_reference_output(index_point_agg(imgs, res=9, agg="mean"), "h3", 9, 3)
-    assert "h3_09" in out.columns and "h3_03" in out.columns
-    row = out.select("h3_09").first()
+    out = to_reference_output(index_point_agg(imgs, res=9, agg="mean"), "hex7", 9, 3)
+    assert "hex7_09" in out.columns and "hex7_03" in out.columns
+    row = out.select("hex7_09").first()
     int(row[0], 16)  # parses as hex
+
+
+def test_h3_grid_key_rejected(spark):
+    """Output contract: the hexagonal grid is 'hex7'; the 'h3' key is
+    rejected loudly (ids are not libh3-interoperable)."""
+    import pytest as _pytest
+
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import to_reference_output
+
+    with _pytest.raises(ValueError, match="hex7"):
+        check_grid("h3")
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    imgs = images_spark_df(spark, 2, seed=42)
+    with _pytest.raises(ValueError, match="hex7"):
+        index_point_agg(imgs, res=5, dggs="h3")

@@ -206,7 +206,7 @@ def test_polygon_cover_hierarchical_continent(spark):
     vx = np.array([-20.0, 20.0, 35.0, 15.0, -10.0, -25.0])
     vy = np.array([0.0, -5.0, 15.0, 35.0, 30.0, 15.0])
     t0 = time.time()
-    cells, interior, center_in = polygon_cover_cells(vx, vy, res=6, dggs="h3")
+    cells, interior, center_in = polygon_cover_cells(vx, vy, res=6, dggs="hex7")
     elapsed = time.time() - t0
     assert elapsed < 60.0
     assert cells.shape[0] == np.unique(cells).shape[0]
@@ -238,7 +238,7 @@ def test_polygon_cover_hierarchical_matches_flat_semantics(spark):
 
     vx = np.array([5.0, 6.2, 6.0, 5.1])
     vy = np.array([45.0, 45.1, 46.0, 45.8])
-    cells, interior, center_in = polygon_cover_cells(vx, vy, res=6, dggs="h3")
+    cells, interior, center_in = polygon_cover_cells(vx, vy, res=6, dggs="hex7")
     clon, clat = h3lib.cell_to_latlng(cells)
     brute = raycast_contains(clon, clat, vx, vy)
     assert (center_in == brute).all()

@@ -159,10 +159,10 @@ def test_resolution_modes_invariants():
     assert cell_area_m2_mean(large) >= pixel_area
     assert cell_area_m2_mean(large + 1) < pixel_area
     assert large <= mind <= small
-    for dggs in ("h3", "s2"):
+    for dggs in ("hex7", "s2"):
         m = resolve_resolution("min-diff", pixel_area, dggs)
         others = [
             abs(cell_area_m2_mean(r, dggs) - pixel_area)
-            for r in range(0, 16 if dggs == "h3" else 31)
+            for r in range(0, 16 if dggs == "hex7" else 31)
         ]
         assert abs(cell_area_m2_mean(m, dggs) - pixel_area) == min(others)
