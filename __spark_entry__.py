@@ -61,6 +61,41 @@ def _r4(c):
     return F.round(c, 4)
 
 
+_FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+
+# Deterministic linear-ramp tiles: value(row, col) = row*w + col, fixed
+# north-up affines — every pixel coordinate AND value is reproducible by
+# pure arithmetic, so the DuckDB oracle can recompute the full
+# decode→affine→encode→aggregate pipeline end to end.
+_RAMP_SPECS = (
+    # (image_id, w, h, a, c, e, f)   [x = a*(col+.5)+c, y = e*(row+.5)+f]
+    ("ramp_00", 64, 48, 0.013, 10.0037, -0.013, 50.0041),
+    ("ramp_01", 40, 56, 0.017, -71.0513, -0.017, -12.0029),
+)
+
+
+def _ramp_images(spark):
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.codecs import encode_image, average_hash64
+    from raster2dggs_spark.sources.images import IMAGE_SCHEMA
+
+    rows = []
+    for iid, w, h, a, c, e, f in _RAMP_SPECS:
+        arr = np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+        rows.append({
+            "image_id": iid, "bytes": encode_image(arr, "raw"),
+            "w": w, "h": h, "fmt": "raw", "caption": f"ramp {iid}",
+            "phash": int(average_hash64(arr[0])),
+            "affine_a": a, "affine_b": 0.0, "affine_c": c,
+            "affine_d": 0.0, "affine_e": e, "affine_f": f,
+            "crs": "EPSG:4326", "nodata": None, "bands": 1,
+            "band_names": None,
+        })
+    return spark.createDataFrame(pd.DataFrame(rows), IMAGE_SCHEMA)
+
+
 # --------------------------------------------------------------------------
 # relational operator family (oracle-checked)
 # --------------------------------------------------------------------------
@@ -464,7 +499,9 @@ def q_embedding_knn(spark, sf_dir):
 
 def q_embedding_knn_ivf(spark, sf_dir):
     """Approximate ANN: IVF with deterministic centroids (the first 12
-    vectors) — rows-only check; recall vs exact is pytest-gated."""
+    vectors).  Fully oracle-checked — the assignment, probe and in-bucket
+    top-k stages are all relational, so the DuckDB twin replays them;
+    recall vs exact is additionally pytest-gated (test_similarity.py)."""
     from raster2dggs_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -475,14 +512,28 @@ def q_embedding_knn_ivf(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     t = e.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"))
-    return ivf_topk(q, t, cents, k=5, n_probe=4)
+    out = ivf_topk(q, t, cents, k=5, n_probe=4)
+    return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
 
 
 def q_image_stats(spark, sf_dir):
+    """Oracle-checked against pinned per-image ground truth
+    (.fixtures/image_stats_64.parquet, built by scripts/make_fixtures.py
+    from the same seeded generator): the full scan→Arrow-decode→feature
+    UDF pipeline must reproduce it."""
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.multimodal import image_stats
 
-    return image_stats(images_spark_df(spark, 64, seed=42))
+    out = image_stats(images_spark_df(spark, 64, seed=42))
+    return out.select(
+        "image_id",
+        F.col("bands_decoded").cast("long").alias("bands_decoded"),
+        "px",
+        F.round("b1_mean", 6).alias("b1_mean"),
+        F.round("b1_std", 6).alias("b1_std"),
+        F.round("nan_frac", 6).alias("nan_frac"),
+        "phash_recomputed",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -500,16 +551,25 @@ def q_sample_bilinear(spark, sf_dir):
 
 
 def q_overlay_weighted_mean(spark, sf_dir):
+    """Oracle-checked: the live supersample→partials→agg pipeline must
+    match a SQL re-aggregation of the pinned per-tile partials
+    (.fixtures/overlay_partials_24.parquet)."""
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.overlay import overlay_agg
     from raster2dggs_spark.operators.indexing import to_reference_output
 
     imgs = images_spark_df(spark, 24, seed=42, size_range=(12, 20))
-    return to_reference_output(overlay_agg(imgs, res=6, op="weighted_mean"),
-                               "hex7", 6, 0)
+    out = to_reference_output(overlay_agg(imgs, res=6, op="weighted_mean"),
+                              "hex7", 6, 0)
+    return out.select(
+        "hex7_06", "hex7_00",
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
 
 
 def q_overlay_fractions(spark, sf_dir):
+    """Oracle-checked against pinned class partials
+    (.fixtures/overlay_class_partials_16.parquet) re-aggregated in SQL."""
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.overlay import overlay_classes
     from raster2dggs_spark.operators.indexing import to_reference_output
@@ -524,15 +584,36 @@ def q_overlay_fractions(spark, sf_dir):
 
 
 def q_compact_cells(spark, sf_dir):
-    from raster2dggs_spark.sources import images_spark_df
-    from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
-    from raster2dggs_spark.operators.compaction import compact_cells
+    """Oracle-checked compaction round-trip: hex7 res-8 cell ids are
+    CONSTRUCTED by pure integer arithmetic from lineitem keys (identical
+    expressions in DuckDB), compacted bottom-up and uncompacted back —
+    the output must equal the constructed set exactly.  Even okeys emit
+    all 7 digit-8 siblings with a uniform value, so real merging happens
+    (and must round-trip); odd okeys emit 3 siblings (must pass through
+    unmerged).  Multi-level compaction is pytest-covered."""
+    from raster2dggs_spark.operators.compaction import compact_cells, uncompact_cells
 
-    imgs = images_spark_df(spark, 16, seed=42, scenarios=("uniform42",))
-    idx = index_point_agg(imgs, res=8, agg="mean").select(
-        "cell", F.round("band_1", 6).alias("v")
+    li = _t(spark, sf_dir, "lineitem")
+    o = li.select((F.col("l_orderkey") % 997).alias("okey")).distinct()
+    k = o.withColumn(
+        "d8",
+        F.explode(
+            F.when(F.col("okey") % 2 == 0, F.sequence(F.lit(0), F.lit(6)))
+            .otherwise(F.sequence(F.lit(0), F.lit(2)))
+        ),
+    ).withColumn("d8", F.col("d8").cast("long"))
+    base = (1 << 59) | (8 << 52) | ((1 << 21) - 1)  # mode=cell, res=8, 7-fill
+    cell = (
+        F.lit(base)
+        + (F.col("okey") % 122) * F.lit(1 << 45)          # base cell
+        + F.expr("okey div 343 % 7") * F.lit(1 << 42)     # digit 1
+        + F.expr("okey div 49 % 7") * F.lit(1 << 39)      # digit 2
+        + F.expr("okey div 7 % 7") * F.lit(1 << 36)       # digit 3
+        + (F.col("okey") % 7) * F.lit(1 << 33)            # digit 4
+        + F.col("d8") * F.lit(1 << 21)                    # digit 8
     )
-    out = compact_cells(idx, ["v"], res=8, min_res=2)
+    df = k.select(cell.alias("cell"), (F.col("okey") % 5).cast("double").alias("v"))
+    out = uncompact_cells(compact_cells(df, ["v"], res=8, min_res=2), res=8)
     return out.select(F.lower(F.hex("cell")).alias("cell_hex"), "v")
 
 
@@ -583,6 +664,49 @@ def q_s2_pixel_index(spark, sf_dir):
     imgs = images_spark_df(spark, 64, seed=42)
     return to_reference_output(index_point_agg(imgs, res=14, dggs="s2", agg="mean"),
                                "s2", 14, 6)
+
+
+def q_sample_points_bilinear(spark, sf_dir):
+    """Fully oracle-checked bilinear sampling: points derived from
+    customer keys are sampled against a linear-ramp tile; bilinear
+    interpolation reproduces the linear field exactly, so the DuckDB twin
+    computes the expected value in closed form (affine inverse + ramp)."""
+    from raster2dggs_spark.operators.sample import sample_points
+
+    imgs = _ramp_images(spark).where("image_id = 'ramp_00'")
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        (F.lit(10.0037) + ((F.col("c_custkey") * 37) % 620 + 10) / 1000.0)
+        .cast("double").alias("lon"),
+        (F.lit(50.0041) - ((F.col("c_custkey") * 53) % 460 + 10) / 1000.0)
+        .cast("double").alias("lat"),
+    )
+    out = sample_points(imgs, pts, kernel="bilinear")
+    return out.select("point_id", _r4("band_1").alias("v"))
+
+
+def q_maidenhead_pixel_index(spark, sf_dir):
+    """Fully oracle-checked pixel indexing END TO END on the maidenhead
+    grid: decode (Arrow UDF) → affine pixel centres → cell encode →
+    per-cell mean.  Maidenhead encoding is pure mixed-radix arithmetic,
+    so the DuckDB twin replays the exact same float operations on a
+    generate_series pixel grid and must match bit-for-bit."""
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    import pandas as pd
+
+    imgs = _ramp_images(spark)
+    out = index_point_agg(imgs, res=3, dggs="maidenhead", agg="mean")
+
+    @F.pandas_udf("string")
+    def mh_str(c):
+        from raster2dggs_spark.dggs import maidenheadlib
+
+        return pd.Series(maidenheadlib.cells_to_string(c.values))
+
+    return out.select(
+        mh_str("cell").alias("mh_03"), mh_str("parent").alias("mh_01"),
+        F.col("npx").cast("long").alias("n_px"), _r4("band_1").alias("v"),
+    )
 
 
 def q_geohash_pixel_index(spark, sf_dir):
@@ -647,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
         "sample_bilinear": q_sample_bilinear,
+        "sample_points_bilinear": q_sample_points_bilinear,
+        "maidenhead_pixel_index": q_maidenhead_pixel_index,
         "overlay_weighted_mean": q_overlay_weighted_mean,
         "overlay_fractions": q_overlay_fractions,
         "compact_cells": q_compact_cells,
@@ -724,6 +850,123 @@ def _lang_id_sql() -> str:
         s AS ({union})
         SELECT doc_id, lg AS lang_guess, CAST(h AS BIGINT) AS lang_hits FROM s
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lg ASC) = 1
+    """
+
+
+def _maidenhead_sql() -> str:
+    """DuckDB twin of q_maidenhead_pixel_index: generate_series pixel
+    grid → the SAME float ops as geo.apply_affine and
+    maidenheadlib.lonlat_to_cell (mixed-radix digit peel) → group-mean.
+    Bit-identical arithmetic on both engines, no fixture needed."""
+    vals = ", ".join(
+        f"({w}, {h}, {a}, {c}, {e}, {f})"
+        for (_i, w, h, a, c, e, f) in _RAMP_SPECS
+    )
+    return f"""
+        WITH imgs(w, h, a, c, e, f) AS (VALUES {vals}),
+        px AS (
+          SELECT a * (cc.col + 0.5) + c AS lon,
+                 e * (r.row + 0.5) + f AS lat,
+                 CAST(r.row * i.w + cc.col AS DOUBLE) AS v
+          FROM imgs i,
+               unnest(generate_series(0, i.h - 1)) AS r(row),
+               unnest(generate_series(0, i.w - 1)) AS cc(col)),
+        d0 AS (
+          SELECT v,
+                 least(greatest((lon + 180.0) / 360.0, 0.0),
+                       0.9999999999999999) AS rx,
+                 least(greatest((lat + 90.0) / 180.0, 0.0),
+                       0.9999999999999999) AS ry
+          FROM px),
+        d1 AS (SELECT v, floor(rx * 18) AS ax, rx * 18 - floor(rx * 18) AS fx,
+                      floor(ry * 18) AS ay, ry * 18 - floor(ry * 18) AS fy
+               FROM d0),
+        d2 AS (SELECT v, ax, ay,
+                      floor(fx * 10) AS bx, fx * 10 - floor(fx * 10) AS gx,
+                      floor(fy * 10) AS by, fy * 10 - floor(fy * 10) AS gy
+               FROM d1),
+        d3 AS (SELECT v, ax, ay, bx, by,
+                      floor(gx * 24) AS cx, floor(gy * 24) AS cy
+               FROM d2),
+        s AS (SELECT chr(65 + CAST(ax AS INT)) || chr(65 + CAST(ay AS INT))
+                     || CAST(CAST(bx AS INT) AS VARCHAR)
+                     || CAST(CAST(by AS INT) AS VARCHAR)
+                     || chr(97 + CAST(cx AS INT)) || chr(97 + CAST(cy AS INT))
+                         AS mh_03,
+                     chr(65 + CAST(ax AS INT)) || chr(65 + CAST(ay AS INT))
+                         AS mh_01,
+                     v
+              FROM d3)
+        SELECT mh_03, mh_01, CAST(count(*) AS BIGINT) AS n_px,
+               round(avg(v), 4) AS v
+        FROM s GROUP BY mh_03, mh_01
+    """
+
+
+def _compact_sql() -> str:
+    """DuckDB twin of q_compact_cells: the same integer construction of
+    hex7 res-8 ids; round-trip identity means Spark's compact→uncompact
+    must return exactly this set."""
+    base = (1 << 59) | (8 << 52) | ((1 << 21) - 1)
+    return f"""
+        WITH o AS (SELECT DISTINCT l_orderkey % 997 AS okey FROM lineitem),
+        k AS (SELECT okey,
+                     unnest(CASE WHEN okey % 2 = 0 THEN [0,1,2,3,4,5,6]
+                                 ELSE [0,1,2] END) AS d8
+              FROM o),
+        cells AS (
+          SELECT CAST(okey % 5 AS DOUBLE) AS v,
+                 {base}
+                 + (okey % 122) * {1 << 45}
+                 + ((okey // 343) % 7) * {1 << 42}
+                 + ((okey // 49) % 7) * {1 << 39}
+                 + ((okey // 7) % 7) * {1 << 36}
+                 + (okey % 7) * {1 << 33}
+                 + d8 * {1 << 21} AS cell
+          FROM k)
+        SELECT printf('%x', cell) AS cell_hex, v FROM cells
+    """
+
+
+_COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))")
+
+
+def _ivf_sql(k: int = 5, n_probe: int = 4) -> str:
+    """DuckDB twin of q_embedding_knn_ivf: replay assignment (nearest of
+    the 12 centroid vectors), per-query probes (top n_probe centroids),
+    and the in-bucket exact top-k — same tie-breaks as similarity.py."""
+    tc = _COS.format(a="tv", b="cv")
+    qc = _COS.format(a="qv", b="cv")
+    qt = _COS.format(a="qv", b="tv")
+    return f"""
+        WITH t AS (SELECT vec_id AS t_id, embedding::DOUBLE[] AS tv
+                   FROM embeddings),
+        c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 12),
+        q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 30),
+        assign AS (
+          SELECT t_id, c_id AS centroid, tv FROM (
+            SELECT t.t_id, c.c_id, t.tv,
+                   row_number() OVER (PARTITION BY t.t_id
+                                      ORDER BY {tc} DESC, c.c_id ASC) AS rn
+            FROM t CROSS JOIN c) WHERE rn = 1),
+        probes AS (
+          SELECT q_id, c_id AS centroid, qv FROM (
+            SELECT q.q_id, c.c_id, q.qv,
+                   row_number() OVER (PARTITION BY q.q_id
+                                      ORDER BY {qc} DESC, c.c_id ASC) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= {n_probe}),
+        cand AS (
+          SELECT p.q_id, a.t_id, {qt} AS cosine
+          FROM probes p JOIN assign a USING (centroid)
+          WHERE p.q_id != a.t_id)
+        SELECT q_id, t_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, t_id ASC)
+                    AS BIGINT) AS rank
+        FROM cand QUALIFY rank <= {k}
     """
 
 
@@ -1036,6 +1279,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(ts) AS VARCHAR) AS start_ts,
                    CAST(max(ts) AS VARCHAR) AS end_ts
             FROM s GROUP BY user_id, session_idx
+        """,
+        "embedding_knn_ivf": _ivf_sql(5, 4),
+        "compact_cells": _compact_sql(),
+        "maidenhead_pixel_index": _maidenhead_sql(),
+        "sample_points_bilinear": """
+            WITH p AS (
+              SELECT c_custkey AS point_id,
+                     (((c_custkey * 37) % 620 + 10) / 1000.0) / 0.013 - 0.5
+                         AS col_f,
+                     (((c_custkey * 53) % 460 + 10) / 1000.0) / 0.013 - 0.5
+                         AS row_f
+              FROM customer)
+            SELECT point_id, round(row_f * 64 + col_f, 4) AS v FROM p
+        """,
+        "image_stats": f"""
+            SELECT image_id,
+                   CAST(bands_decoded AS BIGINT) AS bands_decoded,
+                   CAST(px AS BIGINT) AS px,
+                   round(b1_mean, 6) AS b1_mean,
+                   round(b1_std, 6) AS b1_std,
+                   round(nan_frac, 6) AS nan_frac,
+                   CAST(phash_recomputed AS BIGINT) AS phash_recomputed
+            FROM read_parquet('{_FIXDIR}/image_stats_64.parquet')
+        """,
+        "overlay_weighted_mean": f"""
+            WITH p AS (SELECT * FROM
+                       read_parquet('{_FIXDIR}/overlay_partials_24.parquet')),
+            g AS (
+              SELECT parent, cell,
+                     {", ".join(
+                         f"CASE WHEN count(band_{i}_num_area) = count(*) "
+                         f"THEN sum(band_{i}_num_area) END AS n{i}, "
+                         f"CASE WHEN count(band_{i}_den_area) = count(*) "
+                         f"THEN sum(band_{i}_den_area) END AS d{i}"
+                         for i in range(1, 5))}
+              FROM p GROUP BY parent, cell)
+            SELECT printf('%x', cell) AS hex7_06,
+                   printf('%x', parent) AS hex7_00,
+                   {", ".join(
+                       f"CASE WHEN d{i} > 0 THEN round(n{i} / d{i}, 4) END "
+                       f"AS band_{i}" for i in range(1, 5))}
+            FROM g
+        """,
+        "overlay_fractions": f"""
+            WITH p AS (SELECT * FROM
+                 read_parquet('{_FIXDIR}/overlay_class_partials_16.parquet')),
+            g AS (SELECT parent, cell, class, sum(cov_area) AS w
+                  FROM p GROUP BY parent, cell, class)
+            SELECT printf('%x', cell) AS hex7_06,
+                   printf('%x', parent) AS hex7_00, class,
+                   round(w / sum(w) OVER (PARTITION BY parent, cell), 6)
+                       AS fraction
+            FROM g
         """,
         "embedding_knn": """
             WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv

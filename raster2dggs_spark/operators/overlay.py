@@ -199,19 +199,17 @@ def overlay_agg(
     return g.select(*out_cols)
 
 
-def overlay_classes(
+def overlay_class_partials(
     images: DataFrame,
     res: int,
-    op: str = "fractions",
     parent_res: int | None = None,
     dggs: str = "hex7",
     band: int = 1,
     supersample: int = 4,
 ) -> DataFrame:
-    """Class-valued overlay ops over one band (A14/A15).
-
-    fractions: (parent, cell, class, fraction-of-covered-area);
-    mode: majority class by covered area (deterministic tie-break)."""
+    """Per-(tile, cell, class) covered-area partials — the exchange-ready
+    stage the class ops (A14/A15) aggregate; exposed so the oracle gate
+    can pin it (fixture parquet) and re-derive fractions/majority in SQL."""
     if parent_res is None:
         parent_res = default_parent_res(res, dggs)
     schema = T.StructType([
@@ -258,7 +256,23 @@ def overlay_classes(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    p = _prune(images, keep_image_id=False).mapInPandas(fn, schema)
+    return _prune(images, keep_image_id=False).mapInPandas(fn, schema)
+
+
+def overlay_classes(
+    images: DataFrame,
+    res: int,
+    op: str = "fractions",
+    parent_res: int | None = None,
+    dggs: str = "hex7",
+    band: int = 1,
+    supersample: int = 4,
+) -> DataFrame:
+    """Class-valued overlay ops over one band (A14/A15).
+
+    fractions: (parent, cell, class, fraction-of-covered-area);
+    mode: majority class by covered area (deterministic tie-break)."""
+    p = overlay_class_partials(images, res, parent_res, dggs, band, supersample)
     g = p.groupBy("parent", "cell", "class").agg(F.sum("cov_area").alias("cov_area"))
     if op == "fractions":
         from pyspark.sql import Window

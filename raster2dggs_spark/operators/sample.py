@@ -213,3 +213,86 @@ def sample_cells(
     from raster2dggs_spark.operators.aggregates import dedupe_first
 
     return dedupe_first(raw, ["cell"], ["image_id"]).drop("image_id")
+
+
+def sample_points(
+    images: DataFrame,
+    points: DataFrame,
+    kernel: str = "bilinear",
+    n_bands: int = MAX_BANDS_DEFAULT,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Interpolate raster values at arbitrary lon/lat points (the vector-
+    point extraction twin of ``sample_cells`` — same kernels, same
+    center-registration -0.5 contract).
+
+    The image table is the *small* side (a broadcast dimension): payloads
+    are collected once on the driver and shipped in the UDF closure, so
+    the big point side is a single ``mapInPandas`` pass with no shuffle.
+    For image tables beyond broadcast size, route points to tiles via the
+    cell index first (polygon_cells on tile bboxes + equi-join) and apply
+    the same kernel per group.  Points covered by several tiles take the
+    lowest image_id (the sample_cells dedupe rule); points outside every
+    tile yield NaN."""
+    img_rows = [r.asDict() for r in _prune(images).collect()]
+    bcols = band_cols(n_bands)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, points.schema[id_col].dataType, False),
+            T.StructField(lon_col, T.DoubleType(), False),
+            T.StructField(lat_col, T.DoubleType(), False),
+        ]
+        + [T.StructField(c, T.DoubleType(), True) for c in bcols]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from types import SimpleNamespace
+
+        from raster2dggs_spark.geo import (
+            apply_affine,
+            invert_affine,
+            lonlat_to_mercator,
+        )
+
+        decoded = []  # (image_id, row, arr) lazily decoded once per task
+        for d in sorted(img_rows, key=lambda d: d["image_id"]):
+            row = SimpleNamespace(**d)
+            for _, arr in _decode_rows(pd.DataFrame([d]), None):
+                decoded.append((row, arr))
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            lon = pdf[lon_col].values.astype(np.float64)
+            lat = pdf[lat_col].values.astype(np.float64)
+            vals = {c: np.full(n, np.nan) for c in bcols}
+            unset = np.ones(n, dtype=bool)
+            for row, arr in decoded:
+                k, h, w = arr.shape
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                if row.crs == "EPSG:3857":
+                    px, py = lonlat_to_mercator(lon, lat)
+                else:
+                    px, py = lon, lat
+                inv = invert_affine(affine)
+                col_p, row_p = apply_affine(inv, px, py)
+                col_f = col_p - 0.5
+                row_f = row_p - 0.5
+                hit = unset & (col_p >= 0) & (col_p <= w) & (row_p >= 0) & (row_p <= h)
+                if not hit.any():
+                    continue
+                for i, c in enumerate(bcols):
+                    if i < k:
+                        vals[c][hit] = _stencil_sample(
+                            arr[i].astype(np.float64), col_f[hit], row_f[hit],
+                            kernel,
+                        )
+                unset &= ~hit
+            data = {id_col: pdf[id_col].values, lon_col: lon, lat_col: lat}
+            data.update(vals)
+            yield pd.DataFrame(data)
+
+    return points.mapInPandas(fn, schema)

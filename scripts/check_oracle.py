@@ -33,9 +33,16 @@ def norm_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
             df[c] = s.map(
                 lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
             )
+    def canon(x):
+        # stringly-typed so mixed null/float/str columns stay sortable
+        if x is None or (isinstance(x, float) and pd.isna(x)) or x is pd.NaT:
+            return "<NULL>"
+        if isinstance(x, (float, np.floating)):
+            return repr(round(float(x), 6))
+        return repr(x)
+
     rows = sorted(
-        tuple("<NULL>" if pd.isna(x) else (round(float(x), 6) if isinstance(x, (float, np.floating)) else x)
-              for x in row) if True else row
+        tuple(canon(x) for x in row)
         for row in df.itertuples(index=False, name=None)
     )
     h = hashlib.md5(repr(rows).encode()).hexdigest()

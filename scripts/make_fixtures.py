@@ -1,0 +1,94 @@
+"""Build the committed oracle fixtures under .fixtures/.
+
+The DuckDB oracle can only read parquet, so queries whose inputs are
+synthetic images (not driver tables) are checked against *pinned
+partials/ground-truth* parquet written here.  Everything is a pure
+function of (seed, generator version): rerun this script after any
+intentional generator/codec/overlay change and commit the diff — an
+UNintentional behavior change then fails the oracle gate.
+
+Usage:  python scripts/make_fixtures.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXDIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".fixtures")
+
+
+def image_stats_fixture():
+    """Per-image ground truth for the image_stats query (64 images,
+    seed 42) — computed in plain NumPy from the same decode the Spark
+    UDF uses, pinned at fixture-build time."""
+    from raster2dggs_spark.sources.images import generate_images_pdf
+    from raster2dggs_spark.codecs import decode_image, average_hash64
+
+    pdf = generate_images_pdf(64, seed=42)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        arr = decode_image(r.bytes)
+        b1 = arr[0]
+        finite = np.isfinite(b1)
+        rows.append({
+            "image_id": r.image_id,
+            "bands_decoded": int(arr.shape[0]),
+            "px": int(arr[0].size),
+            "b1_mean": float(b1[finite].mean()) if finite.any() else None,
+            "b1_std": float(b1[finite].std()) if finite.any() else None,
+            "nan_frac": float(1.0 - finite.mean()),
+            "phash_recomputed": int(average_hash64(b1)),
+            "phash_stored": int(r.phash),
+        })
+    out = pd.DataFrame(rows)
+    out.to_parquet(os.path.join(FIXDIR, "image_stats_64.parquet"), index=False)
+    print(f"image_stats_64: {len(out)} rows")
+
+
+def overlay_fixtures(spark):
+    """Pinned overlay partials for the two overlay oracle queries (same
+    inputs as __spark_entry__): the oracle re-aggregates these in SQL and
+    must match the live pipeline's output."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import (
+        overlay_partials, overlay_class_partials,
+    )
+
+    imgs = images_spark_df(spark, 24, seed=42, size_range=(12, 20))
+    p = overlay_partials(imgs, res=6, parent_res=0).toPandas()
+    # NaN partials (missing bands) -> NULL so DuckDB's NaN-sorts-greatest
+    # comparison semantics can't diverge from Spark's NaN propagation
+    p = p.where(pd.notnull(p) & (p.map(
+        lambda x: not (isinstance(x, float) and np.isnan(x)))))
+    p.to_parquet(os.path.join(FIXDIR, "overlay_partials_24.parquet"),
+                 index=False)
+    print(f"overlay_partials_24: {len(p)} rows")
+
+    imgs2 = images_spark_df(spark, 16, seed=42, scenarios=("landcover",),
+                            size_range=(12, 20))
+    c = overlay_class_partials(imgs2, res=6, parent_res=0, band=1).toPandas()
+    c.to_parquet(os.path.join(FIXDIR, "overlay_class_partials_16.parquet"),
+                 index=False)
+    print(f"overlay_class_partials_16: {len(c)} rows")
+
+
+def main():
+    os.makedirs(FIXDIR, exist_ok=True)
+    image_stats_fixture()
+
+    from raster2dggs_spark.session import get_spark
+
+    spark = get_spark("make-fixtures", master="local[8]", shuffle_partitions=8)
+    overlay_fixtures(spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
