@@ -709,6 +709,31 @@ def q_maidenhead_pixel_index(spark, sf_dir):
     )
 
 
+def q_rhp_pixel_index(spark, sf_dir):
+    """Fully oracle-checked pixel indexing on the rHEALPix grid: the
+    DuckDB twin replays the HEALPix equal-area projection, the (0,0) cap
+    rearrangement and the base-9 digit peel with the same float
+    expressions (only sin() may differ by 1 ulp across libms — boundary
+    flips need a pixel center within ~1e-15 of a cell edge).  ramp_00
+    exercises the north-cap rotation path, ramp_01 the equatorial belt."""
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    import pandas as pd
+
+    imgs = _ramp_images(spark)
+    out = index_point_agg(imgs, res=6, dggs="rhp", agg="mean")
+
+    @F.pandas_udf("string")
+    def rhp_str(c):
+        from raster2dggs_spark.dggs import rhplib
+
+        return pd.Series(rhplib.cells_to_string(c.values))
+
+    return out.select(
+        rhp_str("cell").alias("rhp_06"), rhp_str("parent").alias("rhp_01"),
+        F.col("npx").cast("long").alias("n_px"), _r4("band_1").alias("v"),
+    )
+
+
 def q_geohash_pixel_index(spark, sf_dir):
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.indexing import index_point_agg
@@ -773,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bilinear": q_sample_bilinear,
         "sample_points_bilinear": q_sample_points_bilinear,
         "maidenhead_pixel_index": q_maidenhead_pixel_index,
+        "rhp_pixel_index": q_rhp_pixel_index,
         "overlay_weighted_mean": q_overlay_weighted_mean,
         "overlay_fractions": q_overlay_fractions,
         "compact_cells": q_compact_cells,
@@ -901,6 +927,137 @@ def _maidenhead_sql() -> str:
                round(avg(v), 4) AS v
         FROM s GROUP BY mh_03, mh_01
     """
+
+
+def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
+    """DuckDB twin of q_rhp_pixel_index: HEALPix projection + rHEALPix
+    (0,0) cap rearrangement + base-9 digit peel, mirroring
+    dggs/rhplib.py's float expression tree term by term (constants are
+    the repr of the NumPy doubles)."""
+    import math
+
+    PI = repr(math.pi)
+    TWOPI = repr(2.0 * math.pi)
+    HALF = repr(math.pi / 2.0)
+    QUART = repr(math.pi / 4.0)
+    Y_EQ = repr(3.0 * math.pi / 8.0)
+    TOP_N = repr(3.0 * (math.pi / 4.0))
+    D2R = repr(math.pi / 180.0)
+    TWO3 = repr(2.0 / 3.0)
+    EPS1 = repr(math.nextafter(1.0, 0.0))
+    vals = ", ".join(
+        f"({w}, {h}, {a}, {c}, {e}, {f})"
+        for (_i, w, h, a, c, e, f) in _RAMP_SPECS
+    )
+    # digit peel: res levels of (u,v) -> base-9 digits, NW row-major
+    peel = []
+    for i in range(1, res + 1):
+        peel.append(f"""
+        d{i} AS (SELECT v, bits * 9
+                        + CAST(floor(vv{i - 1} * 3.0) AS BIGINT) * 3
+                        + CAST(floor(uu{i - 1} * 3.0) AS BIGINT) AS bits,
+                        uu{i - 1} * 3.0 - floor(uu{i - 1} * 3.0) AS uu{i},
+                        vv{i - 1} * 3.0 - floor(vv{i - 1} * 3.0) AS vv{i}
+                 FROM d{i - 1})""")
+    peel_sql = ",".join(peel)
+    return f"""
+        WITH imgs(w, h, a, c, e, f) AS (VALUES {vals}),
+        px AS (
+          SELECT a * (cc.col + 0.5) + c AS lon_deg,
+                 e * (r.row + 0.5) + f AS lat_deg,
+                 CAST(r.row * i.w + cc.col AS DOUBLE) AS v
+          FROM imgs i,
+               unnest(generate_series(0, i.h - 1)) AS r(row),
+               unnest(generate_series(0, i.w - 1)) AS cc(col)),
+        rad AS (
+          SELECT v,
+                 ((lon_deg * {D2R}) + {PI}) % {TWOPI} - {PI} AS lon,
+                 lat_deg * {D2R} AS lat
+          FROM px),
+        pr0 AS (SELECT v, lon, lat, sin(lat) AS sl FROM rad),
+        prj AS (
+          SELECT v, lon, lat, sl,
+                 CASE WHEN abs(sl) <= {TWO3} THEN lon
+                      ELSE (-{PI} + (least(greatest(floor((lon + {PI}) / {HALF}), 0.0), 3.0) + 0.5) * {HALF})
+                           + (lon - (-{PI} + (least(greatest(floor((lon + {PI}) / {HALF}), 0.0), 3.0) + 0.5) * {HALF}))
+                             * sqrt(3.0 * (1.0 - abs(sl))) END AS hx,
+                 CASE WHEN abs(sl) <= {TWO3} THEN {Y_EQ} * sl
+                      ELSE (CASE WHEN lat > 0 THEN 1.0 WHEN lat < 0 THEN -1.0 ELSE 0.0 END * {QUART})
+                           * (2.0 - sqrt(3.0 * (1.0 - abs(sl)))) END AS hy
+          FROM pr0),
+        cmb0 AS (
+          SELECT v, hx, hy,
+                 CASE WHEN hy > {QUART} THEN 1 WHEN hy < -{QUART} THEN -1
+                      ELSE 0 END AS zone,
+                 CAST(least(greatest(floor((hx + {PI}) / {HALF}), 0.0), 3.0)
+                      AS BIGINT) AS c2
+          FROM prj),
+        cmb1 AS (
+          SELECT v, zone, hx, hy,
+                 hx - (-{PI} + (CAST(c2 AS DOUBLE) + 0.5) * {HALF}) AS dx,
+                 hy - (CASE WHEN zone = 1 THEN {HALF}
+                            WHEN zone = -1 THEN -{HALF} ELSE 0.0 END) AS dy,
+                 CASE WHEN zone = 1 THEN c2 % 4
+                      WHEN zone = -1 THEN ((-c2) % 4 + 4) % 4
+                      ELSE 0 END AS k
+          FROM cmb0),
+        pl AS (
+          SELECT v,
+                 CASE WHEN zone = 0 THEN hx
+                      ELSE (-{PI} + 0.5 * {HALF})
+                           + (CASE k WHEN 0 THEN dx WHEN 1 THEN -dy
+                                     WHEN 2 THEN -dx ELSE dy END) END AS x,
+                 CASE WHEN zone = 0 THEN hy
+                      ELSE (CASE WHEN zone = 1 THEN {HALF} ELSE -{HALF} END)
+                           + (CASE k WHEN 0 THEN dy WHEN 1 THEN dx
+                                     WHEN 2 THEN -dy ELSE -dx END) END AS y
+          FROM cmb1),
+        fc AS (
+          SELECT v, x, y,
+                 CASE WHEN y > {QUART} THEN 0
+                      WHEN y < -{QUART} THEN 5
+                      ELSE 1 + CAST(least(greatest(floor((x + {PI}) / {HALF}),
+                                                   0.0), 3.0) AS BIGINT)
+                 END AS face
+          FROM pl),
+        fuv AS (
+          SELECT v, face,
+                 least(greatest((x - (CASE WHEN face = 0 THEN -{PI}
+                                           WHEN face = 5 THEN -{PI}
+                                           ELSE -{PI} + (CAST(face - 1 AS DOUBLE)) * {HALF} END))
+                                / {HALF}, 0.0), {EPS1}) AS uu0,
+                 least(greatest(((CASE WHEN face = 0 THEN {TOP_N}
+                                       WHEN face = 5 THEN -{QUART}
+                                       ELSE {QUART} END) - y)
+                                / {HALF}, 0.0), {EPS1}) AS vv0
+          FROM fc),
+        d0 AS (SELECT v, face AS bits, uu0, vv0 FROM fuv),
+        {peel_sql},
+        named AS (
+          SELECT v, bits,
+                 bits // {9 ** res} AS face,
+                 (bits // {9 ** (res - parent_res)}) AS pbits
+          FROM d{res}),
+        strs AS (
+          SELECT v,
+                 {_rhp_str_sql("bits", res)} AS rhp_06,
+                 {_rhp_str_sql("pbits", parent_res)} AS rhp_01
+          FROM named)
+        SELECT rhp_06, rhp_01, CAST(count(*) AS BIGINT) AS n_px,
+               round(avg(v), 4) AS v
+        FROM strs GROUP BY rhp_06, rhp_01
+    """
+
+
+def _rhp_str_sql(bits_col: str, res: int) -> str:
+    """SQL expression turning packed base-9 bits into the suid string
+    (face letter + digits), mirroring rhplib.cells_to_string."""
+    parts = [f"substr('NOPQRS', CAST({bits_col} // {9 ** res} AS INT) + 1, 1)"]
+    for i in range(res):
+        parts.append(
+            f"CAST(({bits_col} // {9 ** (res - 1 - i)}) % 9 AS VARCHAR)"
+        )
+    return " || ".join(parts)
 
 
 def _compact_sql() -> str:
@@ -1283,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "compact_cells": _compact_sql(),
         "maidenhead_pixel_index": _maidenhead_sql(),
+        "rhp_pixel_index": _rhp_sql(6, 1),
         "sample_points_bilinear": """
             WITH p AS (
               SELECT c_custkey AS point_id,

@@ -1,6 +1,13 @@
-from raster2dggs_spark.dggs import geohashlib, h3lib, maidenheadlib, s2lib
+from raster2dggs_spark.dggs import (
+    geohashlib,
+    h3lib,
+    maidenheadlib,
+    rhplib,
+    s2lib,
+)
 
-__all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "check_grid"]
+__all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "rhplib",
+           "check_grid"]
 
 GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp")
 

@@ -14,9 +14,12 @@ EARTH_AREA_M2 = 4.0 * np.pi * 6371007.1809**2
 
 
 def n_cells(res: int, dggs: str = "hex7") -> int:
-    # our H3 layout is uniformly 7-ary over 122 base cells; S2: 6*4^level
+    # our H3 layout is uniformly 7-ary over 122 base cells; S2: 6*4^level;
+    # rHEALPix: 6 faces * 9^res (equal-area by construction)
     if dggs == "hex7":
         return 122 * 7**res
+    if dggs == "rhp":
+        return 6 * 9**res
     return 6 * 4**res
 
 

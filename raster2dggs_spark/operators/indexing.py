@@ -81,10 +81,12 @@ def _encode_points(lon, lat, res, parent_res, dggs):
     """Encode points; parent computed only when ``parent_res`` is not
     None (the shuffle-optimized paths derive parents post-aggregation
     with native bitwise expressions instead of shuffling them)."""
-    from raster2dggs_spark.dggs import h3lib, s2lib, geohashlib, maidenheadlib
+    from raster2dggs_spark.dggs import (
+        h3lib, s2lib, geohashlib, maidenheadlib, rhplib,
+    )
 
     lib = {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
-           "maidenhead": maidenheadlib}.get(dggs)
+           "maidenhead": maidenheadlib, "rhp": rhplib}.get(dggs)
     if lib is None:
         raise ValueError(f"unknown dggs {dggs!r}")
     if dggs == "hex7":
@@ -100,7 +102,7 @@ def default_parent_res(res: int, dggs: str = "hex7") -> int:
     for ~64K subcells per partition (cli_factory.py:124-161): H3 offset 6
     (7^6≈117K), S2 offset 8 (4^8=65K), geohash offset 3 (32^3=33K)."""
     floor = 1 if dggs in ("geohash", "maidenhead") else 0
-    off = {"hex7": 6, "s2": 8, "geohash": 3, "maidenhead": 2}[dggs]
+    off = {"hex7": 6, "s2": 8, "geohash": 3, "maidenhead": 2, "rhp": 5}[dggs]
     return max(floor, res - off)
 
 

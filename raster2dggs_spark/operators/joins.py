@@ -351,6 +351,15 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "hex7",
         drop = 5 * (from_res - parent_res)
         bits = F.shiftrightunsigned(c, 4 + drop)
         return F.shiftleft(bits, 4).bitwiseOR(F.lit(parent_res))
+    if dggs == "rhp":
+        if from_res is None:
+            raise ValueError("rhp parent_expr needs from_res")
+        prod = 9 ** (from_res - parent_res)
+        # 6*9^15 < 2^53 -> double floor-div exact
+        bits = F.shiftrightunsigned(c, 4)
+        return F.shiftleft(F.floor(bits / F.lit(prod)).cast("long"), 4).bitwiseOR(
+            F.lit(parent_res)
+        )
     if dggs == "maidenhead":
         if from_res is None:
             raise ValueError("maidenhead parent_expr needs from_res")
