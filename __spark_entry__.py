@@ -666,6 +666,19 @@ def q_s2_pixel_index(spark, sf_dir):
                                "s2", 14, 6)
 
 
+def q_sample_bilinear_s2(spark, sf_dir):
+    """Sample transfer on the S2 grid (cells_in_bbox is grid-generic via
+    dggs.cover) — rows-only driver check, kernels pytest-verified."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.sample import sample_cells
+    from raster2dggs_spark.operators.indexing import to_reference_output
+
+    imgs = images_spark_df(spark, 24, seed=42, size_range=(16, 24))
+    return to_reference_output(
+        sample_cells(imgs, res=12, kernel="bilinear", dggs="s2"), "s2", 12, 4
+    )
+
+
 def q_sample_points_bilinear(spark, sf_dir):
     """Fully oracle-checked bilinear sampling: points derived from
     customer keys are sampled against a linear-ramp tile; bilinear
@@ -796,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
         "sample_bilinear": q_sample_bilinear,
+        "sample_bilinear_s2": q_sample_bilinear_s2,
         "sample_points_bilinear": q_sample_points_bilinear,
         "maidenhead_pixel_index": q_maidenhead_pixel_index,
         "rhp_pixel_index": q_rhp_pixel_index,

@@ -1,0 +1,103 @@
+"""Grid-generic cell enumeration (cells_in_bbox) for every backend.
+
+Reference parity: each indexer enumerates cells whose *center* falls in
+a WGS84 bbox (s2rasterindexer.py:88-134, geohashrasterindexer.py:87-119,
+rhprasterindexer.py cells_in_bbox).  One implementation serves all
+grids: dense lattice sampling at 0.35x the cell pitch (guarantees every
+center-inside cell is hit), encode, unique, strict center filter —
+h3lib.cover_bbox generalized.
+
+Antimeridian: bboxes crossing +-180 are expressed unwrapped
+(lon_max > 180); encodes are periodic and centers are unwrapped into the
+bbox frame before filtering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raster2dggs_spark.dggs import (
+    check_grid,
+    geohashlib,
+    h3lib,
+    maidenheadlib,
+    rhplib,
+    s2lib,
+)
+
+
+def grid_lib(dggs: str):
+    """The backend module for a grid key (encode/decode/parents)."""
+    check_grid(dggs)
+    return {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
+            "maidenhead": maidenheadlib, "rhp": rhplib}[dggs]
+
+
+def encode(lon, lat, res: int, dggs: str):
+    lib = grid_lib(dggs)
+    if dggs == "hex7":
+        return lib.latlng_to_cell(lon, lat, res)
+    return lib.lonlat_to_cell(lon, lat, res)
+
+
+def cell_center(cells, dggs: str):
+    lib = grid_lib(dggs)
+    if dggs == "hex7":
+        return lib.cell_to_latlng(cells)
+    return lib.cell_to_lonlat(cells)
+
+
+def cell_parent(cells, parent_res: int, dggs: str):
+    return grid_lib(dggs).cell_to_parent(cells, parent_res)
+
+
+def pitch_deg(res: int, dggs: str) -> float:
+    """Conservative cell pitch (the smaller cell dimension) in degrees."""
+    if dggs == "hex7":
+        return float(np.degrees(h3lib.cell_pitch_rad(res)))
+    if dggs == "s2":
+        return 90.0 / (1 << res)
+    if dggs == "rhp":
+        return float(np.degrees(rhplib.cell_pitch_rad(res)))
+    if dggs == "geohash":
+        lon_bits = (5 * res + 1) // 2
+        lat_bits = 5 * res // 2
+        return min(360.0 / (1 << lon_bits), 180.0 / (1 << lat_bits))
+    if dggs == "maidenhead":
+        prod = 1
+        for b in maidenheadlib.BASES[:res]:
+            prod *= b
+        return min(360.0 / prod, 180.0 / prod)
+    raise ValueError(dggs)
+
+
+def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int,
+               dggs: str = "hex7", max_samples: int = 4_000_000):
+    """All cells (any grid) whose center lies in [lon_min,lon_max) x
+    [lat_min,lat_max) — reference cells_in_bbox semantics."""
+    if dggs == "hex7":  # keeps h3lib's tuned lattice
+        return h3lib.cover_bbox(lon_min, lat_min, lon_max, lat_max, res,
+                                max_samples=max_samples)
+    step = pitch_deg(res, dggs) * 0.35
+    lat_lo = max(-90.0, lat_min - step)
+    lat_hi = min(90.0, lat_max + step)
+    coslat = max(0.05, np.cos(np.radians(max(abs(lat_lo), abs(lat_hi)))))
+    lon_step = step / coslat
+    lons = np.arange(lon_min - lon_step, lon_max + 2 * lon_step, lon_step)
+    lats = np.arange(lat_lo, lat_hi + step, step)
+    if lons.size * lats.size > max_samples:
+        raise ValueError(
+            f"bbox cover at res {res} needs {lons.size * lats.size} "
+            "samples > cap; use a coarser res or split the bbox"
+        )
+    glon = np.repeat(lons, lats.size)
+    glat = np.tile(lats, lons.size)
+    # wrap samples into valid ranges for the encode (periodic in lon)
+    wlon = np.mod(glon + 180.0, 360.0) - 180.0
+    cand = np.unique(encode(wlon, np.clip(glat, -90.0, 90.0), res, dggs))
+    clon, clat = cell_center(cand, dggs)
+    mid = 0.5 * (lon_min + lon_max)
+    clon = clon + 360.0 * np.round((mid - clon) / 360.0)
+    keep = ((clon >= lon_min) & (clon < lon_max)
+            & (clat >= lat_min) & (clat < lat_max))
+    return cand[keep]

@@ -104,10 +104,8 @@ def overlay_partials(
     inv_s2 = 1.0 / (s * s)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from raster2dggs_spark.dggs import h3lib, s2lib
+        from raster2dggs_spark.dggs import cover
         from raster2dggs_spark.geo import geodesic_row_areas_m2
-
-        lib = {"hex7": h3lib, "s2": s2lib}[dggs]
         for pdf in batches:
             out = []
             for row, arr in _decode_rows(pdf, None):
@@ -115,10 +113,7 @@ def overlay_partials(
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
                 lon, lat, pix = _subsample_grid(affine, w, h, row.crs, s)
-                if dggs == "hex7":
-                    cells = h3lib.latlng_to_cell(lon, lat, res)
-                else:
-                    cells = s2lib.lonlat_to_cell(lon, lat, res)
+                cells = cover.encode(lon, lat, res, dggs)
                 ucell, inv = np.unique(cells, return_inverse=True)
                 m = ucell.shape[0]
                 # per-pixel geodesic areas (constant per row, north-up)
@@ -127,7 +122,7 @@ def overlay_partials(
                 sub_area = px_area[pix]
                 cov_total = np.bincount(inv, minlength=m) * inv_s2
                 data = {
-                    "parent": lib.cell_to_parent(ucell, parent_res),
+                    "parent": cover.cell_parent(ucell, parent_res, dggs),
                     "cell": ucell,
                     "cov_total": cov_total,
                 }
@@ -223,10 +218,8 @@ def overlay_class_partials(
     bidx = band - 1
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from raster2dggs_spark.dggs import h3lib, s2lib
+        from raster2dggs_spark.dggs import cover
         from raster2dggs_spark.geo import geodesic_row_areas_m2
-
-        lib = {"hex7": h3lib, "s2": s2lib}[dggs]
         for pdf in batches:
             out = []
             for row, arr in _decode_rows(pdf, None):
@@ -236,10 +229,7 @@ def overlay_class_partials(
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
                 lon, lat, pix = _subsample_grid(affine, w, h, row.crs, s)
-                if dggs == "hex7":
-                    cells = h3lib.latlng_to_cell(lon, lat, res)
-                else:
-                    cells = s2lib.lonlat_to_cell(lon, lat, res)
+                cells = cover.encode(lon, lat, res, dggs)
                 v_sub = arr[bidx].astype(np.float64).ravel()[pix]
                 ok = np.isfinite(v_sub)
                 row_areas = geodesic_row_areas_m2(affine, w, h, row.crs)
@@ -248,7 +238,7 @@ def overlay_class_partials(
                 uk, inv = np.unique(key, axis=0, return_inverse=True)
                 wsum = np.bincount(inv, weights=sub_area[ok], minlength=uk.shape[0])
                 out.append(pd.DataFrame({
-                    "parent": lib.cell_to_parent(uk[:, 0], parent_res),
+                    "parent": cover.cell_parent(uk[:, 0], parent_res, dggs),
                     "cell": uk[:, 0],
                     "class": uk[:, 1].view(np.float64),
                     "cov_area": wsum * inv_s2,

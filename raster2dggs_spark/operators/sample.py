@@ -141,7 +141,7 @@ def sample_cells(
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from raster2dggs_spark.dggs import h3lib, s2lib
+        from raster2dggs_spark.dggs import cover
         from raster2dggs_spark.geo import (
             apply_affine,
             invert_affine,
@@ -164,18 +164,15 @@ def sample_cells(
                 else:
                     lons, lats = x, y
                 try:
-                    if dggs == "hex7":
-                        cells = h3lib.cover_bbox(
-                            lons.min(), lats.min(), lons.max(), lats.max(), res,
-                            max_samples=max_cells_per_tile * 10,
-                        )
-                    else:
-                        raise ValueError("sample transfer ships h3 first")
+                    cells = cover.cover_bbox(
+                        lons.min(), lats.min(), lons.max(), lats.max(), res,
+                        dggs=dggs, max_samples=max_cells_per_tile * 10,
+                    )
                 except ValueError:
                     continue  # res too fine for tile extent cap
                 if cells.size == 0:
                     continue
-                clon, clat = h3lib.cell_to_latlng(cells)
+                clon, clat = cover.cell_center(cells, dggs)
                 if row.crs == "EPSG:3857":
                     cx, cy = lonlat_to_mercator(clon, clat)
                 else:
@@ -194,7 +191,7 @@ def sample_cells(
                 cells, col_f, row_f = cells[own], col_f[own], row_f[own]
                 data = {
                     "image_id": np.repeat(row.image_id, cells.shape[0]),
-                    "parent": h3lib.cell_to_parent(cells, parent_res),
+                    "parent": cover.cell_parent(cells, parent_res, dggs),
                     "cell": cells,
                 }
                 for i, c in enumerate(bcols):
