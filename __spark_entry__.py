@@ -747,6 +747,33 @@ def q_rhp_pixel_index(spark, sf_dir):
     )
 
 
+def q_hist_area_normalized(spark, sf_dir):
+    """A11 CELL_AREA matrix, fully oracle-checked: area-weighted value
+    histogram per rhp cell (weight = geodesic pixel area, class =
+    floor-bucketed value), normalized by the exact equal-area cell area
+    (area_frac = the reference's (area, cell_area) weight field)."""
+    from raster2dggs_spark.operators.overlay import overlay_class_partials
+    from raster2dggs_spark.operators.aggregates import hist_normalize_cell_area
+    import pandas as pd
+
+    imgs = _ramp_images(spark)
+    p = overlay_class_partials(imgs, res=5, parent_res=1, dggs="rhp",
+                               band=1, supersample=1, bucket_width=256.0)
+    g = p.groupBy("cell", "class").agg(F.sum("cov_area").alias("area"))
+    out = hist_normalize_cell_area(g, res=5, dggs="rhp", weight_col="area")
+
+    @F.pandas_udf("string")
+    def rhp_str(c):
+        from raster2dggs_spark.dggs import rhplib
+
+        return pd.Series(rhplib.cells_to_string(c.values))
+
+    return out.select(
+        rhp_str("cell").alias("rhp_05"), "class",
+        F.round("area_frac", 6).alias("area_frac"),
+    )
+
+
 def q_geohash_pixel_index(spark, sf_dir):
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.indexing import index_point_agg
@@ -813,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_points_bilinear": q_sample_points_bilinear,
         "maidenhead_pixel_index": q_maidenhead_pixel_index,
         "rhp_pixel_index": q_rhp_pixel_index,
+        "hist_area_normalized": q_hist_area_normalized,
         "overlay_weighted_mean": q_overlay_weighted_mean,
         "overlay_fractions": q_overlay_fractions,
         "compact_cells": q_compact_cells,
@@ -943,31 +971,33 @@ def _maidenhead_sql() -> str:
     """
 
 
-def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
-    """DuckDB twin of q_rhp_pixel_index: HEALPix projection + rHEALPix
-    (0,0) cap rearrangement + base-9 digit peel, mirroring
-    dggs/rhplib.py's float expression tree term by term (constants are
-    the repr of the NumPy doubles)."""
+def _rhp_consts():
     import math
 
-    PI = repr(math.pi)
-    TWOPI = repr(2.0 * math.pi)
-    HALF = repr(math.pi / 2.0)
-    QUART = repr(math.pi / 4.0)
-    Y_EQ = repr(3.0 * math.pi / 8.0)
-    TOP_N = repr(3.0 * (math.pi / 4.0))
-    D2R = repr(math.pi / 180.0)
-    TWO3 = repr(2.0 / 3.0)
-    EPS1 = repr(math.nextafter(1.0, 0.0))
-    vals = ", ".join(
-        f"({w}, {h}, {a}, {c}, {e}, {f})"
-        for (_i, w, h, a, c, e, f) in _RAMP_SPECS
-    )
-    # digit peel: res levels of (u,v) -> base-9 digits, NW row-major
+    return {
+        "PI": repr(math.pi), "TWOPI": repr(2.0 * math.pi),
+        "HALF": repr(math.pi / 2.0), "QUART": repr(math.pi / 4.0),
+        "Y_EQ": repr(3.0 * math.pi / 8.0),
+        "TOP_N": repr(3.0 * (math.pi / 4.0)),
+        "D2R": repr(math.pi / 180.0), "TWO3": repr(2.0 / 3.0),
+        "EPS1": repr(math.nextafter(1.0, 0.0)),
+    }
+
+
+def _rhp_chain_sql(res: int, carry: list[str]) -> str:
+    """CTE chain (rad -> d{res}) encoding (lon_deg, lat_deg) to rHEALPix
+    base-9 bits, mirroring dggs/rhplib.py float op for float op.  Expects
+    an upstream CTE ``px`` with columns (lon_deg, lat_deg, *carry);
+    yields ``d{res}`` with (*carry, bits)."""
+    K = _rhp_consts()
+    PI, TWOPI, HALF, QUART = K["PI"], K["TWOPI"], K["HALF"], K["QUART"]
+    Y_EQ, TOP_N, D2R, TWO3, EPS1 = (K["Y_EQ"], K["TOP_N"], K["D2R"],
+                                    K["TWO3"], K["EPS1"])
+    cols = ", ".join(carry)
     peel = []
     for i in range(1, res + 1):
         peel.append(f"""
-        d{i} AS (SELECT v, bits * 9
+        d{i} AS (SELECT {cols}, bits * 9
                         + CAST(floor(vv{i - 1} * 3.0) AS BIGINT) * 3
                         + CAST(floor(uu{i - 1} * 3.0) AS BIGINT) AS bits,
                         uu{i - 1} * 3.0 - floor(uu{i - 1} * 3.0) AS uu{i},
@@ -975,22 +1005,14 @@ def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
                  FROM d{i - 1})""")
     peel_sql = ",".join(peel)
     return f"""
-        WITH imgs(w, h, a, c, e, f) AS (VALUES {vals}),
-        px AS (
-          SELECT a * (cc.col + 0.5) + c AS lon_deg,
-                 e * (r.row + 0.5) + f AS lat_deg,
-                 CAST(r.row * i.w + cc.col AS DOUBLE) AS v
-          FROM imgs i,
-               unnest(generate_series(0, i.h - 1)) AS r(row),
-               unnest(generate_series(0, i.w - 1)) AS cc(col)),
         rad AS (
-          SELECT v,
+          SELECT {cols},
                  ((lon_deg * {D2R}) + {PI}) % {TWOPI} - {PI} AS lon,
                  lat_deg * {D2R} AS lat
           FROM px),
-        pr0 AS (SELECT v, lon, lat, sin(lat) AS sl FROM rad),
+        pr0 AS (SELECT {cols}, lon, lat, sin(lat) AS sl FROM rad),
         prj AS (
-          SELECT v, lon, lat, sl,
+          SELECT {cols}, lon, lat, sl,
                  CASE WHEN abs(sl) <= {TWO3} THEN lon
                       ELSE (-{PI} + (least(greatest(floor((lon + {PI}) / {HALF}), 0.0), 3.0) + 0.5) * {HALF})
                            + (lon - (-{PI} + (least(greatest(floor((lon + {PI}) / {HALF}), 0.0), 3.0) + 0.5) * {HALF}))
@@ -1000,14 +1022,14 @@ def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
                            * (2.0 - sqrt(3.0 * (1.0 - abs(sl)))) END AS hy
           FROM pr0),
         cmb0 AS (
-          SELECT v, hx, hy,
+          SELECT {cols}, hx, hy,
                  CASE WHEN hy > {QUART} THEN 1 WHEN hy < -{QUART} THEN -1
                       ELSE 0 END AS zone,
                  CAST(least(greatest(floor((hx + {PI}) / {HALF}), 0.0), 3.0)
                       AS BIGINT) AS c2
           FROM prj),
         cmb1 AS (
-          SELECT v, zone, hx, hy,
+          SELECT {cols}, zone, hx, hy,
                  hx - (-{PI} + (CAST(c2 AS DOUBLE) + 0.5) * {HALF}) AS dx,
                  hy - (CASE WHEN zone = 1 THEN {HALF}
                             WHEN zone = -1 THEN -{HALF} ELSE 0.0 END) AS dy,
@@ -1016,7 +1038,7 @@ def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
                       ELSE 0 END AS k
           FROM cmb0),
         pl AS (
-          SELECT v,
+          SELECT {cols},
                  CASE WHEN zone = 0 THEN hx
                       ELSE (-{PI} + 0.5 * {HALF})
                            + (CASE k WHEN 0 THEN dx WHEN 1 THEN -dy
@@ -1027,7 +1049,7 @@ def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
                                      WHEN 2 THEN -dy ELSE -dx END) END AS y
           FROM cmb1),
         fc AS (
-          SELECT v, x, y,
+          SELECT {cols}, x, y,
                  CASE WHEN y > {QUART} THEN 0
                       WHEN y < -{QUART} THEN 5
                       ELSE 1 + CAST(least(greatest(floor((x + {PI}) / {HALF}),
@@ -1035,7 +1057,7 @@ def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
                  END AS face
           FROM pl),
         fuv AS (
-          SELECT v, face,
+          SELECT {cols}, face,
                  least(greatest((x - (CASE WHEN face = 0 THEN -{PI}
                                            WHEN face = 5 THEN -{PI}
                                            ELSE -{PI} + (CAST(face - 1 AS DOUBLE)) * {HALF} END))
@@ -1045,11 +1067,38 @@ def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
                                        ELSE {QUART} END) - y)
                                 / {HALF}, 0.0), {EPS1}) AS vv0
           FROM fc),
-        d0 AS (SELECT v, face AS bits, uu0, vv0 FROM fuv),
-        {peel_sql},
+        d0 AS (SELECT {cols}, face AS bits, uu0, vv0 FROM fuv),
+        {peel_sql}"""
+
+
+def _ramp_px_sql(value_expr: str = "CAST(r.row * i.w + cc.col AS DOUBLE) AS v") -> str:
+    """px CTE over the ramp tiles: pixel-center coordinates mirroring
+    geo.apply_affine, plus caller-chosen value columns."""
+    vals = ", ".join(
+        f"({w}, {h}, {a}, {c}, {e}, {f})"
+        for (_i, w, h, a, c, e, f) in _RAMP_SPECS
+    )
+    return f"""
+        imgs(w, h, a, c, e, f) AS (VALUES {vals}),
+        px AS (
+          SELECT a * (cc.col + 0.5) + c AS lon_deg,
+                 e * (r.row + 0.5) + f AS lat_deg,
+                 {value_expr}
+          FROM imgs i,
+               unnest(generate_series(0, i.h - 1)) AS r(row),
+               unnest(generate_series(0, i.w - 1)) AS cc(col))"""
+
+
+def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
+    """DuckDB twin of q_rhp_pixel_index: HEALPix projection + rHEALPix
+    (0,0) cap rearrangement + base-9 digit peel, mirroring
+    dggs/rhplib.py's float expression tree term by term (constants are
+    the repr of the NumPy doubles)."""
+    return f"""
+        WITH {_ramp_px_sql()},
+        {_rhp_chain_sql(res, ["v"])},
         named AS (
           SELECT v, bits,
-                 bits // {9 ** res} AS face,
                  (bits // {9 ** (res - parent_res)}) AS pbits
           FROM d{res}),
         strs AS (
@@ -1060,6 +1109,38 @@ def _rhp_sql(res: int = 6, parent_res: int = 1) -> str:
         SELECT rhp_06, rhp_01, CAST(count(*) AS BIGINT) AS n_px,
                round(avg(v), 4) AS v
         FROM strs GROUP BY rhp_06, rhp_01
+    """
+
+
+def _hist_area_sql(res: int = 5, bucket: float = 256.0) -> str:
+    """DuckDB twin of q_hist_area_normalized: area-weighted value
+    histogram per rhp cell, CELL_AREA-normalized by the exact equal-area
+    constant.  Pixel areas replay geo.geodesic_row_areas_m2 (authalic
+    band formula) float op for float op."""
+    import math
+
+    D2R = repr(math.pi / 180.0)
+    # fl(R*R) precomputed (a plain literal would parse as DECIMAL and
+    # overflow); identical double to NumPy's radius*radius
+    R2 = repr(6371007.1809 * 6371007.1809)
+    from raster2dggs_spark.dggs import rhplib
+
+    cell_area = repr(float(rhplib.cell_area_m2(res)))
+    value_expr = f"""
+                 (({R2} * abs(abs(a) * {D2R}))
+                  * abs(sin((f + e * r.row) * {D2R})
+                        - sin((f + e * (r.row + 1.0)) * {D2R}))) AS area,
+                 floor(CAST(r.row * i.w + cc.col AS DOUBLE) / {bucket!r})
+                     * {bucket!r} AS cls"""
+    return f"""
+        WITH {_ramp_px_sql(value_expr)},
+        {_rhp_chain_sql(res, ["area", "cls"])},
+        g AS (SELECT bits, cls, sum(area) AS area
+              FROM d{res} GROUP BY bits, cls)
+        SELECT {_rhp_str_sql("bits", res)} AS rhp_05,
+               cls AS class,
+               round(area / {cell_area}, 6) AS area_frac
+        FROM g
     """
 
 
@@ -1455,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_cells": _compact_sql(),
         "maidenhead_pixel_index": _maidenhead_sql(),
         "rhp_pixel_index": _rhp_sql(6, 1),
+        "hist_area_normalized": _hist_area_sql(5, 256.0),
         "sample_points_bilinear": """
             WITH p AS (
               SELECT c_custkey AS point_id,

@@ -290,3 +290,83 @@ def top_k(df: DataFrame, keys: list[str], order_col: str, k: int,
         df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# --- A11 weight/normalize matrix (reference histogram.py:53-73) ----------
+
+HIST_WEIGHT_FIELDS = {
+    ("count", "none"): "counts",
+    ("count", "valid_overlap"): "count_frac",
+    ("area", "none"): "area",
+    ("area", "cell_area"): "area_frac",
+    ("area", "valid_overlap"): "area_share",
+}
+
+
+def hist_weight_field(weight: str = "count", normalize: str = "none") -> str:
+    """Per-bin weight field name for a (weight, normalize) combination —
+    the reference's naming matrix (histogram.py:53-73).  (count,
+    cell_area) is rejected exactly as the reference's CLI validation does
+    (common.py:280-288): a pixel count divided by area is a density."""
+    key = (weight, normalize)
+    if key not in HIST_WEIGHT_FIELDS:
+        raise ValueError(
+            f"hist weight {weight!r} with normalize {normalize!r} is not a "
+            "supported combination (count/cell-area would be a density; "
+            "use weight='area')"
+        )
+    return HIST_WEIGHT_FIELDS[key]
+
+
+def hist_normalize_cell_area(hist: DataFrame, res: int, dggs: str = "hex7",
+                             weight_col: str = "weight",
+                             cell_col: str = "cell",
+                             out: str = "area_frac") -> DataFrame:
+    """A11 CELL_AREA normalization: weight / cell area in m²
+    (histogram.py:135-151).  Equal-area grids (rhp) divide by the exact
+    closed-form constant — a pure native expression; hex7 computes
+    per-cell spherical areas in an Arrow UDF (areas vary ~2x across the
+    icosahedron)."""
+    if dggs == "rhp":
+        from raster2dggs_spark.dggs import rhplib
+
+        return hist.withColumn(
+            out, F.col(weight_col) / F.lit(float(rhplib.cell_area_m2(res)))
+        )
+    if dggs == "hex7":
+        import pandas as pd
+
+        @F.pandas_udf("double")
+        def area_m2(c):
+            from raster2dggs_spark.dggs import h3lib
+
+            return pd.Series(h3lib.cell_area_m2(c.values))
+
+        return hist.withColumn(out, F.col(weight_col) / area_m2(cell_col))
+    raise ValueError(
+        f"cell-area normalization not implemented for grid {dggs!r}"
+    )
+
+
+def pack_fractions(df: DataFrame, keys: list[str], class_col: str = "class",
+                   fraction_col: str = "fraction",
+                   out: str = "fractions") -> DataFrame:
+    """Output-edge packing of exploded class fractions into the
+    reference's FRACTIONS struct ``{classes: array<long>, fractions:
+    array<double>}`` with classes ascending (common.py:487-494).  Keep
+    fractions exploded through the pipeline; pack only for export."""
+    g = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(
+                F.col(class_col).cast("long").alias("c"),
+                F.col(fraction_col).cast("double").alias("f"),
+            ))
+        ).alias("__p")
+    )
+    return g.select(
+        *keys,
+        F.struct(
+            F.col("__p.c").alias("classes"),
+            F.col("__p.f").alias("fractions"),
+        ).alias(out),
+    )

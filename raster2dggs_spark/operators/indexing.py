@@ -40,15 +40,54 @@ _UDF_INPUT_COLS = [
 ]
 
 
-def _prune(images: DataFrame, keep_image_id: bool = True) -> DataFrame:
-    """Column-prune before the Arrow boundary: captions/phash/band_names
-    never cross into the UDF (they'd be serialized for nothing)."""
+def _prune(images: DataFrame, keep_image_id: bool = True,
+           keep_band_names: bool = False) -> DataFrame:
+    """Column-prune before the Arrow boundary: captions/phash (and
+    band_names unless label-selection needs them) never cross into the
+    UDF (they'd be serialized for nothing)."""
     cols = [c for c in _UDF_INPUT_COLS if c in images.columns]
     if not keep_image_id:
         cols = [c for c in cols if c != "image_id"]
+    if keep_band_names and "band_names" in images.columns:
+        cols.append("band_names")
     return images.select(*cols)
 
 
+def _wants_labels(bands) -> bool:
+    return bool(bands) and not all(
+        isinstance(b, int) or str(b).isdigit() for b in bands
+    )
+
+
+def resolve_bands(bands, band_names, count: int) -> list[int]:
+    """P1 band selection, reference semantics (common.py:770-801):
+    all-numeric selections are 1-based indices; otherwise labels resolve
+    via the image's band_names (falling back to band_<i>); unknown labels
+    raise; duplicates collapse keeping first occurrence.
+
+    Deviation: an index beyond the image's band count is DROPPED rather
+    than raised — tables here mix per-image band counts and the fixed
+    output schema null-fills short images (P5), where a GDAL raster has
+    one global count."""
+    if not bands:
+        return list(range(1, count + 1))
+    if _wants_labels(bands):
+        names = {}
+        for i in range(1, count + 1):
+            label = None
+            if band_names is not None and i <= len(band_names):
+                label = band_names[i - 1]
+            names[label or f"band_{i}"] = i
+        idx = []
+        for b in bands:
+            if str(b) not in names:
+                raise ValueError(f"Requested band name not found: {b}")
+            idx.append(names[str(b)])
+    else:
+        idx = [int(b) for b in bands]
+    seen: set[int] = set()
+    return [i for i in idx if 1 <= i <= count
+            and not (i in seen or seen.add(i))]
 
 
 def band_cols(n_bands: int) -> list[str]:
@@ -69,7 +108,9 @@ def _decode_rows(pdf: pd.DataFrame, bands_sel):
     for row in pdf.itertuples(index=False):
         arr = decode_image(row.bytes)
         if bands_sel is not None:
-            take = [b - 1 for b in bands_sel if b - 1 < arr.shape[0]]
+            names = getattr(row, "band_names", None)
+            take = [b - 1 for b in
+                    resolve_bands(bands_sel, names, arr.shape[0])]
             arr = arr[take]
         nd = row.nodata
         if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
@@ -180,7 +221,8 @@ def pixel_cells(
         if buf:
             yield pd.concat(buf, ignore_index=True)
 
-    return _prune(images, keep_image_id).mapInPandas(fn, schema)
+    return _prune(images, keep_image_id,
+                  keep_band_names=_wants_labels(bands)).mapInPandas(fn, schema)
 
 
 # ---- flagship: decode→index→aggregate with map-side combine ------------
@@ -306,7 +348,8 @@ def cell_partials(
         if acc:
             yield flush(lon_l, lat_l, val_l)
 
-    return _prune(images, keep_image_id=False).mapInPandas(fn, schema)
+    return _prune(images, keep_image_id=False,
+                  keep_band_names=_wants_labels(bands)).mapInPandas(fn, schema)
 
 
 def index_point_agg(

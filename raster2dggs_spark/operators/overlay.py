@@ -201,10 +201,16 @@ def overlay_class_partials(
     dggs: str = "hex7",
     band: int = 1,
     supersample: int = 4,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Per-(tile, cell, class) covered-area partials — the exchange-ready
-    stage the class ops (A14/A15) aggregate; exposed so the oracle gate
-    can pin it (fixture parquet) and re-derive fractions/majority in SQL."""
+    stage the class ops (A14/A15) and area-weighted histograms (A11)
+    aggregate; exposed so the oracle gate can pin it (fixture parquet)
+    and re-derive fractions/majority in SQL.
+
+    ``bucket_width`` bins continuous values first (class =
+    floor(v/width)*width — floor, not round, so the bucketing is
+    bit-identical in any SQL engine): the area-weighted histogram path."""
     if parent_res is None:
         parent_res = default_parent_res(res, dggs)
     schema = T.StructType([
@@ -231,6 +237,8 @@ def overlay_class_partials(
                 lon, lat, pix = _subsample_grid(affine, w, h, row.crs, s)
                 cells = cover.encode(lon, lat, res, dggs)
                 v_sub = arr[bidx].astype(np.float64).ravel()[pix]
+                if bucket_width is not None:
+                    v_sub = np.floor(v_sub / bucket_width) * bucket_width
                 ok = np.isfinite(v_sub)
                 row_areas = geodesic_row_areas_m2(affine, w, h, row.crs)
                 sub_area = np.repeat(row_areas, w)[pix]

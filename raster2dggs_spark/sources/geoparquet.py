@@ -104,3 +104,44 @@ def write_geoparquet(df: DataFrame, path: str, partition_col: str | None = None,
     # can read the stamped files back
     for crc in glob.glob(os.path.join(path, "**", ".*.crc"), recursive=True):
         os.remove(crc)
+
+
+def histogram_metadata(mode: str, edges=None, width=None, origin=0.0,
+                       weight: str = "count", normalize: str = "none") -> bytes:
+    """S8: the reference's histogram-spec schema metadata payload
+    (common.py:673-688) — stamped under key b'raster2dggs:histogram' so
+    readers can reconstruct bin semantics from the file alone."""
+    return json.dumps({
+        "mode": mode,
+        "edges": list(edges) if edges else None,
+        "width": width,
+        "origin": origin,
+        "weight": weight,
+        "normalize": normalize,
+    }).encode()
+
+
+def write_histogram_parquet(df: DataFrame, path: str, mode: str,
+                            edges=None, width=None, origin=0.0,
+                            weight: str = "count", normalize: str = "none",
+                            partition_col: str | None = None) -> None:
+    """Histogram sink: partitioned parquet + the histogram-spec metadata
+    stamped into every file footer (same metadata-only Arrow rewrite as
+    the GeoParquet sink)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    w = df.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(path)
+    meta_val = histogram_metadata(mode, edges, width, origin, weight, normalize)
+    for fp in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        t = pq.read_table(fp)
+        md = dict(t.schema.metadata or {})
+        md[b"raster2dggs:histogram"] = meta_val
+        pq.write_table(t.replace_schema_metadata(md), fp)
+    for crc in glob.glob(os.path.join(path, "**", ".*.crc"), recursive=True):
+        os.remove(crc)

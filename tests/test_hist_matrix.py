@@ -1,0 +1,124 @@
+"""A11 weight/normalize matrix, S8 histogram metadata sink, fractions
+struct packer, and P1 band-selection-by-label."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_hist_weight_field_matrix():
+    from raster2dggs_spark.operators.aggregates import hist_weight_field
+
+    assert hist_weight_field("count", "none") == "counts"
+    assert hist_weight_field("count", "valid_overlap") == "count_frac"
+    assert hist_weight_field("area", "none") == "area"
+    assert hist_weight_field("area", "cell_area") == "area_frac"
+    assert hist_weight_field("area", "valid_overlap") == "area_share"
+    with pytest.raises(ValueError, match="density"):
+        hist_weight_field("count", "cell_area")
+
+
+def test_hist_normalize_cell_area_rhp(spark):
+    from raster2dggs_spark.operators.aggregates import hist_normalize_cell_area
+    from raster2dggs_spark.dggs import rhplib
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": [1, 2], "weight": [1e9, 2e9]}),
+        "cell long, weight double",
+    )
+    out = hist_normalize_cell_area(df, res=3, dggs="rhp").toPandas()
+    a = rhplib.cell_area_m2(3)
+    assert np.allclose(sorted(out["area_frac"]), [1e9 / a, 2e9 / a])
+
+
+def test_hist_normalize_cell_area_hex7(spark):
+    from raster2dggs_spark.operators.aggregates import hist_normalize_cell_area
+    from raster2dggs_spark.dggs import h3lib
+
+    cells = h3lib.latlng_to_cell(np.array([5.0, 100.0]), np.array([10.0, -40.0]), 5)
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": cells, "weight": [1e8, 1e8]}),
+        "cell long, weight double",
+    )
+    out = hist_normalize_cell_area(df, res=5, dggs="hex7").toPandas()
+    exp = 1e8 / h3lib.cell_area_m2(cells)
+    assert np.allclose(np.sort(out["area_frac"]), np.sort(exp))
+
+
+def test_histogram_metadata_sink(spark, tmp_path):
+    from raster2dggs_spark.sources.geoparquet import write_histogram_parquet
+
+    import pyarrow.parquet as pq
+    import glob
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 7).cast("double").alias("value"),
+        F.lit(1.0).alias("weight"),
+    )
+    path = str(tmp_path / "hist")
+    write_histogram_parquet(df, path, mode="binned", width=10.0, origin=0.0,
+                            weight="area", normalize="cell_area",
+                            partition_col="k")
+    files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert files
+    for fp in files:
+        md = pq.read_schema(fp).metadata
+        spec = json.loads(md[b"raster2dggs:histogram"])
+        assert spec == {"mode": "binned", "edges": None, "width": 10.0,
+                        "origin": 0.0, "weight": "area",
+                        "normalize": "cell_area"}
+    # spark reads the stamped files back
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_pack_fractions_struct(spark):
+    from raster2dggs_spark.operators.aggregates import pack_fractions
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "cell": [1, 1, 1, 2],
+            "class": [3.0, 1.0, 2.0, 5.0],
+            "fraction": [0.5, 0.25, 0.25, 1.0],
+        })
+    )
+    out = pack_fractions(df, ["cell"]).toPandas().set_index("cell")
+    r1 = out.loc[1, "fractions"]
+    assert list(r1["classes"]) == [1, 2, 3]
+    assert list(r1["fractions"]) == [0.25, 0.25, 0.5]
+    r2 = out.loc[2, "fractions"]
+    assert list(r2["classes"]) == [5]
+
+
+def test_band_selection_by_label(spark):
+    from raster2dggs_spark.operators.indexing import (
+        index_point_agg, pixel_cells, resolve_bands,
+    )
+    from raster2dggs_spark.sources import images_spark_df
+
+    # unit semantics
+    assert resolve_bands(None, None, 3) == [1, 2, 3]
+    assert resolve_bands([2, 1, 2], None, 3) == [2, 1]
+    assert resolve_bands(["nir", "red"], ["red", "green", "blue", "nir"], 4) == [4, 1]
+    assert resolve_bands(["band_2"], None, 3) == [2]
+    with pytest.raises(ValueError, match="not found"):
+        resolve_bands(["swir"], ["red", "green"], 2)
+    assert resolve_bands([1, 9], None, 3) == [1]  # heterogeneity: drop OOR
+
+    # end to end: selecting 'nir' from the multiband scenario equals
+    # selecting band 4 by index
+    imgs = images_spark_df(spark, 12, seed=42,
+                           scenarios=("multiband_nodata",),
+                           size_range=(8, 12))
+    by_label = index_point_agg(imgs, res=5, bands=["nir"], n_bands=1,
+                               agg="mean").toPandas()
+    by_index = index_point_agg(imgs, res=5, bands=[4], n_bands=1,
+                               agg="mean").toPandas()
+    a = by_label.sort_values("cell").reset_index(drop=True)
+    b = by_index.sort_values("cell").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
