@@ -25,14 +25,22 @@ def checkpointed_write(
     partition_by: str,
     lineage: dict | None = None,
     fail_after_partitions: int | None = None,
+    fail_before_commit: bool = False,
 ) -> dict:
     """Write ``df`` partition-by-partition groups with resume support.
 
     Already-committed partitions (from the latest snapshot) are skipped —
     the input is filtered *before* any work happens, so a resumed run
-    recomputes only the missing slice.  ``fail_after_partitions`` is a
-    test hook: commit only the first N partitions then raise (simulating
-    a mid-job crash after a partial commit)."""
+    recomputes only the missing slice.  Appends are snapshot-isolated
+    (only the files THIS run wrote join the new snapshot; see
+    IceTable.write), so a crash between the data write and the commit
+    leaves only invisible orphans — the rerun's recompute cannot publish
+    duplicates.
+
+    Test hooks: ``fail_after_partitions`` commits only the first N
+    partitions then raises (crash after a partial COMMIT);
+    ``fail_before_commit`` writes the data files then raises (crash
+    before any commit — the orphan-duplication scenario)."""
     done = table.committed_partitions()
     done_vals = [p.split("=", 1)[1] for p in done]
     todo = df
@@ -47,11 +55,14 @@ def checkpointed_write(
             )
         ]
         partial = todo.where(F.col(partition_by).cast("string").isin(keep))
-        (partial.write.mode("append").partitionBy(partition_by)
-         .parquet(table.data_dir))
-        table._commit(partial.sparkSession, partition_by,
-                      {**(lineage or {}), "partial": True})
+        table.write(partial, partition_by, mode="append",
+                    lineage={**(lineage or {}), "partial": True})
         raise RuntimeError("simulated failure after partial commit")
-    (todo.write.mode("append").partitionBy(partition_by).parquet(table.data_dir))
-    return table._commit(df.sparkSession, partition_by,
-                         {**(lineage or {}), "resumed_from": sorted(done)})
+    if fail_before_commit:
+        (todo.write.mode("append").partitionBy(partition_by)
+         .parquet(table.data_dir))
+        raise RuntimeError("simulated failure before commit")
+    return table.write(
+        todo, partition_by, mode="append",
+        lineage={**(lineage or {}), "resumed_from": sorted(done)},
+    )

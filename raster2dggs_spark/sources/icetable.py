@@ -56,6 +56,15 @@ class IceTable:
         return {m["partition"] for m in snap["manifests"]}
 
     # -- write path ------------------------------------------------------
+    def _list_data_files(self) -> set[str]:
+        out: set[str] = set()
+        for dirpath, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.add(os.path.relpath(os.path.join(dirpath, fn),
+                                            self.root))
+        return out
+
     def write(
         self,
         df: DataFrame,
@@ -66,34 +75,62 @@ class IceTable:
         """Write ``df`` hive-partitioned on ``partition_by`` and commit a new
         snapshot whose manifest records per-partition file lists + row
         counts.  ``lineage`` is free-form provenance (inputs, operator,
-        params) stored verbatim in the snapshot."""
-        os.makedirs(self.meta_dir, exist_ok=True)
-        (df.write.mode(mode).partitionBy(partition_by).parquet(self.data_dir))
-        spark = df.sparkSession
-        return self._commit(spark, partition_by, lineage)
+        params) stored verbatim in the snapshot.
 
-    def _commit(self, spark: SparkSession, partition_by: str, lineage) -> dict:
-        # scan data files + row counts from parquet footers (cheap metadata
-        # read; no full scan)
+        Append mode is snapshot-isolated: only files THIS write produced
+        join the previous snapshot's manifests, so orphans from a run
+        that crashed between its data write and its commit are never
+        published (readers select manifest files, not the directory)."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        before = self._list_data_files() if mode == "append" else None
+        (df.write.mode(mode).partitionBy(partition_by).parquet(self.data_dir))
+        new_files = (self._list_data_files() - before
+                     if before is not None else None)
+        spark = df.sparkSession
+        return self._commit(spark, partition_by, lineage, new_files=new_files)
+
+    def _manifests_from_files(self, files) -> dict[str, dict]:
         import pyarrow.parquet as pq
 
-        os.makedirs(self.meta_dir, exist_ok=True)
-
         manifests: dict[str, dict] = {}
-        for dirpath, _dirs, files in os.walk(self.data_dir):
-            part = os.path.relpath(dirpath, self.data_dir)
-            if part == ".":
+        for rel in sorted(files):
+            part = os.path.dirname(os.path.relpath(
+                os.path.join(self.root, rel), self.data_dir))
+            if not part or part == ".":
                 continue
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                fp = os.path.join(dirpath, fn)
-                nrows = pq.ParquetFile(fp).metadata.num_rows
-                m = manifests.setdefault(
-                    part, {"partition": part, "files": [], "row_count": 0}
-                )
-                m["files"].append(os.path.relpath(fp, self.root))
-                m["row_count"] += nrows
+            nrows = pq.ParquetFile(os.path.join(self.root, rel)).metadata.num_rows
+            m = manifests.setdefault(
+                part, {"partition": part, "files": [], "row_count": 0}
+            )
+            m["files"].append(rel)
+            m["row_count"] += nrows
+        return manifests
+
+    def _commit(self, spark: SparkSession, partition_by: str, lineage,
+                new_files: set[str] | None = None) -> dict:
+        """Commit a snapshot.  ``new_files=None`` (overwrite semantics)
+        manifests the whole data dir; with a file set (append semantics)
+        the previous snapshot's manifests are carried forward and only
+        ``new_files`` are added — uncommitted orphans stay unpublished."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        if new_files is None:
+            manifests = self._manifests_from_files(self._list_data_files())
+        else:
+            manifests = {}
+            snap = self.snapshot()
+            if snap:
+                for m in snap["manifests"]:
+                    manifests[m["partition"]] = {
+                        "partition": m["partition"],
+                        "files": list(m["files"]),
+                        "row_count": m["row_count"],
+                    }
+            for part, m in self._manifests_from_files(new_files).items():
+                if part in manifests:
+                    manifests[part]["files"] += m["files"]
+                    manifests[part]["row_count"] += m["row_count"]
+                else:
+                    manifests[part] = m
         prev = self.current_version()
         version = prev + 1
         snap = {
@@ -120,10 +157,34 @@ class IceTable:
 
     # -- read path ---------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
+        """Snapshot-isolated scan: reads exactly the files the current
+        snapshot's manifests list (orphans from crashed writers are
+        invisible until committed)."""
         snap = self.snapshot()
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
-        return spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
+        files = [os.path.join(self.root, f)
+                 for m in snap["manifests"] for f in m["files"]]
+        if not files:
+            raise FileNotFoundError(f"snapshot v{snap['version']} lists no files")
+        return spark.read.option("basePath", self.data_dir).parquet(*files)
+
+    def vacuum(self) -> list[str]:
+        """Delete data files not referenced by the current snapshot
+        (orphans from crashed appends).  Returns the removed paths."""
+        snap = self.snapshot()
+        live = ({f for m in snap["manifests"] for f in m["files"]}
+                if snap else set())
+        removed = []
+        for rel in self._list_data_files() - live:
+            fp = os.path.join(self.root, rel)
+            os.remove(fp)
+            crc = os.path.join(os.path.dirname(fp),
+                               f".{os.path.basename(fp)}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            removed.append(rel)
+        return removed
 
     def verify_counts(self, spark: SparkSession) -> bool:
         """Audit: recount rows per partition and compare to the manifest."""

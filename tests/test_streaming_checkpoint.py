@@ -166,3 +166,41 @@ def test_resolution_modes_invariants():
             for r in range(0, 16 if dggs == "hex7" else 31)
         ]
         assert abs(cell_area_m2_mean(m, dggs) - pixel_area) == min(others)
+
+
+def test_crash_before_commit_no_duplicates(spark, tmp_path):
+    """Regression (round-1 advice): a run that dies AFTER writing data
+    files but BEFORE committing must not leak duplicates into the rerun —
+    readers see manifest files only, and the rerun recomputes the
+    uncommitted partitions from scratch."""
+    import pytest as _pytest
+
+    from raster2dggs_spark.plans.checkpoint import checkpointed_write
+    from raster2dggs_spark.sources.icetable import IceTable
+
+    from pyspark.sql import functions as F
+
+    table = IceTable(str(tmp_path / "t"))
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    # phase 1: commit the first 2 partitions, crash
+    with _pytest.raises(RuntimeError, match="partial"):
+        checkpointed_write(df, table, "k", fail_after_partitions=2)
+    # phase 2: rerun writes the remaining partitions but dies pre-commit
+    with _pytest.raises(RuntimeError, match="before commit"):
+        checkpointed_write(df, table, "k", fail_before_commit=True)
+    # orphans exist on disk but the committed snapshot doesn't see them
+    orphans = table._list_data_files() - {
+        f for m in table.snapshot()["manifests"] for f in m["files"]
+    }
+    assert orphans
+    assert len(table.read(spark).toPandas()) == 500  # phase-1 half only
+    # phase 3: clean rerun completes WITH the orphans still on disk
+    checkpointed_write(df, table, "k")
+    out = table.read(spark).toPandas()
+    assert len(out) == 1000  # no duplicates from the phase-2 orphans
+    assert sorted(out["v"]) == list(range(1000))
+    assert table.verify_counts(spark)
+    # vacuum removes exactly the unreferenced files
+    assert set(table.vacuum()) == orphans
