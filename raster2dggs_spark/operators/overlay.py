@@ -72,6 +72,65 @@ def _subsample_grid(affine, w, h, crs, s):
     return lon, lat, pix
 
 
+def _to_lonlat(affine, cgrid, rgrid, crs):
+    from raster2dggs_spark.geo.affine import apply_affine
+    from raster2dggs_spark.geo.crs import mercator_to_lonlat
+
+    x, y = apply_affine(affine, cgrid, rgrid)
+    if crs == "EPSG:3857":
+        return mercator_to_lonlat(x, y)
+    return x, y
+
+
+def _coverage_samples(affine, w, h, crs, s, res, dggs):
+    """(cells, pix, weight) coverage samples for one tile.
+
+    Adaptive supersampling: encode the (w+1)x(h+1) pixel-CORNER grid
+    first; a pixel whose 4 corners share one cell lies wholly inside it
+    (cells are convex in the local projection plane), so it contributes
+    a single weight-1 sample.  Only straddling pixels get the full SxS
+    subsample treatment (weight 1/s² each).  Output is EXACTLY the full
+    supersample partition (Σ weights per pixel = 1) at a fraction of the
+    encode cost when pixels are small relative to cells — the 100-TB
+    lever for fine rasters on coarse grids.  Falls back to the dense
+    grid when pixels are cell-sized (everything straddles anyway)."""
+    from raster2dggs_spark.dggs import cover
+
+    pitch = cover.pitch_deg(res, dggs)
+    px_deg = max(abs(affine[0]), abs(affine[4]))
+    if crs == "EPSG:3857":
+        px_deg = px_deg / 111_195.0
+    if s == 1 or px_deg > 0.25 * pitch:
+        lon, lat, pix = _subsample_grid(affine, w, h, crs, s)
+        cells = cover.encode(lon, lat, res, dggs)
+        return cells, pix, np.full(cells.shape[0], 1.0 / (s * s))
+
+    # corner grid (h+1, w+1)
+    ccols = np.tile(np.arange(w + 1, dtype=np.float64), h + 1)
+    crows = np.repeat(np.arange(h + 1, dtype=np.float64), w + 1)
+    lon, lat = _to_lonlat(affine, ccols, crows, crs)
+    cc = cover.encode(lon, lat, res, dggs).reshape(h + 1, w + 1)
+    a = cc[:-1, :-1]
+    same = (a == cc[:-1, 1:]) & (a == cc[1:, :-1]) & (a == cc[1:, 1:])
+    int_r, int_c = np.nonzero(same)
+    str_r, str_c = np.nonzero(~same)
+    out_cells = [a[int_r, int_c]]
+    out_pix = [int_r * w + int_c]
+    out_wt = [np.ones(int_r.shape[0])]
+    if str_r.size:
+        offs = (np.arange(s) + 0.5) / s
+        oc = np.tile(offs, s)
+        orr = np.repeat(offs, s)
+        scols = (str_c[:, None] + oc[None, :]).ravel()
+        srows = (str_r[:, None] + orr[None, :]).ravel()
+        slon, slat = _to_lonlat(affine, scols, srows, crs)
+        out_cells.append(cover.encode(slon, slat, res, dggs))
+        out_pix.append(np.repeat(str_r * w + str_c, s * s))
+        out_wt.append(np.full(str_r.size * s * s, 1.0 / (s * s)))
+    return (np.concatenate(out_cells), np.concatenate(out_pix),
+            np.concatenate(out_wt))
+
+
 def overlay_partials(
     images: DataFrame,
     res: int,
@@ -101,7 +160,6 @@ def overlay_partials(
             fields.append(T.StructField(f"{c}_{suf}", T.DoubleType(), True))
     schema = T.StructType(fields)
     s = supersample
-    inv_s2 = 1.0 / (s * s)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from raster2dggs_spark.dggs import cover
@@ -112,15 +170,16 @@ def overlay_partials(
                 k, h, w = arr.shape
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
-                lon, lat, pix = _subsample_grid(affine, w, h, row.crs, s)
-                cells = cover.encode(lon, lat, res, dggs)
+                cells, pix, wt = _coverage_samples(
+                    affine, w, h, row.crs, s, res, dggs
+                )
                 ucell, inv = np.unique(cells, return_inverse=True)
                 m = ucell.shape[0]
                 # per-pixel geodesic areas (constant per row, north-up)
                 row_areas = geodesic_row_areas_m2(affine, w, h, row.crs)
                 px_area = np.repeat(row_areas, w)          # (w*h,)
                 sub_area = px_area[pix]
-                cov_total = np.bincount(inv, minlength=m) * inv_s2
+                cov_total = np.bincount(inv, weights=wt, minlength=m)
                 data = {
                     "parent": cover.cell_parent(ucell, parent_res, dggs),
                     "cell": ucell,
@@ -135,16 +194,18 @@ def overlay_partials(
                     v_sub = vals[i][pix]
                     ok = np.isfinite(v_sub)
                     iv = inv[ok]
+                    wok = wt[ok]
                     data[f"{c}_num_area"] = np.bincount(
-                        iv, weights=(v_sub[ok] * sub_area[ok]), minlength=m
-                    ) * inv_s2
+                        iv, weights=(v_sub[ok] * sub_area[ok] * wok), minlength=m
+                    )
                     data[f"{c}_den_area"] = np.bincount(
-                        iv, weights=sub_area[ok], minlength=m
-                    ) * inv_s2
+                        iv, weights=sub_area[ok] * wok, minlength=m
+                    )
                     data[f"{c}_mass"] = np.bincount(
-                        iv, weights=v_sub[ok], minlength=m
-                    ) * inv_s2
-                    data[f"{c}_cov_valid"] = np.bincount(iv, minlength=m) * inv_s2
+                        iv, weights=v_sub[ok] * wok, minlength=m
+                    )
+                    data[f"{c}_cov_valid"] = np.bincount(iv, weights=wok,
+                                                         minlength=m)
                 out.append(pd.DataFrame(data))
             if out:
                 yield pd.concat(out, ignore_index=True)
@@ -220,7 +281,6 @@ def overlay_class_partials(
         T.StructField("cov_area", T.DoubleType(), False),
     ])
     s = supersample
-    inv_s2 = 1.0 / (s * s)
     bidx = band - 1
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,8 +294,9 @@ def overlay_class_partials(
                     continue
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
-                lon, lat, pix = _subsample_grid(affine, w, h, row.crs, s)
-                cells = cover.encode(lon, lat, res, dggs)
+                cells, pix, wt = _coverage_samples(
+                    affine, w, h, row.crs, s, res, dggs
+                )
                 v_sub = arr[bidx].astype(np.float64).ravel()[pix]
                 if bucket_width is not None:
                     v_sub = np.floor(v_sub / bucket_width) * bucket_width
@@ -244,12 +305,13 @@ def overlay_class_partials(
                 sub_area = np.repeat(row_areas, w)[pix]
                 key = np.stack([cells[ok], v_sub[ok].view(np.int64)], axis=1)
                 uk, inv = np.unique(key, axis=0, return_inverse=True)
-                wsum = np.bincount(inv, weights=sub_area[ok], minlength=uk.shape[0])
+                wsum = np.bincount(inv, weights=sub_area[ok] * wt[ok],
+                                   minlength=uk.shape[0])
                 out.append(pd.DataFrame({
                     "parent": cover.cell_parent(uk[:, 0], parent_res, dggs),
                     "cell": uk[:, 0],
                     "class": uk[:, 1].view(np.float64),
-                    "cov_area": wsum * inv_s2,
+                    "cov_area": wsum,
                 }))
             if out:
                 yield pd.concat(out, ignore_index=True)
