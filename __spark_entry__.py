@@ -775,22 +775,48 @@ def q_hist_area_normalized(spark, sf_dir):
 
 
 def q_geohash_pixel_index(spark, sf_dir):
-    from raster2dggs_spark.sources import images_spark_df
+    """Fully oracle-checked pixel indexing on the geohash grid: encoding
+    is pure bit arithmetic (quantize + interleave + base-32), so the
+    DuckDB twin is BIT-EXACT (no trig in the pipeline after the affine).
+    """
     from raster2dggs_spark.operators.indexing import index_point_agg
+    import pandas as pd
 
-    imgs = images_spark_df(spark, 64, seed=42)
+    imgs = _ramp_images(spark)
     out = index_point_agg(imgs, res=6, dggs="geohash", agg="mean")
 
     @F.pandas_udf("string")
     def gh_str(c):
         from raster2dggs_spark.dggs import geohashlib
-        import pandas as pd
 
         return pd.Series(geohashlib.cells_to_string(c.values))
 
     return out.select(
         gh_str("cell").alias("geohash_06"), gh_str("parent").alias("geohash_03"),
-        "band_1", "band_2", "band_3", "band_4",
+        F.col("npx").cast("long").alias("n_px"), _r4("band_1").alias("v"),
+    )
+
+
+def q_maidenhead_pixel_median(spark, sf_dir):
+    """Holistic aggregate through the raw-pixel path (index_point routes
+    median via exploded pixel rows, not algebraic partials) — oracle
+    replays the maidenhead encode and takes DuckDB's interpolated
+    median."""
+    from raster2dggs_spark.operators.indexing import index_point
+    import pandas as pd
+
+    imgs = _ramp_images(spark)
+    out = index_point(imgs, res=3, dggs="maidenhead", agg="median", n_bands=1)
+
+    @F.pandas_udf("string")
+    def mh_str(c):
+        from raster2dggs_spark.dggs import maidenheadlib
+
+        return pd.Series(maidenheadlib.cells_to_string(c.values))
+
+    return out.select(
+        mh_str("cell").alias("mh_03"), mh_str("parent").alias("mh_01"),
+        _r4("band_1").alias("v"),
     )
 
 
@@ -839,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bilinear_s2": q_sample_bilinear_s2,
         "sample_points_bilinear": q_sample_points_bilinear,
         "maidenhead_pixel_index": q_maidenhead_pixel_index,
+        "maidenhead_pixel_median": q_maidenhead_pixel_median,
         "rhp_pixel_index": q_rhp_pixel_index,
         "hist_area_normalized": q_hist_area_normalized,
         "overlay_weighted_mean": q_overlay_weighted_mean,
@@ -968,6 +995,58 @@ def _maidenhead_sql() -> str:
         SELECT mh_03, mh_01, CAST(count(*) AS BIGINT) AS n_px,
                round(avg(v), 4) AS v
         FROM s GROUP BY mh_03, mh_01
+    """
+
+
+def _maidenhead_median_sql() -> str:
+    """Same encode replay as _maidenhead_sql, but the holistic median
+    (twin of the raw-pixel-path index_point(agg='median'))."""
+    base = _maidenhead_sql()
+    head, _, _tail = base.rpartition("SELECT mh_03")
+    return head + """SELECT mh_03, mh_01, round(median(v), 4) AS v
+        FROM s GROUP BY mh_03, mh_01
+    """
+
+
+def _geohash_sql(res: int = 6, parent: int = 3) -> str:
+    """DuckDB twin of q_geohash_pixel_index — BIT-EXACT: quantize the
+    clipped lon/lat fractions to 2^nlon/2^nlat, interleave (even bit
+    positions = lon), base-32 chars; no transcendentals anywhere, so both
+    engines compute identical ids unconditionally."""
+    import math
+
+    EPS1 = repr(math.nextafter(1.0, 0.0))
+    nbits = 5 * res
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_terms = " | ".join(
+        f"(((ix >> {nlon - 1 - j}) & 1) << {nbits - 1 - 2 * j})"
+        for j in range(nlon)
+    )
+    lat_terms = " | ".join(
+        f"(((iy >> {nlat - 1 - j}) & 1) << {nbits - 2 - 2 * j})"
+        for j in range(nlat)
+    )
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST((bits >> {nbits - 5 * (i + 1)}) & 31 AS INT) + 1, 1)"
+        for i in range(res)
+    )
+    return f"""
+        WITH {_ramp_px_sql()},
+        q AS (SELECT v,
+                CAST(floor(least(greatest((lon_deg + 180.0) / 360.0, 0.0),
+                                 {EPS1}) * {float(1 << nlon)!r}) AS BIGINT)
+                    AS ix,
+                CAST(floor(least(greatest((lat_deg + 90.0) / 180.0, 0.0),
+                                 {EPS1}) * {float(1 << nlat)!r}) AS BIGINT)
+                    AS iy
+              FROM px),
+        b AS (SELECT v, ({lon_terms} | {lat_terms}) AS bits FROM q),
+        s AS (SELECT v, {chars} AS geohash_06 FROM b)
+        SELECT geohash_06, substr(geohash_06, 1, {parent}) AS geohash_03,
+               CAST(count(*) AS BIGINT) AS n_px, round(avg(v), 4) AS v
+        FROM s GROUP BY geohash_06
     """
 
 
@@ -1535,6 +1614,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "compact_cells": _compact_sql(),
         "maidenhead_pixel_index": _maidenhead_sql(),
+        "maidenhead_pixel_median": _maidenhead_median_sql(),
+        "geohash_pixel_index": _geohash_sql(6, 3),
         "rhp_pixel_index": _rhp_sql(6, 1),
         "hist_area_normalized": _hist_area_sql(5, 256.0),
         "sample_points_bilinear": """
