@@ -71,20 +71,18 @@ def _point_segment_dist_deg(lon, lat, x1, y1, x2, y2):
 
 
 def _pitch_deg(res: int, dggs: str) -> float:
-    from raster2dggs_spark.dggs import h3lib
+    from raster2dggs_spark.dggs import cover
 
-    if dggs == "hex7":
-        return float(np.degrees(h3lib.cell_pitch_rad(res)))
-    # s2 level pitch ≈ 90° / 2^level of a face edge
-    return 90.0 / (1 << res)
+    return cover.pitch_deg(res, dggs)
 
 
 def _cells_children(cells, res: int, dggs: str):
     """All direct children of ``cells`` (at ``res``) — pure id arithmetic.
 
-    h3-layout: uniform 7-ary digit tree (clear the res-(res+1) digit,
-    bump the res nibble, OR in digit 0..6).  S2: the 4 children ids are
-    ``id + {-3,-1,1,3}·(lsb>>2)`` (standard S2 id arithmetic)."""
+    hex7: uniform 7-ary digit tree (clear the res-(res+1) digit, bump the
+    res nibble, OR in digit 0..6).  S2: the 4 children ids are
+    ``id + {-3,-1,1,3}·(lsb>>2)`` (standard S2 id arithmetic).  rhp:
+    base-9 append.  geohash: 5-bit append (32 children)."""
     cells = np.asarray(cells, dtype=np.int64)
     if dggs == "hex7":
         r1 = res + 1
@@ -95,20 +93,28 @@ def _cells_children(cells, res: int, dggs: str):
         )
         digits = (np.arange(7, dtype=np.int64) << shift)
         return (base[:, None] | digits[None, :]).ravel()
-    lsb = cells & -cells
-    q = lsb >> 2
-    offs = np.array([-3, -1, 1, 3], dtype=np.int64)
-    return (cells[:, None] + offs[None, :] * q[:, None]).ravel()
+    if dggs == "rhp":
+        from raster2dggs_spark.dggs import rhplib
+
+        return rhplib.cell_to_children(cells, res)
+    if dggs == "geohash":
+        bits = cells >> 4
+        kids = ((bits[:, None] << 5)
+                | np.arange(32, dtype=np.int64)[None, :]).ravel()
+        return (kids << 4) | (res + 1)
+    if dggs == "s2":
+        lsb = cells & -cells
+        q = lsb >> 2
+        offs = np.array([-3, -1, 1, 3], dtype=np.int64)
+        return (cells[:, None] + offs[None, :] * q[:, None]).ravel()
+    raise ValueError(f"children arithmetic not implemented for {dggs!r}")
 
 
 def _centers_edge_dist(cells, vx, vy, dggs: str):
     """(center_in, min-edge-distance-deg) for every cell center."""
-    from raster2dggs_spark.dggs import h3lib, s2lib
+    from raster2dggs_spark.dggs import cover
 
-    if dggs == "hex7":
-        clon, clat = h3lib.cell_to_latlng(cells)
-    else:
-        clon, clat = s2lib.cell_to_lonlat(cells)
+    clon, clat = cover.cell_center(cells, dggs)
     center_in = raycast_contains(clon, clat, vx, vy)
     mind = np.full(cells.shape[0], np.inf)
     n = len(vx)
@@ -136,7 +142,7 @@ def polygon_cover_cells(vx, vy, res: int, dggs: str = "hex7"):
     O(area-in-cells + perimeter·depth) — a continent at res 9 no longer
     samples a dense O((extent/pitch)²) lattice (the flat version's
     failure mode at scale)."""
-    from raster2dggs_spark.dggs import h3lib, s2lib
+    from raster2dggs_spark.dggs import cover
 
     vx = np.asarray(vx, dtype=np.float64)
     vy = np.asarray(vy, dtype=np.float64)
@@ -175,10 +181,7 @@ def polygon_cover_cells(vx, vy, res: int, dggs: str = "hex7"):
     sel = keep | near
     if not sel.any():
         return (np.empty(0, np.int64), np.empty(0, bool), np.empty(0, bool))
-    if dggs == "hex7":
-        cells = np.unique(h3lib.latlng_to_cell(glon[sel], glat[sel], r0))
-    else:
-        cells = np.unique(s2lib.lonlat_to_cell(glon[sel], glat[sel], r0))
+    cells = np.unique(cover.encode(glon[sel], glat[sel], r0, dggs))
 
     # --- descend: boundary cells refine, interior cells expand ---------
     interior_pool: list[tuple[np.ndarray, int]] = []
@@ -249,13 +252,9 @@ def index_points(points: DataFrame, res: int, dggs: str = "hex7",
 
     @F.pandas_udf(T.LongType())
     def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        from raster2dggs_spark.dggs import h3lib, s2lib
+        from raster2dggs_spark.dggs import cover
 
-        if dggs == "hex7":
-            c = h3lib.latlng_to_cell(lon.values, lat.values, res)
-        else:
-            c = s2lib.lonlat_to_cell(lon.values, lat.values, res)
-        return pd.Series(c)
+        return pd.Series(cover.encode(lon.values, lat.values, res, dggs))
 
     return points.withColumn("cell", enc(F.col(lon_col), F.col(lat_col)))
 
@@ -377,15 +376,15 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "hex7",
 
 
 def _res_for_radius(radius_m: float, dggs: str, fine_res: int) -> int:
-    """Coarsest res whose cell pitch ≈ radius/8 — keeps disk covers at
-    O(100-1000) candidate cells regardless of radius."""
-    rad = radius_m / EARTH_R
-    if dggs == "hex7":
-        # pitch_rad(res) = atan(RES0_U)/sqrt7^res
-        r = int(np.floor(np.log(0.3649 * 8.0 / rad) / np.log(np.sqrt(7.0))))
-    else:
-        r = int(np.floor(np.log2((np.pi / 2) * 8.0 / rad)))
-    return int(np.clip(r, 0, fine_res))
+    """Coarsest res whose cell pitch <= radius/8 — keeps disk covers at
+    O(100-1000) candidate cells regardless of radius (any grid)."""
+    from raster2dggs_spark.dggs import cover
+
+    target = np.degrees(radius_m / EARTH_R) / 8.0
+    r = 0
+    while r < fine_res and cover.pitch_deg(r, dggs) > target:
+        r += 1
+    return r
 
 
 def estimate_knn_radius(targets: DataFrame, k: int,
@@ -439,13 +438,10 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
         # the disk-sample pattern (azimuth, angular distance) is identical
         # for every query in a round -> precompute once, vectorize across
         # the whole batch (one encode for all queries)
-        ang = radius / EARTH_R
-        if dggs == "hex7":
-            from raster2dggs_spark.dggs import h3lib
+        from raster2dggs_spark.dggs import cover as _cover
 
-            pitch = h3lib.cell_pitch_rad(cres) * 0.35
-        else:
-            pitch = (np.pi / 2) / (1 << cres) * 0.35
+        ang = radius / EARTH_R
+        pitch = np.radians(_cover.pitch_deg(cres, dggs)) * 0.35
         steps = int(np.ceil(ang / pitch)) + 1
         pat_az = [np.array([0.0])]
         pat_rad = [np.array([0.0])]
@@ -457,7 +453,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
         pat_rad = np.concatenate(pat_rad)
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from raster2dggs_spark.dggs import h3lib, s2lib
+            from raster2dggs_spark.dggs import cover, h3lib
 
             for pdf in batches:
                 if not len(pdf):
@@ -471,10 +467,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
                 )
                 glon = np.degrees(lo).ravel()
                 glat = np.degrees(la).ravel()
-                if dggs == "hex7":
-                    cells = h3lib.latlng_to_cell(glon, glat, cres)
-                else:
-                    cells = s2lib.lonlat_to_cell(glon, glat, cres)
+                cells = cover.encode(glon, glat, cres, dggs)
                 qidx = np.repeat(np.arange(n), p)
                 # dedupe (query, cell) pairs: lexsort + consecutive-diff
                 order = np.lexsort((cells, qidx))
@@ -500,7 +493,7 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     rem_n = None  # count of unresolved queries (drives the round loop)
     for _ in range(max_rounds):
         cres = _res_for_radius(radius, dggs, res)
-        tt = t.withColumn("jcell", parent_expr("cell", cres, dggs))
+        tt = t.withColumn("jcell", parent_expr("cell", cres, dggs, from_res=res))
         cand = ring_cells(remaining, radius, cres).join(tt, "jcell")
         dist = 2.0 * EARTH_R * F.asin(F.sqrt(
             F.pow(F.sin(F.radians(F.col("t_lat") - F.col("q_lat")) / 2), 2)

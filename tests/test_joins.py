@@ -243,3 +243,36 @@ def test_polygon_cover_hierarchical_matches_flat_semantics(spark):
     brute = raycast_contains(clon, clat, vx, vy)
     assert (center_in == brute).all()
     assert interior.sum() > 0 and (~interior).sum() > 0
+
+
+@pytest.mark.parametrize("dggs,res", [("rhp", 7), ("geohash", 4)])
+def test_pip_join_other_grids(spark, fixtures, dggs, res):
+    """PIP machinery is grid-generic: rhp and geohash covers produce the
+    same exact join as brute force."""
+    from raster2dggs_spark.operators.joins import point_in_polygon_join
+
+    zones, points, zdf, pdf = fixtures
+    out = point_in_polygon_join(pdf, zdf, res=res, dggs=dggs).select(
+        "point_id", "poly_id"
+    ).toPandas()
+    got = {(int(r.point_id), int(r.poly_id)) for r in out.itertuples(index=False)}
+    assert got == _brute_pip(zones, points)
+
+
+def test_knn_join_rhp(spark):
+    from raster2dggs_spark.operators.joins import knn_join
+
+    rng = np.random.default_rng(13)
+    n_q, n_t, k = 20, 250, 3
+    qlon = rng.uniform(-5, 5, n_q); qlat = rng.uniform(42, 48, n_q)
+    tlon = rng.uniform(-6, 6, n_t); tlat = rng.uniform(41, 49, n_t)
+    q = spark.createDataFrame(pd.DataFrame(
+        {"q_id": np.arange(n_q, dtype=np.int64), "lon": qlon, "lat": qlat}))
+    t = spark.createDataFrame(pd.DataFrame(
+        {"t_id": np.arange(n_t, dtype=np.int64), "lon": tlon, "lat": tlat}))
+    out = knn_join(q, t, k=k, radius_m=80_000.0, res=8, dggs="rhp").toPandas()
+    got = {int(qid): [int(x) for x in grp.sort_values("rank")["t_id"]]
+           for qid, grp in out.groupby("q_id")}
+    for i in range(n_q):
+        d = haversine_m(np.full(n_t, qlon[i]), np.full(n_t, qlat[i]), tlon, tlat)
+        assert got[i] == [int(j) for j in np.lexsort((np.arange(n_t), d))[:k]], i
