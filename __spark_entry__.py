@@ -698,6 +698,25 @@ def q_sample_points_bilinear(spark, sf_dir):
     return out.select("point_id", _r4("band_1").alias("v"))
 
 
+def q_sample_points_bicubic(spark, sf_dir):
+    """Bicubic (Keys a=-0.5) point sampling, fully oracle-checked: the
+    Keys kernel has exact linear precision, so on a linear-ramp tile the
+    interior interpolant equals the same closed form as bilinear.
+    Points sit >=2px from edges so all 16 taps are valid."""
+    from raster2dggs_spark.operators.sample import sample_points
+
+    imgs = _ramp_images(spark).where("image_id = 'ramp_00'")
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        (F.lit(10.0037) + ((F.col("c_custkey") * 41) % 560 + 40) / 1000.0)
+        .cast("double").alias("lon"),
+        (F.lit(50.0041) - ((F.col("c_custkey") * 59) % 380 + 40) / 1000.0)
+        .cast("double").alias("lat"),
+    )
+    out = sample_points(imgs, pts, kernel="bicubic")
+    return out.select("point_id", _r4("band_1").alias("v"))
+
+
 def q_maidenhead_pixel_index(spark, sf_dir):
     """Fully oracle-checked pixel indexing END TO END on the maidenhead
     grid: decode (Arrow UDF) → affine pixel centres → cell encode →
@@ -864,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bilinear": q_sample_bilinear,
         "sample_bilinear_s2": q_sample_bilinear_s2,
         "sample_points_bilinear": q_sample_points_bilinear,
+        "sample_points_bicubic": q_sample_points_bicubic,
         "maidenhead_pixel_index": q_maidenhead_pixel_index,
         "maidenhead_pixel_median": q_maidenhead_pixel_median,
         "rhp_pixel_index": q_rhp_pixel_index,
@@ -1624,6 +1644,16 @@ def oracle_sql() -> dict[str, str]:
                      (((c_custkey * 37) % 620 + 10) / 1000.0) / 0.013 - 0.5
                          AS col_f,
                      (((c_custkey * 53) % 460 + 10) / 1000.0) / 0.013 - 0.5
+                         AS row_f
+              FROM customer)
+            SELECT point_id, round(row_f * 64 + col_f, 4) AS v FROM p
+        """,
+        "sample_points_bicubic": """
+            WITH p AS (
+              SELECT c_custkey AS point_id,
+                     (((c_custkey * 41) % 560 + 40) / 1000.0) / 0.013 - 0.5
+                         AS col_f,
+                     (((c_custkey * 59) % 380 + 40) / 1000.0) / 0.013 - 0.5
                          AS row_f
               FROM customer)
             SELECT point_id, round(row_f * 64 + col_f, 4) AS v FROM p

@@ -107,6 +107,14 @@ def _cells_children(cells, res: int, dggs: str):
         q = lsb >> 2
         offs = np.array([-3, -1, 1, 3], dtype=np.int64)
         return (cells[:, None] + offs[None, :] * q[:, None]).ravel()
+    if dggs == "maidenhead":
+        from raster2dggs_spark.dggs.maidenheadlib import BASES
+
+        b = BASES[res]  # next pair's base; children = b^2 mixed-radix append
+        bits = cells >> 4
+        kids = (bits[:, None] * (b * b)
+                + np.arange(b * b, dtype=np.int64)[None, :]).ravel()
+        return (kids << 4) | (res + 1)
     raise ValueError(f"children arithmetic not implemented for {dggs!r}")
 
 

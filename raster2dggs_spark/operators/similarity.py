@@ -99,3 +99,50 @@ def ivf_topk(queries: DataFrame, targets: DataFrame, centroids: DataFrame,
     cand = cand.withColumn("cosine", cos).withColumn("__neg", -F.col("cosine"))
     out = top_k(cand, [q_id], "__neg", k, ascending=True, tiebreak=[t_id])
     return out.select(q_id, t_id, "cosine", "rank")
+
+
+def train_centroids(vectors: DataFrame, k: int, iters: int = 5,
+                    v_id: str = "vec_id", v_vec: str = "embedding") -> DataFrame:
+    """Distributed Lloyd iterations for IVF centroids — the scale path's
+    replacement for "first k vectors" seeding on real data.
+
+    Deterministic seeding: the k vectors with the smallest md5(id) (a
+    uniform pseudo-random draw reproducible in any engine).  Each
+    iteration is one broadcast-assign (cross join vs k centroids, argmin
+    by cosine) plus one groupBy mean over exploded dimensions — two
+    narrow shuffles per iter, driver-synced like the kNN radius rounds.
+    Empty clusters keep their previous centroid."""
+    from pyspark.sql import Window
+
+    v = vectors.select(F.col(v_id), _as_double(F.col(v_vec)).alias("__v"))
+    # stable 0..k-1 centroid ids regardless of partitioning
+    cents = (
+        v.withColumn("__h", F.md5(F.col(v_id).cast("string")))
+        .orderBy("__h").limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("__h")) - 1).alias("c_id"),
+            F.col("__v").alias("c_vec"),
+        )
+    )
+    for _ in range(iters):
+        j = v.crossJoin(F.broadcast(cents)).withColumn(
+            "__cos",
+            _dot(F.col("__v"), _as_double(F.col("c_vec")))
+            / (_norm(F.col("__v")) * _norm(_as_double(F.col("c_vec")))),
+        )
+        best = top_k(j, [v_id], "__cos", 1, ascending=False, tiebreak=["c_id"])
+        dims = best.select(
+            "c_id", F.posexplode("__v").alias("pos", "x")
+        ).groupBy("c_id", "pos").agg(F.avg("x").alias("m"))
+        new = dims.groupBy("c_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("__p")
+        ).select("c_id", F.col("__p.m").alias("c_vec"))
+        # empty clusters: keep the previous centroid
+        cents = cents.select("c_id", F.col("c_vec").alias("__old")).join(
+            new, "c_id", "left"
+        ).select(
+            "c_id", F.coalesce(F.col("c_vec"), F.col("__old")).alias("c_vec")
+        )
+    return cents

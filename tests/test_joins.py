@@ -245,7 +245,8 @@ def test_polygon_cover_hierarchical_matches_flat_semantics(spark):
     assert interior.sum() > 0 and (~interior).sum() > 0
 
 
-@pytest.mark.parametrize("dggs,res", [("rhp", 7), ("geohash", 4)])
+@pytest.mark.parametrize("dggs,res", [("rhp", 7), ("geohash", 4),
+                                      ("maidenhead", 3)])
 def test_pip_join_other_grids(spark, fixtures, dggs, res):
     """PIP machinery is grid-generic: rhp and geohash covers produce the
     same exact join as brute force."""

@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the plans we designed for are pinned
+so a refactor can't silently reintroduce a shuffle, lose a broadcast, or
+break parquet pushdown/pruning.  Captured via .explain('formatted')."""
+
+import contextlib
+import io
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in p
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs  # projection pruned to 2 columns
+
+
+def test_flagship_single_exchange(spark):
+    """index_point_agg: decode->partials (map side) then exactly ONE
+    exchange (groupBy cell); parents derived after the shuffle."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    out = index_point_agg(images_spark_df(spark, 4, seed=42), res=7)
+    p = plan(out)
+    # formatted mode lists every op twice (tree + detail): count tree rows
+    assert p.count(" Exchange (") == 1, p
+    assert "partial_sum" in p  # Catalyst partial/final pair on top
+    # parent is derived AFTER the exchange as pure bit arithmetic
+    assert "AS parent#" in p and p.index("Exchange") < p.index("AS parent#")
+
+
+def test_pip_join_broadcasts_cover_never_cartesian(spark):
+    from raster2dggs_spark.operators.joins import point_in_polygon_join
+    from raster2dggs_spark.sources.vectors import (
+        generate_points_pdf, generate_zones_pdf,
+    )
+
+    zones = generate_zones_pdf(4, seed=42)
+    points = generate_points_pdf(50, seed=42, zones=zones)
+    zdf = spark.createDataFrame(
+        zones[["poly_id", "xs", "ys"]],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    pdf = spark.createDataFrame(points, "point_id long, lon double, lat double")
+    p = plan(point_in_polygon_join(pdf, zdf, res=5))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # the point side must not shuffle
+
+
+def test_whole_stage_codegen_on_relational_path(spark):
+    """Pure-relational operators stay inside WholeStageCodegen (no Python
+    in the hot path)."""
+    from raster2dggs_spark.operators.aggregates import hist_binned
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = hist_binned(li, ["l_returnflag"], "l_extendedprice",
+                    origin=0.0, width=5000.0)
+    p = plan(q, mode="codegen")
+    assert "WholeStageCodegen" in p
+    s = plan(q, mode="simple")
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "MapInPandas" not in s
+    assert "Batched: true" in s  # vectorized columnar parquet scan
+
+
+def test_dedup_lsh_no_cartesian(spark):
+    from raster2dggs_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(minhash_lsh_pairs(d, "doc_id", "text", n_hashes=8, bands=4))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

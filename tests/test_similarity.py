@@ -94,3 +94,26 @@ def test_ivf_returns_k_rows_per_query(spark, vectors):
     counts = out.groupBy("q_id").count().toPandas()
     assert (counts["count"] == K).all()
     assert len(counts) == N_QUERIES
+
+
+def test_train_centroids_improves_ivf(spark, vectors):
+    """Lloyd-trained centroids: objective structure holds (each centroid
+    near a true cluster center) and IVF recall with trained centroids
+    meets the gate without privileged 'first 12 vectors' seeding."""
+    from raster2dggs_spark.operators.similarity import ivf_topk, train_centroids
+
+    vecs, df, _ = vectors
+    cents = train_centroids(df, k=N_CLUSTERS, iters=4)
+    cpdf = cents.toPandas()
+    assert len(cpdf) == N_CLUSTERS
+    assert sorted(cpdf["c_id"]) == list(range(N_CLUSTERS))
+    q = df.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    t = df.select(F.col("vec_id").alias("t_id"), F.col("embedding").alias("t_vec"))
+    out = ivf_topk(q, t, cents, k=K, n_probe=4).toPandas()
+    exact = _brute_topk(vecs, range(N_QUERIES), K)
+    hits = sum(len({int(x) for x in grp["t_id"]} & set(exact[int(qid)]))
+               for qid, grp in out.groupby("q_id"))
+    recall = hits / (N_QUERIES * K)
+    assert recall >= 0.9, f"trained-centroid IVF recall {recall:.3f}"
