@@ -87,6 +87,13 @@ def main():
 
     timed("pixel_index_s2", q_pixels_s2)
 
+    # -- q2b: rHEALPix variant ---------------------------------------------
+    def q_pixels_rhp():
+        out = index_point_agg(imgs, res=8, dggs="rhp", agg="mean")
+        return out.agg(F.count(F.lit(1))).collect()
+
+    timed("pixel_index_rhp", q_pixels_rhp)
+
     # -- q3: PIP join on driver tables -------------------------------------
     import __spark_entry__ as entrymod
 

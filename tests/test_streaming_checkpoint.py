@@ -204,3 +204,58 @@ def test_crash_before_commit_no_duplicates(spark, tmp_path):
     assert table.verify_counts(spark)
     # vacuum removes exactly the unreferenced files
     assert set(table.vacuum()) == orphans
+
+
+def test_streaming_ingest_equals_batch(spark, tmp_path):
+    """readStream tile ingest: two arrival waves drain into IceTable
+    snapshots of algebraic partials; finish_mean over ALL snapshots ==
+    the batch index_point_agg over the union — exact cross-batch merge,
+    plus exactly-once across a resumed stream (same checkpoint)."""
+    import os
+
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_images_pdf,
+    )
+    from raster2dggs_spark.sources.icetable import IceTable
+    from raster2dggs_spark.streaming.ingest import (
+        finish_mean, index_images_stream,
+    )
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    indir = str(tmp_path / "arrivals")
+    os.makedirs(indir)
+    pdf = generate_images_pdf(12, seed=42)
+    all_imgs = spark.createDataFrame(pdf, IMAGE_SCHEMA)
+    table = IceTable(str(tmp_path / "t"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: first 7 images arrive
+    spark.createDataFrame(pdf.iloc[:7], IMAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(indir)
+    q = index_images_stream(spark, indir, table, res=6, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    v1 = table.current_version()
+    assert v1 >= 1
+
+    # wave 2: the rest arrive; resumed stream must process ONLY new files
+    spark.createDataFrame(pdf.iloc[7:], IMAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(indir)
+    q = index_images_stream(spark, indir, table, res=6, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    assert table.current_version() > v1
+
+    got = finish_mean(table.read(spark)).toPandas()
+    exp = index_point_agg(all_imgs, res=6, agg="mean").toPandas()
+    g = got.sort_values("cell").reset_index(drop=True)
+    e = exp.sort_values("cell").reset_index(drop=True)
+    assert (g["cell"].values == e["cell"].values).all()
+    assert (g["npx"].values == e["npx"].values).all()
+    for c in ("band_1", "band_2", "band_3", "band_4"):
+        a, b = g[c].values, e[c].values
+        nan_equal = np.isnan(a.astype(float)) == np.isnan(b.astype(float))
+        assert nan_equal.all()
+        m = ~np.isnan(a.astype(float))
+        assert np.allclose(a[m].astype(float), b[m].astype(float),
+                           rtol=1e-12, atol=1e-12)
+    # lineage carries batch ids
+    assert "batch_id" in table.snapshot()["lineage"]
