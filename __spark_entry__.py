@@ -567,6 +567,37 @@ def q_overlay_weighted_mean(spark, sf_dir):
     )
 
 
+def q_overlay_vct(spark, sf_dir):
+    """P6 on the overlay path: weighted mean nulled where the valid
+    coverage fraction < 0.9 — same pinned partials fixture, the oracle
+    re-derives the threshold from cov_valid/cov_total."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_agg
+    from raster2dggs_spark.operators.indexing import to_reference_output
+
+    imgs = images_spark_df(spark, 24, seed=42, size_range=(12, 20))
+    out = to_reference_output(
+        overlay_agg(imgs, res=6, op="weighted_mean", vct=0.9), "hex7", 6, 0
+    )
+    return out.select(
+        "hex7_06", "hex7_00",
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
+
+
+def q_overlay_majority(spark, sf_dir):
+    """A14 majority class by covered area (deterministic tie-break) —
+    oracle re-derives argmax from the pinned class partials."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_classes
+    from raster2dggs_spark.operators.indexing import to_reference_output
+
+    imgs = images_spark_df(spark, 16, seed=42, scenarios=("landcover",),
+                           size_range=(12, 20))
+    out = overlay_classes(imgs, res=6, op="mode")
+    return to_reference_output(out, "hex7", 6, 0)
+
+
 def q_overlay_fractions(spark, sf_dir):
     """Oracle-checked against pinned class partials
     (.fixtures/overlay_class_partials_16.parquet) re-aggregated in SQL."""
@@ -615,6 +646,25 @@ def q_compact_cells(spark, sf_dir):
     df = k.select(cell.alias("cell"), (F.col("okey") % 5).cast("double").alias("v"))
     out = uncompact_cells(compact_cells(df, ["v"], res=8, min_res=2), res=8)
     return out.select(F.lower(F.hex("cell")).alias("cell_hex"), "v")
+
+
+def q_image_thumbnails(spark, sf_dir):
+    """Multimodal resize stage, oracle-checked: 8x8 NN thumbnails of
+    band 1, floor-quantized to 1/16 and emitted as a joined-int string
+    (float formatting never crosses engines); the oracle reads the
+    pinned per-image ground truth."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.multimodal import thumbnails
+
+    out = thumbnails(images_spark_df(spark, 64, seed=42), size=8)
+    return out.select(
+        "image_id",
+        F.array_join(
+            F.transform("thumb",
+                        lambda x: F.floor(x * 16.0).cast("long").cast("string")),
+            ",",
+        ).alias("thumb_i16"),
+    )
 
 
 def q_windowed_events(spark, sf_dir):
@@ -878,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "image_stats": q_image_stats,
+        "image_thumbnails": q_image_thumbnails,
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
         "sample_bilinear": q_sample_bilinear,
@@ -889,6 +940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhp_pixel_index": q_rhp_pixel_index,
         "hist_area_normalized": q_hist_area_normalized,
         "overlay_weighted_mean": q_overlay_weighted_mean,
+        "overlay_vct": q_overlay_vct,
+        "overlay_majority": q_overlay_majority,
         "overlay_fractions": q_overlay_fractions,
         "compact_cells": q_compact_cells,
         "hex7_pixel_index": q_hex7_pixel_index,
@@ -1668,6 +1721,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(phash_recomputed AS BIGINT) AS phash_recomputed
             FROM read_parquet('{_FIXDIR}/image_stats_64.parquet')
         """,
+        "image_thumbnails": f"""
+            SELECT image_id, thumb_i16
+            FROM read_parquet('{_FIXDIR}/image_stats_64.parquet')
+        """,
         "overlay_weighted_mean": f"""
             WITH p AS (SELECT * FROM
                        read_parquet('{_FIXDIR}/overlay_partials_24.parquet')),
@@ -1686,6 +1743,42 @@ def oracle_sql() -> dict[str, str]:
                        f"CASE WHEN d{i} > 0 THEN round(n{i} / d{i}, 4) END "
                        f"AS band_{i}" for i in range(1, 5))}
             FROM g
+        """,
+        "overlay_vct": f"""
+            WITH p AS (SELECT * FROM
+                       read_parquet('{_FIXDIR}/overlay_partials_24.parquet')),
+            g AS (
+              SELECT parent, cell, sum(cov_total) AS ct,
+                     {", ".join(
+                         f"CASE WHEN count(band_{i}_num_area) = count(*) "
+                         f"THEN sum(band_{i}_num_area) END AS n{i}, "
+                         f"CASE WHEN count(band_{i}_den_area) = count(*) "
+                         f"THEN sum(band_{i}_den_area) END AS d{i}, "
+                         f"CASE WHEN count(band_{i}_cov_valid) = count(*) "
+                         f"THEN sum(band_{i}_cov_valid) END AS cv{i}"
+                         for i in range(1, 5))}
+              FROM p GROUP BY parent, cell)
+            SELECT printf('%x', cell) AS hex7_06,
+                   printf('%x', parent) AS hex7_00,
+                   {", ".join(
+                       f"CASE WHEN cv{i} / ct >= 0.9 THEN "
+                       f"(CASE WHEN d{i} > 0 THEN round(n{i} / d{i}, 4) END) "
+                       f"END AS band_{i}" for i in range(1, 5))}
+            FROM g
+        """,
+        "overlay_majority": f"""
+            WITH p AS (SELECT * FROM
+                 read_parquet('{_FIXDIR}/overlay_class_partials_16.parquet')),
+            g AS (SELECT parent, cell, class, sum(cov_area) AS w
+                  FROM p GROUP BY parent, cell, class)
+            SELECT printf('%x', cell) AS hex7_06,
+                   printf('%x', parent) AS hex7_00,
+                   class AS majority_class
+            FROM (SELECT parent, cell, class,
+                         row_number() OVER (PARTITION BY parent, cell
+                                            ORDER BY w DESC, class ASC) AS rn
+                  FROM g)
+            WHERE rn = 1
         """,
         "overlay_fractions": f"""
             WITH p AS (SELECT * FROM

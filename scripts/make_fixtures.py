@@ -37,7 +37,15 @@ def image_stats_fixture():
         arr = decode_image(r.bytes)
         b1 = arr[0]
         finite = np.isfinite(b1)
+        # 8x8 NN thumbnail, floor-quantized to 1/16 so the joined-int
+        # string is identical across engines (no float formatting)
+        h, w = b1.shape
+        ri = (np.arange(8) * h // 8).clip(0, h - 1)
+        ci = (np.arange(8) * w // 8).clip(0, w - 1)
+        small = np.nan_to_num(b1[np.ix_(ri, ci)], nan=0.0).astype(np.float64)
+        thumb = ",".join(str(int(x)) for x in np.floor(small * 16.0).ravel())
         rows.append({
+            "thumb_i16": thumb,
             "image_id": r.image_id,
             "bands_decoded": int(arr.shape[0]),
             "px": int(arr[0].size),
