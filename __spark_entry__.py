@@ -767,6 +767,29 @@ def q_sample_points_bicubic(spark, sf_dir):
     return out.select("point_id", _r4("band_1").alias("v"))
 
 
+def q_sample_cells_maidenhead(spark, sf_dir):
+    """Cell-centroid sample transfer, fully oracle-checked on the
+    maidenhead grid (centroids are closed-form): cells_in_bbox →
+    ownership (nearest pixel in tile) → bilinear at the centroid, all
+    replayed in SQL including the valid-tap renormalization."""
+    from raster2dggs_spark.operators.sample import sample_cells
+    import pandas as pd
+
+    imgs = _ramp_images(spark)
+    out = sample_cells(imgs, res=3, kernel="bilinear", dggs="maidenhead")
+
+    @F.pandas_udf("string")
+    def mh_str(c):
+        from raster2dggs_spark.dggs import maidenheadlib
+
+        return pd.Series(maidenheadlib.cells_to_string(c.values))
+
+    return out.select(
+        mh_str("cell").alias("mh_03"), mh_str("parent").alias("mh_01"),
+        _r4("band_1").alias("v"),
+    )
+
+
 def q_maidenhead_pixel_index(spark, sf_dir):
     """Fully oracle-checked pixel indexing END TO END on the maidenhead
     grid: decode (Arrow UDF) → affine pixel centres → cell encode →
@@ -935,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bilinear_s2": q_sample_bilinear_s2,
         "sample_points_bilinear": q_sample_points_bilinear,
         "sample_points_bicubic": q_sample_points_bicubic,
+        "sample_cells_maidenhead": q_sample_cells_maidenhead,
         "maidenhead_pixel_index": q_maidenhead_pixel_index,
         "maidenhead_pixel_median": q_maidenhead_pixel_median,
         "rhp_pixel_index": q_rhp_pixel_index,
@@ -1068,6 +1092,107 @@ def _maidenhead_sql() -> str:
         SELECT mh_03, mh_01, CAST(count(*) AS BIGINT) AS n_px,
                round(avg(v), 4) AS v
         FROM s GROUP BY mh_03, mh_01
+    """
+
+
+def _sample_cells_mh_sql() -> str:
+    """DuckDB twin of q_sample_cells_maidenhead: per image, enumerate
+    candidate cells from the pixel grid (every owned cell contains pixel
+    centers — cells are ~6x wider than pixels), recompute the closed-form
+    centroid via maidenheadlib.cell_to_lonlat's float sequence, apply the
+    bbox + nearest-pixel-ownership filters, then the bilinear kernel with
+    the reference's valid-tap renormalization (linear ramp ⇒ tap values
+    are row*w+col)."""
+    import math
+
+    EPS1 = repr(math.nextafter(1.0, 0.0))
+    S3 = repr(360.0 / 18.0 / 10.0 / 24.0)  # subsquare lon span (deg)
+    T3 = repr(180.0 / 18.0 / 10.0 / 24.0)  # subsquare lat span (deg)
+    vals = ", ".join(
+        f"({i}, {w}, {h}, {a}, {c}, {e}, {f})"
+        for i, (_n, w, h, a, c, e, f) in enumerate(_RAMP_SPECS)
+    )
+    # one bilinear tap: (dr, dc) in {0,1}^2
+    taps = []
+    for dr in (0, 1):
+        for dc in (0, 1):
+            taps.append(f"""
+                 CASE WHEN r0 + {dr} >= 0 AND r0 + {dr} < h
+                           AND c0 + {dc} >= 0 AND c0 + {dc} < w
+                      THEN (1.0 - abs(col_f - (c0 + {dc})))
+                           * (1.0 - abs(row_f - (r0 + {dr}))) ELSE 0.0
+                 END AS w{dr}{dc},
+                 CAST((r0 + {dr}) * w + (c0 + {dc}) AS DOUBLE) AS v{dr}{dc},
+                 CASE WHEN r0 + {dr} >= 0 AND r0 + {dr} < h
+                           AND c0 + {dc} >= 0 AND c0 + {dc} < w
+                      THEN 1 ELSE 0 END AS k{dr}{dc}""")
+    tap_sql = ",".join(taps)
+    wsum = " + ".join(f"w{dr}{dc}" for dr in (0, 1) for dc in (0, 1))
+    nval = " + ".join(f"k{dr}{dc}" for dr in (0, 1) for dc in (0, 1))
+    num = " + ".join(f"w{dr}{dc} * v{dr}{dc}" for dr in (0, 1) for dc in (0, 1))
+    return f"""
+        WITH imgs(img, w, h, a, c, e, f) AS (VALUES {vals}),
+        px AS (
+          SELECT i.img, i.w, i.h, i.a, i.c, i.e, i.f,
+                 i.a * (cc.col + 0.5) + i.c AS lon,
+                 i.e * (r.row + 0.5) + i.f AS lat
+          FROM imgs i,
+               unnest(generate_series(0, i.h - 1)) AS r(row),
+               unnest(generate_series(0, i.w - 1)) AS cc(col)),
+        d0 AS (SELECT *,
+                 least(greatest((lon + 180.0) / 360.0, 0.0), {EPS1}) AS rx,
+                 least(greatest((lat + 90.0) / 180.0, 0.0), {EPS1}) AS ry
+               FROM px),
+        d1 AS (SELECT *, floor(rx * 18) AS ax, rx * 18 - floor(rx * 18) AS fx,
+                      floor(ry * 18) AS ay, ry * 18 - floor(ry * 18) AS fy
+               FROM d0),
+        d2 AS (SELECT *, floor(fx * 10) AS bx, fx * 10 - floor(fx * 10) AS gx,
+                      floor(fy * 10) AS by, fy * 10 - floor(fy * 10) AS gy
+               FROM d1),
+        digs AS (SELECT DISTINCT img, w, h, a, c, e, f, ax, ay, bx, by,
+                        floor(gx * 24) AS cx, floor(gy * 24) AS cy
+                 FROM d2),
+        -- closed-form centroid, mirroring maidenheadlib.cell_to_lonlat
+        cen AS (
+          SELECT *,
+                 (ax * 20.0 + bx * 2.0 + cx * {S3}) + {S3} / 2.0 - 180.0
+                     AS clon,
+                 (ay * 10.0 + by * 1.0 + cy * {T3}) + {T3} / 2.0 - 90.0
+                     AS clat
+          FROM digs),
+        -- tile bbox (center-in, like cover_bbox) + fractional pixel coords
+        pos AS (
+          SELECT *,
+                 (clon - c) / a - 0.5 AS col_f,
+                 (clat - f) / e - 0.5 AS row_f
+          FROM cen
+          WHERE clon >= least(c, a * w + c)
+            AND clon < greatest(c, a * w + c)
+            AND clat >= least(f, e * h + f)
+            AND clat < greatest(f, e * h + f)),
+        own AS (
+          SELECT * FROM pos
+          WHERE floor(col_f + 0.5) >= 0 AND floor(col_f + 0.5) < w
+            AND floor(row_f + 0.5) >= 0 AND floor(row_f + 0.5) < h),
+        stencil AS (
+          SELECT *, CAST(floor(col_f) AS BIGINT) AS c0,
+                 CAST(floor(row_f) AS BIGINT) AS r0
+          FROM own),
+        tapped AS (SELECT *, {tap_sql} FROM stencil),
+        valued AS (
+          SELECT *,
+                 CASE WHEN ({nval}) >= 2 AND abs({wsum}) >= 1e-12
+                      THEN round(({num}) / ({wsum}), 4) END AS v
+          FROM tapped)
+        SELECT chr(65 + CAST(ax AS INT)) || chr(65 + CAST(ay AS INT))
+               || CAST(CAST(bx AS INT) AS VARCHAR)
+               || CAST(CAST(by AS INT) AS VARCHAR)
+               || chr(97 + CAST(cx AS INT)) || chr(97 + CAST(cy AS INT))
+                   AS mh_03,
+               chr(65 + CAST(ax AS INT)) || chr(65 + CAST(ay AS INT))
+                   AS mh_01,
+               v
+        FROM valued
     """
 
 
@@ -1686,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "compact_cells": _compact_sql(),
+        "sample_cells_maidenhead": _sample_cells_mh_sql(),
         "maidenhead_pixel_index": _maidenhead_sql(),
         "maidenhead_pixel_median": _maidenhead_median_sql(),
         "geohash_pixel_index": _geohash_sql(6, 3),
