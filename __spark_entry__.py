@@ -786,7 +786,8 @@ def q_sample_cells_maidenhead(spark, sf_dir):
 
     return out.select(
         mh_str("cell").alias("mh_03"), mh_str("parent").alias("mh_01"),
-        _r4("band_1").alias("v"),
+        # kernel NaNs (insufficient valid taps) -> NULL for canon parity
+        F.when(~F.isnan("band_1"), _r4("band_1")).alias("v"),
     )
 
 
