@@ -78,6 +78,37 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
         + [df.schema[c] for c in other]
     )
 
+    def _expand_hex7(group: np.ndarray, r_cur: int) -> np.ndarray:
+        """(m,) cells at r_cur -> (m, 7^depth) descendants at res —
+        vectorized digit enumeration (no per-row Python)."""
+        depth = res - r_cur
+        n = 7 ** depth
+        u = group.astype(np.uint64)
+        base = (u & ~(np.uint64(0xF) << np.uint64(52))) | (
+            np.uint64(res) << np.uint64(52)
+        )
+        # clear the fill digits for levels r_cur+1..res
+        clear = np.uint64(0)
+        pat = np.zeros(n, dtype=np.uint64)
+        digs = np.arange(n)
+        for lvl in range(depth):
+            shift = 3 * (15 - (r_cur + 1 + lvl))
+            clear |= np.uint64(7) << np.uint64(shift)
+            d = ((digs // (7 ** (depth - lvl - 1))) % 7).astype(np.uint64)
+            pat |= d << np.uint64(shift)
+        return ((base & ~clear)[:, None] | pat[None, :]).astype(np.int64)
+
+    def _expand_s2(group: np.ndarray, r_cur: int) -> np.ndarray:
+        depth = res - r_cur
+        n = 4 ** depth
+        u = group.astype(np.uint64)
+        lsb = u & (~u + np.uint64(1))
+        new_lsb = np.uint64(1) << np.uint64(2 * (30 - res))
+        step = np.uint64(2) << np.uint64(2 * (30 - res))
+        start = u - lsb + new_lsb
+        return (start[:, None]
+                + step * np.arange(n, dtype=np.uint64)[None, :]).astype(np.int64)
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from raster2dggs_spark.dggs import h3lib, s2lib
 
@@ -91,37 +122,19 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
                 cr = s2lib.cell_level(cells)
             out_cells = []
             out_idx = []
-            for i in range(len(cells)):
-                c = int(cells[i])
-                depth = res - int(cr[i])
-                if depth == 0:
-                    out_cells.append(np.array([c], dtype=np.int64))
-                    out_idx.append(np.array([i]))
+            idx = np.arange(len(cells))
+            for r_cur in np.unique(cr):
+                m = cr == r_cur
+                group = cells[m].astype(np.int64)
+                if r_cur == res:
+                    out_cells.append(group)
+                    out_idx.append(idx[m])
                     continue
-                if dggs == "hex7":
-                    # enumerate digit strings for the extra levels
-                    n = 7 ** depth
-                    digs = np.arange(n)
-                    kids = np.full(n, np.uint64(c))
-                    kids = (kids & ~(np.uint64(0xF) << np.uint64(52))) | (
-                        np.uint64(res) << np.uint64(52)
-                    )
-                    for lvl in range(depth):
-                        rr = int(cr[i]) + lvl + 1
-                        shift = np.uint64(3 * (15 - rr))
-                        d = ((digs // (7 ** (depth - lvl - 1))) % 7).astype(np.uint64)
-                        kids = (kids & ~(np.uint64(7) << shift)) | (d << shift)
-                    out_cells.append(kids.astype(np.int64))
-                else:
-                    n = 4 ** depth
-                    u = np.uint64(c)
-                    lsb = u & (~u + np.uint64(1))
-                    start = u - lsb + np.uint64(1)  # range_min leaf-ish
-                    step = np.uint64(2) << np.uint64(2 * (30 - res) )
-                    new_lsb = np.uint64(1) << np.uint64(2 * (30 - res))
-                    kids = start - np.uint64(1) + new_lsb + step * np.arange(n, dtype=np.uint64)
-                    out_cells.append(kids.astype(np.int64))
-                out_idx.append(np.full(out_cells[-1].shape[0], i))
+                kids = (_expand_hex7 if dggs == "hex7" else _expand_s2)(
+                    group, int(r_cur)
+                )
+                out_cells.append(kids.ravel())
+                out_idx.append(np.repeat(idx[m], kids.shape[1]))
             cells_all = np.concatenate(out_cells)
             idx_all = np.concatenate(out_idx)
             data = {cell_col: cells_all}
