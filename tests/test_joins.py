@@ -277,3 +277,23 @@ def test_knn_join_rhp(spark):
     for i in range(n_q):
         d = haversine_m(np.full(n_t, qlon[i]), np.full(n_t, qlat[i]), tlon, tlat)
         assert got[i] == [int(j) for j in np.lexsort((np.arange(n_t), d))[:k]], i
+
+
+def test_knn_join_fewer_targets_than_k(spark):
+    """Radius rounds exhaust with < k matches: every query keeps the
+    targets it found (the leftover branch after the checkpoint/unpersist
+    rework)."""
+    from raster2dggs_spark.operators.joins import knn_join
+
+    rng = np.random.default_rng(21)
+    n_q, n_t, k = 10, 3, 5  # k > total targets
+    q = spark.createDataFrame(pd.DataFrame({
+        "q_id": np.arange(n_q, dtype=np.int64),
+        "lon": rng.uniform(0, 1, n_q), "lat": rng.uniform(45, 46, n_q)}))
+    t = spark.createDataFrame(pd.DataFrame({
+        "t_id": np.arange(n_t, dtype=np.int64),
+        "lon": rng.uniform(0, 1, n_t), "lat": rng.uniform(45, 46, n_t)}))
+    out = knn_join(q, t, k=k, radius_m=500_000.0, res=8, max_rounds=2).toPandas()
+    got = out.groupby("q_id")["t_id"].apply(set).to_dict()
+    assert set(got) == set(range(n_q))
+    assert all(v == {0, 1, 2} for v in got.values())  # all 3, never k
