@@ -516,6 +516,31 @@ def q_embedding_knn_ivf(spark, sf_dir):
     return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup, fully oracle-checked INCLUDING the
+    probabilistic LSH candidate stage (md5-derived hyperplanes are
+    deterministic in both engines).  Near-dups are synthesized: each
+    vector gets a twin with +0.1 on dimension 0 (unit vectors -> cosine
+    ~0.995); the operator must recover the twin pairs through bucketing
+    + exact verification."""
+    from raster2dggs_spark.operators.similarity import hyperplane_near_dup
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twin = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + 0.1),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    out = hyperplane_near_dup(base.unionByName(twin), threshold=0.9)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_image_stats(spark, sf_dir):
     """Oracle-checked against pinned per-image ground truth
     (.fixtures/image_stats_64.parquet, built by scripts/make_fixtures.py
@@ -951,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
         "image_stats": q_image_stats,
         "image_thumbnails": q_image_thumbnails,
         "windowed_events": q_windowed_events,
@@ -1500,6 +1526,51 @@ def _ivf_sql(k: int = 5, n_probe: int = 4) -> str:
     """
 
 
+def _near_dup_sql(threshold: float = 0.9, n_planes: int = 16,
+                  bands: int = 2) -> str:
+    """DuckDB twin of q_embedding_near_dup — replays the md5-derived
+    hyperplane LSH (same signs, same buckets) and the exact-cosine
+    verification."""
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    band_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * bits}) & {mask} AS bkey "
+        "FROM sig" for b in range(bands)
+    )
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+        WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+        twin AS (SELECT vec_id + 1000 AS vec_id,
+                        [v[1] + 0.1] || v[2:] AS v
+                 FROM base),
+        allv AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+        d AS (SELECT vec_id, s.i - 1 AS pos, v[s.i] AS x
+              FROM allv, unnest(generate_series(1, len(v))) AS s(i)),
+        proj AS (
+          SELECT vec_id, j.j,
+                 sum(x * CASE WHEN strpos('89abcdef',
+                          substr(md5(concat(j.j, '|', pos)), 1, 1)) > 0
+                          THEN 1.0 ELSE -1.0 END) AS p
+          FROM d, unnest(generate_series(0, {n_planes - 1})) AS j(j)
+          GROUP BY vec_id, j.j),
+        sig AS (SELECT vec_id,
+                       sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS sig
+                FROM proj GROUP BY vec_id),
+        buckets AS ({band_sel}),
+        pairs AS (
+          SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM buckets x JOIN buckets y
+            ON x.band = y.band AND x.bkey = y.bkey
+           AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, round({cos}, 6) AS cosine
+        FROM pairs
+        JOIN allv a ON a.vec_id = id_a
+        JOIN allv b ON b.vec_id = id_b
+        WHERE {cos} >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "agg_mean_sum_count": """
@@ -1811,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_idx
         """,
         "embedding_knn_ivf": _ivf_sql(5, 4),
+        "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
         "compact_cells": _compact_sql(),
         "sample_cells_maidenhead": _sample_cells_mh_sql(),
         "maidenhead_pixel_index": _maidenhead_sql(),

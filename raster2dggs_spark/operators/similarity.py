@@ -146,3 +146,73 @@ def train_centroids(vectors: DataFrame, k: int, iters: int = 5,
             "c_id", F.coalesce(F.col("c_vec"), F.col("__old")).alias("c_vec")
         )
     return cents
+
+
+def hyperplane_near_dup(vectors: DataFrame, threshold: float = 0.9,
+                        n_planes: int = 16, bands: int = 2,
+                        v_id: str = "vec_id",
+                        v_vec: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale: random-
+    hyperplane LSH (SimHash for real vectors) bucketing + exact cosine
+    verification.
+
+    Hyperplane j is the deterministic ±1 vector with sign_ji = +1 iff
+    the first hex digit of md5("j|i") is >= 8 — reproducible in any
+    engine (md5 is the one hash DuckDB shares), so the WHOLE pipeline
+    including the probabilistic candidate set is oracle-checkable.
+    P(bit agreement) = 1 - θ/π per plane; near-dup pairs (θ small)
+    collide in at least one of the ``bands`` b-bit bands w.h.p., and the
+    self-join is per-bucket — never a cross join.  Returns
+    (id_a, id_b, cosine) for verified pairs, id_a < id_b."""
+    bits = n_planes // bands
+    v = vectors.select(F.col(v_id), _as_double(F.col(v_vec)).alias("__v"))
+    d = v.select(v_id, F.posexplode("__v").alias("pos", "x"))
+    planes = vectors.sparkSession.range(n_planes).select(
+        F.col("id").alias("__j")
+    )
+    sign = F.when(
+        F.expr("instr('89abcdef', substr(md5(concat(__j, '|', pos)), 1, 1))")
+        > 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    proj = (
+        d.join(F.broadcast(planes))
+        .groupBy(v_id, "__j")
+        .agg(F.sum(F.col("x") * sign).alias("__p"))
+    )
+    sig = proj.groupBy(v_id).agg(
+        F.sum(
+            F.when(F.col("__p") > 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__j AS INT))"))
+            .otherwise(0)
+        ).alias("__sig")
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("__sig"), b * bits)
+            .bitwiseAND(F.lit((1 << bits) - 1)).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(v_id), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(v_id, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cand = (
+        a.join(b_, ["band", "bkey"])
+        .where(F.col(f"a.{v_id}") < F.col(f"b.{v_id}"))
+        .select(F.col(f"a.{v_id}").alias("id_a"),
+                F.col(f"b.{v_id}").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col(v_id).alias("id_a"), F.col("__v").alias("__va"))
+    vb = v.select(F.col(v_id).alias("id_b"), F.col("__v").alias("__vb"))
+    out = cand.join(va, "id_a").join(vb, "id_b").withColumn(
+        "cosine",
+        _dot(F.col("__va"), F.col("__vb"))
+        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+    )
+    return out.where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )

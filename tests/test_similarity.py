@@ -117,3 +117,31 @@ def test_train_centroids_improves_ivf(spark, vectors):
                for qid, grp in out.groupby("q_id"))
     recall = hits / (N_QUERIES * K)
     assert recall >= 0.9, f"trained-centroid IVF recall {recall:.3f}"
+
+
+def test_hyperplane_near_dup(spark, vectors):
+    """LSH near-dup recovers synthesized twins (>=0.9 recall) and emits
+    no pair below the cosine threshold (exact verification stage)."""
+    from raster2dggs_spark.operators.similarity import hyperplane_near_dup
+
+    _, df, _ = vectors
+    base = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twin = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + 0.1),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    out = hyperplane_near_dup(base.unionByName(twin),
+                              threshold=0.99).toPandas()
+    assert (out["cosine"] >= 0.99).all()
+    twins_found = {(a, b) for a, b in zip(out["id_a"], out["id_b"])
+                   if b == a + 10_000}
+    assert len(twins_found) >= 0.9 * N_VECS
+    # non-twin pairs that slip through buckets are cosine-verified: with
+    # clustered vectors some legitimately exceed the threshold, but every
+    # reported pair must satisfy it (checked above)
