@@ -733,6 +733,24 @@ def q_hex7_pixel_index(spark, sf_dir):
 
 
 def q_s2_pixel_index(spark, sf_dir):
+    """Fully oracle-checked pixel indexing on the S2 grid: the DuckDB
+    twin replays the cube-face projection, quadratic ST and the
+    level-by-level Hilbert position chain (the lookup table is just the
+    batched form of the canonical 4-entry pos/orientation tables, so an
+    unrolled per-level CASE reproduces it exactly).  Only cos/sin can
+    differ by 1 ulp across libms."""
+    from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
+
+    imgs = _ramp_images(spark)
+    out = to_reference_output(
+        index_point_agg(imgs, res=11, dggs="s2", agg="mean"), "s2", 11, 3
+    )
+    return out.select("s2_11", "s2_03", _r4("band_1").alias("v"))
+
+
+def q_s2_pixel_index_full(spark, sf_dir):
+    """The round-1 rows-only variant over the full 64-tile generator mix
+    (all scenarios/CRS paths), kept for breadth."""
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
 
@@ -997,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells": q_compact_cells,
         "hex7_pixel_index": q_hex7_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
+        "s2_pixel_index_full": q_s2_pixel_index_full,
         "geohash_pixel_index": q_geohash_pixel_index,
     }
 
@@ -1459,6 +1478,117 @@ def _rhp_str_sql(bits_col: str, res: int) -> str:
     return " || ".join(parts)
 
 
+def _s2_sql(level: int = 11, parent_level: int = 3) -> str:
+    """DuckDB twin of q_s2_pixel_index: cube-face projection, quadratic
+    ST, and the Hilbert position chain unrolled per level (inverse
+    pos_to_ij + orientation-xor tables from s2geometry's coords.cc —
+    identical to what s2lib's lookup tables batch)."""
+    import math
+
+    D2R = repr(math.pi / 180.0)
+    pos_to_ij = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+    inv = {o: {ij: k for k, ij in enumerate(row)}
+           for o, row in enumerate(pos_to_ij)}
+    # orientation update: k=0 -> o^SWAP(1), k=3 -> o^(SWAP|INVERT)(3)
+    xor1 = {0: 1, 1: 0, 2: 3, 3: 2}
+    xor3 = {0: 3, 1: 2, 2: 1, 3: 0}
+    steps = []
+    for l in range(level):
+        p = 29 - l
+        k_expr = " ".join(
+            f"WHEN o{l} = {o} AND ij = {ij} THEN {inv[o][ij]}"
+            for o in range(4) for ij in range(4)
+        )
+        o_upd = (
+            f"CASE k WHEN 0 THEN (CASE o{l} "
+            + " ".join(f"WHEN {o} THEN {xor1[o]}" for o in range(4))
+            + f" END) WHEN 3 THEN (CASE o{l} "
+            + " ".join(f"WHEN {o} THEN {xor3[o]}" for o in range(4))
+            + f" END) ELSE o{l} END"
+        )
+        steps.append(f"""
+        h{l + 1} AS (
+          SELECT v, face, i, j, pos{l} * 4 + k AS pos{l + 1},
+                 {o_upd} AS o{l + 1}
+          FROM (SELECT *, CASE {k_expr} END AS k
+                FROM (SELECT *, ((i >> {p}) & 1) * 2 + ((j >> {p}) & 1)
+                                AS ij FROM h{l})))""")
+    chain = ",".join(steps)
+    shift = 2 * (30 - level) + 1
+    lsb = 1 << (2 * (30 - level))
+    pshift = 2 * (30 - parent_level) + 1
+    plsb = 1 << (2 * (30 - parent_level))
+    pdrop = 2 * (level - parent_level)
+    return f"""
+        WITH {_ramp_px_sql()},
+        xyz AS (
+          SELECT v,
+                 cos(lat_deg * {D2R}) * cos(lon_deg * {D2R}) AS x,
+                 cos(lat_deg * {D2R}) * sin(lon_deg * {D2R}) AS y,
+                 sin(lat_deg * {D2R}) AS z
+          FROM px),
+        fc0 AS (
+          SELECT v, x, y, z,
+                 CASE WHEN abs(x) >= abs(y)
+                      THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+                      ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END)
+                 END AS f0
+          FROM xyz),
+        fc AS (
+          SELECT v, x, y, z,
+                 CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+                      THEN f0 + 3 ELSE f0 END AS face
+          FROM fc0),
+        uv AS (
+          SELECT v, face,
+                 CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                           WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+                 CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                           WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS w
+          FROM fc),
+        st AS (
+          SELECT v, face,
+                 CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                      ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+                 CASE WHEN w >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * w)
+                      ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * w) END AS t
+          FROM uv),
+        h0 AS (
+          SELECT v, CAST(face AS BIGINT) AS face,
+                 least(greatest(CAST(floor(s * 1073741824.0) AS BIGINT),
+                                0), 1073741823) AS i,
+                 least(greatest(CAST(floor(t * 1073741824.0) AS BIGINT),
+                                0), 1073741823) AS j,
+                 CAST(0 AS BIGINT) AS pos0,
+                 CAST(face AS BIGINT) & 1 AS o0
+          FROM st),
+        {chain},
+        hug AS (
+          SELECT v,
+                 CAST(face AS HUGEINT) * {1 << 61}
+                 + CAST(pos{level} AS HUGEINT) * {1 << shift} + {lsb} AS hc,
+                 CAST(face AS HUGEINT) * {1 << 61}
+                 + CAST(pos{level} >> {pdrop} AS HUGEINT) * {1 << pshift}
+                 + {plsb} AS hp
+          FROM h{level}),
+        ids AS (
+          -- two's-complement wrap: ids with face >= 4 are negative int64
+          -- (matching the engine's uint64-viewed-as-long convention)
+          SELECT v,
+                 CAST(CASE WHEN hc >= 9223372036854775808
+                           THEN hc - 18446744073709551616 ELSE hc END
+                      AS BIGINT) AS cell,
+                 CAST(CASE WHEN hp >= 9223372036854775808
+                           THEN hp - 18446744073709551616 ELSE hp END
+                      AS BIGINT) AS parent
+          FROM hug)
+        SELECT printf('%x', cell) AS s2_{level:02d},
+               printf('%x', parent) AS s2_{parent_level:02d},
+               round(avg(v), 4) AS v
+        FROM ids GROUP BY cell, parent
+    """
+
+
 def _compact_sql() -> str:
     """DuckDB twin of q_compact_cells: the same integer construction of
     hex7 res-8 ids; round-trip identity means Spark's compact→uncompact
@@ -1884,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
         "compact_cells": _compact_sql(),
+        "s2_pixel_index": _s2_sql(11, 3),
         "sample_cells_maidenhead": _sample_cells_mh_sql(),
         "maidenhead_pixel_index": _maidenhead_sql(),
         "maidenhead_pixel_median": _maidenhead_median_sql(),
