@@ -725,11 +725,22 @@ def q_sessionize(spark, sf_dir):
 
 
 def q_hex7_pixel_index(spark, sf_dir):
+    """FLAGSHIP, oracle-checked against an independent single-node NumPy
+    replay (.fixtures/hex7_pixel_index_64.parquet, a straight per-pixel
+    loop with no Spark/batching/shuffle): the distributed plan — Arrow
+    flush budgets, in-UDF map-side combine, one exchange, post-shuffle
+    bitwise parents — must reproduce it cell for cell."""
     from raster2dggs_spark.sources import images_spark_df
-    from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
+    from raster2dggs_spark.operators.indexing import index_point_agg
 
     imgs = images_spark_df(spark, 64, seed=42)
-    return to_reference_output(index_point_agg(imgs, res=9, agg="mean"), "hex7", 9, 3)
+    out = index_point_agg(imgs, res=9, agg="mean")
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_09"),
+        F.lower(F.hex("parent")).alias("hex7_03"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
 
 
 def q_s2_pixel_index(spark, sf_dir):
@@ -2015,6 +2026,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
         "compact_cells": _compact_sql(),
         "s2_pixel_index": _s2_sql(11, 3),
+        "hex7_pixel_index": f"""
+            SELECT hex7_09, hex7_03, CAST(n_px AS BIGINT) AS n_px,
+                   {", ".join(f"round(band_{i}, 4) AS band_{i}"
+                              for i in range(1, 5))}
+            FROM read_parquet('{_FIXDIR}/hex7_pixel_index_64.parquet')
+        """,
         "sample_cells_maidenhead": _sample_cells_mh_sql(),
         "maidenhead_pixel_index": _maidenhead_sql(),
         "maidenhead_pixel_median": _maidenhead_median_sql(),

@@ -60,6 +60,63 @@ def image_stats_fixture():
     print(f"image_stats_64: {len(out)} rows")
 
 
+def pixel_index_fixture():
+    """Single-node NumPy replay of the FLAGSHIP pipeline (decode →
+    pixel centres → hex7 encode at res 9 → per-cell per-band mean,
+    nodata 'omit' semantics) over the 64-image seed-42 set — a
+    straight-line reference computation with no Spark, no batching, no
+    shuffle.  The distributed pipeline (mapInPandas flush budgets,
+    map-side combine, exchange, bitwise parents) must reproduce it."""
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.dggs import h3lib
+    from raster2dggs_spark.geo import pixel_centers_lonlat
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    res, parent_res, n_bands = 9, 3, 4
+    sums: dict = {}
+    for r in generate_images_pdf(64, seed=42).itertuples(index=False):
+        arr = decode_image(r.bytes).astype(np.float64)
+        nd = r.nodata
+        if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            arr = np.where(arr == np.float32(nd), np.nan, arr)
+        k, h, w = arr.shape
+        affine = (r.affine_a, r.affine_b, r.affine_c,
+                  r.affine_d, r.affine_e, r.affine_f)
+        lon, lat = pixel_centers_lonlat(affine, w, h, r.crs)
+        vals = arr.reshape(k, h * w)
+        keep = ~np.all(np.isnan(vals), axis=0)  # nodata policy: omit
+        if not keep.any():
+            continue
+        cells = h3lib.latlng_to_cell(lon[keep], lat[keep], res)
+        vals = vals[:, keep]
+        for c_idx in range(cells.shape[0]):
+            key = int(cells[c_idx])
+            slot = sums.setdefault(key, [0, [0.0] * n_bands, [0] * n_bands])
+            slot[0] += 1
+            for b in range(k):
+                x = vals[b, c_idx]
+                if np.isfinite(x):
+                    slot[1][b] += x
+                    slot[2][b] += 1
+    rows = []
+    cells = np.array(sorted(sums), dtype=np.int64)
+    parents = h3lib.cell_to_parent(cells, parent_res)
+    for key, parent in zip(cells.tolist(), parents.tolist()):
+        npx, bsum, bcnt = sums[key]
+        row = {
+            "hex7_09": format(key, "x"),
+            "hex7_03": format(parent, "x"),
+            "n_px": npx,
+        }
+        for b in range(n_bands):
+            row[f"band_{b + 1}"] = (bsum[b] / bcnt[b]) if bcnt[b] else None
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    out.to_parquet(os.path.join(FIXDIR, "hex7_pixel_index_64.parquet"),
+                   index=False)
+    print(f"hex7_pixel_index_64: {len(out)} rows")
+
+
 def overlay_fixtures(spark):
     """Pinned overlay partials for the two overlay oracle queries (same
     inputs as __spark_entry__): the oracle re-aggregates these in SQL and
@@ -90,6 +147,7 @@ def overlay_fixtures(spark):
 def main():
     os.makedirs(FIXDIR, exist_ok=True)
     image_stats_fixture()
+    pixel_index_fixture()
 
     from raster2dggs_spark.session import get_spark
 
