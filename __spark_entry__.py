@@ -760,14 +760,20 @@ def q_s2_pixel_index(spark, sf_dir):
 
 
 def q_s2_pixel_index_full(spark, sf_dir):
-    """The round-1 rows-only variant over the full 64-tile generator mix
-    (all scenarios/CRS paths), kept for breadth."""
+    """The full 64-tile generator mix (all scenarios incl. EPSG:3857) on
+    the S2 grid — oracle-checked against the independent single-node
+    replay fixture like the flagship."""
     from raster2dggs_spark.sources import images_spark_df
-    from raster2dggs_spark.operators.indexing import index_point_agg, to_reference_output
+    from raster2dggs_spark.operators.indexing import index_point_agg
 
     imgs = images_spark_df(spark, 64, seed=42)
-    return to_reference_output(index_point_agg(imgs, res=14, dggs="s2", agg="mean"),
-                               "s2", 14, 6)
+    out = index_point_agg(imgs, res=14, dggs="s2", agg="mean")
+    return out.select(
+        F.lower(F.hex("cell")).alias("s2_14"),
+        F.lower(F.hex("parent")).alias("s2_06"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
 
 
 def q_sample_bilinear_s2(spark, sf_dir):
@@ -2026,6 +2032,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
         "compact_cells": _compact_sql(),
         "s2_pixel_index": _s2_sql(11, 3),
+        "s2_pixel_index_full": f"""
+            SELECT s2_14, s2_06, CAST(n_px AS BIGINT) AS n_px,
+                   {", ".join(f"round(band_{i}, 4) AS band_{i}"
+                              for i in range(1, 5))}
+            FROM read_parquet('{_FIXDIR}/s2_pixel_index_64.parquet')
+        """,
         "hex7_pixel_index": f"""
             SELECT hex7_09, hex7_03, CAST(n_px AS BIGINT) AS n_px,
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"

@@ -117,6 +117,60 @@ def pixel_index_fixture():
     print(f"hex7_pixel_index_64: {len(out)} rows")
 
 
+def s2_pixel_index_fixture():
+    """Same single-node replay as the hex7 flagship, on the S2 grid at
+    res 14 (covers every generator scenario incl. the EPSG:3857 path)."""
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.dggs import s2lib
+    from raster2dggs_spark.geo import pixel_centers_lonlat
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    res, parent_res, n_bands = 14, 6, 4
+    sums: dict = {}
+    for r in generate_images_pdf(64, seed=42).itertuples(index=False):
+        arr = decode_image(r.bytes).astype(np.float64)
+        nd = r.nodata
+        if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            arr = np.where(arr == np.float32(nd), np.nan, arr)
+        k, h, w = arr.shape
+        affine = (r.affine_a, r.affine_b, r.affine_c,
+                  r.affine_d, r.affine_e, r.affine_f)
+        lon, lat = pixel_centers_lonlat(affine, w, h, r.crs)
+        vals = arr.reshape(k, h * w)
+        keep = ~np.all(np.isnan(vals), axis=0)
+        if not keep.any():
+            continue
+        cells = s2lib.lonlat_to_cell(lon[keep], lat[keep], res)
+        vals = vals[:, keep]
+        for c_idx in range(cells.shape[0]):
+            key = int(cells[c_idx])
+            slot = sums.setdefault(key, [0, [0.0] * n_bands, [0] * n_bands])
+            slot[0] += 1
+            for b in range(k):
+                x = vals[b, c_idx]
+                if np.isfinite(x):
+                    slot[1][b] += x
+                    slot[2][b] += 1
+    cells = np.array(sorted(sums), dtype=np.int64)
+    parents = s2lib.cell_to_parent(cells, parent_res)
+    rows = []
+    for key, parent in zip(cells.tolist(), parents.tolist()):
+        npx, bsum, bcnt = sums[key]
+        row = {
+            # ids with face >= 4 are negative int64: hex the uint64 view
+            "s2_14": format(key % (1 << 64), "x"),
+            "s2_06": format(parent % (1 << 64), "x"),
+            "n_px": npx,
+        }
+        for b in range(n_bands):
+            row[f"band_{b + 1}"] = (bsum[b] / bcnt[b]) if bcnt[b] else None
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    out.to_parquet(os.path.join(FIXDIR, "s2_pixel_index_64.parquet"),
+                   index=False)
+    print(f"s2_pixel_index_64: {len(out)} rows")
+
+
 def overlay_fixtures(spark):
     """Pinned overlay partials for the two overlay oracle queries (same
     inputs as __spark_entry__): the oracle re-aggregates these in SQL and
@@ -148,6 +202,7 @@ def main():
     os.makedirs(FIXDIR, exist_ok=True)
     image_stats_fixture()
     pixel_index_fixture()
+    s2_pixel_index_fixture()
 
     from raster2dggs_spark.session import get_spark
 
