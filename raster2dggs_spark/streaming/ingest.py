@@ -93,9 +93,11 @@ def index_images_stream(
     )
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_cell_partials(batch_df, res, dggs)
-        if out.isEmpty():
+        # probe the cheap INPUT side (limit-1 scan), not the aggregated
+        # output — isEmpty on `out` would run the whole pipeline twice
+        if batch_df.isEmpty():
             return
+        out = batch_cell_partials(batch_df, res, dggs)
         table.write(
             out, "parent", mode="append",
             lineage={
