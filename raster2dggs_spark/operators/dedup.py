@@ -87,9 +87,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     blow-up at scale and DEFAULTS ON (1000): a bucket of B docs yields B²
     pairs, and giant buckets signal boilerplate that exact-dedup or a
     finer shingle handles better, so buckets with more than N members are
-    skipped.  The SQL oracle twin applies the identical
-    count-over-(band,bkey) filter, so the capped semantics stay
-    hash-checked.  ``None`` disables the cap (exact candidate set)."""
+    skipped.  The SQL oracle twin's count-over-(band,bkey) filter keeps
+    identical semantics, so the capped output stays hash-checked.
+    ``None`` disables the cap (exact candidate set).
+
+    The cap is enforced as groupBy-count → broadcast anti-join, NOT a
+    window count: Window.partitionBy(band,bkey) would shuffle every row
+    of a hot bucket onto one task before dropping it — the exact stall
+    the cap exists to prevent — while groupBy's partial aggregation
+    absorbs the hot key map-side and the over-cap key set (tiny by
+    construction) broadcasts."""
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     band_cols = []
@@ -102,14 +109,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bkey")
-        buckets = (
-            buckets.withColumn("__n", F.count(F.lit(1)).over(w))
-            .where(F.col("__n") <= max_bucket)
-            .drop("__n")
+        hot = (
+            buckets.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("band", "bkey")
         )
+        buckets = buckets.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
@@ -137,17 +143,20 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     join rows at corpus scale.  The cap is part of the operator's defined
     semantics (sets are the DF-filtered shingle sets) so the SQL oracle
     twin applies the identical filter and the result stays hash-checked.
-    ``None`` disables the cap."""
+    ``None`` disables the cap.
+
+    Enforced as groupBy-count → broadcast anti-join (not a window count,
+    which would single-task the hot shingle it exists to defang — see
+    minhash_lsh_pairs)."""
     sh = word_shingles(df, id_col, text_col, n)
     if max_df is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(w))
-            .where(F.col("__df") <= max_df)
-            .drop("__df")
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

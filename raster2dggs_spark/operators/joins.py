@@ -209,11 +209,15 @@ def polygon_cover_cells(vx, vy, res: int, dggs: str = "hex7"):
             break
 
     # --- final classification at res ------------------------------------
+    # same 1/cos(lat) lon-distortion factor as the descent margins: edge
+    # distances are raw degrees but a cell's lon extent is ~pitch/cos(lat),
+    # so without it a high-latitude edge-straddling cell could be marked
+    # interior and skip the exact raycast
     pitch_deg = _pitch_deg(res, dggs)
     if cells.size:
         center_in, mind = _centers_edge_dist(cells, vx, vy, dggs)
-        interior = center_in & (mind > 1.3 * pitch_deg)
-        boundary = ~interior & (center_in | (mind <= 1.3 * pitch_deg))
+        interior = center_in & (mind > 1.3 * distort * pitch_deg)
+        boundary = ~interior & (center_in | (mind <= 1.3 * distort * pitch_deg))
         sel2 = interior | boundary
         out_cells = [cells[sel2]]
         out_int = [interior[sel2]]

@@ -86,14 +86,23 @@ def _coverage_samples(affine, w, h, crs, s, res, dggs):
     """(cells, pix, weight) coverage samples for one tile.
 
     Adaptive supersampling: encode the (w+1)x(h+1) pixel-CORNER grid
-    first; a pixel whose 4 corners share one cell lies wholly inside it
-    (cells are convex in the local projection plane), so it contributes
-    a single weight-1 sample.  Only straddling pixels get the full SxS
-    subsample treatment (weight 1/s² each).  Output is EXACTLY the full
-    supersample partition (Σ weights per pixel = 1) at a fraction of the
-    encode cost when pixels are small relative to cells — the 100-TB
-    lever for fine rasters on coarse grids.  Falls back to the dense
-    grid when pixels are cell-sized (everything straddles anyway)."""
+    first; a pixel whose 4 corners share one cell is treated as wholly
+    inside it and contributes a single weight-1 sample.  Only straddling
+    pixels get the full SxS subsample treatment (weight 1/s² each).
+    Σ weights per pixel = 1 always holds (a valid coverage partition,
+    mass conservation exact), and for grids whose cells are lon/lat
+    rectangles (geohash, maidenhead) 4-corners-in ⇒ pixel-in is an
+    identity, so the output equals the full supersample partition
+    bit-for-bit.  For curved-boundary grids (hex7/s2/rhp, whose edges
+    are not straight lines in lon/lat — rhp additionally has cap
+    seams) it is an approximation: a corner-agreeing pixel can poke
+    marginally into a neighbour cell, bounded by the edge's sagitta
+    over one pixel, O((px/pitch)²·pitch) — negligible exactly in the
+    regime the fast path targets (px ≤ 0.25·pitch, where the bound is
+    <6% of one subsample's weight).  Cost is a fraction of the dense
+    encode — the 100-TB lever for fine rasters on coarse grids.  Falls
+    back to the dense grid when pixels are cell-sized (everything
+    straddles anyway)."""
     from raster2dggs_spark.dggs import cover
 
     pitch = cover.pitch_deg(res, dggs)

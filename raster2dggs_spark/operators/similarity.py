@@ -102,7 +102,8 @@ def ivf_topk(queries: DataFrame, targets: DataFrame, centroids: DataFrame,
 
 
 def train_centroids(vectors: DataFrame, k: int, iters: int = 5,
-                    v_id: str = "vec_id", v_vec: str = "embedding") -> DataFrame:
+                    v_id: str = "vec_id", v_vec: str = "embedding",
+                    round_dp: int | None = None) -> DataFrame:
     """Distributed Lloyd iterations for IVF centroids — the scale path's
     replacement for "first k vectors" seeding on real data.
 
@@ -111,7 +112,14 @@ def train_centroids(vectors: DataFrame, k: int, iters: int = 5,
     iteration is one broadcast-assign (cross join vs k centroids, argmin
     by cosine) plus one groupBy mean over exploded dimensions — two
     narrow shuffles per iter, driver-synced like the kNN radius rounds.
-    Empty clusters keep their previous centroid."""
+    Empty clusters keep their previous centroid.
+
+    ``round_dp``: round centroid components to this many decimals after
+    every iteration.  Makes the result bit-reproducible across engines
+    and summation orders (Spark's partial/final avg vs a sequential
+    replay differ in the last ulp; rounding each iteration's output
+    stops the divergence from compounding) — negligible effect on
+    cluster quality, used by the oracle-checked driver query."""
     from pyspark.sql import Window
 
     v = vectors.select(F.col(v_id), _as_double(F.col(v_vec)).alias("__v"))
@@ -134,6 +142,8 @@ def train_centroids(vectors: DataFrame, k: int, iters: int = 5,
         dims = best.select(
             "c_id", F.posexplode("__v").alias("pos", "x")
         ).groupBy("c_id", "pos").agg(F.avg("x").alias("m"))
+        if round_dp is not None:
+            dims = dims.withColumn("m", F.round("m", round_dp))
         new = dims.groupBy("c_id").agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("pos"), F.col("m")))
@@ -145,6 +155,11 @@ def train_centroids(vectors: DataFrame, k: int, iters: int = 5,
         ).select(
             "c_id", F.coalesce(F.col("c_vec"), F.col("__old")).alias("c_vec")
         )
+        # truncate the lineage per iteration (same hygiene as the kNN
+        # radius rounds, joins.py): without this the final plan chains
+        # every crossJoin+window of every prior iteration — planning
+        # time and recomputation grow ~linearly in iters
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 

@@ -43,18 +43,24 @@ def checkpointed_write(
     before any commit — the orphan-duplication scenario)."""
     done = table.committed_partitions()
     done_vals = [p.split("=", 1)[1] for p in done]
+    # null-safe partition key: isin() is NULL (dropped) for null keys,
+    # which would silently lose the __HIVE_DEFAULT_PARTITION__ rows on
+    # resume — coalesce to the hive null-partition token first (that is
+    # also exactly the directory name a committed null partition has)
+    key = F.coalesce(F.col(partition_by).cast("string"),
+                     F.lit("__HIVE_DEFAULT_PARTITION__"))
     todo = df
     if done_vals:
-        todo = df.where(~F.col(partition_by).cast("string").isin(done_vals))
+        todo = df.where(~key.isin(done_vals))
     if fail_after_partitions is not None:
         keep = [
             r[0]
             for r in (
-                todo.select(F.col(partition_by).cast("string")).distinct()
-                .orderBy(partition_by).limit(fail_after_partitions).collect()
+                todo.select(key.alias("__k")).distinct()
+                .orderBy("__k").limit(fail_after_partitions).collect()
             )
         ]
-        partial = todo.where(F.col(partition_by).cast("string").isin(keep))
+        partial = todo.where(key.isin(keep))
         table.write(partial, partition_by, mode="append",
                     lineage={**(lineage or {}), "partial": True})
         raise RuntimeError("simulated failure after partial commit")

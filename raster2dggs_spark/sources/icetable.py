@@ -169,15 +169,30 @@ class IceTable:
             raise FileNotFoundError(f"snapshot v{snap['version']} lists no files")
         return spark.read.option("basePath", self.data_dir).parquet(*files)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_s: float = 0.0) -> list[str]:
         """Delete data files not referenced by the current snapshot
-        (orphans from crashed appends).  Returns the removed paths."""
+        (orphans from crashed appends).  Returns the removed paths.
+
+        SAFETY: only run while no writer is active — an in-flight append
+        between its parquet write and its commit looks exactly like an
+        orphan (the same window snapshot isolation protects readers
+        from).  Refuses to run on a table with no committed snapshot
+        (every file would be "orphan").  For shared tables pass
+        ``min_age_s`` so only files older than a retention window are
+        removed (the Iceberg remove_orphan_files pattern)."""
         snap = self.snapshot()
-        live = ({f for m in snap["manifests"] for f in m["files"]}
-                if snap else set())
+        if snap is None:
+            raise RuntimeError(
+                f"refusing to vacuum {self.root}: no committed snapshot — "
+                "every data file would be treated as an orphan"
+            )
+        live = {f for m in snap["manifests"] for f in m["files"]}
+        now = time.time()
         removed = []
         for rel in self._list_data_files() - live:
             fp = os.path.join(self.root, rel)
+            if min_age_s > 0 and now - os.path.getmtime(fp) < min_age_s:
+                continue
             os.remove(fp)
             crc = os.path.join(os.path.dirname(fp),
                                f".{os.path.basename(fp)}.crc")

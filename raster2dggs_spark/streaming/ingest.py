@@ -20,6 +20,14 @@ Two recovery layers compose:
 - the IceTable commit is snapshot-isolated (sources/icetable.py): a
   crash between a batch's parquet write and its commit leaves invisible
   orphans and the restarted batch re-runs idempotently.
+
+foreachBatch alone is only at-least-once: a crash AFTER the IceTable
+commit but BEFORE Structured Streaming records the batch in its
+checkpoint re-runs the batch on restart.  ``commit_batch`` therefore
+checks the table's committed lineage for this stream's ``batch_id``
+before writing and skips batches already published (the standard
+foreachBatch idempotent-sink pattern) — together the two layers are
+exactly-once for this single-writer table.
 """
 
 from __future__ import annotations
@@ -74,6 +82,48 @@ def finish_mean(partials: DataFrame, n_bands: int = 4) -> DataFrame:
     return g.select(*out)
 
 
+def last_committed_batch(table: IceTable, checkpoint_dir: str) -> int:
+    """Highest batch_id this stream (keyed by its checkpoint dir) has
+    committed to ``table``, or -1.  Walks snapshots newest-first so
+    interleaved non-stream commits to the same table don't mask it."""
+    for v in range(table.current_version(), 0, -1):
+        lin = (table.snapshot(v) or {}).get("lineage", {})
+        if (lin.get("operator") == "index_images_stream"
+                and lin.get("checkpoint_dir") == checkpoint_dir
+                and "batch_id" in lin):
+            return int(lin["batch_id"])
+    return -1
+
+
+def make_commit_batch(table: IceTable, res: int, dggs: str,
+                      input_path: str, checkpoint_dir: str):
+    """The foreachBatch sink, idempotent under re-delivery: a crash AFTER
+    the IceTable commit but BEFORE the streaming checkpoint records the
+    batch re-runs it on restart — already-committed batch_ids are skipped
+    (batches commit in order for a single-writer stream)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= last_committed_batch(table, checkpoint_dir):
+            return
+        # probe the cheap INPUT side (limit-1 scan), not the aggregated
+        # output — isEmpty on `out` would run the whole pipeline twice
+        if batch_df.isEmpty():
+            return
+        out = batch_cell_partials(batch_df, res, dggs)
+        table.write(
+            out, "parent", mode="append",
+            lineage={
+                "operator": "index_images_stream",
+                "batch_id": int(batch_id),
+                "res": res, "dggs": dggs,
+                "input_path": input_path,
+                "checkpoint_dir": checkpoint_dir,
+            },
+        )
+
+    return commit_batch
+
+
 def index_images_stream(
     spark: SparkSession,
     input_path: str,
@@ -91,23 +141,8 @@ def index_images_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_path)
     )
-
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # probe the cheap INPUT side (limit-1 scan), not the aggregated
-        # output — isEmpty on `out` would run the whole pipeline twice
-        if batch_df.isEmpty():
-            return
-        out = batch_cell_partials(batch_df, res, dggs)
-        table.write(
-            out, "parent", mode="append",
-            lineage={
-                "operator": "index_images_stream",
-                "batch_id": int(batch_id),
-                "res": res, "dggs": dggs,
-                "input_path": input_path,
-            },
-        )
-
+    commit_batch = make_commit_batch(table, res, dggs, input_path,
+                                     checkpoint_dir)
     return (
         stream.writeStream.foreachBatch(commit_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -145,3 +145,17 @@ def test_hyperplane_near_dup(spark, vectors):
     # non-twin pairs that slip through buckets are cosine-verified: with
     # clustered vectors some legitimately exceed the threshold, but every
     # reported pair must satisfy it (checked above)
+
+
+def test_train_centroids_plan_depth_bounded(spark, vectors):
+    """Round-2 advice: each Lloyd iteration localCheckpoints, so the
+    returned plan is a materialized scan — not a chain of every prior
+    iteration's crossJoin+window (which re-derives all iterations and
+    grows planning time linearly)."""
+    from raster2dggs_spark.operators.similarity import train_centroids
+
+    _vecs, df, _cdf = vectors
+    cents = train_centroids(df, k=3, iters=6)
+    plan = cents._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert cents.count() == 3

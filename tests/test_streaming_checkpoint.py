@@ -259,3 +259,99 @@ def test_streaming_ingest_equals_batch(spark, tmp_path):
                            rtol=1e-12, atol=1e-12)
     # lineage carries batch ids
     assert "batch_id" in table.snapshot()["lineage"]
+
+
+def test_foreachbatch_redelivery_idempotent(spark, tmp_path):
+    """Round-2 advice: foreachBatch is at-least-once — a batch whose
+    IceTable commit landed but whose streaming checkpoint didn't is
+    re-delivered on restart and must NOT double-count.  The sink skips
+    batch_ids already in the committed lineage."""
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_images_pdf,
+    )
+    from raster2dggs_spark.sources.icetable import IceTable
+    from raster2dggs_spark.streaming.ingest import (
+        last_committed_batch, make_commit_batch,
+    )
+
+    pdf = generate_images_pdf(6, seed=7)
+    b0 = spark.createDataFrame(pdf.iloc[:3], IMAGE_SCHEMA)
+    b1 = spark.createDataFrame(pdf.iloc[3:], IMAGE_SCHEMA)
+    table = IceTable(str(tmp_path / "t"))
+    cb = make_commit_batch(table, res=6, dggs="hex7",
+                           input_path="mem://", checkpoint_dir="ckpt-a")
+
+    cb(b0, 0)
+    v_after_b0 = table.current_version()
+    rows_after_b0 = table.snapshot()["total_rows"]
+    assert last_committed_batch(table, "ckpt-a") == 0
+
+    # re-delivery of batch 0 (restart after commit, before checkpoint)
+    cb(b0, 0)
+    assert table.current_version() == v_after_b0  # no new snapshot
+    assert table.snapshot()["total_rows"] == rows_after_b0
+
+    # the next batch still applies; a different stream is independent
+    cb(b1, 1)
+    assert last_committed_batch(table, "ckpt-a") == 1
+    assert table.snapshot()["total_rows"] > rows_after_b0
+    assert last_committed_batch(table, "ckpt-b") == -1
+
+
+def test_vacuum_guards(spark, tmp_path):
+    """Round-2 advice: vacuum on a table with no committed snapshot would
+    treat every live file as an orphan — it must refuse; min_age_s keeps
+    young files (the in-flight-writer window)."""
+    from raster2dggs_spark.sources.icetable import IceTable
+
+    table = IceTable(str(tmp_path / "t"))
+    df = spark.range(10).select(
+        (F.col("id") % 2).cast("string").alias("k"), F.col("id").alias("v")
+    )
+    # data exists but nothing committed -> refuse
+    df.write.partitionBy("k").parquet(table.data_dir)
+    with pytest.raises(RuntimeError, match="no committed snapshot"):
+        table.vacuum()
+    assert table._list_data_files()  # nothing was deleted
+
+    table.write(df, "k", mode="overwrite")
+    # orphan from a "crashed" (or in-flight) writer
+    df.write.mode("append").partitionBy("k").parquet(table.data_dir)
+    orphans = table._list_data_files() - {
+        f for m in table.snapshot()["manifests"] for f in m["files"]
+    }
+    assert orphans
+    # young files survive an age-gated vacuum (in-flight writer window)
+    assert table.vacuum(min_age_s=3600) == []
+    assert table.vacuum() and not (
+        table._list_data_files()
+        - {f for m in table.snapshot()["manifests"] for f in m["files"]}
+    )
+
+
+def test_resume_keeps_null_partition(spark, tmp_path):
+    """Round-2 advice: the resume filter must be null-safe — rows whose
+    partition key is NULL land in __HIVE_DEFAULT_PARTITION__ and must
+    survive a resumed write, not vanish to a NULL isin()."""
+    from raster2dggs_spark.plans.checkpoint import checkpointed_write
+    from raster2dggs_spark.sources.icetable import IceTable
+
+    table = IceTable(str(tmp_path / "t"))
+    df = spark.range(100).select(
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    # phase 1: only the non-null partitions get committed
+    checkpointed_write(df.where(F.col("k").isNotNull()), table, "k")
+    assert len(table.read(spark).toPandas()) == 66
+    # phase 2: resume with the full input — the NULL-key rows are the
+    # missing slice and must be written exactly once
+    checkpointed_write(df, table, "k")
+    out = table.read(spark).toPandas()
+    assert len(out) == 100
+    assert sorted(out["v"]) == list(range(100))
+    assert out["k"].isna().sum() == 34
+    # a second resume is a no-op (the null partition is now committed)
+    checkpointed_write(df, table, "k")
+    assert len(table.read(spark).toPandas()) == 100
