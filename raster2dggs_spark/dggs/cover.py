@@ -81,8 +81,23 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int,
     step = pitch_deg(res, dggs) * 0.35
     lat_lo = max(-90.0, lat_min - step)
     lat_hi = min(90.0, lat_max + step)
-    coslat = max(0.05, np.cos(np.radians(max(abs(lat_lo), abs(lat_hi)))))
-    lon_step = step / coslat
+    if dggs in ("geohash", "maidenhead"):
+        # cells are lon/lat rectangles with CONSTANT lon width in
+        # degrees — never stretch the lon step
+        lon_step = step
+    else:
+        # quasi-equal-area grids (s2/rhp): cell lon extent in degrees is
+        # ~pitch/cos(lat), narrowest at the lowest |lat| in the bbox —
+        # stretch by that cos (conservative at every other latitude;
+        # the extreme lat instead skips whole cell columns on the
+        # equatorial side of a wide-lat bbox)
+        if lat_lo <= 0.0 <= lat_hi:
+            coslat = 1.0
+        else:
+            coslat = max(
+                0.05, float(np.cos(np.radians(min(abs(lat_lo), abs(lat_hi)))))
+            )
+        lon_step = step / coslat
     lons = np.arange(lon_min - lon_step, lon_max + 2 * lon_step, lon_step)
     lats = np.arange(lat_lo, lat_hi + step, step)
     if lons.size * lats.size > max_samples:

@@ -740,7 +740,15 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int, max_samples: int = 
     (reference F14 semantics, overlay.py:111-123)."""
     pitch_deg = np.degrees(cell_pitch_rad(res)) * 0.35
     lat_lo, lat_hi = lat_min - pitch_deg, lat_max + pitch_deg
-    coslat = max(0.05, np.cos(np.radians(max(abs(lat_lo), abs(lat_hi)))))
+    # cells keep ~constant physical size, so their lon extent in degrees
+    # is ~pitch/cos(lat): within the bbox they are NARROWEST at the
+    # lowest |lat| — stretch the lon step by that cos (conservative for
+    # every other latitude row; using the extreme lat instead skips
+    # whole cell columns near the equatorial side of a wide-lat bbox)
+    if lat_lo <= 0.0 <= lat_hi:
+        coslat = 1.0
+    else:
+        coslat = max(0.05, np.cos(np.radians(min(abs(lat_lo), abs(lat_hi)))))
     lon_step = pitch_deg / coslat
     lons = np.arange(lon_min - lon_step, lon_max + 2 * lon_step, lon_step)
     lats = np.arange(lat_lo, lat_hi + pitch_deg, pitch_deg)

@@ -212,6 +212,34 @@ def sample_cells(
     return dedupe_first(raw, ["cell"], ["image_id"]).drop("image_id")
 
 
+def _tile_extent_deg(images: DataFrame) -> float:
+    """Max tile extent in degrees — a single scalar agg over metadata
+    columns only (bounded driver data, like the kNN radius stats)."""
+    m = images.select(
+        F.greatest(
+            F.abs(F.col("affine_a")) * F.col("w"),
+            F.abs(F.col("affine_e")) * F.col("h"),
+        ).alias("ext"),
+        F.col("crs"),
+    ).select(
+        F.when(F.col("crs") == "EPSG:3857", F.col("ext") / 111_195.0)
+        .otherwise(F.col("ext")).alias("ext_deg")
+    ).agg(F.max("ext_deg").alias("m")).collect()
+    return float(m[0]["m"])
+
+
+def _routing_res(extent_deg: float) -> int:
+    """Finest geohash res whose cell pitch still covers one tile — keeps
+    the per-tile cover at ~<=9 cells while cells stay as small as the
+    data allows (fewer candidate tiles per point)."""
+    from raster2dggs_spark.dggs import cover
+
+    r = 1
+    while r < 12 and cover.pitch_deg(r + 1, "geohash") >= extent_deg:
+        r += 1
+    return r
+
+
 def sample_points(
     images: DataFrame,
     points: DataFrame,
@@ -220,19 +248,42 @@ def sample_points(
     id_col: str = "point_id",
     lon_col: str = "lon",
     lat_col: str = "lat",
+    strategy: str = "auto",
+    broadcast_threshold: int = 64,
 ) -> DataFrame:
     """Interpolate raster values at arbitrary lon/lat points (the vector-
     point extraction twin of ``sample_cells`` — same kernels, same
     center-registration -0.5 contract).
 
-    The image table is the *small* side (a broadcast dimension): payloads
-    are collected once on the driver and shipped in the UDF closure, so
-    the big point side is a single ``mapInPandas`` pass with no shuffle.
-    For image tables beyond broadcast size, route points to tiles via the
-    cell index first (polygon_cells on tile bboxes + equi-join) and apply
-    the same kernel per group.  Points covered by several tiles take the
-    lowest image_id (the sample_cells dedupe rule); points outside every
-    tile yield NaN."""
+    Two physical strategies, same semantics (points covered by several
+    tiles take the lowest image_id — the sample_cells dedupe rule;
+    points outside every tile yield NaN):
+
+    - ``collect`` — the image table is a small broadcast dimension:
+      payloads ship in the UDF closure, the big point side is one
+      ``mapInPandas`` pass with no shuffle.  Only safe for small image
+      tables (driver memory!).
+    - ``join`` — the 100-TB path, no driver collect of payloads: tile
+      bboxes are covered with coarse geohash routing cells (pitch >= one
+      tile, so <=~9 cells/tile), points encode to the same cells, and a
+      cell equi-join routes each point to its candidate tiles; a cogroup
+      on image_id then evaluates the kernel per tile group — each
+      payload crosses the shuffle exactly once, points are the only
+      replicated rows.  Ownership resolves with a deterministic
+      dedupe-first, and a final left join restores the
+      outside-every-tile NaN rows.
+
+    ``auto`` probes ``limit(broadcast_threshold+1).count()`` (bounded
+    work) and picks collect only for genuinely small image tables."""
+    if strategy not in ("auto", "collect", "join"):
+        raise ValueError(strategy)
+    if strategy == "auto":
+        n = _prune(images).limit(broadcast_threshold + 1).count()
+        strategy = "collect" if n <= broadcast_threshold else "join"
+    if strategy == "join":
+        return _sample_points_join(
+            images, points, kernel, n_bands, id_col, lon_col, lat_col
+        )
     img_rows = [r.asDict() for r in _prune(images).collect()]
     bcols = band_cols(n_bands)
     schema = T.StructType(
@@ -293,3 +344,158 @@ def sample_points(
             yield pd.DataFrame(data)
 
     return points.mapInPandas(fn, schema)
+
+
+def _sample_points_join(
+    images: DataFrame,
+    points: DataFrame,
+    kernel: str,
+    n_bands: int,
+    id_col: str,
+    lon_col: str,
+    lat_col: str,
+) -> DataFrame:
+    """The no-driver-collect strategy of ``sample_points`` (see there)."""
+    from raster2dggs_spark.operators.aggregates import dedupe_first
+
+    bcols = band_cols(n_bands)
+    extent = _tile_extent_deg(images)
+    rres = _routing_res(extent)
+    imgs = _prune(images)
+
+    # --- tile side: (image_id, routing cell) for every cell whose area
+    # intersects the tile bbox (cover of the bbox padded by one cell
+    # pitch — guarantees any point inside the tile shares a cell).
+    # Metadata-only scan: payload bytes never enter this pass -----------
+    meta = images.select(
+        "image_id", "w", "h", "affine_a", "affine_b", "affine_c",
+        "affine_d", "affine_e", "affine_f", "crs",
+    )
+    tc_schema = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("__cell", T.LongType(), False),
+    ])
+
+    def tile_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.dggs import cover
+        from raster2dggs_spark.geo import apply_affine, mercator_to_lonlat
+
+        pitch = cover.pitch_deg(rres, "geohash")
+        for pdf in batches:
+            ids, cells = [], []
+            for row in pdf.itertuples(index=False):
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                cs = np.array([0.0, row.w, 0.0, row.w])
+                rs = np.array([0.0, 0.0, row.h, row.h])
+                x, y = apply_affine(affine, cs, rs)
+                if row.crs == "EPSG:3857":
+                    lons, lats = mercator_to_lonlat(x, y)
+                else:
+                    lons, lats = x, y
+                c = cover.cover_bbox(
+                    lons.min() - pitch, max(-90.0, lats.min() - pitch),
+                    lons.max() + pitch, min(90.0, lats.max() + pitch),
+                    rres, dggs="geohash",
+                )
+                ids.append(np.repeat(row.image_id, c.shape[0]))
+                cells.append(c.astype(np.int64))
+            if ids:
+                yield pd.DataFrame({
+                    "image_id": np.concatenate(ids),
+                    "__cell": np.concatenate(cells),
+                })
+
+    tc = meta.mapInPandas(tile_cells, tc_schema)
+
+    # --- point side: encode to the same routing cells ------------------
+    @F.pandas_udf(T.LongType())
+    def pt_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from raster2dggs_spark.dggs import geohashlib
+
+        return pd.Series(geohashlib.lonlat_to_cell(
+            lon.values.astype(np.float64), lat.values.astype(np.float64),
+            rres,
+        ))
+
+    pt = points.select(
+        F.col(id_col), F.col(lon_col).cast("double").alias(lon_col),
+        F.col(lat_col).cast("double").alias(lat_col),
+    ).withColumn("__cell", pt_cell(F.col(lon_col), F.col(lat_col)))
+    cand = pt.join(tc, "__cell").drop("__cell")
+
+    # --- kernel per tile group (cogroup: payload crosses the shuffle
+    # exactly once; candidate points are the replicated side) -----------
+    hit_schema = T.StructType(
+        [
+            T.StructField(id_col, points.schema[id_col].dataType, False),
+            T.StructField("image_id", T.StringType(), False),
+        ]
+        + [T.StructField(c, T.DoubleType(), True) for c in bcols]
+    )
+    kern = kernel
+
+    def eval_group(limgs: pd.DataFrame, lpts: pd.DataFrame) -> pd.DataFrame:
+        from raster2dggs_spark.geo import (
+            apply_affine, invert_affine, lonlat_to_mercator,
+        )
+
+        if not len(limgs) or not len(lpts):
+            return pd.DataFrame(
+                {id_col: [], "image_id": [], **{c: [] for c in bcols}}
+            )
+        out = []
+        lon = lpts[lon_col].values.astype(np.float64)
+        lat = lpts[lat_col].values.astype(np.float64)
+        for row, arr in _decode_rows(limgs, None):
+            k, h, w = arr.shape
+            affine = (row.affine_a, row.affine_b, row.affine_c,
+                      row.affine_d, row.affine_e, row.affine_f)
+            if row.crs == "EPSG:3857":
+                px, py = lonlat_to_mercator(lon, lat)
+            else:
+                px, py = lon, lat
+            inv = invert_affine(affine)
+            col_p, row_p = apply_affine(inv, px, py)
+            hit = (col_p >= 0) & (col_p <= w) & (row_p >= 0) & (row_p <= h)
+            if not hit.any():
+                continue
+            col_f = col_p[hit] - 0.5
+            row_f = row_p[hit] - 0.5
+            data = {
+                id_col: lpts[id_col].values[hit],
+                "image_id": np.repeat(row.image_id, int(hit.sum())),
+            }
+            for i, c in enumerate(bcols):
+                if i < k:
+                    data[c] = _stencil_sample(
+                        arr[i].astype(np.float64), col_f, row_f, kern
+                    )
+                else:
+                    data[c] = np.full(int(hit.sum()), np.nan)
+            out.append(pd.DataFrame(data))
+        if not out:
+            return pd.DataFrame(
+                {id_col: [], "image_id": [], **{c: [] for c in bcols}}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    hits = (
+        imgs.groupby("image_id")
+        .cogroup(cand.groupby("image_id"))
+        .applyInPandas(eval_group, hit_schema)
+    )
+
+    # ownership: lowest image_id wins (sample_cells J4 rule)
+    owned = dedupe_first(hits, [id_col], ["image_id"]).drop("image_id")
+
+    # restore outside-every-tile points as NaN rows (collect-path parity:
+    # NaN, not NULL)
+    out = pt.drop("__cell").join(owned, id_col, "left")
+    return out.select(
+        id_col, lon_col, lat_col,
+        *[
+            F.coalesce(F.col(c), F.lit(float("nan"))).alias(c)
+            for c in bcols
+        ],
+    )

@@ -58,3 +58,34 @@ def test_sample_cells_s2(spark):
     assert len(out) > 0
     vals = out["band_1"].dropna().unique()
     assert set(np.round(vals, 6)) <= {42.0, -9999.0}
+
+
+def test_cover_bbox_wide_lat_no_skipped_columns():
+    """Regression: scaling the lon sampling step by 1/cos(EXTREME bbox
+    lat) skipped whole cell columns near the equatorial side of a
+    wide-latitude bbox (geohash res 1: a 90-deg-tall bbox lost the cell
+    containing an interior point).  Every interior probe point's cell
+    must be in the cover, for every grid."""
+    import numpy as np
+
+    from raster2dggs_spark.dggs import cover
+
+    rng = np.random.default_rng(5)
+    cases = [
+        ("geohash", 1), ("geohash", 2), ("maidenhead", 1),
+        ("s2", 3), ("rhp", 2), ("hex7", 1),
+    ]
+    lon_min, lon_max = -102.23, -10.72
+    lat_min, lat_max = -59.02, 32.50
+    for dggs, res in cases:
+        cells = set(cover.cover_bbox(
+            lon_min, lat_min, lon_max, lat_max, res, dggs=dggs
+        ).tolist())
+        plon = rng.uniform(lon_min + 0.5, lon_max - 0.5, 300)
+        plat = rng.uniform(lat_min + 0.5, lat_max - 0.5, 300)
+        pc = cover.encode(plon, plat, res, dggs)
+        clon, clat = cover.cell_center(pc, dggs)
+        inside = ((clon >= lon_min) & (clon < lon_max)
+                  & (clat >= lat_min) & (clat < lat_max))
+        missing = set(pc[inside].tolist()) - cells
+        assert not missing, f"{dggs} res {res}: cover missed {missing}"

@@ -87,3 +87,85 @@ def test_sample_cells_kernels_run(spark, kern):
     # smooth field: sampled values within the field's range
     v = out["band_1"].dropna()
     assert ((v > 0) & (v < 30)).all()
+
+
+def test_sample_points_join_path_matches_collect(spark):
+    """Round-2 verdict #2: the scale strategy (cell-routed join + cogroup
+    kernel, NO driver collect of payloads) must equal the broadcast
+    strategy bit-for-bit — points x 256 tiles, overlaps resolved by the
+    same lowest-image_id rule, outside-all-tiles points NaN."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.sample import sample_points
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_images_pdf,
+    )
+
+    ipdf = generate_images_pdf(256, seed=11, size_range=(8, 14))
+    imgs = spark.createDataFrame(ipdf, IMAGE_SCHEMA)
+    # points: jittered around tile anchors (so most hit some tile, and
+    # overlapping-tile ownership gets exercised), plus wide scatter and a
+    # far-away point no tile covers (must come back NaN in both paths)
+    rng = np.random.default_rng(3)
+    n = 400
+    anchors = ipdf.sample(n=n - 60, replace=True, random_state=7)
+    near_lon = (anchors["affine_c"].values
+                + rng.uniform(-0.3, 0.8, n - 60) * np.abs(
+                    anchors["affine_a"].values * anchors["w"].values))
+    near_lat = (anchors["affine_f"].values
+                - rng.uniform(-0.3, 0.8, n - 60) * np.abs(
+                    anchors["affine_e"].values * anchors["h"].values))
+    # EPSG:3857 anchors produce out-of-range "lon/lat" — clip into range
+    near_lon = np.clip(near_lon, -179.9, 179.9)
+    near_lat = np.clip(near_lat, -85.0, 85.0)
+    pts = pd.DataFrame({
+        "point_id": np.arange(n, dtype=np.int64),
+        "lon": np.concatenate([near_lon, rng.uniform(-170, 170, 59), [179.5]]),
+        "lat": np.concatenate([near_lat, rng.uniform(-80, 80, 59), [-89.5]]),
+    })
+    pdf = spark.createDataFrame(pts)
+
+    a = (sample_points(imgs, pdf, kernel="bilinear", strategy="collect")
+         .toPandas().sort_values("point_id").reset_index(drop=True))
+    b = (sample_points(imgs, pdf, kernel="bilinear", strategy="join")
+         .toPandas().sort_values("point_id").reset_index(drop=True))
+    assert len(a) == len(b) == n
+    for c in ("band_1", "band_2", "band_3", "band_4"):
+        av, bv = a[c].values.astype(float), b[c].values.astype(float)
+        assert (np.isnan(av) == np.isnan(bv)).all()
+        m = ~np.isnan(av)
+        assert np.array_equal(av[m], bv[m])
+    # the far-away point is NaN in band_1 under both strategies
+    assert np.isnan(b.loc[b.point_id == n - 1, "band_1"].iloc[0])
+    # some points genuinely hit tiles (the comparison is not vacuous)
+    assert (~a["band_1"].isna()).sum() > 50
+
+
+def test_sample_points_auto_picks_join_for_big_tables(spark):
+    """auto strategy must not collect a big image table to the driver."""
+    from raster2dggs_spark.operators import sample as sample_mod
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_images_pdf,
+    )
+    import pandas as pd
+
+    imgs = spark.createDataFrame(
+        generate_images_pdf(80, seed=5, size_range=(8, 10)), IMAGE_SCHEMA
+    )
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": [0, 1], "lon": [0.5, 3.0], "lat": [0.5, 3.0]
+    }))
+    called = {"join": False}
+    orig = sample_mod._sample_points_join
+
+    def spy(*a, **kw):
+        called["join"] = True
+        return orig(*a, **kw)
+
+    sample_mod._sample_points_join = spy
+    try:
+        out = sample_mod.sample_points(imgs, pts, broadcast_threshold=64)
+        out.collect()
+    finally:
+        sample_mod._sample_points_join = orig
+    assert called["join"]
