@@ -415,6 +415,32 @@ def q_zonal_join(spark, sf_dir):
     )
 
 
+def q_pip_join_geohash(spark, sf_dir):
+    """J5 on a second grid: the same PIP machinery (cover cells +
+    ray-cast refinement) routed through geohash cells — the result is
+    grid-independent (exact point membership), so the identical BETWEEN
+    oracle applies.  Guards the grid-generic claim for the flat grids'
+    children/parent arithmetic in the hierarchical descent."""
+    from raster2dggs_spark.operators.joins import point_in_polygon_join
+
+    pts = _customer_points(spark, sf_dir)
+    zones = _nation_rects(spark, sf_dir)
+    out = point_in_polygon_join(pts, zones, res=3, dggs="geohash")
+    return out.select("point_id", "poly_id")
+
+
+def q_knn_join_geohash(spark, sf_dir):
+    """J6 on a second grid: ring-cover candidate generation and bitwise
+    parents on geohash cells; exact haversine top-k is grid-independent,
+    so the hex7 query's oracle applies verbatim."""
+    from raster2dggs_spark.operators.joins import knn_join
+
+    q = _customer_points(spark, sf_dir).withColumnRenamed("point_id", "q_id")
+    t = _supplier_points(spark, sf_dir)
+    out = knn_join(q, t, k=3, radius_m=1_500_000.0, res=8, dggs="geohash")
+    return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline family (documents / embeddings tables)
 # --------------------------------------------------------------------------
@@ -562,17 +588,23 @@ def q_image_stats(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# geospatial family (rows-only driver check; invariants in pytest)
+# geospatial family
 # --------------------------------------------------------------------------
 
 def q_sample_bilinear(spark, sf_dir):
+    """Sample transfer on hex7, oracle-checked against an independent
+    single-node scalar-tap replay (.fixtures/sample_bilinear_hex7_24.
+    parquet — explicit 4-tap bilinear, no Spark, no _stencil_sample):
+    cells_in_bbox → nearest-pixel ownership → kernel → first-wins
+    cross-tile dedupe must reproduce it cell for cell.  Ref semantics:
+    interpolation.py:113-277."""
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.sample import sample_cells
     from raster2dggs_spark.operators.indexing import to_reference_output
 
     imgs = images_spark_df(spark, 24, seed=42, size_range=(16, 24))
-    return to_reference_output(sample_cells(imgs, res=7, kernel="bilinear"),
-                               "hex7", 7, 1)
+    return to_reference_output(sample_cells(imgs, res=6, kernel="bilinear"),
+                               "hex7", 6, 0)
 
 
 def q_overlay_weighted_mean(spark, sf_dir):
@@ -778,14 +810,16 @@ def q_s2_pixel_index_full(spark, sf_dir):
 
 def q_sample_bilinear_s2(spark, sf_dir):
     """Sample transfer on the S2 grid (cells_in_bbox is grid-generic via
-    dggs.cover) — rows-only driver check, kernels pytest-verified."""
+    dggs.cover), oracle-checked against the same independent single-node
+    scalar-tap replay pattern as the hex7 sibling
+    (.fixtures/sample_bilinear_s2_24.parquet)."""
     from raster2dggs_spark.sources import images_spark_df
     from raster2dggs_spark.operators.sample import sample_cells
     from raster2dggs_spark.operators.indexing import to_reference_output
 
     imgs = images_spark_df(spark, 24, seed=42, size_range=(16, 24))
     return to_reference_output(
-        sample_cells(imgs, res=12, kernel="bilinear", dggs="s2"), "s2", 12, 4
+        sample_cells(imgs, res=10, kernel="bilinear", dggs="s2"), "s2", 10, 2
     )
 
 
@@ -999,7 +1033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedupe_first": q_dedupe_first,
         "topk_window": q_topk_window,
         "pip_join": q_pip_join,
+        "pip_join_geohash": q_pip_join_geohash,
         "knn_join": q_knn_join,
+        "knn_join_geohash": q_knn_join_geohash,
         "zonal_join": q_zonal_join,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
@@ -1719,7 +1755,7 @@ def _near_dup_sql(threshold: float = 0.9, n_planes: int = 16,
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "agg_mean_sum_count": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS count_order,
@@ -2044,6 +2080,16 @@ def oracle_sql() -> dict[str, str]:
                               for i in range(1, 5))}
             FROM read_parquet('{_FIXDIR}/hex7_pixel_index_64.parquet')
         """,
+        "sample_bilinear": f"""
+            SELECT hex7_06, hex7_00,
+                   band_1, band_2, band_3, band_4
+            FROM read_parquet('{_FIXDIR}/sample_bilinear_hex7_24.parquet')
+        """,
+        "sample_bilinear_s2": f"""
+            SELECT s2_10, s2_02,
+                   band_1, band_2, band_3, band_4
+            FROM read_parquet('{_FIXDIR}/sample_bilinear_s2_24.parquet')
+        """,
         "sample_cells_maidenhead": _sample_cells_mh_sql(),
         "maidenhead_pixel_index": _maidenhead_sql(),
         "maidenhead_pixel_median": _maidenhead_median_sql(),
@@ -2166,3 +2212,9 @@ def oracle_sql() -> dict[str, str]:
             FROM d QUALIFY rank <= 5
         """,
     }
+    # second-grid spatial joins: PIP is exact point membership and kNN is
+    # exact haversine top-k — both grid-independent, so the hex7 oracles
+    # apply verbatim to the geohash-routed variants
+    out["pip_join_geohash"] = out["pip_join"]
+    out["knn_join_geohash"] = out["knn_join"]
+    return out

@@ -451,26 +451,99 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
             T.StructField("q_lat", T.DoubleType(), False),
             T.StructField("jcell", T.LongType(), False),
         ])
-        # the disk-sample pattern (azimuth, angular distance) is identical
-        # for every query in a round -> precompute once, vectorize across
-        # the whole batch (one encode for all queries)
+        # the disk-sample pattern (azimuth, angular distance) is shared by
+        # every query in a batch -> precompute once per batch, vectorize
+        # across the whole batch (one encode for all queries)
         from raster2dggs_spark.dggs import cover as _cover
 
         ang = radius / EARTH_R
-        pitch = np.radians(_cover.pitch_deg(cres, dggs)) * 0.35
-        steps = int(np.ceil(ang / pitch)) + 1
-        pat_az = [np.array([0.0])]
-        pat_rad = [np.array([0.0])]
-        for rad in np.linspace(0.0, ang, steps + 1)[1:]:
-            kk = max(6, int(np.ceil(2 * np.pi * rad / pitch)))
-            pat_az.append(np.linspace(0.0, 2 * np.pi, kk, endpoint=False))
-            pat_rad.append(np.full(kk, rad))
-        pat_az = np.concatenate(pat_az)
-        pat_rad = np.concatenate(pat_rad)
+        pitch0 = np.radians(_cover.pitch_deg(cres, dggs)) * 0.35
+        fixed_deg_grid = dggs in ("geohash", "maidenhead")
+
+        def disk_pattern(pitch):
+            steps = int(np.ceil(ang / pitch)) + 1
+            pat_az = [np.array([0.0])]
+            pat_rad = [np.array([0.0])]
+            for rad in np.linspace(0.0, ang, steps + 1)[1:]:
+                kk = max(6, int(np.ceil(2 * np.pi * rad / pitch)))
+                pat_az.append(np.linspace(0.0, 2 * np.pi, kk, endpoint=False))
+                pat_rad.append(np.full(kk, rad))
+            return np.concatenate(pat_az), np.concatenate(pat_rad)
+
+        def _ragged_ranges(lo, hi):
+            """Flatten per-row integer ranges [lo_i, hi_i] into
+            (row_index, value) arrays."""
+            counts = (hi - lo + 1).astype(np.int64)
+            total = int(counts.sum())
+            idx = np.repeat(np.arange(lo.shape[0]), counts)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            seq = np.arange(total) - np.repeat(starts, counts)
+            return idx, np.repeat(lo, counts) + seq
+
+        def fn_fixed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # geohash/maidenhead cells are lon/lat rectangles with FIXED
+            # degree spans, so the disk cover is enumerated EXACTLY as
+            # integer index ranges per lat band (conservative lon width
+            # per band) — an angular sampling pattern would need its
+            # pitch shrunk by cos(lat) and blow up near the poles
+            from raster2dggs_spark.dggs import cover, maidenheadlib
+
+            ang_deg = np.degrees(ang)
+            if dggs == "geohash":
+                lonspan = 360.0 / (1 << ((5 * cres + 1) // 2))
+                latspan = 180.0 / (1 << (5 * cres // 2))
+            else:
+                prod = 1
+                for b in maidenheadlib.BASES[:cres]:
+                    prod *= b
+                lonspan, latspan = 360.0 / prod, 180.0 / prod
+            nlon = int(round(360.0 / lonspan))
+            nlat = int(round(180.0 / latspan))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qlon = pdf[lon_col].values.astype(np.float64)
+                qlat = pdf[lat_col].values.astype(np.float64)
+                li0 = np.clip(np.floor((qlat - ang_deg + 90.0) / latspan)
+                              .astype(np.int64), 0, nlat - 1)
+                li1 = np.clip(np.floor((qlat + ang_deg + 90.0) / latspan)
+                              .astype(np.int64), 0, nlat - 1)
+                qi_r, row = _ragged_ranges(li0, li1)
+                band_lo = row * latspan - 90.0
+                band_abs = np.maximum(np.abs(band_lo),
+                                      np.abs(band_lo + latspan))
+                cosb = np.cos(np.radians(np.minimum(band_abs, 89.99)))
+                # 1.2x: a disk's true max lon offset asin(sin a / cos phi)
+                # slightly exceeds a/cos phi — superset is required (the
+                # exact haversine filter prunes), undercover is a miss
+                dlon = np.minimum(180.0, 1.2 * ang_deg / np.maximum(cosb, 1e-9))
+                # pole-crossing disks cover a full cap: any band some of
+                # whose latitudes sit within (ang - pole_distance) of the
+                # pole needs every longitude
+                pole_cap = ang_deg >= ((90.0 - np.abs(qlat[qi_r]))
+                                       + (90.0 - band_abs))
+                dlon = np.where(pole_cap, 180.0, dlon)
+                ji0 = np.floor((qlon[qi_r] - dlon + 180.0) / lonspan).astype(np.int64)
+                ji1 = np.floor((qlon[qi_r] + dlon + 180.0) / lonspan).astype(np.int64)
+                ji1 = np.minimum(ji1, ji0 + nlon - 1)  # full wrap at most once
+                qi_c, col = _ragged_ranges(ji0, ji1)
+                col = np.mod(col, nlon)
+                rowc = row[qi_c]
+                qidx = qi_r[qi_c]
+                lon_c = (col + 0.5) * lonspan - 180.0
+                lat_c = (rowc + 0.5) * latspan - 90.0
+                cells = cover.encode(lon_c, lat_c, cres, dggs)
+                yield pd.DataFrame({
+                    q_id: pdf[q_id].values[qidx],
+                    "q_lon": qlon[qidx],
+                    "q_lat": qlat[qidx],
+                    "jcell": cells,
+                })
 
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from raster2dggs_spark.dggs import cover, h3lib
 
+            pat_az, pat_rad = disk_pattern(pitch0)
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -497,6 +570,9 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
                     "q_lat": pdf[lat_col].values[qi],
                     "jcell": ce,
                 })
+
+        if fixed_deg_grid:
+            return df.mapInPandas(fn_fixed, schema)
 
         return df.mapInPandas(fn, schema)
 

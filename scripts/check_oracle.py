@@ -2,12 +2,18 @@
 entry on Spark and its oracle_sql() twin on DuckDB over the same parquet,
 compare row count + sorted column names + order-insensitive value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes a driver-artifact-shaped report (one row per registered
+query: rows/schema/hash match flags + row counts) so the committed
+CORRECTNESS file can always cover every queries() entry, even ones
+registered after the driver's own run.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -50,8 +56,15 @@ def norm_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from raster2dggs_spark.session import get_spark
@@ -76,21 +89,34 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"spark:{type(e).__name__}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (rows-only) [{time.time()-t0:.1f}s]")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": "no_oracle"}
             n_rowsonly += 1
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": f"duckdb:{e}"}
             n_fail += 1
             continue
         sn, sc, sh = norm_hash(sdf)
         on, oc, oh = norm_hash(odf)
         ok = (sn, sc, sh) == (on, oc, oh)
+        report[name] = {"rows_match": sn == on, "schema_match": sc == oc,
+                        "hash_match": sh == oh, "spark_rows": sn,
+                        "oracle_rows": on, "err": None}
         if ok:
             print(f"PASS  {name}: {sn} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
@@ -108,6 +134,10 @@ def main():
                         break
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 

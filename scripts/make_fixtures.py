@@ -171,6 +171,114 @@ def s2_pixel_index_fixture():
     print(f"s2_pixel_index_64: {len(out)} rows")
 
 
+def sample_bilinear_fixture(dggs: str, res: int, fname: str,
+                            n_images: int = 24, size_range=(16, 24),
+                            n_bands: int = 4):
+    """Single-node replay of the sample transfer (cells_in_bbox →
+    nearest-pixel ownership → bilinear at the cell centroid → first-wins
+    cross-tile dedupe) with EXPLICIT scalar taps — no Spark, no
+    _stencil_sample, no batching.  The distributed pipeline
+    (mapInPandas + window dedupe) must reproduce it cell for cell."""
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.dggs import cover
+    from raster2dggs_spark.geo import (
+        apply_affine, invert_affine, lonlat_to_mercator, mercator_to_lonlat,
+    )
+    from raster2dggs_spark.operators.indexing import (
+        cell_column_name, default_parent_res,
+    )
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    parent_res = default_parent_res(res, dggs)
+    pdf = generate_images_pdf(n_images, seed=42, size_range=size_range)
+    seen: dict[int, list] = {}
+    # dedupe rule: lowest image_id wins -> process in image_id order,
+    # first occurrence of a cell is kept
+    for r in pdf.sort_values("image_id").itertuples(index=False):
+        arr = decode_image(r.bytes).astype(np.float64)
+        nd = r.nodata
+        if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            arr = np.where(arr == np.float32(nd), np.nan, arr)
+        k, h, w = arr.shape
+        affine = (r.affine_a, r.affine_b, r.affine_c,
+                  r.affine_d, r.affine_e, r.affine_f)
+        cs = np.array([0.0, w, 0.0, w])
+        rs = np.array([0.0, 0.0, h, h])
+        x, y = apply_affine(affine, cs, rs)
+        if r.crs == "EPSG:3857":
+            lons, lats = mercator_to_lonlat(x, y)
+        else:
+            lons, lats = x, y
+        try:
+            cells = cover.cover_bbox(
+                lons.min(), lats.min(), lons.max(), lats.max(), res,
+                dggs=dggs, max_samples=5_000_000,
+            )
+        except ValueError:
+            continue
+        if cells.size == 0:
+            continue
+        clon, clat = cover.cell_center(cells, dggs)
+        if r.crs == "EPSG:3857":
+            cx, cy = lonlat_to_mercator(clon, clat)
+        else:
+            cx, cy = clon, clat
+        inv = invert_affine(affine)
+        col_p, row_p = apply_affine(inv, cx, cy)
+        col_f = col_p - 0.5
+        row_f = row_p - 0.5
+        nn_c = np.floor(col_f + 0.5).astype(np.int64)
+        nn_r = np.floor(row_f + 0.5).astype(np.int64)
+        own = (nn_c >= 0) & (nn_c < w) & (nn_r >= 0) & (nn_r < h)
+        if not own.any():
+            continue
+        cells, col_f, row_f = cells[own], col_f[own], row_f[own]
+        c0 = np.floor(col_f).astype(np.int64)
+        r0 = np.floor(row_f).astype(np.int64)
+        bands_out = []
+        for b in range(n_bands):
+            if b >= k:
+                bands_out.append(np.full(cells.shape[0], np.nan))
+                continue
+            band = arr[b]
+            num = np.zeros(cells.shape[0])
+            tot = np.zeros(cells.shape[0])
+            nval = np.zeros(cells.shape[0], dtype=np.int64)
+            for dr in (0, 1):          # tap order mirrors the operator's
+                for dc in (0, 1):      # reduction (bit-stable comparison)
+                    rr, cc = r0 + dr, c0 + dc
+                    inb = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+                    v = band[rr.clip(0, h - 1), cc.clip(0, w - 1)]
+                    valid = inb & np.isfinite(v)
+                    wgt = ((1.0 - np.abs(row_f - rr))
+                           * (1.0 - np.abs(col_f - cc))) * valid
+                    num = num + np.where(valid, v, 0.0) * wgt
+                    tot = tot + wgt
+                    nval = nval + valid
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = num / tot
+            out[(nval < 2) | (np.abs(tot) < 1e-12)] = np.nan
+            bands_out.append(out)
+        for i, key in enumerate(cells.tolist()):
+            if key not in seen:
+                seen[key] = [bands_out[b][i] for b in range(n_bands)]
+    ordered = np.array(sorted(seen), dtype=np.int64)
+    parents = cover.cell_parent(ordered, parent_res, dggs)
+    rows = []
+    for key, parent in zip(ordered.tolist(), parents.tolist()):
+        row = {
+            cell_column_name(dggs, res): format(key % (1 << 64), "x"),
+            cell_column_name(dggs, parent_res): format(parent % (1 << 64), "x"),
+        }
+        for b in range(n_bands):
+            v = seen[key][b]
+            row[f"band_{b + 1}"] = None if np.isnan(v) else float(v)
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    out.to_parquet(os.path.join(FIXDIR, fname), index=False)
+    print(f"{fname}: {len(out)} rows")
+
+
 def overlay_fixtures(spark):
     """Pinned overlay partials for the two overlay oracle queries (same
     inputs as __spark_entry__): the oracle re-aggregates these in SQL and
@@ -203,6 +311,8 @@ def main():
     image_stats_fixture()
     pixel_index_fixture()
     s2_pixel_index_fixture()
+    sample_bilinear_fixture("hex7", 6, "sample_bilinear_hex7_24.parquet")
+    sample_bilinear_fixture("s2", 10, "sample_bilinear_s2_24.parquet")
 
     from raster2dggs_spark.session import get_spark
 
