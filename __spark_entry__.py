@@ -524,16 +524,18 @@ def q_embedding_knn(spark, sf_dir):
 
 
 def q_embedding_knn_ivf(spark, sf_dir):
-    """Approximate ANN: IVF with deterministic centroids (the first 12
-    vectors).  Fully oracle-checked — the assignment, probe and in-bucket
-    top-k stages are all relational, so the DuckDB twin replays them;
-    recall vs exact is additionally pytest-gated (test_similarity.py)."""
-    from raster2dggs_spark.operators.similarity import ivf_topk
+    """Approximate ANN: IVF with TRAINED centroids — k-means via
+    distributed Lloyd iterations (train_centroids, md5-seeded so the
+    draw is engine-reproducible; per-iteration round_dp=6 stops
+    summation-order ulps from compounding across engines).  Fully
+    oracle-checked: the DuckDB twin replays seeding, every Lloyd
+    iteration (assign → per-dimension mean → empty-cluster coalesce) and
+    the probe/top-k stages relationally; recall vs exact is additionally
+    pytest-gated (test_similarity.py)."""
+    from raster2dggs_spark.operators.similarity import ivf_topk, train_centroids
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = e.where("vec_id < 12").select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
-    )
+    cents = train_centroids(e, k=12, iters=3, round_dp=6)
     q = e.where("vec_id < 30").select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -668,6 +670,31 @@ def q_overlay_fractions(spark, sf_dir):
     return to_reference_output(
         out.select("parent", "cell", "class", F.round("fraction", 6).alias("fraction")),
         "hex7", 6, 0,
+    )
+
+
+def q_overlay_list(spark, sf_dir):
+    """--overlay list (OVERLAY_COLLECT → LIST, ref common.py:221-230,
+    overlay.py:519-549): per-cell ascending value lists under overlay
+    coverage semantics.  Oracle-checked against a single-node replay of
+    the exploded (cell, pixel, value) stage
+    (.fixtures/overlay_values_16.parquet) re-packed into sorted lists in
+    SQL; lists cross engines as joined-int strings (landcover values are
+    integral) because the driver canon cannot sort array columns."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_list
+
+    imgs = images_spark_df(spark, 16, seed=42, scenarios=("landcover",),
+                           size_range=(12, 20))
+    out = overlay_list(imgs, res=6, parent_res=0)
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_06"),
+        F.lower(F.hex("parent")).alias("hex7_00"),
+        F.array_join(
+            F.transform("values", lambda x: x.cast("long").cast("string")),
+            ",",
+        ).alias("values_str"),
+        F.size("values").cast("long").alias("n_values"),
     )
 
 
@@ -1065,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_vct": q_overlay_vct,
         "overlay_majority": q_overlay_majority,
         "overlay_fractions": q_overlay_fractions,
+        "overlay_list": q_overlay_list,
         "compact_cells": q_compact_cells,
         "hex7_pixel_index": q_hex7_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
@@ -1671,18 +1699,51 @@ _COS = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
         " * sqrt(list_dot_product({b}, {b})))")
 
 
-def _ivf_sql(k: int = 5, n_probe: int = 4) -> str:
-    """DuckDB twin of q_embedding_knn_ivf: replay assignment (nearest of
-    the 12 centroid vectors), per-query probes (top n_probe centroids),
-    and the in-bucket exact top-k — same tie-breaks as similarity.py."""
+def _ivf_sql(k: int = 5, n_probe: int = 4, kk: int = 12,
+             iters: int = 3) -> str:
+    """DuckDB twin of q_embedding_knn_ivf: replay the full k-means
+    TRAINING (md5-smallest seeding, ``iters`` Lloyd iterations of
+    assign → per-dimension mean rounded to 6dp → empty-cluster
+    coalesce — exactly train_centroids' expression tree), then the
+    assignment, per-query probes and in-bucket exact top-k — same
+    tie-breaks as similarity.py."""
     tc = _COS.format(a="tv", b="cv")
     qc = _COS.format(a="qv", b="cv")
     qt = _COS.format(a="qv", b="tv")
+    vc = _COS.format(a="v.vv", b="c.cv")
+    lloyd = []
+    for i in range(iters):
+        lloyd.append(f"""
+        a{i} AS (
+          SELECT vec_id, c_id FROM (
+            SELECT v.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {vc} DESC, c.c_id ASC) AS rn
+            FROM v CROSS JOIN c{i} c) WHERE rn = 1),
+        d{i} AS (
+          SELECT a.c_id, s.i AS pos, avg(v.vv[s.i]) AS m
+          FROM a{i} a JOIN v USING (vec_id),
+               unnest(generate_series(1, len(v.vv))) AS s(i)
+          GROUP BY a.c_id, s.i),
+        n{i} AS (SELECT c_id, list(round(m, 6) ORDER BY pos) AS cv
+                 FROM d{i} GROUP BY c_id),
+        c{i + 1} AS (SELECT c.c_id, coalesce(n.cv, c.cv) AS cv
+                     FROM c{i} c LEFT JOIN n{i} n USING (c_id))""")
+    lloyd_sql = ",".join(lloyd)
     return f"""
         WITH t AS (SELECT vec_id AS t_id, embedding::DOUBLE[] AS tv
                    FROM embeddings),
-        c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
-              FROM embeddings WHERE vec_id < 12),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+        c0 AS (
+          SELECT CAST(row_number() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS BIGINT)
+                     AS c_id,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings
+          QUALIFY row_number() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {kk}),
+        {lloyd_sql},
+        c AS (SELECT c_id, cv FROM c{iters}),
         q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
               FROM embeddings WHERE vec_id < 30),
         assign AS (
@@ -2079,6 +2140,17 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"
                               for i in range(1, 5))}
             FROM read_parquet('{_FIXDIR}/hex7_pixel_index_64.parquet')
+        """,
+        "overlay_list": f"""
+            WITH v AS (SELECT * FROM
+                 read_parquet('{_FIXDIR}/overlay_values_16.parquet'))
+            SELECT printf('%x', cell) AS hex7_06,
+                   printf('%x', parent) AS hex7_00,
+                   array_to_string(
+                       list(CAST(CAST(value AS BIGINT) AS VARCHAR)
+                            ORDER BY value), ',') AS values_str,
+                   CAST(count(*) AS BIGINT) AS n_values
+            FROM v GROUP BY cell, parent
         """,
         "sample_bilinear": f"""
             SELECT hex7_06, hex7_00,

@@ -357,3 +357,76 @@ def overlay_classes(
         return majority_by_weight(g, ["parent", "cell"], "class", "cov_area",
                                   out="majority_class")
     raise ValueError(op)
+
+
+def overlay_values(
+    images: DataFrame,
+    res: int,
+    parent_res: int | None = None,
+    dggs: str = "hex7",
+    band: int = 1,
+    supersample: int = 4,
+) -> DataFrame:
+    """Exploded (parent, cell, value) rows — one row per (cell, pixel)
+    pair with any cell∩pixel coverage, valid pixels only.  The
+    OVERLAY_COLLECT stage (ref --overlay list/histogram routing,
+    common.py:221-230; list shaping overlay.py:519-549): a cell's value
+    multiset is every intersecting pixel's value."""
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    schema = T.StructType([
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ])
+    s = supersample
+    bidx = band - 1
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.dggs import cover
+
+        for pdf in batches:
+            out = []
+            for row, arr in _decode_rows(pdf, None):
+                k, h, w = arr.shape
+                if bidx >= k:
+                    continue
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                cells, pix, wt = _coverage_samples(
+                    affine, w, h, row.crs, s, res, dggs
+                )
+                v_sub = arr[bidx].astype(np.float64).ravel()[pix]
+                ok = np.isfinite(v_sub)
+                key = np.stack([cells[ok], pix[ok]], axis=1)
+                uk = np.unique(key, axis=0)
+                out.append(pd.DataFrame({
+                    "parent": cover.cell_parent(uk[:, 0], parent_res, dggs),
+                    "cell": uk[:, 0],
+                    "value": arr[bidx].astype(np.float64).ravel()[uk[:, 1]],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return _prune(images, keep_image_id=False).mapInPandas(fn, schema)
+
+
+def overlay_list(
+    images: DataFrame,
+    res: int,
+    parent_res: int | None = None,
+    dggs: str = "hex7",
+    band: int = 1,
+    supersample: int = 4,
+    decimals: int | None = None,
+) -> DataFrame:
+    """``--overlay list`` (A7 under overlay semantics): per cell, the
+    ascending-sorted list of every intersecting pixel's value, optionally
+    rounded (ref overlay.py:536-549 — sorted(round(v, decimals))).
+    Two-level plan: exploded values → one exchange → native
+    sort_array(collect_list) — no Python in the aggregation."""
+    ex = overlay_values(images, res, parent_res, dggs, band, supersample)
+    v = F.round(F.col("value"), decimals) if decimals is not None else F.col("value")
+    return ex.groupBy("parent", "cell").agg(
+        F.sort_array(F.collect_list(v)).alias("values")
+    )

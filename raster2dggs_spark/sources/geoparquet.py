@@ -77,11 +77,38 @@ def geo_metadata(bbox: list[float], geometry_types: list[str]) -> bytes:
     }).encode()
 
 
+def wkb_bbox(blobs) -> list[float] | None:
+    """[xmin, ymin, xmax, ymax] over our WKB Point/Polygon encodings
+    (parsed straight from the coordinate payload — both encodings are
+    fixed-layout: Point = 5B header + xy; Polygon = 9B header + ring
+    count + interleaved xy ring)."""
+    xmin = ymin = np.inf
+    xmax = ymax = -np.inf
+    for b in blobs:
+        if b is None:
+            continue
+        geom_type = int.from_bytes(b[1:5], "little")
+        off = 5 if geom_type == 1 else 13  # Point: xy now; Polygon: skip counts
+        coords = np.frombuffer(b, dtype="<f8", offset=off)
+        xs, ys = coords[0::2], coords[1::2]
+        xmin = min(xmin, xs.min())
+        xmax = max(xmax, xs.max())
+        ymin = min(ymin, ys.min())
+        ymax = max(ymax, ys.max())
+    if not np.isfinite(xmin):
+        return None
+    return [float(xmin), float(ymin), float(xmax), float(ymax)]
+
+
 def write_geoparquet(df: DataFrame, path: str, partition_col: str | None = None,
                      geometry_types: list[str] = ("Polygon",)) -> None:
     """Write a DataFrame carrying a WKB ``geometry`` column as GeoParquet:
     plain partitioned parquet + the ``geo`` metadata stamped into every
-    file footer (Arrow rewrite of footers, cheap: metadata-only)."""
+    file footer.  Each file's bbox is computed from ITS OWN geometries
+    (reference parity: common.py:357-381 derives the partition extent
+    from the data) so bbox-pruning readers get real extents, not the
+    whole world.  The footer rewrite already reads the file, so the bbox
+    scan adds no extra IO."""
     import glob
     import os
 
@@ -91,14 +118,13 @@ def write_geoparquet(df: DataFrame, path: str, partition_col: str | None = None,
     if partition_col:
         w = w.partitionBy(partition_col)
     w.parquet(path)
-    # compute bbox from the data (lon/lat coords inside WKB already known
-    # by caller at cell granularity; derive from parquet stats is overkill
-    # at this layer) — stamp a whole-world bbox unless caller narrows it
-    meta_val = geo_metadata([-180.0, -90.0, 180.0, 90.0], list(geometry_types))
     for fp in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
         t = pq.read_table(fp)
+        bbox = wkb_bbox(t.column("geometry").to_pylist())
+        if bbox is None:
+            bbox = [-180.0, -90.0, 180.0, 90.0]
         md = dict(t.schema.metadata or {})
-        md[b"geo"] = meta_val
+        md[b"geo"] = geo_metadata(bbox, list(geometry_types))
         pq.write_table(t.replace_schema_metadata(md), fp)
     # the rewrite invalidates Hadoop's .crc sidecars — drop them so Spark
     # can read the stamped files back

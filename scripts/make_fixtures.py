@@ -279,6 +279,42 @@ def sample_bilinear_fixture(dggs: str, res: int, fname: str,
     print(f"{fname}: {len(out)} rows")
 
 
+def overlay_values_fixture():
+    """Single-node replay (no Spark) of the OVERLAY_COLLECT explode:
+    per (cell, pixel) with any coverage, the pixel's band-1 value — the
+    oracle re-aggregates into sorted per-cell lists in SQL."""
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.dggs import cover
+    from raster2dggs_spark.operators.overlay import _coverage_samples
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    res, parent_res = 6, 0
+    pdf = generate_images_pdf(16, seed=42, scenarios=("landcover",),
+                              size_range=(12, 20))
+    frames = []
+    for r in pdf.itertuples(index=False):
+        arr = decode_image(r.bytes).astype(np.float64)
+        nd = r.nodata
+        if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            arr = np.where(arr == np.float32(nd), np.nan, arr)
+        _k, h, w = arr.shape
+        affine = (r.affine_a, r.affine_b, r.affine_c,
+                  r.affine_d, r.affine_e, r.affine_f)
+        cells, pix, _wt = _coverage_samples(affine, w, h, r.crs, 4, res, "hex7")
+        v_sub = arr[0].ravel()[pix]
+        ok = np.isfinite(v_sub)
+        uk = np.unique(np.stack([cells[ok], pix[ok]], axis=1), axis=0)
+        frames.append(pd.DataFrame({
+            "parent": cover.cell_parent(uk[:, 0], parent_res, "hex7"),
+            "cell": uk[:, 0],
+            "value": arr[0].ravel()[uk[:, 1]],
+        }))
+    out = pd.concat(frames, ignore_index=True)
+    out.to_parquet(os.path.join(FIXDIR, "overlay_values_16.parquet"),
+                   index=False)
+    print(f"overlay_values_16: {len(out)} rows")
+
+
 def overlay_fixtures(spark):
     """Pinned overlay partials for the two overlay oracle queries (same
     inputs as __spark_entry__): the oracle re-aggregates these in SQL and
@@ -313,6 +349,7 @@ def main():
     s2_pixel_index_fixture()
     sample_bilinear_fixture("hex7", 6, "sample_bilinear_hex7_24.parquet")
     sample_bilinear_fixture("s2", 10, "sample_bilinear_s2_24.parquet")
+    overlay_values_fixture()
 
     from raster2dggs_spark.session import get_spark
 

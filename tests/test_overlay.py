@@ -116,3 +116,19 @@ def test_vct_nulls_low_coverage(spark):
     # strict VCT nulls at least as many values as loose
     assert strict["band_1"].isna().sum() >= loose["band_1"].isna().sum()
     assert strict["band_1"].isna().sum() > 0  # 15% nodata per band -> some cut
+
+
+def test_overlay_list_sorted_and_complete(spark):
+    """--overlay list: per-cell lists are ascending and contain exactly
+    one entry per intersecting valid (cell, pixel) pair."""
+    from raster2dggs_spark.operators.overlay import overlay_list, overlay_values
+    from raster2dggs_spark.sources import images_spark_df
+
+    imgs = images_spark_df(spark, 6, seed=30, scenarios=("landcover",),
+                           size_range=(10, 14))
+    ex = overlay_values(imgs, res=6, parent_res=0).toPandas()
+    out = overlay_list(imgs, res=6, parent_res=0).toPandas()
+    assert out["values"].map(len).sum() == len(ex)
+    for v in out["values"]:
+        lst = list(v)
+        assert lst == sorted(lst) and len(lst) >= 1

@@ -115,6 +115,18 @@ def test_geoparquet_sink(spark, tmp_path):
     assert wkb[:5] == b"\x01\x03\x00\x00\x00"  # LE polygon
     back = spark.read.parquet(path)
     assert back.count() == agg.count()
+    # round-2 verdict #8: each file's geo bbox equals ITS data extent
+    # (not the whole world) — recompute from the WKB ring coords
+    for fp in files:
+        tf = pq.read_table(fp)
+        m = json.loads(tf.schema.metadata[b"geo"])["columns"]["geometry"]["bbox"]
+        xs, ys = [], []
+        for b in tf.column("geometry").to_pylist():
+            coords = np.frombuffer(b, dtype="<f8", offset=13)
+            xs.extend([coords[0::2].min(), coords[0::2].max()])
+            ys.extend([coords[1::2].min(), coords[1::2].max()])
+        assert m == [min(xs), min(ys), max(xs), max(ys)]
+        assert m != [-180.0, -90.0, 180.0, 90.0]
 
 
 def test_cell_boundary_contains_center(spark):
