@@ -115,6 +115,47 @@ def main():
     timed("minhash_lsh", lambda: entrymod.q_minhash_lsh(spark, SF_DIR).count())
     timed("embedding_knn", lambda: entrymod.q_embedding_knn(spark, SF_DIR).count())
 
+    # -- q7b: skew-realistic dedup — a synthetic boilerplate cluster (every
+    # doc re-issued with a shared long prefix) drives one LSH bucket to
+    # corpus size; the groupBy-count + broadcast anti-join cap must absorb
+    # it map-side instead of single-tasking a window count ---------------------
+    from raster2dggs_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "text")
+    # every boiler doc = the same ~40-word boilerplate + ONE unique token:
+    # ~90% of them land in ONE band bucket (the over-cap hot key the
+    # anti-join must defang map-side); the rest scatter into singletons
+    boiler = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("lorem ipsum boilerplate header quick brown fox jumps "
+                  "over the lazy dog pack my box with five dozen liquor "
+                  "jugs sphinx of black quartz judge my vow zz"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    skewed = docs.unionByName(boiler).persist()
+    n_skew_docs = skewed.count()
+    timed("minhash_lsh_skew",
+          lambda: minhash_lsh_pairs(skewed, "doc_id", "text").count())
+    # pre-cap bucket-size histogram (the skew the cap defuses)
+    sig = minhash_signatures(skewed, "doc_id", "text", 16, 1)
+    bexp = [F.md5(F.concat_ws("#", *[F.col(f"mh_{b * 4 + r}")
+                                     for r in range(4)])).alias(f"b{b}")
+            for b in range(4)]
+    bs = (sig.select(F.explode(F.array(*bexp)).alias("bkey"))
+          .groupBy("bkey").count())
+    stats = bs.agg(F.max("count").alias("mx"),
+                   F.sum(F.when(F.col("count") > 1000, 1).otherwise(0))
+                   .alias("over")).collect()[0]
+    extras["skew_docs"] = n_skew_docs
+    extras["skew_max_bucket_precap"] = int(stats["mx"])
+    extras["skew_buckets_over_cap"] = int(stats["over"])
+    skewed.unpersist()
+
     # -- q8: overlay (supersampled coverage) on a tile subset -----------------
     from raster2dggs_spark.operators.overlay import overlay_agg
 
