@@ -511,6 +511,44 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(d, "doc_id", "text")
 
 
+def q_dedup_components(spark, sf_dir):
+    """End-to-end fuzzy dedup: LSH candidate pairs → transitive closure
+    (hash-to-min label propagation, driver-synced convergence) → per-doc
+    (component, size, is_canonical).  Oracle: DuckDB replays the minhash
+    pipeline and computes the same closure with a recursive CTE — the
+    iterative Spark loop must converge to the exact fixpoint."""
+    from raster2dggs_spark.operators.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_clusters(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "component",
+        F.col("component_size").cast("long").alias("component_size"),
+        "is_canonical",
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms (tf · ln(N/df), rounded before
+    ranking so the rank tie-break is engine-stable)."""
+    from raster2dggs_spark.operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=5)
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 bucket — stable
+    across engines/partitionings/table growth (the property random()
+    splits lack); identical md5-hex arithmetic in the DuckDB twin."""
+    from raster2dggs_spark.operators.text import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select(
+        "doc_id", F.col("bucket").cast("long").alias("bucket"), "split"
+    )
+
+
 def q_embedding_knn(spark, sf_dir):
     from raster2dggs_spark.operators.similarity import cosine_topk
 
@@ -1072,6 +1110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "dedup_components": q_dedup_components,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "hash_split": q_hash_split,
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1150,6 +1191,68 @@ def _minhash_sql(n_hashes: int = 8, bands: int = 4,
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM buckets a JOIN buckets b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+def _dedup_components_sql(n_hashes: int = 16, bands: int = 4,
+                          max_bucket: int = 1000) -> str:
+    """DuckDB twin of q_dedup_components: the same minhash→LSH pair
+    pipeline, then the transitive closure as a recursive CTE (reach =
+    every label reachable from a vertex; component = min) — the exact
+    fixpoint Spark's hash-to-min iteration must converge to."""
+    rows = n_hashes // bands
+    mins = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(n_hashes)
+    )
+    bucket_selects = []
+    for b in range(bands):
+        parts = ", '#', ".join(f"mh_{b * rows + r}" for r in range(rows))
+        bucket_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat({parts})) AS bkey FROM sig"
+        )
+    buckets = " UNION ALL ".join(bucket_selects)
+    return f"""
+        WITH RECURSIVE {_WORDS_CTE},
+        sig AS (SELECT doc_id, {mins} FROM w GROUP BY doc_id),
+        buckets0 AS ({buckets}),
+        buckets AS (SELECT * FROM buckets0
+                    QUALIFY count(*) OVER (PARTITION BY band, bkey)
+                            <= {max_bucket}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a JOIN buckets b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach(v, l) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+        comp AS (SELECT v AS doc_id, min(l) AS component
+                 FROM reach GROUP BY v),
+        sizes AS (SELECT component, count(*) AS component_size
+                  FROM comp GROUP BY component)
+        SELECT c.doc_id, c.component,
+               CAST(s.component_size AS BIGINT) AS component_size,
+               c.doc_id = c.component AS is_canonical
+        FROM comp c JOIN sizes s USING (component)
+    """
+
+
+def _hash_split_sql(buckets: int = 10_000) -> str:
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), "
+        f"{i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"""
+        WITH b AS (SELECT doc_id, ({hexval}) % {buckets} AS bucket
+                   FROM documents)
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < {int(round(0.9 * buckets))} THEN 'train'
+                    WHEN bucket < {int(round(0.95 * buckets))} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
     """
 
 
@@ -2127,6 +2230,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
+        "dedup_components": _dedup_components_sql(16, 4, 1000),
+        "hash_split": _hash_split_sql(10_000),
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM
+                      (SELECT DISTINCT doc_id, term FROM toks)
+                      GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS nn FROM documents),
+            s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                         round(t.tf * ln(nn * 1.0 / d.df), 6) AS tfidf
+                  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, term ASC)
+                        AS BIGINT) AS rank
+            FROM s QUALIFY rank <= 5
+        """,
         "compact_cells": _compact_sql(),
         "s2_pixel_index": _s2_sql(11, 3),
         "s2_pixel_index_full": f"""

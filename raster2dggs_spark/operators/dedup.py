@@ -198,3 +198,98 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     for b in range(bits):
         fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
     return g.select(id_col, fp.alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Transitive closure of a near-dup pair list: every vertex gets the
+    MIN vertex id of its connected component (the fuzzy-dedup cluster
+    key — pairwise candidates alone under-merge A~B~C chains).
+
+    Hash-to-min label propagation WITH pointer jumping: each round every
+    vertex takes the min label among itself and its neighbours, then
+    follows its label's label (path shortcut).  The shortcut halves
+    label-chain depth each round, so convergence is O(log diameter)
+    rounds — a plain neighbour-min walk would need O(diameter) rounds
+    (a 50-node chain = 50 rounds).  Each round is three bounded
+    shuffles, with per-round localCheckpoint so the plan stays flat
+    (the kNN-loop hygiene).  Termination is driver-synced on the
+    changed-label count and RAISES if the fixpoint is not reached
+    (returning unconverged labels would silently under-merge).
+
+    Returns (vertex, component).  Works on any undirected pair list —
+    minhash_lsh_pairs, ngram_jaccard_pairs, hyperplane_near_dup."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    lab = (
+        edges.select(F.col("src").alias("vertex")).distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(lab, edges.src == lab.vertex)
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        l1 = lab.join(msgs, "vertex", "left").select(
+            "vertex",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label"))
+            .alias("label"),
+        )
+        # pointer jumping: label <- label(label); labels only decrease,
+        # so the mapping lookup is always <= the current label
+        ptr = l1.select(F.col("vertex").alias("label"),
+                        F.col("label").alias("__ptr"))
+        new = (
+            l1.join(ptr, "label", "left")
+            .select(
+                "vertex",
+                F.coalesce("__ptr", "label").alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.join(lab.withColumnRenamed("label", "__old"), "vertex")
+            .where(F.col("label") != F.col("__old")).limit(1).count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    edges.unpersist()
+    return lab.select("vertex", F.col("label").alias("component"))
+
+
+def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
+                   n_hashes: int = 16, bands: int = 4,
+                   shingle_n: int = 1,
+                   max_bucket: int | None = 1000) -> DataFrame:
+    """End-to-end fuzzy dedup: LSH candidate pairs → connected
+    components → per-doc (id, component, component_size, is_canonical).
+    Canonical = the min id of the component (deterministic); singleton
+    docs (no near-dup) are their own canonical."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands,
+                              shingle_n, max_bucket)
+    comp = connected_components(pairs)
+    out = (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp.vertex, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    sizes = out.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return out.join(sizes, "component").select(
+        id_col, "component", "component_size",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )

@@ -113,3 +113,62 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = tokens_expr(text_col)
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf = in-doc term count,
+    idf = ln(N / df) over distinct-doc term frequency; ties by term.
+    Plan: one explode + two groupBys + a broadcast of the tiny (term,
+    df) side back onto the tf rows — corpus size N rides along as a
+    window-free scalar column (count over an empty window would
+    single-task; a cross-joined 1-row agg broadcasts instead)."""
+    from raster2dggs_spark.operators.aggregates import top_k
+
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6),
+        )
+    )
+    out = top_k(scored, [id_col], "tfidf", k, ascending=False,
+                tiebreak=["term"])
+    return out.select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                      F.col("df").cast("long").alias("df"), "tfidf",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float] | None = None,
+               buckets: int = 10_000) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    first-8-hex-chars of md5(id) as an integer mod ``buckets``; splits
+    take contiguous bucket ranges by weight.  Stable across runs,
+    engines, partitionings and table growth (a doc's split never changes
+    when other docs arrive) — the property random() splits lack.
+    Pure native expressions; identical arithmetic exists in the DuckDB
+    twin."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.select(F.col(id_col), bucket.alias("bucket"),
+                     expr.alias("split"))

@@ -220,3 +220,87 @@ def test_frame_sample_stub_plumbing(spark):
     ]
     with pytest.raises(Exception):
         out.collect()
+
+
+def test_connected_components_vs_union_find(spark):
+    """Hash-to-min label propagation vs an independent union-find oracle
+    on a random graph with long chains (forces multi-round
+    convergence)."""
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(17)
+    n = 400
+    edges = []
+    # random sparse edges + two deliberate 50-node chains
+    for _ in range(150):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edges.append((int(min(a, b)), int(max(a, b))))
+    for base in (1000, 2000):
+        edges += [(base + i, base + i + 1) for i in range(50)]
+    pdf = pd.DataFrame(edges, columns=["id_a", "id_b"]).drop_duplicates()
+    pairs = spark.createDataFrame(pdf, "id_a long, id_b long")
+
+    # independent oracle: union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pdf.itertuples(index=False):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    got = {int(r.vertex): int(r.component)
+           for r in connected_components(pairs).collect()}
+    assert got == expected
+    # the chain comps really are 51 nodes with min-id canonical
+    assert sum(1 for v, c in got.items() if c == 1000) == 51
+
+
+def test_hash_split_stable_and_proportional(spark):
+    """Splits are (a) deterministic per id regardless of which other ids
+    are present, (b) roughly proportional to the weights."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import hash_split
+
+    ids = pd.DataFrame({"doc_id": range(5000)})
+    full = hash_split(spark.createDataFrame(ids), "doc_id").toPandas()
+    frac = full["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+    # subset invariance: same ids -> same split in a different table
+    sub = hash_split(
+        spark.createDataFrame(ids.iloc[::7]), "doc_id"
+    ).toPandas().set_index("doc_id")["split"]
+    ref = full.set_index("doc_id")["split"]
+    assert (sub == ref.loc[sub.index]).all()
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    """A term present in every document has idf = ln(N/N) = 0, so it can
+    never outrank a discriminative term."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["common alpha alpha", "common beta", "common gamma gamma"],
+    })
+    out = tfidf_top_terms(spark.createDataFrame(docs), "doc_id", "text",
+                          k=2).toPandas()
+    top1 = out[out["rank"] == 1].set_index("doc_id")["term"]
+    assert dict(top1) == {1: "alpha", 2: "beta", 3: "gamma"}
+    assert (out[out["term"] == "common"]["tfidf"] == 0.0).all()
