@@ -789,6 +789,44 @@ def q_image_thumbnails(spark, sf_dir):
     )
 
 
+def q_video_frame_stats(spark, sf_dir):
+    """Video frame sampling + per-frame stats, fully oracle-checked: the
+    synthetic rvid payloads carry an integer-arithmetic pixel field
+    (px = (t·7919 + r·104729 + c·1299709 + v·31) mod 251), so DuckDB
+    recomputes every sampled frame's mean/min/max bit-exactly from
+    generate_series — decode → uniform frame indices (⌊j·T/n⌋) →
+    feature extraction all verified end to end."""
+    from raster2dggs_spark.operators.multimodal import frame_sample
+    from raster2dggs_spark.sources.media import videos_spark_df
+
+    v = videos_spark_df(spark, 24, seed=42)
+    out = frame_sample(v, n_samples=4)
+    return out.select(
+        "video_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("h").cast("long").alias("h"), F.col("w").cast("long").alias("w"),
+        _r4("f_mean").alias("f_mean"),
+        F.col("f_min").cast("long").alias("f_min"),
+        F.col("f_max").cast("long").alias("f_max"),
+    )
+
+
+def q_audio_features(spark, sf_dir):
+    """Windowed audio features over rpcm payloads (pcm = (i·7919 +
+    v·104729 + 12345) mod 65536 − 32768), fully oracle-checked: integer
+    sums are exact in doubles, so RMS/zero-crossings/peak reproduce
+    bit-for-bit from a generate_series replay."""
+    from raster2dggs_spark.operators.multimodal import audio_features
+    from raster2dggs_spark.sources.media import audio_spark_df
+
+    a = audio_spark_df(spark, 16, seed=42)
+    out = audio_features(a, window=1024)
+    return out.select(
+        "audio_id", F.col("win_idx").cast("long").alias("win_idx"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings", "peak",
+    )
+
+
 def q_windowed_events(spark, sf_dir):
     """Batch analogue of streaming.windowed_event_stats (tumbling 1h
     windows); date_trunc on the NTZ timestamp keeps it timezone-free so
@@ -1118,6 +1156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "image_stats": q_image_stats,
         "image_thumbnails": q_image_thumbnails,
+        "video_frame_stats": q_video_frame_stats,
+        "audio_features": q_audio_features,
         "windowed_events": q_windowed_events,
         "sessionize": q_sessionize,
         "sample_bilinear": q_sample_bilinear,
@@ -1253,6 +1293,72 @@ def _hash_split_sql(buckets: int = 10_000) -> str:
                     WHEN bucket < {int(round(0.95 * buckets))} THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+
+def _video_frame_stats_sql(n_videos: int = 24, n_samples: int = 4) -> str:
+    """DuckDB twin of q_video_frame_stats: the per-video dims come from
+    the deterministic generator (embedded as VALUES); pixel values are
+    recomputed from the integer closed form, so mean/min/max are
+    bit-exact."""
+    from raster2dggs_spark.sources.media import generate_videos_pdf
+
+    pdf = generate_videos_pdf(n_videos, seed=42)
+    vals = ", ".join(
+        f"({i}, {r.n_frames}, {r.h}, {r.w})"
+        for i, r in enumerate(pdf.itertuples(index=False))
+    )
+    return f"""
+        WITH v(vid, t_cnt, hh, ww) AS (VALUES {vals}),
+        fidx AS (
+          SELECT DISTINCT vid, t_cnt, hh, ww,
+                 (j.j * t_cnt) // {n_samples} AS t
+          FROM v, unnest(generate_series(0, {n_samples - 1})) AS j(j)),
+        px AS (
+          SELECT vid, t, hh, ww,
+                 (t * 7919 + r.r * 104729 + c.c * 1299709 + vid * 31) % 251
+                     AS val
+          FROM fidx,
+               unnest(generate_series(0, hh - 1)) AS r(r),
+               unnest(generate_series(0, ww - 1)) AS c(c))
+        SELECT printf('vid_%04d', vid) AS video_id,
+               CAST(t AS BIGINT) AS frame_idx,
+               CAST(hh AS BIGINT) AS h, CAST(ww AS BIGINT) AS w,
+               round(avg(CAST(val AS DOUBLE)), 4) AS f_mean,
+               CAST(min(val) AS BIGINT) AS f_min,
+               CAST(max(val) AS BIGINT) AS f_max
+        FROM px GROUP BY vid, t, hh, ww
+    """
+
+
+def _audio_features_sql(n_clips: int = 16, window: int = 1024) -> str:
+    """DuckDB twin of q_audio_features: per-clip lengths embedded as
+    VALUES; samples recomputed from the integer closed form; RMS =
+    sqrt(Σx²/window) with exact integer sums, zero crossings via lead()
+    within the window."""
+    from raster2dggs_spark.sources.media import generate_audio_pdf
+
+    pdf = generate_audio_pdf(n_clips, seed=42)
+    vals = ", ".join(
+        f"({i}, {r.n_samples})" for i, r in enumerate(pdf.itertuples(index=False))
+    )
+    return f"""
+        WITH a(aid, n) AS (VALUES {vals}),
+        s AS (
+          SELECT aid, i.i AS i, i.i // {window} AS win,
+                 (i.i * 7919 + aid * 104729 + 12345) % 65536 - 32768 AS x
+          FROM a, unnest(generate_series(0, (n // {window}) * {window} - 1))
+               AS i(i)),
+        p AS (SELECT aid, win, i, x,
+                     lead(x) OVER (PARTITION BY aid, win ORDER BY i) AS nx
+              FROM s)
+        SELECT printf('aud_%04d', aid) AS audio_id,
+               CAST(win AS BIGINT) AS win_idx,
+               round(sqrt(sum(x * x) / {float(window)}), 6) AS rms,
+               CAST(sum(CASE WHEN x * nx < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_crossings,
+               CAST(max(abs(x)) AS BIGINT) AS peak
+        FROM p GROUP BY aid, win
     """
 
 
@@ -2232,6 +2338,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
         "dedup_components": _dedup_components_sql(16, 4, 1000),
         "hash_split": _hash_split_sql(10_000),
+        "video_frame_stats": _video_frame_stats_sql(24, 4),
+        "audio_features": _audio_features_sql(16, 1024),
         "tfidf_top_terms": """
             WITH toks AS (
               SELECT doc_id,
