@@ -1,0 +1,204 @@
+"""Reference-CLI-parity entry point.
+
+The reference is a CLI whose options resolve to a (transfer, op, output)
+triple (ref cli.py:10-21, cli_factory.py:245-612, common.py:187-240 —
+the option dict IS its logical plan).  ``index_raster`` is the same
+surface as ONE function over a Spark image table: a raster2dggs user
+maps their command line onto keyword arguments and gets the same
+semantics, Spark-planned.
+
+    raster2dggs h3 in.tif out -r 9 --point value --agg mean
+        → index_raster(images, dggs="hex7", resolution=9,
+                       transfer="point", agg="mean")
+    raster2dggs s2 in.tif out -r 14 --overlay weighted -d 2 --compact
+        → index_raster(images, dggs="s2", resolution=14,
+                       transfer="overlay", op="weighted",
+                       decimals=2, compact=True)
+    raster2dggs geohash in.tif out -r smaller-than-pixel --sample bilinear
+        → index_raster(images, dggs="geohash",
+                       resolution="smaller-than-pixel",
+                       transfer="sample", kernel="bilinear")
+
+(``dggs="h3"`` is rejected — the hexagonal grid ships as ``hex7``, see
+dggs.check_grid.)  Output columns follow the reference contract
+(zero-padded ``{dggs}_{res}`` hex-string cell/parent columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+POINT_AGGS = ("mean", "sum", "count", "min", "max", "std", "var",
+              "median", "mode", "majority", "nunique", "range", "prod",
+              "list")
+OVERLAY_OPS = ("weighted", "density-preserve", "mass-preserve", "mode",
+               "fractions", "list")
+KERNELS = ("nearest", "bilinear", "bicubic", "lanczos")
+
+
+def _mean_pixel_area_m2(images: DataFrame) -> float:
+    """Mean pixel area from the metadata columns only (the reference
+    reads it from the open raster, common.py:67-122)."""
+    m = images.select(
+        (F.abs(F.col("affine_a")) * F.abs(F.col("affine_e"))).alias("pa"),
+        F.col("crs"), F.col("affine_f"),
+    ).select(
+        F.when(
+            F.col("crs") == "EPSG:3857", F.col("pa")
+        ).otherwise(
+            # deg² → m² with the cos(lat) shrink at the tile anchor
+            F.col("pa") * (111_195.0 ** 2)
+            * F.cos(F.radians(F.least(F.abs("affine_f"), F.lit(89.0))))
+        ).alias("pa_m2")
+    ).agg(F.avg("pa_m2").alias("m")).collect()
+    return float(m[0]["m"])
+
+
+def resolve_res(images: DataFrame, resolution, dggs: str) -> int:
+    """Numeric passthrough, or the reference's auto modes
+    (smaller-than-pixel / larger-than-pixel / min-diff) resolved against
+    the table's mean pixel area."""
+    if isinstance(resolution, int):
+        return resolution
+    from raster2dggs_spark.functions.resolution import resolve_resolution
+
+    return resolve_resolution(str(resolution), _mean_pixel_area_m2(images),
+                              dggs)
+
+
+def index_raster(
+    images: DataFrame,
+    dggs: str = "hex7",
+    resolution: int | str = 9,
+    parent_res: int | None = None,
+    transfer: str = "point",
+    agg: str = "mean",
+    op: str = "weighted",
+    kernel: str = "bilinear",
+    bands: list | None = None,
+    nodata_policy: str = "omit",
+    decimals: int | None = None,
+    compact: bool = False,
+    vct: float | None = None,
+    band: int = 1,
+    n_bands: int = 4,
+    supersample: int = 4,
+    raw_ids: bool = False,
+) -> DataFrame:
+    """One call ≙ one reference CLI invocation.  Routes to the operator
+    family per (transfer, op) exactly as ref common.py:187-240:
+
+    - transfer="point":  ``--point value --agg <agg>`` / ``--point list``
+      (agg="list") — all 13 aggfuncs + list.
+    - transfer="overlay": op ∈ weighted | density-preserve |
+      mass-preserve (VCT inert, ref overlay.py:148-159) | mode |
+      fractions | list.
+    - transfer="sample": kernel ∈ nearest | bilinear | bicubic | lanczos
+      at cell centroids with nearest-pixel ownership.
+
+    ``resolution`` accepts the auto modes; ``compact`` applies the
+    bottom-up roll-up (uniform-value parents replace complete child
+    sets); ``raw_ids=True`` skips the hex-string output formatting (for
+    further cell-keyed joins)."""
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import (
+        band_cols, default_parent_res, index_point, to_reference_output,
+    )
+
+    check_grid(dggs)
+    res = resolve_res(images, resolution, dggs)
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+
+    if transfer == "point":
+        if agg not in POINT_AGGS:
+            raise ValueError(f"agg {agg!r}; choose from {POINT_AGGS}")
+        out = index_point(images, res, agg, parent_res, dggs, bands,
+                          n_bands, nodata_policy, decimals=decimals)
+        decimals = None  # index_point applies it
+    elif transfer == "overlay":
+        from raster2dggs_spark.operators.overlay import (
+            overlay_agg, overlay_classes, overlay_list,
+        )
+
+        if op == "weighted":
+            out = overlay_agg(images, res, "weighted_mean", parent_res,
+                              dggs, n_bands, supersample, vct)
+        elif op == "density-preserve":
+            out = overlay_agg(images, res, "weighted_sum", parent_res,
+                              dggs, n_bands, supersample, vct)
+        elif op == "mass-preserve":
+            out = overlay_agg(images, res, "mass_sum", parent_res, dggs,
+                              n_bands, supersample)
+        elif op == "mode":
+            out = overlay_classes(images, res, "mode", parent_res, dggs,
+                                  band, supersample)
+        elif op == "fractions":
+            out = overlay_classes(images, res, "fractions", parent_res,
+                                  dggs, band, supersample)
+        elif op == "list":
+            out = overlay_list(images, res, parent_res, dggs, band,
+                               supersample, decimals=decimals)
+            decimals = None
+        else:
+            raise ValueError(f"overlay op {op!r}; choose from {OVERLAY_OPS}")
+    elif transfer == "sample":
+        from raster2dggs_spark.operators.sample import sample_cells
+
+        if kernel not in KERNELS:
+            raise ValueError(f"kernel {kernel!r}; choose from {KERNELS}")
+        out = sample_cells(images, res, kernel, parent_res, dggs, n_bands)
+    else:
+        raise ValueError(f"transfer {transfer!r}: point | overlay | sample")
+
+    if decimals is not None:
+        from raster2dggs_spark.operators.aggregates import round_decimals
+
+        cols = [c for c in band_cols(n_bands) if c in out.columns]
+        if cols:
+            out = round_decimals(out, cols, decimals)
+    if compact:
+        if dggs not in ("hex7", "s2"):
+            raise ValueError(
+                "compact=True needs a bit-arithmetic hierarchy (hex7/s2)"
+            )
+        from raster2dggs_spark.operators.compaction import compact_cells
+
+        vals = [c for c in out.columns if c not in ("cell", "npx")]
+        # "parent" rides as a value column: compaction only ever merges
+        # siblings at res > parent_res, whose parent value is uniform by
+        # construction, so it is preserved (the reference compacts within
+        # a parent partition for the same reason)
+        out = compact_cells(
+            out.drop("npx") if "npx" in out.columns else out,
+            vals, res, min_res=parent_res, dggs=dggs,
+        )
+    if raw_ids:
+        return out
+    return to_reference_output(out, dggs, res, parent_res)
+
+
+def write_output(df: DataFrame, path: str, dggs: str = "hex7",
+                 parent_res: int = 3, geo: bool = False,
+                 geometry: str = "polygon") -> None:
+    """Reference output sink: hive-partitioned (Geo)Parquet keyed by the
+    parent column (ref common.py:533-572)."""
+    from raster2dggs_spark.operators.indexing import cell_column_name
+
+    pcol = cell_column_name(dggs, parent_res)
+    if geo:
+        from raster2dggs_spark.sources.geoparquet import (
+            add_cell_geometry, write_geoparquet,
+        )
+
+        if "cell" not in df.columns:
+            raise ValueError("geo output needs raw_ids=True frames "
+                             "(cell column present)")
+        geo_df = add_cell_geometry(df, dggs, geometry)
+        geo_df = geo_df.withColumn(pcol, F.lower(F.hex("parent")))
+        write_geoparquet(geo_df.drop("parent", "cell"), path,
+                         partition_col=pcol,
+                         geometry_types=[geometry.capitalize()])
+        return
+    df.write.mode("overwrite").partitionBy(pcol).parquet(path)

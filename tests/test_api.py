@@ -1,0 +1,105 @@
+"""index_raster: the reference-CLI-parity entry point routes to the same
+operators as the low-level API, option for option."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _imgs(spark, n=8, **kw):
+    from raster2dggs_spark.sources import images_spark_df
+
+    return images_spark_df(spark, n, seed=30, **kw)
+
+
+def test_point_mean_matches_low_level(spark):
+    from raster2dggs_spark.api import index_raster
+    from raster2dggs_spark.operators.indexing import (
+        index_point_agg, to_reference_output,
+    )
+
+    imgs = _imgs(spark)
+    a = index_raster(imgs, resolution=7, transfer="point", agg="mean") \
+        .toPandas().sort_values("hex7_07").reset_index(drop=True)
+    b = to_reference_output(index_point_agg(imgs, res=7, agg="mean"),
+                            "hex7", 7, 1) \
+        .toPandas().sort_values("hex7_07").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_point_list_and_decimals(spark):
+    from raster2dggs_spark.api import index_raster
+
+    out = index_raster(_imgs(spark), resolution=6, transfer="point",
+                       agg="list", decimals=1).toPandas()
+    assert "band_1" in out.columns and len(out)
+    lst = next(v for v in out["band_1"] if v is not None and len(v) > 1)
+    assert list(lst) == sorted(lst)
+    assert all(round(float(x), 1) == float(x) for x in lst)
+
+
+@pytest.mark.parametrize("op,col", [
+    ("weighted", "band_1"), ("mass-preserve", "band_1"),
+    ("mode", "majority_class"), ("fractions", "fraction"),
+    ("list", "values"),
+])
+def test_overlay_routes(spark, op, col):
+    from raster2dggs_spark.api import index_raster
+
+    out = index_raster(_imgs(spark, 4, size_range=(10, 14)),
+                       resolution=6, transfer="overlay", op=op)
+    assert col in out.columns
+    assert out.limit(5).count() > 0
+
+
+def test_sample_route_and_auto_resolution(spark):
+    from raster2dggs_spark.api import index_raster, resolve_res
+    from raster2dggs_spark.functions.resolution import cell_area_m2_mean
+
+    imgs = _imgs(spark, 4, size_range=(10, 14))
+    r = resolve_res(imgs, "min-diff", "hex7")
+    assert 0 <= r <= 15
+    # defining property spot check: min-diff minimizes |cell - pixel| area
+    from raster2dggs_spark.api import _mean_pixel_area_m2
+
+    pa = _mean_pixel_area_m2(imgs)
+    diffs = [abs(cell_area_m2_mean(x, "hex7") - pa) for x in range(16)]
+    assert abs(cell_area_m2_mean(r, "hex7") - pa) == min(diffs)
+    out = index_raster(imgs, resolution="min-diff", transfer="sample",
+                       kernel="nearest")
+    assert out.limit(3).count() > 0
+
+
+def test_compact_route_shrinks_uniform_raster(spark):
+    from raster2dggs_spark.api import index_raster
+
+    imgs = _imgs(spark, 4, scenarios=("uniform42",), size_range=(24, 32))
+    plain = index_raster(imgs, resolution=8, transfer="point", agg="mean",
+                         decimals=0, raw_ids=True)
+    packed = index_raster(imgs, resolution=8, transfer="point", agg="mean",
+                          decimals=0, compact=True, raw_ids=True)
+    n_plain, n_packed = plain.count(), packed.count()
+    assert n_packed < n_plain  # complete uniform subtrees merged
+    # parent column survives compaction
+    assert packed.where(F.col("parent").isNull()).count() == 0
+
+
+def test_h3_key_rejected(spark):
+    from raster2dggs_spark.api import index_raster
+
+    with pytest.raises(Exception, match="hex7"):
+        index_raster(_imgs(spark, 2), dggs="h3", resolution=7)
+
+
+def test_write_output_roundtrip(spark, tmp_path):
+    from raster2dggs_spark.api import index_raster, write_output
+
+    out = index_raster(_imgs(spark, 4), resolution=7, transfer="point",
+                       agg="mean")
+    path = str(tmp_path / "out")
+    write_output(out, path, "hex7", 1)
+    back = spark.read.parquet(path)
+    assert back.count() == out.count()
+    assert "hex7_01" in back.columns
