@@ -159,7 +159,12 @@ def main():
     # -- q8: overlay (supersampled coverage) on a tile subset -----------------
     from raster2dggs_spark.operators.overlay import overlay_agg
 
-    sub = imgs.limit(256)
+    # deterministic 256-tile subset WITHOUT limit(): GlobalLimit collapses
+    # the scan to one partition and single-tasks the whole decode+encode
+    # (measured 8.7s serial vs 1.4s with a modulo filter); the modulo
+    # spreads the picks across every input file so the scan stays
+    # partition-parallel (a contiguous id range clusters into ~8 files)
+    sub = imgs.where(F.substring("image_id", -8, 8).cast("int") % 16 == 0)
     timed("overlay_mass", lambda: overlay_agg(sub, res=7, op="mass_sum")
           .agg(F.sum("band_1")).collect())
 
