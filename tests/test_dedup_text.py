@@ -207,18 +207,20 @@ def test_image_stats_and_thumbnails(spark):
     assert (th["thumb"].map(len) == 64).all()
 
 
-def test_frame_sample_stub_plumbing(spark):
+def test_frame_sample_external_codec_schema_and_gate(spark):
+    """frame_sample decodes rvid for real (test_media.py); external
+    formats keep the identical schema but raise at decode."""
     from raster2dggs_spark.operators.multimodal import frame_sample
 
     vids = spark.createDataFrame(
         pd.DataFrame({"video_id": ["v1"], "bytes": [b"xx"], "fmt": ["h264"]})
     )
     out = frame_sample(vids)
-    # schema is real even though decode is stubbed
     assert [f.name for f in out.schema.fields] == [
-        "video_id", "frame_idx", "frame_bytes"
+        "video_id", "frame_idx", "frame_bytes", "h", "w",
+        "f_mean", "f_min", "f_max",
     ]
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="NotImplementedError"):
         out.collect()
 
 
