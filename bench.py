@@ -159,12 +159,14 @@ def main():
     # -- q8: overlay (supersampled coverage) on a tile subset -----------------
     from raster2dggs_spark.operators.overlay import overlay_agg
 
-    # deterministic 256-tile subset WITHOUT limit(): GlobalLimit collapses
+    # deterministic ~256-tile subset WITHOUT limit(): GlobalLimit collapses
     # the scan to one partition and single-tasks the whole decode+encode
-    # (measured 8.7s serial vs 1.4s with a modulo filter); the modulo
-    # spreads the picks across every input file so the scan stays
-    # partition-parallel (a contiguous id range clusters into ~8 files)
-    sub = imgs.where(F.substring("image_id", -8, 8).cast("int") % 16 == 0)
+    # (measured 6.5s serial compute floor); a modulo filter spreads the
+    # picks across every input file so the scan stays partition-parallel.
+    # Stride 17 is COPRIME to the generator's 8-scenario rotation — a
+    # power-of-two stride would alias onto one scenario and silently
+    # swap the workload for uniform tiles
+    sub = imgs.where(F.substring("image_id", -8, 8).cast("int") % 17 == 0)
     timed("overlay_mass", lambda: overlay_agg(sub, res=7, op="mass_sum")
           .agg(F.sum("band_1")).collect())
 

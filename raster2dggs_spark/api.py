@@ -52,6 +52,11 @@ def _mean_pixel_area_m2(images: DataFrame) -> float:
             * F.cos(F.radians(F.least(F.abs("affine_f"), F.lit(89.0))))
         ).alias("pa_m2")
     ).agg(F.avg("pa_m2").alias("m")).collect()
+    if m[0]["m"] is None:
+        raise ValueError(
+            "cannot resolve an auto resolution mode against an empty "
+            "image table — pass a numeric resolution"
+        )
     return float(m[0]["m"])
 
 

@@ -51,6 +51,22 @@ def cell_parent(cells, parent_res: int, dggs: str):
     return grid_lib(dggs).cell_to_parent(cells, parent_res)
 
 
+def cell_spans(res: int, dggs: str) -> tuple[float, float]:
+    """(lon_span, lat_span) in degrees for the FIXED-degree-rectangle
+    grids (geohash/maidenhead) — the single source of the bit/radix
+    allocation shared by pitch_deg and the kNN banded disk cover."""
+    if dggs == "geohash":
+        lon_bits = (5 * res + 1) // 2
+        lat_bits = 5 * res // 2
+        return 360.0 / (1 << lon_bits), 180.0 / (1 << lat_bits)
+    if dggs == "maidenhead":
+        prod = 1
+        for b in maidenheadlib.BASES[:res]:
+            prod *= b
+        return 360.0 / prod, 180.0 / prod
+    raise ValueError(f"{dggs} cells are not lon/lat rectangles")
+
+
 def pitch_deg(res: int, dggs: str) -> float:
     """Conservative cell pitch (the smaller cell dimension) in degrees."""
     if dggs == "hex7":
@@ -59,15 +75,8 @@ def pitch_deg(res: int, dggs: str) -> float:
         return 90.0 / (1 << res)
     if dggs == "rhp":
         return float(np.degrees(rhplib.cell_pitch_rad(res)))
-    if dggs == "geohash":
-        lon_bits = (5 * res + 1) // 2
-        lat_bits = 5 * res // 2
-        return min(360.0 / (1 << lon_bits), 180.0 / (1 << lat_bits))
-    if dggs == "maidenhead":
-        prod = 1
-        for b in maidenheadlib.BASES[:res]:
-            prod *= b
-        return min(360.0 / prod, 180.0 / prod)
+    if dggs in ("geohash", "maidenhead"):
+        return min(cell_spans(res, dggs))
     raise ValueError(dggs)
 
 

@@ -486,17 +486,10 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
             # integer index ranges per lat band (conservative lon width
             # per band) — an angular sampling pattern would need its
             # pitch shrunk by cos(lat) and blow up near the poles
-            from raster2dggs_spark.dggs import cover, maidenheadlib
+            from raster2dggs_spark.dggs import cover
 
             ang_deg = np.degrees(ang)
-            if dggs == "geohash":
-                lonspan = 360.0 / (1 << ((5 * cres + 1) // 2))
-                latspan = 180.0 / (1 << (5 * cres // 2))
-            else:
-                prod = 1
-                for b in maidenheadlib.BASES[:cres]:
-                    prod *= b
-                lonspan, latspan = 360.0 / prod, 180.0 / prod
+            lonspan, latspan = cover.cell_spans(cres, dggs)
             nlon = int(round(360.0 / lonspan))
             nlat = int(round(180.0 / latspan))
             for pdf in batches:

@@ -146,6 +146,8 @@ def frame_sample(videos: DataFrame, n_samples: int = 4) -> DataFrame:
                         "identical plumbing"
                     )
                 t, h, w = video_meta(r.bytes)
+                if t == 0:
+                    continue  # zero-frame clip: nothing to sample
                 idx = np.unique((np.arange(n_samples) * t) // n_samples)
                 frames = decode_video(r.bytes, idx)
                 for j, fi in enumerate(idx.tolist()):

@@ -396,14 +396,15 @@ def overlay_values(
                 cells, pix, wt = _coverage_samples(
                     affine, w, h, row.crs, s, res, dggs
                 )
-                v_sub = arr[bidx].astype(np.float64).ravel()[pix]
+                band = arr[bidx].astype(np.float64).ravel()
+                v_sub = band[pix]
                 ok = np.isfinite(v_sub)
                 key = np.stack([cells[ok], pix[ok]], axis=1)
                 uk = np.unique(key, axis=0)
                 out.append(pd.DataFrame({
                     "parent": cover.cell_parent(uk[:, 0], parent_res, dggs),
                     "cell": uk[:, 0],
-                    "value": arr[bidx].astype(np.float64).ravel()[uk[:, 1]],
+                    "value": band[uk[:, 1]],
                 }))
             if out:
                 yield pd.concat(out, ignore_index=True)

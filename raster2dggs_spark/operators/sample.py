@@ -212,9 +212,10 @@ def sample_cells(
     return dedupe_first(raw, ["cell"], ["image_id"]).drop("image_id")
 
 
-def _tile_extent_deg(images: DataFrame) -> float:
+def _tile_extent_deg(images: DataFrame) -> float | None:
     """Max tile extent in degrees — a single scalar agg over metadata
-    columns only (bounded driver data, like the kNN radius stats)."""
+    columns only (bounded driver data, like the kNN radius stats).
+    None when the image table is empty."""
     m = images.select(
         F.greatest(
             F.abs(F.col("affine_a")) * F.col("w"),
@@ -225,7 +226,7 @@ def _tile_extent_deg(images: DataFrame) -> float:
         F.when(F.col("crs") == "EPSG:3857", F.col("ext") / 111_195.0)
         .otherwise(F.col("ext")).alias("ext_deg")
     ).agg(F.max("ext_deg").alias("m")).collect()
-    return float(m[0]["m"])
+    return None if m[0]["m"] is None else float(m[0]["m"])
 
 
 def _routing_res(extent_deg: float) -> int:
@@ -360,6 +361,14 @@ def _sample_points_join(
 
     bcols = band_cols(n_bands)
     extent = _tile_extent_deg(images)
+    if extent is None:
+        # empty image table: collect-path parity — every point comes
+        # back with NaN bands
+        return points.select(
+            F.col(id_col), F.col(lon_col).cast("double").alias(lon_col),
+            F.col(lat_col).cast("double").alias(lat_col),
+            *[F.lit(float("nan")).alias(c) for c in bcols],
+        )
     rres = _routing_res(extent)
     imgs = _prune(images)
 

@@ -157,6 +157,12 @@ def hash_split(df: DataFrame, id_col: str,
     Pure native expressions; identical arithmetic exists in the DuckDB
     twin."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split weights must sum to 1 (got {total}); the last split "
+            "would otherwise silently absorb the leftover mass"
+        )
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("long") % buckets

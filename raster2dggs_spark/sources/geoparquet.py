@@ -78,17 +78,27 @@ def geo_metadata(bbox: list[float], geometry_types: list[str]) -> bytes:
 
 
 def wkb_bbox(blobs) -> list[float] | None:
-    """[xmin, ymin, xmax, ymax] over our WKB Point/Polygon encodings
-    (parsed straight from the coordinate payload — both encodings are
-    fixed-layout: Point = 5B header + xy; Polygon = 9B header + ring
-    count + interleaved xy ring)."""
+    """[xmin, ymin, xmax, ymax] over the WKB layouts THIS module writes
+    (little-endian Point; little-endian single-ring Polygon).  Any other
+    geometry (multi-ring, big-endian, other types) returns None — the
+    caller falls back to the whole-world bbox rather than stamping a
+    silently-wrong extent parsed at the wrong offset."""
     xmin = ymin = np.inf
     xmax = ymax = -np.inf
     for b in blobs:
         if b is None:
             continue
+        if len(b) < 21 or b[0] != 1:  # little-endian only
+            return None
         geom_type = int.from_bytes(b[1:5], "little")
-        off = 5 if geom_type == 1 else 13  # Point: xy now; Polygon: skip counts
+        if geom_type == 1:
+            off = 5
+        elif geom_type == 3 and int.from_bytes(b[5:9], "little") == 1:
+            off = 13  # exactly one ring: skip ring + point counts
+        else:
+            return None
+        if (len(b) - off) % 16 != 0:
+            return None
         coords = np.frombuffer(b, dtype="<f8", offset=off)
         xs, ys = coords[0::2], coords[1::2]
         xmin = min(xmin, xs.min())
