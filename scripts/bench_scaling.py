@@ -243,8 +243,14 @@ tiles.  Reference single-node baseline: ≈ 224k pixels/s
 """
     base = os.path.join(REPO, "BASELINE.md")
     text = open(base).read()
-    text = re.sub(r"## Measured \(this engine.*\Z", "", text, flags=re.S).rstrip() + "\n\n"
-    open(base, "w").write(text + section)
+    # replace ONLY the Measured section — stop at the next "## " heading
+    # so trailing sections (round notes) survive the rewrite
+    pat = r"## Measured \(this engine.*?(?=\n## |\Z)"
+    if re.search(pat, text, flags=re.S):
+        text = re.sub(pat, section.rstrip() + "\n\n", text, flags=re.S)
+    else:
+        text = text.rstrip() + "\n\n" + section
+    open(base, "w").write(text)
     print("BASELINE.md updated")
 
 
