@@ -516,11 +516,19 @@ def q_dedup_components(spark, sf_dir):
     (hash-to-min label propagation, driver-synced convergence) → per-doc
     (component, size, is_canonical).  Oracle: DuckDB replays the minhash
     pipeline and computes the same closure with a recursive CTE — the
-    iterative Spark loop must converge to the exact fixpoint."""
+    iterative Spark loop must converge to the exact fixpoint.
+
+    Gate scoping: a deterministic 1-in-5 doc subset and 8-row bands
+    (bands=2) — the synthetic corpus is template-generated and therefore
+    near-dup-DENSE, so 4-row bands over the full table produce a pair
+    set that grows ~quadratically with sf (the recursive-CTE oracle
+    enumerates |V|·|component| rows and stalls at sf0.1).  Subsetting
+    keeps the oracle O(minutes) at every driver scale while exercising
+    the identical operators."""
     from raster2dggs_spark.operators.dedup import dedup_clusters
 
-    d = _t(spark, sf_dir, "documents")
-    out = dedup_clusters(d, "doc_id", "text")
+    d = _t(spark, sf_dir, "documents").where("doc_id % 5 = 0")
+    out = dedup_clusters(d, "doc_id", "text", n_hashes=16, bands=2)
     return out.select(
         "doc_id", "component",
         F.col("component_size").cast("long").alias("component_size"),
@@ -1234,12 +1242,13 @@ def _minhash_sql(n_hashes: int = 8, bands: int = 4,
     """
 
 
-def _dedup_components_sql(n_hashes: int = 16, bands: int = 4,
+def _dedup_components_sql(n_hashes: int = 16, bands: int = 2,
                           max_bucket: int = 1000) -> str:
     """DuckDB twin of q_dedup_components: the same minhash→LSH pair
-    pipeline, then the transitive closure as a recursive CTE (reach =
-    every label reachable from a vertex; component = min) — the exact
-    fixpoint Spark's hash-to-min iteration must converge to."""
+    pipeline (1-in-5 doc subset, 8-row bands — see the query docstring),
+    then the transitive closure as a recursive CTE (reach = every label
+    reachable from a vertex; component = min) — the exact fixpoint
+    Spark's hash-to-min iteration must converge to."""
     rows = n_hashes // bands
     mins = ", ".join(
         f"min(md5(concat('{i}|', shingle))) AS mh_{i}" for i in range(n_hashes)
@@ -1251,8 +1260,10 @@ def _dedup_components_sql(n_hashes: int = 16, bands: int = 4,
             f"SELECT doc_id, {b} AS band, md5(concat({parts})) AS bkey FROM sig"
         )
     buckets = " UNION ALL ".join(bucket_selects)
+    words = ("w AS (SELECT DISTINCT doc_id, unnest(" + _TOKS
+             + ") AS shingle FROM documents WHERE doc_id % 5 = 0)")
     return f"""
-        WITH RECURSIVE {_WORDS_CTE},
+        WITH RECURSIVE {words},
         sig AS (SELECT doc_id, {mins} FROM w GROUP BY doc_id),
         buckets0 AS ({buckets}),
         buckets AS (SELECT * FROM buckets0
@@ -1265,7 +1276,7 @@ def _dedup_components_sql(n_hashes: int = 16, bands: int = 4,
         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                   UNION SELECT id_b, id_a FROM pairs),
         reach(v, l) AS (
-          SELECT doc_id, doc_id FROM documents
+          SELECT doc_id, doc_id FROM documents WHERE doc_id % 5 = 0
           UNION
           SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
         comp AS (SELECT v AS doc_id, min(l) AS component
@@ -2336,7 +2347,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
-        "dedup_components": _dedup_components_sql(16, 4, 1000),
+        "dedup_components": _dedup_components_sql(16, 2, 1000),
         "hash_split": _hash_split_sql(10_000),
         "video_frame_stats": _video_frame_stats_sql(24, 4),
         "audio_features": _audio_features_sql(16, 1024),
