@@ -850,6 +850,39 @@ def q_windowed_events(spark, sf_dir):
     )
 
 
+def q_zonal_windowed_events(spark, sf_dir):
+    """Geo × time composite: events carry deterministic coordinates
+    (integer arithmetic on event_id), are spatially joined to zones via
+    the full PIP machinery (cover cells + ray-cast refinement), then
+    aggregated per (hour window, zone).  The oracle reduces the geometry
+    to BETWEEN (rect zones) and the window to date_trunc — both exact.
+    The streaming twin (broadcast cell cover + watermarked window) is
+    equivalence-tested in pytest."""
+    from raster2dggs_spark.operators.joins import point_in_polygon_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "value",
+        (((F.col("event_id") * 37) % 344) - 172 + 0.3)
+        .cast("double").alias("lon"),
+        (((F.col("event_id") * 53) % 160) - 80 + 0.3)
+        .cast("double").alias("lat"),
+    )
+    zones = _nation_rects(spark, sf_dir)
+    hits = point_in_polygon_join(
+        ev.select(F.col("event_id").alias("point_id"), "lon", "lat"),
+        zones, res=4,
+    )
+    j = hits.join(ev.select(F.col("event_id").alias("point_id"),
+                            "ts", "value"), "point_id")
+    return j.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("window_start"),
+        "poly_id",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r4(F.sum("value")).alias("sum_value"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (batch plan; the applyInPandasWithState
     streaming twin is equivalence-tested in pytest).  Timestamps emitted
@@ -1167,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "audio_features": q_audio_features,
         "windowed_events": q_windowed_events,
+        "zonal_windowed_events": q_zonal_windowed_events,
         "sessionize": q_sessionize,
         "sample_bilinear": q_sample_bilinear,
         "sample_bilinear_s2": q_sample_bilinear_s2,
@@ -2348,6 +2382,26 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
         "dedup_components": _dedup_components_sql(16, 2, 1000),
+        "zonal_windowed_events": f"""
+            WITH p AS (
+              SELECT event_id,
+                     CAST(((event_id * 37) % 344) - 172 + 0.3 AS DOUBLE)
+                         AS lon,
+                     CAST(((event_id * 53) % 160) - 80 + 0.3 AS DOUBLE)
+                         AS lat,
+                     ts, value
+              FROM events),
+            z AS ({_NATION_RECTS_SQL})
+            SELECT CAST(date_trunc('hour', p.ts) AS VARCHAR)
+                       AS window_start,
+                   z.poly_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(p.value), 4) AS sum_value
+            FROM p JOIN z
+              ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
+             AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
+            GROUP BY 1, 2
+        """,
         "hash_split": _hash_split_sql(10_000),
         "video_frame_stats": _video_frame_stats_sql(24, 4),
         "audio_features": _audio_features_sql(16, 1024),

@@ -74,3 +74,47 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     )
     q.awaitTermination()
     return q
+
+
+def zonal_windowed_event_stats(events: DataFrame, zone_cells: DataFrame,
+                               res: int = 4, dggs: str = "hex7",
+                               window: str = "1 hour",
+                               watermark: str = "2 hours",
+                               lon_col: str = "lon",
+                               lat_col: str = "lat") -> DataFrame:
+    """Geo × time composite: per (tumbling window, zone) event counts and
+    value sums.  The geometry side is the DGGS equi-join trick — events
+    encode to cells (Arrow UDF), zones arrive pre-covered as a broadcast
+    (cell, zone_id) table — so the streaming plan is a stateless
+    broadcast join followed by a watermarked windowed aggregation
+    (Structured Streaming supports exactly this shape: static-side
+    broadcast + stateful window agg).  Works on batch or streaming
+    input; zonal semantics are cell-granularity, matching zonal_join."""
+    @F.pandas_udf("long")
+    def enc(lon, lat):
+        import numpy as np
+        import pandas as pd
+
+        from raster2dggs_spark.dggs import cover
+
+        return pd.Series(cover.encode(
+            lon.values.astype(np.float64), lat.values.astype(np.float64),
+            res, dggs,
+        ))
+
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    e = e.withColumn("cell", enc(F.col(lon_col), F.col(lat_col)))
+    j = e.join(F.broadcast(zone_cells), "cell")
+    return (
+        j.groupBy(F.window("ts", window).alias("w"), "zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "zone_id", "n_events", "sum_value",
+        )
+    )

@@ -299,11 +299,12 @@ def test_knn_join_fewer_targets_than_k(spark):
     assert all(v == {0, 1, 2} for v in got.values())  # all 3, never k
 
 
-@pytest.mark.parametrize("dggs,res", [("geohash", 4), ("maidenhead", 2)])
+@pytest.mark.parametrize("dggs,res", [("geohash", 4), ("maidenhead", 2),
+                                      ("rhp", 4)])
 def test_pip_join_flat_grids(spark, fixtures, dggs, res):
-    """Round-2 verdict #4: PIP routed through the flat grids' cover +
-    children arithmetic must equal the brute-force oracle (and therefore
-    the hex7/s2 results) on the same points/polys."""
+    """Round-2 verdict #4: PIP routed through every non-default grid's
+    cover + children arithmetic must equal the brute-force oracle (and
+    therefore the hex7/s2 results) on the same points/polys."""
     from raster2dggs_spark.operators.joins import point_in_polygon_join
 
     zones, points, zdf, pdf = fixtures

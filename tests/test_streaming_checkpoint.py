@@ -367,3 +367,44 @@ def test_resume_keeps_null_partition(spark, tmp_path):
     # a second resume is a no-op (the null partition is now committed)
     checkpointed_write(df, table, "k")
     assert len(table.read(spark).toPandas()) == 100
+
+
+def test_zonal_windowed_stream_equals_batch(spark, tmp_path):
+    """Geo x time composite: the broadcast-cover + watermarked-window
+    streaming plan must equal the batch plan on identical data."""
+    from raster2dggs_spark.operators.joins import polygon_cells
+    from raster2dggs_spark.sources.vectors import generate_zones_pdf
+    from raster2dggs_spark.streaming.events import (
+        run_stream_to_memory, stream_events_from_parquet,
+        zonal_windowed_event_stats,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet")).select(
+        "event_id", "ts", "value",
+        (((F.col("event_id") * 37) % 344) - 172 + 0.3)
+        .cast("double").alias("lon"),
+        (((F.col("event_id") * 53) % 160) - 80 + 0.3)
+        .cast("double").alias("lat"),
+    )
+    zones = generate_zones_pdf(10, seed=42)
+    zdf = spark.createDataFrame(
+        zones[["poly_id", "xs", "ys"]],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    cover = polygon_cells(zdf, res=4).where("center_in").select(
+        "cell", F.col("poly_id").alias("zone_id")
+    ).persist()
+
+    batch = zonal_windowed_event_stats(ev, cover).toPandas()
+    assert len(batch) > 0
+
+    src = str(tmp_path / "ev_stream")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = stream_events_from_parquet(spark, src, ev.schema)
+    run_stream_to_memory(zonal_windowed_event_stats(stream, cover), "zw_ev")
+    got = spark.sql("select * from zw_ev").toPandas()
+    key = ["window_start", "zone_id"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    cover.unpersist()
