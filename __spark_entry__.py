@@ -986,6 +986,26 @@ def q_sample_points_bilinear(spark, sf_dir):
     return out.select("point_id", _r4("band_1").alias("v"))
 
 
+def q_sample_points_join(spark, sf_dir):
+    """The sample_points SCALE strategy (cell-routed equi-join + cogroup
+    kernel, no driver collect of payloads) against the same closed-form
+    ramp oracle as the collect path — both strategies must produce
+    identical values, and this keeps the 100-TB path itself
+    hash-checked, not just its broadcast twin."""
+    from raster2dggs_spark.operators.sample import sample_points
+
+    imgs = _ramp_images(spark).where("image_id = 'ramp_00'")
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        (F.lit(10.0037) + ((F.col("c_custkey") * 37) % 620 + 10) / 1000.0)
+        .cast("double").alias("lon"),
+        (F.lit(50.0041) - ((F.col("c_custkey") * 53) % 460 + 10) / 1000.0)
+        .cast("double").alias("lat"),
+    )
+    out = sample_points(imgs, pts, kernel="bilinear", strategy="join")
+    return out.select("point_id", _r4("band_1").alias("v"))
+
+
 def q_sample_points_bicubic(spark, sf_dir):
     """Bicubic (Keys a=-0.5) point sampling, fully oracle-checked: the
     Keys kernel has exact linear precision, so on a linear-ramp tile the
@@ -1206,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bilinear_s2": q_sample_bilinear_s2,
         "sample_points_bilinear": q_sample_points_bilinear,
         "sample_points_bicubic": q_sample_points_bicubic,
+        "sample_points_join": q_sample_points_join,
         "sample_cells_maidenhead": q_sample_cells_maidenhead,
         "maidenhead_pixel_index": q_maidenhead_pixel_index,
         "maidenhead_pixel_median": q_maidenhead_pixel_median,
@@ -2589,4 +2610,7 @@ def oracle_sql() -> dict[str, str]:
     # apply verbatim to the geohash-routed variants
     out["pip_join_geohash"] = out["pip_join"]
     out["knn_join_geohash"] = out["knn_join"]
+    # both sample_points strategies define identical semantics — the
+    # join (scale) strategy must match the same closed-form ramp oracle
+    out["sample_points_join"] = out["sample_points_bilinear"]
     return out
