@@ -83,6 +83,7 @@ def index_raster(
     kernel: str = "bilinear",
     bands: list | None = None,
     nodata_policy: str = "omit",
+    nodata_fill: float | None = None,
     decimals: int | None = None,
     compact: bool = False,
     vct: float | None = None,
@@ -90,6 +91,11 @@ def index_raster(
     n_bands: int = 4,
     supersample: int = 4,
     raw_ids: bool = False,
+    hist_edges: list | None = None,
+    hist_width: float | None = None,
+    hist_origin: float = 0.0,
+    hist_weight: str = "count",
+    hist_normalize: str = "none",
 ) -> DataFrame:
     """One call ≙ one reference CLI invocation.  Routes to the operator
     family per (transfer, op) exactly as ref common.py:187-240:
@@ -117,11 +123,23 @@ def index_raster(
         parent_res = default_parent_res(res, dggs)
 
     if transfer == "point":
-        if agg not in POINT_AGGS:
-            raise ValueError(f"agg {agg!r}; choose from {POINT_AGGS}")
-        out = index_point(images, res, agg, parent_res, dggs, bands,
-                          n_bands, nodata_policy, decimals=decimals)
-        decimals = None  # index_point applies it
+        if agg == "histogram":
+            out = _point_histogram(
+                images, res, parent_res, dggs, bands, n_bands,
+                nodata_policy, nodata_fill, band, decimals,
+                hist_edges, hist_width, hist_origin, hist_weight,
+                hist_normalize,
+            )
+            decimals = None
+        elif agg not in POINT_AGGS:
+            raise ValueError(
+                f"agg {agg!r}; choose from {POINT_AGGS + ('histogram',)}"
+            )
+        else:
+            out = index_point(images, res, agg, parent_res, dggs, bands,
+                              n_bands, nodata_policy, decimals=decimals,
+                              nodata_fill=nodata_fill)
+            decimals = None  # index_point applies it
     elif transfer == "overlay":
         from raster2dggs_spark.operators.overlay import (
             overlay_agg, overlay_classes, overlay_list,
@@ -184,11 +202,71 @@ def index_raster(
     return to_reference_output(out, dggs, res, parent_res)
 
 
+def _point_histogram(images, res, parent_res, dggs, bands, n_bands,
+                     nodata_policy, nodata_fill, band, decimals,
+                     edges, width, origin, weight, normalize):
+    """``--point histogram`` (A8-A11): per-cell categorical or binned
+    histogram of one band, packed into the reference struct form with
+    the (weight × normalize) field-naming matrix."""
+    from raster2dggs_spark.operators import aggregates as A
+    from raster2dggs_spark.operators.indexing import band_cols, pixel_cells
+
+    px = pixel_cells(images, res, parent_res, dggs, bands, n_bands,
+                     nodata_policy, nodata_fill, keep_image_id=False)
+    bcol = band_cols(n_bands)[band - 1]
+    keys = ["parent", "cell"]
+    if edges is not None:
+        h = A.hist_binned_edges(px, keys, bcol, list(edges))
+    elif width is not None:
+        h = A.hist_binned(px, keys, bcol, origin, float(width))
+    else:
+        h = A.hist_categorical(px, keys, bcol, decimals=decimals)
+    field = A.hist_weight_field(weight, normalize)
+    wcol = "weight"
+    if normalize == "valid_overlap":
+        h = A.hist_normalize(h, keys)          # adds weight_frac
+        wcol = "weight_frac"
+    elif normalize == "cell_area":
+        h = A.hist_normalize_cell_area(h, res, dggs)  # adds area_frac
+        wcol = "area_frac"
+    if edges is not None or width is not None:
+        g = h.groupBy(*keys).agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    F.col("left"), F.col("right"), F.col(wcol).alias("w"),
+                ))
+            ).alias("__p")
+        )
+        return g.select(
+            *keys,
+            F.struct(
+                F.col("__p.left").alias("left"),
+                F.col("__p.right").alias("right"),
+                F.col("__p.w").alias(field),
+            ).alias(f"band_{band}"),
+        )
+    g = h.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                F.col("value").alias("v"), F.col(wcol).alias("w"),
+            ))
+        ).alias("__p")
+    )
+    return g.select(
+        *keys,
+        F.struct(
+            F.col("__p.v").alias("values"),
+            F.col("__p.w").alias(field),
+        ).alias(f"band_{band}"),
+    )
+
+
 def write_output(df: DataFrame, path: str, dggs: str = "hex7",
                  parent_res: int = 3, geo: bool = False,
-                 geometry: str = "polygon") -> None:
+                 geometry: str = "polygon",
+                 compression: str = "snappy") -> None:
     """Reference output sink: hive-partitioned (Geo)Parquet keyed by the
-    parent column (ref common.py:533-572)."""
+    parent column (ref common.py:533-572; -c/--compression)."""
     from raster2dggs_spark.operators.indexing import cell_column_name
 
     pcol = cell_column_name(dggs, parent_res)
@@ -206,4 +284,5 @@ def write_output(df: DataFrame, path: str, dggs: str = "hex7",
                          partition_col=pcol,
                          geometry_types=[geometry.capitalize()])
         return
-    df.write.mode("overwrite").partitionBy(pcol).parquet(path)
+    (df.write.mode("overwrite").option("compression", compression)
+     .partitionBy(pcol).parquet(path))

@@ -423,22 +423,32 @@ def index_point(
     n_bands: int = MAX_BANDS_DEFAULT,
     nodata_policy: str = "omit",
     decimals: int | None = None,
+    nodata_fill: float | None = None,
 ) -> DataFrame:
     """Full reference ``--point`` aggregation surface.
 
     Algebraic aggs (mean/sum/count/min/max/std/var) route through the
     map-side-combine partials path (one shuffle); holistic aggs
-    (median/mode/majority/nunique/range/list) route through exploded
-    pixel rows + the generic builders (aggregates.py) — Catalyst still
-    plans partial/final where the function allows."""
+    (median/mode/majority/nunique/range/list) — and any agg under the
+    emit/fill nodata policy (P4, which changes the contributing pixel
+    set) — route through exploded pixel rows + the generic builders
+    (aggregates.py); Catalyst still plans partial/final where the
+    function allows."""
     from raster2dggs_spark.operators import aggregates as A
 
-    if agg in _STATS_FOR_AGG:
+    if agg in _STATS_FOR_AGG and nodata_fill is None:
         out = index_point_agg(images, res, agg, parent_res, dggs, bands,
                               n_bands, nodata_policy)
+    elif agg in _STATS_FOR_AGG:
+        px = pixel_cells(images, res, parent_res, dggs, bands, n_bands,
+                         nodata_policy, nodata_fill, keep_image_id=False)
+        out = A.agg_single(px, ["parent", "cell"], band_cols(n_bands),
+                           {"mean": "mean", "sum": "sum", "count": "count",
+                            "min": "min", "max": "max", "std": "std",
+                            "var": "var"}[agg])
     else:
         px = pixel_cells(images, res, parent_res, dggs, bands, n_bands,
-                         nodata_policy, keep_image_id=False)
+                         nodata_policy, nodata_fill, keep_image_id=False)
         bcols = band_cols(n_bands)
         if agg in ("median", "nunique", "range", "prod"):
             out = A.agg_single(px, ["parent", "cell"], bcols, agg)

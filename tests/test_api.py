@@ -103,3 +103,49 @@ def test_write_output_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == out.count()
     assert "hex7_01" in back.columns
+
+
+def test_point_histogram_output(spark):
+    """--point histogram parity: categorical struct {values, counts}
+    with counts summing to the cell's pixel count; binned variant emits
+    {left, right, <field>} with the naming matrix."""
+    from raster2dggs_spark.api import index_raster
+
+    imgs = _imgs(spark, 4, scenarios=("landcover",), size_range=(10, 14))
+    cat = index_raster(imgs, resolution=6, transfer="point",
+                       agg="histogram", raw_ids=True)
+    cnt = index_raster(imgs, resolution=6, transfer="point", agg="count",
+                       raw_ids=True)
+    a = cat.toPandas().set_index("cell")
+    b = cnt.toPandas().set_index("cell")
+    assert len(a) == len(b)
+    for cell, row in a.iterrows():
+        h = row["band_1"]
+        vals = list(h["values"])
+        assert vals == sorted(vals)
+        assert sum(h["counts"]) == b.loc[cell, "band_1"]
+
+    binned = index_raster(imgs, resolution=6, transfer="point",
+                          agg="histogram", hist_width=2.0,
+                          hist_normalize="valid_overlap", raw_ids=True)
+    r = binned.limit(5).toPandas()
+    assert "count_frac" in dict(r["band_1"].iloc[0])
+    for h in r["band_1"]:
+        assert abs(sum(h["count_frac"]) - 1.0) < 1e-9
+
+
+def test_nodata_fill_routes_emit(spark):
+    """-n/--nodata-fill: emit policy keeps all pixels with the fill
+    value, so per-cell counts equal the full pixel count and means shift
+    toward the fill."""
+    from raster2dggs_spark.api import index_raster
+    from pyspark.sql import functions as F
+
+    imgs = _imgs(spark, 4, scenarios=("multiband_nodata",), size_range=(10, 14))
+    omit = index_raster(imgs, resolution=5, transfer="point", agg="count",
+                        raw_ids=True)
+    fill = index_raster(imgs, resolution=5, transfer="point", agg="count",
+                        nodata_policy="emit", nodata_fill=0.0, raw_ids=True)
+    n_omit = omit.agg(F.sum("band_1")).collect()[0][0]
+    n_fill = fill.agg(F.sum("band_1")).collect()[0][0]
+    assert n_fill > n_omit  # filled pixels contribute under emit
