@@ -33,8 +33,21 @@ def grid_lib(dggs: str):
             "maidenhead": maidenheadlib, "rhp": rhplib}[dggs]
 
 
+def wrap_lon(lon):
+    """Canonicalize longitudes into [-180, 180).  Every backend needs
+    this: the flat grids CLAMP out-of-range lon to the last cell column
+    and the curved grids are only periodic within one turn — so 181.3°
+    encodes wrongly everywhere unless wrapped first (F14 antimeridian
+    semantics).  No-op (no copy) when already canonical."""
+    lon = np.asarray(lon, dtype=np.float64)
+    if lon.size and (lon.min() < -180.0 or lon.max() >= 180.0):
+        lon = np.mod(lon + 180.0, 360.0) - 180.0
+    return lon
+
+
 def encode(lon, lat, res: int, dggs: str):
     lib = grid_lib(dggs)
+    lon = wrap_lon(lon)
     if dggs == "hex7":
         return lib.latlng_to_cell(lon, lat, res)
     return lib.lonlat_to_cell(lon, lat, res)

@@ -126,10 +126,15 @@ def _encode_points(lon, lat, res, parent_res, dggs):
         h3lib, s2lib, geohashlib, maidenheadlib, rhplib,
     )
 
+    from raster2dggs_spark.dggs.cover import wrap_lon
+
     lib = {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
            "maidenhead": maidenheadlib, "rhp": rhplib}.get(dggs)
     if lib is None:
         raise ValueError(f"unknown dggs {dggs!r}")
+    # antimeridian-crossing tiles produce pixel-centre lons beyond ±180
+    # (F14) — canonicalize before the encode (flat grids would clamp)
+    lon = wrap_lon(lon)
     if dggs == "hex7":
         cell = lib.latlng_to_cell(lon, lat, res)
     else:  # s2 / geohash use (lon, lat) naming

@@ -420,11 +420,11 @@ def _sample_points_join(
     # --- point side: encode to the same routing cells ------------------
     @F.pandas_udf(T.LongType())
     def pt_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        from raster2dggs_spark.dggs import geohashlib
+        from raster2dggs_spark.dggs import cover
 
-        return pd.Series(geohashlib.lonlat_to_cell(
+        return pd.Series(cover.encode(
             lon.values.astype(np.float64), lat.values.astype(np.float64),
-            rres,
+            rres, "geohash",
         ))
 
     pt = points.select(

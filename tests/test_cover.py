@@ -89,3 +89,65 @@ def test_cover_bbox_wide_lat_no_skipped_columns():
                   & (clat >= lat_min) & (clat < lat_max))
         missing = set(pc[inside].tolist()) - cells
         assert not missing, f"{dggs} res {res}: cover missed {missing}"
+
+
+def test_encode_wraps_longitudes_every_grid():
+    """F14: lons outside [-180, 180) must encode to the same cell as
+    their canonical equivalent on EVERY grid (the flat grids used to
+    CLAMP 181.3 into the last cell column; curved grids are only
+    periodic within one turn)."""
+    import numpy as np
+
+    from raster2dggs_spark.dggs import cover
+
+    for dggs, res in [("hex7", 7), ("s2", 12), ("geohash", 6),
+                      ("maidenhead", 3), ("rhp", 6)]:
+        lon = np.array([181.3, -178.7, 541.3, -180.0, 180.0])
+        lat = np.full(5, 10.0)
+        c = cover.encode(lon, lat, res, dggs)
+        assert c[0] == c[1] == c[2], f"{dggs}: wrap mismatch {c[:3]}"
+        assert c[3] == c[4], f"{dggs}: ±180 seam mismatch {c[3:]}"
+
+
+def test_index_point_antimeridian_tile(spark):
+    """A tile whose pixels straddle ±180 must index to the same cells as
+    the identical tile expressed in the wrapped frame."""
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.codecs import encode_image, average_hash64
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.sources.images import IMAGE_SCHEMA
+
+    def tile(image_id, c_lon):
+        w, h = 20, 12
+        arr = np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+        return {
+            "image_id": image_id, "bytes": encode_image(arr, "raw"),
+            "w": w, "h": h, "fmt": "raw", "caption": "am",
+            "phash": int(average_hash64(arr[0])),
+            "affine_a": 0.05, "affine_b": 0.0, "affine_c": c_lon,
+            "affine_d": 0.0, "affine_e": -0.05, "affine_f": 5.0,
+            "crs": "EPSG:4326", "nodata": None, "bands": 1,
+            "band_names": None,
+        }
+
+    for dggs, res in [("geohash", 5), ("hex7", 6)]:
+        # tile from 179.5 unwrapped (lons run to 180.5)
+        a = spark.createDataFrame(pd.DataFrame([tile("t", 179.5)]),
+                                  IMAGE_SCHEMA)
+        got = index_point_agg(a, res=res, dggs=dggs, agg="mean",
+                              n_bands=1).toPandas()
+        # split into the two canonical halves: [179.5,180) and [-180,-179.5)
+        cells = set(got["cell"])
+        from raster2dggs_spark.dggs import cover
+
+        lons = 179.5 + 0.05 * (np.arange(20) + 0.5)
+        lats = 5.0 - 0.05 * (np.arange(12) + 0.5)
+        glon = np.tile(lons, 12)
+        glat = np.repeat(lats, 20)
+        exp = set(cover.encode(glon, glat, res, dggs).tolist())
+        assert cells == exp, f"{dggs}: {len(cells)} vs {len(exp)}"
+        # both sides of the seam are present
+        clon, _ = cover.cell_center(np.array(sorted(cells)), dggs)
+        assert clon.min() < -179 and clon.max() > 179
