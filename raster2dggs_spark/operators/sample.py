@@ -173,6 +173,13 @@ def sample_cells(
                 if cells.size == 0:
                     continue
                 clon, clat = cover.cell_center(cells, dggs)
+                # centroids come back in the canonical frame; an
+                # antimeridian-crossing tile's affine lives in the
+                # UNWRAPPED frame (lon up to >180) — unwrap the
+                # centroids into the tile frame or the inverse affine
+                # drops every far-seam cell (F14)
+                mid = 0.5 * (lons.min() + lons.max())
+                clon = clon + 360.0 * np.round((mid - clon) / 360.0)
                 if row.crs == "EPSG:3857":
                     cx, cy = lonlat_to_mercator(clon, clat)
                 else:
@@ -325,7 +332,11 @@ def sample_points(
                 if row.crs == "EPSG:3857":
                     px, py = lonlat_to_mercator(lon, lat)
                 else:
-                    px, py = lon, lat
+                    # unwrap canonical point lons into the tile's
+                    # (possibly antimeridian-crossing) affine frame
+                    mid = affine[2] + affine[0] * w / 2.0
+                    px = lon + 360.0 * np.round((mid - lon) / 360.0)
+                    py = lat
                 inv = invert_affine(affine)
                 col_p, row_p = apply_affine(inv, px, py)
                 col_f = col_p - 0.5
@@ -463,7 +474,10 @@ def _sample_points_join(
             if row.crs == "EPSG:3857":
                 px, py = lonlat_to_mercator(lon, lat)
             else:
-                px, py = lon, lat
+                # unwrap into the tile frame (see the cogroup kernel)
+                mid = affine[2] + affine[0] * w / 2.0
+                px = lon + 360.0 * np.round((mid - lon) / 360.0)
+                py = lat
             inv = invert_affine(affine)
             col_p, row_p = apply_affine(inv, px, py)
             hit = (col_p >= 0) & (col_p <= w) & (row_p >= 0) & (row_p <= h)

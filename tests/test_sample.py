@@ -169,3 +169,46 @@ def test_sample_points_auto_picks_join_for_big_tables(spark):
     finally:
         sample_mod._sample_points_join = orig
     assert called["join"]
+
+
+def test_sample_antimeridian_tile(spark):
+    """F14 for the sample transfer: a tile crossing ±180 must yield
+    sampled cells on BOTH sides of the seam, and points expressed in the
+    canonical frame must sample values from it (both strategies)."""
+    import pandas as pd
+
+    from raster2dggs_spark.codecs import average_hash64, encode_image
+    from raster2dggs_spark.dggs import cover
+    from raster2dggs_spark.operators.sample import sample_cells, sample_points
+    from raster2dggs_spark.sources.images import IMAGE_SCHEMA
+
+    w, h = 40, 24
+    arr = np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+    tile = {
+        "image_id": "am", "bytes": encode_image(arr, "raw"),
+        "w": w, "h": h, "fmt": "raw", "caption": "am",
+        "phash": int(average_hash64(arr[0])),
+        "affine_a": 0.05, "affine_b": 0.0, "affine_c": 179.2,
+        "affine_d": 0.0, "affine_e": -0.05, "affine_f": 5.0,
+        "crs": "EPSG:4326", "nodata": None, "bands": 1,
+        "band_names": None,
+    }
+    imgs = spark.createDataFrame(pd.DataFrame([tile]), IMAGE_SCHEMA)
+
+    out = sample_cells(imgs, res=5, dggs="geohash", n_bands=1).toPandas()
+    assert len(out) > 0
+    clon, _ = cover.cell_center(out["cell"].values.astype(np.int64),
+                                "geohash")
+    assert clon.min() < -179.5 and clon.max() > 179.2  # both seam sides
+    assert out["band_1"].notna().all()
+
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": [0, 1, 2],
+        "lon": [179.5, -179.9, 0.0],   # first two inside the tile
+        "lat": [4.9, 4.9, 4.9],
+    }))
+    for strat in ("collect", "join"):
+        got = sample_points(imgs, pts, strategy=strat).toPandas() \
+            .sort_values("point_id")
+        assert np.isfinite(got["band_1"].values[:2]).all(), strat
+        assert np.isnan(got["band_1"].values[2]), strat
