@@ -74,3 +74,58 @@ def test_compact_multi_level(spark):
     assert int(out["cell"].iloc[0]) == int(
         h3lib.cell_to_parent(np.array([cells[0]]), 6)[0]
     )
+
+
+def test_compact_s2_roundtrip(spark):
+    """A16 on the S2 grid: a complete uniform 4-ary subtree rolls up; a
+    mixed one stays; uncompact round-trips exactly."""
+    from raster2dggs_spark.dggs import s2lib
+    from raster2dggs_spark.operators.compaction import (
+        compact_cells, uncompact_cells,
+    )
+    from raster2dggs_spark.operators.joins import _cells_children
+
+    base = s2lib.lonlat_to_cell(np.array([10.0, 40.0]),
+                                np.array([45.0, -20.0]), 10)
+    rows = []
+    for which, c10 in enumerate(base):
+        kids = _cells_children(np.array([c10], dtype=np.int64), 10, "s2")
+        grand = _cells_children(kids, 11, "s2")
+        for i, g in enumerate(grand.tolist()):
+            rows.append((g, 7.0 if which == 0 else float(i)))
+    pdf = pd.DataFrame(rows, columns=["cell", "v"])
+    out = compact_cells(spark.createDataFrame(pdf), ["v"], res=12,
+                        min_res=10, dggs="s2").toPandas()
+    lv = s2lib.cell_level(out["cell"].values)
+    counts = pd.Series(lv).value_counts()
+    assert counts.get(10, 0) == 1      # uniform subtree -> one level-10 cell
+    assert counts.get(12, 0) == 16     # mixed subtree untouched
+    assert len(out) == 17
+    back = uncompact_cells(spark.createDataFrame(out), res=12,
+                           dggs="s2").toPandas()
+    assert (set(map(tuple, back[["cell", "v"]].itertuples(index=False)))
+            == set(map(tuple, pdf.itertuples(index=False))))
+
+
+def test_overlay_mass_conserved_across_antimeridian(spark):
+    """F14 for the overlay transfer: a seam-straddling tile's mass sum
+    over cells equals the raster total exactly (the coverage partition
+    cannot drop far-seam subsamples)."""
+    from raster2dggs_spark.codecs import average_hash64, encode_image
+    from raster2dggs_spark.operators.overlay import overlay_agg
+    from raster2dggs_spark.sources.images import IMAGE_SCHEMA
+
+    w, h = 30, 20
+    arr = (np.arange(h * w, dtype=np.float32) % 97).reshape(1, h, w)
+    tile = {
+        "image_id": "am", "bytes": encode_image(arr, "raw"),
+        "w": w, "h": h, "fmt": "raw", "caption": "am",
+        "phash": int(average_hash64(arr[0])),
+        "affine_a": 0.04, "affine_b": 0.0, "affine_c": 179.4,
+        "affine_d": 0.0, "affine_e": -0.04, "affine_f": 3.0,
+        "crs": "EPSG:4326", "nodata": None, "bands": 1,
+        "band_names": None,
+    }
+    imgs = spark.createDataFrame(pd.DataFrame([tile]), IMAGE_SCHEMA)
+    out = overlay_agg(imgs, res=6, op="mass_sum", n_bands=1).toPandas()
+    assert out["band_1"].sum() == pytest.approx(float(arr.sum()), rel=1e-9)
