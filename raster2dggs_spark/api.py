@@ -33,7 +33,7 @@ POINT_AGGS = ("mean", "sum", "count", "min", "max", "std", "var",
               "median", "mode", "majority", "nunique", "range", "prod",
               "list")
 OVERLAY_OPS = ("weighted", "density-preserve", "mass-preserve", "mode",
-               "fractions", "list")
+               "fractions", "list", "histogram")
 KERNELS = ("nearest", "bilinear", "bicubic", "lanczos")
 
 
@@ -164,6 +164,48 @@ def index_raster(
             out = overlay_list(images, res, parent_res, dggs, band,
                                supersample, decimals=decimals)
             decimals = None
+        elif op == "histogram":
+            # OVERLAY_COLLECT → HISTOGRAM (ref common.py:221-230): an
+            # area-weighted binned histogram per cell — weights are
+            # covered areas, normalization per the A11 matrix
+            from raster2dggs_spark.operators import aggregates as A
+            from raster2dggs_spark.operators.overlay import (
+                overlay_class_partials,
+            )
+
+            if hist_width is None:
+                raise ValueError("overlay histogram needs hist_width")
+            p = overlay_class_partials(images, res, parent_res, dggs,
+                                       band, supersample,
+                                       bucket_width=float(hist_width))
+            h = p.groupBy("parent", "cell", "class").agg(
+                F.sum("cov_area").alias("weight")
+            )
+            field = A.hist_weight_field("area", hist_normalize)
+            wcol = "weight"
+            if hist_normalize == "valid_overlap":
+                h = A.hist_normalize(h, ["parent", "cell"])
+                wcol = "weight_frac"
+            elif hist_normalize == "cell_area":
+                h = A.hist_normalize_cell_area(h, res, dggs)
+                wcol = "area_frac"
+            g = h.groupBy("parent", "cell").agg(
+                F.array_sort(
+                    F.collect_list(F.struct(
+                        F.col("class").alias("left"),
+                        (F.col("class") + float(hist_width)).alias("right"),
+                        F.col(wcol).alias("w"),
+                    ))
+                ).alias("__p")
+            )
+            out = g.select(
+                "parent", "cell",
+                F.struct(
+                    F.col("__p.left").alias("left"),
+                    F.col("__p.right").alias("right"),
+                    F.col("__p.w").alias(field),
+                ).alias(f"band_{band}"),
+            )
         else:
             raise ValueError(f"overlay op {op!r}; choose from {OVERLAY_OPS}")
     elif transfer == "sample":

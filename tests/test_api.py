@@ -149,3 +149,21 @@ def test_nodata_fill_routes_emit(spark):
     n_omit = omit.agg(F.sum("band_1")).collect()[0][0]
     n_fill = fill.agg(F.sum("band_1")).collect()[0][0]
     assert n_fill > n_omit  # filled pixels contribute under emit
+
+
+def test_overlay_histogram_output(spark):
+    """--overlay histogram: per-cell area-weighted binned histogram with
+    the A11 naming; area fractions sum to 1 under valid_overlap."""
+    from raster2dggs_spark.api import index_raster
+
+    imgs = _imgs(spark, 4, scenarios=("landcover",), size_range=(10, 14))
+    out = index_raster(imgs, resolution=6, transfer="overlay",
+                       op="histogram", hist_width=2.0,
+                       hist_normalize="valid_overlap", raw_ids=True)
+    r = out.limit(8).toPandas()
+    assert len(r) > 0
+    for h in r["band_1"]:
+        d = dict(h)
+        assert "area_share" in d  # (area, valid_overlap) naming matrix
+        assert abs(sum(d["area_share"]) - 1.0) < 1e-9
+        assert all(b - a == 2.0 for a, b in zip(d["left"], d["right"]))
