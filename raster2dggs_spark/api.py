@@ -94,7 +94,7 @@ def index_raster(
     hist_edges: list | None = None,
     hist_width: float | None = None,
     hist_origin: float = 0.0,
-    hist_weight: str = "count",
+    hist_weight: str | None = None,
     hist_normalize: str = "none",
 ) -> DataFrame:
     """One call ≙ one reference CLI invocation.  Routes to the operator
@@ -124,6 +124,17 @@ def index_raster(
 
     if transfer == "point":
         if agg == "histogram":
+            # point histograms weight by pixel COUNT; 'area' weighting
+            # exists only on the overlay route — reject rather than emit
+            # a mislabeled field (matches the reference CLI validation)
+            if hist_weight is None:
+                hist_weight = "count"
+            if hist_weight != "count":
+                raise ValueError(
+                    f"hist_weight={hist_weight!r}: point histograms "
+                    "weight by pixel count — use transfer='overlay', "
+                    "op='histogram' for area weighting"
+                )
             out = _point_histogram(
                 images, res, parent_res, dggs, bands, n_bands,
                 nodata_policy, nodata_fill, band, decimals,
@@ -175,6 +186,28 @@ def index_raster(
 
             if hist_width is None:
                 raise ValueError("overlay histogram needs hist_width")
+            if hist_edges is not None:
+                raise ValueError(
+                    "overlay histogram supports uniform-width bins only "
+                    "(hist_width); explicit hist_edges is a point-"
+                    "histogram option — rejected rather than silently "
+                    "ignored"
+                )
+            if hist_origin != 0.0:
+                raise ValueError(
+                    "overlay histogram bins are anchored at 0 (bucketed "
+                    "during the coverage pass); nonzero hist_origin is "
+                    "not supported — rejected rather than silently "
+                    "ignored"
+                )
+            if hist_weight is None:
+                hist_weight = "area"
+            if hist_weight != "area":
+                raise ValueError(
+                    f"hist_weight={hist_weight!r}: overlay histogram "
+                    "weights are covered AREAS by construction — use "
+                    "transfer='point' for count-weighted histograms"
+                )
             p = overlay_class_partials(images, res, parent_res, dggs,
                                        band, supersample,
                                        bucket_width=float(hist_width))

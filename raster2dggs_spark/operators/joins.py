@@ -503,19 +503,51 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
                               .astype(np.int64), 0, nlat - 1)
                 qi_r, row = _ragged_ranges(li0, li1)
                 band_lo = row * latspan - 90.0
-                band_abs = np.maximum(np.abs(band_lo),
-                                      np.abs(band_lo + latspan))
-                cosb = np.cos(np.radians(np.minimum(band_abs, 89.99)))
-                # 1.2x: a disk's true max lon offset asin(sin a / cos phi)
-                # slightly exceeds a/cos phi — superset is required (the
-                # exact haversine filter prunes), undercover is a miss
-                dlon = np.minimum(180.0, 1.2 * ang_deg / np.maximum(cosb, 1e-9))
-                # pole-crossing disks cover a full cap: any band some of
-                # whose latitudes sit within (ang - pole_distance) of the
-                # pole needs every longitude
-                pole_cap = ang_deg >= ((90.0 - np.abs(qlat[qi_r]))
-                                       + (90.0 - band_abs))
-                dlon = np.where(pole_cap, 180.0, dlon)
+                # EXACT per-band lon half-width (spherical law of
+                # cosines): at latitude phi the disk's boundary sits at
+                # dlam = acos((cos a - sin(qlat) sin(phi)) /
+                #             (cos(qlat) cos(phi))),
+                # with the clip encoding the two degenerate regimes —
+                # q >= 1: disk never reaches phi (width 0); q <= -1: the
+                # whole parallel lies inside the disk (over-the-pole
+                # reach, width 180).  Over an interval of latitudes the
+                # max width is attained at an endpoint or at the widest
+                # latitude phi* with sin(phi*) = sin(qlat)/cos a (disk
+                # tangent to a meridian), so evaluating those <=3
+                # candidates is exact.  The former 1.2*a/cos(phi)
+                # heuristic undercovered bands adjacent to (but not
+                # inside) a pole cap — the known lat-distortion bug
+                # class (round-3 ADVICE).
+                qlat_b = qlat[qi_r]
+                qlat_r = np.radians(qlat_b)
+                sin_q, cos_q = np.sin(qlat_r), np.cos(qlat_r)
+                cos_a = np.cos(ang)
+
+                def _width_deg(phi_deg):
+                    phi = np.radians(np.clip(phi_deg, -89.999999, 89.999999))
+                    q = (cos_a - sin_q * np.sin(phi)) / (
+                        np.maximum(cos_q, 1e-12) * np.cos(phi))
+                    return np.degrees(np.arccos(np.clip(q, -1.0, 1.0)))
+
+                lo_phi = np.maximum(band_lo, qlat_b - ang_deg)
+                hi_phi = np.minimum(band_lo + latspan, qlat_b + ang_deg)
+                dlon = np.maximum(_width_deg(lo_phi), _width_deg(hi_phi))
+                if cos_a > 0.0:
+                    s = sin_q / cos_a
+                    ok = np.abs(s) <= 1.0
+                    phi_star = np.degrees(np.arcsin(np.clip(s, -1.0, 1.0)))
+                    in_band = ok & (phi_star >= lo_phi) & (phi_star <= hi_phi)
+                    if in_band.any():
+                        dlon = np.where(in_band,
+                                        np.maximum(dlon, _width_deg(phi_star)),
+                                        dlon)
+                else:
+                    # radius >= quarter sphere: cover everything
+                    dlon = np.full_like(dlon, 180.0)
+                # queries at/near a pole: cos(qlat) ~ 0 makes the ratio
+                # meaningless — every longitude is within the disk's span
+                dlon = np.where(cos_q < 1e-9, 180.0, dlon)
+                dlon = np.minimum(180.0, dlon + 1e-7)  # float-safety pad
                 ji0 = np.floor((qlon[qi_r] - dlon + 180.0) / lonspan).astype(np.int64)
                 ji1 = np.floor((qlon[qi_r] + dlon + 180.0) / lonspan).astype(np.int64)
                 ji1 = np.minimum(ji1, ji0 + nlon - 1)  # full wrap at most once

@@ -219,6 +219,11 @@ def sample_bilinear_fixture(dggs: str, res: int, fname: str,
         if cells.size == 0:
             continue
         clon, clat = cover.cell_center(cells, dggs)
+        # mirror the operator's antimeridian centroid unwrap
+        # (sample.py F14): centroids into the tile's unwrapped lon frame
+        # so a seam-crossing fixture input would bake CORRECT expecteds
+        mid = 0.5 * (lons.min() + lons.max())
+        clon = clon + 360.0 * np.round((mid - clon) / 360.0)
         if r.crs == "EPSG:3857":
             cx, cy = lonlat_to_mercator(clon, clat)
         else:

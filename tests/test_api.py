@@ -167,3 +167,30 @@ def test_overlay_histogram_output(spark):
         assert "area_share" in d  # (area, valid_overlap) naming matrix
         assert abs(sum(d["area_share"]) - 1.0) < 1e-9
         assert all(b - a == 2.0 for a, b in zip(d["left"], d["right"]))
+
+
+def test_histogram_option_validation(spark):
+    """Round-3 ADVICE: unsupported (route, hist option) combinations must
+    raise, not be silently ignored/mislabeled — hist_origin/hist_edges on
+    the overlay route, cross-route hist_weight values."""
+    import pytest as _pytest
+
+    from raster2dggs_spark.api import index_raster
+
+    imgs = _imgs(spark, 2, scenarios=("landcover",), size_range=(10, 12))
+    for kw in (
+        dict(hist_width=2.0, hist_edges=[0.0, 5.0, 10.0]),
+        dict(hist_width=2.0, hist_origin=1.0),
+        dict(hist_width=2.0, hist_weight="count"),
+    ):
+        with _pytest.raises(ValueError):
+            index_raster(imgs, resolution=6, transfer="overlay",
+                         op="histogram", raw_ids=True, **kw)
+    with _pytest.raises(ValueError):
+        index_raster(imgs, resolution=6, transfer="point", agg="histogram",
+                     hist_width=2.0, hist_weight="area", raw_ids=True)
+    # explicit matching values still accepted on both routes
+    index_raster(imgs, resolution=6, transfer="overlay", op="histogram",
+                 hist_width=2.0, hist_weight="area", raw_ids=True)
+    index_raster(imgs, resolution=6, transfer="point", agg="histogram",
+                 hist_width=2.0, hist_weight="count", raw_ids=True)

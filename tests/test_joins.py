@@ -344,3 +344,42 @@ def test_knn_join_geohash_matches_bruteforce(spark):
         exp = order[:k].tolist()
         gotq = out[out.q_id == qi].sort_values("rank")["t_id"].tolist()
         assert gotq == exp, f"q {qi}: {gotq} != {exp}"
+
+
+@pytest.mark.parametrize("dggs,res", [("geohash", 6), ("maidenhead", 3)])
+def test_knn_join_pole_adjacent_bands(spark, dggs, res):
+    """Round-3 ADVICE (medium): a large disk centred at high latitude
+    needs lon half-widths approaching 180° in bands BELOW its pole cap —
+    the 1.2·a/cos(band) heuristic undercovered them (qlat=84, a=27°,
+    band ~65°: needed ~103–134°, allotted ~85°), silently dropping
+    in-radius far-longitude targets.  The exact per-band spherical
+    half-width must recover every brute-force neighbor."""
+    from raster2dggs_spark.operators.joins import knn_join
+
+    rng = np.random.default_rng(31)
+    nq, k = 8, 4
+    qlat = rng.uniform(80, 87, nq)
+    qlon = rng.uniform(-170, 170, nq)
+    # targets deliberately in the undercovered regime: latitudes well
+    # below the pole cap, longitudes up to the antipode of each query
+    tlat = np.concatenate([rng.uniform(58, 74, 60),
+                           rng.uniform(74, 89, 20)])
+    tlon = np.concatenate([
+        (qlon[i % nq] + off) % 360.0 - 180.0
+        for i, off in enumerate(rng.uniform(60, 180, 80)[:, None])
+    ])
+    nt = tlat.shape[0]
+    q = spark.createDataFrame(
+        pd.DataFrame({"q_id": np.arange(nq), "lon": qlon, "lat": qlat}),
+        "q_id long, lon double, lat double")
+    t = spark.createDataFrame(
+        pd.DataFrame({"t_id": np.arange(nt), "lon": tlon, "lat": tlat}),
+        "t_id long, lon double, lat double")
+    out = knn_join(q, t, k=k, radius_m=3_000_000.0, res=res,
+                   dggs=dggs, max_rounds=3).toPandas()
+    d = haversine_m(qlon[:, None], qlat[:, None], tlon[None, :], tlat[None, :])
+    for qi in range(nq):
+        order = np.lexsort((np.arange(nt), d[qi]))
+        exp = order[:k].tolist()
+        gotq = out[out.q_id == qi].sort_values("rank")["t_id"].tolist()
+        assert gotq == exp, f"q {qi}: {gotq} != {exp}"
