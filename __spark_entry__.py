@@ -2046,10 +2046,11 @@ def _ivf_sql(k: int = 5, n_probe: int = 4, kk: int = 12,
 
 
 def _near_dup_sql(threshold: float = 0.9, n_planes: int = 16,
-                  bands: int = 2) -> str:
+                  bands: int = 2, max_bucket: int = 1000) -> str:
     """DuckDB twin of q_embedding_near_dup — replays the md5-derived
-    hyperplane LSH (same signs, same buckets) and the exact-cosine
-    verification."""
+    hyperplane LSH (same signs, same buckets), the over-cap bucket drop
+    (count filter ≡ the operator's groupBy-count anti-join), and the
+    exact-cosine verification."""
     bits = n_planes // bands
     mask = (1 << bits) - 1
     band_sel = " UNION ALL ".join(
@@ -2076,7 +2077,11 @@ def _near_dup_sql(threshold: float = 0.9, n_planes: int = 16,
         sig AS (SELECT vec_id,
                        sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END) AS sig
                 FROM proj GROUP BY vec_id),
-        buckets AS ({band_sel}),
+        buckets0 AS ({band_sel}),
+        buckets AS (
+          SELECT b.* FROM buckets0 b
+          JOIN (SELECT band, bkey FROM buckets0 GROUP BY band, bkey
+                HAVING count(*) <= {max_bucket}) ok USING (band, bkey)),
         pairs AS (
           SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
           FROM buckets x JOIN buckets y

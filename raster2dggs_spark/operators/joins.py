@@ -299,20 +299,44 @@ def polygon_cells(polys: DataFrame, res: int, dggs: str = "hex7") -> DataFrame:
     return polys.mapInPandas(fn, schema)
 
 
+def _gate_broadcast(small: DataFrame, max_rows: int | None) -> DataFrame:
+    """Attach a broadcast hint only under a cheap BOUNDED probe.
+
+    ``limit(max_rows + 1).count()`` stops producing rows at the limit,
+    so the probe cost is bounded even when the true cover is 10⁷–10⁸
+    cells (a national zone layer polyfilled at res 9) — exactly the
+    case where a forced broadcast turns a working shuffled hash join
+    into a driver/executor OOM (round-3 VERDICT #3).  Under the gate
+    the hint is provably safe; above it the join is left to Catalyst
+    (AQE can still pick a runtime broadcast from actual shuffle sizes).
+    ``max_rows=None`` forces the hint — caller asserts the side is
+    tiny.  The probe triggers one bounded Spark job at operator-
+    construction time (these joins are already driver-synced shapes)."""
+    if max_rows is None:
+        return F.broadcast(small)
+    n = small.limit(max_rows + 1).count()
+    return F.broadcast(small) if n <= max_rows else small
+
+
 def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
                           dggs: str = "hex7", lon_col: str = "lon",
-                          lat_col: str = "lat") -> DataFrame:
+                          lat_col: str = "lat",
+                          max_broadcast_cover: int | None = 2_000_000
+                          ) -> DataFrame:
     """J5: returns points × containing polygons.
 
     Plan shape (checked via .explain): the big point side is scanned and
     encoded exactly ONCE; the exploded polygon cover (with vertices
-    attached) is broadcast; one equi-join on cell; one vectorized
+    attached) is broadcast when its bounded-probe row count fits under
+    ``max_broadcast_cover`` (else a plain shuffled equi-join — see
+    ``_gate_broadcast``); one equi-join on cell; one vectorized
     predicate keeps interior-cell hits outright and ray-casts boundary
-    candidates.  No point-side shuffle, no branch-union re-scan."""
+    candidates.  No point-side shuffle under the gate, no
+    branch-union re-scan."""
     pts = index_points(points, res, dggs, lon_col, lat_col)
     cover = polygon_cells(polys, res, dggs).drop("center_in")
     cover = cover.join(polys.select("poly_id", "xs", "ys"), "poly_id")
-    joined = pts.join(F.broadcast(cover), "cell")
+    joined = pts.join(_gate_broadcast(cover, max_broadcast_cover), "cell")
 
     @F.pandas_udf(T.BooleanType())
     def keep(pid: pd.Series, lon: pd.Series, lat: pd.Series,
@@ -647,13 +671,16 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
 
 def zonal_join(cells_df: DataFrame, zones: DataFrame, res: int,
                agg_exprs: list, dggs: str = "hex7",
-               zone_id: str = "poly_id") -> DataFrame:
+               zone_id: str = "poly_id",
+               max_broadcast_cover: int | None = 2_000_000) -> DataFrame:
     """J7: zone polygons → cover cells → equi-join with any cell-keyed
     table → per-zone aggregation.  Interior cells join directly; boundary
     membership here is cell-center-based (zonal semantics over the index,
-    matching the reference's cell-granularity overlay joins)."""
+    matching the reference's cell-granularity overlay joins).  The cover
+    is broadcast only under the bounded size probe (``_gate_broadcast``);
+    above it the equi-join shuffles — correct at any zone-layer size."""
     cover = polygon_cells(zones, res, dggs).where("center_in").select(
         F.col("poly_id").alias(zone_id), "cell"
     )
-    joined = cells_df.join(F.broadcast(cover), "cell")
+    joined = cells_df.join(_gate_broadcast(cover, max_broadcast_cover), "cell")
     return joined.groupBy(zone_id).agg(*agg_exprs)

@@ -166,7 +166,8 @@ def train_centroids(vectors: DataFrame, k: int, iters: int = 5,
 def hyperplane_near_dup(vectors: DataFrame, threshold: float = 0.9,
                         n_planes: int = 16, bands: int = 2,
                         v_id: str = "vec_id",
-                        v_vec: str = "embedding") -> DataFrame:
+                        v_vec: str = "embedding",
+                        max_bucket: int | None = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale: random-
     hyperplane LSH (SimHash for real vectors) bucketing + exact cosine
     verification.
@@ -178,7 +179,20 @@ def hyperplane_near_dup(vectors: DataFrame, threshold: float = 0.9,
     P(bit agreement) = 1 - θ/π per plane; near-dup pairs (θ small)
     collide in at least one of the ``bands`` b-bit bands w.h.p., and the
     self-join is per-bucket — never a cross join.  Returns
-    (id_a, id_b, cosine) for verified pairs, id_a < id_b."""
+    (id_a, id_b, cosine) for verified pairs, id_a < id_b.
+
+    ``max_bucket`` caps the per-bucket self-join and DEFAULTS ON (1000):
+    the band key has only 2^(n_planes/bands) values (256 at the
+    defaults), so at corpus scale an average bucket holds ~N/256 vectors
+    and the self-join is O(N²/256) — quadratic with a constant, not
+    bucketed growth.  Buckets above the cap are dropped BEFORE the join
+    via groupBy-count → broadcast anti-join (the hot key is absorbed by
+    partial aggregation map-side; a window count would single-task it —
+    same rationale as minhash_lsh_pairs).  An over-cap bucket means the
+    band key is saturated: raise ``n_planes`` (bkey cardinality doubles
+    per extra bit per band) rather than the cap.  The SQL oracle twin
+    applies the identical count filter, so capped output stays
+    hash-checked.  ``None`` disables the cap (exact candidate set)."""
     bits = n_planes // bands
     v = vectors.select(F.col(v_id), _as_double(F.col(v_vec)).alias("__v"))
     d = v.select(v_id, F.posexplode("__v").alias("pos", "x"))
@@ -212,6 +226,14 @@ def hyperplane_near_dup(vectors: DataFrame, threshold: float = 0.9,
     buckets = sig.select(
         F.col(v_id), F.explode(F.array(*band_cols)).alias("bb")
     ).select(v_id, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_bucket)
+            .select("band", "bkey")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     cand = (

@@ -119,10 +119,15 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                     k: int = 5) -> DataFrame:
     """Per-document top-k TF-IDF terms: tf = in-doc term count,
     idf = ln(N / df) over distinct-doc term frequency; ties by term.
-    Plan: one explode + two groupBys + a broadcast of the tiny (term,
-    df) side back onto the tf rows — corpus size N rides along as a
-    window-free scalar column (count over an empty window would
-    single-task; a cross-joined 1-row agg broadcasts instead)."""
+    Plan: one explode + two groupBys + an equi-join of the (term, df)
+    side back onto the tf rows — deliberately UNHINTED: the vocabulary
+    grows with the corpus (10⁸–10⁹ terms at web scale), so a forced
+    broadcast would OOM exactly when it matters; AQE broadcasts at
+    runtime when the aggregated df side actually fits (round-3 VERDICT
+    #3 / ADVICE).  Corpus size N rides along as a window-free scalar
+    column (count over an empty window would single-task; a
+    cross-joined 1-row agg broadcasts instead — that hint stays, the
+    side is one row by construction)."""
     from raster2dggs_spark.operators.aggregates import top_k
 
     toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
@@ -132,7 +137,7 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     )
     n_docs = df.select(F.countDistinct(id_col).alias("__n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -136,13 +136,67 @@ def test_sample_points_join_no_cartesian_one_payload_pass(spark):
             assert "bytes" not in ln, ln
 
 
-def test_tfidf_broadcasts_df_side(spark):
+def _n_broadcast_hints(df):
+    a = df._jdf.queryExecution().analyzed().toString()
+    return a.count("strategy=broadcast")
+
+
+def test_tfidf_vocab_side_unhinted(spark):
+    """Round-3 VERDICT #3: the (term, df) vocabulary side grows with the
+    corpus — it must NOT be force-broadcast (AQE decides at runtime).
+    The only remaining hint is the 1-row corpus-size agg, which is
+    broadcast-sized by construction."""
     from raster2dggs_spark.operators.text import tfidf_top_terms
 
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    p = plan(tfidf_top_terms(d, "doc_id", "text", 3))
-    assert "BroadcastHashJoin" in p
+    q = tfidf_top_terms(d, "doc_id", "text", 3)
+    assert _n_broadcast_hints(q) == 1  # n_docs only, never the vocabulary
+    p = plan(q)
     assert "CartesianProduct" not in p
+
+
+def test_cover_broadcast_size_gated(spark):
+    """Round-3 VERDICT #3: zonal/PIP cell covers are broadcast only
+    under the bounded probe — above ``max_broadcast_cover`` the plan
+    must contain NO broadcast hint (a 10⁷–10⁸-cell national zone cover
+    would OOM the driver), falling back to a plain shuffled equi-join."""
+    from raster2dggs_spark.operators.joins import (
+        point_in_polygon_join, zonal_join,
+    )
+    from raster2dggs_spark.sources.vectors import (
+        generate_points_pdf, generate_zones_pdf,
+    )
+
+    zones = generate_zones_pdf(4, seed=42)
+    points = generate_points_pdf(50, seed=42, zones=zones)
+    zdf = spark.createDataFrame(
+        zones[["poly_id", "xs", "ys"]],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    pdf = spark.createDataFrame(points, "point_id long, lon double, lat double")
+    cells = pdf  # any cell-keyed table works for zonal after indexing
+    from raster2dggs_spark.operators.joins import index_points
+
+    cells = index_points(pdf, 5, "hex7").select("cell", "point_id")
+
+    over = point_in_polygon_join(pdf, zdf, res=5, max_broadcast_cover=0)
+    assert _n_broadcast_hints(over) == 0
+    assert "CartesianProduct" not in plan(over)
+    under = point_in_polygon_join(pdf, zdf, res=5)  # default gate: tiny cover
+    assert _n_broadcast_hints(under) == 1
+
+    zover = zonal_join(cells, zdf, 5, [F.count(F.lit(1)).alias("n")],
+                       max_broadcast_cover=0)
+    assert _n_broadcast_hints(zover) == 0
+    zunder = zonal_join(cells, zdf, 5, [F.count(F.lit(1)).alias("n")])
+    assert _n_broadcast_hints(zunder) == 1
+
+    # the gated plan still computes the same answer
+    import pandas as pd_
+
+    a = zover.toPandas().sort_values("poly_id").reset_index(drop=True)
+    b = zunder.toPandas().sort_values("poly_id").reset_index(drop=True)
+    pd_.testing.assert_frame_equal(a, b)
 
 
 def test_connected_components_plan_flat_after_convergence(spark):
