@@ -719,6 +719,43 @@ def q_overlay_fractions(spark, sf_dir):
     )
 
 
+def q_overlay_list_multi(spark, sf_dir):
+    """Multi-band --overlay list (ref OVERLAY_COLLECT emits every
+    selected band in ONE decode pass, overlay.py:519-589; round-3
+    VERDICT #4): per-cell sorted value lists for bands 1 AND 2 of the
+    multiband_nodata scenario, whose nodata holes differ per band — so
+    the two lists have genuinely different lengths and the per-band NaN
+    filter is exercised.  Oracle: single-node replay of the exploded
+    multi-band stage (.fixtures/overlay_values_multi_16.parquet)
+    re-aggregated in SQL; values cross engines as round(v*10000)::BIGINT
+    joined strings (float32-derived doubles — integral transport avoids
+    engine float-formatting drift)."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.overlay import overlay_list_multi
+
+    imgs = images_spark_df(spark, 16, seed=42,
+                           scenarios=("multiband_nodata",),
+                           size_range=(12, 20))
+    out = overlay_list_multi(imgs, res=6, parent_res=0, bands=(1, 2))
+
+    def s(b):
+        return F.array_join(
+            F.transform(
+                f"values_b{b}",
+                lambda x: F.round(x * 10000, 0).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias(f"values_str_b{b}")
+
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_06"),
+        F.lower(F.hex("parent")).alias("hex7_00"),
+        s(1), s(2),
+        F.size("values_b1").cast("long").alias("n_b1"),
+        F.size("values_b2").cast("long").alias("n_b2"),
+    )
+
+
 def q_overlay_list(spark, sf_dir):
     """--overlay list (OVERLAY_COLLECT → LIST, ref common.py:221-230,
     overlay.py:519-549): per-cell ascending value lists under overlay
@@ -1237,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_majority": q_overlay_majority,
         "overlay_fractions": q_overlay_fractions,
         "overlay_list": q_overlay_list,
+        "overlay_list_b2": q_overlay_list_multi,
         "compact_cells": q_compact_cells,
         "hex7_pixel_index": q_hex7_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
@@ -2476,6 +2514,27 @@ def oracle_sql() -> dict[str, str]:
                        list(CAST(CAST(value AS BIGINT) AS VARCHAR)
                             ORDER BY value), ',') AS values_str,
                    CAST(count(*) AS BIGINT) AS n_values
+            FROM v GROUP BY cell, parent
+        """,
+        "overlay_list_b2": f"""
+            WITH v AS (SELECT * FROM
+                 read_parquet('{_FIXDIR}/overlay_values_multi_16.parquet'))
+            SELECT printf('%x', cell) AS hex7_06,
+                   printf('%x', parent) AS hex7_00,
+                   coalesce(array_to_string(
+                       list(CAST(CAST(round(value_b1 * 10000) AS BIGINT)
+                                 AS VARCHAR) ORDER BY value_b1)
+                       FILTER (WHERE NOT isnan(value_b1)), ','), '')
+                       AS values_str_b1,
+                   coalesce(array_to_string(
+                       list(CAST(CAST(round(value_b2 * 10000) AS BIGINT)
+                                 AS VARCHAR) ORDER BY value_b2)
+                       FILTER (WHERE NOT isnan(value_b2)), ','), '')
+                       AS values_str_b2,
+                   CAST(count(*) FILTER (WHERE NOT isnan(value_b1)) AS BIGINT)
+                       AS n_b1,
+                   CAST(count(*) FILTER (WHERE NOT isnan(value_b2)) AS BIGINT)
+                       AS n_b2
             FROM v GROUP BY cell, parent
         """,
         "sample_bilinear": f"""

@@ -58,10 +58,25 @@ def main():
     imgs = imgs.persist()
     n_imgs = imgs.count()
 
+    # Methodology (round-3 VERDICT #1): one UNTIMED warm-up per query,
+    # then min-of-REPS timed runs.  Cold single-shot timing conflated
+    # JIT/codegen warm-up, Python-worker pool spin-up, and this VM's
+    # 2-3x background-load drift with plan cost — the round-3 driver
+    # artifact read 3.4x slower than a controlled re-run of identical
+    # code.  min (not mean) of repeats is the standard
+    # noise-on-a-shared-box estimator: noise only ever ADDS time.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+
     def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        if warmup:
+            fn()
+        best, out = float("inf"), None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         return out
 
     # -- q1: flagship pixel->H3 index + per-cell mean (north metric) -----
@@ -188,6 +203,68 @@ def main():
         F.count(F.lit(1)).alias("n"), F.sum("npx").alias("px")).collect())
     extras["skew_parents"] = skew_idx.select("parent").distinct().count()
 
+    # -- q10: sample transfer at bench scale (round-3 VERDICT #6) -------------
+    # cover + stencil is the second-most-complex UDF family; run it over
+    # the full 4096-tile table so the cogroup join path has perf evidence
+    from raster2dggs_spark.operators.sample import sample_cells, sample_points
+
+    timed("sample_bilinear", lambda: sample_cells(imgs, res=8, kernel="bilinear")
+          .agg(F.count(F.lit(1)).alias("n")).collect())
+
+    # points derived from each tile's own affine metadata (native exprs,
+    # no UDF): 16 deterministic interior points per tile, mercator tiles
+    # inverted to lon/lat — guarantees the join path routes real work to
+    # every tile instead of sampling empty ocean
+    R = 6378137.0
+    fx = (F.pmod(F.xxhash64("image_id", "i"), F.lit(1000)) / 1000.0) * 0.9 + 0.05
+    fy = (F.pmod(F.xxhash64("i", "image_id"), F.lit(1000)) / 1000.0) * 0.9 + 0.05
+    x = F.col("affine_c") + F.col("affine_a") * (F.col("w") * fx)
+    y = F.col("affine_f") + F.col("affine_e") * (F.col("h") * fy)
+    merc = F.col("crs") == "EPSG:3857"
+    pts = (
+        imgs.select("image_id", "w", "h", "affine_a", "affine_c",
+                    "affine_e", "affine_f", "crs")
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"))
+        .select(
+            F.xxhash64("image_id", "i").alias("point_id"),
+            F.when(merc, F.degrees(x / R)).otherwise(x).alias("lon"),
+            F.when(merc, F.degrees(2.0 * F.atan(F.exp(y / R)) - 3.141592653589793 / 2.0)
+                   ).otherwise(y).alias("lat"),
+        )
+    ).persist()
+    extras["sample_points"] = pts.count()
+    sp = sample_points(imgs, pts, kernel="bilinear", strategy="join")
+    # plan note (VERDICT #6): the cogroup kernel path must be what runs
+    # at 4096 tiles — not the collect/broadcast fast path
+    splan = sp._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    extras["sample_points_cogroup_plan"] = "FlatMapCoGroupsInPandas" in splan
+    timed("sample_points_join",
+          lambda: sp.agg(F.count(F.lit(1)).alias("n")).collect())
+    pts.unpersist()
+
+    # -- q11: fuzzy-dedup transitive closure at scale (round-3 VERDICT #7):
+    # a diameter-1000 chain + ~10^5 random edges; pointer jumping must
+    # converge in O(log diameter) rounds (~12), not O(diameter) ---------------
+    from raster2dggs_spark.operators.dedup import connected_components
+
+    chain = spark.range(1000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    rand = spark.range(99_000).select(
+        (F.lit(10_000) + F.pmod(F.xxhash64(F.col("id")), F.lit(40_000)))
+        .alias("id_a"),
+        (F.lit(10_000) + F.pmod(F.xxhash64(F.col("id") + F.lit(1 << 20)),
+                                F.lit(40_000))).alias("id_b"))
+    cc_edges = chain.unionByName(rand).where("id_a != id_b").persist()
+    extras["cc_edges"] = cc_edges.count()
+    cc_stats: dict = {}
+    timed("dedup_components_100k", lambda: connected_components(
+        cc_edges, stats=cc_stats)
+        .agg(F.countDistinct("component").alias("n")).collect())
+    extras["cc_rounds"] = cc_stats.get("rounds")
+    extras["cc_chain_diameter"] = 1000
+    cc_edges.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -195,6 +272,11 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "methodology": (
+            f"per-query: 1 untimed warm-up + min of {reps} timed runs "
+            "(cold-start and background-load noise excluded; see "
+            "round-3 VERDICT #1)" if warmup else
+            f"per-query: min of {reps} timed runs, NO warm-up"),
         **extras,
     }))
 

@@ -153,7 +153,7 @@ def index_raster(
             decimals = None  # index_point applies it
     elif transfer == "overlay":
         from raster2dggs_spark.operators.overlay import (
-            overlay_agg, overlay_classes, overlay_list,
+            overlay_agg, overlay_classes, overlay_list, overlay_list_multi,
         )
 
         if op == "weighted":
@@ -172,8 +172,15 @@ def index_raster(
             out = overlay_classes(images, res, "fractions", parent_res,
                                   dggs, band, supersample)
         elif op == "list":
-            out = overlay_list(images, res, parent_res, dggs, band,
-                               supersample, decimals=decimals)
+            if isinstance(band, (list, tuple)):
+                # ref OVERLAY_COLLECT: every selected band in ONE
+                # decode pass (overlay.py:519-589), not one pass/band
+                out = overlay_list_multi(images, res, parent_res, dggs,
+                                         tuple(band), supersample,
+                                         decimals=decimals)
+            else:
+                out = overlay_list(images, res, parent_res, dggs, band,
+                                   supersample, decimals=decimals)
             decimals = None
         elif op == "histogram":
             # OVERLAY_COLLECT → HISTOGRAM (ref common.py:221-230): an

@@ -320,6 +320,49 @@ def overlay_values_fixture():
     print(f"overlay_values_16: {len(out)} rows")
 
 
+def overlay_values_multi_fixture():
+    """Single-node replay of the MULTI-band OVERLAY_COLLECT explode
+    (one coverage pass, per-band NaN validity) over the
+    multiband_nodata scenario — per-band nodata holes sit at DIFFERENT
+    pixels, so the per-band list lengths genuinely differ and the
+    oracle exercises the per-band NaN filter."""
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.dggs import cover
+    from raster2dggs_spark.operators.overlay import _coverage_samples
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    res, parent_res = 6, 0
+    bands = (1, 2)
+    pdf = generate_images_pdf(16, seed=42, scenarios=("multiband_nodata",),
+                              size_range=(12, 20))
+    frames = []
+    for r in pdf.itertuples(index=False):
+        arr = decode_image(r.bytes).astype(np.float64)
+        nd = r.nodata
+        if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            arr = np.where(arr == np.float32(nd), np.nan, arr)
+        _k, h, w = arr.shape
+        affine = (r.affine_a, r.affine_b, r.affine_c,
+                  r.affine_d, r.affine_e, r.affine_f)
+        cells, pix, _wt = _coverage_samples(affine, w, h, r.crs, 4, res, "hex7")
+        vals = {b: arr[b - 1].ravel() for b in bands}
+        ok = np.zeros(pix.shape[0], dtype=bool)
+        for b in bands:
+            ok |= np.isfinite(vals[b][pix])
+        uk = np.unique(np.stack([cells[ok], pix[ok]], axis=1), axis=0)
+        cols = {
+            "parent": cover.cell_parent(uk[:, 0], parent_res, "hex7"),
+            "cell": uk[:, 0],
+        }
+        for b in bands:
+            cols[f"value_b{b}"] = vals[b][uk[:, 1]]
+        frames.append(pd.DataFrame(cols))
+    out = pd.concat(frames, ignore_index=True)
+    out.to_parquet(os.path.join(FIXDIR, "overlay_values_multi_16.parquet"),
+                   index=False)
+    print(f"overlay_values_multi_16: {len(out)} rows")
+
+
 def overlay_fixtures(spark):
     """Pinned overlay partials for the two overlay oracle queries (same
     inputs as __spark_entry__): the oracle re-aggregates these in SQL and
@@ -355,6 +398,7 @@ def main():
     sample_bilinear_fixture("hex7", 6, "sample_bilinear_hex7_24.parquet")
     sample_bilinear_fixture("s2", 10, "sample_bilinear_s2_24.parquet")
     overlay_values_fixture()
+    overlay_values_multi_fixture()
 
     from raster2dggs_spark.session import get_spark
 

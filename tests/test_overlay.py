@@ -132,3 +132,47 @@ def test_overlay_list_sorted_and_complete(spark):
     for v in out["values"]:
         lst = list(v)
         assert lst == sorted(lst) and len(lst) >= 1
+
+
+def test_overlay_list_multi_matches_per_band_single(spark):
+    """Multi-band OVERLAY_COLLECT (one decode pass) must produce, per
+    band, exactly the list the single-band operator produces — with
+    per-band nodata holes at different pixels, so lengths differ."""
+    from raster2dggs_spark.operators.overlay import (
+        overlay_list, overlay_list_multi,
+    )
+    from raster2dggs_spark.sources import images_spark_df
+
+    imgs = images_spark_df(spark, 6, seed=30, scenarios=("multiband_nodata",),
+                           size_range=(10, 14))
+    multi = overlay_list_multi(imgs, res=6, parent_res=0,
+                               bands=(1, 3)).toPandas()
+    multi = multi.set_index(["parent", "cell"]).sort_index()
+    assert set(multi.columns) == {"values_b1", "values_b3"}
+    for b in (1, 3):
+        single = overlay_list(imgs, res=6, parent_res=0, band=b).toPandas()
+        single = single.set_index(["parent", "cell"]).sort_index()
+        got = multi[f"values_b{b}"].map(lambda v: tuple(v))
+        # single-band emits no row for cells where band b has no valid
+        # pixel; multi emits an empty list there
+        got_nonempty = got[got.map(len) > 0]
+        exp = single["values"].map(lambda v: tuple(v))
+        assert got_nonempty.sort_index().equals(exp.sort_index())
+    # different nodata holes -> at least one cell with differing lengths
+    diff = (multi["values_b1"].map(len) != multi["values_b3"].map(len))
+    assert diff.any()
+
+
+def test_api_overlay_list_multiband_route(spark):
+    """index_raster(transfer='overlay', op='list', band=[1,2]) routes
+    through the one-pass multi-band operator."""
+    from raster2dggs_spark.api import index_raster
+    from raster2dggs_spark.sources import images_spark_df
+
+    imgs = images_spark_df(spark, 4, seed=30, scenarios=("multiband_nodata",),
+                           size_range=(10, 12))
+    out = index_raster(imgs, resolution=6, transfer="overlay", op="list",
+                       band=[1, 2], raw_ids=True)
+    cols = set(out.columns)
+    assert "values_b1" in cols and "values_b2" in cols
+    assert out.count() > 0
