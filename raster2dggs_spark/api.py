@@ -142,6 +142,32 @@ def index_raster(
                 hist_normalize,
             )
             decimals = None
+        elif "," in agg:
+            # comma-separated aggs → one struct column per band, all
+            # functions in a single aggregation pass (A6; ref -a min,max
+            # → per-band struct, common.py:512-529)
+            from raster2dggs_spark.operators import aggregates as A
+            from raster2dggs_spark.operators.indexing import pixel_cells
+
+            funcs = [x.strip() for x in agg.split(",") if x.strip()]
+            bad = [f for f in funcs if f not in A.SIMPLE_AGGS]
+            if bad:
+                raise ValueError(
+                    f"multi-agg funcs {bad} not in "
+                    f"{sorted(A.SIMPLE_AGGS)}"
+                )
+            px = pixel_cells(images, res, parent_res, dggs, bands, n_bands,
+                             nodata_policy, nodata_fill, keep_image_id=False)
+            out = A.agg_multi(px, ["parent", "cell"], band_cols(n_bands),
+                              funcs, as_struct=True)
+            if decimals is not None:
+                out = out.select(
+                    "parent", "cell",
+                    *[F.struct(*[F.round(F.col(f"{v}.{f}"), decimals)
+                                 .alias(f) for f in funcs]).alias(v)
+                      for v in band_cols(n_bands)],
+                )
+            decimals = None
         elif agg not in POINT_AGGS:
             raise ValueError(
                 f"agg {agg!r}; choose from {POINT_AGGS + ('histogram',)}"

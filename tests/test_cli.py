@@ -1,0 +1,104 @@
+"""CLI shim integration: one command per transfer family over a fixture
+image table, asserting exit, output schema and hive partitioning —
+mirroring the reference's CLI matrix (tests/classes/
+test_cli_integration.py:54-99: every grid × geo × compaction runs the
+module entry end-to-end)."""
+
+import os
+
+import pytest
+
+from raster2dggs_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def images_path(spark, tmp_path_factory):
+    from raster2dggs_spark.sources import write_images_table
+
+    path = str(tmp_path_factory.mktemp("cli") / "images")
+    write_images_table(spark, path, 8, seed=42, size_range=(10, 14), chunk=4)
+    return path
+
+
+def _partition_dirs(out, prefix):
+    return [d for d in os.listdir(out) if d.startswith(prefix + "=")]
+
+
+@pytest.mark.parametrize("dggs,res,geo,compact", [
+    ("hex7", "6", None, False),
+    ("hex7", "6", "polygon", False),
+    ("hex7", "6", None, True),
+    ("s2", "10", "point", False),
+    ("geohash", "3", None, False),
+])
+def test_cli_point_matrix(spark, tmp_path, images_path, dggs, res, geo,
+                          compact):
+    out = str(tmp_path / "out")
+    args = [dggs, images_path, out, "-r", res, "--point", "value",
+            "-a", "mean", "-d", "1"]
+    if geo:
+        args += ["-g", geo]
+    if compact:
+        args += ["-co"]
+    main(args, spark=spark)
+    # hive partitioning on the parent column (reference output contract)
+    from raster2dggs_spark.operators.indexing import (
+        cell_column_name, default_parent_res,
+    )
+
+    pcol = cell_column_name(dggs, default_parent_res(int(res), dggs))
+    assert _partition_dirs(out, pcol), os.listdir(out)
+    back = spark.read.parquet(out)
+    assert pcol in back.columns
+    assert back.count() > 0
+    if geo:
+        assert "geometry" in back.columns
+    else:
+        assert cell_column_name(dggs, int(res)) in back.columns
+        assert "band_1" in back.columns
+
+
+def test_cli_transfer_families(spark, tmp_path, images_path):
+    from raster2dggs_spark.operators.indexing import cell_column_name
+
+    cases = {
+        "point_list": ["hex7", images_path, str(tmp_path / "pl"), "-r", "6",
+                       "--point", "list"],
+        "overlay_weighted": ["hex7", images_path, str(tmp_path / "ow"),
+                             "-r", "6", "--overlay", "weighted",
+                             "-vct", "0.2"],
+        "sample_bilinear": ["hex7", images_path, str(tmp_path / "sb"),
+                            "-r", "6", "--sample", "bilinear"],
+        "multi_agg": ["hex7", images_path, str(tmp_path / "ma"), "-r", "6",
+                      "--point", "-a", "min,max"],
+        "point_hist": ["hex7", images_path, str(tmp_path / "ph"), "-r", "6",
+                       "--point", "histogram", "--hist-width", "10"],
+        "auto_res": ["hex7", images_path, str(tmp_path / "ar"), "-r",
+                     "min-diff", "--point", "value"],
+    }
+    for name, args in cases.items():
+        main(args, spark=spark)
+        back = spark.read.parquet(args[2])
+        assert back.count() > 0, name
+    # multi-agg: per-band struct with the requested fields
+    ma = spark.read.parquet(str(tmp_path / "ma"))
+    f = dict(ma.dtypes)["band_1"]
+    assert "struct" in f and "min" in f and "max" in f
+
+
+def test_cli_validation(spark, tmp_path, images_path):
+    with pytest.raises(SystemExit):  # mutually exclusive transfers
+        main(["hex7", images_path, str(tmp_path / "x1"), "-r", "6",
+              "--point", "value", "--overlay", "weighted"], spark=spark)
+    with pytest.raises(SystemExit):  # h3 rejected with hex7 contract
+        main(["h3", images_path, str(tmp_path / "x2"), "-r", "6"],
+             spark=spark)
+    with pytest.raises(SystemExit):  # bins + width exclusive
+        main(["hex7", images_path, str(tmp_path / "x3"), "-r", "6",
+              "--point", "histogram", "--hist-bins", "0,1",
+              "--hist-width", "2"], spark=spark)
+    out = str(tmp_path / "x4")
+    main(["hex7", images_path, out, "-r", "6"], spark=spark)
+    with pytest.raises(SystemExit):  # existing output without -o
+        main(["hex7", images_path, out, "-r", "6"], spark=spark)
+    main(["hex7", images_path, out, "-r", "6", "-o"], spark=spark)  # ok
