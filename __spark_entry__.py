@@ -719,6 +719,39 @@ def q_overlay_fractions(spark, sf_dir):
     )
 
 
+def q_point_list(spark, sf_dir):
+    """--point list with one sorted list PER BAND (ref common.py:
+    495-502; per-band nodata holes → differing list lengths).  Oracle:
+    single-node replay of the exploded pixel rows
+    (.fixtures/point_list_8.parquet) re-aggregated in SQL with the
+    per-band NaN filter; integral ×10000 string transport as in
+    overlay_list_b2."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point
+
+    imgs = images_spark_df(spark, 8, seed=42,
+                           scenarios=("multiband_nodata",),
+                           size_range=(10, 14))
+    out = index_point(imgs, res=6, parent_res=0, agg="list")
+
+    def s(b):
+        return F.array_join(
+            F.transform(
+                f"band_{b}",
+                lambda x: F.round(x * 10000, 0).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias(f"values_str_b{b}")
+
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_06"),
+        F.lower(F.hex("parent")).alias("hex7_00"),
+        *[s(b) for b in (1, 2, 3, 4)],
+        F.size("band_1").cast("long").alias("n_b1"),
+        F.size("band_4").cast("long").alias("n_b4"),
+    )
+
+
 def q_overlay_list_multi(spark, sf_dir):
     """Multi-band --overlay list (ref OVERLAY_COLLECT emits every
     selected band in ONE decode pass, overlay.py:519-589; round-3
@@ -1275,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_fractions": q_overlay_fractions,
         "overlay_list": q_overlay_list,
         "overlay_list_b2": q_overlay_list_multi,
+        "point_list": q_point_list,
         "compact_cells": q_compact_cells,
         "hex7_pixel_index": q_hex7_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
@@ -2514,6 +2548,23 @@ def oracle_sql() -> dict[str, str]:
                        list(CAST(CAST(value AS BIGINT) AS VARCHAR)
                             ORDER BY value), ',') AS values_str,
                    CAST(count(*) AS BIGINT) AS n_values
+            FROM v GROUP BY cell, parent
+        """,
+        "point_list": f"""
+            WITH v AS (SELECT * FROM
+                 read_parquet('{_FIXDIR}/point_list_8.parquet'))
+            SELECT printf('%x', cell) AS hex7_06,
+                   printf('%x', parent) AS hex7_00,
+                   {", ".join(
+                       "coalesce(array_to_string("
+                       f"list(CAST(CAST(round(band_{b} * 10000) AS BIGINT) "
+                       f"AS VARCHAR) ORDER BY band_{b}) "
+                       f"FILTER (WHERE NOT isnan(band_{b})), ','), '') "
+                       f"AS values_str_b{b}" for b in (1, 2, 3, 4))},
+                   CAST(count(*) FILTER (WHERE NOT isnan(band_1)) AS BIGINT)
+                       AS n_b1,
+                   CAST(count(*) FILTER (WHERE NOT isnan(band_4)) AS BIGINT)
+                       AS n_b4
             FROM v GROUP BY cell, parent
         """,
         "overlay_list_b2": f"""

@@ -91,16 +91,29 @@ def agg_majority(df: DataFrame, keys: list[str], val: str, out: str = "majority"
     )
 
 
-def agg_list(df: DataFrame, keys: list[str], val: str, out: str | None = None,
+def agg_list(df: DataFrame, keys: list[str], val: str | list[str],
+             out: str | None = None,
              decimals: int | None = None) -> DataFrame:
     """A7: per-group list, element-rounded then sorted ascending
     (rasterindexer.py:385-423: lists are sorted, rounding applies to
-    elements)."""
-    out = out or val
-    c = F.col(val)
-    if decimals is not None:
-        c = F.round(c, decimals)
-    return df.groupBy(*keys).agg(F.sort_array(F.collect_list(c)).alias(out))
+    elements).  ``val`` may be a list of columns — one list column per
+    input column in a single aggregation pass (the reference's --point
+    list emits a list per selected band, common.py:495-502); per-column
+    nulls (that band nodata at the pixel) are skipped by collect_list,
+    so lists can differ in length across bands."""
+    vals = [val] if isinstance(val, str) else list(val)
+    if len(vals) == 1:
+        outs = [out or vals[0]]
+    else:
+        outs = vals
+
+    def expr(v, o):
+        c = F.col(v)
+        if decimals is not None:
+            c = F.round(c, decimals)
+        return F.sort_array(F.collect_list(c)).alias(o)
+
+    return df.groupBy(*keys).agg(*[expr(v, o) for v, o in zip(vals, outs)])
 
 
 def hist_categorical(df: DataFrame, keys: list[str], val: str,

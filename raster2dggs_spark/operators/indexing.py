@@ -462,7 +462,9 @@ def index_point(
         elif agg == "majority":
             out = A.agg_majority(px, ["parent", "cell"], bcols[0], out=bcols[0])
         elif agg == "list":
-            out = A.agg_list(px, ["parent", "cell"], bcols[0], out=bcols[0],
+            # one list per band in a single pass (ref --point list emits
+            # a list column per selected band, common.py:495-502)
+            out = A.agg_list(px, ["parent", "cell"], bcols,
                              decimals=decimals)
             decimals = None  # already applied to elements
         else:

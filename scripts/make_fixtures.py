@@ -320,6 +320,47 @@ def overlay_values_fixture():
     print(f"overlay_values_16: {len(out)} rows")
 
 
+def point_list_fixture():
+    """Single-node replay of the exploded pixel rows feeding --point
+    list (multiband_nodata, res 6): (parent, cell, band_1..4, NaN where
+    that band is nodata).  The oracle re-aggregates per-band sorted
+    lists in SQL with the per-band NaN filter — pinning the per-band
+    list semantics (ref common.py:495-502) end to end."""
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.dggs import h3lib
+    from raster2dggs_spark.geo import pixel_centers_lonlat
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    res, parent_res, n_bands = 6, 0, 4
+    frames = []
+    for r in generate_images_pdf(8, seed=42, scenarios=("multiband_nodata",),
+                                 size_range=(10, 14)).itertuples(index=False):
+        arr = decode_image(r.bytes).astype(np.float64)
+        nd = r.nodata
+        if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            arr = np.where(arr == np.float32(nd), np.nan, arr)
+        k, h, w = arr.shape
+        affine = (r.affine_a, r.affine_b, r.affine_c,
+                  r.affine_d, r.affine_e, r.affine_f)
+        lon, lat = pixel_centers_lonlat(affine, w, h, r.crs)
+        vals = arr.reshape(k, h * w)
+        keep = ~np.all(np.isnan(vals), axis=0)
+        if not keep.any():
+            continue
+        cells = h3lib.latlng_to_cell(lon[keep], lat[keep], res)
+        cols = {
+            "parent": h3lib.cell_to_parent(cells, parent_res),
+            "cell": cells,
+        }
+        for b in range(n_bands):
+            cols[f"band_{b + 1}"] = (vals[b, keep] if b < k
+                                     else np.full(keep.sum(), np.nan))
+        frames.append(pd.DataFrame(cols))
+    out = pd.concat(frames, ignore_index=True)
+    out.to_parquet(os.path.join(FIXDIR, "point_list_8.parquet"), index=False)
+    print(f"point_list_8: {len(out)} rows")
+
+
 def overlay_values_multi_fixture():
     """Single-node replay of the MULTI-band OVERLAY_COLLECT explode
     (one coverage pass, per-band NaN validity) over the
@@ -399,6 +440,7 @@ def main():
     sample_bilinear_fixture("s2", 10, "sample_bilinear_s2_24.parquet")
     overlay_values_fixture()
     overlay_values_multi_fixture()
+    point_list_fixture()
 
     from raster2dggs_spark.session import get_spark
 

@@ -104,3 +104,21 @@ def test_multi_agg_struct_and_histogram_pack(spark, uni):
     packed = pack_histogram(h, ["cell"]).first()
     assert list(packed["histogram"]["values"]) == [42.0]
     assert packed["histogram"]["counts"][0] >= 1
+
+
+def test_list_agg_per_band(spark):
+    """--point list emits ONE list per selected band (ref common.py:
+    495-502); per-band nodata at different pixels -> differing lengths."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point
+
+    imgs = images_spark_df(spark, 4, seed=33, scenarios=("multiband_nodata",),
+                           size_range=(10, 12))
+    out = index_point(imgs, res=6, agg="list").toPandas()
+    for b in ("band_1", "band_2", "band_3", "band_4"):
+        assert b in out.columns
+        for lst in out[b]:
+            assert list(lst) == sorted(lst)
+    l1 = out["band_1"].map(len)
+    l2 = out["band_2"].map(len)
+    assert (l1 != l2).any()  # 15% holes per band at different pixels
