@@ -680,6 +680,41 @@ def children_size(cells, child_res: int):
     return np.int64(7) ** (np.int64(child_res) - res)
 
 
+def cell_to_children(cells, child_res: int):
+    """All 7^(child_res−res) children of each cell (uniform 7-ary tree —
+    the hex7 contract, so no pentagon digit-1 exclusions).  Input cells
+    must share one resolution; output is ordered cell-major then
+    digit-pattern ascending."""
+    c = np.asarray(cells).astype(np.uint64)
+    if c.size == 0:
+        return c.astype(np.int64)
+    res = get_resolution(c)
+    r0 = int(res.ravel()[0])
+    if np.any(res != r0):
+        raise ValueError("cell_to_children needs uniform input res")
+    dr = int(child_res) - r0
+    if dr < 0:
+        raise ValueError("child_res coarser than cell res")
+    if dr == 0:
+        return np.asarray(cells).astype(np.int64)
+    base = (c & ~(np.uint64(0xF) << np.uint64(52))) | (
+        np.uint64(child_res) << np.uint64(52)
+    )
+    # clear the (all-7 in the parent id) digits r0+1..child_res
+    clear_bits = np.uint64(3 * (MAX_RES - int(child_res)))
+    mask = ((np.uint64(1) << np.uint64(3 * dr)) - np.uint64(1)) << clear_bits
+    base = base & ~mask
+    # pack every base-7 digit pattern at the cleared positions
+    digs = np.arange(7 ** dr, dtype=np.uint64)
+    pat = np.zeros_like(digs)
+    tmp = digs.copy()
+    for i in range(dr):
+        shift = np.uint64(3 * (MAX_RES - (int(child_res) - i)))
+        pat |= (tmp % np.uint64(7)) << shift
+        tmp //= np.uint64(7)
+    return (base[:, None] | pat[None, :]).ravel().astype(np.int64)
+
+
 def is_pentagon(cells):
     c = np.asarray(cells).astype(np.uint64)
     bc = get_base_cell(c)
@@ -726,20 +761,31 @@ def _sample_cover(lon_pts, lat_pts, res: int):
     return np.unique(cells)
 
 
-def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int, max_samples: int = 4_000_000):
-    """All cells whose *center* lies in the bbox (reference semantics:
-    cells_in_bbox post-filters centers strictly inside — e.g.
-    /root/reference/raster2dggs/indexers/s2rasterindexer.py:127-134).
+def _filter_centers(cand, lon_min, lat_min, lon_max, lat_max):
+    """Exact center-in-bbox filter, centers unwrapped into the bbox
+    longitude frame (F14: a ±180-crossing bbox lives in the unwrapped
+    frame, lon_max > 180 allowed)."""
+    clon, clat = cell_to_latlng(cand)
+    mid = 0.5 * (lon_min + lon_max)
+    clon = clon + 360.0 * np.round((mid - clon) / 360.0)
+    keep = (clon >= lon_min) & (clon < lon_max) & (clat >= lat_min) & (clat < lat_max)
+    return cand[keep]
 
-    Implementation: dense lattice sampling at 0.35× cell pitch (guarantees
-    every center-inside cell is hit), then encode + unique + center filter.
 
-    Antimeridian: a bbox crossing ±180 is expressed in the *unwrapped*
-    frame (lon_max > 180 allowed, e.g. 175..185); the encode is periodic
-    and centers are unwrapped into the bbox frame before filtering
-    (reference F14 semantics, overlay.py:111-123)."""
-    pitch_deg = np.degrees(cell_pitch_rad(res)) * 0.35
-    lat_lo, lat_hi = lat_min - pitch_deg, lat_max + pitch_deg
+def _dense_cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int,
+                      max_samples: int):
+    """Dense lattice sampling at 0.35× cell pitch (guarantees every
+    center-inside cell is hit) → encode + unique + center filter.
+
+    res ≤ 3 samples at 0.18× pitch instead: gnomonic distortion at
+    coarse res shrinks the worst-case cell inradius to ~0.25× pitch
+    (measured), putting 0.35 past the √2·r_min hit guarantee — the
+    round-4 dense-vs-hierarchical battery caught real missed cells at
+    res 2-3.  Coarse res has few cells globally, so the 3.8× extra
+    samples are cheap."""
+    pitch_deg = np.degrees(cell_pitch_rad(res)) * (0.35 if res >= 4 else 0.18)
+    lat_lo = max(-90.0, lat_min - pitch_deg)
+    lat_hi = min(90.0, lat_max + pitch_deg)
     # cells keep ~constant physical size, so their lon extent in degrees
     # is ~pitch/cos(lat): within the bbox they are NARROWEST at the
     # lowest |lat| — stretch the lon step by that cos (conservative for
@@ -760,12 +806,32 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int, max_samples: int = 
     glon = np.repeat(lons, lats.size)
     glat = np.tile(lats, lons.size)
     cand = _sample_cover(glon, glat, res)
-    clon, clat = cell_to_latlng(cand)
-    # unwrap centers into the bbox longitude frame
-    mid = 0.5 * (lon_min + lon_max)
-    clon = clon + 360.0 * np.round((mid - clon) / 360.0)
-    keep = (clon >= lon_min) & (clon < lon_max) & (clat >= lat_min) & (clat < lat_max)
-    return cand[keep]
+    return _filter_centers(cand, lon_min, lat_min, lon_max, lat_max)
+
+
+def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int, max_samples: int = 4_000_000):
+    """All cells whose *center* lies in the bbox (reference semantics:
+    cells_in_bbox post-filters centers strictly inside — e.g.
+    /root/reference/raster2dggs/indexers/s2rasterindexer.py:127-134).
+
+    Guaranteed-density lattice sampling (``_dense_cover_bbox``).  A
+    hierarchical children-expansion variant (coarse cover → 7-ary bit
+    expansion → exact filter, prototyped round 4) was REJECTED: the
+    encoder is not canonical near icosahedron face seams — one physical
+    hex can carry two ids (one per adjacent face, each owning part of
+    the hex), so the cover's id universe is the ENCODER IMAGE, and only
+    sampling at guaranteed density enumerates it; the bit-tree ancestor
+    of a seam id can itself be a sliver id that no coarse cover finds
+    (~1 cell per 10⁵ silently lost).  The battery that caught this
+    (randomized uniform/pole/antimeridian bboxes vs a 3× denser
+    reference) is pinned in tests/test_cover.py.
+
+    Antimeridian: a bbox crossing ±180 is expressed in the *unwrapped*
+    frame (lon_max > 180 allowed, e.g. 175..185); the encode is periodic
+    and centers are unwrapped into the bbox frame before filtering
+    (reference F14 semantics, overlay.py:111-123)."""
+    return _dense_cover_bbox(lon_min, lat_min, lon_max, lat_max, res,
+                             max_samples)
 
 
 def cell_area_m2(cells, radius_m: float = 6371007.1809):
