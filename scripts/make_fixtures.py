@@ -209,13 +209,24 @@ def sample_bilinear_fixture(dggs: str, res: int, fname: str,
             lons, lats = mercator_to_lonlat(x, y)
         else:
             lons, lats = x, y
-        try:
-            cells = cover.cover_bbox(
-                lons.min(), lats.min(), lons.max(), lats.max(), res,
-                dggs=dggs, max_samples=5_000_000,
-            )
-        except ValueError:
-            continue
+        # mirror the operator's split-on-cap covering (half-open bbox
+        # halves partition the center-in set exactly; sample.py round 4)
+        pieces = [(lons.min(), lats.min(), lons.max(), lats.max())]
+        covered = []
+        while pieces:
+            x0, y0, x1, y1 = pieces.pop()
+            try:
+                covered.append(cover.cover_bbox(
+                    x0, y0, x1, y1, res, dggs=dggs, max_samples=5_000_000))
+            except ValueError:
+                if (x1 - x0) >= (y1 - y0):
+                    xm = 0.5 * (x0 + x1)
+                    pieces += [(x0, y0, xm, y1), (xm, y0, x1, y1)]
+                else:
+                    ym = 0.5 * (y0 + y1)
+                    pieces += [(x0, y0, x1, ym), (x0, ym, x1, y1)]
+        cells = (np.concatenate(covered) if covered
+                 else np.array([], dtype=np.int64))
         if cells.size == 0:
             continue
         clon, clat = cover.cell_center(cells, dggs)

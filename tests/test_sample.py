@@ -212,3 +212,22 @@ def test_sample_antimeridian_tile(spark):
             .sort_values("point_id")
         assert np.isfinite(got["band_1"].values[:2]).all(), strat
         assert np.isnan(got["band_1"].values[2]), strat
+
+
+def test_sample_cells_split_on_cap_identical(spark):
+    """An extent too large for one covering pass must be SPLIT (exact
+    half-open partition), never silently skipped: a run forced to split
+    (tiny per-pass cap) returns cell-for-cell what the unsplit run
+    returns."""
+    from raster2dggs_spark.operators.sample import sample_cells
+    from raster2dggs_spark.sources import images_spark_df
+
+    imgs = images_spark_df(spark, 6, seed=21, size_range=(12, 18))
+    big = sample_cells(imgs, res=6, kernel="bilinear").toPandas()
+    forced = sample_cells(imgs, res=6, kernel="bilinear",
+                          max_cells_per_tile=40).toPandas()
+    key = ["cell"]
+    a = big.sort_values(key).reset_index(drop=True)
+    b = forced.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
