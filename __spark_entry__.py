@@ -848,6 +848,38 @@ def q_compact_cells(spark, sf_dir):
     return out.select(F.lower(F.hex("cell")).alias("cell_hex"), "v")
 
 
+def q_compact_cells_geohash(spark, sf_dir):
+    """A16 on the geohash 32-ary prefix tree (compaction extended
+    beyond hex7/s2 in round 4): precision-6 ids constructed by pure
+    integer arithmetic from lineitem keys (id = (bits<<4)|precision,
+    child bits = parent<<5|digit); even okeys emit all 32 siblings
+    with a uniform value (must merge and round-trip back), odd okeys
+    emit 7 (must pass through).  compact→uncompact must return exactly
+    the constructed set — same round-trip-identity oracle as
+    compact_cells."""
+    from raster2dggs_spark.operators.compaction import (
+        compact_cells, uncompact_cells,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = li.select((F.col("l_orderkey") % 997).alias("okey")).distinct()
+    k = o.withColumn(
+        "d",
+        F.explode(
+            F.when(F.col("okey") % 2 == 0, F.sequence(F.lit(0), F.lit(31)))
+            .otherwise(F.sequence(F.lit(0), F.lit(6)))
+        ),
+    ).withColumn("d", F.col("d").cast("long"))
+    cell = (F.col("okey") * 32 + F.col("d")) * 16 + 6
+    df = k.select(cell.alias("cell"),
+                  (F.col("okey") % 5).cast("double").alias("v"))
+    out = uncompact_cells(
+        compact_cells(df, ["v"], res=6, min_res=4, dggs="geohash"),
+        res=6, dggs="geohash",
+    )
+    return out.select(F.col("cell").cast("long").alias("cell"), "v")
+
+
 def q_image_thumbnails(spark, sf_dir):
     """Multimodal resize stage, oracle-checked: 8x8 NN thumbnails of
     band 1, floor-quantized to 1/16 and emitted as a joined-int string
@@ -1310,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_list_b2": q_overlay_list_multi,
         "point_list": q_point_list,
         "compact_cells": q_compact_cells,
+        "compact_cells_geohash": q_compact_cells_geohash,
         "hex7_pixel_index": q_hex7_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
         "s2_pixel_index_full": q_s2_pixel_index_full,
@@ -2526,6 +2559,20 @@ def oracle_sql() -> dict[str, str]:
             FROM s QUALIFY rank <= 5
         """,
         "compact_cells": _compact_sql(),
+        "compact_cells_geohash": """
+            WITH o AS (SELECT DISTINCT l_orderkey % 997 AS okey
+                       FROM lineitem),
+            k AS (SELECT okey,
+                         unnest(CASE WHEN okey % 2 = 0 THEN
+                                    [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,
+                                     15,16,17,18,19,20,21,22,23,24,25,26,
+                                     27,28,29,30,31]
+                                ELSE [0,1,2,3,4,5,6] END) AS d
+                  FROM o)
+            SELECT CAST((okey * 32 + d) * 16 + 6 AS BIGINT) AS cell,
+                   CAST(okey % 5 AS DOUBLE) AS v
+            FROM k
+        """,
         "s2_pixel_index": _s2_sql(11, 3),
         "s2_pixel_index_full": f"""
             SELECT s2_14, s2_06, CAST(n_px AS BIGINT) AS n_px,

@@ -290,9 +290,10 @@ def index_raster(
         if cols:
             out = round_decimals(out, cols, decimals)
     if compact:
-        if dggs not in ("hex7", "s2"):
+        if dggs not in ("hex7", "s2", "geohash", "rhp"):
             raise ValueError(
-                "compact=True needs a bit-arithmetic hierarchy (hex7/s2)"
+                "compact=True needs an id-arithmetic hierarchy "
+                "(hex7/s2/geohash/rhp; maidenhead mixes 10/24-ary levels)"
             )
         from raster2dggs_spark.operators.compaction import compact_cells
 

@@ -28,14 +28,25 @@ def compact_cells(df: DataFrame, value_cols: list[str], res: int,
                   cell_col: str = "cell") -> DataFrame:
     """Compact a single-resolution cell frame bottom-up to ``min_res``.
 
-    Returns the mixed-resolution frame (cell ids carry their res in the
-    bit layout).  Exact-equality uniformity, NaN-safe via null-safe
-    comparison on a canonical struct."""
-    children_per_parent = 7 if dggs == "hex7" else 4
+    Returns the mixed-resolution frame (cell ids carry their res — in
+    the bit layout for hex7/s2, in the packed res nibble for
+    geohash/rhp).  Exact-equality uniformity, NaN-safe via null-safe
+    comparison on a canonical struct.  All four hierarchical grids
+    compact: hex7 (7-ary), s2 (4-ary), geohash (32-ary prefix tree),
+    rhp (9-ary) — parent derivation stays native bit/int arithmetic
+    (joins.parent_expr), zero Python in the loop."""
+    try:
+        children_per_parent = {"hex7": 7, "s2": 4, "geohash": 32,
+                               "rhp": 9}[dggs]
+    except KeyError:
+        raise ValueError(
+            f"compact: no hierarchy arithmetic for {dggs!r} "
+            "(maidenhead mixes 10/24-ary per level)"
+        )
     out_parts: list[DataFrame] = []
     cur = df
     for r in range(res, min_res, -1):
-        parent = parent_expr(cell_col, r - 1, dggs).alias("__parent")
+        parent = parent_expr(cell_col, r - 1, dggs, from_res=r).alias("__parent")
         val_struct = F.struct(*[F.col(c) for c in value_cols])
         g = cur.select(parent, F.col(cell_col), val_struct.alias("__v"))
         stats = g.groupBy("__parent").agg(
@@ -109,6 +120,27 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
         return (start[:, None]
                 + step * np.arange(n, dtype=np.uint64)[None, :]).astype(np.int64)
 
+    def _expand_geohash(group: np.ndarray, r_cur: int) -> np.ndarray:
+        """32-ary prefix tree: bits' = bits << 5·depth | pattern."""
+        depth = res - r_cur
+        n = 32 ** depth
+        bits = (group.astype(np.uint64) >> np.uint64(4))
+        pat = np.arange(n, dtype=np.uint64)
+        kids = (bits[:, None] << np.uint64(5 * depth)) | pat[None, :]
+        return ((kids << np.uint64(4)) | np.uint64(res)).astype(np.int64)
+
+    def _expand_rhp(group: np.ndarray, r_cur: int) -> np.ndarray:
+        """9-ary: bits' = bits·9^depth + pattern."""
+        depth = res - r_cur
+        n = 9 ** depth
+        bits = (group.astype(np.int64) >> 4)
+        pat = np.arange(n, dtype=np.int64)
+        kids = bits[:, None] * np.int64(n) + pat[None, :]
+        return (kids << 4) | np.int64(res)
+
+    expanders = {"hex7": _expand_hex7, "s2": _expand_s2,
+                 "geohash": _expand_geohash, "rhp": _expand_rhp}
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from raster2dggs_spark.dggs import h3lib, s2lib
 
@@ -118,8 +150,10 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
             cells = pdf[cell_col].values
             if dggs == "hex7":
                 cr = h3lib.get_resolution(cells)
-            else:
+            elif dggs == "s2":
                 cr = s2lib.cell_level(cells)
+            else:  # geohash/rhp: packed res nibble
+                cr = (np.asarray(cells, dtype=np.int64) & 0xF)
             out_cells = []
             out_idx = []
             idx = np.arange(len(cells))
@@ -130,9 +164,7 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
                     out_cells.append(group)
                     out_idx.append(idx[m])
                     continue
-                kids = (_expand_hex7 if dggs == "hex7" else _expand_s2)(
-                    group, int(r_cur)
-                )
+                kids = expanders[dggs](group, int(r_cur))
                 out_cells.append(kids.ravel())
                 out_idx.append(np.repeat(idx[m], kids.shape[1]))
             cells_all = np.concatenate(out_cells)

@@ -129,3 +129,37 @@ def test_overlay_mass_conserved_across_antimeridian(spark):
     imgs = spark.createDataFrame(pd.DataFrame([tile]), IMAGE_SCHEMA)
     out = overlay_agg(imgs, res=6, op="mass_sum", n_bands=1).toPandas()
     assert out["band_1"].sum() == pytest.approx(float(arr.sum()), rel=1e-9)
+
+
+@pytest.mark.parametrize("dggs,res,fan", [("geohash", 6, 32), ("rhp", 8, 9)])
+def test_compact_geohash_rhp_roundtrip(spark, dggs, res, fan):
+    """A16 extended round 4 beyond hex7/s2: geohash (32-ary prefix
+    tree) and rHEALPix (9-ary) compact via the same native-arithmetic
+    parent loop; a complete uniform subtree rolls up two levels, a
+    mixed one stays, uncompact round-trips exactly."""
+    from raster2dggs_spark.dggs import cover
+    from raster2dggs_spark.operators.compaction import (
+        compact_cells, uncompact_cells,
+    )
+    from raster2dggs_spark.operators.joins import _cells_children
+
+    base = cover.encode(np.array([10.0, 40.0]), np.array([45.0, -20.0]),
+                        res - 2, dggs)
+    rows = []
+    for which, c in enumerate(np.unique(base)):
+        kids = _cells_children(np.array([c], dtype=np.int64), res - 2, dggs)
+        grand = _cells_children(kids, res - 1, dggs)
+        for i, g in enumerate(grand.tolist()):
+            rows.append((g, 7.0 if which == 0 else float(i)))
+    pdf = pd.DataFrame(rows, columns=["cell", "v"])
+    out = compact_cells(spark.createDataFrame(pdf), ["v"], res=res,
+                        min_res=res - 2, dggs=dggs).toPandas()
+    lv = (out["cell"].values & 0xF)
+    counts = pd.Series(lv).value_counts()
+    assert counts.get(res - 2, 0) == 1       # uniform subtree -> one cell
+    assert counts.get(res, 0) == fan * fan   # mixed subtree untouched
+    assert len(out) == fan * fan + 1
+    back = uncompact_cells(spark.createDataFrame(out), res=res,
+                           dggs=dggs).toPandas()
+    assert (set(map(tuple, back[["cell", "v"]].itertuples(index=False)))
+            == set(map(tuple, pdf.itertuples(index=False))))
