@@ -398,19 +398,26 @@ def _sample_points_join(
             F.col(lat_col).cast("double").alias(lat_col),
             *[F.lit(float("nan")).alias(c) for c in bcols],
         )
-    rres = _routing_res(extent)
     imgs = _prune(images)
 
-    # --- tile side: (image_id, routing cell) for every cell whose area
-    # intersects the tile bbox (cover of the bbox padded by one cell
-    # pitch — guarantees any point inside the tile shares a cell).
-    # Metadata-only scan: payload bytes never enter this pass -----------
+    # --- tile side: (image_id, routing res, routing cell) for every
+    # cell whose area intersects the tile bbox (cover padded by one cell
+    # pitch — guarantees any point inside the tile shares a cell).  The
+    # routing res is PER TILE (finest geohash precision that still
+    # covers the tile in ~<=9 cells): a single-global-res routing
+    # degenerates the moment tile sizes are heterogeneous — one 30°
+    # outlier scenario dragged the global res to precision 1 (32 cells
+    # on Earth), every point joined ~hundreds of tiles, and the cogroup
+    # did near-cross-join work (round-4 profile: 30 s → 4 s at 4096
+    # tiles / 65k points).  Metadata-only scan: payload bytes never
+    # enter this pass -------------------------------------------------
     meta = images.select(
         "image_id", "w", "h", "affine_a", "affine_b", "affine_c",
         "affine_d", "affine_e", "affine_f", "crs",
     )
     tc_schema = T.StructType([
         T.StructField("image_id", T.StringType(), False),
+        T.StructField("__rres", T.IntegerType(), False),
         T.StructField("__cell", T.LongType(), False),
     ])
 
@@ -418,9 +425,8 @@ def _sample_points_join(
         from raster2dggs_spark.dggs import cover
         from raster2dggs_spark.geo import apply_affine, mercator_to_lonlat
 
-        pitch = cover.pitch_deg(rres, "geohash")
         for pdf in batches:
-            ids, cells = [], []
+            ids, rrs, cells = [], [], []
             for row in pdf.itertuples(index=False):
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
@@ -431,36 +437,59 @@ def _sample_points_join(
                     lons, lats = mercator_to_lonlat(x, y)
                 else:
                     lons, lats = x, y
+                ext = max(lons.max() - lons.min(), lats.max() - lats.min())
+                rres = _routing_res(ext)
+                pitch = cover.pitch_deg(rres, "geohash")
                 c = cover.cover_bbox(
                     lons.min() - pitch, max(-90.0, lats.min() - pitch),
                     lons.max() + pitch, min(90.0, lats.max() + pitch),
                     rres, dggs="geohash",
                 )
                 ids.append(np.repeat(row.image_id, c.shape[0]))
+                rrs.append(np.full(c.shape[0], rres, dtype=np.int32))
                 cells.append(c.astype(np.int64))
             if ids:
                 yield pd.DataFrame({
                     "image_id": np.concatenate(ids),
+                    "__rres": np.concatenate(rrs),
                     "__cell": np.concatenate(cells),
                 })
 
     tc = meta.mapInPandas(tile_cells, tc_schema)
+    # distinct routing resolutions actually in use: bounded driver data
+    # (<=12 geohash precisions — same class as the kNN radius aggs);
+    # persist so the metadata pass is not recomputed for the join
+    tc = tc.persist()
+    res_list = sorted(
+        r["__rres"] for r in tc.select("__rres").distinct().collect()
+    )
 
-    # --- point side: encode to the same routing cells ------------------
+    # --- point side: encode to the routing cells at EVERY res in use
+    # (points replicate |res_list|× — typically 1-3 rows — instead of
+    # tiles replicating into a degenerate coarse grid) ------------------
     @F.pandas_udf(T.LongType())
-    def pt_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    def pt_cell(lon: pd.Series, lat: pd.Series, rr: pd.Series) -> pd.Series:
         from raster2dggs_spark.dggs import cover
 
-        return pd.Series(cover.encode(
-            lon.values.astype(np.float64), lat.values.astype(np.float64),
-            rres, "geohash",
-        ))
+        out = np.empty(len(lon), dtype=np.int64)
+        lonv = lon.values.astype(np.float64)
+        latv = lat.values.astype(np.float64)
+        rrv = rr.values
+        for r in np.unique(rrv):
+            m = rrv == r
+            out[m] = cover.encode(lonv[m], latv[m], int(r), "geohash")
+        return pd.Series(out)
 
     pt = points.select(
         F.col(id_col), F.col(lon_col).cast("double").alias(lon_col),
         F.col(lat_col).cast("double").alias(lat_col),
-    ).withColumn("__cell", pt_cell(F.col(lon_col), F.col(lat_col)))
-    cand = pt.join(tc, "__cell").drop("__cell")
+    ).withColumn(
+        "__rres",
+        F.explode(F.array(*[F.lit(int(r)) for r in res_list])),
+    ).withColumn(
+        "__cell", pt_cell(F.col(lon_col), F.col(lat_col), F.col("__rres"))
+    )
+    cand = pt.join(tc, ["__rres", "__cell"]).drop("__rres", "__cell")
 
     # --- kernel per tile group (cogroup: payload crosses the shuffle
     # exactly once; candidate points are the replicated side) -----------
@@ -531,8 +560,13 @@ def _sample_points_join(
     owned = dedupe_first(hits, [id_col], ["image_id"]).drop("image_id")
 
     # restore outside-every-tile points as NaN rows (collect-path parity:
-    # NaN, not NULL)
-    out = pt.drop("__cell").join(owned, id_col, "left")
+    # NaN, not NULL) — against the ORIGINAL point rows, not the
+    # per-routing-res exploded side
+    base_pts = points.select(
+        F.col(id_col), F.col(lon_col).cast("double").alias(lon_col),
+        F.col(lat_col).cast("double").alias(lat_col),
+    )
+    out = base_pts.join(owned, id_col, "left")
     return out.select(
         id_col, lon_col, lat_col,
         *[
