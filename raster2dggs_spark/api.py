@@ -315,21 +315,44 @@ def _point_histogram(images, res, parent_res, dggs, bands, n_bands,
                      nodata_policy, nodata_fill, band, decimals,
                      edges, width, origin, weight, normalize):
     """``--point histogram`` (A8-A11): per-cell categorical or binned
-    histogram of one band, packed into the reference struct form with
-    the (weight × normalize) field-naming matrix."""
+    histogram packed into the reference struct form with the
+    (weight × normalize) field-naming matrix.
+
+    ``band`` may be a list: the reference emits ONE histogram struct
+    per selected band (common.py:503-512) — implemented as a single
+    decode pass: band columns melt to (parent, cell, band, value) rows,
+    one keyed histogram build, then a pivot back to per-band struct
+    columns (a cell where a band has no valid pixel gets null — the
+    fixed-schema null-pad rule, P5)."""
     from raster2dggs_spark.operators import aggregates as A
     from raster2dggs_spark.operators.indexing import band_cols, pixel_cells
 
+    multi = isinstance(band, (list, tuple))
+    sel = list(band) if multi else [band]
     px = pixel_cells(images, res, parent_res, dggs, bands, n_bands,
                      nodata_policy, nodata_fill, keep_image_id=False)
-    bcol = band_cols(n_bands)[band - 1]
+    all_cols = band_cols(n_bands)
     keys = ["parent", "cell"]
-    if edges is not None:
-        h = A.hist_binned_edges(px, keys, bcol, list(edges))
-    elif width is not None:
-        h = A.hist_binned(px, keys, bcol, origin, float(width))
+    if multi:
+        pairs = F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.col(all_cols[b - 1]).alias("v")) for b in sel
+        ])
+        px = (px.select("parent", "cell", F.explode(pairs).alias("__p"))
+              .select("parent", "cell", F.col("__p.b").alias("__b"),
+                      F.col("__p.v").alias("__value"))
+              .where(F.col("__value").isNotNull()
+                     & ~F.isnan("__value")))
+        keys = ["parent", "cell", "__b"]
+        vcol = "__value"
     else:
-        h = A.hist_categorical(px, keys, bcol, decimals=decimals)
+        vcol = all_cols[band - 1]
+    if edges is not None:
+        h = A.hist_binned_edges(px, keys, vcol, list(edges))
+    elif width is not None:
+        h = A.hist_binned(px, keys, vcol, origin, float(width))
+    else:
+        h = A.hist_categorical(px, keys, vcol, decimals=decimals)
     field = A.hist_weight_field(weight, normalize)
     wcol = "weight"
     if normalize == "valid_overlap":
@@ -339,6 +362,11 @@ def _point_histogram(images, res, parent_res, dggs, bands, n_bands,
         h = A.hist_normalize_cell_area(h, res, dggs)  # adds area_frac
         wcol = "area_frac"
     if edges is not None or width is not None:
+        packed = F.struct(
+            F.col("__p.left").alias("left"),
+            F.col("__p.right").alias("right"),
+            F.col("__p.w").alias(field),
+        )
         g = h.groupBy(*keys).agg(
             F.array_sort(
                 F.collect_list(F.struct(
@@ -346,28 +374,28 @@ def _point_histogram(images, res, parent_res, dggs, bands, n_bands,
                 ))
             ).alias("__p")
         )
-        return g.select(
-            *keys,
-            F.struct(
-                F.col("__p.left").alias("left"),
-                F.col("__p.right").alias("right"),
-                F.col("__p.w").alias(field),
-            ).alias(f"band_{band}"),
-        )
-    g = h.groupBy(*keys).agg(
-        F.array_sort(
-            F.collect_list(F.struct(
-                F.col("value").alias("v"), F.col(wcol).alias("w"),
-            ))
-        ).alias("__p")
-    )
-    return g.select(
-        *keys,
-        F.struct(
+    else:
+        packed = F.struct(
             F.col("__p.v").alias("values"),
             F.col("__p.w").alias(field),
-        ).alias(f"band_{band}"),
-    )
+        )
+        g = h.groupBy(*keys).agg(
+            F.array_sort(
+                F.collect_list(F.struct(
+                    F.col("value").alias("v"), F.col(wcol).alias("w"),
+                ))
+            ).alias("__p")
+        )
+    if not multi:
+        return g.select("parent", "cell", packed.alias(f"band_{band}"))
+    # pivot the per-(cell, band) structs back to one column per band —
+    # exactly one non-null struct per (cell, band) group, so max() is a
+    # pure selector
+    g = g.select("parent", "cell", "__b", packed.alias("__s"))
+    return g.groupBy("parent", "cell").agg(*[
+        F.max(F.when(F.col("__b") == b, F.col("__s"))).alias(f"band_{b}")
+        for b in sel
+    ])
 
 
 def write_output(df: DataFrame, path: str, dggs: str = "hex7",

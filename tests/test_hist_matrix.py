@@ -122,3 +122,36 @@ def test_band_selection_by_label(spark):
     b = by_index.sort_values("cell").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_point_histogram_multiband_one_pass(spark):
+    """--point histogram with a band LIST: one struct per band (ref
+    common.py:503-512), single decode pass; each band's struct equals
+    the single-band run's."""
+    from raster2dggs_spark.api import index_raster
+    from raster2dggs_spark.sources import images_spark_df
+
+    imgs = images_spark_df(spark, 4, seed=19, scenarios=("multiband_nodata",),
+                           size_range=(10, 12))
+    multi = index_raster(imgs, resolution=6, transfer="point",
+                         agg="histogram", hist_width=20.0, band=[1, 3],
+                         raw_ids=True).toPandas()
+    assert {"band_1", "band_3"} <= set(multi.columns)
+    multi = multi.set_index("cell").sort_index()
+
+    def norm(s):
+        if s is None or (isinstance(s, float)):
+            return None
+        d = s.asDict() if hasattr(s, "asDict") else dict(s)
+        w = next(v for k, v in d.items() if k not in ("left", "right"))
+        return (tuple(d["left"]), tuple(d["right"]), tuple(w))
+
+    for b in (1, 3):
+        single = index_raster(imgs, resolution=6, transfer="point",
+                              agg="histogram", hist_width=20.0, band=b,
+                              raw_ids=True).toPandas().set_index("cell")
+        got = multi[f"band_{b}"].map(norm).dropna()
+        exp = single[f"band_{b}"].map(norm)
+        # single-band run contains exactly the cells where band b has
+        # valid pixels; multi pads the union with nulls
+        assert got.sort_index().equals(exp.sort_index())
