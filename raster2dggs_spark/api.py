@@ -241,21 +241,23 @@ def index_raster(
                     "weights are covered AREAS by construction — use "
                     "transfer='point' for count-weighted histograms"
                 )
+            multi_b = isinstance(band, (list, tuple))
+            bkeys = ["parent", "cell"] + (["__b"] if multi_b else [])
             p = overlay_class_partials(images, res, parent_res, dggs,
                                        band, supersample,
                                        bucket_width=float(hist_width))
-            h = p.groupBy("parent", "cell", "class").agg(
+            h = p.groupBy(*bkeys, "class").agg(
                 F.sum("cov_area").alias("weight")
             )
             field = A.hist_weight_field("area", hist_normalize)
             wcol = "weight"
             if hist_normalize == "valid_overlap":
-                h = A.hist_normalize(h, ["parent", "cell"])
+                h = A.hist_normalize(h, bkeys)
                 wcol = "weight_frac"
             elif hist_normalize == "cell_area":
                 h = A.hist_normalize_cell_area(h, res, dggs)
                 wcol = "area_frac"
-            g = h.groupBy("parent", "cell").agg(
+            g = h.groupBy(*bkeys).agg(
                 F.array_sort(
                     F.collect_list(F.struct(
                         F.col("class").alias("left"),
@@ -264,14 +266,23 @@ def index_raster(
                     ))
                 ).alias("__p")
             )
-            out = g.select(
-                "parent", "cell",
-                F.struct(
-                    F.col("__p.left").alias("left"),
-                    F.col("__p.right").alias("right"),
-                    F.col("__p.w").alias(field),
-                ).alias(f"band_{band}"),
+            packed = F.struct(
+                F.col("__p.left").alias("left"),
+                F.col("__p.right").alias("right"),
+                F.col("__p.w").alias(field),
             )
+            if multi_b:
+                # one struct column per band (ref emits histograms for
+                # every selected band in one pass); max() is a pure
+                # selector — exactly one struct per (cell, band)
+                g = g.select("parent", "cell", "__b", packed.alias("__s"))
+                out = g.groupBy("parent", "cell").agg(*[
+                    F.max(F.when(F.col("__b") == b, F.col("__s")))
+                    .alias(f"band_{b}") for b in band
+                ])
+            else:
+                out = g.select("parent", "cell",
+                               packed.alias(f"band_{band}"))
         else:
             raise ValueError(f"overlay op {op!r}; choose from {OVERLAY_OPS}")
     elif transfer == "sample":

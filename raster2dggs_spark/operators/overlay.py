@@ -280,17 +280,28 @@ def overlay_class_partials(
 
     ``bucket_width`` bins continuous values first (class =
     floor(v/width)*width — floor, not round, so the bucketing is
-    bit-identical in any SQL engine): the area-weighted histogram path."""
+    bit-identical in any SQL engine): the area-weighted histogram path.
+
+    ``band`` may be a list: the coverage samples (the expensive
+    supersampling pass) are computed ONCE per tile and reused for every
+    selected band; rows then carry a ``__b`` column (ref OVERLAY_COLLECT
+    histograms emit one struct per band in a single pass)."""
     if parent_res is None:
         parent_res = default_parent_res(res, dggs)
-    schema = T.StructType([
-        T.StructField("parent", T.LongType(), False),
-        T.StructField("cell", T.LongType(), False),
-        T.StructField("class", T.DoubleType(), False),
-        T.StructField("cov_area", T.DoubleType(), False),
-    ])
+    multi = isinstance(band, (list, tuple))
+    sel = [int(b) for b in (band if multi else [band])]
+    schema = T.StructType(
+        [
+            T.StructField("parent", T.LongType(), False),
+            T.StructField("cell", T.LongType(), False),
+        ]
+        + ([T.StructField("__b", T.IntegerType(), False)] if multi else [])
+        + [
+            T.StructField("class", T.DoubleType(), False),
+            T.StructField("cov_area", T.DoubleType(), False),
+        ]
+    )
     s = supersample
-    bidx = band - 1
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from raster2dggs_spark.dggs import cover
@@ -299,29 +310,38 @@ def overlay_class_partials(
             out = []
             for row, arr in _decode_rows(pdf, None):
                 k, h, w = arr.shape
-                if bidx >= k:
+                if not any(b - 1 < k for b in sel):
                     continue
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
                 cells, pix, wt = _coverage_samples(
                     affine, w, h, row.crs, s, res, dggs
                 )
-                v_sub = arr[bidx].astype(np.float64).ravel()[pix]
-                if bucket_width is not None:
-                    v_sub = np.floor(v_sub / bucket_width) * bucket_width
-                ok = np.isfinite(v_sub)
                 row_areas = geodesic_row_areas_m2(affine, w, h, row.crs)
                 sub_area = np.repeat(row_areas, w)[pix]
-                key = np.stack([cells[ok], v_sub[ok].view(np.int64)], axis=1)
-                uk, inv = np.unique(key, axis=0, return_inverse=True)
-                wsum = np.bincount(inv, weights=sub_area[ok] * wt[ok],
-                                   minlength=uk.shape[0])
-                out.append(pd.DataFrame({
-                    "parent": cover.cell_parent(uk[:, 0], parent_res, dggs),
-                    "cell": uk[:, 0],
-                    "class": uk[:, 1].view(np.float64),
-                    "cov_area": wsum,
-                }))
+                for b in sel:
+                    if b - 1 >= k:
+                        continue
+                    v_sub = arr[b - 1].astype(np.float64).ravel()[pix]
+                    if bucket_width is not None:
+                        v_sub = np.floor(v_sub / bucket_width) * bucket_width
+                    ok = np.isfinite(v_sub)
+                    key = np.stack([cells[ok], v_sub[ok].view(np.int64)],
+                                   axis=1)
+                    uk, inv = np.unique(key, axis=0, return_inverse=True)
+                    wsum = np.bincount(inv, weights=sub_area[ok] * wt[ok],
+                                       minlength=uk.shape[0])
+                    cols = {
+                        "parent": cover.cell_parent(uk[:, 0], parent_res,
+                                                    dggs),
+                        "cell": uk[:, 0],
+                    }
+                    if multi:
+                        cols["__b"] = np.full(uk.shape[0], b,
+                                              dtype=np.int32)
+                    cols["class"] = uk[:, 1].view(np.float64)
+                    cols["cov_area"] = wsum
+                    out.append(pd.DataFrame(cols))
             if out:
                 yield pd.concat(out, ignore_index=True)
 

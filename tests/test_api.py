@@ -194,3 +194,33 @@ def test_histogram_option_validation(spark):
                  hist_width=2.0, hist_weight="area", raw_ids=True)
     index_raster(imgs, resolution=6, transfer="point", agg="histogram",
                  hist_width=2.0, hist_weight="count", raw_ids=True)
+
+
+def test_overlay_histogram_multiband_one_pass(spark):
+    """--overlay histogram with a band LIST: one area-weighted struct
+    per band, the expensive coverage supersampling computed once; each
+    band's struct equals the single-band run's."""
+    from raster2dggs_spark.api import index_raster
+
+    imgs = _imgs(spark, 4, scenarios=("multiband_nodata",),
+                 size_range=(10, 12))
+    multi = index_raster(imgs, resolution=6, transfer="overlay",
+                         op="histogram", hist_width=25.0, band=[1, 2],
+                         raw_ids=True).toPandas().set_index("cell")
+    assert {"band_1", "band_2"} <= set(multi.columns)
+
+    def norm(s):
+        if s is None or isinstance(s, float):
+            return None
+        d = s.asDict() if hasattr(s, "asDict") else dict(s)
+        w = next(v for k, v in d.items() if k not in ("left", "right"))
+        return (tuple(d["left"]), tuple(d["right"]),
+                tuple(round(x, 6) for x in w))
+
+    for b in (1, 2):
+        single = index_raster(imgs, resolution=6, transfer="overlay",
+                              op="histogram", hist_width=25.0, band=b,
+                              raw_ids=True).toPandas().set_index("cell")
+        got = multi[f"band_{b}"].map(norm).dropna()
+        exp = single[f"band_{b}"].map(norm)
+        assert got.sort_index().equals(exp.sort_index())
