@@ -145,8 +145,25 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     if res.lstrip("-").isdigit():
         res = int(res)
     bands = None
+    band_param = 1
     if args.band:
         bands = [int(b) if b.isdigit() else b for b in args.band]
+        # routes that take a per-op band argument (histogram / overlay
+        # class+collect ops) get -b as band indices DIRECTLY (multi-band
+        # one-pass operators); the decode-level `bands` selection
+        # REINDEXES columns, which would shift those indices
+        op_takes_band = (
+            (transfer == "point" and agg == "histogram")
+            or (transfer == "overlay"
+                and op in ("mode", "fractions", "list", "histogram"))
+        )
+        if op_takes_band:
+            if not all(isinstance(b, int) for b in bands):
+                raise SystemExit(
+                    "-b with --point histogram / --overlay "
+                    f"{op}: numeric band indices only")
+            band_param = bands if len(bands) > 1 else bands[0]
+            bands = None
     hist_edges = _parse_edges(args.hist_bins) if args.hist_bins else None
     if hist_edges is not None and args.hist_width is not None:
         raise SystemExit("--hist-bins and --hist-width are mutually "
@@ -186,6 +203,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     out = index_raster(
         images, dggs=args.dggs, resolution=res_i, parent_res=parent_res,
         transfer=transfer, agg=agg, op=op, kernel=kernel, bands=bands,
+        band=band_param,
         nodata_policy=args.nodata_policy, nodata_fill=args.nodata_fill,
         decimals=decimals, compact=args.compact,
         vct=args.vct or None, hist_edges=hist_edges,

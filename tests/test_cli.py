@@ -102,3 +102,20 @@ def test_cli_validation(spark, tmp_path, images_path):
     with pytest.raises(SystemExit):  # existing output without -o
         main(["hex7", images_path, out, "-r", "6"], spark=spark)
     main(["hex7", images_path, out, "-r", "6", "-o"], spark=spark)  # ok
+
+
+def test_cli_multiband_routes(spark, tmp_path, images_path):
+    """-b with histogram/list routes maps to the one-pass multi-band
+    operators (struct/list column per band)."""
+    out1 = str(tmp_path / "mh")
+    main(["hex7", images_path, out1, "-r", "6", "--point", "histogram",
+          "--hist-width", "20", "-b", "1", "-b", "2"], spark=spark)
+    back = spark.read.parquet(out1)
+    dt = dict(back.dtypes)
+    assert "band_1" in dt and "band_2" in dt and "struct" in dt["band_1"]
+
+    out2 = str(tmp_path / "ml")
+    main(["hex7", images_path, out2, "-r", "6", "--overlay", "list",
+          "-b", "1", "-b", "2"], spark=spark)
+    dt2 = dict(spark.read.parquet(out2).dtypes)
+    assert "values_b1" in dt2 and "values_b2" in dt2
