@@ -204,11 +204,19 @@ def main():
     extras["skew_parents"] = skew_idx.select("parent").distinct().count()
 
     # -- q10: sample transfer at bench scale (round-3 VERDICT #6) -------------
-    # cover + stencil is the second-most-complex UDF family; run it over
-    # the full 4096-tile table so the cogroup join path has perf evidence
+    # cover + stencil is the second-most-complex UDF family.  The cell
+    # transfer runs on the sub-degree tiles only: a res-8 cell transfer
+    # on the 30°-tall 2-pixel geodesic2px tiles is a degenerate workload
+    # (4M cells per 2 source pixels — valid semantics, but a user pairs
+    # res to pixel pitch; before round-4's split-not-skip fix these
+    # tiles were silently DROPPED, which is why this entry used to look
+    # cheaper).  The join-path entry below keeps the full mixed table.
     from raster2dggs_spark.operators.sample import sample_cells, sample_points
 
-    timed("sample_bilinear", lambda: sample_cells(imgs, res=8, kernel="bilinear")
+    samp_tiles = imgs.where(F.abs(F.col("affine_e")) * F.col("h") < 1.0)
+    extras["sample_tiles"] = samp_tiles.count()
+    timed("sample_bilinear", lambda: sample_cells(samp_tiles, res=8,
+                                                  kernel="bilinear")
           .agg(F.count(F.lit(1)).alias("n")).collect())
 
     # points derived from each tile's own affine metadata (native exprs,
