@@ -848,6 +848,30 @@ def q_compact_cells(spark, sf_dir):
     return out.select(F.lower(F.hex("cell")).alias("cell_hex"), "v")
 
 
+def q_compact_cells_3h(spark, sf_dir):
+    """A17 — MULTI-PARENT compaction on the aperture-3 ``i3h`` grid
+    (the one reference operator previously scoped out; ref
+    dggalrasterindexer.py:236-372): vertex children have 3 parents, a
+    parent needs all 7 children uniform, a child is removed only when
+    every parent compacts.  Oracle: a single-node replay using the
+    REFERENCE'S algorithm shape (dict fixpoint over child→parents
+    edges, .fixtures/compact_3h.parquet — built by
+    scripts/make_fixtures.compact_3h_fixture) — independent of the
+    distributed level-loop; the Spark operator must reproduce the
+    mixed-resolution set exactly."""
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.make_fixtures import compact_3h_input
+    from raster2dggs_spark.operators.compaction import compact_cells_3h
+
+    c, v = compact_3h_input()
+    df = spark.createDataFrame(pd.DataFrame({"cell": c, "v": v}),
+                               "cell long, v double")
+    out = compact_cells_3h(df, ["v"], res=7, min_res=5)
+    return out.select("cell", "v")
+
+
 def q_compact_cells_geohash(spark, sf_dir):
     """A16 on the geohash 32-ary prefix tree (compaction extended
     beyond hex7/s2 in round 4): precision-6 ids constructed by pure
@@ -1343,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_list": q_point_list,
         "compact_cells": q_compact_cells,
         "compact_cells_geohash": q_compact_cells_geohash,
+        "compact_cells_3h": q_compact_cells_3h,
         "hex7_pixel_index": q_hex7_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
         "s2_pixel_index_full": q_s2_pixel_index_full,
@@ -2559,6 +2584,10 @@ def oracle_sql() -> dict[str, str]:
             FROM s QUALIFY rank <= 5
         """,
         "compact_cells": _compact_sql(),
+        "compact_cells_3h": f"""
+            SELECT cell, v
+            FROM read_parquet('{_FIXDIR}/compact_3h.parquet')
+        """,
         "compact_cells_geohash": """
             WITH o AS (SELECT DISTINCT l_orderkey % 997 AS okey
                        FROM lineitem),

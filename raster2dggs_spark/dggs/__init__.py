@@ -1,15 +1,18 @@
 from raster2dggs_spark.dggs import (
     geohashlib,
     h3lib,
+    i3hlib,
     maidenheadlib,
     rhplib,
     s2lib,
 )
 
 __all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "rhplib",
-           "check_grid"]
+           "i3hlib", "check_grid"]
 
-GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp")
+# i3h: aperture-3 hex (ISEA3H layout, multi-parent hierarchy) — encode/
+# cover/A17 surfaces; ids are this repo's own (see i3hlib), like hex7
+GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp", "i3h")
 
 
 def check_grid(dggs: str) -> str:

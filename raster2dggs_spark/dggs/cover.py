@@ -20,6 +20,7 @@ from raster2dggs_spark.dggs import (
     check_grid,
     geohashlib,
     h3lib,
+    i3hlib,
     maidenheadlib,
     rhplib,
     s2lib,
@@ -30,7 +31,8 @@ def grid_lib(dggs: str):
     """The backend module for a grid key (encode/decode/parents)."""
     check_grid(dggs)
     return {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
-            "maidenhead": maidenheadlib, "rhp": rhplib}[dggs]
+            "maidenhead": maidenheadlib, "rhp": rhplib,
+            "i3h": i3hlib}[dggs]
 
 
 def wrap_lon(lon):
@@ -88,6 +90,8 @@ def pitch_deg(res: int, dggs: str) -> float:
         return 90.0 / (1 << res)
     if dggs == "rhp":
         return float(np.degrees(rhplib.cell_pitch_rad(res)))
+    if dggs == "i3h":
+        return float(np.degrees(i3hlib.cell_pitch_rad(res)))
     if dggs in ("geohash", "maidenhead"):
         return min(cell_spans(res, dggs))
     raise ValueError(dggs)

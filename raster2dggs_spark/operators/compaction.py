@@ -175,3 +175,100 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
             yield pd.DataFrame(data)
 
     return df.mapInPandas(fn, schema)
+
+
+def compact_cells_3h(df: DataFrame, value_cols: list[str], res: int,
+                     min_res: int = 0,
+                     cell_col: str = "cell") -> DataFrame:
+    """A17 — multi-parent compaction for the aperture-3 ``i3h`` grid
+    (ref semantics: dggalrasterindexer.py:236-372, `_compaction_3h`).
+
+    On refinement-ratio-3 hex grids children do not nest: a parent's 7
+    children are its center child plus its 6 VERTEX children, each
+    vertex child shared by 3 parents.  Per level, fine → coarse:
+
+    1. a parent compacts iff ALL 7 of its children are present with
+       identical values (vertex children may contribute to several
+       parents simultaneously);
+    2. a child is removed iff EVERY one of its parents compacted;
+    3. compacted parents join the active set (eligible next level).
+
+    The reference runs this as a driver-side dict fixpoint; here each
+    level is three bounded shuffles over a shrinking frame — the child→
+    parents edge explode (vectorized lattice arithmetic, ≤3 edges/row),
+    the per-parent completeness+uniformity aggregate, and the per-child
+    all-parents-compacted aggregate — with a localCheckpoint per level
+    (the kNN-loop plan hygiene).  Seam parents (some expected children
+    on a neighbouring face) never reach 7 present children and are
+    conservatively left uncompacted.
+
+    Input: single-resolution frame at ``res``.  Output: mixed
+    resolutions in [min_res, res] (ids carry their res)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    val_struct = F.struct(*[F.col(c) for c in value_cols])
+    active = df.select(F.col(cell_col), val_struct.alias("__v"))
+    out_schema = T.StructType([
+        T.StructField("__parent", T.LongType(), False),
+        T.StructField(cell_col, T.LongType(), False),
+    ])
+
+    for r in range(res, min_res, -1):
+        lv = active.where(
+            (F.shiftrightunsigned(F.col(cell_col), 54)
+             .bitwiseAND(F.lit(0x1F))) == r
+        )
+        rest = active.where(
+            (F.shiftrightunsigned(F.col(cell_col), 54)
+             .bitwiseAND(F.lit(0x1F))) != r
+        )
+
+        def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from raster2dggs_spark.dggs import i3hlib
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cells = pdf[cell_col].values.astype(np.int64)
+                par = i3hlib.cell_to_parents(cells)          # (n, 3)
+                keep = par != i3hlib.NO_PARENT
+                reps = keep.sum(axis=1)
+                yield pd.DataFrame({
+                    "__parent": par[keep],
+                    cell_col: np.repeat(cells, reps),
+                })
+
+        e = lv.select(cell_col).mapInPandas(edges, out_schema)
+        e = e.join(lv, cell_col)                 # attach child values
+        stats = e.groupBy("__parent").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_distinct(F.col("__v")).alias("__d"),
+            F.first("__v").alias("__fv"),
+        )
+        comp = stats.where((F.col("__n") == 7) & (F.col("__d") == 1)) \
+                    .select("__parent", "__fv")
+        # child removed iff ALL its parents compacted
+        match = (
+            e.select(cell_col, "__parent")
+            .join(comp.select("__parent"), "__parent", "left_semi")
+            .groupBy(cell_col).agg(F.count(F.lit(1)).alias("__m"))
+        )
+        tot = e.groupBy(cell_col).agg(F.count(F.lit(1)).alias("__t"))
+        removed = (
+            tot.join(match, cell_col)
+            .where(F.col("__t") == F.col("__m"))
+            .select(cell_col)
+        )
+        kept = lv.join(removed, cell_col, "left_anti")
+        parents = comp.select(
+            F.col("__parent").alias(cell_col), F.col("__fv").alias("__v")
+        )
+        active = rest.unionByName(kept).unionByName(parents) \
+                     .localCheckpoint(eager=True)
+    return active.select(
+        cell_col, *[F.col("__v")[c].alias(c) for c in value_cols]
+    )

@@ -372,6 +372,76 @@ def point_list_fixture():
     print(f"point_list_8: {len(out)} rows")
 
 
+def compact_3h_input():
+    """Deterministic A17 test frame: 6 well-separated res-5 i3h seeds,
+    expanded two levels to their res-7 descendant sets; even seeds share
+    value 1.0 (their subtrees must compact), odd seeds get per-seed
+    values (blocked).  Returns (cells, values) sorted by cell."""
+    from raster2dggs_spark.dggs import i3hlib
+
+    lon = np.array([12.0, -75.0, 145.0, -20.0, 60.0, -140.0])
+    lat = np.array([41.0, -10.0, -30.0, 55.0, 15.0, -45.0])
+    seeds = i3hlib.lonlat_to_cell(lon, lat, 5)
+    cells, vals = [], []
+    for i, s in enumerate(seeds):
+        l6 = i3hlib.cell_to_children(np.array([s])).ravel()
+        l7 = np.unique(i3hlib.cell_to_children(l6))
+        cells.append(l7)
+        vals.append(np.full(l7.shape[0],
+                            1.0 if i % 2 == 0 else 10.0 + i))
+    c = np.concatenate(cells)
+    v = np.concatenate(vals)
+    order = np.argsort(c, kind="stable")
+    c, v = c[order], v[order]
+    assert np.unique(c).shape[0] == c.shape[0], "seeds overlap"
+    return c, v
+
+
+def compact_3h_fixture():
+    """Single-node replay of A17 multi-parent compaction with the
+    REFERENCE'S OWN algorithm shape — a dict fixpoint over
+    child→parents edges (dggalrasterindexer.py:236-372) — entirely
+    independent of the distributed level-loop in compact_cells_3h.
+    The Spark operator must reproduce this set exactly."""
+    from raster2dggs_spark.dggs import i3hlib
+
+    c, v = compact_3h_input()
+    cell_data = dict(zip(c.tolist(), v.tolist()))
+    active = set(cell_data)
+    for level in (7, 6):
+        level_cells = [x for x in active
+                       if int(i3hlib.get_resolution(np.array([x]))[0]) == level]
+        if not level_cells:
+            continue
+        arr = np.array(level_cells, dtype=np.int64)
+        pars = i3hlib.cell_to_parents(arr)
+        parent_groups: dict = {}
+        child_parents: dict = {}
+        for i, ch in enumerate(level_cells):
+            ps = [int(p) for p in pars[i] if p != i3hlib.NO_PARENT]
+            child_parents[ch] = ps
+            for p in ps:
+                parent_groups.setdefault(p, []).append(ch)
+        compactable = {}
+        for p, kids in parent_groups.items():
+            if len(kids) != 7:
+                continue
+            first = cell_data[kids[0]]
+            if all(cell_data[k] == first for k in kids):
+                compactable[p] = first
+        removed = {ch for ch, ps in child_parents.items()
+                   if all(p in compactable for p in ps)}
+        active -= removed
+        for ch in removed:
+            del cell_data[ch]
+        for p, val in compactable.items():
+            cell_data[p] = val
+            active.add(p)
+    out = pd.DataFrame(sorted(cell_data.items()), columns=["cell", "v"])
+    out.to_parquet(os.path.join(FIXDIR, "compact_3h.parquet"), index=False)
+    print(f"compact_3h: {len(out)} rows (input {c.shape[0]})")
+
+
 def overlay_values_multi_fixture():
     """Single-node replay of the MULTI-band OVERLAY_COLLECT explode
     (one coverage pass, per-band NaN validity) over the
@@ -452,6 +522,7 @@ def main():
     overlay_values_fixture()
     overlay_values_multi_fixture()
     point_list_fixture()
+    compact_3h_fixture()
 
     from raster2dggs_spark.session import get_spark
 
