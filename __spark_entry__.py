@@ -1045,6 +1045,26 @@ def q_hex7_pixel_index(spark, sf_dir):
     )
 
 
+def q_i3h_pixel_index(spark, sf_dir):
+    """Pixel indexing on the aperture-3 i3h grid (the multi-parent
+    ISEA3H-layout grid carrying A17) — oracle-checked against an
+    independent single-node NumPy replay
+    (.fixtures/i3h_pixel_index_16.parquet): the one-exchange plan
+    including the UDF-derived CENTROID-parent column must reproduce it
+    cell for cell."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    imgs = images_spark_df(spark, 16, seed=42, size_range=(10, 16))
+    out = index_point_agg(imgs, res=12, dggs="i3h", agg="mean")
+    return out.select(
+        F.lower(F.hex("cell")).alias("i3h_12"),
+        F.lower(F.hex("parent")).alias("i3h_02"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
+
+
 def q_s2_pixel_index(spark, sf_dir):
     """Fully oracle-checked pixel indexing on the S2 grid: the DuckDB
     twin replays the cube-face projection, quadratic ST and the
@@ -1369,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells_geohash": q_compact_cells_geohash,
         "compact_cells_3h": q_compact_cells_3h,
         "hex7_pixel_index": q_hex7_pixel_index,
+        "i3h_pixel_index": q_i3h_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
         "s2_pixel_index_full": q_s2_pixel_index_full,
         "geohash_pixel_index": q_geohash_pixel_index,
@@ -2608,6 +2629,12 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"
                               for i in range(1, 5))}
             FROM read_parquet('{_FIXDIR}/s2_pixel_index_64.parquet')
+        """,
+        "i3h_pixel_index": f"""
+            SELECT i3h_12, i3h_02, CAST(n_px AS BIGINT) AS n_px,
+                   {", ".join(f"round(band_{i}, 4) AS band_{i}"
+                              for i in range(1, 5))}
+            FROM read_parquet('{_FIXDIR}/i3h_pixel_index_16.parquet')
         """,
         "hex7_pixel_index": f"""
             SELECT hex7_09, hex7_03, CAST(n_px AS BIGINT) AS n_px,

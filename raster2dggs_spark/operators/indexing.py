@@ -94,6 +94,27 @@ def band_cols(n_bands: int) -> list[str]:
     return [f"band_{i + 1}" for i in range(n_bands)]
 
 
+def derived_parent_col(cell_col, parent_res: int, dggs: str,
+                       from_res: int):
+    """Post-shuffle parent column: native bit arithmetic
+    (joins.parent_expr) for the nested grids; for the aperture-3 i3h
+    grid — whose centroid parent is hex-rounding math — a vectorized
+    pandas UDF over cover.cell_parent."""
+    from raster2dggs_spark.operators.joins import parent_expr
+
+    if dggs != "i3h":
+        return parent_expr(cell_col, parent_res, dggs, from_res=from_res)
+
+    @F.pandas_udf(T.LongType())
+    def par(c: pd.Series) -> pd.Series:
+        from raster2dggs_spark.dggs import cover
+
+        return pd.Series(cover.cell_parent(
+            c.values.astype(np.int64), parent_res, "i3h"))
+
+    return par(F.col(cell_col) if isinstance(cell_col, str) else cell_col)
+
+
 def cell_column_name(dggs: str, res: int) -> str:
     """Reference's zero-padded output column naming, e.g. ``h3_09``
     (/root/reference/raster2dggs/indexers/rasterindexer.py:76-82)."""
@@ -128,8 +149,11 @@ def _encode_points(lon, lat, res, parent_res, dggs):
 
     from raster2dggs_spark.dggs.cover import wrap_lon
 
+    from raster2dggs_spark.dggs import i3hlib
+
     lib = {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
-           "maidenhead": maidenheadlib, "rhp": rhplib}.get(dggs)
+           "maidenhead": maidenheadlib, "rhp": rhplib,
+           "i3h": i3hlib}.get(dggs)
     if lib is None:
         raise ValueError(f"unknown dggs {dggs!r}")
     # antimeridian-crossing tiles produce pixel-centre lons beyond ±180
@@ -148,7 +172,8 @@ def default_parent_res(res: int, dggs: str = "hex7") -> int:
     for ~64K subcells per partition (cli_factory.py:124-161): H3 offset 6
     (7^6≈117K), S2 offset 8 (4^8=65K), geohash offset 3 (32^3=33K)."""
     floor = 1 if dggs in ("geohash", "maidenhead") else 0
-    off = {"hex7": 6, "s2": 8, "geohash": 3, "maidenhead": 2, "rhp": 5}[dggs]
+    off = {"hex7": 6, "s2": 8, "geohash": 3, "maidenhead": 2, "rhp": 5,
+           "i3h": 10}[dggs]  # 3^10 ≈ 59K subcells
     return max(floor, res - off)
 
 
@@ -388,12 +413,13 @@ def index_point_agg(
     for c in bcols:
         for s in stats:
             aggs.append(combine[s](f"{c}_{s}").alias(f"{c}_{s}"))
-    from raster2dggs_spark.operators.joins import parent_expr
-
-    # the shuffle carries only (cell, partials); parent is pure bit
-    # arithmetic derived AFTER the exchange (8 bytes/row less shuffle)
+    # the shuffle carries only (cell, partials); parent is derived AFTER
+    # the exchange (8 bytes/row less shuffle) — pure bit arithmetic for
+    # the nested grids, a vectorized UDF for i3h (its centroid-parent is
+    # hex-rounding math, inexpressible as a Column)
     g = partials.groupBy("cell").agg(*aggs)
-    g = g.withColumn("parent", parent_expr("cell", parent_res, dggs, from_res=res))
+    g = g.withColumn("parent", derived_parent_col("cell", parent_res, dggs,
+                                                  from_res=res))
     out_cols = [F.col("parent"), F.col("cell"), F.col("npx")]
     for c in bcols:
         cnt = F.col(f"{c}_cnt")
