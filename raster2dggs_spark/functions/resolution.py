@@ -20,6 +20,10 @@ def n_cells(res: int, dggs: str = "hex7") -> int:
         return 122 * 7**res
     if dggs == "rhp":
         return 6 * 9**res
+    if dggs == "i3h":
+        # aperture 3 over the same icosahedral lattice density as hex7
+        # res 0 (~122 res-0 cells globally)
+        return 122 * 3**res
     return 6 * 4**res
 
 
