@@ -301,22 +301,40 @@ def index_raster(
         if cols:
             out = round_decimals(out, cols, decimals)
     if compact:
-        if dggs not in ("hex7", "s2", "geohash", "rhp"):
+        if dggs not in ("hex7", "s2", "geohash", "rhp", "i3h"):
             raise ValueError(
                 "compact=True needs an id-arithmetic hierarchy "
-                "(hex7/s2/geohash/rhp; maidenhead mixes 10/24-ary levels)"
+                "(hex7/s2/geohash/rhp/i3h; maidenhead mixes 10/24-ary "
+                "levels)"
             )
-        from raster2dggs_spark.operators.compaction import compact_cells
+        from raster2dggs_spark.operators.compaction import (
+            compact_cells, compact_cells_3h,
+        )
 
         vals = [c for c in out.columns if c not in ("cell", "npx")]
         # "parent" rides as a value column: compaction only ever merges
         # siblings at res > parent_res, whose parent value is uniform by
         # construction, so it is preserved (the reference compacts within
         # a parent partition for the same reason)
-        out = compact_cells(
-            out.drop("npx") if "npx" in out.columns else out,
-            vals, res, min_res=parent_res, dggs=dggs,
-        )
+        src = out.drop("npx") if "npx" in out.columns else out
+        if dggs == "i3h":
+            # multi-parent route (A17): parent as a value column would
+            # block every vertex-child merge (its 3 parents differ) —
+            # drop it and re-derive for the kept rows
+            from raster2dggs_spark.operators.indexing import (
+                derived_parent_col,
+            )
+
+            vals3 = [c for c in vals if c != "parent"]
+            out = compact_cells_3h(src.drop("parent"), vals3, res,
+                                   min_res=parent_res)
+            out = out.withColumn(
+                "parent",
+                derived_parent_col("cell", parent_res, dggs, from_res=res),
+            )
+        else:
+            out = compact_cells(src, vals, res, min_res=parent_res,
+                                dggs=dggs)
     if raw_ids:
         return out
     return to_reference_output(out, dggs, res, parent_res)

@@ -44,18 +44,43 @@ def add_cell_geometry(df: DataFrame, dggs: str = "hex7",
     """Append a WKB ``geometry`` BinaryType column derived from ``cell``."""
     kind = geometry
 
+    if kind == "polygon" and dggs in ("s2", "rhp", "i3h"):
+        # no boundary math for these grids yet — refuse loudly rather
+        # than silently emitting points labeled as polygons (the round-4
+        # audit found exactly that silent fallback)
+        raise ValueError(
+            f"polygon geometry not implemented for {dggs!r}; "
+            "use geometry='point'"
+        )
+
     @F.pandas_udf(T.BinaryType())
     def geom(cell: pd.Series) -> pd.Series:
-        from raster2dggs_spark.dggs import h3lib, s2lib
+        from raster2dggs_spark.dggs import cover, h3lib
 
         cells = cell.values
-        if dggs == "hex7":
-            if kind == "polygon":
+        if kind == "polygon":
+            if dggs == "hex7":
                 vlon, vlat = h3lib.cell_to_boundary(cells)
                 return pd.Series(wkb_polygons(vlon, vlat))
-            lon, lat = h3lib.cell_to_latlng(cells)
-        else:
-            lon, lat = s2lib.cell_to_lonlat(cells)
+            # geohash/maidenhead cells ARE lon/lat rectangles: exact
+            # corner rings from center ± span/2, spans per each cell's
+            # own packed precision (compacted frames mix precisions)
+            import numpy as np
+
+            c = np.asarray(cells, dtype=np.int64)
+            res_of = c & 0xF
+            lon, lat = cover.cell_center(c, dggs)
+            vlon = np.empty((c.shape[0], 4), dtype=np.float64)
+            vlat = np.empty((c.shape[0], 4), dtype=np.float64)
+            for r in np.unique(res_of):
+                m = res_of == r
+                w, h = cover.cell_spans(int(r), dggs)
+                vlon[m] = lon[m, None] + np.array(
+                    [-w / 2, w / 2, w / 2, -w / 2])[None, :]
+                vlat[m] = lat[m, None] + np.array(
+                    [-h / 2, -h / 2, h / 2, h / 2])[None, :]
+            return pd.Series(wkb_polygons(vlon, vlat))
+        lon, lat = cover.cell_center(cells, dggs)
         return pd.Series(wkb_points(lon, lat))
 
     return df.withColumn("geometry", geom(F.col("cell")))

@@ -119,3 +119,31 @@ def test_cli_multiband_routes(spark, tmp_path, images_path):
           "-b", "1", "-b", "2"], spark=spark)
     dt2 = dict(spark.read.parquet(out2).dtypes)
     assert "values_b1" in dt2 and "values_b2" in dt2
+
+
+def test_cli_geo_per_grid_geometry(spark, tmp_path, images_path):
+    """Round-4 audit fix: -g decoded every non-hex7 grid's ids via the
+    S2 decoder (garbage coordinates) and silently emitted points when
+    polygons were asked of grids without boundary math.  Now: point
+    geometry decodes via each grid's own decoder; geohash polygons are
+    exact lon/lat rectangles; polygon on s2/rhp/i3h refuses loudly."""
+    import struct
+
+    out = str(tmp_path / "gpt")
+    main(["geohash", images_path, out, "-r", "4", "--point", "value",
+          "-g", "point"], spark=spark)
+    back = spark.read.parquet(out)
+    blob = back.select("geometry").first()[0]
+    assert struct.unpack("<I", blob[1:5])[0] == 1  # WKB Point
+    x = struct.unpack("<d", blob[5:13])[0]
+    assert -180 <= x < 180
+
+    out2 = str(tmp_path / "gpoly")
+    main(["geohash", images_path, out2, "-r", "4", "--point", "value",
+          "-g", "polygon"], spark=spark)
+    blob2 = spark.read.parquet(out2).select("geometry").first()[0]
+    assert struct.unpack("<I", blob2[1:5])[0] == 3  # WKB Polygon
+
+    with pytest.raises(ValueError):
+        main(["i3h", images_path, str(tmp_path / "gbad"), "-r", "10",
+              "--point", "value", "-g", "polygon"], spark=spark)
