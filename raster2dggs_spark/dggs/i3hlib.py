@@ -275,3 +275,41 @@ def cell_to_parent(cells, parent_res: int):
             ca, cb = _hex2d_to_axial(qx, qy)
         out[m] = pack(face[m], parent_res, ca, cb)
     return out
+
+
+def _plane_to_geo(face, x0, y0):
+    """res-0 face-plane coords → (lon_deg, lat_deg): the spherical leg
+    of ``cell_to_latlng`` for arbitrary plane points (boundaries)."""
+    r2d = np.hypot(x0, y0)
+    rang = np.arctan(r2d * RES0_U_GNOMONIC)
+    az = _FACE_AXES_AZ[face, 0] - np.arctan2(y0, x0)
+    lat0 = _FACE_CENTER_GEO[face, 0]
+    lon0 = _FACE_CENTER_GEO[face, 1]
+    lat, lon = _geo_az_distance(lat0, lon0, az, rang)
+    ctr = r2d < 1e-12
+    lat = np.where(ctr, lat0, lat)
+    lon = np.where(ctr, lon0, lon)
+    lon = np.degrees(lon)
+    return (lon + 180.0) % 360.0 - 180.0, np.degrees(lat)
+
+
+def cell_to_boundary(cells):
+    """(vlon, vlat) of shape (n, 6): the hexagon's vertices (CCW in the
+    cell's lattice frame) decoded through the face's gnomonic inverse."""
+    face, res, a, b = unpack(cells)
+    xr, yr = _axial_to_hex2d(a, b)
+    vang = np.radians(30.0 + 60.0 * np.arange(6))
+    vx = np.cos(vang) / SQRT3
+    vy = np.sin(vang) / SQRT3
+    out_lon = np.empty((face.shape[0], 6), dtype=np.float64)
+    out_lat = np.empty((face.shape[0], 6), dtype=np.float64)
+    for r in np.unique(res):
+        m = res == r
+        s = SQRT3 ** int(r)
+        px = xr[m][:, None] + vx[None, :]
+        py = yr[m][:, None] + vy[None, :]
+        x0, y0 = _rot(px / s, py / s, _phi(int(r)))
+        lon, lat = _plane_to_geo(face[m][:, None], x0, y0)
+        out_lon[m] = lon
+        out_lat[m] = lat
+    return out_lon, out_lat

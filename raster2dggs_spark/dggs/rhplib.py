@@ -296,3 +296,32 @@ def strings_to_cells(strs):
             bits = bits * 9 + int(ch)
         out[i] = (bits << 4) | (len(s) - 1)
     return out
+
+
+def cell_to_boundary(cells):
+    """(vlon, vlat) of shape (n, 4): corner vertices (CCW in the
+    projection plane).  rHEALPix cells are exact squares in the plane,
+    so corners are the center ± half a cell span unprojected."""
+    face, u, v = cell_to_face_uv(cells)
+    _bits, res = _unpack(cells)
+    half = 0.5 / (3.0 ** res.astype(np.float64))
+    du = np.array([-1.0, 1.0, 1.0, -1.0])
+    dv = np.array([-1.0, -1.0, 1.0, 1.0])
+    uu = u[:, None] + half[:, None] * du[None, :]
+    vv = v[:, None] + half[:, None] * dv[None, :]
+    north = (face == 0)[:, None]
+    south = (face == 5)[:, None]
+    x0 = np.where(north, -_PI + NORTH_SQUARE * _HALF,
+                  np.where(south, -_PI + SOUTH_SQUARE * _HALF,
+                           -_PI + (face[:, None] - 1) * _HALF))
+    ytop = np.where(north, 3 * _QUART, np.where(south, -_QUART, _QUART))
+    # clamp a hair inside the face so corner points unproject on the
+    # cell's own face (corners on face seams are shared anyway)
+    eps = 1e-12
+    uu = np.clip(uu, eps, 1.0 - eps)
+    vv = np.clip(vv, eps, 1.0 - eps)
+    x = x0 + uu * _HALF
+    y = ytop - vv * _HALF
+    x, y = _uncombine(x, y)
+    lon, lat = _unproject(x, y)
+    return np.degrees(lon), np.degrees(lat)

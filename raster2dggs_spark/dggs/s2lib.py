@@ -225,3 +225,26 @@ def cell_to_token(cell):
         tok = format(int(c), "016x").rstrip("0")
         out.append(tok or "X")
     return out
+
+
+def cell_to_boundary(cell):
+    """(vlon, vlat) of shape (n, 4): the cell's corner vertices in CCW
+    st order.  A level-L cell is an ALIGNED 2^(30-L) leaf block, so the
+    corners are the block's st extremes pushed through the standard
+    st→uv→xyz chain (the geodesic-quad representation S2 tooling uses)."""
+    c = np.asarray(cell).astype(np.uint64)
+    face, i, j = _to_face_ij(c)
+    lev = cell_level(c.astype(np.int64))
+    size = (np.int64(1) << (np.int64(MAX_LEVEL) - lev)).astype(np.int64)
+    i0 = (i // size) * size
+    j0 = (j // size) * size
+    si = np.stack([2 * i0, 2 * (i0 + size), 2 * (i0 + size), 2 * i0], axis=1)
+    ti = np.stack([2 * j0, 2 * j0, 2 * (j0 + size), 2 * (j0 + size)], axis=1)
+    s = si.astype(np.float64) / float(1 << (MAX_LEVEL + 1))
+    t = ti.astype(np.float64) / float(1 << (MAX_LEVEL + 1))
+    u = _st_to_uv(s)
+    v = _st_to_uv(t)
+    x, y, z = _face_uv_to_xyz(face[:, None], u, v)
+    norm = np.sqrt(x * x + y * y + z * z)
+    return (np.degrees(np.arctan2(y, x)),
+            np.degrees(np.arcsin(z / norm)))

@@ -44,23 +44,16 @@ def add_cell_geometry(df: DataFrame, dggs: str = "hex7",
     """Append a WKB ``geometry`` BinaryType column derived from ``cell``."""
     kind = geometry
 
-    if kind == "polygon" and dggs in ("s2", "rhp", "i3h"):
-        # no boundary math for these grids yet — refuse loudly rather
-        # than silently emitting points labeled as polygons (the round-4
-        # audit found exactly that silent fallback)
-        raise ValueError(
-            f"polygon geometry not implemented for {dggs!r}; "
-            "use geometry='point'"
-        )
-
     @F.pandas_udf(T.BinaryType())
     def geom(cell: pd.Series) -> pd.Series:
-        from raster2dggs_spark.dggs import cover, h3lib
+        from raster2dggs_spark.dggs import cover, h3lib, i3hlib, rhplib, s2lib
 
         cells = cell.values
         if kind == "polygon":
-            if dggs == "hex7":
-                vlon, vlat = h3lib.cell_to_boundary(cells)
+            blib = {"hex7": h3lib, "s2": s2lib, "rhp": rhplib,
+                    "i3h": i3hlib}.get(dggs)
+            if blib is not None:
+                vlon, vlat = blib.cell_to_boundary(cells)
                 return pd.Series(wkb_polygons(vlon, vlat))
             # geohash/maidenhead cells ARE lon/lat rectangles: exact
             # corner rings from center ± span/2, spans per each cell's

@@ -125,8 +125,10 @@ def test_cli_geo_per_grid_geometry(spark, tmp_path, images_path):
     """Round-4 audit fix: -g decoded every non-hex7 grid's ids via the
     S2 decoder (garbage coordinates) and silently emitted points when
     polygons were asked of grids without boundary math.  Now: point
-    geometry decodes via each grid's own decoder; geohash polygons are
-    exact lon/lat rectangles; polygon on s2/rhp/i3h refuses loudly."""
+    geometry decodes via each grid's own decoder; polygons come from
+    each grid's own boundary math (rectangles for geohash/maidenhead,
+    st-corner quads for s2, plane-square corners for rhp, hexagon
+    vertices for hex7/i3h)."""
     import struct
 
     out = str(tmp_path / "gpt")
@@ -138,12 +140,12 @@ def test_cli_geo_per_grid_geometry(spark, tmp_path, images_path):
     x = struct.unpack("<d", blob[5:13])[0]
     assert -180 <= x < 180
 
-    out2 = str(tmp_path / "gpoly")
-    main(["geohash", images_path, out2, "-r", "4", "--point", "value",
-          "-g", "polygon"], spark=spark)
-    blob2 = spark.read.parquet(out2).select("geometry").first()[0]
-    assert struct.unpack("<I", blob2[1:5])[0] == 3  # WKB Polygon
-
-    with pytest.raises(ValueError):
-        main(["i3h", images_path, str(tmp_path / "gbad"), "-r", "10",
-              "--point", "value", "-g", "polygon"], spark=spark)
+    for grid, res in (("geohash", "4"), ("s2", "10"), ("rhp", "5"),
+                      ("i3h", "10")):
+        out2 = str(tmp_path / f"gpoly_{grid}")
+        main([grid, images_path, out2, "-r", res, "--point", "value",
+              "-g", "polygon"], spark=spark)
+        blob2 = spark.read.parquet(out2).select("geometry").first()[0]
+        assert struct.unpack("<I", blob2[1:5])[0] == 3, grid  # WKB Polygon
+        nv = struct.unpack("<I", blob2[9:13])[0]
+        assert nv in (5, 7), grid  # closed ring: 4 or 6 corners + repeat
