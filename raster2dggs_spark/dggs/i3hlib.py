@@ -313,3 +313,17 @@ def cell_to_boundary(cells):
         out_lon[m] = lon
         out_lat[m] = lat
     return out_lon, out_lat
+
+
+def cell_area_m2(cells, radius_m: float = 6371007.1809):
+    """Per-cell spherical area from the hexagon boundary via the
+    spherical trapezoid (Green's theorem) formula — the h3lib F7
+    approach on this lattice's 6-vertex rings."""
+    vlon, vlat = cell_to_boundary(cells)
+    lam = np.radians(vlon)
+    phi = np.radians(vlat)
+    lam = lam - 2 * np.pi * np.round((lam - lam[:, :1]) / (2 * np.pi))
+    lam2 = np.roll(lam, -1, axis=1)
+    phi2 = np.roll(phi, -1, axis=1)
+    s = np.sum((lam2 - lam) * (np.sin(phi) + np.sin(phi2)), axis=1)
+    return 0.5 * radius_m * radius_m * np.abs(s)

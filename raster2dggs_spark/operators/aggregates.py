@@ -346,14 +346,15 @@ def hist_normalize_cell_area(hist: DataFrame, res: int, dggs: str = "hex7",
         return hist.withColumn(
             out, F.col(weight_col) / F.lit(float(rhplib.cell_area_m2(res)))
         )
-    if dggs == "hex7":
+    if dggs in ("hex7", "i3h"):
         import pandas as pd
 
         @F.pandas_udf("double")
         def area_m2(c):
-            from raster2dggs_spark.dggs import h3lib
+            from raster2dggs_spark.dggs import h3lib, i3hlib
 
-            return pd.Series(h3lib.cell_area_m2(c.values))
+            lib = h3lib if dggs == "hex7" else i3hlib
+            return pd.Series(lib.cell_area_m2(c.values))
 
         return hist.withColumn(out, F.col(weight_col) / area_m2(cell_col))
     raise ValueError(
