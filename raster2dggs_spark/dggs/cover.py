@@ -104,7 +104,14 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int,
     if dggs == "hex7":  # keeps h3lib's tuned lattice
         return h3lib.cover_bbox(lon_min, lat_min, lon_max, lat_max, res,
                                 max_samples=max_samples)
-    step = pitch_deg(res, dggs) * 0.35
+    # curved grids at coarse res: projection distortion shrinks the
+    # worst-case cell inradius well below the nominal pitch (the hex7
+    # round-4 battery measured ~0.25× at res ≤ 3) — sample denser
+    # there; rectangle grids are exact at every res
+    f = 0.35
+    if dggs in ("s2", "rhp", "i3h") and res <= 3:
+        f = 0.18
+    step = pitch_deg(res, dggs) * f
     lat_lo = max(-90.0, lat_min - step)
     lat_hi = min(90.0, lat_max + step)
     if dggs in ("geohash", "maidenhead"):
