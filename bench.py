@@ -273,6 +273,43 @@ def main():
     extras["cc_chain_diameter"] = 1000
     cc_edges.unpersist()
 
+    # -- q12: A17 multi-parent compaction at scale — ~10^5 aperture-3
+    # cells (3k seed subtrees, half uniform-valued); the distributed
+    # level loop (3 bounded shuffles/level) must absorb it ----------------
+    import numpy as np
+    import pandas as pd
+    from raster2dggs_spark.dggs import i3hlib
+    from raster2dggs_spark.operators.compaction import compact_cells_3h
+
+    rng = np.random.default_rng(42)
+    slon = rng.uniform(-180, 180, 3000)
+    slat = np.degrees(np.arcsin(rng.uniform(-1, 1, 3000)))
+    seeds = np.unique(i3hlib.lonlat_to_cell(slon, slat, 6))
+    l7 = i3hlib.cell_to_children(seeds)                    # (n, 7)
+    l8 = i3hlib.cell_to_children(l7.reshape(-1)).reshape(-1)
+    owner = np.repeat(np.arange(seeds.shape[0]), 49)
+    vals = np.where(owner % 2 == 0, 1.0, 10.0 + owner.astype(np.float64))
+    order = np.argsort(l8, kind="stable")
+    c_sorted, v_sorted = l8[order], vals[order]
+    first = np.concatenate([[True], c_sorted[1:] != c_sorted[:-1]])
+    # duplicates (shared vertex children / adjacent seeds): keep the
+    # FIRST (lowest owner) value — deterministic
+    cdf = spark.createDataFrame(
+        pd.DataFrame({"cell": c_sorted[first], "v": v_sorted[first]}),
+        "cell long, v double",
+    ).repartition(CPUS).persist()
+    extras["compact3h_input"] = cdf.count()
+    c3_out = {}
+
+    def run_c3():
+        out = compact_cells_3h(cdf, ["v"], res=8, min_res=6)
+        c3_out["rows"] = out.count()
+        return None
+
+    timed("compact_3h_100k", run_c3)
+    extras["compact3h_output"] = c3_out["rows"]
+    cdf.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

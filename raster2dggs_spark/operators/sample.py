@@ -550,6 +550,13 @@ def _sample_points_join(
             )
         return pd.concat(out, ignore_index=True)
 
+    # prune payloads BEFORE the cogroup shuffle: a tile with no
+    # candidate points would otherwise ship its bytes through the
+    # exchange just to be dropped in eval_group — at scale (sparse
+    # point sets over a global tile table) that is most of the shuffle
+    cand = cand.persist()
+    imgs = imgs.join(cand.select("image_id").distinct(), "image_id",
+                     "left_semi")
     hits = (
         imgs.groupby("image_id")
         .cogroup(cand.groupby("image_id"))
