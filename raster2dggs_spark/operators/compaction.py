@@ -243,7 +243,9 @@ def compact_cells_3h(df: DataFrame, value_cols: list[str], res: int,
                 })
 
         e = lv.select(cell_col).mapInPandas(edges, out_schema)
-        e = e.join(lv, cell_col)                 # attach child values
+        e = e.join(lv, cell_col).persist()       # attach child values;
+        # cached: consumed by the parent aggregate AND the per-child
+        # removal pass (without it the edge UDF runs twice per level)
         stats = e.groupBy("__parent").agg(
             F.count(F.lit(1)).alias("__n"),
             F.count_distinct(F.col("__v")).alias("__d"),
@@ -251,24 +253,25 @@ def compact_cells_3h(df: DataFrame, value_cols: list[str], res: int,
         )
         comp = stats.where((F.col("__n") == 7) & (F.col("__d") == 1)) \
                     .select("__parent", "__fv")
-        # child removed iff ALL its parents compacted
-        match = (
-            e.select(cell_col, "__parent")
-            .join(comp.select("__parent"), "__parent", "left_semi")
-            .groupBy(cell_col).agg(F.count(F.lit(1)).alias("__m"))
+        # child removed iff ALL its parents compacted — ONE aggregate
+        # over the flag-joined edges (total vs compacted-parent count)
+        flagged = e.select(cell_col, "__parent").join(
+            comp.select("__parent").withColumn("__c", F.lit(1)),
+            "__parent", "left",
         )
-        tot = e.groupBy(cell_col).agg(F.count(F.lit(1)).alias("__t"))
-        removed = (
-            tot.join(match, cell_col)
-            .where(F.col("__t") == F.col("__m"))
-            .select(cell_col)
+        per_child = flagged.groupBy(cell_col).agg(
+            F.count(F.lit(1)).alias("__t"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).alias("__m"),
         )
+        removed = per_child.where(F.col("__t") == F.col("__m")) \
+                           .select(cell_col)
         kept = lv.join(removed, cell_col, "left_anti")
         parents = comp.select(
             F.col("__parent").alias(cell_col), F.col("__fv").alias("__v")
         )
         active = rest.unionByName(kept).unionByName(parents) \
                      .localCheckpoint(eager=True)
+        e.unpersist()
     return active.select(
         cell_col, *[F.col("__v")[c].alias(c) for c in value_cols]
     )
