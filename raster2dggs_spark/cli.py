@@ -76,8 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-vct", "--valid-coverage-threshold",
                    dest="vct", type=float, default=0.0)
     p.add_argument("--hist-bins", dest="hist_bins", default=None,
-                   help="explicit ascending bin edges, comma-separated "
-                        "(-inf/inf allowed)")
+                   help="explicit ascending bin edges, comma-separated; "
+                        "-inf/inf allowed for open end bins (use the "
+                        "--hist-bins=-inf,0,... form — a leading dash "
+                        "after a space reads as an option)")
     p.add_argument("--hist-width", dest="hist_width", type=float,
                    default=None)
     p.add_argument("--hist-origin", dest="hist_origin", type=float,
@@ -208,7 +210,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         decimals=decimals, compact=args.compact,
         vct=args.vct or None, hist_edges=hist_edges,
         hist_width=args.hist_width, hist_origin=args.hist_origin,
-        hist_weight=args.hist_weight, hist_normalize=args.hist_normalize,
+        hist_weight=args.hist_weight,
+        # reference CLI spells these with dashes; the engine's (weight,
+        # normalize) matrix keys use underscores
+        hist_normalize=args.hist_normalize.replace("-", "_"),
         raw_ids=bool(args.geo),
     )
     t_plan = time.perf_counter()

@@ -233,6 +233,8 @@ def cell_to_children(cells):
     vang = np.radians(30.0 + 60.0 * np.arange(6))
     vx = np.cos(vang) / SQRT3
     vy = np.sin(vang) / SQRT3
+    if res.size and int(res.max()) >= MAX_RES:
+        raise ValueError("children would exceed MAX_RES")
     for r in np.unique(res):
         m = np.flatnonzero(res == r)
         xr, yr = _axial_to_hex2d(a[m], b[m])

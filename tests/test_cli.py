@@ -28,6 +28,7 @@ def _partition_dirs(out, prefix):
     ("hex7", "6", None, False),
     ("hex7", "6", "polygon", False),
     ("hex7", "6", None, True),
+    ("hex7", "6", "polygon", True),
     ("s2", "10", "point", False),
     ("geohash", "3", None, False),
 ])
@@ -149,3 +150,16 @@ def test_cli_geo_per_grid_geometry(spark, tmp_path, images_path):
         assert struct.unpack("<I", blob2[1:5])[0] == 3, grid  # WKB Polygon
         nv = struct.unpack("<I", blob2[9:13])[0]
         assert nv in (5, 7), grid  # closed ring: 4 or 6 corners + repeat
+
+
+def test_cli_hist_normalize_spelling(spark, tmp_path, images_path):
+    """Reference CLI spells normalize modes with dashes (cell-area /
+    valid-overlap, const.HistNormalize); the engine's matrix keys use
+    underscores — the CLI must translate, not silently fall to 'none'
+    or mis-reject a valid combination."""
+    out = str(tmp_path / "hn")
+    main(["hex7", images_path, out, "-r", "6", "--point", "histogram",
+          "--hist-width", "10", "--hist-normalize", "valid-overlap"],
+         spark=spark)
+    dt = dict(spark.read.parquet(out).dtypes)["band_1"]
+    assert "count_frac" in dt  # the (count, valid_overlap) field name
