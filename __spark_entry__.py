@@ -590,6 +590,25 @@ def q_embedding_knn_ivf(spark, sf_dir):
     return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_embedding_knn_pq(spark, sf_dir):
+    """Product-quantization ANN, fully oracle-checked INCLUDING the
+    quantizer: md5-derived codebooks (deterministic in any engine),
+    per-subspace argmin encode, ADC top-5 over the 32×-compressed
+    codes.  6dp rounding before every argmin/top-k makes assignments
+    and rankings bit-stable across engines; the DuckDB twin replays the
+    codebook derivation, the encode and the ADC scan relationally."""
+    from raster2dggs_spark.operators.similarity import pq_encode, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode(e, dim=64, m=8, k=16)
+    q = e.where("vec_id < 30").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = pq_topk(q, codes, dim=64, m=8, k=16, topn=5)
+    return out.select("q_id", F.col("vec_id").alias("t_id"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup, fully oracle-checked INCLUDING the
     probabilistic LSH candidate stage (md5-derived hyperplanes are
@@ -1361,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_knn_pq": q_embedding_knn_pq,
         "image_stats": q_image_stats,
         "image_thumbnails": q_image_thumbnails,
         "video_frame_stats": q_video_frame_stats,
@@ -2196,6 +2216,50 @@ def _ivf_sql(k: int = 5, n_probe: int = 4, kk: int = 12,
     """
 
 
+def _pq_sql(dim: int = 64, m: int = 8, k: int = 16, topn: int = 5,
+            nq: int = 30) -> str:
+    """DuckDB twin of q_embedding_knn_pq: replay the md5 codebook
+    derivation, the per-subspace argmin encode and the ADC top-k —
+    identical 6dp rounding before every argmin/ranking."""
+    sub = dim // m
+    n_cb = m * k * sub
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        d AS (SELECT vec_id, s.i - 1 AS pos, v[s.i] AS x
+              FROM v, unnest(generate_series(1, {dim})) AS s(i)),
+        cb AS (SELECT g.id // {k * sub} AS sub,
+                      (g.id // {sub}) % {k} AS code,
+                      (g.id // {k * sub}) * {sub} + g.id % {sub} AS pos,
+                      (('0x' || substr(md5(concat(g.id // {k * sub}, '|',
+                                                  (g.id // {sub}) % {k}, '|',
+                                                  g.id % {sub})), 1, 8)
+                       )::BIGINT / 4294967296.0) * 2 - 1 AS c
+               FROM unnest(generate_series(0, {n_cb - 1})) AS g(id)),
+        dist AS (SELECT d.vec_id, cb.sub, cb.code,
+                        round(sum((d.x - cb.c) * (d.x - cb.c)), 6) AS dist
+                 FROM d JOIN cb USING (pos)
+                 GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        tot AS (SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+                       round(sum(q.dist), 6) AS adist
+                FROM dist q
+                JOIN codes t ON q.sub = t.sub AND q.code = t.code
+                            AND q.vec_id != t.vec_id
+                WHERE q.vec_id < {nq}
+                GROUP BY 1, 2 HAVING count(*) = {m})
+        SELECT q_id, t_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adist ASC, t_id ASC)
+                    AS BIGINT) AS rank
+        FROM tot QUALIFY rank <= {topn}
+    """
+
+
 def _near_dup_sql(threshold: float = 0.9, n_planes: int = 16,
                   bands: int = 2, max_bucket: int = 1000) -> str:
     """DuckDB twin of q_embedding_near_dup — replays the md5-derived
@@ -2558,6 +2622,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
+        "embedding_knn_pq": _pq_sql(64, 8, 16, 5, 30),
         "dedup_components": _dedup_components_sql(16, 2, 1000),
         "zonal_windowed_events": f"""
             WITH p AS (

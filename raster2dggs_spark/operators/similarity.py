@@ -253,3 +253,158 @@ def hyperplane_near_dup(vectors: DataFrame, threshold: float = 0.9,
     return out.where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+def pq_codebooks(spark, dim: int, m: int = 8, k: int = 16):
+    """Deterministic data-independent PQ codebooks: (sub, code, pos, c)
+    rows with c = md5-derived uniform in [-1, 1] (the hyperplane trick —
+    md5 is the one hash DuckDB shares, so the WHOLE quantizer is
+    oracle-checkable).  ``pq_train_codebooks`` returns the same schema
+    from per-subspace k-means when recall matters more than
+    cross-engine determinism."""
+    if dim % m:
+        raise ValueError("dim must divide into m subspaces")
+    sub_dim = dim // m
+    n = m * k * sub_dim
+    return spark.range(n).select(
+        F.expr(f"id div {k * sub_dim}").alias("sub"),
+        F.expr(f"id div {sub_dim} % {k}").alias("code"),
+        F.col("id").alias("__rowid"),
+    ).select(
+        "sub", "code",
+        (F.col("sub") * sub_dim + F.col("__rowid") % sub_dim).alias("pos"),
+        (
+            F.conv(
+                F.expr("substr(md5(concat(sub, '|', code, '|', "
+                       f"__rowid % {sub_dim})), 1, 8)"),
+                16, 10,
+            ).cast("double") / F.lit(float(1 << 32)) * 2.0 - 1.0
+        ).alias("c"),
+    )
+
+
+def pq_encode(vectors: DataFrame, dim: int, m: int = 8, k: int = 16,
+              v_id: str = "vec_id", v_vec: str = "embedding",
+              codebooks: DataFrame | None = None) -> DataFrame:
+    """Product quantization: each vector's m subvectors are assigned
+    their nearest codebook entry → (v_id, sub, code, dist) exploded
+    codes — a dim·32/m·⌈log2 k⌉-fold compression of the embedding
+    column (64 floats → 8 nibbles at the defaults), the memory lever
+    IVF alone lacks at corpus scale.
+
+    Plan: one explode + a BROADCAST join against the (m·k·dim/m)-row
+    codebook (genuinely tiny and constant-sized — unlike a vocabulary,
+    it cannot grow with the corpus) + one map-side-combinable aggregate
+    + an argmin window over m·k rows per vector.  Distances round to
+    6dp before the argmin (ties by code) so the assignment is
+    bit-stable across engines and summation orders."""
+    from raster2dggs_spark.operators.aggregates import top_k
+
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        vectors.sparkSession, dim, m, k)
+    d = vectors.select(
+        F.col(v_id), F.posexplode(_as_double(F.col(v_vec))).alias("pos", "x")
+    )
+    j = d.join(F.broadcast(cb), "pos")
+    dist = j.groupBy(v_id, "sub", "code").agg(
+        F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("dist")
+    )
+    best = top_k(dist, [v_id, "sub"], "dist", 1, ascending=True,
+                 tiebreak=["code"])
+    return best.select(v_id, "sub", "code", "dist")
+
+
+def pq_topk(queries: DataFrame, codes: DataFrame, dim: int, m: int = 8,
+            k: int = 16, topn: int = 5,
+            q_id: str = "q_id", q_vec: str = "q_vec", t_id: str = "vec_id",
+            codebooks: DataFrame | None = None,
+            exclude_self: bool = True) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, an
+    m·k distance table (exact query-to-codeword distances); a target's
+    approximate distance is the sum of its m table entries — targets
+    are scanned as CODES (the compressed form), never as raw vectors.
+
+    Plan: the per-query table (|Q|·m·k rows — the small side by
+    construction) broadcasts onto the codes; one groupBy (q, t) sums m
+    rows; top-k with total tie-break.  6dp rounding keeps both the
+    table and the totals engine-stable."""
+    from raster2dggs_spark.operators.aggregates import top_k
+
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        queries.sparkSession, dim, m, k)
+    qd = queries.select(
+        F.col(q_id), F.posexplode(_as_double(F.col(q_vec))).alias("pos", "x")
+    )
+    qtab = (
+        qd.join(F.broadcast(cb), "pos")
+        .groupBy(q_id, "sub", "code")
+        .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("qd"))
+    )
+    cand = codes.join(F.broadcast(qtab), ["sub", "code"])
+    if exclude_self:
+        cand = cand.where(F.col(q_id) != F.col(t_id))
+    tot = cand.groupBy(q_id, t_id).agg(
+        F.round(F.sum("qd"), 6).alias("adist"),
+        F.count(F.lit(1)).alias("__m"),
+    ).where(F.col("__m") == m)  # all subspaces matched
+    out = top_k(tot, [q_id], "adist", topn, ascending=True, tiebreak=[t_id])
+    return out.select(q_id, t_id, "adist", "rank")
+
+
+def pq_train_codebooks(vectors: DataFrame, dim: int, m: int = 8,
+                       k: int = 16, iters: int = 3,
+                       v_id: str = "vec_id", v_vec: str = "embedding",
+                       round_dp: int | None = 6) -> DataFrame:
+    """Per-subspace Lloyd training of PQ codebooks (classic PQ): slice
+    every vector into its m subvectors and run the same distributed
+    k-means as ``train_centroids`` over ALL subspaces at once (subspace
+    rides in the grouping key — one job, not m).  Returns the
+    ``pq_codebooks`` schema, so it drops into pq_encode/pq_topk."""
+    from pyspark.sql import Window
+
+    sub_dim = dim // m
+    sv = vectors.select(
+        F.col(v_id), F.posexplode(_as_double(F.col(v_vec))).alias("pos", "x")
+    ).select(
+        F.col(v_id), (F.col("pos") % sub_dim).alias("p"),
+        F.expr(f"pos div {sub_dim}").alias("sub"), "x",
+    )
+    # seed: per subspace, the k subvectors with smallest md5(id)
+    seed_rank = F.row_number().over(
+        Window.partitionBy("sub").orderBy(F.md5(F.col(v_id).cast("string")),
+                                          F.col(v_id))
+    )
+    seeds = (
+        sv.select(v_id, "sub").distinct()
+        .withColumn("__r", seed_rank).where(F.col("__r") <= k)
+        .select(v_id, "sub", (F.col("__r") - 1).alias("code"))
+    )
+    cents = (
+        seeds.join(sv, [v_id, "sub"])
+        .select("sub", "code", F.col("p"), F.col("x").alias("c"))
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        from raster2dggs_spark.operators.aggregates import top_k
+
+        j = sv.join(F.broadcast(cents), ["sub", "p"])
+        dist = j.groupBy(v_id, "sub", "code").agg(
+            F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("d")
+        )
+        best = top_k(dist, [v_id, "sub"], "d", 1, ascending=True,
+                     tiebreak=["code"]).select(v_id, "sub", "code")
+        new = (
+            best.join(sv, [v_id, "sub"])
+            .groupBy("sub", "code", "p")
+            .agg(F.avg("x").alias("c"))
+        )
+        if round_dp is not None:
+            new = new.withColumn("c", F.round("c", round_dp))
+        # empty codes keep their previous centroid
+        cents = cents.select("sub", "code", "p", F.col("c").alias("__old")) \
+            .join(new, ["sub", "code", "p"], "left") \
+            .select("sub", "code", "p",
+                    F.coalesce("c", "__old").alias("c")) \
+            .localCheckpoint(eager=True)
+    return cents.select(
+        "sub", "code", (F.col("sub") * sub_dim + F.col("p")).alias("pos"), "c"
+    )
