@@ -408,3 +408,57 @@ def pq_train_codebooks(vectors: DataFrame, dim: int, m: int = 8,
     return cents.select(
         "sub", "code", (F.col("sub") * sub_dim + F.col("p")).alias("pos"), "c"
     )
+
+
+def ivfpq_topk(queries: DataFrame, targets: DataFrame, centroids: DataFrame,
+               dim: int, m: int = 8, k: int = 16, topn: int = 5,
+               n_probe: int = 4,
+               q_id: str = "q_id", t_id: str = "vec_id",
+               q_vec: str = "q_vec", t_vec: str = "embedding",
+               codebooks: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ — the canonical web-scale ANN composition: coarse IVF
+    routing prunes the candidate set to ``n_probe`` centroid buckets,
+    then ADC ranks the candidates from their PQ CODES (the compressed
+    form; raw target vectors are touched only once, at encode time).
+
+    Plan: both stages are equi-joins on small broadcast sides (the
+    centroid table; the per-query distance tables) — candidates shrink
+    ~K/n_probe-fold before the ADC scan, and the scan reads
+    m·log2(k)-bit codes instead of dim·32-bit floats.  Recall is
+    bounded by the IVF routing (as with plain ivf_topk)."""
+    from raster2dggs_spark.operators.aggregates import top_k
+
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        queries.sparkSession, dim, m, k)
+    assigned = ivf_assign(targets, centroids, t_id, t_vec).select(
+        t_id, "centroid")
+    codes = pq_encode(targets, dim, m, k, v_id=t_id, v_vec=t_vec,
+                      codebooks=cb).join(assigned, t_id)
+    q = queries.select(F.col(q_id), F.col(q_vec))
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__cos",
+        _dot(_as_double(F.col(q_vec)), _as_double(F.col("c_vec")))
+        / (_norm(_as_double(F.col(q_vec))) * _norm(_as_double(F.col("c_vec")))),
+    )
+    probes = top_k(qc, [q_id], "__cos", n_probe, ascending=False,
+                   tiebreak=["c_id"]).select(
+        q_id, F.col("c_id").alias("centroid"))
+    # candidate codes: only targets in the probed buckets
+    cand_codes = codes.join(probes, "centroid").select(
+        t_id, "sub", "code", q_id)
+    qd = q.select(
+        F.col(q_id), F.posexplode(_as_double(F.col(q_vec))).alias("pos", "x")
+    )
+    qtab = (
+        qd.join(F.broadcast(cb), "pos")
+        .groupBy(q_id, "sub", "code")
+        .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("qd"))
+    )
+    cand = cand_codes.join(F.broadcast(qtab), [q_id, "sub", "code"]) \
+        .where(F.col(q_id) != F.col(t_id))
+    tot = cand.groupBy(q_id, t_id).agg(
+        F.round(F.sum("qd"), 6).alias("adist"),
+        F.count(F.lit(1)).alias("__m"),
+    ).where(F.col("__m") == m)
+    out = top_k(tot, [q_id], "adist", topn, ascending=True, tiebreak=[t_id])
+    return out.select(q_id, t_id, "adist", "rank")
