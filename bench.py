@@ -129,6 +129,7 @@ def main():
     # -- q7: training-data pipeline ops ---------------------------------------
     timed("minhash_lsh", lambda: entrymod.q_minhash_lsh(spark, SF_DIR).count())
     timed("embedding_knn", lambda: entrymod.q_embedding_knn(spark, SF_DIR).count())
+    timed("embedding_pq", lambda: entrymod.q_embedding_knn_pq(spark, SF_DIR).count())
 
     # -- q7b: skew-realistic dedup — a synthetic boilerplate cluster (every
     # doc re-issued with a shared long prefix) drives one LSH bucket to
