@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tempdir", default=None)
     p.add_argument("--profile", action="store_true",
                    help="phase timing breakdown to stderr")
+    p.add_argument("--version", action="version",
+                   version="raster2dggs_spark 0.4 (reference parity: "
+                           "raster2dggs v0.14.5 semantics)")
     return p
 
 
