@@ -209,3 +209,26 @@ def test_connected_components_plan_flat_after_convergence(spark):
     out = connected_components(pairs)
     p = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in p
+
+
+def test_pq_plans_broadcast_codebooks_no_cartesian(spark):
+    """PQ: the codebook side is constant-sized (m·k·dim/m rows) and must
+    broadcast; no stage may fall to a cartesian product."""
+    import pandas as pd_
+
+    from raster2dggs_spark.operators.similarity import pq_encode, pq_topk
+
+    pdf = pd_.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": [np.random.default_rng(i).normal(size=16).tolist()
+                      for i in range(40)],
+    })
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    codes = pq_encode(df, dim=16, m=4, k=8)
+    p = plan(codes)
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    q = df.where("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = pq_topk(q, codes, dim=16, m=4, k=8, topn=3)
+    p2 = plan(out)
+    assert "CartesianProduct" not in p2
