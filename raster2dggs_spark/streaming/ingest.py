@@ -82,13 +82,15 @@ def finish_mean(partials: DataFrame, n_bands: int = 4) -> DataFrame:
     return g.select(*out)
 
 
-def last_committed_batch(table: IceTable, checkpoint_dir: str) -> int:
-    """Highest batch_id this stream (keyed by its checkpoint dir) has
-    committed to ``table``, or -1.  Walks snapshots newest-first so
-    interleaved non-stream commits to the same table don't mask it."""
+def last_committed_batch(table: IceTable, checkpoint_dir: str,
+                         operator: str = "index_images_stream") -> int:
+    """Highest batch_id this stream (keyed by its checkpoint dir +
+    operator) has committed to ``table``, or -1.  Walks snapshots
+    newest-first so interleaved non-stream commits to the same table
+    don't mask it."""
     for v in range(table.current_version(), 0, -1):
         lin = (table.snapshot(v) or {}).get("lineage", {})
-        if (lin.get("operator") == "index_images_stream"
+        if (lin.get("operator") == operator
                 and lin.get("checkpoint_dir") == checkpoint_dir
                 and "batch_id" in lin):
             return int(lin["batch_id"])

@@ -408,3 +408,70 @@ def test_zonal_windowed_stream_equals_batch(spark, tmp_path):
     b = got.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_like=True)
     cover.unpersist()
+
+
+def test_streaming_embedding_index_equals_batch(spark, tmp_path):
+    """Continuous embedding-index ingest (streaming IVF-PQ build): two
+    arrival waves drain into centroid-partitioned IceTable snapshots;
+    the union equals the batch ivf_assign+pq_encode over all vectors,
+    and a re-delivered batch does not double-commit."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.sources.icetable import IceTable
+    from raster2dggs_spark.streaming.embeddings import (
+        EMB_SCHEMA, batch_embedding_index, index_embeddings_stream,
+        make_commit_batch,
+    )
+    from raster2dggs_spark.operators.similarity import pq_codebooks
+
+    rng = np.random.default_rng(11)
+    dim, n = 16, 80
+    vecs = rng.normal(size=(n, dim))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    cents = spark.createDataFrame(pd.DataFrame({
+        "c_id": np.arange(6, dtype=np.int64),
+        "c_vec": [rng.normal(size=dim).tolist() for _ in range(6)],
+    }), "c_id long, c_vec array<double>")
+    cb = pq_codebooks(spark, dim, 4, 8).persist()
+    cb.count()
+
+    indir = str(tmp_path / "emb")
+    os.makedirs(indir)
+    table = IceTable(str(tmp_path / "t"))
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(pdf.iloc[:50], EMB_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(indir)
+    q = index_embeddings_stream(spark, indir, table, cents, dim, ckpt,
+                                m=4, k=8, codebooks=cb)
+    q.awaitTermination()
+    v1 = table.current_version()
+    spark.createDataFrame(pdf.iloc[50:], EMB_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(indir)
+    q = index_embeddings_stream(spark, indir, table, cents, dim, ckpt,
+                                m=4, k=8, codebooks=cb)
+    q.awaitTermination()
+    assert table.current_version() > v1
+
+    got = table.read(spark).toPandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    exp = batch_embedding_index(
+        spark.createDataFrame(pdf, EMB_SCHEMA), cents, cb, dim, 4, 8
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == n
+    assert (got["vec_id"].values == exp["vec_id"].values).all()
+    assert (got["centroid"].values == exp["centroid"].values).all()
+    assert all(tuple(a) == tuple(b)
+               for a, b in zip(got["codes"], exp["codes"]))
+
+    # re-delivery: replaying an already-committed batch_id is a no-op
+    cb_sink = make_commit_batch(table, cents, cb, dim, 4, 8,
+                                "mem://", ckpt)
+    rows_before = table.snapshot()["total_rows"]
+    cb_sink(spark.createDataFrame(pdf.iloc[:50], EMB_SCHEMA), 0)
+    assert table.snapshot()["total_rows"] == rows_before
