@@ -609,6 +609,38 @@ def q_embedding_knn_pq(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_embedding_knn_ivfpq(spark, sf_dir):
+    """The COMPOSED web-scale ANN (IVF routing + PQ/ADC ranking), fully
+    oracle-checked: centroids are the 8 md5-smallest vectors (the
+    train_centroids seeding rule — deterministic in any engine, no
+    Lloyd here so the twin stays tractable), codebooks are the md5
+    derivation; array-fold dot products are order-deterministic in both
+    engines and every argmin/top-k rounds to 6dp first."""
+    from pyspark.sql import Window
+
+    from raster2dggs_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = (
+        e.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id").limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("__h", "vec_id")) - 1)
+            .alias("c_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+    )
+    q = e.where("vec_id < 30").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivfpq_topk(q, e, cents, dim=64, m=8, k=16, topn=5, n_probe=3)
+    return out.select("q_id", F.col("vec_id").alias("t_id"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup, fully oracle-checked INCLUDING the
     probabilistic LSH candidate stage (md5-derived hyperplanes are
@@ -1381,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_knn_pq": q_embedding_knn_pq,
+        "embedding_knn_ivfpq": q_embedding_knn_ivfpq,
         "image_stats": q_image_stats,
         "image_thumbnails": q_image_thumbnails,
         "video_frame_stats": q_video_frame_stats,
@@ -2260,6 +2293,71 @@ def _pq_sql(dim: int = 64, m: int = 8, k: int = 16, topn: int = 5,
     """
 
 
+def _ivfpq_sql(dim: int = 64, m: int = 8, k: int = 16, topn: int = 5,
+               n_probe: int = 3, n_cents: int = 8, nq: int = 30) -> str:
+    """DuckDB twin of q_embedding_knn_ivfpq: md5-seeded centroids,
+    cosine routing (argmax over array-fold dot products — identical
+    fold order to Spark's F.aggregate), then the PQ encode + ADC of
+    _pq_sql restricted to the probed buckets."""
+    sub = dim // m
+    n_cb = m * k * sub
+    cos_tc = _COS.format(a="t.v", b="c.c")
+    cos_qc = _COS.format(a="q.v", b="c.c")
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        d AS (SELECT vec_id, s.i - 1 AS pos, v[s.i] AS x
+              FROM v, unnest(generate_series(1, {dim})) AS s(i)),
+        cb AS (SELECT g.id // {k * sub} AS sub,
+                      (g.id // {sub}) % {k} AS code,
+                      (g.id // {k * sub}) * {sub} + g.id % {sub} AS pos,
+                      (('0x' || substr(md5(concat(g.id // {k * sub}, '|',
+                                                  (g.id // {sub}) % {k}, '|',
+                                                  g.id % {sub})), 1, 8)
+                       )::BIGINT / 4294967296.0) * 2 - 1 AS c
+               FROM unnest(generate_series(0, {n_cb - 1})) AS g(id)),
+        dist AS (SELECT d.vec_id, cb.sub, cb.code,
+                        round(sum((d.x - cb.c) * (d.x - cb.c)), 6) AS dist
+                 FROM d JOIN cb USING (pos) GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                                      ORDER BY dist ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        cents AS (SELECT rn - 1 AS c_id, v AS c FROM (
+            SELECT v, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM v) WHERE rn <= {n_cents}),
+        assign AS (SELECT vec_id, c_id FROM (
+            SELECT t.vec_id, c.c_id,
+                   row_number() OVER (PARTITION BY t.vec_id
+                                      ORDER BY {cos_tc} DESC, c.c_id ASC)
+                       AS rn
+            FROM v t, cents c) WHERE rn = 1),
+        probes AS (SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.c_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {cos_qc} DESC, c.c_id ASC)
+                       AS rn
+            FROM v q, cents c WHERE q.vec_id < {nq})
+            WHERE rn <= {n_probe}),
+        cand AS (SELECT p.q_id, a.vec_id AS t_id
+                 FROM probes p JOIN assign a ON a.c_id = p.c_id
+                 WHERE a.vec_id != p.q_id),
+        tot AS (SELECT c.q_id, c.t_id, round(sum(qd.dist), 6) AS adist
+                FROM cand c
+                JOIN dist qd ON qd.vec_id = c.q_id
+                JOIN codes t ON t.vec_id = c.t_id AND t.sub = qd.sub
+                            AND t.code = qd.code
+                GROUP BY 1, 2 HAVING count(*) = {m})
+        SELECT q_id, t_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adist ASC, t_id ASC)
+                    AS BIGINT) AS rank
+        FROM tot QUALIFY rank <= {topn}
+    """
+
+
 def _near_dup_sql(threshold: float = 0.9, n_planes: int = 16,
                   bands: int = 2, max_bucket: int = 1000) -> str:
     """DuckDB twin of q_embedding_near_dup — replays the md5-derived
@@ -2623,6 +2721,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
         "embedding_knn_pq": _pq_sql(64, 8, 16, 5, 30),
+        "embedding_knn_ivfpq": _ivfpq_sql(64, 8, 16, 5, 3, 8, 30),
         "dedup_components": _dedup_components_sql(16, 2, 1000),
         "zonal_windowed_events": f"""
             WITH p AS (
