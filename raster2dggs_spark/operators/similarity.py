@@ -285,7 +285,8 @@ def pq_codebooks(spark, dim: int, m: int = 8, k: int = 16):
 
 def pq_encode(vectors: DataFrame, dim: int, m: int = 8, k: int = 16,
               v_id: str = "vec_id", v_vec: str = "embedding",
-              codebooks: DataFrame | None = None) -> DataFrame:
+              codebooks: DataFrame | None = None,
+              vectorized: bool | None = None) -> DataFrame:
     """Product quantization: each vector's m subvectors are assigned
     their nearest codebook entry → (v_id, sub, code, dist) exploded
     codes — a dim·32/m·⌈log2 k⌉-fold compression of the embedding
@@ -297,11 +298,24 @@ def pq_encode(vectors: DataFrame, dim: int, m: int = 8, k: int = 16,
     it cannot grow with the corpus) + one map-side-combinable aggregate
     + an argmin window over m·k rows per vector.  Distances round to
     6dp before the argmin (ties by code) so the assignment is
-    bit-stable across engines and summation orders."""
+    bit-stable across engines and summation orders.
+
+    ``vectorized`` (auto when dim·k > 4096): the relational explode is
+    O(N·dim·k) rows — transparent to the oracle but wasteful at
+    production dims (768·256 = 200k rows/vector).  The vectorized path
+    computes the same distances as one batched einsum inside an Arrow
+    UDF and emits only the (v_id, sub, code, dist) argmin rows; the
+    6dp-round-then-argmin contract makes the two paths BIT-IDENTICAL
+    (pytest-pinned), so the oracle checks the relational path and
+    production runs the fast one."""
     from raster2dggs_spark.operators.aggregates import top_k
 
     cb = codebooks if codebooks is not None else pq_codebooks(
         vectors.sparkSession, dim, m, k)
+    if vectorized is None:
+        vectorized = dim * k > 4096
+    if vectorized:
+        return _pq_encode_vectorized(vectors, cb, dim, m, k, v_id, v_vec)
     d = vectors.select(
         F.col(v_id), F.posexplode(_as_double(F.col(v_vec))).alias("pos", "x")
     )
@@ -312,6 +326,54 @@ def pq_encode(vectors: DataFrame, dim: int, m: int = 8, k: int = 16,
     best = top_k(dist, [v_id, "sub"], "dist", 1, ascending=True,
                  tiebreak=["code"])
     return best.select(v_id, "sub", "code", "dist")
+
+
+def _pq_encode_vectorized(vectors: DataFrame, cb: DataFrame, dim: int,
+                          m: int, k: int, v_id: str, v_vec: str) -> DataFrame:
+    """Arrow fast path of pq_encode: same 6dp-round-then-argmin
+    semantics, O(N·m) output rows, distances via batched NumPy."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cpdf = cb.toPandas().sort_values(["sub", "code", "pos"])
+    sub_dim = dim // m
+    # (m, k, sub_dim) codeword tensor
+    C = np.zeros((m, k, sub_dim), dtype=np.float64)
+    C[cpdf["sub"].values, cpdf["code"].values,
+      cpdf["pos"].values % sub_dim] = cpdf["c"].values
+    id_field = vectors.schema[v_id].dataType
+    schema = T.StructType([
+        T.StructField(v_id, id_field, False),
+        T.StructField("sub", T.LongType(), False),
+        T.StructField("code", T.LongType(), False),
+        T.StructField("dist", T.DoubleType(), False),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[v_vec].map(np.asarray).values).astype(np.float64)
+            Xs = X.reshape(len(pdf), m, sub_dim)
+            # (n, m, k) squared distances, rounded BEFORE argmin — the
+            # relational path's engine-stability contract
+            d = np.round(
+                ((Xs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3), 6
+            )
+            code = d.argmin(axis=2)  # ties: lowest code (argmin rule)
+            n = len(pdf)
+            yield pd.DataFrame({
+                v_id: np.repeat(pdf[v_id].values, m),
+                "sub": np.tile(np.arange(m, dtype=np.int64), n),
+                "code": code.reshape(-1),
+                "dist": np.take_along_axis(
+                    d, code[:, :, None], axis=2).reshape(-1),
+            })
+
+    return vectors.select(v_id, v_vec).mapInPandas(fn, schema)
 
 
 def pq_topk(queries: DataFrame, codes: DataFrame, dim: int, m: int = 8,

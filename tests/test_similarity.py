@@ -271,3 +271,19 @@ def test_ivfpq_topk(spark, vectors):
     hits = sum(len(set(g["vec_id"]) & set(exact[int(qi)]))
                for qi, g in out.groupby("q_id"))
     assert hits / (20 * K) >= 0.3
+
+
+def test_pq_encode_vectorized_bit_identical(spark, vectors):
+    """The Arrow fast path (auto above dim·k > 4096) must reproduce the
+    relational encode BIT-IDENTICALLY — the 6dp-round-then-argmin
+    contract is what makes the oracle transferable to production runs."""
+    from raster2dggs_spark.operators.similarity import pq_encode
+
+    _, df, _ = vectors
+    a = pq_encode(df, dim=DIM, m=4, k=16, vectorized=False).toPandas()
+    b = pq_encode(df, dim=DIM, m=4, k=16, vectorized=True).toPandas()
+    key = ["vec_id", "sub"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert (a["code"].values == b["code"].values).all()
+    assert (a["dist"].values == b["dist"].values).all()
