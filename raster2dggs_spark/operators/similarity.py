@@ -386,11 +386,14 @@ def pq_topk(queries: DataFrame, codes: DataFrame, dim: int, m: int = 8,
     approximate distance is the sum of its m table entries — targets
     are scanned as CODES (the compressed form), never as raw vectors.
 
-    Plan: the per-query table (|Q|·m·k rows — the small side by
-    construction) broadcasts onto the codes; one groupBy (q, t) sums m
-    rows; top-k with total tie-break.  6dp rounding keeps both the
-    table and the totals engine-stable."""
+    Plan: the per-query table (|Q|·m·k rows) joins onto the codes —
+    broadcast only under the bounded size probe (the table GROWS with
+    |Q|; a forced hint is the round-3 OOM class), shuffled equi-join
+    above it; one groupBy (q, t) sums m rows; top-k with total
+    tie-break.  6dp rounding keeps both the table and the totals
+    engine-stable."""
     from raster2dggs_spark.operators.aggregates import top_k
+    from raster2dggs_spark.operators.joins import _gate_broadcast
 
     cb = codebooks if codebooks is not None else pq_codebooks(
         queries.sparkSession, dim, m, k)
@@ -402,7 +405,7 @@ def pq_topk(queries: DataFrame, codes: DataFrame, dim: int, m: int = 8,
         .groupBy(q_id, "sub", "code")
         .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("qd"))
     )
-    cand = codes.join(F.broadcast(qtab), ["sub", "code"])
+    cand = codes.join(_gate_broadcast(qtab, 2_000_000), ["sub", "code"])
     if exclude_self:
         cand = cand.where(F.col(q_id) != F.col(t_id))
     tot = cand.groupBy(q_id, t_id).agg(
@@ -516,7 +519,10 @@ def ivfpq_topk(queries: DataFrame, targets: DataFrame, centroids: DataFrame,
         .groupBy(q_id, "sub", "code")
         .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("qd"))
     )
-    cand = cand_codes.join(F.broadcast(qtab), [q_id, "sub", "code"]) \
+    from raster2dggs_spark.operators.joins import _gate_broadcast
+
+    cand = cand_codes.join(_gate_broadcast(qtab, 2_000_000),
+                           [q_id, "sub", "code"]) \
         .where(F.col(q_id) != F.col(t_id))
     tot = cand.groupBy(q_id, t_id).agg(
         F.round(F.sum("qd"), 6).alias("adist"),
