@@ -536,6 +536,18 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_curate_docs(spark, sf_dir):
+    """The END-TO-END curation pipeline (quality gate → exact-dedup
+    canonical filter → deterministic split) as one plan — the DuckDB
+    twin composes the same three already-oracled stages with identical
+    ordering semantics (dedup over quality survivors; split on
+    canonicals only, so duplicates cannot straddle train/test)."""
+    from raster2dggs_spark.operators.pipeline import curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_documents(d, "doc_id", "text", min_quality=0.5)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-5 TF-IDF terms (tf · ln(N/df), rounded before
     ranking so the rank tie-break is engine-stable)."""
@@ -1408,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_components": q_dedup_components,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "curate_docs": q_curate_docs,
         "hash_split": q_hash_split,
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
@@ -1546,6 +1559,63 @@ def _dedup_components_sql(n_hashes: int = 16, bands: int = 2,
                CAST(s.component_size AS BIGINT) AS component_size,
                c.doc_id = c.component AS is_canonical
         FROM comp c JOIN sizes s USING (component)
+    """
+
+
+def _curate_sql(min_quality: float = 0.5, buckets: int = 10_000) -> str:
+    """DuckDB twin of q_curate_docs: the quality formula, the dedup over
+    survivors, the canonical filter and the md5-bucket split composed
+    with the operator's exact ordering semantics."""
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), "
+        f"{i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text, length(text) AS n_chars,
+                 len({_TOKS}) AS n_tokens,
+                 length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                     AS n_alnum,
+                 length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces,
+                 {_TOKS} AS toks
+          FROM documents),
+        f AS (
+          SELECT doc_id, text,
+                 CASE WHEN n_chars > 0
+                      THEN (n_chars - n_alnum - n_spaces) / n_chars
+                      ELSE 0.0 END AS punct_ratio,
+                 n_tokens,
+                 (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0 END)
+                     AS stop_hits
+          FROM t),
+        q AS (
+          SELECT doc_id, text,
+                 round(least(n_tokens / 100.0, 1.0) * 0.4
+                       + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                       + least(stop_hits / 3.0, 1.0) * 0.3, 6) AS quality
+          FROM f),
+        surv AS (SELECT * FROM q WHERE quality >= {min_quality}),
+        g AS (SELECT md5(text) AS h, min(doc_id) AS canonical_id,
+                     count(*) AS group_size
+              FROM surv GROUP BY md5(text)),
+        canon AS (
+          SELECT s.doc_id, s.quality, g.group_size
+          FROM surv s JOIN g ON md5(s.text) = g.h
+          WHERE s.doc_id = g.canonical_id),
+        b AS (SELECT doc_id, ({hexval}) % {buckets} AS bucket FROM canon)
+        SELECT c.doc_id, c.quality, CAST(c.group_size AS BIGINT)
+                   AS group_size,
+               CAST(b.bucket AS BIGINT) AS bucket,
+               CASE WHEN b.bucket < {int(round(0.9 * buckets))} THEN 'train'
+                    WHEN b.bucket < {int(round(0.95 * buckets))} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM canon c JOIN b USING (doc_id)
     """
 
 
@@ -2744,6 +2814,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "hash_split": _hash_split_sql(10_000),
+        "curate_docs": _curate_sql(0.5, 10_000),
         "video_frame_stats": _video_frame_stats_sql(24, 4),
         "audio_features": _audio_features_sql(16, 1024),
         "tfidf_top_terms": """
