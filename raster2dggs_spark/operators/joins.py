@@ -299,21 +299,51 @@ def polygon_cells(polys: DataFrame, res: int, dggs: str = "hex7") -> DataFrame:
     return polys.mapInPandas(fn, schema)
 
 
-def _gate_broadcast(small: DataFrame, max_rows: int | None) -> DataFrame:
-    """Attach a broadcast hint only under a cheap BOUNDED probe.
+def _estimate_cover_rows(polys: DataFrame, res: int, dggs: str) -> int:
+    """Cheap UPPER-bound on a polygon cover's row count from polygon
+    bboxes alone — the cover ``mapInPandas`` is NOT executed (round-4
+    VERDICT #3: the bounded ``limit(n+1).count()`` probe still ran the
+    whole unpersisted cover job once before the join recomputed it).
 
-    ``limit(max_rows + 1).count()`` stops producing rows at the limit,
-    so the probe cost is bounded even when the true cover is 10⁷–10⁸
-    cells (a national zone layer polyfilled at res 9) — exactly the
-    case where a forced broadcast turns a working shuffled hash join
-    into a driver/executor OOM (round-3 VERDICT #3).  Under the gate
-    the hint is provably safe; above it the join is left to Catalyst
-    (AQE can still pick a runtime broadcast from actual shuffle sizes).
-    ``max_rows=None`` forces the hint — caller asserts the side is
-    tiny.  The probe triggers one bounded Spark job at operator-
-    construction time (these joins are already driver-synced shapes)."""
+    One scalar agg over the small vector side: cells whose center can
+    fall in (or within one cell of) a W×H-degree bbox at pitch ``p``
+    number at most ``(W/p + 3)(H/p + 3)`` — ``pitch_deg`` is the
+    *smaller* cell dimension, and on angular-pitch grids the lon span
+    per cell only widens toward the poles, so bbox/pitch² over-counts;
+    ×2 safety for lattice anisotropy.  Over-estimating is the safe
+    direction: it only withholds the hint and leaves the join to AQE."""
+    from raster2dggs_spark.dggs import cover as _cover
+
+    p = _cover.pitch_deg(res, dggs)
+    row = polys.select(
+        F.sum(
+            ((F.array_max("xs") - F.array_min("xs")) / p + 3.0)
+            * ((F.array_max("ys") - F.array_min("ys")) / p + 3.0)
+        ).alias("est")
+    ).first()
+    return 0 if row["est"] is None else int(2.0 * row["est"])
+
+
+def _gate_broadcast(small: DataFrame, max_rows: int | None,
+                    est_rows: int | None = None) -> DataFrame:
+    """Attach a broadcast hint only under a size gate.
+
+    With ``est_rows`` (an analytic upper bound, see
+    ``_estimate_cover_rows``) the decision costs no Spark job and the
+    ``small`` plan executes exactly once — in the join.  Without it,
+    ``limit(max_rows + 1).count()`` is a BOUNDED probe: it stops
+    producing rows at the limit, so the probe cost stays bounded even
+    when the true cover is 10⁷–10⁸ cells (a national zone layer
+    polyfilled at res 9) — exactly the case where a forced broadcast
+    turns a working shuffled hash join into a driver/executor OOM
+    (round-3 VERDICT #3).  Under the gate the hint is provably safe;
+    above it the join is left to Catalyst (AQE can still pick a runtime
+    broadcast from actual shuffle sizes).  ``max_rows=None`` forces the
+    hint — caller asserts the side is tiny."""
     if max_rows is None:
         return F.broadcast(small)
+    if est_rows is not None:
+        return F.broadcast(small) if est_rows <= max_rows else small
     n = small.limit(max_rows + 1).count()
     return F.broadcast(small) if n <= max_rows else small
 
@@ -327,16 +357,20 @@ def point_in_polygon_join(points: DataFrame, polys: DataFrame, res: int = 7,
 
     Plan shape (checked via .explain): the big point side is scanned and
     encoded exactly ONCE; the exploded polygon cover (with vertices
-    attached) is broadcast when its bounded-probe row count fits under
-    ``max_broadcast_cover`` (else a plain shuffled equi-join — see
-    ``_gate_broadcast``); one equi-join on cell; one vectorized
+    attached) is broadcast when its analytic bbox/pitch upper bound fits
+    under ``max_broadcast_cover`` (else a plain shuffled equi-join — see
+    ``_gate_broadcast``/``_estimate_cover_rows``; the cover plan itself
+    executes exactly once, in the join); one equi-join on cell; one vectorized
     predicate keeps interior-cell hits outright and ray-casts boundary
     candidates.  No point-side shuffle under the gate, no
     branch-union re-scan."""
     pts = index_points(points, res, dggs, lon_col, lat_col)
     cover = polygon_cells(polys, res, dggs).drop("center_in")
     cover = cover.join(polys.select("poly_id", "xs", "ys"), "poly_id")
-    joined = pts.join(_gate_broadcast(cover, max_broadcast_cover), "cell")
+    est = (None if max_broadcast_cover is None
+           else _estimate_cover_rows(polys, res, dggs))
+    joined = pts.join(
+        _gate_broadcast(cover, max_broadcast_cover, est_rows=est), "cell")
 
     @F.pandas_udf(T.BooleanType())
     def keep(pid: pd.Series, lon: pd.Series, lat: pd.Series,
@@ -682,5 +716,8 @@ def zonal_join(cells_df: DataFrame, zones: DataFrame, res: int,
     cover = polygon_cells(zones, res, dggs).where("center_in").select(
         F.col("poly_id").alias(zone_id), "cell"
     )
-    joined = cells_df.join(_gate_broadcast(cover, max_broadcast_cover), "cell")
+    est = (None if max_broadcast_cover is None
+           else _estimate_cover_rows(zones, res, dggs))
+    joined = cells_df.join(
+        _gate_broadcast(cover, max_broadcast_cover, est_rows=est), "cell")
     return joined.groupBy(zone_id).agg(*agg_exprs)

@@ -458,8 +458,11 @@ def _sample_points_join(
     tc = meta.mapInPandas(tile_cells, tc_schema)
     # distinct routing resolutions actually in use: bounded driver data
     # (<=12 geohash precisions — same class as the kNN radius aggs);
-    # persist so the metadata pass is not recomputed for the join
-    tc = tc.persist()
+    # eager localCheckpoint so the metadata pass runs once (res_list
+    # collect + join both read the checkpoint) and the blocks' lifetime
+    # is tied to the returned plan, not the session (a bare persist()
+    # here leaked one cached RDD per invocation — round-4 ADVICE)
+    tc = tc.localCheckpoint(eager=True)
     res_list = sorted(
         r["__rres"] for r in tc.select("__rres").distinct().collect()
     )
@@ -553,8 +556,10 @@ def _sample_points_join(
     # prune payloads BEFORE the cogroup shuffle: a tile with no
     # candidate points would otherwise ship its bytes through the
     # exchange just to be dropped in eval_group — at scale (sparse
-    # point sets over a global tile table) that is most of the shuffle
-    cand = cand.persist()
+    # point sets over a global tile table) that is most of the shuffle.
+    # localCheckpoint (not persist): computed once, reused by the
+    # semi-join and the cogroup, released with the plan
+    cand = cand.localCheckpoint(eager=True)
     imgs = imgs.join(cand.select("image_id").distinct(), "image_id",
                      "left_semi")
     hits = (

@@ -167,7 +167,8 @@ def hyperplane_near_dup(vectors: DataFrame, threshold: float = 0.9,
                         n_planes: int = 16, bands: int = 2,
                         v_id: str = "vec_id",
                         v_vec: str = "embedding",
-                        max_bucket: int | None = 1000) -> DataFrame:
+                        max_bucket: int | None = 1000,
+                        stats: dict | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale: random-
     hyperplane LSH (SimHash for real vectors) bucketing + exact cosine
     verification.
@@ -192,7 +193,14 @@ def hyperplane_near_dup(vectors: DataFrame, threshold: float = 0.9,
     band key is saturated: raise ``n_planes`` (bkey cardinality doubles
     per extra bit per band) rather than the cap.  The SQL oracle twin
     applies the identical count filter, so capped output stays
-    hash-checked.  ``None`` disables the cap (exact candidate set)."""
+    hash-checked.  ``None`` disables the cap (exact candidate set).
+
+    Saturation is OBSERVABLE (round-4 ADVICE: dropped buckets lose true
+    near-dups with no runtime signal): pass ``stats={}`` and it is
+    filled with ``buckets_dropped`` / ``rows_dropped`` /
+    ``max_bucket_size`` (the connected_components convention) at the
+    cost of one extra bounded aggregation job over the bucket table.
+    ``buckets_dropped > 0`` means raise ``n_planes``, not the cap."""
     bits = n_planes // bands
     v = vectors.select(F.col(v_id), _as_double(F.col(v_vec)).alias("__v"))
     d = v.select(v_id, F.posexplode("__v").alias("pos", "x"))
@@ -227,13 +235,25 @@ def hyperplane_near_dup(vectors: DataFrame, threshold: float = 0.9,
         F.col(v_id), F.explode(F.array(*band_cols)).alias("bb")
     ).select(v_id, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     if max_bucket is not None:
-        hot = (
-            buckets.groupBy("band", "bkey")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > max_bucket)
-            .select("band", "bkey")
-        )
+        sizes = buckets.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("__n"))
+        if stats is not None:
+            row = sizes.agg(
+                F.sum(F.when(F.col("__n") > max_bucket, 1).otherwise(0))
+                .alias("dropped"),
+                F.sum(F.when(F.col("__n") > max_bucket, F.col("__n"))
+                      .otherwise(0)).alias("rows"),
+                F.max("__n").alias("mx"),
+            ).first()
+            stats["buckets_dropped"] = int(row["dropped"] or 0)
+            stats["rows_dropped"] = int(row["rows"] or 0)
+            stats["max_bucket_size"] = int(row["mx"] or 0)
+        hot = sizes.where(F.col("__n") > max_bucket).select("band", "bkey")
         buckets = buckets.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    elif stats is not None:
+        stats["buckets_dropped"] = 0
+        stats["rows_dropped"] = 0
+        stats["max_bucket_size"] = -1  # uncapped: sizes not computed
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     cand = (

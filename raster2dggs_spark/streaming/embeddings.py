@@ -100,8 +100,15 @@ def index_embeddings_stream(
 
     cb = codebooks if codebooks is not None else pq_codebooks(
         spark, dim, m, k)
-    # materialize the broadcast sides once — a streaming query cannot
-    # re-derive a localCheckpoint-trained centroid table per batch
+    # ACTUALLY materialize the broadcast sides once (round-4 ADVICE: a
+    # lazily-derived centroids DataFrame — e.g. the output of an
+    # ivf_train Lloyd loop — would otherwise be re-planned, and
+    # recomputed unless already checkpointed upstream, on EVERY
+    # micro-batch).  Both tables are small (k_centroids × dim rows /
+    # m·k·sub_dim rows); eager localCheckpoint pins the computed blocks
+    # for the lifetime of the query plan.
+    centroids = centroids.localCheckpoint(eager=True)
+    cb = cb.localCheckpoint(eager=True)
     stream = (
         spark.readStream.schema(EMB_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -81,15 +81,31 @@ def zonal_windowed_event_stats(events: DataFrame, zone_cells: DataFrame,
                                window: str = "1 hour",
                                watermark: str = "2 hours",
                                lon_col: str = "lon",
-                               lat_col: str = "lat") -> DataFrame:
+                               lat_col: str = "lat",
+                               max_broadcast_cover: int | None = 2_000_000
+                               ) -> DataFrame:
     """Geo × time composite: per (tumbling window, zone) event counts and
     value sums.  The geometry side is the DGGS equi-join trick — events
-    encode to cells (Arrow UDF), zones arrive pre-covered as a broadcast
+    encode to cells (Arrow UDF), zones arrive pre-covered as a
     (cell, zone_id) table — so the streaming plan is a stateless
-    broadcast join followed by a watermarked windowed aggregation
-    (Structured Streaming supports exactly this shape: static-side
-    broadcast + stateful window agg).  Works on batch or streaming
-    input; zonal semantics are cell-granularity, matching zonal_join."""
+    static-side join followed by a watermarked windowed aggregation
+    (Structured Streaming supports exactly this shape).  Works on batch
+    or streaming input; zonal semantics are cell-granularity, matching
+    zonal_join.
+
+    The static zone side is broadcast only under a size gate (the
+    ``_gate_broadcast`` idiom, round-4 VERDICT #1): a continental zone
+    layer covered at fine res is the unbounded-cover case where a forced
+    broadcast OOMs the driver.  ``zone_cells`` is batch-static, so the
+    bounded ``limit(n+1).count()`` probe is legal here — one job at
+    query setup, not per micro-batch — and the side is persisted first:
+    the static side of a stream-static join is re-planned EVERY
+    micro-batch, so caching it (memory-and-disk, spilling when huge) is
+    correct independently of the gate and makes the probe's partial
+    work reusable instead of a second cover computation.  Above the
+    gate the equi-join shuffles (batch) / hash-joins the persisted side
+    (streaming) — correct at any zone-layer size.  ``None`` forces the
+    broadcast (caller asserts the cover is tiny)."""
     @F.pandas_udf("long")
     def enc(lon, lat):
         import numpy as np
@@ -106,7 +122,15 @@ def zonal_windowed_event_stats(events: DataFrame, zone_cells: DataFrame,
     if e.isStreaming:
         e = e.withWatermark("ts", watermark)
     e = e.withColumn("cell", enc(F.col(lon_col), F.col(lat_col)))
-    j = e.join(F.broadcast(zone_cells), "cell")
+    if max_broadcast_cover is None:
+        z = F.broadcast(zone_cells)
+    else:
+        # default level (memory-and-disk, deserialized) so a caller who
+        # already persisted the cover doesn't hit a level conflict
+        zc = zone_cells.persist()
+        n = zc.limit(max_broadcast_cover + 1).count()
+        z = F.broadcast(zc) if n <= max_broadcast_cover else zc
+    j = e.join(z, "cell")
     return (
         j.groupBy(F.window("ts", window).alias("w"), "zone_id")
         .agg(

@@ -25,3 +25,33 @@ def test_icetable_roundtrip(spark, tmp_path):
     assert snap2["version"] == 2
     assert snap2["parent_version"] == 1
     assert t.current_version() == 2
+
+
+def test_icetable_executor_side_manifest_stats(spark, tmp_path, monkeypatch):
+    """Round-4 VERDICT note: at 10⁵–10⁶ partitions the driver-side
+    footer loop is the commit bottleneck — above _DRIVER_FOOTER_LIMIT
+    the footer scan fans out to the executors.  Force the distributed
+    path and assert the manifest is identical to the driver path's."""
+    from raster2dggs_spark.sources import IceTable
+    import pyspark.sql.functions as F
+
+    df = spark.range(600).withColumn("part", (F.col("id") % 6).cast("string"))
+    monkeypatch.setattr(IceTable, "_DRIVER_FOOTER_LIMIT", 0)
+    t = IceTable(str(tmp_path / "tbl_exec"))
+    snap = t.write(df, "part")
+    assert snap["total_rows"] == 600
+    assert len(snap["manifests"]) == 6
+    assert all(m["row_count"] == 100 for m in snap["manifests"])
+    assert t.verify_counts(spark)
+    # append path uses the distributed scan too
+    snap2 = t.write(df.where("id < 60"), "part", mode="append")
+    assert snap2["total_rows"] == 660
+    assert t.verify_counts(spark)
+
+    # same data through the driver path -> identical manifests
+    monkeypatch.setattr(IceTable, "_DRIVER_FOOTER_LIMIT", 10 ** 9)
+    t2 = IceTable(str(tmp_path / "tbl_drv"))
+    s1 = t2.write(df, "part")
+    strip = lambda ms: sorted(
+        (m["partition"], m["row_count"]) for m in ms)
+    assert strip(s1["manifests"]) == strip(snap["manifests"])

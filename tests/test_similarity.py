@@ -287,3 +287,43 @@ def test_pq_encode_vectorized_bit_identical(spark, vectors):
     b = b.sort_values(key).reset_index(drop=True)
     assert (a["code"].values == b["code"].values).all()
     assert (a["dist"].values == b["dist"].values).all()
+
+
+def test_hyperplane_near_dup_saturation_observable(spark):
+    """Round-4 ADVICE: dropped LSH buckets silently lose true near-dups
+    — the ``stats`` dict must report saturation so callers can raise
+    ``n_planes``."""
+    from raster2dggs_spark.operators.similarity import hyperplane_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=DIM)
+    base /= np.linalg.norm(base)
+    n = 300
+    vecs = base[None, :] + 1e-4 * rng.normal(size=(n, DIM))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+
+    stats = {}
+    hyperplane_near_dup(df, threshold=0.9, max_bucket=100,
+                        stats=stats).count()
+    # every vector collides per band -> one saturated bucket per band
+    assert stats["buckets_dropped"] >= 1
+    assert stats["rows_dropped"] >= n
+    assert stats["max_bucket_size"] == n
+
+    # an unsaturated corpus reports zero drops
+    spread = rng.normal(size=(50, DIM))
+    pdf2 = pd.DataFrame({
+        "vec_id": np.arange(50, dtype=np.int64),
+        "embedding": [v.tolist() for v in spread],
+    })
+    df2 = spark.createDataFrame(pdf2, "vec_id long, embedding array<double>")
+    stats2 = {}
+    hyperplane_near_dup(df2, threshold=0.5, max_bucket=100,
+                        stats=stats2).count()
+    assert stats2["buckets_dropped"] == 0
+    assert stats2["rows_dropped"] == 0
+    assert 0 < stats2["max_bucket_size"] <= 100
