@@ -301,10 +301,10 @@ def index_raster(
         if cols:
             out = round_decimals(out, cols, decimals)
     if compact:
-        if dggs not in ("hex7", "s2", "geohash", "rhp", "i3h"):
+        if dggs not in ("hex7", "s2", "geohash", "rhp", "i3h", "a5"):
             raise ValueError(
                 "compact=True needs an id-arithmetic hierarchy "
-                "(hex7/s2/geohash/rhp/i3h; maidenhead mixes 10/24-ary "
+                "(hex7/s2/geohash/rhp/i3h/a5; maidenhead mixes 10/24-ary "
                 "levels)"
             )
         from raster2dggs_spark.operators.compaction import (

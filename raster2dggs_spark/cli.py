@@ -35,7 +35,7 @@ import sys
 import time
 
 
-GRIDS = ("hex7", "h3", "s2", "geohash", "maidenhead", "rhp", "i3h")
+GRIDS = ("hex7", "h3", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5")
 
 
 def build_parser() -> argparse.ArgumentParser:

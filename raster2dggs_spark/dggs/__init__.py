@@ -1,4 +1,5 @@
 from raster2dggs_spark.dggs import (
+    a5lib,
     geohashlib,
     h3lib,
     i3hlib,
@@ -8,11 +9,13 @@ from raster2dggs_spark.dggs import (
 )
 
 __all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "rhplib",
-           "i3hlib", "check_grid"]
+           "i3hlib", "a5lib", "check_grid"]
 
 # i3h: aperture-3 hex (ISEA3H layout, multi-parent hierarchy) — encode/
-# cover/A17 surfaces; ids are this repo's own (see i3hlib), like hex7
-GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp", "i3h")
+# cover/A17 surfaces; ids are this repo's own (see i3hlib), like hex7.
+# a5: pentagonal dodecahedron, aperture 5 then 4 (A5 layout, see a5lib)
+# — same honest own-id contract.
+GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5")
 
 
 def check_grid(dggs: str) -> str:

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from raster2dggs_spark.dggs import (
+    a5lib,
     check_grid,
     geohashlib,
     h3lib,
@@ -32,7 +33,7 @@ def grid_lib(dggs: str):
     check_grid(dggs)
     return {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
             "maidenhead": maidenheadlib, "rhp": rhplib,
-            "i3h": i3hlib}[dggs]
+            "i3h": i3hlib, "a5": a5lib}[dggs]
 
 
 def wrap_lon(lon):
@@ -92,6 +93,8 @@ def pitch_deg(res: int, dggs: str) -> float:
         return float(np.degrees(rhplib.cell_pitch_rad(res)))
     if dggs == "i3h":
         return float(np.degrees(i3hlib.cell_pitch_rad(res)))
+    if dggs == "a5":
+        return float(np.degrees(a5lib.cell_pitch_rad(res)))
     if dggs in ("geohash", "maidenhead"):
         return min(cell_spans(res, dggs))
     raise ValueError(dggs)
@@ -109,7 +112,7 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int,
     # round-4 battery measured ~0.25× at res ≤ 3) — sample denser
     # there; rectangle grids are exact at every res
     f = 0.35
-    if dggs in ("s2", "rhp", "i3h") and res <= 3:
+    if dggs in ("s2", "rhp", "i3h", "a5") and res <= 3:
         f = 0.18
     step = pitch_deg(res, dggs) * f
     lat_lo = max(-90.0, lat_min - step)

@@ -24,6 +24,10 @@ def n_cells(res: int, dggs: str = "hex7") -> int:
         # aperture 3 over the same icosahedral lattice density as hex7
         # res 0 (~122 res-0 cells globally)
         return 122 * 3**res
+    if dggs == "a5":
+        # 12 pentagons; aperture 5 for res 0→1, aperture 4 thereafter
+        # (ref tests/regression/test_a5_cell_to_children_size.py)
+        return 12 if res == 0 else 60 * 4 ** (res - 1)
     return 6 * 4**res
 
 
@@ -44,6 +48,8 @@ def resolve_resolution(mode: str, mean_pixel_area_m2: float,
     """
     if dggs == "s2":
         max_res = min(max_res, 30)
+    if dggs == "a5":
+        max_res = min(max_res, 27)
     areas = np.array([cell_area_m2_mean(r, dggs) for r in range(max_res + 1)])
     if mode == "smaller-than-pixel":
         ok = np.flatnonzero(areas <= mean_pixel_area_m2)

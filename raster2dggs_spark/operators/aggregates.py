@@ -346,14 +346,14 @@ def hist_normalize_cell_area(hist: DataFrame, res: int, dggs: str = "hex7",
         return hist.withColumn(
             out, F.col(weight_col) / F.lit(float(rhplib.cell_area_m2(res)))
         )
-    if dggs in ("hex7", "i3h"):
+    if dggs in ("hex7", "i3h", "a5"):
         import pandas as pd
 
         @F.pandas_udf("double")
         def area_m2(c):
-            from raster2dggs_spark.dggs import h3lib, i3hlib
+            from raster2dggs_spark.dggs import a5lib, h3lib, i3hlib
 
-            lib = h3lib if dggs == "hex7" else i3hlib
+            lib = {"hex7": h3lib, "i3h": i3hlib, "a5": a5lib}[dggs]
             return pd.Series(lib.cell_area_m2(c.values))
 
         return hist.withColumn(out, F.col(weight_col) / area_m2(cell_col))

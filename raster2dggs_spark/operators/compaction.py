@@ -31,18 +31,21 @@ def compact_cells(df: DataFrame, value_cols: list[str], res: int,
     Returns the mixed-resolution frame (cell ids carry their res — in
     the bit layout for hex7/s2, in the packed res nibble for
     geohash/rhp).  Exact-equality uniformity, NaN-safe via null-safe
-    comparison on a canonical struct.  All four hierarchical grids
+    comparison on a canonical struct.  All five hierarchical grids
     compact: hex7 (7-ary), s2 (4-ary), geohash (32-ary prefix tree),
-    rhp (9-ary) — parent derivation stays native bit/int arithmetic
-    (joins.parent_expr), zero Python in the loop."""
-    try:
-        children_per_parent = {"hex7": 7, "s2": 4, "geohash": 32,
-                               "rhp": 9}[dggs]
-    except KeyError:
+    rhp (9-ary), a5 (4-ary, 5-ary at the res 1→0 level — the
+    aperture-5-then-4 schedule) — parent derivation stays native
+    bit/int arithmetic (joins.parent_expr), zero Python in the loop."""
+    if dggs not in ("hex7", "s2", "geohash", "rhp", "a5"):
         raise ValueError(
             f"compact: no hierarchy arithmetic for {dggs!r} "
             "(maidenhead mixes 10/24-ary per level)"
         )
+
+    def children_at(parent_res: int) -> int:
+        if dggs == "a5":
+            return 5 if parent_res == 0 else 4
+        return {"hex7": 7, "s2": 4, "geohash": 32, "rhp": 9}[dggs]
     out_parts: list[DataFrame] = []
     cur = df
     for r in range(res, min_res, -1):
@@ -55,7 +58,7 @@ def compact_cells(df: DataFrame, value_cols: list[str], res: int,
             F.first("__v").alias("__fv"),
         )
         compactable = stats.where(
-            (F.col("__n") == children_per_parent) & (F.col("__d") == 1)
+            (F.col("__n") == children_at(r - 1)) & (F.col("__d") == 1)
         )
         parents = compactable.select(
             F.col("__parent").alias(cell_col),
@@ -138,8 +141,27 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
         kids = bits[:, None] * np.int64(n) + pat[None, :]
         return (kids << 4) | np.int64(res)
 
+    def _expand_a5(group: np.ndarray, r_cur: int) -> np.ndarray:
+        """Aperture 5-then-4: append base-4 digits below the existing
+        MSB-aligned field (and enumerate the 5 quintants when expanding
+        a res-0 pentagon)."""
+        from raster2dggs_spark.dggs import a5lib
+
+        base = (group & ~(np.int64(0x1F) << np.int64(55))) | np.int64(
+            res << 55)
+        shift = np.int64(52 - 2 * (res - 1)) if res >= 2 else np.int64(52)
+        nd = 4 ** max(res - max(r_cur, 1), 0)
+        dig = np.arange(nd, dtype=np.int64) << shift
+        if r_cur == 0:
+            q = np.arange(5, dtype=np.int64) << np.int64(52)
+            pat = (q[:, None] | dig[None, :]).ravel()
+        else:
+            pat = dig
+        return base[:, None] | pat[None, :]
+
     expanders = {"hex7": _expand_hex7, "s2": _expand_s2,
-                 "geohash": _expand_geohash, "rhp": _expand_rhp}
+                 "geohash": _expand_geohash, "rhp": _expand_rhp,
+                 "a5": _expand_a5}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from raster2dggs_spark.dggs import h3lib, s2lib
@@ -152,6 +174,8 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
                 cr = h3lib.get_resolution(cells)
             elif dggs == "s2":
                 cr = s2lib.cell_level(cells)
+            elif dggs == "a5":
+                cr = (np.asarray(cells, dtype=np.int64) >> 55) & 0x1F
             else:  # geohash/rhp: packed res nibble
                 cr = (np.asarray(cells, dtype=np.int64) & 0xF)
             out_cells = []

@@ -429,6 +429,13 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "hex7",
         return F.shiftleft(F.floor(bits / F.lit(prod)).cast("long"), 4).bitwiseOR(
             F.lit(parent_res)
         )
+    if dggs == "a5":
+        # zero the digits finer than parent_res (and the quintant when
+        # parent_res is 0), rewrite the 5-bit res field @55 — mirrors
+        # a5lib.cell_to_parent exactly
+        s = 55 if parent_res == 0 else 52 - 2 * (parent_res - 1)
+        mask = (-(1 << s)) & ~(0x1F << 55)
+        return (c.bitwiseAND(F.lit(mask))).bitwiseOR(F.lit(parent_res << 55))
     if dggs == "maidenhead":
         if from_res is None:
             raise ValueError("maidenhead parent_expr needs from_res")
