@@ -967,6 +967,44 @@ def q_compact_cells_geohash(spark, sf_dir):
     return out.select(F.col("cell").cast("long").alias("cell"), "v")
 
 
+def q_compact_cells_a5(spark, sf_dir):
+    """A16 on the a5 grid ACROSS the aperture-5→4 boundary (the
+    reference's A5 subdivision-schedule special case, ref tests/
+    regression/test_a5_cell_to_children_size.py): res-2 ids constructed
+    by pure integer arithmetic (face<<60 | 2<<55 | q<<52 | d<<50) with a
+    data-derived per-face value; faces 0-7 emit all 20 res-2
+    descendants (must merge 4-ary to the quintants, then 5-ary to the
+    pentagon), faces 8-11 — the negative-id bit-63 range — drop one
+    child (quintant 4 stays partial, blocking the pentagon merge).
+    compact→uncompact must return exactly the constructed set — the
+    round-trip-identity oracle."""
+    from raster2dggs_spark.operators.compaction import (
+        compact_cells, uncompact_cells,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    fv = li.groupBy((F.col("l_orderkey") % 12).alias("face")).agg(
+        F.round(F.sum("l_quantity"), 4).alias("v"))
+    k = (
+        fv.withColumn("q", F.explode(F.sequence(F.lit(0), F.lit(4))))
+        .withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .where(~((F.col("face") >= 8) & (F.col("q") == 4)
+                 & (F.col("d") == 3)))
+    )
+    cell = (
+        F.shiftleft(F.col("face").cast("long"), 60)
+        .bitwiseOR(F.lit(2 << 55))
+        .bitwiseOR(F.shiftleft(F.col("q").cast("long"), 52))
+        .bitwiseOR(F.shiftleft(F.col("d").cast("long"), 50))
+    )
+    df = k.select(cell.alias("cell"), "v")
+    out = uncompact_cells(
+        compact_cells(df, ["v"], res=2, min_res=0, dggs="a5"),
+        res=2, dggs="a5",
+    )
+    return out.select(F.col("cell").cast("long").alias("cell"), "v")
+
+
 def q_image_thumbnails(spark, sf_dir):
     """Multimodal resize stage, oracle-checked: 8x8 NN thumbnails of
     band 1, floor-quantized to 1/16 and emitted as a joined-int string
@@ -1128,6 +1166,26 @@ def q_i3h_pixel_index(spark, sf_dir):
     )
 
 
+def q_a5_pixel_index(spark, sf_dir):
+    """Pixel indexing on the a5 grid (A5-layout pentagonal dodecahedron,
+    aperture 5 then 4 — ref indexers/a5rasterindexer.py semantics) —
+    oracle-checked against an independent single-node NumPy replay
+    (.fixtures/a5_pixel_index_16.parquet): the one-exchange plan with
+    the NATIVE bit-arithmetic parent column must reproduce it cell for
+    cell."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    imgs = images_spark_df(spark, 16, seed=42, size_range=(10, 16))
+    out = index_point_agg(imgs, res=10, dggs="a5", agg="mean")
+    return out.select(
+        F.lower(F.hex("cell")).alias("a5_10"),
+        F.lower(F.hex("parent")).alias("a5_02"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
+
+
 def q_s2_pixel_index(spark, sf_dir):
     """Fully oracle-checked pixel indexing on the S2 grid: the DuckDB
     twin replays the cube-face projection, quadratic ST and the
@@ -1173,6 +1231,22 @@ def q_sample_bilinear_s2(spark, sf_dir):
     imgs = images_spark_df(spark, 24, seed=42, size_range=(16, 24))
     return to_reference_output(
         sample_cells(imgs, res=10, kernel="bilinear", dggs="s2"), "s2", 10, 2
+    )
+
+
+def q_sample_bilinear_a5(spark, sf_dir):
+    """Sample transfer on the a5 grid (cells_in_bbox is grid-generic via
+    dggs.cover — this exercises the pentagonal cover + ownership +
+    first-wins dedupe end-to-end), oracle-checked against the same
+    independent single-node scalar-tap replay pattern as the hex7/s2
+    siblings (.fixtures/sample_bilinear_a5_24.parquet)."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.sample import sample_cells
+    from raster2dggs_spark.operators.indexing import to_reference_output
+
+    imgs = images_spark_df(spark, 24, seed=42, size_range=(16, 24))
+    return to_reference_output(
+        sample_cells(imgs, res=9, kernel="bilinear", dggs="a5"), "a5", 9, 1
     )
 
 
@@ -1436,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "sample_bilinear": q_sample_bilinear,
         "sample_bilinear_s2": q_sample_bilinear_s2,
+        "sample_bilinear_a5": q_sample_bilinear_a5,
         "sample_points_bilinear": q_sample_points_bilinear,
         "sample_points_bicubic": q_sample_points_bicubic,
         "sample_points_join": q_sample_points_join,
@@ -1453,9 +1528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_list": q_point_list,
         "compact_cells": q_compact_cells,
         "compact_cells_geohash": q_compact_cells_geohash,
+        "compact_cells_a5": q_compact_cells_a5,
         "compact_cells_3h": q_compact_cells_3h,
         "hex7_pixel_index": q_hex7_pixel_index,
         "i3h_pixel_index": q_i3h_pixel_index,
+        "a5_pixel_index": q_a5_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
         "s2_pixel_index_full": q_s2_pixel_index_full,
         "geohash_pixel_index": q_geohash_pixel_index,
@@ -2858,6 +2935,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(okey % 5 AS DOUBLE) AS v
             FROM k
         """,
+        "compact_cells_a5": """
+            WITH fv AS (SELECT l_orderkey % 12 AS face,
+                               round(sum(l_quantity), 4) AS v
+                        FROM lineitem GROUP BY 1),
+            g AS (SELECT face, v, t1.q AS q, t2.d AS d
+                  FROM fv,
+                       (SELECT unnest([0,1,2,3,4]) AS q) t1,
+                       (SELECT unnest([0,1,2,3]) AS d) t2
+                  WHERE NOT (face >= 8 AND t1.q = 4 AND t2.d = 3))
+            SELECT CAST(
+                     (face % 8) * (1::BIGINT << 60)
+                     + (2::BIGINT << 55)
+                     + q * (1::BIGINT << 52)
+                     + d * (1::BIGINT << 50)
+                     - CASE WHEN face >= 8
+                            THEN (1::BIGINT << 62) ELSE 0 END
+                     - CASE WHEN face >= 8
+                            THEN (1::BIGINT << 62) ELSE 0 END
+                   AS BIGINT) AS cell, v
+            FROM g
+        """,
         "s2_pixel_index": _s2_sql(11, 3),
         "s2_pixel_index_full": f"""
             SELECT s2_14, s2_06, CAST(n_px AS BIGINT) AS n_px,
@@ -2870,6 +2968,12 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"
                               for i in range(1, 5))}
             FROM read_parquet('{_FIXDIR}/i3h_pixel_index_16.parquet')
+        """,
+        "a5_pixel_index": f"""
+            SELECT a5_10, a5_02, CAST(n_px AS BIGINT) AS n_px,
+                   {", ".join(f"round(band_{i}, 4) AS band_{i}"
+                              for i in range(1, 5))}
+            FROM read_parquet('{_FIXDIR}/a5_pixel_index_16.parquet')
         """,
         "hex7_pixel_index": f"""
             SELECT hex7_09, hex7_03, CAST(n_px AS BIGINT) AS n_px,
@@ -2935,6 +3039,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT s2_10, s2_02,
                    band_1, band_2, band_3, band_4
             FROM read_parquet('{_FIXDIR}/sample_bilinear_s2_24.parquet')
+        """,
+        "sample_bilinear_a5": f"""
+            SELECT a5_09, a5_01,
+                   band_1, band_2, band_3, band_4
+            FROM read_parquet('{_FIXDIR}/sample_bilinear_a5_24.parquet')
         """,
         "sample_cells_maidenhead": _sample_cells_mh_sql(),
         "maidenhead_pixel_index": _maidenhead_sql(),

@@ -142,14 +142,15 @@ def test_cli_geo_per_grid_geometry(spark, tmp_path, images_path):
     assert -180 <= x < 180
 
     for grid, res in (("geohash", "4"), ("s2", "10"), ("rhp", "5"),
-                      ("i3h", "10")):
+                      ("i3h", "10"), ("a5", "8")):
         out2 = str(tmp_path / f"gpoly_{grid}")
         main([grid, images_path, out2, "-r", res, "--point", "value",
               "-g", "polygon"], spark=spark)
         blob2 = spark.read.parquet(out2).select("geometry").first()[0]
         assert struct.unpack("<I", blob2[1:5])[0] == 3, grid  # WKB Polygon
         nv = struct.unpack("<I", blob2[9:13])[0]
-        assert nv in (5, 7), grid  # closed ring: 4 or 6 corners + repeat
+        # closed ring: 3 (a5 triangles), 4 or 6 corners + repeat
+        assert nv in (4, 5, 7), grid
 
 
 def test_cli_hist_normalize_spelling(spark, tmp_path, images_path):
