@@ -198,43 +198,43 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
     from raster2dggs_spark.api import index_raster, resolve_res, write_output
     from raster2dggs_spark.operators.indexing import default_parent_res
+    from raster2dggs_spark.profiling import SparkPhaseProfiler
 
-    images = spark.read.parquet(args.raster_input)
-    t_open = time.perf_counter()
+    prof = SparkPhaseProfiler(spark, enabled=args.profile)
 
-    res_i = resolve_res(images, res, args.dggs)
+    with prof.phase("open"):
+        images = spark.read.parquet(args.raster_input)
+        res_i = resolve_res(images, res, args.dggs)
     parent_res = (args.parent_res if args.parent_res is not None
                   else default_parent_res(res_i, args.dggs))
-    out = index_raster(
-        images, dggs=args.dggs, resolution=res_i, parent_res=parent_res,
-        transfer=transfer, agg=agg, op=op, kernel=kernel, bands=bands,
-        band=band_param,
-        nodata_policy=args.nodata_policy, nodata_fill=args.nodata_fill,
-        decimals=decimals, compact=args.compact,
-        vct=args.vct or None, hist_edges=hist_edges,
-        hist_width=args.hist_width, hist_origin=args.hist_origin,
-        hist_weight=args.hist_weight,
-        # reference CLI spells these with dashes; the engine's (weight,
-        # normalize) matrix keys use underscores
-        hist_normalize=args.hist_normalize.replace("-", "_"),
-        raw_ids=bool(args.geo),
-    )
-    t_plan = time.perf_counter()
-
-    write_output(out, args.output_directory, dggs=args.dggs,
-                 parent_res=parent_res, geo=bool(args.geo),
-                 geometry=args.geo or "polygon",
-                 compression=args.compression)
-    t_write = time.perf_counter()
+    with prof.phase("plan"):
+        out = index_raster(
+            images, dggs=args.dggs, resolution=res_i, parent_res=parent_res,
+            transfer=transfer, agg=agg, op=op, kernel=kernel, bands=bands,
+            band=band_param,
+            nodata_policy=args.nodata_policy, nodata_fill=args.nodata_fill,
+            decimals=decimals, compact=args.compact,
+            vct=args.vct or None, hist_edges=hist_edges,
+            hist_width=args.hist_width, hist_origin=args.hist_origin,
+            hist_weight=args.hist_weight,
+            # reference CLI spells these with dashes; the engine's (weight,
+            # normalize) matrix keys use underscores
+            hist_normalize=args.hist_normalize.replace("-", "_"),
+            raw_ids=bool(args.geo),
+        )
+    with prof.phase("execute+write"):
+        write_output(out, args.output_directory, dggs=args.dggs,
+                     parent_res=parent_res, geo=bool(args.geo),
+                     geometry=args.geo or "polygon",
+                     compression=args.compression)
 
     if args.profile:
         n_imgs = images.count()
+        print(prof.report(), file=sys.stderr)
         print(
-            f"raster2dggs_spark profile: open {t_open - t0:.2f}s | "
-            f"plan {t_plan - t_open:.2f}s | execute+write "
-            f"{t_write - t_plan:.2f}s | total {t_write - t0:.2f}s | "
-            f"{n_imgs} tiles, res {res_i} (parent {parent_res}), "
-            f"transfer {transfer}",
+            f"  context: {n_imgs} tiles, res {res_i} "
+            f"(parent {parent_res}), transfer {transfer}, "
+            f"total {time.perf_counter() - t0:.2f}s",
             file=sys.stderr,
         )
     if own_session:

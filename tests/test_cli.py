@@ -164,3 +164,26 @@ def test_cli_hist_normalize_spelling(spark, tmp_path, images_path):
          spark=spark)
     dt = dict(spark.read.parquet(out).dtypes)["band_1"]
     assert "count_frac" in dt  # the (count, valid_overlap) field name
+
+
+def test_cli_profile_reports_task_metrics(spark, tmp_path, images_path,
+                                          capsys):
+    """Reference --profile parity (ref profiling.py:231-272): per-phase
+    wall + TASK time/CPU from Spark task metrics, an executor
+    parallelism figure and a stall share — not just coarse wall
+    times."""
+    out = str(tmp_path / "prof")
+    main(["hex7", images_path, out, "-r", "6", "--profile"], spark=spark)
+    err = capsys.readouterr().err
+    for needle in ("raster2dggs_spark --profile", "open", "plan",
+                   "execute+write", "executor parallelism:",
+                   "task stall:", "wall clock"):
+        assert needle in err, needle
+    # the execute+write phase must have attributed real task work
+    line = [ln for ln in err.splitlines() if "execute+write" in ln][0]
+    cols = line.split()
+    # phase, wall, task_s, cpu_s, tasks, par, stall%
+    assert float(cols[2]) > 0.0       # task seconds
+    assert int(cols[4]) > 0           # completed tasks
+    stall = float(cols[6].rstrip("%"))
+    assert 0.0 <= stall <= 100.0
