@@ -419,6 +419,10 @@ def _sample_points_join(
         T.StructField("image_id", T.StringType(), False),
         T.StructField("__rres", T.IntegerType(), False),
         T.StructField("__cell", T.LongType(), False),
+        T.StructField("__lon_min", T.DoubleType(), False),
+        T.StructField("__lon_max", T.DoubleType(), False),
+        T.StructField("__lat_min", T.DoubleType(), False),
+        T.StructField("__lat_max", T.DoubleType(), False),
     ])
 
     def tile_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -427,6 +431,7 @@ def _sample_points_join(
 
         for pdf in batches:
             ids, rrs, cells = [], [], []
+            bbs: list = []
             for row in pdf.itertuples(index=False):
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
@@ -448,11 +453,22 @@ def _sample_points_join(
                 ids.append(np.repeat(row.image_id, c.shape[0]))
                 rrs.append(np.full(c.shape[0], rres, dtype=np.int32))
                 cells.append(c.astype(np.int64))
+                bbs.append((float(lons.min()), float(lons.max()),
+                            float(lats.min()), float(lats.max()),
+                            c.shape[0]))
             if ids:
                 yield pd.DataFrame({
                     "image_id": np.concatenate(ids),
                     "__rres": np.concatenate(rrs),
                     "__cell": np.concatenate(cells),
+                    "__lon_min": np.concatenate(
+                        [np.full(b[4], b[0]) for b in bbs]),
+                    "__lon_max": np.concatenate(
+                        [np.full(b[4], b[1]) for b in bbs]),
+                    "__lat_min": np.concatenate(
+                        [np.full(b[4], b[2]) for b in bbs]),
+                    "__lat_max": np.concatenate(
+                        [np.full(b[4], b[3]) for b in bbs]),
                 })
 
     tc = meta.mapInPandas(tile_cells, tc_schema)
@@ -492,7 +508,32 @@ def _sample_points_join(
     ).withColumn(
         "__cell", pt_cell(F.col(lon_col), F.col(lat_col), F.col("__rres"))
     )
-    cand = pt.join(tc, ["__rres", "__cell"]).drop("__rres", "__cell")
+    # EXACT per-tile bbox prefilter (native exprs) after the routing
+    # equi-join: routing cells are only bbox-granular, and a long-thin
+    # tile (the bench's 0.9°×60° geodesic strips) routes at a res whose
+    # cells dwarf its true footprint — without this cut one such tile
+    # collects every point in a 45° routing cell (measured: 11.6M
+    # candidate rows for 65k points, p99 group 23k — the
+    # sample_points_join variance in round-4's VERDICT #4).  The bbox
+    # test keeps a SUPERSET of true hits (the cogroup kernel re-checks
+    # exactly), so results are unchanged; candidates drop to ~hit scale
+    # and the hot cogroup groups disappear.  Point lons unwrap into the
+    # tile's frame first (antimeridian tiles, F14).
+    eps = 1e-6
+    mid = (F.col("__lon_min") + F.col("__lon_max")) / 2.0
+    lon_u = (F.col(lon_col)
+             + 360.0 * F.round((mid - F.col(lon_col)) / 360.0))
+    cand = (
+        pt.join(tc, ["__rres", "__cell"])
+        .where(
+            (lon_u >= F.col("__lon_min") - eps)
+            & (lon_u <= F.col("__lon_max") + eps)
+            & (F.col(lat_col) >= F.col("__lat_min") - eps)
+            & (F.col(lat_col) <= F.col("__lat_max") + eps)
+        )
+        .drop("__rres", "__cell",
+              "__lon_min", "__lon_max", "__lat_min", "__lat_max")
+    )
 
     # --- kernel per tile group (cogroup: payload crosses the shuffle
     # exactly once; candidate points are the replicated side) -----------
