@@ -109,6 +109,13 @@ def main():
 
     timed("pixel_index_rhp", q_pixels_rhp)
 
+    # -- q2c: a5 variant (round 5: the pentagonal aperture-5/4 grid) --------
+    def q_pixels_a5():
+        out = index_point_agg(imgs, res=12, dggs="a5", agg="mean")
+        return out.agg(F.count(F.lit(1))).collect()
+
+    timed("pixel_index_a5", q_pixels_a5)
+
     # -- q3: PIP join on driver tables -------------------------------------
     import __spark_entry__ as entrymod
 
