@@ -115,6 +115,10 @@ def _cells_children(cells, res: int, dggs: str):
         kids = (bits[:, None] * (b * b)
                 + np.arange(b * b, dtype=np.int64)[None, :]).ravel()
         return (kids << 4) | (res + 1)
+    if dggs == "a5":
+        from raster2dggs_spark.dggs import a5lib
+
+        return a5lib.cell_to_children(cells).ravel()
     raise ValueError(f"children arithmetic not implemented for {dggs!r}")
 
 

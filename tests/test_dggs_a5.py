@@ -217,3 +217,63 @@ def test_check_grid_accepts_a5():
     from raster2dggs_spark.dggs import check_grid
 
     assert check_grid("a5") == "a5"
+
+
+def test_spatial_joins_grid_generic_on_a5(spark):
+    """The join operators are grid-generic: PIP, zonal and kNN must
+    produce correct results with dggs='a5' (kNN checked against
+    brute-force haversine top-k)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raster2dggs_spark.operators.joins import (
+        knn_join, point_in_polygon_join, zonal_join, index_points,
+    )
+    from raster2dggs_spark.sources.vectors import (
+        generate_points_pdf, generate_zones_pdf,
+    )
+
+    zones = generate_zones_pdf(4, seed=7)
+    points = generate_points_pdf(60, seed=7, zones=zones)
+    zdf = spark.createDataFrame(
+        zones[["poly_id", "xs", "ys"]],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    pdf = spark.createDataFrame(points, "point_id long, lon double, lat double")
+
+    # PIP on a5 == PIP on hex7 (same geometric predicate, different index)
+    a = point_in_polygon_join(pdf, zdf, res=6, dggs="a5").toPandas()
+    b = point_in_polygon_join(pdf, zdf, res=6, dggs="hex7").toPandas()
+    key = lambda d: sorted(zip(d["point_id"], d["poly_id"]))
+    assert key(a) == key(b) and len(a) > 0
+
+    # zonal agg equality across grids (cell-center semantics at fine res
+    # converge to point membership)
+    cells = index_points(pdf, 9, "a5").select("cell", "point_id")
+    za = zonal_join(cells, zdf, 9, [F.count(F.lit(1)).alias("n")],
+                    dggs="a5").toPandas()
+    assert za["n"].sum() > 0
+
+    # kNN on a5 vs brute force
+    import numpy as np
+    t = points.copy()
+    t["target_id"] = t["point_id"] + 1000
+    tdf = spark.createDataFrame(
+        t[["target_id", "lon", "lat"]],
+        "target_id long, lon double, lat double")
+    q = pdf.limit(12)
+    got = knn_join(q, tdf, k=3, dggs="a5", q_id="point_id",
+                   t_id="target_id").toPandas()
+    qp = q.toPandas()
+    R = 6371007.1809
+    def hav(lon1, lat1, lon2, lat2):
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        dl = np.radians(lon2 - lon1)
+        dph = p2 - p1
+        h = np.sin(dph / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+        return 2 * R * np.arcsin(np.sqrt(h))
+    for _, row in qp.iterrows():
+        d = hav(row["lon"], row["lat"], t["lon"].values, t["lat"].values)
+        exp = set(t["target_id"].values[np.argsort(d, kind="stable")[:3]])
+        mine = set(got[got["point_id"] == row["point_id"]]["target_id"])
+        assert mine == exp, (row["point_id"], mine, exp)
