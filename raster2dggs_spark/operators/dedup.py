@@ -200,10 +200,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return g.select(id_col, fp.alias("simhash"))
 
 
+def _local_contract(e: DataFrame, vt) -> DataFrame:
+    """Partition-local union-find over the edge list: (vertex, rep)
+    where ``rep`` is the MIN vertex of the vertex's component *within
+    its partition's edges*.  One Arrow pass, no shuffle.  This is the
+    standard first phase of large-graph CC: each partition's internal
+    structure collapses to super-vertices, so the distributed loop only
+    has to stitch components that CROSS partitions — on a 1000-node
+    chain whose edges land in few partitions, the contracted graph has
+    ~#partitions vertices and the loop needs ~log2(#partitions) rounds
+    instead of log2(diameter)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vertex", vt, False),
+        T.StructField("rep", vt, False),
+    ])
+
+    def contract(batches: "Iterator[pd.DataFrame]"):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:  # the iterator spans ONE partition
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # min id stays root
+        if parent:
+            ks = list(parent.keys())
+            yield pd.DataFrame({"vertex": ks, "rep": [find(v) for v in ks]})
+
+    return e.mapInPandas(contract, schema)
+
+
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b",
                          max_iters: int = 25,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         local_contract: bool = False) -> DataFrame:
     """Transitive closure of a near-dup pair list: every vertex gets the
     MIN vertex id of its connected component (the fuzzy-dedup cluster
     key — pairwise candidates alone under-merge A~B~C chains).
@@ -225,8 +272,48 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     ``stats``: pass a dict to receive {"rounds": n} — the number of
     propagation rounds actually run (bench evidence for the O(log
     diameter) claim: a 1000-diameter chain must converge in ~log₂(1000)
-    ≈ 10-12 rounds, not 1000)."""
+    ≈ 10-12 rounds, not 1000).
+
+    ``local_contract`` (round 5, default OFF): a shuffle-free
+    partition-local union-find pass first collapses each partition's
+    internal components to min-id super-vertices (``_local_contract``);
+    the loop then runs on the contracted cross-partition graph and one
+    mapping join recovers the answer.  Labels are unchanged (min-id
+    roots compose with the loop's min semantics).  Measured tradeoff on
+    the 100k-edge bench graph: rounds 10 → 6 but net wall ~15% SLOWER —
+    the relabel/recover joins and the Arrow contraction pass cost more
+    than 4 rounds save at tiny scale.  Turn it on when the graph is
+    large and partition-local structure exists (LSH pair lists bucketed
+    or sorted by doc id: most merges then happen shuffle-free and the
+    loop's per-round shuffle shrinks by the contraction ratio); leave
+    it off for small or randomly-partitioned graphs."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    mapping = None
+    if local_contract:
+        vt = pairs.schema[a_col].dataType
+        # a vertex whose edges span partitions gets one rep PER
+        # partition — canonicalize to the min rep per vertex and
+        # relabel the ORIGINAL edges by it: the quotient graph merges
+        # vertices within a G-component only (reps are members of the
+        # vertex's own component), so connectivity is exactly preserved
+        # while the vertex/edge count shrinks by the contraction ratio
+        mapping = (
+            _local_contract(e, vt)
+            .groupBy("vertex").agg(F.min("rep").alias("rep"))
+            .localCheckpoint(eager=True)
+        )
+        ma = mapping.select(F.col("vertex").alias("src"),
+                            F.col("rep").alias("__ra"))
+        mb = mapping.select(F.col("vertex").alias("dst"),
+                            F.col("rep").alias("__rb"))
+        e = (
+            e.join(ma, "src").join(mb, "dst")
+            .where(F.col("__ra") != F.col("__rb"))
+            .select(F.col("__ra").alias("src"), F.col("__rb").alias("dst"))
+        )
+        if stats is not None:
+            stats["contracted_vertices"] = mapping.select(
+                F.countDistinct("rep")).first()[0]
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
@@ -272,7 +359,18 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             f"connected_components did not converge in {max_iters} rounds"
         )
     edges.unpersist()
-    return lab.select("vertex", F.col("label").alias("component"))
+    out = lab.select("vertex", F.col("label").alias("component"))
+    if mapping is not None:
+        # recover original vertices; reps whose whole component was
+        # partition-internal never entered the loop — their rep IS the
+        # component (min id by union-find construction)
+        out = (
+            mapping.join(out.withColumnRenamed("vertex", "rep"),
+                         "rep", "left")
+            .select("vertex",
+                    F.coalesce("component", "rep").alias("component"))
+        )
+    return out
 
 
 def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
