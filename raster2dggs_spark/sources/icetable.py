@@ -188,11 +188,16 @@ class IceTable:
         return snap
 
     # -- read path ---------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Snapshot-isolated scan: reads exactly the files the current
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame:
+        """Snapshot-isolated scan: reads exactly the files the selected
         snapshot's manifests list (orphans from crashed writers are
-        invisible until committed)."""
-        snap = self.snapshot()
+        invisible until committed).  ``version`` time-travels to an
+        older snapshot (Iceberg ``VERSION AS OF`` semantics): append
+        snapshots carry the previous manifests forward, so an old
+        version reproduces exactly the rows committed then — provided
+        ``vacuum`` has not removed files newer overwrites orphaned."""
+        snap = self.snapshot(version)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         files = [os.path.join(self.root, f)

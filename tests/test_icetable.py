@@ -55,3 +55,21 @@ def test_icetable_executor_side_manifest_stats(spark, tmp_path, monkeypatch):
     strip = lambda ms: sorted(
         (m["partition"], m["row_count"]) for m in ms)
     assert strip(s1["manifests"]) == strip(snap["manifests"])
+
+
+def test_icetable_time_travel_read(spark, tmp_path):
+    """VERSION AS OF semantics: reading an older snapshot reproduces
+    exactly the rows committed then (appends carry manifests forward;
+    the new files are invisible to the old version)."""
+    from raster2dggs_spark.sources import IceTable
+    import pyspark.sql.functions as F
+
+    df = spark.range(100).withColumn("part", (F.col("id") % 2).cast("string"))
+    t = IceTable(str(tmp_path / "tt"))
+    s1 = t.write(df, "part")
+    s2 = t.write(df.where("id < 10"), "part", mode="append")
+    assert (s1["version"], s2["version"]) == (1, 2)
+    assert t.read(spark).count() == 110
+    assert t.read(spark, version=1).count() == 100
+    ids_v1 = {r["id"] for r in t.read(spark, version=1).collect()}
+    assert ids_v1 == set(range(100))
