@@ -1186,6 +1186,26 @@ def q_a5_pixel_index(spark, sf_dir):
     )
 
 
+def q_i4r_pixel_index(spark, sf_dir):
+    """Pixel indexing on the i4r grid (ISEA4R-layout icosahedral
+    aperture-4 rhombus — the reference's *4R DGGAL family semantics,
+    ref indexers/dggalrasterindexer.py:375-401) — oracle-checked
+    against an independent single-node NumPy replay
+    (.fixtures/i4r_pixel_index_16.parquet); parents are the native
+    per-axis bit-shift expression."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    imgs = images_spark_df(spark, 16, seed=42, size_range=(10, 16))
+    out = index_point_agg(imgs, res=11, dggs="i4r", agg="mean")
+    return out.select(
+        F.lower(F.hex("cell")).alias("i4r_11"),
+        F.lower(F.hex("parent")).alias("i4r_03"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
+
+
 def q_s2_pixel_index(spark, sf_dir):
     """Fully oracle-checked pixel indexing on the S2 grid: the DuckDB
     twin replays the cube-face projection, quadratic ST and the
@@ -1533,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex7_pixel_index": q_hex7_pixel_index,
         "i3h_pixel_index": q_i3h_pixel_index,
         "a5_pixel_index": q_a5_pixel_index,
+        "i4r_pixel_index": q_i4r_pixel_index,
         "s2_pixel_index": q_s2_pixel_index,
         "s2_pixel_index_full": q_s2_pixel_index_full,
         "geohash_pixel_index": q_geohash_pixel_index,
@@ -2974,6 +2995,12 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"
                               for i in range(1, 5))}
             FROM read_parquet('{_FIXDIR}/a5_pixel_index_16.parquet')
+        """,
+        "i4r_pixel_index": f"""
+            SELECT i4r_11, i4r_03, CAST(n_px AS BIGINT) AS n_px,
+                   {", ".join(f"round(band_{i}, 4) AS band_{i}"
+                              for i in range(1, 5))}
+            FROM read_parquet('{_FIXDIR}/i4r_pixel_index_16.parquet')
         """,
         "hex7_pixel_index": f"""
             SELECT hex7_09, hex7_03, CAST(n_px AS BIGINT) AS n_px,

@@ -35,7 +35,8 @@ import sys
 import time
 
 
-GRIDS = ("hex7", "h3", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5")
+GRIDS = ("hex7", "h3", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5",
+         "i4r")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -1,5 +1,6 @@
 from raster2dggs_spark.dggs import (
     a5lib,
+    i4rlib,
     geohashlib,
     h3lib,
     i3hlib,
@@ -9,13 +10,15 @@ from raster2dggs_spark.dggs import (
 )
 
 __all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "rhplib",
-           "i3hlib", "a5lib", "check_grid"]
+           "i3hlib", "a5lib", "i4rlib", "check_grid"]
 
 # i3h: aperture-3 hex (ISEA3H layout, multi-parent hierarchy) — encode/
 # cover/A17 surfaces; ids are this repo's own (see i3hlib), like hex7.
-# a5: pentagonal dodecahedron, aperture 5 then 4 (A5 layout, see a5lib)
+# a5: pentagonal dodecahedron, aperture 5 then 4 (A5 layout, see a5lib);
+# i4r: icosahedral aperture-4 rhombus (ISEA4R layout, see i4rlib)
 # — same honest own-id contract.
-GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5")
+GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5",
+         "i4r")
 
 
 def check_grid(dggs: str) -> str:

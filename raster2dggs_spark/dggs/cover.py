@@ -18,6 +18,7 @@ import numpy as np
 
 from raster2dggs_spark.dggs import (
     a5lib,
+    i4rlib,
     check_grid,
     geohashlib,
     h3lib,
@@ -33,7 +34,7 @@ def grid_lib(dggs: str):
     check_grid(dggs)
     return {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
             "maidenhead": maidenheadlib, "rhp": rhplib,
-            "i3h": i3hlib, "a5": a5lib}[dggs]
+            "i3h": i3hlib, "a5": a5lib, "i4r": i4rlib}[dggs]
 
 
 def wrap_lon(lon):
@@ -95,6 +96,8 @@ def pitch_deg(res: int, dggs: str) -> float:
         return float(np.degrees(i3hlib.cell_pitch_rad(res)))
     if dggs == "a5":
         return float(np.degrees(a5lib.cell_pitch_rad(res)))
+    if dggs == "i4r":
+        return float(np.degrees(i4rlib.cell_pitch_rad(res)))
     if dggs in ("geohash", "maidenhead"):
         return min(cell_spans(res, dggs))
     raise ValueError(dggs)
@@ -112,7 +115,7 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int,
     # round-4 battery measured ~0.25× at res ≤ 3) — sample denser
     # there; rectangle grids are exact at every res
     f = 0.35
-    if dggs in ("s2", "rhp", "i3h", "a5") and res <= 3:
+    if dggs in ("s2", "rhp", "i3h", "a5", "i4r") and res <= 3:
         f = 0.18
     step = pitch_deg(res, dggs) * f
     lat_lo = max(-90.0, lat_min - step)

@@ -28,6 +28,8 @@ def n_cells(res: int, dggs: str = "hex7") -> int:
         # 12 pentagons; aperture 5 for res 0→1, aperture 4 thereafter
         # (ref tests/regression/test_a5_cell_to_children_size.py)
         return 12 if res == 0 else 60 * 4 ** (res - 1)
+    if dggs == "i4r":
+        return 10 * 4 ** res  # 10 icosahedral diamonds, aperture 4
     return 6 * 4**res
 
 
@@ -50,6 +52,8 @@ def resolve_resolution(mode: str, mean_pixel_area_m2: float,
         max_res = min(max_res, 30)
     if dggs == "a5":
         max_res = min(max_res, 27)
+    if dggs == "i4r":
+        max_res = min(max_res, 26)
     areas = np.array([cell_area_m2_mean(r, dggs) for r in range(max_res + 1)])
     if mode == "smaller-than-pixel":
         ok = np.flatnonzero(areas <= mean_pixel_area_m2)

@@ -346,14 +346,15 @@ def hist_normalize_cell_area(hist: DataFrame, res: int, dggs: str = "hex7",
         return hist.withColumn(
             out, F.col(weight_col) / F.lit(float(rhplib.cell_area_m2(res)))
         )
-    if dggs in ("hex7", "i3h", "a5"):
+    if dggs in ("hex7", "i3h", "a5", "i4r"):
         import pandas as pd
 
         @F.pandas_udf("double")
         def area_m2(c):
-            from raster2dggs_spark.dggs import a5lib, h3lib, i3hlib
+            from raster2dggs_spark.dggs import a5lib, h3lib, i3hlib, i4rlib
 
-            lib = {"hex7": h3lib, "i3h": i3hlib, "a5": a5lib}[dggs]
+            lib = {"hex7": h3lib, "i3h": i3hlib, "a5": a5lib,
+                   "i4r": i4rlib}[dggs]
             return pd.Series(lib.cell_area_m2(c.values))
 
         return hist.withColumn(out, F.col(weight_col) / area_m2(cell_col))

@@ -119,6 +119,10 @@ def _cells_children(cells, res: int, dggs: str):
         from raster2dggs_spark.dggs import a5lib
 
         return a5lib.cell_to_children(cells).ravel()
+    if dggs == "i4r":
+        from raster2dggs_spark.dggs import i4rlib
+
+        return i4rlib.cell_to_children(cells).ravel()
     raise ValueError(f"children arithmetic not implemented for {dggs!r}")
 
 
@@ -440,6 +444,19 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "hex7",
         s = 55 if parent_res == 0 else 52 - 2 * (parent_res - 1)
         mask = (-(1 << s)) & ~(0x1F << 55)
         return (c.bitwiseAND(F.lit(mask))).bitwiseOR(F.lit(parent_res << 55))
+    if dggs == "i4r":
+        # per-axis right shift of the 26-bit row/col fields — mirrors
+        # i4rlib.cell_to_parent exactly (needs the cells' uniform res)
+        if from_res is None:
+            raise ValueError("i4r parent_expr needs from_res")
+        sh = from_res - parent_res
+        row = F.shiftrightunsigned(c, 26).bitwiseAND(F.lit(0x3FFFFFF))
+        col = c.bitwiseAND(F.lit(0x3FFFFFF))
+        head = c.bitwiseAND(F.lit(0xF << 57)).bitwiseOR(
+            F.lit(parent_res << 52))
+        return head.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(row, sh), 26)
+        ).bitwiseOR(F.shiftrightunsigned(col, sh))
     if dggs == "maidenhead":
         if from_res is None:
             raise ValueError("maidenhead parent_expr needs from_res")

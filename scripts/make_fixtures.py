@@ -285,6 +285,63 @@ def a5_pixel_index_fixture():
     print(f"a5_pixel_index_16: {len(out)} rows")
 
 
+def i4r_pixel_index_fixture():
+    """Single-node replay of the flagship pixel index on the
+    aperture-4 icosahedral-rhombus i4r grid (res 11, parents at
+    res 3 across the row/col bit fields) — the distributed one-exchange plan with the
+    NATIVE bit-arithmetic parent column must reproduce it."""
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.dggs import i4rlib
+    from raster2dggs_spark.geo import pixel_centers_lonlat
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    res, parent_res, n_bands = 11, 3, 4
+    sums: dict = {}
+    for r in generate_images_pdf(16, seed=42,
+                                 size_range=(10, 16)).itertuples(index=False):
+        arr = decode_image(r.bytes).astype(np.float64)
+        nd = r.nodata
+        if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            arr = np.where(arr == np.float32(nd), np.nan, arr)
+        k, h, w = arr.shape
+        affine = (r.affine_a, r.affine_b, r.affine_c,
+                  r.affine_d, r.affine_e, r.affine_f)
+        lon, lat = pixel_centers_lonlat(affine, w, h, r.crs)
+        vals = arr.reshape(k, h * w)
+        keep = ~np.all(np.isnan(vals), axis=0)
+        if not keep.any():
+            continue
+        lon = np.mod(lon[keep] + 180.0, 360.0) - 180.0  # wrap_lon
+        cells = i4rlib.lonlat_to_cell(lon, lat[keep], res)
+        vals = vals[:, keep]
+        for c_idx in range(cells.shape[0]):
+            key = int(cells[c_idx])
+            slot = sums.setdefault(key, [0, [0.0] * n_bands, [0] * n_bands])
+            slot[0] += 1
+            for b in range(k):
+                x = vals[b, c_idx]
+                if np.isfinite(x):
+                    slot[1][b] += x
+                    slot[2][b] += 1
+    cells = np.array(sorted(sums), dtype=np.int64)
+    parents = i4rlib.cell_to_parent(cells, parent_res)
+    rows = []
+    for key, parent in zip(cells.tolist(), parents.tolist()):
+        npx, bsum, bcnt = sums[key]
+        row = {
+            "i4r_11": format(key % (1 << 64), "x"),
+            "i4r_03": format(parent % (1 << 64), "x"),
+            "n_px": npx,
+        }
+        for b in range(n_bands):
+            row[f"band_{b + 1}"] = (bsum[b] / bcnt[b]) if bcnt[b] else None
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    out.to_parquet(os.path.join(FIXDIR, "i4r_pixel_index_16.parquet"),
+                   index=False)
+    print(f"i4r_pixel_index_16: {len(out)} rows")
+
+
 def sample_bilinear_fixture(dggs: str, res: int, fname: str,
                             n_images: int = 24, size_range=(16, 24),
                             n_bands: int = 4):
@@ -633,6 +690,7 @@ def main():
     s2_pixel_index_fixture()
     i3h_pixel_index_fixture()
     a5_pixel_index_fixture()
+    i4r_pixel_index_fixture()
     sample_bilinear_fixture("hex7", 6, "sample_bilinear_hex7_24.parquet")
     sample_bilinear_fixture("s2", 10, "sample_bilinear_s2_24.parquet")
     overlay_values_fixture()

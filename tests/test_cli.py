@@ -142,7 +142,7 @@ def test_cli_geo_per_grid_geometry(spark, tmp_path, images_path):
     assert -180 <= x < 180
 
     for grid, res in (("geohash", "4"), ("s2", "10"), ("rhp", "5"),
-                      ("i3h", "10"), ("a5", "8")):
+                      ("i3h", "10"), ("a5", "8"), ("i4r", "9")):
         out2 = str(tmp_path / f"gpoly_{grid}")
         main([grid, images_path, out2, "-r", res, "--point", "value",
               "-g", "polygon"], spark=spark)
