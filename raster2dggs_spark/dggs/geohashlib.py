@@ -121,3 +121,22 @@ def cell_pitch_deg(precision: int) -> float:
     """Approx cell height in degrees (lat extent)."""
     nlat = (5 * precision) // 2
     return 180.0 / (1 << nlat)
+
+
+def cell_area_m2(cells, radius_m: float = 6371007.1809):
+    """EXACT per-cell spherical areas: geohash cells are lon/lat
+    rectangles, so area = R² · Δλ · (sin φ_top − sin φ_bottom) —
+    closed form, per each cell's own packed precision."""
+    from raster2dggs_spark.dggs import cover
+
+    c = np.asarray(cells, dtype=np.int64)
+    lon, lat = cell_to_lonlat(c)
+    p = get_precision(c)
+    out = np.empty(c.shape[0], dtype=np.float64)
+    for pr in np.unique(p):
+        m = p == pr
+        w, h = cover.cell_spans(int(pr), "geohash")
+        top = np.radians(np.minimum(lat[m] + h / 2.0, 90.0))
+        bot = np.radians(np.maximum(lat[m] - h / 2.0, -90.0))
+        out[m] = np.radians(w) * (np.sin(top) - np.sin(bot))
+    return out * radius_m * radius_m

@@ -144,3 +144,21 @@ def strings_to_cells(strs):
             bits = bits * (b * b) + dx * b + dy
         out[i] = (bits << 4) | p
     return out
+
+
+def cell_area_m2(cells, radius_m: float = 6371007.1809):
+    """EXACT per-cell spherical areas (lon/lat rectangles):
+    R² · Δλ · (sin φ_top − sin φ_bottom) per packed precision."""
+    from raster2dggs_spark.dggs import cover
+
+    c = np.asarray(cells, dtype=np.int64)
+    lon, lat = cell_to_lonlat(c)
+    p = (c & 0xF).astype(np.int64)
+    out = np.empty(c.shape[0], dtype=np.float64)
+    for pr in np.unique(p):
+        m = p == pr
+        w, h = cover.cell_spans(int(pr), "maidenhead")
+        top = np.radians(np.minimum(lat[m] + h / 2.0, 90.0))
+        bot = np.radians(np.maximum(lat[m] - h / 2.0, -90.0))
+        out[m] = np.radians(w) * (np.sin(top) - np.sin(bot))
+    return out * radius_m * radius_m

@@ -248,3 +248,26 @@ def cell_to_boundary(cell):
     norm = np.sqrt(x * x + y * y + z * z)
     return (np.degrees(np.arctan2(y, x)),
             np.degrees(np.arcsin(z / norm)))
+
+
+def cell_area_m2(cells, radius_m: float = 6371007.1809):
+    """EXACT per-cell spherical areas: an S2 cell's four edges are
+    segments of great circles (fixed-u / fixed-v curves on a cube face
+    lie in planes through the origin), so the Van Oosterom–Strackee
+    spherical excess over the 4 corner vectors is exact (F7 parity with
+    the hex/pentagon grids' per-cell areas)."""
+    vlon, vlat = cell_to_boundary(np.asarray(cells, dtype=np.int64))
+    lam = np.radians(vlon)
+    phi = np.radians(vlat)
+    p = np.stack([np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam),
+                  np.sin(phi)], axis=-1)
+    total = np.zeros(p.shape[0], dtype=np.float64)
+    a = p[:, 0]
+    for i in range(1, 3):
+        b, c = p[:, i], p[:, i + 1]
+        num = np.einsum("ij,ij->i", a, np.cross(b, c))
+        den = (1.0 + np.einsum("ij,ij->i", a, b)
+               + np.einsum("ij,ij->i", b, c)
+               + np.einsum("ij,ij->i", c, a))
+        total += 2.0 * np.arctan2(num, den)
+    return np.abs(total) * radius_m * radius_m

@@ -336,25 +336,30 @@ def hist_normalize_cell_area(hist: DataFrame, res: int, dggs: str = "hex7",
                              cell_col: str = "cell",
                              out: str = "area_frac") -> DataFrame:
     """A11 CELL_AREA normalization: weight / cell area in m²
-    (histogram.py:135-151).  Equal-area grids (rhp) divide by the exact
-    closed-form constant — a pure native expression; hex7 computes
-    per-cell spherical areas in an Arrow UDF (areas vary ~2x across the
-    icosahedron)."""
+    (histogram.py:135-151), on EVERY grid (round 5).  Equal-area grids
+    (rhp) divide by the exact closed-form constant — a pure native
+    expression; all other grids compute per-cell spherical areas in an
+    Arrow UDF (exact: spherical excess on the great-circle-edged grids,
+    R²·Δλ·Δsinφ on the lon/lat-rectangle grids)."""
     if dggs == "rhp":
         from raster2dggs_spark.dggs import rhplib
 
         return hist.withColumn(
             out, F.col(weight_col) / F.lit(float(rhplib.cell_area_m2(res)))
         )
-    if dggs in ("hex7", "i3h", "a5", "i4r"):
+    if dggs in ("hex7", "i3h", "a5", "i4r", "s2", "geohash", "maidenhead"):
         import pandas as pd
 
         @F.pandas_udf("double")
         def area_m2(c):
-            from raster2dggs_spark.dggs import a5lib, h3lib, i3hlib, i4rlib
+            from raster2dggs_spark.dggs import (
+                a5lib, geohashlib, h3lib, i3hlib, i4rlib, maidenheadlib,
+                s2lib,
+            )
 
             lib = {"hex7": h3lib, "i3h": i3hlib, "a5": a5lib,
-                   "i4r": i4rlib}[dggs]
+                   "i4r": i4rlib, "s2": s2lib, "geohash": geohashlib,
+                   "maidenhead": maidenheadlib}[dggs]
             return pd.Series(lib.cell_area_m2(c.values))
 
         return hist.withColumn(out, F.col(weight_col) / area_m2(cell_col))

@@ -49,6 +49,31 @@ def test_hist_normalize_cell_area_hex7(spark):
     assert np.allclose(np.sort(out["area_frac"]), np.sort(exp))
 
 
+def test_hist_normalize_cell_area_every_grid(spark):
+    """Round 5: CELL_AREA normalization works on EVERY grid (the
+    reference supports it grid-generically, histogram.py:135-151) with
+    exact per-cell areas — spherical excess on great-circle-edged
+    grids, closed-form rectangles on geohash/maidenhead."""
+    from raster2dggs_spark.operators.aggregates import hist_normalize_cell_area
+    from raster2dggs_spark.dggs import (
+        a5lib, geohashlib, i4rlib, maidenheadlib, s2lib,
+    )
+
+    lon = np.array([5.0, 100.0, -170.0])
+    lat = np.array([10.0, -40.0, 75.0])
+    for dggs, lib, res in [("s2", s2lib, 8), ("geohash", geohashlib, 4),
+                           ("maidenhead", maidenheadlib, 2),
+                           ("a5", a5lib, 7), ("i4r", i4rlib, 8)]:
+        cells = lib.lonlat_to_cell(lon, lat, res)
+        df = spark.createDataFrame(
+            pd.DataFrame({"cell": cells, "weight": [1e8, 2e8, 3e8]}),
+            "cell long, weight double",
+        )
+        out = hist_normalize_cell_area(df, res=res, dggs=dggs).toPandas()
+        exp = np.array([1e8, 2e8, 3e8]) / lib.cell_area_m2(cells)
+        assert np.allclose(np.sort(out["area_frac"]), np.sort(exp)), dggs
+
+
 def test_histogram_metadata_sink(spark, tmp_path):
     from raster2dggs_spark.sources.geoparquet import write_histogram_parquet
 
