@@ -569,6 +569,22 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling composed with language-ID
+    (the corpus-balancing primitive: cap 'en' at 25%, 'fr' at 50%, keep
+    everything else) — membership is a pure md5 function of
+    (doc_id, detected language, rates), so the DuckDB twin replays
+    language detection AND the bucket threshold exactly."""
+    from raster2dggs_spark.operators.text import lang_id, stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    lang = lang_id(d, "doc_id", "text")
+    joined = d.select("doc_id").join(lang, "doc_id")
+    kept = stratified_sample(joined, "doc_id", "lang_guess",
+                             rates={"en": 0.25, "fr": 0.5})
+    return kept.select("doc_id", "lang_guess")
+
+
 def q_embedding_knn(spark, sf_dir):
     from raster2dggs_spark.operators.similarity import cosine_topk
 
@@ -1516,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "curate_docs": q_curate_docs,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1731,6 +1748,27 @@ def _hash_split_sql(buckets: int = 10_000) -> str:
                     WHEN bucket < {int(round(0.95 * buckets))} THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+
+def _stratified_sample_sql(buckets: int = 10_000) -> str:
+    """DuckDB twin of q_stratified_sample: the language CTE is the
+    lang_id twin verbatim; the keep rule replays the md5-bucket
+    threshold on doc_id ++ '|sample'."""
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) "
+        f"|| '|sample'), {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"""
+        WITH L AS ({_lang_id_sql()}),
+        b AS (SELECT doc_id, lang_guess, ({hexval}) % {buckets} AS bucket
+              FROM L)
+        SELECT doc_id, lang_guess FROM b
+        WHERE bucket < CASE lang_guess
+                         WHEN 'en' THEN {int(round(0.25 * buckets))}
+                         WHEN 'fr' THEN {int(round(0.5 * buckets))}
+                         ELSE {buckets} END
     """
 
 
@@ -2807,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_sql(32),
         "lang_id": _lang_id_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "quality_score": f"""
             WITH t AS (
               SELECT doc_id, text, length(text) AS n_chars,

@@ -183,3 +183,40 @@ def hash_split(df: DataFrame, id_col: str,
             else expr.otherwise(names[-1]))
     return df.select(F.col(id_col), bucket.alias("bucket"),
                      expr.alias("split"))
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      rates: dict[str, float], default_rate: float = 1.0,
+                      buckets: int = 10_000) -> DataFrame:
+    """Deterministic per-stratum downsampling — the training-data
+    balancing primitive (cap the head language/domain, keep the tail):
+    a row is kept iff md5-bucket(id ++ "|sample") < rate(stratum)·buckets.
+
+    Membership is a pure function of (id, stratum, rates): stable
+    across runs, engines, partitionings and TABLE GROWTH (a kept doc
+    stays kept as the corpus grows — ``sample()``/random() lack this),
+    and independent of ``hash_split``'s assignment (different hash
+    input string), so sampling composes with splitting without
+    correlation.  Pure native expressions — no shuffle, no UDF; the
+    filter pushes to the scan."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0,1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0,1]")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit("|sample"))), 1, 8),
+            16, 10,
+        ).cast("long") % buckets
+    )
+    expr = None
+    for k in sorted(rates):
+        cond = F.col(strata_col) == F.lit(k)
+        thr = F.lit(int(round(rates[k] * buckets)))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_expr = (F.lit(int(round(default_rate * buckets))) if expr is None
+                else expr.otherwise(int(round(default_rate * buckets))))
+    return df.where(bucket < thr_expr)

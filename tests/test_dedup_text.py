@@ -337,3 +337,43 @@ def test_connected_components_local_contract_equality(spark):
     assert key(a) == key(b)
     assert st_b["rounds"] <= st_a["rounds"]
     assert st_b["contracted_vertices"] <= len(a)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    """Per-stratum rates are honored (±2% at 20k rows), membership is a
+    pure function of the id (subset invariance: a kept row stays kept
+    when the corpus shrinks/grows), and sampling is independent of
+    hash_split's buckets (the joint rate factorizes)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raster2dggs_spark.operators.text import hash_split, stratified_sample
+
+    n = 20000
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        "stratum": ["en" if i % 4 else "fr" for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf)
+    kept = stratified_sample(df, "doc_id", "stratum",
+                             rates={"en": 0.2, "fr": 0.7}).toPandas()
+    frac = kept.groupby("stratum").size() / pdf.groupby("stratum").size()
+    assert abs(frac["en"] - 0.2) < 0.02
+    assert abs(frac["fr"] - 0.7) < 0.02
+
+    # subset invariance
+    sub = stratified_sample(df.where("doc_id < 5000"), "doc_id", "stratum",
+                            rates={"en": 0.2, "fr": 0.7}).toPandas()
+    assert set(sub["doc_id"]) == {d for d in kept["doc_id"] if d < 5000}
+
+    # independence from hash_split (different hash input string):
+    # P(kept & train) ≈ P(kept)·P(train)
+    splits = hash_split(df, "doc_id").toPandas()
+    j = kept.merge(splits, on="doc_id")
+    p_joint = (j["split"] == "train").mean()
+    assert abs(p_joint - 0.9) < 0.02
+
+    # default_rate keeps unlisted strata fully
+    all_kept = stratified_sample(df, "doc_id", "stratum",
+                                 rates={}).count()
+    assert all_kept == n
