@@ -1021,6 +1021,40 @@ def q_compact_cells_a5(spark, sf_dir):
     return out.select(F.col("cell").cast("long").alias("cell"), "v")
 
 
+def q_compact_cells_i4r(spark, sf_dir):
+    """A16 on the i4r rhombus quad-tree: res-2 ids constructed by pure
+    integer arithmetic (diamond<<57 | 2<<52 | row<<26 | col) with a
+    data-derived per-diamond value; diamonds 0-7 emit all 16 res-2
+    cells (must merge 4-ary twice to the diamond), diamonds 8-9 drop
+    cell (3,3) (one res-1 quad stays partial).  compact→uncompact must
+    return exactly the constructed set."""
+    from raster2dggs_spark.operators.compaction import (
+        compact_cells, uncompact_cells,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dv = li.groupBy((F.col("l_orderkey") % 10).alias("d")).agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("v"))
+    k = (
+        dv.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("c2", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .where(~((F.col("d") >= 8) & (F.col("r") == 3)
+                 & (F.col("c2") == 3)))
+    )
+    cell = (
+        F.shiftleft(F.col("d").cast("long"), 57)
+        .bitwiseOR(F.lit(2 << 52))
+        .bitwiseOR(F.shiftleft(F.col("r").cast("long"), 26))
+        .bitwiseOR(F.col("c2").cast("long"))
+    )
+    df = k.select(cell.alias("cell"), "v")
+    out = uncompact_cells(
+        compact_cells(df, ["v"], res=2, min_res=0, dggs="i4r"),
+        res=2, dggs="i4r",
+    )
+    return out.select(F.col("cell").cast("long").alias("cell"), "v")
+
+
 def q_image_thumbnails(spark, sf_dir):
     """Multimodal resize stage, oracle-checked: 8x8 NN thumbnails of
     band 1, floor-quantized to 1/16 and emitted as a joined-int string
@@ -1566,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells": q_compact_cells,
         "compact_cells_geohash": q_compact_cells_geohash,
         "compact_cells_a5": q_compact_cells_a5,
+        "compact_cells_i4r": q_compact_cells_i4r,
         "compact_cells_3h": q_compact_cells_3h,
         "hex7_pixel_index": q_hex7_pixel_index,
         "i3h_pixel_index": q_i3h_pixel_index,
@@ -3013,6 +3048,21 @@ def oracle_sql() -> dict[str, str]:
                             THEN (1::BIGINT << 62) ELSE 0 END
                      - CASE WHEN face >= 8
                             THEN (1::BIGINT << 62) ELSE 0 END
+                   AS BIGINT) AS cell, v
+            FROM g
+        """,
+        "compact_cells_i4r": """
+            WITH dv AS (SELECT l_orderkey % 10 AS d,
+                               round(sum(l_extendedprice), 4) AS v
+                        FROM lineitem GROUP BY 1),
+            g AS (SELECT d, v, t1.r AS r, t2.c2 AS c2
+                  FROM dv,
+                       (SELECT unnest([0,1,2,3]) AS r) t1,
+                       (SELECT unnest([0,1,2,3]) AS c2) t2
+                  WHERE NOT (d >= 8 AND t1.r = 3 AND t2.c2 = 3))
+            SELECT CAST(
+                     d * (1::BIGINT << 57) + (2::BIGINT << 52)
+                     + r * (1::BIGINT << 26) + c2
                    AS BIGINT) AS cell, v
             FROM g
         """,
