@@ -441,6 +441,32 @@ def q_knn_join_geohash(spark, sf_dir):
     return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_pip_join_a5(spark, sf_dir):
+    """J5 on the round-5 pentagonal grid: cover cells + ray-cast
+    refinement routed through a5 triangles; exact point membership is
+    grid-independent, so the hex7 BETWEEN oracle applies verbatim —
+    this guards the a5 children/cover arithmetic inside the
+    hierarchical polygon descent end-to-end against DuckDB geometry."""
+    from raster2dggs_spark.operators.joins import point_in_polygon_join
+
+    pts = _customer_points(spark, sf_dir)
+    zones = _nation_rects(spark, sf_dir)
+    out = point_in_polygon_join(pts, zones, res=5, dggs="a5")
+    return out.select("point_id", "poly_id")
+
+
+def q_knn_join_i4r(spark, sf_dir):
+    """J6 on the round-5 rhombus grid: disk covers and native per-axis
+    bitwise parents on i4r cells; exact haversine top-k is
+    grid-independent, so the hex7 oracle applies verbatim."""
+    from raster2dggs_spark.operators.joins import knn_join
+
+    q = _customer_points(spark, sf_dir).withColumnRenamed("point_id", "q_id")
+    t = _supplier_points(spark, sf_dir)
+    out = knn_join(q, t, k=3, radius_m=1_500_000.0, res=10, dggs="i4r")
+    return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline family (documents / embeddings tables)
 # --------------------------------------------------------------------------
@@ -1551,8 +1577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_window": q_topk_window,
         "pip_join": q_pip_join,
         "pip_join_geohash": q_pip_join_geohash,
+        "pip_join_a5": q_pip_join_a5,
         "knn_join": q_knn_join,
         "knn_join_geohash": q_knn_join_geohash,
+        "knn_join_i4r": q_knn_join_i4r,
         "zonal_join": q_zonal_join,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh": q_minhash_lsh,
@@ -3288,6 +3316,8 @@ def oracle_sql() -> dict[str, str]:
     # apply verbatim to the geohash-routed variants
     out["pip_join_geohash"] = out["pip_join"]
     out["knn_join_geohash"] = out["knn_join"]
+    out["pip_join_a5"] = out["pip_join"]
+    out["knn_join_i4r"] = out["knn_join"]
     # both sample_points strategies define identical semantics — the
     # join (scale) strategy must match the same closed-form ramp oracle
     out["sample_points_join"] = out["sample_points_bilinear"]
