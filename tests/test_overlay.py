@@ -176,3 +176,25 @@ def test_api_overlay_list_multiband_route(spark):
     cols = set(out.columns)
     assert "values_b1" in cols and "values_b2" in cols
     assert out.count() > 0
+
+
+def test_overlay_mass_conservation_grid_independent(spark):
+    """The overlay machinery is grid-generic: mass_sum conserves the
+    raster total EXACTLY and identically on every grid (the
+    coverage-fraction partition sums to 1 per pixel regardless of the
+    cell lattice) — pinned on the round-5 grids vs hex7."""
+    import pyspark.sql.functions as F
+
+    from raster2dggs_spark.operators.overlay import overlay_agg
+    from raster2dggs_spark.sources import images_spark_df
+
+    imgs = images_spark_df(spark, 8, seed=42, size_range=(10, 14))
+    masses = {}
+    for dggs, res in (("hex7", 7), ("a5", 8), ("i4r", 9)):
+        out = overlay_agg(imgs, res=res, op="mass_sum", dggs=dggs,
+                          n_bands=4)
+        r = out.agg(F.sum("band_1").alias("m")).collect()[0]
+        masses[dggs] = r["m"]
+    import numpy as np
+    vals = list(masses.values())
+    assert np.allclose(vals, vals[0], rtol=1e-9), masses
