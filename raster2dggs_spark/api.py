@@ -301,11 +301,11 @@ def index_raster(
         if cols:
             out = round_decimals(out, cols, decimals)
     if compact:
-        if dggs not in ("hex7", "s2", "geohash", "rhp", "i3h", "a5"):
+        if dggs not in ("hex7", "s2", "geohash", "rhp", "i3h", "a5", "i4r"):
             raise ValueError(
                 "compact=True needs an id-arithmetic hierarchy "
-                "(hex7/s2/geohash/rhp/i3h/a5; maidenhead mixes 10/24-ary "
-                "levels)"
+                "(hex7/s2/geohash/rhp/i3h/a5/i4r; maidenhead mixes "
+                "10/24-ary levels)"
             )
         from raster2dggs_spark.operators.compaction import (
             compact_cells, compact_cells_3h,

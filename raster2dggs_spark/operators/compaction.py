@@ -145,8 +145,6 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
         """Aperture 5-then-4: append base-4 digits below the existing
         MSB-aligned field (and enumerate the 5 quintants when expanding
         a res-0 pentagon)."""
-        from raster2dggs_spark.dggs import a5lib
-
         base = (group & ~(np.int64(0x1F) << np.int64(55))) | np.int64(
             res << 55)
         shift = np.int64(52 - 2 * (res - 1)) if res >= 2 else np.int64(52)

@@ -276,6 +276,7 @@ def sample_points(
     lat_col: str = "lat",
     strategy: str = "auto",
     broadcast_threshold: int = 64,
+    force: bool = False,
 ) -> DataFrame:
     """Interpolate raster values at arbitrary lon/lat points (the vector-
     point extraction twin of ``sample_cells`` — same kernels, same
@@ -306,6 +307,17 @@ def sample_points(
     if strategy == "auto":
         n = _prune(images).limit(broadcast_threshold + 1).count()
         strategy = "collect" if n <= broadcast_threshold else "join"
+    elif strategy == "collect" and not force:
+        # hard guard (round-5 VERDICT #6): the collect path ships decoded
+        # payloads in a UDF closure — refuse a forced collect on a big
+        # image table instead of quietly OOMing the driver
+        n = _prune(images).limit(broadcast_threshold + 1).count()
+        if n > broadcast_threshold:
+            raise ValueError(
+                f"strategy='collect' on >{broadcast_threshold} images "
+                "would ship all payloads through the driver; use "
+                "strategy='join' (the scale path) or pass force=True"
+            )
     if strategy == "join":
         return _sample_points_join(
             images, points, kernel, n_bands, id_col, lon_col, lat_col

@@ -38,24 +38,30 @@ class SparkPhaseProfiler:
     def _snapshot(self) -> dict[int, tuple[int, int, int]]:
         """stage_id → (executorRunTime ms, executorCpuTime ns, tasks)
         for every stage of every job in the default group so far."""
-        sc = self.spark.sparkContext
-        tracker = sc.statusTracker()
-        store = sc._jsc.sc().statusStore()
         out: dict[int, tuple[int, int, int]] = {}
-        for jid in tracker.getJobIdsForGroup(None):
-            ji = tracker.getJobInfo(jid)
-            if ji is None:
-                continue
-            for sid in ji.stageIds:
-                if sid in out:
+        try:
+            sc = self.spark.sparkContext
+            tracker = sc.statusTracker()
+            store = sc._jsc.sc().statusStore()
+            for jid in tracker.getJobIdsForGroup(None):
+                ji = tracker.getJobInfo(jid)
+                if ji is None:
                     continue
-                try:
-                    s = store.lastStageAttempt(sid)
-                except Exception:  # stage evicted / not yet submitted
-                    continue
-                out[sid] = (int(s.executorRunTime()),
-                            int(s.executorCpuTime()),
-                            int(s.numCompleteTasks()))
+                for sid in ji.stageIds:
+                    if sid in out:
+                        continue
+                    try:
+                        s = store.lastStageAttempt(sid)
+                    except Exception:  # stage evicted / not yet submitted
+                        continue
+                    out[sid] = (int(s.executorRunTime()),
+                                int(s.executorCpuTime()),
+                                int(s.numCompleteTasks()))
+        except Exception:
+            # statusStore() reaches private JVM internals; on a Spark that
+            # moves them, degrade to wall-clock-only phases rather than
+            # crashing the whole --profile run (round-5 ADVICE)
+            return {}
         return out
 
     @contextmanager

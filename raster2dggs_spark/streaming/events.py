@@ -125,9 +125,11 @@ def zonal_windowed_event_stats(events: DataFrame, zone_cells: DataFrame,
     if max_broadcast_cover is None:
         z = F.broadcast(zone_cells)
     else:
-        # default level (memory-and-disk, deserialized) so a caller who
-        # already persisted the cover doesn't hit a level conflict
-        zc = zone_cells.persist()
+        # eager localCheckpoint instead of a bare persist: zone_cells is
+        # batch-static, so this materializes once, truncates lineage, and
+        # is GC-cleaned with the DataFrame — no cache leak across repeated
+        # query setups in a long-lived session (round-5 ADVICE)
+        zc = zone_cells.localCheckpoint(eager=True)
         n = zc.limit(max_broadcast_cover + 1).count()
         z = F.broadcast(zc) if n <= max_broadcast_cover else zc
     j = e.join(z, "cell")

@@ -125,7 +125,8 @@ def test_sample_points_join_path_matches_collect(spark):
     })
     pdf = spark.createDataFrame(pts)
 
-    a = (sample_points(imgs, pdf, kernel="bilinear", strategy="collect")
+    a = (sample_points(imgs, pdf, kernel="bilinear", strategy="collect",
+                       force=True)
          .toPandas().sort_values("point_id").reset_index(drop=True))
     b = (sample_points(imgs, pdf, kernel="bilinear", strategy="join")
          .toPandas().sort_values("point_id").reset_index(drop=True))
@@ -169,6 +170,29 @@ def test_sample_points_auto_picks_join_for_big_tables(spark):
     finally:
         sample_mod._sample_points_join = orig
     assert called["join"]
+
+
+def test_sample_points_collect_refused_on_big_table(spark):
+    """Forced strategy='collect' above the threshold must be refused
+    unless force=True (the driver-OOM hard guard)."""
+    from raster2dggs_spark.operators.sample import sample_points
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_images_pdf,
+    )
+    import pandas as pd
+
+    imgs = spark.createDataFrame(
+        generate_images_pdf(80, seed=5, size_range=(8, 10)), IMAGE_SCHEMA
+    )
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": [0, 1], "lon": [0.5, 3.0], "lat": [0.5, 3.0]
+    }))
+    with pytest.raises(ValueError, match="force=True"):
+        sample_points(imgs, pts, strategy="collect", broadcast_threshold=64)
+    # the explicit override still works and returns every point row
+    out = sample_points(imgs, pts, strategy="collect",
+                        broadcast_threshold=64, force=True)
+    assert out.count() == 2
 
 
 def test_sample_antimeridian_tile(spark):
