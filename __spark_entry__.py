@@ -1554,6 +1554,77 @@ def q_maidenhead_pixel_median(spark, sf_dir):
 # registry
 # --------------------------------------------------------------------------
 
+def q_geotiff_pixel_index(spark, sf_dir):
+    """REAL-RASTER fidelity loop (round 6): the reference's own test
+    GeoTIFF (/root/reference/tests/data/se-island.tiff — ZSTD 256x256
+    tiles, 32-bit horizontal predictor, float32, EPSG:3793 Chatham TM)
+    is ingested through the distributed window plan (per-tile byte
+    ranges, shifted window affines, executor-side decode) and indexed at
+    hex7 res 11.  Oracle: a single-node FULL-FRAME replay pinned in
+    .fixtures/geotiff_pixel_index.parquet (whole-raster decode + Krüger
+    TM inverse + per-pixel encode — no Spark, no windowing); decode
+    itself is pinned bit-exact against GDAL's statistics in
+    tests/test_geotiff.py, stage-1 row count 74,888 pinned per the
+    reference's README regression (/root/reference/README.md:476-478)."""
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.sources.geotiff import read_geotiff
+
+    imgs = read_geotiff(spark, "/root/reference/tests/data/se-island.tiff")
+    out = index_point_agg(imgs, res=11, parent_res=5, agg="mean", n_bands=3)
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_11"),
+        F.lower(F.hex("parent")).alias("hex7_05"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 4)],
+    )
+
+
+def q_utm_pixel_index(spark, sf_dir):
+    """Transverse Mercator CRS gate (round 6): ramp tiles georeferenced
+    in four TM grids (UTM 10N, UTM 18S, NZTM 2193, Chatham 3793 —
+    reference capability: any-CRS via pyproj, common.py:803-813) run the
+    full meters-affine → Krüger inverse → hex7 encode pipeline.  Oracle:
+    single-node replay fixture; the TM math itself is pinned
+    independently in tests/test_geo.py (round-trip <1e-11°, meridian-arc
+    quadrature, Redfearn cross-series <1mm)."""
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_tm_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_tm_images_pdf(16, seed=42),
+                                 IMAGE_SCHEMA)
+    out = index_point_agg(imgs, res=9, parent_res=3, agg="mean", n_bands=1)
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_09"),
+        F.lower(F.hex("parent")).alias("hex7_03"),
+        F.col("npx").cast("long").alias("n_px"),
+        _r4("band_1").alias("band_1"),
+    )
+
+
+def q_sample_points_lanczos(spark, sf_dir):
+    """Lanczos-3 point sampling, fully oracle-checked (round 6 — closes
+    the last kernel without a relational oracle): on a separable linear
+    ramp v = 64r + c with all 36 taps valid, the renormalized windowed
+    sinc factorizes into per-axis effective coordinates, which the
+    DuckDB twin recomputes from the same sinc formula.  Points sit
+    >=3 px from every edge."""
+    from raster2dggs_spark.operators.sample import sample_points
+
+    imgs = _ramp_images(spark).where("image_id = 'ramp_00'")
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        (F.lit(10.0037) + ((F.col("c_custkey") * 43) % 500 + 60) / 1000.0)
+        .cast("double").alias("lon"),
+        (F.lit(50.0041) - ((F.col("c_custkey") * 61) % 340 + 60) / 1000.0)
+        .cast("double").alias("lat"),
+    )
+    out = sample_points(imgs, pts, kernel="lanczos")
+    return out.select("point_id", _r4("band_1").alias("v"))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_mean_sum_count": q_agg_mean_sum_count,
@@ -1637,6 +1708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pixel_index": q_s2_pixel_index,
         "s2_pixel_index_full": q_s2_pixel_index_full,
         "geohash_pixel_index": q_geohash_pixel_index,
+        "geotiff_pixel_index": q_geotiff_pixel_index,
+        "utm_pixel_index": q_utm_pixel_index,
+        "sample_points_lanczos": q_sample_points_lanczos,
     }
 
 
@@ -3124,6 +3198,48 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"
                               for i in range(1, 5))}
             FROM read_parquet('{_FIXDIR}/hex7_pixel_index_64.parquet')
+        """,
+        "geotiff_pixel_index": f"""
+            SELECT hex7_11, hex7_05, CAST(n_px AS BIGINT) AS n_px,
+                   {", ".join(f"round(band_{i}, 4) AS band_{i}"
+                              for i in range(1, 4))}
+            FROM read_parquet('{_FIXDIR}/geotiff_pixel_index.parquet')
+        """,
+        "utm_pixel_index": f"""
+            SELECT hex7_09, hex7_03, CAST(n_px AS BIGINT) AS n_px,
+                   round(band_1, 4) AS band_1
+            FROM read_parquet('{_FIXDIR}/utm_pixel_index_16.parquet')
+        """,
+        "sample_points_lanczos": """
+            WITH p AS (
+              SELECT c_custkey AS point_id,
+                     (((c_custkey * 43) % 500 + 60) / 1000.0) / 0.013 - 0.5
+                         AS col_f,
+                     (((c_custkey * 61) % 340 + 60) / 1000.0) / 0.013 - 0.5
+                         AS row_f
+              FROM customer),
+            ks AS (SELECT range AS k FROM range(-2, 4)),
+            wgt AS (
+              SELECT point_id, col_f, row_f, k,
+                     CASE WHEN abs(col_f - floor(col_f) - k) < 1e-12 THEN 1.0
+                          ELSE sin(pi()*(col_f - floor(col_f) - k))
+                               / (pi()*(col_f - floor(col_f) - k))
+                             * sin(pi()*(col_f - floor(col_f) - k)/3)
+                               / (pi()*(col_f - floor(col_f) - k)/3)
+                     END AS wx,
+                     CASE WHEN abs(row_f - floor(row_f) - k) < 1e-12 THEN 1.0
+                          ELSE sin(pi()*(row_f - floor(row_f) - k))
+                               / (pi()*(row_f - floor(row_f) - k))
+                             * sin(pi()*(row_f - floor(row_f) - k)/3)
+                               / (pi()*(row_f - floor(row_f) - k)/3)
+                     END AS wy
+              FROM p CROSS JOIN ks),
+            eff AS (
+              SELECT point_id,
+                     max(floor(col_f)) + sum(wx * k) / sum(wx) AS col_eff,
+                     max(floor(row_f)) + sum(wy * k) / sum(wy) AS row_eff
+              FROM wgt GROUP BY point_id)
+            SELECT point_id, round(row_eff * 64 + col_eff, 4) AS v FROM eff
         """,
         "overlay_list": f"""
             WITH v AS (SELECT * FROM

@@ -45,12 +45,12 @@ def _mean_pixel_area_m2(images: DataFrame) -> float:
         F.col("crs"), F.col("affine_f"),
     ).select(
         F.when(
-            F.col("crs") == "EPSG:3857", F.col("pa")
-        ).otherwise(
-            # deg² → m² with the cos(lat) shrink at the tile anchor
+            # deg² → m² with the cos(lat) shrink at the tile anchor;
+            # projected CRS (3857 / TM family) are already meters²
+            F.col("crs") == "EPSG:4326",
             F.col("pa") * (111_195.0 ** 2)
             * F.cos(F.radians(F.least(F.abs("affine_f"), F.lit(89.0))))
-        ).alias("pa_m2")
+        ).otherwise(F.col("pa")).alias("pa_m2")
     ).agg(F.avg("pa_m2").alias("m")).collect()
     if m[0]["m"] is None:
         raise ValueError(
@@ -301,11 +301,12 @@ def index_raster(
         if cols:
             out = round_decimals(out, cols, decimals)
     if compact:
-        if dggs not in ("hex7", "s2", "geohash", "rhp", "i3h", "a5", "i4r"):
+        if dggs not in ("hex7", "s2", "geohash", "rhp", "i3h", "a5",
+                        "i4r", "i9r"):
             raise ValueError(
                 "compact=True needs an id-arithmetic hierarchy "
-                "(hex7/s2/geohash/rhp/i3h/a5/i4r; maidenhead mixes "
-                "10/24-ary levels)"
+                "(hex7/s2/geohash/rhp/i3h/a5/i4r/i9r; maidenhead "
+                "mixes 10/24-ary levels)"
             )
         from raster2dggs_spark.operators.compaction import (
             compact_cells, compact_cells_3h,

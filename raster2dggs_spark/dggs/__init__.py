@@ -1,6 +1,7 @@
 from raster2dggs_spark.dggs import (
     a5lib,
     i4rlib,
+    i9rlib,
     geohashlib,
     h3lib,
     i3hlib,
@@ -10,15 +11,16 @@ from raster2dggs_spark.dggs import (
 )
 
 __all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "rhplib",
-           "i3hlib", "a5lib", "i4rlib", "check_grid"]
+           "i3hlib", "a5lib", "i4rlib", "i9rlib", "check_grid"]
 
 # i3h: aperture-3 hex (ISEA3H layout, multi-parent hierarchy) — encode/
 # cover/A17 surfaces; ids are this repo's own (see i3hlib), like hex7.
 # a5: pentagonal dodecahedron, aperture 5 then 4 (A5 layout, see a5lib);
 # i4r: icosahedral aperture-4 rhombus (ISEA4R layout, see i4rlib)
-# — same honest own-id contract.
+# i9r: the aperture-9 sibling on the same 10-diamond layout (ISEA9R,
+# see i9rlib) — same honest own-id contract.
 GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5",
-         "i4r")
+         "i4r", "i9r")
 
 
 def check_grid(dggs: str) -> str:

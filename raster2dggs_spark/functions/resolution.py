@@ -30,6 +30,8 @@ def n_cells(res: int, dggs: str = "hex7") -> int:
         return 12 if res == 0 else 60 * 4 ** (res - 1)
     if dggs == "i4r":
         return 10 * 4 ** res  # 10 icosahedral diamonds, aperture 4
+    if dggs == "i9r":
+        return 10 * 9 ** res  # same diamonds, aperture 9
     return 6 * 4**res
 
 
@@ -54,6 +56,8 @@ def resolve_resolution(mode: str, mean_pixel_area_m2: float,
         max_res = min(max_res, 27)
     if dggs == "i4r":
         max_res = min(max_res, 26)
+    if dggs == "i9r":
+        max_res = min(max_res, 16)
     areas = np.array([cell_area_m2_mean(r, dggs) for r in range(max_res + 1)])
     if mode == "smaller-than-pixel":
         ok = np.flatnonzero(areas <= mean_pixel_area_m2)

@@ -6,6 +6,9 @@ from raster2dggs_spark.geo.affine import (
 from raster2dggs_spark.geo.crs import (
     mercator_to_lonlat,
     lonlat_to_mercator,
+    to_lonlat,
+    from_lonlat,
+    tm_for_epsg,
     haversine_m,
     geodesic_row_areas_m2,
     EARTH_RADIUS_M,
@@ -17,6 +20,9 @@ __all__ = [
     "invert_affine",
     "mercator_to_lonlat",
     "lonlat_to_mercator",
+    "to_lonlat",
+    "from_lonlat",
+    "tm_for_epsg",
     "haversine_m",
     "geodesic_row_areas_m2",
     "EARTH_RADIUS_M",

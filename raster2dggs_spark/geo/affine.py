@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from raster2dggs_spark.geo.crs import mercator_to_lonlat
+from raster2dggs_spark.geo.crs import mercator_to_lonlat, to_lonlat
 
 
 def apply_affine(affine, cols: np.ndarray, rows: np.ndarray):
@@ -47,14 +47,11 @@ def pixel_centers_lonlat(affine, w: int, h: int, crs: str):
     """lon/lat (degrees, WGS84) of every pixel centre, row-major flattened.
 
     Returns (lon, lat) float64 arrays of length w*h. ``crs`` is
-    ``"EPSG:4326"`` (affine already yields degrees) or ``"EPSG:3857"``
-    (affine yields Web-Mercator meters, converted here).
+    ``"EPSG:4326"`` (affine already yields degrees), ``"EPSG:3857"``
+    (Web-Mercator meters) or any TM-family code ``geo.crs.to_lonlat``
+    knows (UTM 326xx/327xx, NZTM 2193, Chatham 3793).
     """
     cols = np.tile(np.arange(w, dtype=np.float64) + 0.5, h)
     rows = np.repeat(np.arange(h, dtype=np.float64) + 0.5, w)
     x, y = apply_affine(affine, cols, rows)
-    if crs == "EPSG:4326":
-        return x, y
-    if crs == "EPSG:3857":
-        return mercator_to_lonlat(x, y)
-    raise ValueError(f"unsupported crs {crs!r} (offline build supports 4326/3857)")
+    return to_lonlat(x, y, crs)

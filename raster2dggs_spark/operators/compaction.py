@@ -36,7 +36,7 @@ def compact_cells(df: DataFrame, value_cols: list[str], res: int,
     rhp (9-ary), a5 (4-ary, 5-ary at the res 1→0 level — the
     aperture-5-then-4 schedule) — parent derivation stays native
     bit/int arithmetic (joins.parent_expr), zero Python in the loop."""
-    if dggs not in ("hex7", "s2", "geohash", "rhp", "a5", "i4r"):
+    if dggs not in ("hex7", "s2", "geohash", "rhp", "a5", "i4r", "i9r"):
         raise ValueError(
             f"compact: no hierarchy arithmetic for {dggs!r} "
             "(maidenhead mixes 10/24-ary per level)"
@@ -45,7 +45,8 @@ def compact_cells(df: DataFrame, value_cols: list[str], res: int,
     def children_at(parent_res: int) -> int:
         if dggs == "a5":
             return 5 if parent_res == 0 else 4
-        return {"hex7": 7, "s2": 4, "geohash": 32, "rhp": 9, "i4r": 4}[dggs]
+        return {"hex7": 7, "s2": 4, "geohash": 32, "rhp": 9, "i4r": 4,
+                "i9r": 9}[dggs]
     out_parts: list[DataFrame] = []
     cur = df
     for r in range(res, min_res, -1):
@@ -172,9 +173,25 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
                 | np.int64(res << 52)
                 | (rows << np.int64(26)) | cols)
 
+    def _expand_i9r(group: np.ndarray, r_cur: int) -> np.ndarray:
+        """Aperture-9 rhombus: per-axis base-3 digit append."""
+        depth = res - r_cur
+        side = 3 ** depth
+        d = (group >> np.int64(57)) & np.int64(0xF)
+        row = (group >> np.int64(26)) & np.int64(0x3FFFFFF)
+        col = group & np.int64(0x3FFFFFF)
+        dr = np.repeat(np.arange(side, dtype=np.int64), side)
+        dc = np.tile(np.arange(side, dtype=np.int64), side)
+        rows = row[:, None] * np.int64(side) + dr[None, :]
+        cols = col[:, None] * np.int64(side) + dc[None, :]
+        return ((d[:, None] << np.int64(57))
+                | np.int64(res << 52)
+                | (rows << np.int64(26)) | cols)
+
     expanders = {"hex7": _expand_hex7, "s2": _expand_s2,
                  "geohash": _expand_geohash, "rhp": _expand_rhp,
-                 "a5": _expand_a5, "i4r": _expand_i4r}
+                 "a5": _expand_a5, "i4r": _expand_i4r,
+                 "i9r": _expand_i9r}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from raster2dggs_spark.dggs import h3lib, s2lib
@@ -189,7 +206,7 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
                 cr = s2lib.cell_level(cells)
             elif dggs == "a5":
                 cr = (np.asarray(cells, dtype=np.int64) >> 55) & 0x1F
-            elif dggs == "i4r":
+            elif dggs in ("i4r", "i9r"):
                 cr = (np.asarray(cells, dtype=np.int64) >> 52) & 0x1F
             else:  # geohash/rhp: packed res nibble
                 cr = (np.asarray(cells, dtype=np.int64) & 0xF)

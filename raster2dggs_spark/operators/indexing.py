@@ -173,7 +173,8 @@ def default_parent_res(res: int, dggs: str = "hex7") -> int:
     (7^6≈117K), S2 offset 8 (4^8=65K), geohash offset 3 (32^3=33K)."""
     floor = 1 if dggs in ("geohash", "maidenhead") else 0
     off = {"hex7": 6, "s2": 8, "geohash": 3, "maidenhead": 2, "rhp": 5,
-           "i3h": 10, "a5": 8, "i4r": 8}[dggs]  # 3^10≈59K; 4^8=65K subcells
+           "i3h": 10, "a5": 8, "i4r": 8,
+           "i9r": 5}[dggs]  # 3^10≈59K; 4^8=65K; 9^5≈59K subcells
     return max(floor, res - off)
 
 

@@ -457,6 +457,20 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "hex7",
         return head.bitwiseOR(
             F.shiftleft(F.shiftrightunsigned(row, sh), 26)
         ).bitwiseOR(F.shiftrightunsigned(col, sh))
+    if dggs == "i9r":
+        # per-axis floor-div of the 26-bit row/col fields by 3^k —
+        # mirrors i9rlib.cell_to_parent; values < 2^26 so the double
+        # floor-div is exact (rhp precedent)
+        if from_res is None:
+            raise ValueError("i9r parent_expr needs from_res")
+        div = 3 ** (from_res - parent_res)
+        row = F.shiftrightunsigned(c, 26).bitwiseAND(F.lit(0x3FFFFFF))
+        col = c.bitwiseAND(F.lit(0x3FFFFFF))
+        head = c.bitwiseAND(F.lit(0xF << 57)).bitwiseOR(
+            F.lit(parent_res << 52))
+        return head.bitwiseOR(
+            F.shiftleft(F.floor(row / F.lit(div)).cast("long"), 26)
+        ).bitwiseOR(F.floor(col / F.lit(div)).cast("long"))
     if dggs == "maidenhead":
         if from_res is None:
             raise ValueError("maidenhead parent_expr needs from_res")

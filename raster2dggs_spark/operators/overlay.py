@@ -52,7 +52,7 @@ OPS = ("weighted_mean", "weighted_sum", "mass_sum", "fractions", "mode")
 def _subsample_grid(affine, w, h, crs, s):
     """lon/lat of all w*h*s*s subsample centres + parent-pixel index."""
     from raster2dggs_spark.geo.affine import apply_affine
-    from raster2dggs_spark.geo.crs import mercator_to_lonlat
+    from raster2dggs_spark.geo.crs import to_lonlat
 
     step = 1.0 / s
     offs = (np.arange(s) + 0.5) * step
@@ -61,10 +61,7 @@ def _subsample_grid(affine, w, h, crs, s):
     cgrid = np.tile(cols, h * s)
     rgrid = np.repeat(rows, w * s)
     x, y = apply_affine(affine, cgrid, rgrid)
-    if crs == "EPSG:3857":
-        lon, lat = mercator_to_lonlat(x, y)
-    else:
-        lon, lat = x, y
+    lon, lat = to_lonlat(x, y, crs)
     # parent pixel (row-major) per subsample
     pc = np.tile(np.repeat(np.arange(w), s), h * s)
     pr = np.repeat(np.repeat(np.arange(h), s), w * s)
@@ -74,12 +71,10 @@ def _subsample_grid(affine, w, h, crs, s):
 
 def _to_lonlat(affine, cgrid, rgrid, crs):
     from raster2dggs_spark.geo.affine import apply_affine
-    from raster2dggs_spark.geo.crs import mercator_to_lonlat
+    from raster2dggs_spark.geo.crs import to_lonlat
 
     x, y = apply_affine(affine, cgrid, rgrid)
-    if crs == "EPSG:3857":
-        return mercator_to_lonlat(x, y)
-    return x, y
+    return to_lonlat(x, y, crs)
 
 
 def _coverage_samples(affine, w, h, crs, s, res, dggs):
@@ -107,7 +102,7 @@ def _coverage_samples(affine, w, h, crs, s, res, dggs):
 
     pitch = cover.pitch_deg(res, dggs)
     px_deg = max(abs(affine[0]), abs(affine[4]))
-    if crs == "EPSG:3857":
+    if crs != "EPSG:4326":
         px_deg = px_deg / 111_195.0
     if s == 1 or px_deg > 0.25 * pitch:
         lon, lat, pix = _subsample_grid(affine, w, h, crs, s)

@@ -145,8 +145,8 @@ def sample_cells(
         from raster2dggs_spark.geo import (
             apply_affine,
             invert_affine,
-            lonlat_to_mercator,
-            mercator_to_lonlat,
+            from_lonlat,
+            to_lonlat,
         )
 
         for pdf in batches:
@@ -159,10 +159,7 @@ def sample_cells(
                 cs = np.array([0.0, w, 0.0, w])
                 rs = np.array([0.0, 0.0, h, h])
                 x, y = apply_affine(affine, cs, rs)
-                if row.crs == "EPSG:3857":
-                    lons, lats = mercator_to_lonlat(x, y)
-                else:
-                    lons, lats = x, y
+                lons, lats = to_lonlat(x, y, row.crs)
                 # cover the tile bbox in bounded pieces: an extent too
                 # large for one sampling pass is SPLIT (half-open bbox
                 # halves partition the center-in-bbox set exactly — no
@@ -198,10 +195,10 @@ def sample_cells(
                 # drops every far-seam cell (F14)
                 mid = 0.5 * (lons.min() + lons.max())
                 clon = clon + 360.0 * np.round((mid - clon) / 360.0)
-                if row.crs == "EPSG:3857":
-                    cx, cy = lonlat_to_mercator(clon, clat)
-                else:
+                if row.crs == "EPSG:4326":
                     cx, cy = clon, clat
+                else:
+                    cx, cy = from_lonlat(clon, clat, row.crs)
                 inv = invert_affine(affine)
                 col_p, row_p = apply_affine(inv, cx, cy)
                 # fractional pixel coords, centre registration (-0.5)
@@ -248,8 +245,8 @@ def _tile_extent_deg(images: DataFrame) -> float | None:
         ).alias("ext"),
         F.col("crs"),
     ).select(
-        F.when(F.col("crs") == "EPSG:3857", F.col("ext") / 111_195.0)
-        .otherwise(F.col("ext")).alias("ext_deg")
+        F.when(F.col("crs") == "EPSG:4326", F.col("ext"))
+        .otherwise(F.col("ext") / 111_195.0).alias("ext_deg")
     ).agg(F.max("ext_deg").alias("m")).collect()
     return None if m[0]["m"] is None else float(m[0]["m"])
 
@@ -339,7 +336,7 @@ def sample_points(
         from raster2dggs_spark.geo import (
             apply_affine,
             invert_affine,
-            lonlat_to_mercator,
+            from_lonlat,
         )
 
         decoded = []  # (image_id, row, arr) lazily decoded once per task
@@ -359,14 +356,14 @@ def sample_points(
                 k, h, w = arr.shape
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
-                if row.crs == "EPSG:3857":
-                    px, py = lonlat_to_mercator(lon, lat)
-                else:
+                if row.crs == "EPSG:4326":
                     # unwrap canonical point lons into the tile's
                     # (possibly antimeridian-crossing) affine frame
                     mid = affine[2] + affine[0] * w / 2.0
                     px = lon + 360.0 * np.round((mid - lon) / 360.0)
                     py = lat
+                else:
+                    px, py = from_lonlat(lon, lat, row.crs)
                 inv = invert_affine(affine)
                 col_p, row_p = apply_affine(inv, px, py)
                 col_f = col_p - 0.5
@@ -439,7 +436,7 @@ def _sample_points_join(
 
     def tile_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from raster2dggs_spark.dggs import cover
-        from raster2dggs_spark.geo import apply_affine, mercator_to_lonlat
+        from raster2dggs_spark.geo import apply_affine, to_lonlat
 
         for pdf in batches:
             ids, rrs, cells = [], [], []
@@ -450,10 +447,7 @@ def _sample_points_join(
                 cs = np.array([0.0, row.w, 0.0, row.w])
                 rs = np.array([0.0, 0.0, row.h, row.h])
                 x, y = apply_affine(affine, cs, rs)
-                if row.crs == "EPSG:3857":
-                    lons, lats = mercator_to_lonlat(x, y)
-                else:
-                    lons, lats = x, y
+                lons, lats = to_lonlat(x, y, row.crs)
                 ext = max(lons.max() - lons.min(), lats.max() - lats.min())
                 rres = _routing_res(ext)
                 pitch = cover.pitch_deg(rres, "geohash")
@@ -560,7 +554,7 @@ def _sample_points_join(
 
     def eval_group(limgs: pd.DataFrame, lpts: pd.DataFrame) -> pd.DataFrame:
         from raster2dggs_spark.geo import (
-            apply_affine, invert_affine, lonlat_to_mercator,
+            apply_affine, invert_affine, from_lonlat,
         )
 
         if not len(limgs) or not len(lpts):
@@ -574,13 +568,13 @@ def _sample_points_join(
             k, h, w = arr.shape
             affine = (row.affine_a, row.affine_b, row.affine_c,
                       row.affine_d, row.affine_e, row.affine_f)
-            if row.crs == "EPSG:3857":
-                px, py = lonlat_to_mercator(lon, lat)
-            else:
+            if row.crs == "EPSG:4326":
                 # unwrap into the tile frame (see the cogroup kernel)
                 mid = affine[2] + affine[0] * w / 2.0
                 px = lon + 360.0 * np.round((mid - lon) / 360.0)
                 py = lat
+            else:
+                px, py = from_lonlat(lon, lat, row.crs)
             inv = invert_affine(affine)
             col_p, row_p = apply_affine(inv, px, py)
             hit = (col_p >= 0) & (col_p <= w) & (row_p >= 0) & (row_p <= h)

@@ -1,0 +1,465 @@
+"""Pure-NumPy GeoTIFF reader — real raster ingest without GDAL/rasterio.
+
+The reference opens rasters with rasterio/GDAL and iterates block windows
+(/root/reference/raster2dggs/common.py:67-122, 831-835).  Offline we parse
+classic TIFF ourselves and emit one IMAGE_SCHEMA row per TIFF tile/strip —
+the exact analogue of the reference's GDAL block window.
+
+Scale design (100-TB shape):
+
+- **Header scan is bounded**: the IFD tag walk does targeted range reads
+  (a few KB per file) — the object-store range-GET pattern.  For many
+  files the scan itself fans out to executors (``scan_geotiffs``).
+- **Pixel decode is distributed**: the window plan (one row per tile /
+  strip, byte offsets included) is a small DataFrame; payload bytes are
+  range-read + decompressed + de-predicted per window inside
+  ``mapInPandas`` on executors.  No image byte ever crosses the driver.
+
+Supported: classic TIFF (II/MM), strips + tiles, PlanarConfig 1/2,
+Compression none/deflate/zstd/PackBits/LZW, Predictor 1/2/3 (horizontal
+int + floating-point byte-shuffled), u8/u16/u32/i8/i16/i32/f32/f64
+samples, GeoTIFF georeferencing (ModelPixelScale+Tiepoint or
+ModelTransformation; CRS via GeoKey 1024/3072), GDAL_NODATA.  BigTIFF
+raises NotImplementedError (tag-walk is 8-byte offsets — straightforward
+but untestable offline).
+
+Validated bit-exact against GDAL's own statistics for the reference's
+``se-island.tiff`` (ZSTD tiles, predictor 2, float32, EPSG:3793 — see
+tests/test_geotiff.py).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+_TAG_NAMES = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
+    279: "strip_counts", 284: "planar", 317: "predictor",
+    322: "tile_w", 323: "tile_h", 324: "tile_offsets",
+    325: "tile_counts", 339: "sample_format",
+    33550: "pixel_scale", 33922: "tiepoint", 34264: "transform",
+    34735: "geo_keys", 42113: "gdal_nodata",
+}
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h",
+             9: "i", 11: "f", 12: "d"}
+
+
+def _read_range(path: str, off: int, n: int) -> bytes:
+    with open(path, "rb") as fh:
+        fh.seek(off)
+        return fh.read(n)
+
+
+def _dtype_for(bits: int, fmt: int, bo: str) -> np.dtype:
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt, "u")
+    if bits not in (8, 16, 32, 64):
+        raise ValueError(f"unsupported BitsPerSample {bits}")
+    if kind == "f" and bits < 32:
+        raise ValueError(f"unsupported float{bits}")
+    return np.dtype(f"{kind}{bits // 8}").newbyteorder(bo)
+
+
+def parse_geotiff(path: str) -> dict:
+    """Parse the first IFD into a plain dict (picklable — it rides in the
+    window-plan DataFrame).  Bounded reads: header + tag value arrays."""
+    head = _read_range(path, 0, 16)
+    if head[:2] == b"II":
+        bo = "<"
+    elif head[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF")
+    magic, ifd_off = struct.unpack(bo + "HI", head[2:8])
+    if magic == 43:
+        raise NotImplementedError("BigTIFF (classic TIFF only offline)")
+    if magic != 42:
+        raise ValueError(f"{path}: bad TIFF magic {magic}")
+
+    nbuf = _read_range(path, ifd_off, 2)
+    n_entries, = struct.unpack(bo + "H", nbuf)
+    entries = _read_range(path, ifd_off + 2, 12 * n_entries)
+    tags: dict = {}
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", entries, 12 * i)
+        name = _TAG_NAMES.get(tag)
+        if name is None or typ not in _TYPE_SIZE:
+            continue
+        size = _TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            raw = entries[12 * i + 8: 12 * i + 8 + size]
+        else:
+            voff, = struct.unpack_from(bo + "I", entries, 12 * i + 8)
+            raw = _read_range(path, voff, size)
+        if typ == 2:
+            tags[name] = raw.rstrip(b"\x00").decode("ascii", "replace")
+        elif typ == 5:  # RATIONAL
+            vals = struct.unpack(bo + str(2 * cnt) + "I", raw)
+            tags[name] = tuple(vals[j] / max(vals[j + 1], 1)
+                               for j in range(0, 2 * cnt, 2))
+        else:
+            vals = struct.unpack(bo + str(cnt) + _TYPE_FMT[typ], raw)
+            tags[name] = vals if cnt > 1 else vals[0]
+
+    w, h = int(tags["width"]), int(tags["height"])
+    spp = int(tags.get("spp", 1))
+    bits = tags.get("bits", 8)
+    bits = int(bits[0] if isinstance(bits, tuple) else bits)
+    fmt = tags.get("sample_format", 1)
+    fmt = int(fmt[0] if isinstance(fmt, tuple) else fmt)
+    comp = int(tags.get("compression", 1))
+    pred = int(tags.get("predictor", 1))
+    planar = int(tags.get("planar", 1))
+
+    def _tup(key):
+        v = tags.get(key)
+        if v is None:
+            return None
+        return (v,) if not isinstance(v, tuple) else v
+
+    if "tile_offsets" in tags:
+        tw, th = int(tags["tile_w"]), int(tags["tile_h"])
+        offsets, counts = _tup("tile_offsets"), _tup("tile_counts")
+        tiled = True
+    else:
+        tw = w
+        th = int(tags.get("rows_per_strip", h))
+        offsets, counts = _tup("strip_offsets"), _tup("strip_counts")
+        tiled = False
+
+    # -- georeferencing ---------------------------------------------------
+    if "transform" in tags:
+        m = tags["transform"]
+        affine = (m[0], m[1], m[3], m[4], m[5], m[7])
+    elif "pixel_scale" in tags and "tiepoint" in tags:
+        sx, sy = tags["pixel_scale"][0], tags["pixel_scale"][1]
+        ti, tj, _tk, tx, ty = tags["tiepoint"][:5]
+        affine = (sx, 0.0, tx - sx * ti, 0.0, -sy, ty + sy * tj)
+    else:
+        affine = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)  # pixel space
+
+    crs = "EPSG:4326"
+    gk = _tup("geo_keys")
+    if gk:
+        keys = {gk[i]: gk[i + 3] for i in range(4, len(gk) - 3, 4)
+                if gk[i + 1] == 0}
+        if keys.get(1024) == 2:  # geographic model → degrees
+            crs = "EPSG:4326"
+        elif 3072 in keys:
+            crs = f"EPSG:{keys[3072]}"
+
+    nodata = None
+    nd = tags.get("gdal_nodata")
+    if nd is not None:
+        nd = nd.strip()
+        nodata = float("nan") if nd.lower() == "nan" else float(nd)
+
+    return {
+        "path": path, "bo": bo, "w": w, "h": h, "spp": spp, "bits": bits,
+        "sample_format": fmt, "compression": comp, "predictor": pred,
+        "planar": planar, "tiled": tiled, "tile_w": tw, "tile_h": th,
+        "offsets": list(offsets), "counts": list(counts),
+        "affine": affine, "crs": crs, "nodata": nodata,
+    }
+
+
+# --------------------------------------------------------------------------
+# per-segment decode (runs inside executors)
+
+
+def _lzw_decode(buf: bytes) -> bytes:
+    """TIFF-flavour LZW: MSB-first codes, 8-bit roots, ClearCode 256,
+    EOI 257, early code-width change (libtiff semantics)."""
+    out = bytearray()
+    table: list[bytes] = []
+    prev = b""
+    width = 9
+    acc = bits = 0
+    pos, n = 0, len(buf)
+
+    def _reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = b""
+
+    _reset()
+    while pos < n or bits >= width:
+        while bits < width and pos < n:
+            acc = (acc << 8) | buf[pos]
+            pos += 1
+            bits += 8
+        if bits < width:
+            break
+        bits -= width
+        code = (acc >> bits) & ((1 << width) - 1)
+        if code == 256:
+            _reset()
+            continue
+        if code == 257:
+            break
+        if not prev:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table is one entry
+        # behind the encoder's, so it bumps at 2^w - 2 (libtiff
+        # MAXCODE(n)-1 semantics), one code before the naive point
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(buf)
+    while i < n and len(out) < expected:
+        c = buf[i]
+        i += 1
+        if c < 128:
+            out += buf[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += buf[i:i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _decompress(buf: bytes, comp: int, expected: int) -> bytes:
+    if comp == 1:
+        return buf
+    if comp in (8, 32946):
+        return zlib.decompress(buf)
+    if comp == 50000:
+        import pyarrow as pa
+
+        return pa.Codec("zstd").decompress(
+            buf, decompressed_size=expected).to_pybytes()
+    if comp == 5:
+        return _lzw_decode(buf)
+    if comp == 32773:
+        return _packbits_decode(buf, expected)
+    raise NotImplementedError(
+        f"TIFF compression {comp} (offline: none/deflate/zstd/LZW/PackBits)")
+
+
+def _unpredict(raw: bytes, meta: dict, rows: int, row_samples: int
+               ) -> np.ndarray:
+    """Undo the predictor; return float32 (rows, row_samples) where
+    row_samples = width*spp (chunky) or width (one planar band)."""
+    bo, bits = meta["bo"], meta["bits"]
+    pred = meta["predictor"]
+    stride = meta["spp"] if meta["planar"] == 1 else 1
+    bps = bits // 8
+    dt = _dtype_for(bits, meta["sample_format"], bo)
+    if pred == 3:
+        # floating-point predictor: per row, bytes are split into
+        # big-endian byte planes then byte-wise horizontally differenced
+        # with stride = samples/pixel (libtiff fpAcc)
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(
+            rows, row_samples * bps).copy()
+        acc = b.reshape(rows, -1, stride)
+        np.cumsum(acc, axis=1, dtype=np.uint8, out=acc)
+        planes = b.reshape(rows, bps, row_samples)  # big-end byte first
+        words = np.empty((rows, row_samples, bps), dtype=np.uint8)
+        for k in range(bps):
+            words[:, :, k] = planes[:, k, :]
+        flt = words.reshape(rows, row_samples * bps).tobytes()
+        arr = np.frombuffer(flt, dtype=np.dtype(f"f{bps}").newbyteorder(">"))
+        return arr.reshape(rows, row_samples).astype(np.float32)
+    if pred == 2:
+        udt = np.dtype(f"u{bps}").newbyteorder(bo)
+        a = np.frombuffer(raw, dtype=udt).astype(
+            np.dtype(f"u{bps}")).reshape(rows, -1, stride)
+        np.cumsum(a, axis=1, dtype=a.dtype, out=a)
+        arr = a.reshape(rows, row_samples)
+        if dt.kind != "u":
+            arr = arr.view(np.dtype(f"{dt.kind}{bps}"))
+        return arr.astype(np.float32)
+    arr = np.frombuffer(raw, dtype=dt).reshape(rows, row_samples)
+    return arr.astype(np.float32)
+
+
+def decode_segment(meta: dict, seg_index: int, buf: bytes) -> np.ndarray:
+    """Decode one strip/tile payload → float32 (bands, seg_h, seg_w),
+    cropped to the image bounds (chunky); for planar files the caller
+    assembles bands from per-plane segments (this returns (1, h, w))."""
+    w, h, spp = meta["w"], meta["h"], meta["spp"]
+    tw, th = meta["tile_w"], meta["tile_h"]
+    bps = meta["bits"] // 8
+    planar_bands = spp if meta["planar"] == 1 else 1
+    if meta["tiled"]:
+        across = (w + tw - 1) // tw
+        per_plane = across * ((h + th - 1) // th)
+        pidx = seg_index % per_plane
+        ti, tj = pidx % across, pidx // across
+        col0, row0 = ti * tw, tj * th
+        rows, row_samples = th, tw * planar_bands
+        raw = _decompress(buf, meta["compression"],
+                          rows * row_samples * bps)
+    else:
+        per_plane = (h + th - 1) // th
+        sidx = seg_index % per_plane
+        col0, row0 = 0, sidx * th
+        rows = min(th, h - row0)
+        row_samples = tw * planar_bands
+        raw = _decompress(buf, meta["compression"],
+                          rows * row_samples * bps)
+        rows = len(raw) // (row_samples * bps)
+    arr = _unpredict(raw, meta, rows, row_samples)
+    if meta["planar"] == 1:
+        arr = arr.reshape(rows, -1, spp).transpose(2, 0, 1)
+    else:
+        arr = arr.reshape(1, rows, -1)
+    # crop partial edge tiles to the image bounds
+    return np.ascontiguousarray(
+        arr[:, : max(0, min(rows, h - row0)), : max(0, min(arr.shape[2],
+                                                           w - col0))])
+
+
+# --------------------------------------------------------------------------
+# window plan + Spark ingest
+
+
+def window_plan(paths: list[str]) -> pd.DataFrame:
+    """One row per output window (tile/strip footprint).  For chunky
+    files a window is one segment; for planar files it is ``spp``
+    segments (one per band plane) sharing a footprint."""
+    rows = []
+    for path in paths:
+        meta = parse_geotiff(path)
+        w, h, spp = meta["w"], meta["h"], meta["spp"]
+        tw, th = meta["tile_w"], meta["tile_h"]
+        if meta["tiled"]:
+            across = (w + tw - 1) // tw
+            per_plane = across * ((h + th - 1) // th)
+        else:
+            across = 1
+            per_plane = (h + th - 1) // th
+        n_planes = spp if meta["planar"] == 2 else 1
+        base = os.path.basename(path)
+        for pidx in range(per_plane):
+            ti, tj = pidx % across, pidx // across
+            col0, row0 = ti * tw, tj * th
+            segs = [pidx + p * per_plane for p in range(n_planes)]
+            rows.append({
+                "image_id": f"{base}#w{pidx:05d}",
+                "path": path,
+                "seg_indices": segs,
+                "seg_offsets": [int(meta["offsets"][s]) for s in segs],
+                "seg_counts": [int(meta["counts"][s]) for s in segs],
+                "col_off": col0, "row_off": row0,
+                "win_w": min(tw, w - col0), "win_h": min(th, h - row0),
+                "meta": meta,
+            })
+    return pd.DataFrame(rows)
+
+
+def read_geotiff(spark, paths: list[str] | str, fmt: str = "raw",
+                 n_partitions: int | None = None):
+    """Read GeoTIFF file(s) into the engine's IMAGE_SCHEMA DataFrame —
+    one row per TIFF tile/strip window, payload re-encoded with the
+    engine codec, per-window affine, CRS string from the GeoKeys.
+
+    The plan (byte offsets, no pixel data) is parallelized; each
+    executor task range-reads its windows' bytes and decodes them.
+    """
+    import json
+
+    from pyspark.sql import types as T
+
+    from raster2dggs_spark.sources.images import IMAGE_SCHEMA
+
+    if isinstance(paths, str):
+        paths = [paths]
+    plan = window_plan(paths)
+    if plan.empty:
+        return spark.createDataFrame([], IMAGE_SCHEMA)
+    plan = plan.assign(meta_json=plan["meta"].map(json.dumps)).drop(
+        columns=["meta"])
+    plan_schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("seg_indices", T.ArrayType(T.IntegerType())),
+        T.StructField("seg_offsets", T.ArrayType(T.LongType())),
+        T.StructField("seg_counts", T.ArrayType(T.LongType())),
+        T.StructField("col_off", T.IntegerType()),
+        T.StructField("row_off", T.IntegerType()),
+        T.StructField("win_w", T.IntegerType()),
+        T.StructField("win_h", T.IntegerType()),
+        T.StructField("meta_json", T.StringType()),
+    ])
+    pdf = spark.createDataFrame(plan, plan_schema)
+    nparts = n_partitions or min(
+        len(plan), spark.sparkContext.defaultParallelism)
+    pdf = pdf.repartition(nparts)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.codecs import average_hash64, encode_image
+
+        for b in batches:
+            out = []
+            for r in b.itertuples(index=False):
+                meta = json.loads(r.meta_json)
+                meta["affine"] = tuple(meta["affine"])
+                parts = []
+                for si, so, sc in zip(r.seg_indices, r.seg_offsets,
+                                      r.seg_counts):
+                    buf = _read_range(r.path, int(so), int(sc))
+                    parts.append(decode_segment(meta, int(si), buf))
+                arr = parts[0] if len(parts) == 1 else np.concatenate(
+                    parts, axis=0)
+                a, bb, c, d, e, f = meta["affine"]
+                win_affine = (a, bb, a * r.col_off + bb * r.row_off + c,
+                              d, e, d * r.col_off + e * r.row_off + f)
+                out.append({
+                    "image_id": r.image_id,
+                    "bytes": encode_image(arr, fmt),
+                    "w": int(arr.shape[2]), "h": int(arr.shape[1]),
+                    "fmt": fmt,
+                    "caption": f"geotiff:{os.path.basename(r.path)}",
+                    "phash": int(average_hash64(arr[0])),
+                    "affine_a": win_affine[0], "affine_b": win_affine[1],
+                    "affine_c": win_affine[2], "affine_d": win_affine[3],
+                    "affine_e": win_affine[4], "affine_f": win_affine[5],
+                    "crs": meta["crs"],
+                    "nodata": meta["nodata"],
+                    "bands": int(arr.shape[0]),
+                    "band_names": None,
+                })
+            if out:
+                yield pd.DataFrame(out)
+
+    return pdf.mapInPandas(decode, IMAGE_SCHEMA)
+
+
+def read_geotiff_local(path: str) -> np.ndarray:
+    """Driver-side full decode → (bands, h, w) float32 (tests/oracles)."""
+    meta = parse_geotiff(path)
+    plan = window_plan([path])
+    full = np.full((meta["spp"] if meta["planar"] == 1 else meta["spp"],
+                    meta["h"], meta["w"]), np.nan, dtype=np.float32)
+    for r in plan.itertuples(index=False):
+        parts = []
+        for si, so, sc in zip(r.seg_indices, r.seg_offsets, r.seg_counts):
+            parts.append(decode_segment(meta, int(si),
+                                        _read_range(path, int(so), int(sc))))
+        arr = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+        full[:, r.row_off:r.row_off + arr.shape[1],
+             r.col_off:r.col_off + arr.shape[2]] = arr
+    return full

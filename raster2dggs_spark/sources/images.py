@@ -165,6 +165,52 @@ def generate_images_pdf(
     return pd.DataFrame(rows)
 
 
+_TM_ANCHORS = (
+    # (crs, anchor lon, anchor lat) — one per TM family the offline CRS
+    # layer supports: two UTM zones (N+S hemisphere), NZTM, Chatham
+    ("EPSG:32610", -122.3, 47.5),
+    ("EPSG:32718", -76.9, -12.1),
+    ("EPSG:2193", 172.6, -43.5),
+    ("EPSG:3793", -176.3, -44.0),
+)
+
+
+def generate_tm_images_pdf(n_images: int, seed: int = 42,
+                           size_range=(12, 28)) -> pd.DataFrame:
+    """Deterministic TM-georeferenced ramp tiles (round 6): the UTM /
+    national-grid twin of the 4326/3857 generator — affines are meters
+    in a Transverse Mercator CRS, pixel ~30 m, values a per-tile ramp
+    (decode-exact, so oracle replays need no float gymnastics)."""
+    from raster2dggs_spark.geo.crs import from_lonlat
+
+    rows = []
+    for i in range(n_images):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 7, i]))
+        crs, lon_a, lat_a = _TM_ANCHORS[i % len(_TM_ANCHORS)]
+        w = int(rng.integers(size_range[0], size_range[1] + 1))
+        h = int(rng.integers(size_range[0], size_range[1] + 1))
+        lon0 = lon_a + float(rng.uniform(-0.4, 0.4))
+        lat0 = lat_a + float(rng.uniform(-0.4, 0.4))
+        x0, y0 = from_lonlat(np.array([lon0]), np.array([lat0]), crs)
+        px = float(rng.uniform(20.0, 40.0))
+        affine = (px, 0.0, float(x0[0]), 0.0, -px, float(y0[0]))
+        arr = (np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+               + np.float32(i))
+        payload = encode_image(arr, "raw")
+        rows.append({
+            "image_id": f"img_tm_{i:08d}",
+            "bytes": payload,
+            "w": w, "h": h, "fmt": "raw",
+            "caption": f"tm ramp tile {i} of seed {seed} ({crs})",
+            "phash": average_hash64(arr[0]),
+            "affine_a": affine[0], "affine_b": affine[1],
+            "affine_c": affine[2], "affine_d": affine[3],
+            "affine_e": affine[4], "affine_f": affine[5],
+            "crs": crs, "nodata": None, "bands": 1, "band_names": None,
+        })
+    return pd.DataFrame(rows)
+
+
 def images_spark_df(spark, n_images: int, seed: int = 42, **kw):
     """Spark DataFrame of the synthetic table (small scales; driver-built).
 

@@ -683,6 +683,113 @@ def overlay_fixtures(spark):
     print(f"overlay_class_partials_16: {len(c)} rows")
 
 
+
+
+def _pixel_index_replay(images_iter, res, parent_res, dggs, n_bands,
+                        cell_fmt="x"):
+    """Shared single-node per-pixel replay: decode → pixel centres →
+    encode → per-cell per-band mean with 'omit' nodata semantics.  A
+    straight dict loop — no Spark, no batching, no shuffle."""
+    from raster2dggs_spark.dggs import cover, h3lib
+    from raster2dggs_spark.geo import pixel_centers_lonlat
+
+    sums: dict = {}
+    for r in images_iter:
+        from raster2dggs_spark.codecs import decode_image
+
+        arr = decode_image(bytes(r.bytes)).astype(np.float64)
+        nd = getattr(r, "nodata", None)
+        if nd is not None and not (isinstance(nd, float) and np.isnan(nd)):
+            arr = np.where(arr == np.float32(nd), np.nan, arr)
+        k, h, w = arr.shape
+        affine = (r.affine_a, r.affine_b, r.affine_c,
+                  r.affine_d, r.affine_e, r.affine_f)
+        lon, lat = pixel_centers_lonlat(affine, w, h, r.crs)
+        vals = arr.reshape(k, h * w)
+        keep = ~np.all(np.isnan(vals), axis=0)
+        if not keep.any():
+            continue
+        cells = cover.encode(lon[keep], lat[keep], res, dggs)
+        vals = vals[:, keep]
+        for c_idx in range(cells.shape[0]):
+            key = int(cells[c_idx])
+            slot = sums.setdefault(key, [0, [0.0] * n_bands, [0] * n_bands])
+            slot[0] += 1
+            for b in range(k):
+                x = vals[b, c_idx]
+                if np.isfinite(x):
+                    slot[1][b] += x
+                    slot[2][b] += 1
+    cells = np.array(sorted(sums), dtype=np.int64)
+    parents = cover.cell_parent(cells, parent_res, dggs) if hasattr(
+        cover, "cell_parent") else h3lib.cell_to_parent(cells, parent_res)
+    rows = []
+    from raster2dggs_spark.operators.indexing import cell_column_name
+
+    ccol = cell_column_name(dggs, res)
+    pcol = cell_column_name(dggs, parent_res)
+    for key, parent in zip(cells.tolist(), parents.tolist()):
+        npx, bsum, bcnt = sums[key]
+        row = {ccol: format(key, cell_fmt), pcol: format(parent, cell_fmt),
+               "n_px": npx}
+        for b in range(n_bands):
+            row[f"band_{b + 1}"] = (bsum[b] / bcnt[b]) if bcnt[b] else None
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def geotiff_pixel_index_fixture():
+    """Single-node replay of the reference's own raster
+    (/root/reference/tests/data/se-island.tiff — ZSTD tiles, predictor
+    2, EPSG:3793 Transverse Mercator): FULL-frame local decode + whole-
+    raster affine + TM inverse + hex7 encode at res 11.  The Spark side
+    reads the SAME file through the distributed per-window plan (window
+    byte ranges, shifted window affines, mapInPandas decode, one
+    exchange) and must reproduce it cell for cell — stage-1 row count
+    74,888 pinned separately in tests/test_geotiff.py."""
+    from types import SimpleNamespace
+
+    from raster2dggs_spark.codecs import encode_image
+    from raster2dggs_spark.sources.geotiff import (
+        parse_geotiff, read_geotiff_local,
+    )
+
+    path = "/root/reference/tests/data/se-island.tiff"
+    meta = parse_geotiff(path)
+    full = read_geotiff_local(path)
+    r = SimpleNamespace(
+        bytes=encode_image(full, "raw"),
+        nodata=meta["nodata"],
+        affine_a=meta["affine"][0], affine_b=meta["affine"][1],
+        affine_c=meta["affine"][2], affine_d=meta["affine"][3],
+        affine_e=meta["affine"][4], affine_f=meta["affine"][5],
+        crs=meta["crs"],
+    )
+    out = _pixel_index_replay([r], res=11, parent_res=5, dggs="hex7",
+                              n_bands=3)
+    assert int(out["n_px"].sum()) == 74_888  # the reference's pin
+    out.to_parquet(os.path.join(FIXDIR, "geotiff_pixel_index.parquet"),
+                   index=False)
+    print(f"geotiff_pixel_index: {len(out)} rows")
+
+
+def utm_pixel_index_fixture():
+    """Single-node replay of the TM-georeferenced ramp tiles (UTM
+    north+south, NZTM, Chatham — sources.images.generate_tm_images_pdf):
+    meters-affine → Krüger TM inverse → hex7 encode at res 9.  The TM
+    math itself is independently pinned in tests/test_geo.py (round-trip
+    identity, meridian-arc quadrature, Redfearn cross-series); this
+    fixture pins the distributed plumbing over it."""
+    from raster2dggs_spark.sources.images import generate_tm_images_pdf
+
+    imgs = generate_tm_images_pdf(16, seed=42)
+    out = _pixel_index_replay(imgs.itertuples(index=False), res=9,
+                              parent_res=3, dggs="hex7", n_bands=1)
+    out.to_parquet(os.path.join(FIXDIR, "utm_pixel_index_16.parquet"),
+                   index=False)
+    print(f"utm_pixel_index_16: {len(out)} rows")
+
+
 def main():
     os.makedirs(FIXDIR, exist_ok=True)
     image_stats_fixture()
@@ -697,6 +804,8 @@ def main():
     overlay_values_multi_fixture()
     point_list_fixture()
     compact_3h_fixture()
+    geotiff_pixel_index_fixture()
+    utm_pixel_index_fixture()
 
     from raster2dggs_spark.session import get_spark
 

@@ -83,3 +83,117 @@ def test_row_areas_4326_vs_3857_consistent():
     affm = (float(x1[0] - x0[0]), 0.0, float(x0[0]), 0.0, float(y1[0] - y0[0]), float(y0[0]))
     a2 = geodesic_row_areas_m2(affm, 10, 10, "EPSG:3857")
     assert a2[0] == pytest.approx(a1[0], rel=1e-6)
+
+
+# ----------------------------------------------------------------------
+# Transverse Mercator (Krüger series) — round 6
+
+
+def test_tm_roundtrip_identity():
+    """forward∘inverse identity to <1e-11 degrees across the zone."""
+    from raster2dggs_spark.geo.crs import tm_for_epsg
+
+    tm = tm_for_epsg(32618)  # UTM 18N
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-80, -70, 2000)
+    lat = rng.uniform(-84, 84, 2000)
+    x, y = tm.forward(lon, lat)
+    lon2, lat2 = tm.inverse(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-11
+    assert np.abs(lat2 - lat).max() < 1e-11
+
+
+def test_tm_central_meridian_equals_meridian_arc_quadrature():
+    """On the central meridian, northing = k0 * meridian arc — checked
+    against direct numerical integration of the arc integrand (an
+    independent formulation: no Krüger series involved)."""
+    from raster2dggs_spark.geo.crs import tm_for_epsg
+
+    tm = tm_for_epsg(32618)
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    trap = getattr(np, "trapezoid", None) or np.trapz
+    for phi in (10.0, 45.0, 80.0):
+        t = np.linspace(0.0, np.radians(phi), 200001)
+        m = a * trap((1 - e2) / (1 - e2 * np.sin(t) ** 2) ** 1.5, t)
+        _, y = tm.forward(np.array([-75.0]), np.array([phi]))
+        assert abs(y[0] - 0.9996 * m) < 1e-5  # sub-0.01 mm
+
+
+def test_tm_matches_independent_redfearn_series():
+    """Cross-check against the classic Redfearn/Thomas λ-power expansion
+    (a completely different series construction) — agreement <1 mm
+    within ±3° of the central meridian."""
+    from raster2dggs_spark.geo.crs import tm_for_epsg
+
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+
+    def redfearn(lon, lat, lon0=-75.0, k0=0.9996, x0=500000.0):
+        phi = np.radians(lat)
+        lam = np.radians(lon - lon0)
+        ep2 = e2 / (1 - e2)
+        N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+        T = np.tan(phi) ** 2
+        C = ep2 * np.cos(phi) ** 2
+        A = lam * np.cos(phi)
+        M = a * ((1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+                 - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024)
+                 * np.sin(2 * phi)
+                 + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+                 - (35 * e2**3 / 3072) * np.sin(6 * phi))
+        x = x0 + k0 * N * (A + (1 - T + C) * A**3 / 6
+                           + (5 - 18 * T + T**2 + 72 * C - 58 * ep2)
+                           * A**5 / 120)
+        y = k0 * (M + N * np.tan(phi) * (
+            A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+            + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720))
+        return x, y
+
+    tm = tm_for_epsg(32618)
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-78, -72, 500)
+    lat = rng.uniform(-80, 80, 500)
+    x1, y1 = tm.forward(lon, lat)
+    x2, y2 = redfearn(lon, lat)
+    assert np.abs(x1 - x2).max() < 1e-3
+    assert np.abs(y1 - y2).max() < 1e-3
+
+
+def test_chatham_3793_se_island_footprint():
+    """The reference raster's tiepoint inverse-projects onto Rangatira
+    (South East Island, Chatham Islands) — pins the EPSG:3793 parameter
+    set (lon0 -176.5, k0 1, FE 3.5e6, FN 1e7 on GRS80)."""
+    from raster2dggs_spark.geo.crs import tm_for_epsg
+
+    tm = tm_for_epsg(3793)
+    lon, lat = tm.inverse(np.array([3525064.2629]), np.array([5088845.3042]))
+    assert abs(lon[0] - -176.18573) < 1e-4
+    assert abs(lat[0] - -44.33555) < 1e-4
+
+
+def test_utm_south_false_northing():
+    from raster2dggs_spark.geo.crs import tm_for_epsg
+
+    tm = tm_for_epsg(32719)  # UTM 19S (lon0 -69)
+    x, y = tm.forward(np.array([-69.0]), np.array([-33.0]))
+    assert abs(x[0] - 500000.0) < 1e-6
+    assert 0 < y[0] < 10_000_000.0  # southern hemisphere stays positive
+    lon, lat = tm.inverse(x, y)
+    assert abs(lat[0] + 33.0) < 1e-11
+
+
+def test_row_areas_tm_close_to_nominal():
+    """TM row areas via the generic corner-shoelace branch ≈ nominal
+    |a·e| within the module's documented authalic-sphere accuracy
+    (<0.3%; the TM scale distortion k²-1 itself is ~1e-5 here)."""
+    from raster2dggs_spark.geo.crs import geodesic_row_areas_m2
+
+    affine = (8.084197628459057, 0.0, 3525064.2629,
+              0.0, -8.000545945946707, 5088845.3042)
+    areas = geodesic_row_areas_m2(affine, 253, 296, "EPSG:3793")
+    nominal = 8.084197628459057 * 8.000545945946707
+    assert areas.shape == (296,)
+    assert np.abs(areas / nominal - 1.0).max() < 3e-3
+    # and the variation ALONG the raster is tiny (constant-k regime)
+    assert (areas.max() - areas.min()) / nominal < 1e-5
