@@ -1625,6 +1625,62 @@ def q_sample_points_lanczos(spark, sf_dir):
 
 
 
+def q_i9r_pixel_index(spark, sf_dir):
+    """Pixel indexing on the i9r grid (ISEA9R-layout icosahedral
+    aperture-9 rhombus — the reference's *9R DGGAL family, ref
+    indexers/dggalrasterindexer.py:375-401 registry, get_num_children
+    9) — oracle-checked against an independent single-node NumPy replay
+    (.fixtures/i9r_pixel_index_16.parquet); parents are the native
+    per-axis double-floor-div Column expression (exact: fields < 2^26).
+    Round 6."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    imgs = images_spark_df(spark, 16, seed=42, size_range=(10, 16))
+    out = index_point_agg(imgs, res=7, dggs="i9r", agg="mean")
+    return out.select(
+        F.lower(F.hex("cell")).alias("i9r_07"),
+        F.lower(F.hex("parent")).alias("i9r_02"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
+
+
+def q_compact_cells_i9r(spark, sf_dir):
+    """A16 on the i9r rhombus 9-ary tree: res-2 ids constructed by pure
+    integer arithmetic with a data-derived per-diamond value; diamonds
+    0-7 emit all 81 res-2 cells (must merge 9-ary twice to the
+    diamond), diamonds 8-9 drop cell (8,8) (one res-1 block stays
+    partial).  compact→uncompact must return exactly the constructed
+    set."""
+    from raster2dggs_spark.operators.compaction import (
+        compact_cells, uncompact_cells,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dv = li.groupBy((F.col("l_orderkey") % 10).alias("d")).agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("v"))
+    k = (
+        dv.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(8))))
+        .withColumn("c2", F.explode(F.sequence(F.lit(0), F.lit(8))))
+        .where(~((F.col("d") >= 8) & (F.col("r") == 8)
+                 & (F.col("c2") == 8)))
+    )
+    cell = (
+        F.shiftleft(F.col("d").cast("long"), 57)
+        .bitwiseOR(F.lit(2 << 52))
+        .bitwiseOR(F.shiftleft(F.col("r").cast("long"), 26))
+        .bitwiseOR(F.col("c2").cast("long"))
+    )
+    df = k.select(cell.alias("cell"), "v")
+    out = uncompact_cells(
+        compact_cells(df, ["v"], res=2, min_res=0, dggs="i9r"),
+        res=2, dggs="i9r",
+    )
+    return out.select(F.col("cell").cast("long").alias("cell"), "v")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_mean_sum_count": q_agg_mean_sum_count,
@@ -1709,6 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pixel_index_full": q_s2_pixel_index_full,
         "geohash_pixel_index": q_geohash_pixel_index,
         "geotiff_pixel_index": q_geotiff_pixel_index,
+        "i9r_pixel_index": q_i9r_pixel_index,
+        "compact_cells_i9r": q_compact_cells_i9r,
         "utm_pixel_index": q_utm_pixel_index,
         "sample_points_lanczos": q_sample_points_lanczos,
     }
@@ -3198,6 +3256,27 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"
                               for i in range(1, 5))}
             FROM read_parquet('{_FIXDIR}/hex7_pixel_index_64.parquet')
+        """,
+        "i9r_pixel_index": f"""
+            SELECT i9r_07, i9r_02, CAST(n_px AS BIGINT) AS n_px,
+                   {", ".join(f"round(band_{i}, 4) AS band_{i}"
+                              for i in range(1, 5))}
+            FROM read_parquet('{_FIXDIR}/i9r_pixel_index_16.parquet')
+        """,
+        "compact_cells_i9r": """
+            WITH dv AS (SELECT l_orderkey % 10 AS d,
+                               round(sum(l_extendedprice), 4) AS v
+                        FROM lineitem GROUP BY 1),
+            g AS (SELECT d, v, t1.r AS r, t2.c2 AS c2
+                  FROM dv,
+                       (SELECT unnest(range(0, 9)) AS r) t1,
+                       (SELECT unnest(range(0, 9)) AS c2) t2
+                  WHERE NOT (d >= 8 AND t1.r = 8 AND t2.c2 = 8))
+            SELECT CAST(
+                     d * (1::BIGINT << 57) + (2::BIGINT << 52)
+                     + r * (1::BIGINT << 26) + c2
+                   AS BIGINT) AS cell, v
+            FROM g
         """,
         "geotiff_pixel_index": f"""
             SELECT hex7_11, hex7_05, CAST(n_px AS BIGINT) AS n_px,

@@ -149,11 +149,12 @@ def _encode_points(lon, lat, res, parent_res, dggs):
 
     from raster2dggs_spark.dggs.cover import wrap_lon
 
-    from raster2dggs_spark.dggs import a5lib, i3hlib, i4rlib
+    from raster2dggs_spark.dggs import a5lib, i3hlib, i4rlib, i9rlib
 
     lib = {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
            "maidenhead": maidenheadlib, "rhp": rhplib,
-           "i3h": i3hlib, "a5": a5lib, "i4r": i4rlib}.get(dggs)
+           "i3h": i3hlib, "a5": a5lib, "i4r": i4rlib,
+           "i9r": i9rlib}.get(dggs)
     if lib is None:
         raise ValueError(f"unknown dggs {dggs!r}")
     # antimeridian-crossing tiles produce pixel-centre lons beyond ±180

@@ -123,6 +123,10 @@ def _cells_children(cells, res: int, dggs: str):
         from raster2dggs_spark.dggs import i4rlib
 
         return i4rlib.cell_to_children(cells).ravel()
+    if dggs == "i9r":
+        from raster2dggs_spark.dggs import i9rlib
+
+        return i9rlib.cell_to_children(cells).ravel()
     raise ValueError(f"children arithmetic not implemented for {dggs!r}")
 
 

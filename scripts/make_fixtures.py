@@ -738,6 +738,21 @@ def _pixel_index_replay(images_iter, res, parent_res, dggs, n_bands,
     return pd.DataFrame(rows)
 
 
+def i9r_pixel_index_fixture():
+    """Single-node replay of the pixel index on the aperture-9
+    icosahedral-rhombus i9r grid (res 7, parents at res 2 via base-3
+    digit div) — the distributed one-exchange plan with the native
+    double-floor-div parent Column must reproduce it."""
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    imgs = generate_images_pdf(16, seed=42, size_range=(10, 16))
+    out = _pixel_index_replay(imgs.itertuples(index=False), res=7,
+                              parent_res=2, dggs="i9r", n_bands=4)
+    out.to_parquet(os.path.join(FIXDIR, "i9r_pixel_index_16.parquet"),
+                   index=False)
+    print(f"i9r_pixel_index_16: {len(out)} rows")
+
+
 def geotiff_pixel_index_fixture():
     """Single-node replay of the reference's own raster
     (/root/reference/tests/data/se-island.tiff — ZSTD tiles, predictor
@@ -804,6 +819,7 @@ def main():
     overlay_values_multi_fixture()
     point_list_fixture()
     compact_3h_fixture()
+    i9r_pixel_index_fixture()
     geotiff_pixel_index_fixture()
     utm_pixel_index_fixture()
 
