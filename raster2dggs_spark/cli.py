@@ -14,10 +14,10 @@ flags are the reference's flags, and the body is exactly
 
 Differences from the reference, by design:
 - the input is a Spark image table (parquet written by
-  ``sources.write_images_table`` or any table with the same schema),
-  not a GeoTIFF path — this engine's S1 source is the distributed
-  table, the single-file raster open is the reference's single-node
-  concern (SURVEY §2 S1/S2);
+  ``sources.write_images_table`` or any table with the same schema) OR
+  a GeoTIFF path (round 6: ``sources.geotiff`` parses the IFD
+  driver-side and decodes tiles on executors — the reference's own
+  ``raster2dggs h3 input.tif out/`` form now runs verbatim);
 - ``-t/--threads`` sets the local[] parallelism of the session that is
   CREATED by the CLI; under an existing session (spark-submit, tests)
   it is accepted and ignored (cluster managers own parallelism);
@@ -47,7 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("dggs", choices=GRIDS, help="DGGS grid (subcommand in "
                    "the reference CLI; 'h3' is rejected with the hex7 "
                    "contract message)")
-    p.add_argument("raster_input", help="path to the parquet image table")
+    p.add_argument("raster_input",
+                   help="path to the parquet image table, or a GeoTIFF "
+                        "(.tif/.tiff — read via the pure-NumPy "
+                        "sources.geotiff window plan, the reference's "
+                        "own input form)")
     p.add_argument("output_directory", help="output path (hive-partitioned "
                    "parquet / GeoParquet)")
     p.add_argument("-r", "--resolution", required=True,
@@ -204,7 +208,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     prof = SparkPhaseProfiler(spark, enabled=args.profile)
 
     with prof.phase("open"):
-        images = spark.read.parquet(args.raster_input)
+        if args.raster_input.lower().endswith((".tif", ".tiff")):
+            from raster2dggs_spark.sources.geotiff import read_geotiff
+
+            images = read_geotiff(spark, args.raster_input)
+        else:
+            images = spark.read.parquet(args.raster_input)
         res_i = resolve_res(images, res, args.dggs)
     parent_res = (args.parent_res if args.parent_res is not None
                   else default_parent_res(res_i, args.dggs))

@@ -187,3 +187,34 @@ def test_cli_profile_reports_task_metrics(spark, tmp_path, images_path,
     assert int(cols[4]) > 0           # completed tasks
     stall = float(cols[6].rstrip("%"))
     assert 0.0 <= stall <= 100.0
+
+
+def test_cli_geotiff_input_reference_command_shape(spark, tmp_path):
+    """The reference's own CLI form on its own raster:
+    ``raster2dggs h3 se-island.tiff out/ -r 11`` ≙ our
+    ``hex7 se-island.tiff out/ -r 11 --point value -a mean`` — 74,888
+    pixels indexed end-to-end through the GeoTIFF window plan (round 6)."""
+    import pyarrow.parquet as pq
+
+    tiff = "/root/reference/tests/data/se-island.tiff"
+    if not os.path.exists(tiff):
+        pytest.skip("reference raster not mounted")
+    out = str(tmp_path / "gt")
+    main(["hex7", tiff, out, "-r", "11", "--point", "value", "-a", "mean"],
+         spark=spark)
+    t = pq.read_table(out).to_pandas()
+    assert "hex7_11" in t.columns
+    # cell set and band means equal the pinned single-node replay
+    # (which itself pins the 74,888-pixel stage-1 regression)
+    import pandas as pd
+
+    fix = pd.read_parquet(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".fixtures",
+            "geotiff_pixel_index.parquet"))
+    got = t.sort_values("hex7_11").reset_index(drop=True)
+    exp = fix.sort_values("hex7_11").reset_index(drop=True)
+    assert got["hex7_11"].tolist() == exp["hex7_11"].tolist()
+    for b in ("band_1", "band_2", "band_3"):
+        # CLI applies the reference's default decimals=1 rounding
+        assert (got[b] - exp[b].round(1)).abs().max() < 1e-9
