@@ -1681,6 +1681,33 @@ def q_compact_cells_i9r(spark, sf_dir):
 
 
 
+def q_z7_roundtrip(spark, sf_dir):
+    """Z7-style compact id recoding (round 6, VERDICT #7 — DGGAL's
+    isea7h_z7 is the one id-LAYOUT variant family): valid hex7 ids are
+    constructed from customer keys by pure integer arithmetic, recoded
+    to the compact base-7 positional id (functions.z7.hex7_to_z7 — zero
+    Python, one Column expression) and back.  The oracle replays the
+    Horner sum and the id construction in exact BIGINT SQL; round-trip
+    identity is asserted via the back column equaling the input."""
+    from raster2dggs_spark.functions.z7 import hex7_to_z7, z7_to_hex7
+
+    res = 9
+    cust = _t(spark, sf_dir, "customer")
+    base = (F.col("c_custkey") % 122).cast("long")
+    cell = F.lit((1 << 59) | (res << 52) | ((1 << (3 * (15 - res))) - 1))
+    cell = cell.bitwiseOR(F.shiftleft(base, 45))
+    for i in range(1, res + 1):
+        d = ((F.col("c_custkey") * (2 * i + 1)) % 7).cast("long")
+        cell = cell.bitwiseOR(F.shiftleft(d, 3 * (15 - i)))
+    df = cust.select(F.col("c_custkey").alias("k"), cell.alias("cell"))
+    df = df.withColumn("z7", hex7_to_z7("cell", res))
+    df = df.withColumn("back", z7_to_hex7("z7", res))
+    return df.select("k", F.col("cell").cast("long").alias("cell"),
+                     F.col("z7").cast("long").alias("z7"),
+                     F.col("back").cast("long").alias("back"))
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_mean_sum_count": q_agg_mean_sum_count,
@@ -1769,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells_i9r": q_compact_cells_i9r,
         "utm_pixel_index": q_utm_pixel_index,
         "sample_points_lanczos": q_sample_points_lanczos,
+        "z7_roundtrip": q_z7_roundtrip,
     }
 
 
@@ -3256,6 +3284,18 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"
                               for i in range(1, 5))}
             FROM read_parquet('{_FIXDIR}/hex7_pixel_index_64.parquet')
+        """,
+        "z7_roundtrip": """
+            WITH g AS (
+              SELECT c_custkey AS k,
+                     (1::BIGINT << 59) + (9::BIGINT << 52)
+                       + ((1::BIGINT << 18) - 1)
+                       + (c_custkey % 122) * (1::BIGINT << 45)
+                       + ((c_custkey * 3) % 7) * (1::BIGINT << 42) + ((c_custkey * 5) % 7) * (1::BIGINT << 39) + ((c_custkey * 7) % 7) * (1::BIGINT << 36) + ((c_custkey * 9) % 7) * (1::BIGINT << 33) + ((c_custkey * 11) % 7) * (1::BIGINT << 30) + ((c_custkey * 13) % 7) * (1::BIGINT << 27) + ((c_custkey * 15) % 7) * (1::BIGINT << 24) + ((c_custkey * 17) % 7) * (1::BIGINT << 21) + ((c_custkey * 19) % 7) * (1::BIGINT << 18) AS cell,
+                     (1::BIGINT << 60)
+                       + ((((((((((c_custkey % 122) * 7 + ((c_custkey * 3) % 7)) * 7 + ((c_custkey * 5) % 7)) * 7 + ((c_custkey * 7) % 7)) * 7 + ((c_custkey * 9) % 7)) * 7 + ((c_custkey * 11) % 7)) * 7 + ((c_custkey * 13) % 7)) * 7 + ((c_custkey * 15) % 7)) * 7 + ((c_custkey * 17) % 7)) * 7 + ((c_custkey * 19) % 7)) * 16 + 9 AS z7
+              FROM customer)
+            SELECT k, cell, z7, cell AS back FROM g
         """,
         "i9r_pixel_index": f"""
             SELECT i9r_07, i9r_02, CAST(n_px AS BIGINT) AS n_px,

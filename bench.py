@@ -68,15 +68,30 @@ def main():
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
 
+    # per-query Spark task CPU (round-5 VERDICT #1: wall-clock alone can't
+    # distinguish a plan regression from VM load — task CPU is load-robust)
+    from raster2dggs_spark.profiling import SparkPhaseProfiler
+
+    _prof = SparkPhaseProfiler(spark, enabled=True)
+    task_cpu: dict[str, float] = {}
+
     def timed(name, fn):
         if warmup:
             fn()
-        best, out = float("inf"), None
+        best, out, best_cpu = float("inf"), None, 0.0
         for _ in range(reps):
+            snap0 = _prof._snapshot()
             t0 = time.perf_counter()
             out = fn()
-            best = min(best, time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            snap1 = _prof._snapshot()
+            cpu_ns = sum(
+                max(c - snap0.get(sid, (0, 0, 0))[1], 0)
+                for sid, (_r, c, _t) in snap1.items())
+            if wall < best:
+                best, best_cpu = wall, cpu_ns / 1e9
         timings[name] = round(best, 3)
+        task_cpu[name] = round(best_cpu, 3)
         return out
 
     # -- q1: flagship pixel->H3 index + per-cell mean (north metric) -----
@@ -324,6 +339,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "task_cpu_s": task_cpu,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "methodology": (
             f"per-query: 1 untimed warm-up + min of {reps} timed runs "

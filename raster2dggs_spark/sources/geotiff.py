@@ -336,38 +336,85 @@ def decode_segment(meta: dict, seg_index: int, buf: bytes) -> np.ndarray:
 # window plan + Spark ingest
 
 
+def _plan_rows(path: str) -> list[dict]:
+    """Window-plan rows for ONE file (bounded header reads only)."""
+    meta = parse_geotiff(path)
+    w, h, spp = meta["w"], meta["h"], meta["spp"]
+    tw, th = meta["tile_w"], meta["tile_h"]
+    if meta["tiled"]:
+        across = (w + tw - 1) // tw
+        per_plane = across * ((h + th - 1) // th)
+    else:
+        across = 1
+        per_plane = (h + th - 1) // th
+    n_planes = spp if meta["planar"] == 2 else 1
+    base = os.path.basename(path)
+    rows = []
+    for pidx in range(per_plane):
+        ti, tj = pidx % across, pidx // across
+        col0, row0 = ti * tw, tj * th
+        segs = [pidx + p * per_plane for p in range(n_planes)]
+        rows.append({
+            "image_id": f"{base}#w{pidx:05d}",
+            "path": path,
+            "seg_indices": segs,
+            "seg_offsets": [int(meta["offsets"][s]) for s in segs],
+            "seg_counts": [int(meta["counts"][s]) for s in segs],
+            "col_off": col0, "row_off": row0,
+            "win_w": min(tw, w - col0), "win_h": min(th, h - row0),
+            "meta": meta,
+        })
+    return rows
+
+
 def window_plan(paths: list[str]) -> pd.DataFrame:
     """One row per output window (tile/strip footprint).  For chunky
     files a window is one segment; for planar files it is ``spp``
-    segments (one per band plane) sharing a footprint."""
+    segments (one per band plane) sharing a footprint.  Driver-side —
+    fine up to a few thousand files; beyond that use the distributed
+    scan inside :func:`read_geotiff`."""
     rows = []
     for path in paths:
-        meta = parse_geotiff(path)
-        w, h, spp = meta["w"], meta["h"], meta["spp"]
-        tw, th = meta["tile_w"], meta["tile_h"]
-        if meta["tiled"]:
-            across = (w + tw - 1) // tw
-            per_plane = across * ((h + th - 1) // th)
-        else:
-            across = 1
-            per_plane = (h + th - 1) // th
-        n_planes = spp if meta["planar"] == 2 else 1
-        base = os.path.basename(path)
-        for pidx in range(per_plane):
-            ti, tj = pidx % across, pidx // across
-            col0, row0 = ti * tw, tj * th
-            segs = [pidx + p * per_plane for p in range(n_planes)]
-            rows.append({
-                "image_id": f"{base}#w{pidx:05d}",
-                "path": path,
-                "seg_indices": segs,
-                "seg_offsets": [int(meta["offsets"][s]) for s in segs],
-                "seg_counts": [int(meta["counts"][s]) for s in segs],
-                "col_off": col0, "row_off": row0,
-                "win_w": min(tw, w - col0), "win_h": min(th, h - row0),
-                "meta": meta,
-            })
+        rows.extend(_plan_rows(path))
     return pd.DataFrame(rows)
+
+
+def scan_geotiffs(spark, paths: list[str], json_module=None):
+    """Distributed header scan: the PATH LIST is parallelized and each
+    executor tag-walks its own files (a few KB of range reads per file)
+    — at 10^6-file scale the driver never opens a single raster.
+    Returns the window-plan DataFrame (meta as JSON string)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("seg_indices", T.ArrayType(T.IntegerType())),
+        T.StructField("seg_offsets", T.ArrayType(T.LongType())),
+        T.StructField("seg_counts", T.ArrayType(T.LongType())),
+        T.StructField("col_off", T.IntegerType()),
+        T.StructField("row_off", T.IntegerType()),
+        T.StructField("win_w", T.IntegerType()),
+        T.StructField("win_h", T.IntegerType()),
+        T.StructField("meta_json", T.StringType()),
+    ])
+    pp = spark.createDataFrame([(p,) for p in paths], "path string")
+    nparts = min(len(paths), spark.sparkContext.defaultParallelism)
+
+    def scan(batches):
+        for b in batches:
+            rows = []
+            for path in b["path"]:
+                for r in _plan_rows(path):
+                    meta = r.pop("meta")
+                    r["meta_json"] = json.dumps(meta)
+                    rows.append(r)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return pp.repartition(nparts).mapInPandas(scan, schema)
 
 
 def read_geotiff(spark, paths: list[str] | str, fmt: str = "raw",
@@ -387,27 +434,35 @@ def read_geotiff(spark, paths: list[str] | str, fmt: str = "raw",
 
     if isinstance(paths, str):
         paths = [paths]
-    plan = window_plan(paths)
-    if plan.empty:
+    if not paths:
         return spark.createDataFrame([], IMAGE_SCHEMA)
-    plan = plan.assign(meta_json=plan["meta"].map(json.dumps)).drop(
-        columns=["meta"])
-    plan_schema = T.StructType([
-        T.StructField("image_id", T.StringType()),
-        T.StructField("path", T.StringType()),
-        T.StructField("seg_indices", T.ArrayType(T.IntegerType())),
-        T.StructField("seg_offsets", T.ArrayType(T.LongType())),
-        T.StructField("seg_counts", T.ArrayType(T.LongType())),
-        T.StructField("col_off", T.IntegerType()),
-        T.StructField("row_off", T.IntegerType()),
-        T.StructField("win_w", T.IntegerType()),
-        T.StructField("win_h", T.IntegerType()),
-        T.StructField("meta_json", T.StringType()),
-    ])
-    pdf = spark.createDataFrame(plan, plan_schema)
-    nparts = n_partitions or min(
-        len(plan), spark.sparkContext.defaultParallelism)
-    pdf = pdf.repartition(nparts)
+    if len(paths) > 256:
+        # many-files path: header scan fans out to executors too
+        pdf = scan_geotiffs(spark, paths)
+        nparts = n_partitions or spark.sparkContext.defaultParallelism
+        pdf = pdf.repartition(nparts)
+    else:
+        plan = window_plan(paths)
+        if plan.empty:
+            return spark.createDataFrame([], IMAGE_SCHEMA)
+        plan = plan.assign(meta_json=plan["meta"].map(json.dumps)).drop(
+            columns=["meta"])
+        plan_schema = T.StructType([
+            T.StructField("image_id", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("seg_indices", T.ArrayType(T.IntegerType())),
+            T.StructField("seg_offsets", T.ArrayType(T.LongType())),
+            T.StructField("seg_counts", T.ArrayType(T.LongType())),
+            T.StructField("col_off", T.IntegerType()),
+            T.StructField("row_off", T.IntegerType()),
+            T.StructField("win_w", T.IntegerType()),
+            T.StructField("win_h", T.IntegerType()),
+            T.StructField("meta_json", T.StringType()),
+        ])
+        pdf = spark.createDataFrame(plan, plan_schema)
+        nparts = n_partitions or min(
+            len(plan), spark.sparkContext.defaultParallelism)
+        pdf = pdf.repartition(nparts)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from raster2dggs_spark.codecs import average_hash64, encode_image

@@ -352,3 +352,30 @@ def test_lzw_long_stream_code_width_growth():
     arr = rng.integers(0, 256, size=(1, 64, 257)).astype(np.uint8)
     _, out = _roundtrip(arr, compression=5)
     assert np.array_equal(out, arr.astype(np.float32))
+
+
+def test_many_files_distributed_scan(spark, tmp_path):
+    """>256 files routes through scan_geotiffs: the header tag-walk
+    itself fans out to executors; every file's windows decode and
+    georeference independently."""
+    import pandas as pd
+
+    from raster2dggs_spark.sources.geotiff import read_geotiff
+
+    paths = []
+    for i in range(260):
+        arr = (np.arange(12, dtype=np.float32) + i).reshape(1, 3, 4)
+        p = str(tmp_path / f"t{i:03d}.tiff")
+        _write_tiff(p, arr)
+        paths.append(p)
+    out = read_geotiff(spark, paths)
+    rows = out.collect()
+    assert len(rows) == 260
+    from raster2dggs_spark.codecs import decode_image
+
+    by_id = {r.image_id: r for r in rows}
+    r7 = by_id["t007.tiff#w00000"]
+    assert r7.crs == "EPSG:4326" and (r7.w, r7.h) == (4, 3)
+    assert np.array_equal(
+        decode_image(bytes(r7.bytes)),
+        (np.arange(12, dtype=np.float32) + 7).reshape(1, 3, 4))
