@@ -15,13 +15,13 @@ Scale design (100-TB shape):
   range-read + decompressed + de-predicted per window inside
   ``mapInPandas`` on executors.  No image byte ever crosses the driver.
 
-Supported: classic TIFF (II/MM), strips + tiles, PlanarConfig 1/2,
+Supported: classic TIFF AND BigTIFF (II/MM; magic 42/43 — files >4 GB
+at corpus scale are BigTIFF), strips + tiles, PlanarConfig 1/2,
 Compression none/deflate/zstd/PackBits/LZW, Predictor 1/2/3 (horizontal
 int + floating-point byte-shuffled), u8/u16/u32/i8/i16/i32/f32/f64
-samples, GeoTIFF georeferencing (ModelPixelScale+Tiepoint or
-ModelTransformation; CRS via GeoKey 1024/3072), GDAL_NODATA.  BigTIFF
-raises NotImplementedError (tag-walk is 8-byte offsets — straightforward
-but untestable offline).
+samples, GDAL sparse segments (offset 0 → implicit nodata fill),
+GeoTIFF georeferencing (ModelPixelScale+Tiepoint or
+ModelTransformation; CRS via GeoKey 1024/3072), GDAL_NODATA.
 
 Validated bit-exact against GDAL's own statistics for the reference's
 ``se-island.tiff`` (ZSTD tiles, predictor 2, float32, EPSG:3793 — see
@@ -49,9 +49,9 @@ _TAG_NAMES = {
 }
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-              10: 8, 11: 4, 12: 8}
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}  # 16-18: BigTIFF
 _TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h",
-             9: "i", 11: "f", 12: "d"}
+             9: "i", 11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 def _read_range(path: str, off: int, n: int) -> bytes:
@@ -79,26 +79,45 @@ def parse_geotiff(path: str) -> dict:
         bo = ">"
     else:
         raise ValueError(f"{path}: not a TIFF")
-    magic, ifd_off = struct.unpack(bo + "HI", head[2:8])
-    if magic == 43:
-        raise NotImplementedError("BigTIFF (classic TIFF only offline)")
-    if magic != 42:
+    magic, = struct.unpack(bo + "H", head[2:4])
+    if magic == 42:  # classic: 4-byte offsets, 12-byte entries
+        big = False
+        ifd_off, = struct.unpack(bo + "I", head[4:8])
+        entry_sz, inline_max = 12, 4
+    elif magic == 43:  # BigTIFF: 8-byte offsets, 20-byte entries
+        big = True
+        off_sz, zero = struct.unpack(bo + "HH", head[4:8])
+        if off_sz != 8 or zero != 0:
+            raise ValueError(f"{path}: malformed BigTIFF header")
+        ifd_off, = struct.unpack(bo + "Q", head[8:16])
+        entry_sz, inline_max = 20, 8
+    else:
         raise ValueError(f"{path}: bad TIFF magic {magic}")
 
-    nbuf = _read_range(path, ifd_off, 2)
-    n_entries, = struct.unpack(bo + "H", nbuf)
-    entries = _read_range(path, ifd_off + 2, 12 * n_entries)
+    if big:
+        n_entries, = struct.unpack(bo + "Q", _read_range(path, ifd_off, 8))
+        entries = _read_range(path, ifd_off + 8, entry_sz * n_entries)
+    else:
+        n_entries, = struct.unpack(bo + "H", _read_range(path, ifd_off, 2))
+        entries = _read_range(path, ifd_off + 2, entry_sz * n_entries)
     tags: dict = {}
     for i in range(n_entries):
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", entries, 12 * i)
+        if big:
+            tag, typ, cnt = struct.unpack_from(bo + "HHQ", entries,
+                                               entry_sz * i)
+        else:
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", entries,
+                                               entry_sz * i)
         name = _TAG_NAMES.get(tag)
         if name is None or typ not in _TYPE_SIZE:
             continue
         size = _TYPE_SIZE[typ] * cnt
-        if size <= 4:
-            raw = entries[12 * i + 8: 12 * i + 8 + size]
+        val_at = entry_sz * i + (12 if big else 8)
+        if size <= inline_max:
+            raw = entries[val_at: val_at + size]
         else:
-            voff, = struct.unpack_from(bo + "I", entries, 12 * i + 8)
+            voff, = struct.unpack_from(bo + ("Q" if big else "I"),
+                                       entries, val_at)
             raw = _read_range(path, voff, size)
         if typ == 2:
             tags[name] = raw.rstrip(b"\x00").decode("ascii", "replace")
@@ -295,6 +314,28 @@ def _unpredict(raw: bytes, meta: dict, rows: int, row_samples: int
     return arr.astype(np.float32)
 
 
+def _fill_segment(meta: dict, seg_index: int) -> np.ndarray:
+    """Implicit-fill window for a GDAL SPARSE segment (offset 0 in
+    TileOffsets/StripOffsets = never written): nodata if declared,
+    else NaN — shaped exactly like decode_segment's cropped output."""
+    w, h, spp = meta["w"], meta["h"], meta["spp"]
+    tw, th = meta["tile_w"], meta["tile_h"]
+    planar_bands = spp if meta["planar"] == 1 else 1
+    if meta["tiled"]:
+        across = (w + tw - 1) // tw
+        per_plane = across * ((h + th - 1) // th)
+        pidx = seg_index % per_plane
+        col0, row0 = (pidx % across) * tw, (pidx // across) * th
+        rows, cols = min(th, h - row0), min(tw, w - col0)
+    else:
+        per_plane = (h + th - 1) // th
+        row0 = (seg_index % per_plane) * th
+        rows, cols = min(th, h - row0), w
+    nd = meta.get("nodata")
+    fill = np.float32(np.nan if nd is None else nd)
+    return np.full((planar_bands, rows, cols), fill, dtype=np.float32)
+
+
 def decode_segment(meta: dict, seg_index: int, buf: bytes) -> np.ndarray:
     """Decode one strip/tile payload → float32 (bands, seg_h, seg_w),
     cropped to the image bounds (chunky); for planar files the caller
@@ -475,6 +516,9 @@ def read_geotiff(spark, paths: list[str] | str, fmt: str = "raw",
                 parts = []
                 for si, so, sc in zip(r.seg_indices, r.seg_offsets,
                                       r.seg_counts):
+                    if so == 0 or sc == 0:  # GDAL sparse segment
+                        parts.append(_fill_segment(meta, int(si)))
+                        continue
                     buf = _read_range(r.path, int(so), int(sc))
                     parts.append(decode_segment(meta, int(si), buf))
                 arr = parts[0] if len(parts) == 1 else np.concatenate(
@@ -512,6 +556,9 @@ def read_geotiff_local(path: str) -> np.ndarray:
     for r in plan.itertuples(index=False):
         parts = []
         for si, so, sc in zip(r.seg_indices, r.seg_offsets, r.seg_counts):
+            if so == 0 or sc == 0:  # GDAL sparse segment
+                parts.append(_fill_segment(meta, int(si)))
+                continue
             parts.append(decode_segment(meta, int(si),
                                         _read_range(path, int(so), int(sc))))
         arr = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)

@@ -94,8 +94,11 @@ def test_spark_windows_bit_identical_and_stage1_regression(spark):
 
 
 def _write_tiff(path, arr, *, compression=1, predictor=1, bo="<",
-                rows_per_strip=None, planar=1, tiled=False, tile=(16, 16)):
-    """arr: (bands, h, w) of u8/u16/f32. Writes strips unless tiled."""
+                rows_per_strip=None, planar=1, tiled=False, tile=(16, 16),
+                big=False, sparse=()):
+    """arr: (bands, h, w) of u8/u16/f32. Writes strips unless tiled.
+    ``big=True`` emits BigTIFF (magic 43, 8-byte offsets); ``sparse``
+    lists segment indices written as GDAL sparse (offset 0)."""
     bands, h, w = arr.shape
     dt = arr.dtype
     bps = dt.itemsize * 8
@@ -106,7 +109,10 @@ def _write_tiff(path, arr, *, compression=1, predictor=1, bo="<",
         if predictor == 1:
             return np.ascontiguousarray(block, dtype=file_dt).tobytes()
         if predictor == 2:
-            u = block.astype(np.dtype(f"u{dt.itemsize}"))
+            # bit-pattern reinterpretation (libtiff differences the raw
+            # words — for floats too, cf. se-island's 32-bit predictor)
+            u = np.ascontiguousarray(block).view(
+                np.dtype(f"u{dt.itemsize}"))
             d = u.reshape(u.shape[0], -1, stride).copy()
             d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
             return d.reshape(u.shape).astype(
@@ -202,12 +208,14 @@ def _write_tiff(path, arr, *, compression=1, predictor=1, bo="<",
     extra = b""
     data_off = 8
 
+    inline_max = 8 if big else 4
+
     def _arr_tag(tag, typ, values, elem_fmt, elem_size):
         nonlocal extra
         cnt = len(values)
-        if cnt * elem_size <= 4:
+        if cnt * elem_size <= inline_max:
             packed = struct.pack(bo + str(cnt) + elem_fmt, *values)
-            packed += b"\x00" * (4 - len(packed))
+            packed += b"\x00" * (inline_max - len(packed))
             return (tag, typ, cnt, packed)
         off_marker = len(extra)
         extra += struct.pack(bo + str(cnt) + elem_fmt, *values)
@@ -224,48 +232,63 @@ def _write_tiff(path, arr, *, compression=1, predictor=1, bo="<",
     tags.append(_arr_tag(33922, 12, [0, 0, 0, 10.0, 50.0, 0.0], "d", 8))
     tags.append(_arr_tag(34735, 3, [1, 1, 0, 1, 1024, 0, 1, 2], "H", 2))
 
-    # lay out: header(8) IFD(2+12n+4) extra data, segments
+    # sparse segments: written as offset 0 / count 0, no bytes emitted
+    segs = [b"" if i in set(sparse) else sg for i, sg in enumerate(segs)]
+
+    # lay out: header, IFD(count + entries + next), extra data, segments
     n_all = len(tags) + 2  # + offsets/counts arrays
-    ifd_off = 8
-    ifd_size = 2 + 12 * (n_all) + 4
+    entry_sz = 20 if big else 12
+    off_fmt = "Q" if big else "I"
+    off_typ = 16 if big else 4
+    off_sz = 8 if big else 4
+    ifd_off = 16 if big else 8
+    ifd_size = (8 if big else 2) + entry_sz * n_all + off_sz
     extra_base = ifd_off + ifd_size
-    seg_meta_size = 0 if len(segs) == 1 else 2 * 4 * len(segs)
+    seg_meta_size = 0 if len(segs) == 1 else 2 * off_sz * len(segs)
     seg_base = extra_base + len(extra) + seg_meta_size
     offs, cur = [], seg_base
-    for s in segs:
-        offs.append(cur)
-        cur += len(s)
+    for sg in segs:
+        offs.append(0 if not sg else cur)
+        cur += len(sg)
     off_tag = 324 if tiled else 273
     cnt_tag = 325 if tiled else 279
     if len(segs) == 1:
-        tags += [(off_tag, 4, 1, offs[0]), (cnt_tag, 4, 1, len(segs[0]))]
+        tags += [(off_tag, off_typ, 1, offs[0]),
+                 (cnt_tag, off_typ, 1, len(segs[0]))]
         seg_arrays = b""
     else:
-        seg_arrays = struct.pack(bo + str(len(segs)) + "I", *offs)
-        seg_arrays += struct.pack(bo + str(len(segs)) + "I",
-                                  *[len(s) for s in segs])
+        seg_arrays = struct.pack(bo + str(len(segs)) + off_fmt, *offs)
+        seg_arrays += struct.pack(bo + str(len(segs)) + off_fmt,
+                                  *[len(sg) for sg in segs])
         tags += [
-            (off_tag, 4, len(segs), ("seg", 0)),
-            (cnt_tag, 4, len(segs), ("seg", 4 * len(segs))),
+            (off_tag, off_typ, len(segs), ("seg", 0)),
+            (cnt_tag, off_typ, len(segs), ("seg", off_sz * len(segs))),
         ]
 
     tags.sort(key=lambda t: t[0])
     buf = bytearray()
-    buf += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, 8)
-    buf += struct.pack(bo + "H", n_all)
+    if big:
+        buf += (b"II" if bo == "<" else b"MM")
+        buf += struct.pack(bo + "HHHQ", 43, 8, 0, 16)
+        buf += struct.pack(bo + "Q", n_all)
+    else:
+        buf += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI", 42, 8)
+        buf += struct.pack(bo + "H", n_all)
+    cnt_fmt = "HHQ" if big else "HHI"
     for tag, typ, cnt, val in tags:
-        buf += struct.pack(bo + "HHI", tag, typ, cnt)
+        buf += struct.pack(bo + cnt_fmt, tag, typ, cnt)
         if isinstance(val, tuple) and val[0] == "extra":
-            buf += struct.pack(bo + "I", extra_base + val[1])
+            buf += struct.pack(bo + off_fmt, extra_base + val[1])
         elif isinstance(val, tuple) and val[0] == "seg":
-            buf += struct.pack(bo + "I", extra_base + len(extra) + val[1])
+            buf += struct.pack(bo + off_fmt,
+                               extra_base + len(extra) + val[1])
         elif isinstance(val, bytes):
-            buf += val
+            buf += val + b"\x00" * (inline_max - len(val))
         elif typ == 3:  # SHORT value occupies the first 2 slot bytes
-            buf += struct.pack(bo + "H", val) + b"\x00\x00"
+            buf += struct.pack(bo + "H", val) + b"\x00" * (inline_max - 2)
         else:
-            buf += struct.pack(bo + "I", val)
-    buf += struct.pack(bo + "I", 0)  # next IFD
+            buf += struct.pack(bo + off_fmt, val)
+    buf += struct.pack(bo + off_fmt, 0)  # next IFD
     buf += extra + seg_arrays
     for s in segs:
         buf += s
@@ -379,3 +402,28 @@ def test_many_files_distributed_scan(spark, tmp_path):
     assert np.array_equal(
         decode_image(bytes(r7.bytes)),
         (np.arange(12, dtype=np.float32) + 7).reshape(1, 3, 4))
+
+
+def test_bigtiff_roundtrip():
+    """BigTIFF (magic 43, 8-byte offsets, 20-byte IFD entries) — files
+    >4 GB at corpus scale are BigTIFF, so the tag-walk must speak it."""
+    arr = _ramp(3, 22, 18, np.float32)
+    _, out = _roundtrip(arr, compression=8, predictor=2, rows_per_strip=6,
+                        big=True)
+    assert np.array_equal(out, arr)
+
+
+def test_bigtiff_big_endian_tiled():
+    arr = _ramp(2, 17, 21, np.uint16)
+    _, out = _roundtrip(arr, bo=">", tiled=True, tile=(16, 16), big=True)
+    assert np.array_equal(out, arr.astype(np.float32))
+
+
+def test_sparse_segments_fill_nan():
+    """GDAL sparse files: a segment with offset 0 was never written and
+    reads as implicit nodata fill (NaN when no GDAL_NODATA declared)."""
+    arr = _ramp(1, 20, 10, np.float32)
+    _, out = _roundtrip(arr, rows_per_strip=5, sparse=(1,))
+    assert np.array_equal(out[:, :5], arr[:, :5])
+    assert np.isnan(out[:, 5:10]).all()          # the sparse strip
+    assert np.array_equal(out[:, 10:], arr[:, 10:])
