@@ -420,7 +420,7 @@ def window_plan(paths: list[str]) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def scan_geotiffs(spark, paths: list[str], json_module=None):
+def scan_geotiffs(spark, paths: list[str]):
     """Distributed header scan: the PATH LIST is parallelized and each
     executor tag-walks its own files (a few KB of range reads per file)
     — at 10^6-file scale the driver never opens a single raster.
