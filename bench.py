@@ -110,6 +110,53 @@ def main():
     extras["pixels_indexed"] = int(row["pixels"])
     extras["pixels_per_sec"] = round(row["pixels"] / timings["pixel_index_hex7"], 1)
 
+    # -- q1b: GeoTIFF ingest throughput (round 6: the real-raster source) --
+    # 96 zstd-tiled predictor-2 float32 GeoTIFFs of 1024x1024 px (~100M px
+    # total), generated once into the cache; the timed query is the full
+    # distributed window decode -> pixel->cell explode at res 9
+    def _tiff_corpus():
+        import glob
+
+        tdir = os.path.join(REPO, ".bench_cache", "tiffs_96")
+        done = os.path.join(tdir, "_SUCCESS")
+        if not os.path.exists(done):
+            from raster2dggs_spark.sources.geotiff import write_geotiff
+            import numpy as np
+
+            os.makedirs(tdir, exist_ok=True)
+
+            def gen(idxs):
+                for i in idxs:
+                    rng = np.random.default_rng(1000 + i)
+                    arr = rng.random((1, 1024, 1024)).astype(np.float32)
+                    lon0 = -170.0 + (i % 12) * 28.0
+                    lat0 = 60.0 - (i // 12) * 14.0
+                    write_geotiff(
+                        os.path.join(tdir, f"b{i:03d}.tiff"), arr,
+                        (2e-4, 0.0, lon0, 0.0, -2e-4, lat0), "EPSG:4326")
+                    yield (i,)
+
+            spark.sparkContext.parallelize(range(96), 32).mapPartitions(
+                gen).count()
+            open(done, "w").close()
+        return sorted(glob.glob(os.path.join(tdir, "*.tiff")))
+
+    tiff_paths = _tiff_corpus()
+
+    def q_geotiff():
+        from raster2dggs_spark.operators.indexing import pixel_cells
+        from raster2dggs_spark.sources.geotiff import read_geotiff
+
+        g = read_geotiff(spark, tiff_paths)
+        return pixel_cells(g, res=9, n_bands=1, keep_image_id=False).agg(
+            F.count(F.lit(1)).alias("px")).collect()[0]
+
+    grow = timed("geotiff_ingest", q_geotiff)
+    extras["geotiff_files"] = len(tiff_paths)
+    extras["geotiff_pixels"] = int(grow["px"])
+    extras["geotiff_px_per_sec"] = round(
+        grow["px"] / timings["geotiff_ingest"], 1)
+
     # -- q2: S2 variant ---------------------------------------------------
     def q_pixels_s2():
         out = index_point_agg(imgs, res=14, dggs="s2", agg="mean")

@@ -565,3 +565,134 @@ def read_geotiff_local(path: str) -> np.ndarray:
         full[:, r.row_off:r.row_off + arr.shape[1],
              r.col_off:r.col_off + arr.shape[2]] = arr
     return full
+
+
+# --------------------------------------------------------------------------
+# GeoTIFF writer (export / round-trip / bench-corpus generation)
+
+
+def _geokeys_for_crs(crs: str) -> tuple:
+    code = _epsg_code_of(crs)
+    if code == 4326:
+        # GTModelTypeGeoKey=2 (geographic), GeographicTypeGeoKey=4326
+        return (1, 1, 0, 2, 1024, 0, 1, 2, 2048, 0, 1, 4326)
+    # projected: GTModelType=1, ProjectedCSType=code
+    return (1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, code)
+
+
+def _epsg_code_of(crs: str) -> int:
+    try:
+        return int(str(crs).upper().replace("EPSG:", ""))
+    except ValueError:
+        raise ValueError(f"write_geotiff needs an EPSG crs, got {crs!r}")
+
+
+def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
+                  nodata: float | None = None, compression: str = "zstd",
+                  tile: tuple[int, int] = (256, 256),
+                  predictor: int = 2) -> None:
+    """Write a (bands, h, w) float32 array as a tiled GeoTIFF (chunky,
+    little-endian, classic TIFF) — the export twin of the reader, and
+    the corpus generator for the ingest bench.  ``compression``:
+    zstd | deflate | none; ``predictor`` 1 or 2 (32-bit horizontal
+    word differencing, the GDAL float default this reader decodes
+    bit-exactly on se-island.tiff)."""
+    import pyarrow as pa
+
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    bands, h, w = arr.shape
+    tw, th = tile
+    comp_code = {"none": 1, "deflate": 8, "zstd": 50000}[compression]
+    codec = pa.Codec("zstd") if compression == "zstd" else None
+
+    segs = []
+    for r0 in range(0, h, th):
+        for c0 in range(0, w, tw):
+            block = np.zeros((th, tw, bands), dtype=np.float32)
+            src = arr[:, r0:r0 + th, c0:c0 + tw].transpose(1, 2, 0)
+            block[: src.shape[0], : src.shape[1]] = src
+            flat = block.reshape(th, tw * bands)
+            if predictor == 2:
+                u = flat.view(np.uint32).reshape(th, tw, bands).copy()
+                u[:, 1:, :] -= u[:, :-1, :]
+                raw = u.tobytes()
+            else:
+                raw = flat.tobytes()
+            if comp_code == 1:
+                segs.append(raw)
+            elif comp_code == 8:
+                segs.append(zlib.compress(raw, 6))
+            else:
+                segs.append(codec.compress(raw).to_pybytes())
+
+    a, b, c, d, e, f = affine
+    if abs(b) > 0 or abs(d) > 0:
+        raise ValueError("write_geotiff: north-up affines only (b=d=0)")
+    gk = _geokeys_for_crs(crs)
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h),
+        (258, 3, bands, [32] * bands),
+        (259, 3, 1, comp_code), (262, 3, 1, 1),
+        (277, 3, 1, bands), (284, 3, 1, 1),
+        (317, 3, 1, predictor),
+        (322, 3, 1, tw), (323, 3, 1, th),
+        (339, 3, bands, [3] * bands),
+        (33550, 12, 3, [abs(a), abs(e), 0.0]),
+        (33922, 12, 6, [0.0, 0.0, 0.0, c, f, 0.0]),
+        (34735, 3, len(gk), list(gk)),
+    ]
+    if nodata is not None:
+        nd = "nan" if np.isnan(nodata) else repr(float(nodata))
+        tags.append((42113, 2, len(nd) + 1, nd.encode() + b"\x00"))
+
+    fmt_of = {3: "H", 4: "I", 12: "d", 2: "s"}
+    n_all = len(tags) + 2
+    ifd_size = 2 + 12 * n_all + 4
+    extra = bytearray()
+    entry_vals = []
+    for tag, typ, cnt, val in tags:
+        if typ == 2:
+            data = val
+        else:
+            vv = val if isinstance(val, list) else [val]
+            data = struct.pack("<" + str(cnt) + fmt_of[typ], *vv)
+        if len(data) <= 4:
+            entry_vals.append((tag, typ, cnt, data.ljust(4, b"\x00")))
+        else:
+            entry_vals.append((tag, typ, cnt, ("off", len(extra))))
+            extra += data
+    n_seg = len(segs)
+    extra_base = 8 + ifd_size
+    seg_meta = 0 if n_seg == 1 else 2 * 4 * n_seg
+    seg_base = extra_base + len(extra) + seg_meta
+    offs, cur = [], seg_base
+    for sg in segs:
+        offs.append(cur)
+        cur += len(sg)
+    if n_seg == 1:
+        entry_vals.append((324, 4, 1, struct.pack("<I", offs[0])))
+        entry_vals.append((325, 4, 1, struct.pack("<I", len(segs[0]))))
+        seg_arrays = b""
+    else:
+        seg_arrays = struct.pack("<" + str(n_seg) + "I", *offs)
+        seg_arrays += struct.pack("<" + str(n_seg) + "I",
+                                  *[len(sg) for sg in segs])
+        entry_vals.append((324, 4, n_seg, ("seg", 0)))
+        entry_vals.append((325, 4, n_seg, ("seg", 4 * n_seg)))
+    entry_vals.sort(key=lambda t: t[0])
+    buf = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    buf += struct.pack("<H", n_all)
+    for tag, typ, cnt, val in entry_vals:
+        buf += struct.pack("<HHI", tag, typ, cnt)
+        if isinstance(val, tuple) and val[0] == "off":
+            buf += struct.pack("<I", extra_base + val[1])
+        elif isinstance(val, tuple) and val[0] == "seg":
+            buf += struct.pack("<I", extra_base + len(extra) + val[1])
+        else:
+            buf += val
+    buf += struct.pack("<I", 0)
+    buf += extra + seg_arrays
+    with open(path, "wb") as fh:
+        fh.write(bytes(buf))
+        for sg in segs:
+            fh.write(sg)

@@ -427,3 +427,40 @@ def test_sparse_segments_fill_nan():
     assert np.array_equal(out[:, :5], arr[:, :5])
     assert np.isnan(out[:, 5:10]).all()          # the sparse strip
     assert np.array_equal(out[:, 10:], arr[:, 10:])
+
+
+def test_write_geotiff_roundtrip_all_compressions():
+    """The export sink: written files re-parse with the (GDAL-pinned)
+    reader bit-exactly, carrying CRS + nodata through the GeoKeys."""
+    from raster2dggs_spark.sources.geotiff import write_geotiff
+
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal((3, 300, 270)).astype(np.float32)
+    for comp in ("zstd", "deflate", "none"):
+        with tempfile.NamedTemporaryFile(suffix=".tiff",
+                                         delete=False) as fh:
+            p = fh.name
+        try:
+            write_geotiff(p, arr, (0.01, 0, 10.0, 0, -0.01, 50.0),
+                          "EPSG:32618", nodata=-9999.0, compression=comp)
+            m = parse_geotiff(p)
+            assert m["crs"] == "EPSG:32618" and m["nodata"] == -9999.0
+            assert np.array_equal(read_geotiff_local(p), arr), comp
+        finally:
+            os.unlink(p)
+
+
+def test_write_geotiff_4326_geographic_keys():
+    from raster2dggs_spark.sources.geotiff import write_geotiff
+
+    arr = np.arange(48, dtype=np.float32).reshape(1, 6, 8)
+    with tempfile.NamedTemporaryFile(suffix=".tiff", delete=False) as fh:
+        p = fh.name
+    try:
+        write_geotiff(p, arr, (0.5, 0, -10.0, 0, -0.5, 45.0), "EPSG:4326",
+                      compression="deflate", tile=(8, 8))
+        m = parse_geotiff(p)
+        assert m["crs"] == "EPSG:4326"
+        assert np.array_equal(read_geotiff_local(p), arr)
+    finally:
+        os.unlink(p)
