@@ -1708,6 +1708,31 @@ def q_z7_roundtrip(spark, sf_dir):
 
 
 
+def q_polar_pixel_index(spark, sf_dir):
+    """Polar stereographic CRS gate (round 6): ramp tiles in the four
+    polar grids real polar rasters use (NSIDC 3413/3976, Antarctic
+    3031, UPS 5041) run the meters-affine → ellipsoidal-PS inverse →
+    hex7 encode pipeline.  Oracle: single-node replay fixture; the PS
+    math is pinned independently in tests/test_geo.py (round-trip
+    <1e-11°, numeric conformality, k=1 at lat_ts, exact spherical
+    limit)."""
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_polar_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_polar_images_pdf(16, seed=42),
+                                 IMAGE_SCHEMA)
+    out = index_point_agg(imgs, res=7, parent_res=1, agg="mean", n_bands=1)
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_07"),
+        F.lower(F.hex("parent")).alias("hex7_01"),
+        F.col("npx").cast("long").alias("n_px"),
+        _r4("band_1").alias("band_1"),
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_mean_sum_count": q_agg_mean_sum_count,
@@ -1795,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i9r_pixel_index": q_i9r_pixel_index,
         "compact_cells_i9r": q_compact_cells_i9r,
         "utm_pixel_index": q_utm_pixel_index,
+        "polar_pixel_index": q_polar_pixel_index,
         "sample_points_lanczos": q_sample_points_lanczos,
         "z7_roundtrip": q_z7_roundtrip,
     }
@@ -3323,6 +3349,11 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"
                               for i in range(1, 4))}
             FROM read_parquet('{_FIXDIR}/geotiff_pixel_index.parquet')
+        """,
+        "polar_pixel_index": f"""
+            SELECT hex7_07, hex7_01, CAST(n_px AS BIGINT) AS n_px,
+                   round(band_1, 4) AS band_1
+            FROM read_parquet('{_FIXDIR}/polar_pixel_index_16.parquet')
         """,
         "utm_pixel_index": f"""
             SELECT hex7_09, hex7_03, CAST(n_px AS BIGINT) AS n_px,

@@ -7,7 +7,9 @@ EPSG:4326 and EPSG:3857, and additionally implement ellipsoidal
 Transverse Mercator (Krüger series, Karney 2011 "Transverse Mercator
 with an accuracy of a few nanometers" — published, public) so real-world
 UTM (EPSG:326xx/327xx) and national TM grids (NZTM 2193, Chatham 3793)
-rasters georeference correctly.  All NumPy-vectorized.
+rasters georeference correctly, plus ellipsoidal polar stereographic
+(EPSG method 9810/9829: NSIDC 3413/3976, Antarctic 3031, UPS
+5041/5042) for polar rasters.  All NumPy-vectorized.
 """
 
 from __future__ import annotations
@@ -42,6 +44,22 @@ def mercator_to_lonlat(x, y):
 # Ellipsoidal Transverse Mercator — 4th-order Krüger series (Karney 2011).
 # Sub-millimeter within ±10° of the central meridian; round-trip identity
 # <1e-11° (pinned in tests/test_geo.py).
+
+
+def _tau_from_taup(taup, e2):
+    """Geographic tangent tau from conformal tangent tau' by Newton
+    (Karney eq. 19-21) — exact to machine precision, vectorized."""
+    taup = np.asarray(taup, dtype=np.float64)
+    e = np.sqrt(e2)
+    tau = taup / np.sqrt(1.0 - e2)
+    for _ in range(5):
+        sigma = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
+        taup_i = (tau * np.sqrt(1.0 + sigma * sigma)
+                  - sigma * np.hypot(1.0, tau))
+        dtau = ((taup - taup_i) * (1.0 + (1.0 - e2) * tau * tau)
+                / ((1.0 - e2) * np.hypot(1.0, taup_i) * np.hypot(1.0, tau)))
+        tau = tau + dtau
+    return tau
 
 
 class TransverseMercator:
@@ -119,22 +137,98 @@ class TransverseMercator:
             xi_p -= bj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
             eta_p -= bj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
         lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-        # conformal tangent -> geographic via Newton (Karney eq. 19-21):
-        # exact to machine precision, no truncated rectifying series
+        # conformal tangent -> geographic via Newton: exact to machine
+        # precision, no truncated rectifying series
         taup = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
-        e = self.e
-        tau = taup / np.sqrt(1.0 - self.e2)  # first guess
-        for _ in range(5):
-            sigma = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
-            taup_i = (tau * np.sqrt(1.0 + sigma * sigma)
-                      - sigma * np.hypot(1.0, tau))
-            dtau = ((taup - taup_i) * (1.0 + (1.0 - self.e2) * tau * tau)
-                    / ((1.0 - self.e2) * np.hypot(1.0, taup_i)
-                       * np.hypot(1.0, tau)))
-            tau = tau + dtau
+        tau = _tau_from_taup(taup, self.e2)
         lon = self.lon0 + np.degrees(lam)
         lat = np.degrees(np.arctan(tau))
         return lon, lat
+
+
+class PolarStereographic:
+    """Ellipsoidal polar stereographic (EPSG method 9810/9829): the
+    projection family of real polar rasters (NSIDC sea-ice grids,
+    Antarctic mosaics).  ``lat_ts`` (variant B) OR ``k0`` (variant A)
+    fixes the scale; ``north`` selects the aspect.  Inverse recovers
+    geographic latitude from the conformal tangent via the exact
+    Newton shared with the TM implementation."""
+
+    def __init__(self, lon0: float, north: bool, lat_ts: float | None = None,
+                 k0: float | None = None, x0: float = 0.0, y0: float = 0.0,
+                 a: float = EARTH_RADIUS_M, f: float = WGS84_F):
+        self.lon0, self.north, self.x0, self.y0 = lon0, north, x0, y0
+        self.a, self.e2 = a, f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        if lat_ts is not None:
+            phi_f = np.radians(abs(lat_ts))
+            s = np.sin(phi_f)
+            m_f = np.cos(phi_f) / np.sqrt(1.0 - self.e2 * s * s)
+            t_f = (np.tan(np.pi / 4.0 - phi_f / 2.0)
+                   / ((1.0 - self.e * s) / (1.0 + self.e * s))
+                   ** (self.e / 2.0))
+            # rho = a*m_f/t_f * t  ==  2*a*k0_eff/sqrt(...) * t
+            self._rho0 = a * m_f / t_f
+        elif k0 is not None:
+            self._rho0 = (2.0 * a * k0
+                          / np.sqrt((1.0 + self.e) ** (1.0 + self.e)
+                                    * (1.0 - self.e) ** (1.0 - self.e)))
+        else:
+            raise ValueError("need lat_ts or k0")
+
+    def _t(self, phi):
+        s = np.sin(phi)
+        return (np.tan(np.pi / 4.0 - phi / 2.0)
+                / ((1.0 - self.e * s) / (1.0 + self.e * s))
+                ** (self.e / 2.0))
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        sgn = 1.0 if self.north else -1.0
+        phi = np.radians(sgn * lat)
+        lam = np.radians(lon - self.lon0)
+        rho = self._rho0 * self._t(phi)
+        x = self.x0 + sgn * rho * np.sin(sgn * lam)
+        y = self.y0 - sgn * rho * np.cos(sgn * lam)
+        return x, y
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x0
+        y = np.asarray(y, dtype=np.float64) - self.y0
+        sgn = 1.0 if self.north else -1.0
+        rho = np.hypot(x, y)
+        lam = sgn * np.arctan2(sgn * x, -sgn * y)
+        t = rho / self._rho0
+        # chi = pi/2 - 2*atan(t): tan(chi) is the conformal tangent
+        taup = np.tan(np.pi / 2.0 - 2.0 * np.arctan(t))
+        tau = _tau_from_taup(taup, self.e2)
+        lat = sgn * np.degrees(np.arctan(tau))
+        lon = self.lon0 + np.degrees(lam)
+        lon = (lon + 180.0) % 360.0 - 180.0
+        return lon, lat
+
+
+_PS_NAMED = {
+    # code: (lon0, north, lat_ts, k0, x0, y0)
+    3413: (-45.0, True, 70.0, None, 0.0, 0.0),   # NSIDC north
+    3031: (0.0, False, -71.0, None, 0.0, 0.0),   # Antarctic PS
+    3976: (0.0, False, -70.0, None, 0.0, 0.0),   # NSIDC south
+    5041: (0.0, True, None, 0.994, 2_000_000.0, 2_000_000.0),   # UPS N
+    5042: (0.0, False, None, 0.994, 2_000_000.0, 2_000_000.0),  # UPS S
+}
+
+_PS_CACHE: dict[int, PolarStereographic] = {}
+
+
+def ps_for_epsg(code: int) -> PolarStereographic | None:
+    ps = _PS_CACHE.get(code)
+    if ps is None and code in _PS_NAMED:
+        lon0, north, lat_ts, k0, x0, y0 = _PS_NAMED[code]
+        ps = PolarStereographic(lon0, north, lat_ts=lat_ts, k0=k0,
+                                x0=x0, y0=y0)
+        _PS_CACHE[code] = ps
+    return ps
 
 
 _TM_NAMED = {
@@ -184,11 +278,16 @@ def to_lonlat(x, y, crs: str):
                 np.asarray(y, dtype=np.float64))
     if crs == "EPSG:3857":
         return mercator_to_lonlat(x, y)
-    tm = tm_for_epsg(_epsg_code(crs))
+    code = _epsg_code(crs)
+    tm = tm_for_epsg(code)
     if tm is not None:
         return tm.inverse(x, y)
+    ps = ps_for_epsg(code)
+    if ps is not None:
+        return ps.inverse(x, y)
     raise ValueError(f"unsupported crs {crs!r} (offline build supports "
-                     "4326, 3857, UTM 326xx/327xx, NZTM 2193, Chatham 3793)")
+                     "4326, 3857, UTM 326xx/327xx, NZTM 2193, Chatham "
+                     "3793, polar stereographic 3413/3031/3976/5041/5042)")
 
 
 def from_lonlat(lon, lat, crs: str):
@@ -199,11 +298,16 @@ def from_lonlat(lon, lat, crs: str):
                 np.asarray(lat, dtype=np.float64))
     if crs == "EPSG:3857":
         return lonlat_to_mercator(lon, lat)
-    tm = tm_for_epsg(_epsg_code(crs))
+    code = _epsg_code(crs)
+    tm = tm_for_epsg(code)
     if tm is not None:
         return tm.forward(lon, lat)
+    ps = ps_for_epsg(code)
+    if ps is not None:
+        return ps.forward(lon, lat)
     raise ValueError(f"unsupported crs {crs!r} (offline build supports "
-                     "4326, 3857, UTM 326xx/327xx, NZTM 2193, Chatham 3793)")
+                     "4326, 3857, UTM 326xx/327xx, NZTM 2193, Chatham "
+                     "3793, polar stereographic 3413/3031/3976/5041/5042)")
 
 
 def haversine_m(lon1, lat1, lon2, lat2, radius: float = EARTH_AUTHALIC_RADIUS_M):

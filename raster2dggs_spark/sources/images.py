@@ -211,6 +211,50 @@ def generate_tm_images_pdf(n_images: int, seed: int = 42,
     return pd.DataFrame(rows)
 
 
+_PS_ANCHORS = (
+    ("EPSG:3413", 30.0, 75.0),
+    ("EPSG:3031", -60.0, -75.0),
+    ("EPSG:3976", 140.0, -72.0),
+    ("EPSG:5041", -100.0, 84.0),
+)
+
+
+def generate_polar_images_pdf(n_images: int, seed: int = 42,
+                              size_range=(12, 28)) -> pd.DataFrame:
+    """Polar-stereographic ramp tiles (round 6): NSIDC north/south,
+    Antarctic PS and UPS anchors — meters-affine near the poles, where
+    Mercator/TM georeferencing fails.  Same decode-exact ramp contract
+    as the TM twin."""
+    from raster2dggs_spark.geo.crs import from_lonlat
+
+    rows = []
+    for i in range(n_images):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 9, i]))
+        crs, lon_a, lat_a = _PS_ANCHORS[i % len(_PS_ANCHORS)]
+        w = int(rng.integers(size_range[0], size_range[1] + 1))
+        h = int(rng.integers(size_range[0], size_range[1] + 1))
+        lon0 = lon_a + float(rng.uniform(-2.0, 2.0))
+        lat0 = lat_a + float(rng.uniform(-0.4, 0.4))
+        x0, y0 = from_lonlat(np.array([lon0]), np.array([lat0]), crs)
+        px = float(rng.uniform(50.0, 100.0))
+        affine = (px, 0.0, float(x0[0]), 0.0, -px, float(y0[0]))
+        arr = (np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+               + np.float32(i))
+        payload = encode_image(arr, "raw")
+        rows.append({
+            "image_id": f"img_ps_{i:08d}",
+            "bytes": payload,
+            "w": w, "h": h, "fmt": "raw",
+            "caption": f"polar ramp tile {i} of seed {seed} ({crs})",
+            "phash": average_hash64(arr[0]),
+            "affine_a": affine[0], "affine_b": affine[1],
+            "affine_c": affine[2], "affine_d": affine[3],
+            "affine_e": affine[4], "affine_f": affine[5],
+            "crs": crs, "nodata": None, "bands": 1, "band_names": None,
+        })
+    return pd.DataFrame(rows)
+
+
 def images_spark_df(spark, n_images: int, seed: int = 42, **kw):
     """Spark DataFrame of the synthetic table (small scales; driver-built).
 

@@ -753,6 +753,23 @@ def i9r_pixel_index_fixture():
     print(f"i9r_pixel_index_16: {len(out)} rows")
 
 
+def polar_pixel_index_fixture():
+    """Single-node replay of the polar-stereographic ramp tiles (NSIDC
+    north/south, Antarctic PS, UPS — sources.images.
+    generate_polar_images_pdf): meters-affine → PS inverse → hex7
+    encode at res 7 (polar cells are large; res 7 keeps a few per
+    tile).  The PS math is pinned independently in tests/test_geo.py
+    (round-trip, conformality, unit scale at lat_ts, spherical limit)."""
+    from raster2dggs_spark.sources.images import generate_polar_images_pdf
+
+    imgs = generate_polar_images_pdf(16, seed=42)
+    out = _pixel_index_replay(imgs.itertuples(index=False), res=7,
+                              parent_res=1, dggs="hex7", n_bands=1)
+    out.to_parquet(os.path.join(FIXDIR, "polar_pixel_index_16.parquet"),
+                   index=False)
+    print(f"polar_pixel_index_16: {len(out)} rows")
+
+
 def geotiff_pixel_index_fixture():
     """Single-node replay of the reference's own raster
     (/root/reference/tests/data/se-island.tiff — ZSTD tiles, predictor
@@ -822,6 +839,7 @@ def main():
     i9r_pixel_index_fixture()
     geotiff_pixel_index_fixture()
     utm_pixel_index_fixture()
+    polar_pixel_index_fixture()
 
     from raster2dggs_spark.session import get_spark
 
