@@ -1733,6 +1733,32 @@ def q_polar_pixel_index(spark, sf_dir):
 
 
 
+def q_conic_pixel_index(spark, sf_dir):
+    """Conic/azimuthal CRS gate (round 6): ramp tiles in the four
+    mid-latitude national-grid projections (Lambert-93 LCC, Canada LCC,
+    CONUS Albers equal-area, EU LAEA grid) run the meters-affine →
+    conic inverse → hex7 encode pipeline.  Oracle: single-node replay
+    fixture; the projection math is pinned independently in
+    tests/test_geo.py (round-trips <1e-11°, LCC conformality + unit
+    scale at both standard parallels, Albers/LAEA |J| ≡ M·N·cosφ,
+    Lambert-93 Paris known point)."""
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_conic_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_conic_images_pdf(16, seed=42),
+                                 IMAGE_SCHEMA)
+    out = index_point_agg(imgs, res=9, parent_res=3, agg="mean", n_bands=1)
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_09"),
+        F.lower(F.hex("parent")).alias("hex7_03"),
+        F.col("npx").cast("long").alias("n_px"),
+        _r4("band_1").alias("band_1"),
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_mean_sum_count": q_agg_mean_sum_count,
@@ -1821,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells_i9r": q_compact_cells_i9r,
         "utm_pixel_index": q_utm_pixel_index,
         "polar_pixel_index": q_polar_pixel_index,
+        "conic_pixel_index": q_conic_pixel_index,
         "sample_points_lanczos": q_sample_points_lanczos,
         "z7_roundtrip": q_z7_roundtrip,
     }
@@ -3349,6 +3376,11 @@ def oracle_sql() -> dict[str, str]:
                    {", ".join(f"round(band_{i}, 4) AS band_{i}"
                               for i in range(1, 4))}
             FROM read_parquet('{_FIXDIR}/geotiff_pixel_index.parquet')
+        """,
+        "conic_pixel_index": f"""
+            SELECT hex7_09, hex7_03, CAST(n_px AS BIGINT) AS n_px,
+                   round(band_1, 4) AS band_1
+            FROM read_parquet('{_FIXDIR}/conic_pixel_index_16.parquet')
         """,
         "polar_pixel_index": f"""
             SELECT hex7_07, hex7_01, CAST(n_px AS BIGINT) AS n_px,

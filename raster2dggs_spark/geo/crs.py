@@ -209,6 +209,213 @@ class PolarStereographic:
         return lon, lat
 
 
+class LambertConformalConic:
+    """Ellipsoidal LCC 2SP (EPSG method 9802) — the mid-latitude
+    national-grid family (France Lambert-93, Canada LCC, US State
+    Plane).  Inverse latitude via the shared exact conformal Newton."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 x0: float = 0.0, y0: float = 0.0,
+                 a: float = EARTH_RADIUS_M, f: float = WGS84_F):
+        self.lon0, self.x0, self.y0, self.a = lon0, x0, y0, a
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+
+        def m(phi):
+            s = np.sin(phi)
+            return np.cos(phi) / np.sqrt(1.0 - self.e2 * s * s)
+
+        def t(phi):
+            s = np.sin(phi)
+            return (np.tan(np.pi / 4.0 - phi / 2.0)
+                    / ((1.0 - self.e * s) / (1.0 + self.e * s))
+                    ** (self.e / 2.0))
+
+        p1, p2, p0 = (np.radians(v) for v in (lat1, lat2, lat0))
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = np.sin(p1)
+        else:
+            self.n = ((np.log(m(p1)) - np.log(m(p2)))
+                      / (np.log(t(p1)) - np.log(t(p2))))
+        self.F = m(p1) / (self.n * t(p1) ** self.n)
+        self.rho0 = a * self.F * t(p0) ** self.n
+        self._t = t
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        rho = self.a * self.F * self._t(np.radians(lat)) ** self.n
+        th = self.n * np.radians(lon - self.lon0)
+        return (self.x0 + rho * np.sin(th),
+                self.y0 + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        xp = np.asarray(x, dtype=np.float64) - self.x0
+        yp = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        sgn = np.sign(self.n) or 1.0
+        rho = sgn * np.hypot(xp, yp)
+        th = np.arctan2(sgn * xp, sgn * yp)
+        lon = self.lon0 + np.degrees(th / self.n)
+        tp = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        taup = np.tan(np.pi / 2.0 - 2.0 * np.arctan(tp))
+        lat = np.degrees(np.arctan(_tau_from_taup(taup, self.e2)))
+        return (lon + 180.0) % 360.0 - 180.0, lat
+
+
+def _q_auth(phi, e, e2):
+    """Authalic q-function (Snyder eq. 3-12) — the equal-area family's
+    workhorse."""
+    s = np.sin(phi)
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                         - (1.0 / (2.0 * e))
+                         * np.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+def _phi_from_q(q, e, e2):
+    """Invert q(phi) by Newton (Snyder eq. 3-16), vectorized."""
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(6):
+        s = np.sin(phi)
+        dq = 2.0 * (1.0 - e2) * np.cos(phi) / (1.0 - e2 * s * s) ** 2
+        dq = np.where(np.abs(dq) < 1e-300, 1e-300, dq)
+        phi = phi + (q - _q_auth(phi, e, e2)) / dq
+    return phi
+
+
+class AlbersEqualArea:
+    """Ellipsoidal Albers 2SP (EPSG method 9822) — CONUS 5070 etc.
+    Exactly equal-area (Jacobian pinned numerically in tests)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 x0: float = 0.0, y0: float = 0.0,
+                 a: float = EARTH_RADIUS_M, f: float = WGS84_F):
+        self.lon0, self.x0, self.y0, self.a = lon0, x0, y0, a
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+
+        def m(phi):
+            s = np.sin(phi)
+            return np.cos(phi) / np.sqrt(1.0 - self.e2 * s * s)
+
+        p1, p2, p0 = (np.radians(v) for v in (lat1, lat2, lat0))
+        q1 = _q_auth(p1, self.e, self.e2)
+        q2 = _q_auth(p2, self.e, self.e2)
+        q0 = _q_auth(p0, self.e, self.e2)
+        if abs(lat1 - lat2) < 1e-12:
+            self.n = np.sin(p1)
+        else:
+            self.n = (m(p1) ** 2 - m(p2) ** 2) / (q2 - q1)
+        self.C = m(p1) ** 2 + self.n * q1
+        self.rho0 = a * np.sqrt(self.C - self.n * q0) / self.n
+
+    def _rho(self, phi):
+        q = _q_auth(phi, self.e, self.e2)
+        return self.a * np.sqrt(self.C - self.n * q) / self.n
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        rho = self._rho(np.radians(lat))
+        th = self.n * np.radians(lon - self.lon0)
+        return (self.x0 + rho * np.sin(th),
+                self.y0 + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        xp = np.asarray(x, dtype=np.float64) - self.x0
+        yp = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        sgn = np.sign(self.n) or 1.0
+        rho = sgn * np.hypot(xp, yp)
+        th = np.arctan2(sgn * xp, sgn * yp)
+        lon = self.lon0 + np.degrees(th / self.n)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        lat = np.degrees(_phi_from_q(q, self.e, self.e2))
+        return (lon + 180.0) % 360.0 - 180.0, lat
+
+
+class LambertAzimuthalEqualArea:
+    """Ellipsoidal LAEA oblique aspect (EPSG method 9820) — the EU
+    standard grid ETRS89-LAEA (EPSG:3035)."""
+
+    def __init__(self, lat0: float, lon0: float, x0: float = 0.0,
+                 y0: float = 0.0, a: float = EARTH_RADIUS_M,
+                 f: float = WGS84_F):
+        self.lon0, self.x0, self.y0, self.a = lon0, x0, y0, a
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        p0 = np.radians(lat0)
+        self.qp = _q_auth(np.pi / 2.0, self.e, self.e2)
+        q0 = _q_auth(p0, self.e, self.e2)
+        self.b0 = np.arcsin(q0 / self.qp)
+        self.Rq = a * np.sqrt(self.qp / 2.0)
+        s0 = np.sin(p0)
+        m0 = np.cos(p0) / np.sqrt(1.0 - self.e2 * s0 * s0)
+        self.D = a * m0 / (self.Rq * np.cos(self.b0))
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        q = _q_auth(np.radians(lat), self.e, self.e2)
+        b = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+        lam = np.radians(lon - self.lon0)
+        denom = (1.0 + np.sin(self.b0) * np.sin(b)
+                 + np.cos(self.b0) * np.cos(b) * np.cos(lam))
+        B = self.Rq * np.sqrt(2.0 / denom)
+        x = self.x0 + B * self.D * np.cos(b) * np.sin(lam)
+        y = self.y0 + (B / self.D) * (np.cos(self.b0) * np.sin(b)
+                                      - np.sin(self.b0) * np.cos(b)
+                                      * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        xp = (np.asarray(x, dtype=np.float64) - self.x0) / self.D
+        yp = (np.asarray(y, dtype=np.float64) - self.y0) * self.D
+        rho = np.hypot(xp, yp)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b = np.where(
+                rho < 1e-12, self.b0,
+                np.arcsin(np.clip(
+                    np.cos(ce) * np.sin(self.b0)
+                    + yp * np.sin(ce) * np.cos(self.b0) / rho, -1.0, 1.0)))
+            lam = np.arctan2(
+                xp * np.sin(ce),
+                rho * np.cos(self.b0) * np.cos(ce)
+                - yp * np.sin(self.b0) * np.sin(ce))
+        lam = np.where(rho < 1e-12, 0.0, lam)
+        q = self.qp * np.sin(b)
+        lat = np.degrees(_phi_from_q(q, self.e, self.e2))
+        lon = self.lon0 + np.degrees(lam)
+        return (lon + 180.0) % 360.0 - 180.0, lat
+
+
+_CONIC_NAMED = {
+    # code: (cls, kwargs)
+    2154: (LambertConformalConic,  # RGF93 / Lambert-93 (GRS80)
+           dict(lat1=49.0, lat2=44.0, lat0=46.5, lon0=3.0,
+                x0=700_000.0, y0=6_600_000.0, f=GRS80_F)),
+    3347: (LambertConformalConic,  # NAD83 / Statistics Canada Lambert
+           dict(lat1=49.0, lat2=77.0, lat0=63.390675, lon0=-91.866667,
+                x0=6_200_000.0, y0=3_000_000.0, f=GRS80_F)),
+    5070: (AlbersEqualArea,        # NAD83 / Conus Albers
+           dict(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                x0=0.0, y0=0.0, f=GRS80_F)),
+    3035: (LambertAzimuthalEqualArea,  # ETRS89-extended / LAEA Europe
+           dict(lat0=52.0, lon0=10.0, x0=4_321_000.0, y0=3_210_000.0,
+                f=GRS80_F)),
+}
+
+_CONIC_CACHE: dict[int, object] = {}
+
+
+def conic_for_epsg(code: int):
+    p = _CONIC_CACHE.get(code)
+    if p is None and code in _CONIC_NAMED:
+        cls, kw = _CONIC_NAMED[code]
+        p = cls(**kw)
+        _CONIC_CACHE[code] = p
+    return p
+
+
 _PS_NAMED = {
     # code: (lon0, north, lat_ts, k0, x0, y0)
     3413: (-45.0, True, 70.0, None, 0.0, 0.0),   # NSIDC north
@@ -253,6 +460,12 @@ def tm_for_epsg(code: int) -> TransverseMercator | None:
     elif 32701 <= code <= 32760:
         p = ((code - 32700) * 6.0 - 183.0, 0.0, 0.9996, 500_000.0,
              10_000_000.0, WGS84_F)
+    elif 25828 <= code <= 25838:  # ETRS89 / UTM (GRS80)
+        p = ((code - 25800) * 6.0 - 183.0, 0.0, 0.9996, 500_000.0, 0.0,
+             GRS80_F)
+    elif 26901 <= code <= 26923:  # NAD83 / UTM (GRS80)
+        p = ((code - 26900) * 6.0 - 183.0, 0.0, 0.9996, 500_000.0, 0.0,
+             GRS80_F)
     elif code in _TM_NAMED:
         p = _TM_NAMED[code]
     else:
@@ -285,9 +498,13 @@ def to_lonlat(x, y, crs: str):
     ps = ps_for_epsg(code)
     if ps is not None:
         return ps.inverse(x, y)
-    raise ValueError(f"unsupported crs {crs!r} (offline build supports "
-                     "4326, 3857, UTM 326xx/327xx, NZTM 2193, Chatham "
-                     "3793, polar stereographic 3413/3031/3976/5041/5042)")
+    cp = conic_for_epsg(code)
+    if cp is not None:
+        return cp.inverse(x, y)
+    raise ValueError(f"unsupported crs {crs!r} (offline: 4326, 3857, UTM "
+                     "326xx/327xx/258xx/269xx, NZTM 2193, Chatham 3793, "
+                     "polar stereographic 3413/3031/3976/5041/5042, LCC "
+                     "2154/3347, Albers 5070, LAEA 3035)")
 
 
 def from_lonlat(lon, lat, crs: str):
@@ -305,9 +522,13 @@ def from_lonlat(lon, lat, crs: str):
     ps = ps_for_epsg(code)
     if ps is not None:
         return ps.forward(lon, lat)
-    raise ValueError(f"unsupported crs {crs!r} (offline build supports "
-                     "4326, 3857, UTM 326xx/327xx, NZTM 2193, Chatham "
-                     "3793, polar stereographic 3413/3031/3976/5041/5042)")
+    cp = conic_for_epsg(code)
+    if cp is not None:
+        return cp.forward(lon, lat)
+    raise ValueError(f"unsupported crs {crs!r} (offline: 4326, 3857, UTM "
+                     "326xx/327xx/258xx/269xx, NZTM 2193, Chatham 3793, "
+                     "polar stereographic 3413/3031/3976/5041/5042, LCC "
+                     "2154/3347, Albers 5070, LAEA 3035)")
 
 
 def haversine_m(lon1, lat1, lon2, lat2, radius: float = EARTH_AUTHALIC_RADIUS_M):

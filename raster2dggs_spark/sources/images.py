@@ -255,6 +255,50 @@ def generate_polar_images_pdf(n_images: int, seed: int = 42,
     return pd.DataFrame(rows)
 
 
+_CONIC_ANCHORS = (
+    ("EPSG:2154", 2.35, 46.8),    # France Lambert-93
+    ("EPSG:3347", -95.0, 55.0),   # Statistics Canada LCC
+    ("EPSG:5070", -98.0, 39.0),   # CONUS Albers
+    ("EPSG:3035", 10.0, 50.0),    # ETRS89-LAEA Europe
+)
+
+
+def generate_conic_images_pdf(n_images: int, seed: int = 42,
+                              size_range=(12, 28)) -> pd.DataFrame:
+    """Conic/azimuthal-family ramp tiles (round 6): LCC (France/Canada),
+    Albers (CONUS) and LAEA (EU grid) anchors — the mid-latitude
+    national-grid projections.  Same decode-exact ramp contract as the
+    TM and polar twins."""
+    from raster2dggs_spark.geo.crs import from_lonlat
+
+    rows = []
+    for i in range(n_images):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 13, i]))
+        crs, lon_a, lat_a = _CONIC_ANCHORS[i % len(_CONIC_ANCHORS)]
+        w = int(rng.integers(size_range[0], size_range[1] + 1))
+        h = int(rng.integers(size_range[0], size_range[1] + 1))
+        lon0 = lon_a + float(rng.uniform(-3.0, 3.0))
+        lat0 = lat_a + float(rng.uniform(-2.0, 2.0))
+        x0, y0 = from_lonlat(np.array([lon0]), np.array([lat0]), crs)
+        px = float(rng.uniform(30.0, 60.0))
+        affine = (px, 0.0, float(x0[0]), 0.0, -px, float(y0[0]))
+        arr = (np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+               + np.float32(i))
+        payload = encode_image(arr, "raw")
+        rows.append({
+            "image_id": f"img_conic_{i:08d}",
+            "bytes": payload,
+            "w": w, "h": h, "fmt": "raw",
+            "caption": f"conic ramp tile {i} of seed {seed} ({crs})",
+            "phash": average_hash64(arr[0]),
+            "affine_a": affine[0], "affine_b": affine[1],
+            "affine_c": affine[2], "affine_d": affine[3],
+            "affine_e": affine[4], "affine_f": affine[5],
+            "crs": crs, "nodata": None, "bands": 1, "band_names": None,
+        })
+    return pd.DataFrame(rows)
+
+
 def images_spark_df(spark, n_images: int, seed: int = 42, **kw):
     """Spark DataFrame of the synthetic table (small scales; driver-built).
 

@@ -770,6 +770,24 @@ def polar_pixel_index_fixture():
     print(f"polar_pixel_index_16: {len(out)} rows")
 
 
+def conic_pixel_index_fixture():
+    """Single-node replay of the conic/azimuthal-family ramp tiles
+    (LCC France/Canada, Albers CONUS, LAEA EU — sources.images.
+    generate_conic_images_pdf): meters-affine → conic inverse → hex7
+    encode at res 9.  The projection math is pinned independently in
+    tests/test_geo.py (round-trips, LCC conformality + k=1 at the
+    standard parallels, Albers/LAEA exact equal-area Jacobians,
+    Lambert-93 Paris known point)."""
+    from raster2dggs_spark.sources.images import generate_conic_images_pdf
+
+    imgs = generate_conic_images_pdf(16, seed=42)
+    out = _pixel_index_replay(imgs.itertuples(index=False), res=9,
+                              parent_res=3, dggs="hex7", n_bands=1)
+    out.to_parquet(os.path.join(FIXDIR, "conic_pixel_index_16.parquet"),
+                   index=False)
+    print(f"conic_pixel_index_16: {len(out)} rows")
+
+
 def geotiff_pixel_index_fixture():
     """Single-node replay of the reference's own raster
     (/root/reference/tests/data/se-island.tiff — ZSTD tiles, predictor
@@ -840,6 +858,7 @@ def main():
     geotiff_pixel_index_fixture()
     utm_pixel_index_fixture()
     polar_pixel_index_fixture()
+    conic_pixel_index_fixture()
 
     from raster2dggs_spark.session import get_spark
 

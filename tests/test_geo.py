@@ -289,3 +289,104 @@ def test_row_areas_ps_close_to_nominal():
     # generic branch is good to ~1% at polar latitudes
     assert np.abs(areas / 1e4 - 1.0).max() < 1e-2
     assert (areas.max() - areas.min()) / 1e4 < 1e-4  # k constant locally
+
+
+# ----------------------------------------------------------------------
+# Conic + azimuthal families (round 6): LCC, Albers, LAEA
+
+
+def test_conic_roundtrips():
+    from raster2dggs_spark.geo.crs import conic_for_epsg
+
+    for code, lonr, latr in ((2154, (-5, 9), (41, 51)),
+                             (3347, (-140, -50), (42, 83)),
+                             (5070, (-125, -66), (24, 50)),
+                             (3035, (-10, 30), (35, 70))):
+        p = conic_for_epsg(code)
+        rng = np.random.default_rng(code)
+        lon = rng.uniform(*lonr, 3000)
+        lat = rng.uniform(*latr, 3000)
+        x, y = p.forward(lon, lat)
+        lon2, lat2 = p.inverse(x, y)
+        assert np.abs(lon2 - lon).max() < 1e-11, code
+        assert np.abs(lat2 - lat).max() < 1e-11, code
+
+
+def test_lambert93_paris_known_coordinates():
+    """Paris city centre in RGF93/Lambert-93 is the canonical published
+    sanity point (~652.5 km E, ~6862 km N)."""
+    from raster2dggs_spark.geo.crs import conic_for_epsg
+
+    p = conic_for_epsg(2154)
+    x, y = p.forward(np.array([2.3522]), np.array([48.8566]))
+    assert abs(x[0] - 652_469) < 200 and abs(y[0] - 6_862_035) < 200
+
+
+def _num_jacobian(p, lon0, lat0, h=1e-6):
+    import math
+
+    x0, y0 = p.forward(np.array([lon0]), np.array([lat0]))
+    xl, yl = p.forward(np.array([lon0 + h]), np.array([lat0]))
+    xp, yp = p.forward(np.array([lon0]), np.array([lat0 + h]))
+    return np.array([[(xl - x0)[0], (xp - x0)[0]],
+                     [(yl - y0)[0], (yp - y0)[0]]]) / math.radians(h)
+
+
+def _MN(lat0):
+    import math
+
+    a = 6378137.0
+    e2 = (1 / 298.257222101) * (2 - 1 / 298.257222101)
+    s2 = math.sin(math.radians(lat0)) ** 2
+    return (a * (1 - e2) / (1 - e2 * s2) ** 1.5,
+            a / math.sqrt(1 - e2 * s2))
+
+
+def test_lcc_conformal_and_unit_scale_at_parallels():
+    """Numeric Jacobian isotropy everywhere (conformality) and k=1 at
+    both standard parallels — the 2SP definition."""
+    import math
+
+    from raster2dggs_spark.geo.crs import conic_for_epsg
+
+    p = conic_for_epsg(2154)
+    for lat0, lon0 in ((44.0, 3.0), (49.0, 1.0), (46.5, 7.0)):
+        J = _num_jacobian(p, lon0, lat0)
+        M, N = _MN(lat0)
+        A = J @ np.diag([1 / (N * math.cos(math.radians(lat0))), 1 / M])
+        sv = np.linalg.svd(A, compute_uv=False)
+        assert abs(sv[0] / sv[1] - 1.0) < 1e-6, lat0
+        if lat0 in (44.0, 49.0):  # the standard parallels
+            assert abs(sv[0] - 1.0) < 1e-6, lat0
+
+
+def test_albers_laea_exact_equal_area():
+    """|det J| equals the ellipsoidal area element M·N·cosφ at every
+    probe — the equal-area property, checked against an independent
+    formulation (no q-functions involved in the oracle side)."""
+    import math
+
+    from raster2dggs_spark.geo.crs import conic_for_epsg
+
+    probes = {5070: ((30.0, -96.0), (45.0, -80.0), (38.0, -110.0)),
+              3035: ((45.0, 10.0), (60.0, 25.0), (36.0, -8.0))}
+    for code, pts in probes.items():
+        p = conic_for_epsg(code)
+        for lat0, lon0 in pts:
+            J = _num_jacobian(p, lon0, lat0)
+            M, N = _MN(lat0)
+            ratio = abs(np.linalg.det(J)) / (M * N * math.cos(
+                math.radians(lat0)))
+            assert abs(ratio - 1.0) < 1e-6, (code, lat0)
+
+
+def test_etrs_nad83_utm_aliases():
+    """258xx/269xx are UTM on GRS80 — same zone arithmetic, GRS80 f."""
+    from raster2dggs_spark.geo.crs import tm_for_epsg
+
+    tm = tm_for_epsg(25832)  # ETRS89 / UTM 32N, lon0 9E
+    x, y = tm.forward(np.array([9.0]), np.array([52.0]))
+    assert abs(x[0] - 500000.0) < 1e-6
+    tm2 = tm_for_epsg(26910)  # NAD83 / UTM 10N, lon0 -123
+    x, y = tm2.forward(np.array([-123.0]), np.array([45.0]))
+    assert abs(x[0] - 500000.0) < 1e-6
