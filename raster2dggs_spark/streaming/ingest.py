@@ -151,3 +151,76 @@ def index_images_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def index_geotiffs_stream(
+    spark: SparkSession,
+    input_path: str,
+    table: IceTable,
+    res: int,
+    checkpoint_dir: str,
+    dggs: str = "hex7",
+    max_files_per_trigger: int = 64,
+):
+    """Continuous RASTER-FILE ingest (round 6): GeoTIFFs landing in a
+    directory / object-store prefix stream straight into cell partials.
+
+    The streaming source is Spark's ``binaryFile`` format with only the
+    ``path`` column selected — the source prunes ``content``, so the
+    stream moves file *names*, not pixels.  Each micro-batch hands its
+    (bounded, ≤ max_files_per_trigger) path list to ``read_geotiff``,
+    which plans windows and decodes tiles on executors exactly like the
+    batch path; the same algebraic-partials commit gives exactly-once
+    table semantics (idempotent batch_id skip + snapshot isolation,
+    see the module docstring)."""
+    from pyspark.sql import types as T
+
+    from raster2dggs_spark.sources.geotiff import read_geotiff
+
+    binary_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.tif*")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_path)
+        .select("path")
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) <= last_committed_batch(table, checkpoint_dir):
+            return
+        # bounded collect: ≤ max_files_per_trigger path strings
+        from urllib.parse import unquote, urlparse
+
+        paths = []
+        for r in batch_df.collect():
+            u = urlparse(r.path)
+            paths.append(unquote(u.path) if u.scheme == "file" else r.path)
+        if not paths:
+            return
+        imgs = read_geotiff(spark, paths)
+        out = batch_cell_partials(imgs, res, dggs)
+        table.write(
+            out, "parent", mode="append",
+            lineage={
+                "operator": "index_geotiffs_stream",
+                "batch_id": int(batch_id),
+                "res": res, "dggs": dggs,
+                "input_path": input_path,
+                "checkpoint_dir": checkpoint_dir,
+                "n_files": len(paths),
+            },
+        )
+
+    return (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

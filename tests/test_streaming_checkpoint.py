@@ -475,3 +475,58 @@ def test_streaming_embedding_index_equals_batch(spark, tmp_path):
     rows_before = table.snapshot()["total_rows"]
     cb_sink(spark.createDataFrame(pdf.iloc[:50], EMB_SCHEMA), 0)
     assert table.snapshot()["total_rows"] == rows_before
+
+
+def test_streaming_geotiff_ingest_equals_batch(spark, tmp_path):
+    """Round 6: GeoTIFF files landing in a directory stream into cell
+    partials — two arrival waves, resumed checkpoint processes only new
+    files, finish_mean over all snapshots == batch read_geotiff +
+    index over the union."""
+    import os
+
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.sources.geotiff import read_geotiff, write_geotiff
+    from raster2dggs_spark.sources.icetable import IceTable
+    from raster2dggs_spark.streaming.ingest import (
+        finish_mean, index_geotiffs_stream,
+    )
+
+    indir = str(tmp_path / "rasters")
+    os.makedirs(indir)
+
+    def make(i):
+        rng = np.random.default_rng(100 + i)
+        arr = rng.random((1, 40, 50)).astype(np.float32)
+        write_geotiff(os.path.join(indir, f"r{i}.tiff"), arr,
+                      (0.01, 0.0, 10.0 + i, 0.0, -0.01, 50.0),
+                      "EPSG:4326", compression="deflate", tile=(32, 32))
+
+    table = IceTable(str(tmp_path / "gt_t"))
+    ckpt = str(tmp_path / "gt_ckpt")
+
+    for i in range(4):  # wave 1
+        make(i)
+    q = index_geotiffs_stream(spark, indir, table, res=6,
+                              checkpoint_dir=ckpt)
+    q.awaitTermination()
+    v1 = table.current_version()
+    assert v1 >= 1
+
+    for i in range(4, 7):  # wave 2
+        make(i)
+    q = index_geotiffs_stream(spark, indir, table, res=6,
+                              checkpoint_dir=ckpt)
+    q.awaitTermination()
+    assert table.current_version() > v1
+
+    all_paths = sorted(os.path.join(indir, f) for f in os.listdir(indir))
+    exp = index_point_agg(read_geotiff(spark, all_paths), res=6,
+                          agg="mean").toPandas()
+    got = finish_mean(table.read(spark)).toPandas()
+    g = got.sort_values("cell").reset_index(drop=True)
+    e = exp.sort_values("cell").reset_index(drop=True)
+    assert (g["cell"].values == e["cell"].values).all()
+    assert (g["npx"].values == e["npx"].values).all()
+    a, b = g["band_1"].values.astype(float), e["band_1"].values.astype(float)
+    assert np.allclose(a, b, rtol=1e-12, atol=1e-12)
+    assert table.snapshot()["lineage"]["operator"] == "index_geotiffs_stream"
