@@ -24,7 +24,7 @@ def test_parent_contains_child_every_grid(lon, lat):
     hierarchies; hex/s2 parents contain the child center's coarse
     encode up to boundary rounding)."""
     for dggs, res in (("geohash", 6), ("maidenhead", 3), ("rhp", 6),
-                      ("a5", 8), ("i4r", 9)):
+                      ("a5", 8), ("i4r", 9), ("i9r", 6)):
         c = cover.encode(np.array([lon]), np.array([lat]), res, dggs)
         p = cover.cell_parent(c, res - 1, dggs)
         direct = cover.encode(np.array([lon]), np.array([lat]), res - 1, dggs)
@@ -50,7 +50,7 @@ def test_s2_rhp_encode_in_own_cell_bbox(lon, lat, dlon, dlat):
     """Curved grids: the encoding point's distance to its cell center is
     bounded by one cell pitch (the point lies in its cell)."""
     for dggs, res in (("s2", 10), ("rhp", 5), ("i3h", 8), ("hex7", 7),
-                      ("a5", 7), ("i4r", 7)):
+                      ("a5", 7), ("i4r", 7), ("i9r", 5)):
         c = cover.encode(np.array([lon]), np.array([lat]), res, dggs)
         clon, clat = cover.cell_center(c, dggs)
         dl = (clon[0] - lon + 180.0) % 360.0 - 180.0
