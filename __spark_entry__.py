@@ -1759,6 +1759,60 @@ def q_conic_pixel_index(spark, sf_dir):
 
 
 
+def q_e4r_pixel_index(spark, sf_dir):
+    """Pixel indexing on the e4r grid (round 6 — the EQUAL-AREA
+    IVEA/ISEA-class aperture-4 diamond layout, slice-and-scale
+    equal-area map re-derived from first principles in dggs/e4rlib.py;
+    the reference's IVEA*/ISEA* DGGAL families are this projection
+    class).  Oracle: independent single-node NumPy replay
+    (.fixtures/e4r_pixel_index_16.parquet); equal-area itself is pinned
+    by the Monte-Carlo uniformity battery in tests/test_dggs_e4r.py
+    (640 cells statistically uniform where gnomonic i4r spreads 1.8×)."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    imgs = images_spark_df(spark, 16, seed=42, size_range=(10, 16))
+    out = index_point_agg(imgs, res=11, dggs="e4r", agg="mean")
+    return out.select(
+        F.lower(F.hex("cell")).alias("e4r_11"),
+        F.lower(F.hex("parent")).alias("e4r_03"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
+
+
+def q_compact_cells_e4r(spark, sf_dir):
+    """A16 on the e4r equal-area diamond tree (id arithmetic shared
+    with i4r): diamonds 0-7 emit all 16 res-2 cells, diamonds 8-9 drop
+    cell (3,3); compact→uncompact returns the constructed set."""
+    from raster2dggs_spark.operators.compaction import (
+        compact_cells, uncompact_cells,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dv = li.groupBy((F.col("l_orderkey") % 10).alias("d")).agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("v"))
+    k = (
+        dv.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("c2", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .where(~((F.col("d") >= 8) & (F.col("r") == 3)
+                 & (F.col("c2") == 3)))
+    )
+    cell = (
+        F.shiftleft(F.col("d").cast("long"), 57)
+        .bitwiseOR(F.lit(2 << 52))
+        .bitwiseOR(F.shiftleft(F.col("r").cast("long"), 26))
+        .bitwiseOR(F.col("c2").cast("long"))
+    )
+    df = k.select(cell.alias("cell"), "v")
+    out = uncompact_cells(
+        compact_cells(df, ["v"], res=2, min_res=0, dggs="e4r"),
+        res=2, dggs="e4r",
+    )
+    return out.select(F.col("cell").cast("long").alias("cell"), "v")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_mean_sum_count": q_agg_mean_sum_count,
@@ -1844,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_pixel_index": q_geohash_pixel_index,
         "geotiff_pixel_index": q_geotiff_pixel_index,
         "i9r_pixel_index": q_i9r_pixel_index,
+        "e4r_pixel_index": q_e4r_pixel_index,
+        "compact_cells_e4r": q_compact_cells_e4r,
         "compact_cells_i9r": q_compact_cells_i9r,
         "utm_pixel_index": q_utm_pixel_index,
         "polar_pixel_index": q_polar_pixel_index,
@@ -3349,6 +3405,27 @@ def oracle_sql() -> dict[str, str]:
                        + ((((((((((c_custkey % 122) * 7 + ((c_custkey * 3) % 7)) * 7 + ((c_custkey * 5) % 7)) * 7 + ((c_custkey * 7) % 7)) * 7 + ((c_custkey * 9) % 7)) * 7 + ((c_custkey * 11) % 7)) * 7 + ((c_custkey * 13) % 7)) * 7 + ((c_custkey * 15) % 7)) * 7 + ((c_custkey * 17) % 7)) * 7 + ((c_custkey * 19) % 7)) * 16 + 9 AS z7
               FROM customer)
             SELECT k, cell, z7, cell AS back FROM g
+        """,
+        "e4r_pixel_index": f"""
+            SELECT e4r_11, e4r_03, CAST(n_px AS BIGINT) AS n_px,
+                   {", ".join(f"round(band_{i}, 4) AS band_{i}"
+                              for i in range(1, 5))}
+            FROM read_parquet('{_FIXDIR}/e4r_pixel_index_16.parquet')
+        """,
+        "compact_cells_e4r": """
+            WITH dv AS (SELECT l_orderkey % 10 AS d,
+                               round(sum(l_extendedprice), 4) AS v
+                        FROM lineitem GROUP BY 1),
+            g AS (SELECT d, v, t1.r AS r, t2.c2 AS c2
+                  FROM dv,
+                       (SELECT unnest(range(0, 4)) AS r) t1,
+                       (SELECT unnest(range(0, 4)) AS c2) t2
+                  WHERE NOT (d >= 8 AND t1.r = 3 AND t2.c2 = 3))
+            SELECT CAST(
+                     d * (1::BIGINT << 57) + (2::BIGINT << 52)
+                     + r * (1::BIGINT << 26) + c2
+                   AS BIGINT) AS cell, v
+            FROM g
         """,
         "i9r_pixel_index": f"""
             SELECT i9r_07, i9r_02, CAST(n_px AS BIGINT) AS n_px,

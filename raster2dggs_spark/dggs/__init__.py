@@ -1,5 +1,6 @@
 from raster2dggs_spark.dggs import (
     a5lib,
+    e4rlib,
     i4rlib,
     i9rlib,
     geohashlib,
@@ -11,16 +12,17 @@ from raster2dggs_spark.dggs import (
 )
 
 __all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "rhplib",
-           "i3hlib", "a5lib", "i4rlib", "i9rlib", "check_grid"]
+           "i3hlib", "a5lib", "i4rlib", "i9rlib", "e4rlib", "check_grid"]
 
 # i3h: aperture-3 hex (ISEA3H layout, multi-parent hierarchy) — encode/
 # cover/A17 surfaces; ids are this repo's own (see i3hlib), like hex7.
 # a5: pentagonal dodecahedron, aperture 5 then 4 (A5 layout, see a5lib);
 # i4r: icosahedral aperture-4 rhombus (ISEA4R layout, see i4rlib)
 # i9r: the aperture-9 sibling on the same 10-diamond layout (ISEA9R,
-# see i9rlib) — same honest own-id contract.
+# see i9rlib); e4r: the EQUAL-AREA aperture-4 sibling (IVEA/ISEA class,
+# see e4rlib) — same honest own-id contract.
 GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5",
-         "i4r", "i9r")
+         "i4r", "i9r", "e4r")
 
 
 def check_grid(dggs: str) -> str:

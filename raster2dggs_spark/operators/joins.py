@@ -127,6 +127,10 @@ def _cells_children(cells, res: int, dggs: str):
         from raster2dggs_spark.dggs import i9rlib
 
         return i9rlib.cell_to_children(cells).ravel()
+    if dggs == "e4r":
+        from raster2dggs_spark.dggs import e4rlib
+
+        return e4rlib.cell_to_children(cells).ravel()
     raise ValueError(f"children arithmetic not implemented for {dggs!r}")
 
 
@@ -448,9 +452,10 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "hex7",
         s = 55 if parent_res == 0 else 52 - 2 * (parent_res - 1)
         mask = (-(1 << s)) & ~(0x1F << 55)
         return (c.bitwiseAND(F.lit(mask))).bitwiseOR(F.lit(parent_res << 55))
-    if dggs == "i4r":
+    if dggs in ("i4r", "e4r"):
         # per-axis right shift of the 26-bit row/col fields — mirrors
-        # i4rlib.cell_to_parent exactly (needs the cells' uniform res)
+        # i4rlib.cell_to_parent exactly (e4r shares the id layout;
+        # needs the cells' uniform res)
         if from_res is None:
             raise ValueError("i4r parent_expr needs from_res")
         sh = from_res - parent_res

@@ -788,6 +788,21 @@ def conic_pixel_index_fixture():
     print(f"conic_pixel_index_16: {len(out)} rows")
 
 
+def e4r_pixel_index_fixture():
+    """Single-node replay of the pixel index on the EQUAL-AREA e4r grid
+    (IVEA/ISEA-class aperture-4 diamonds, res 11 / parents res 3) — the
+    distributed plan with the shared i4r bit-shift parent Column must
+    reproduce the equal-area encode cell for cell."""
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    imgs = generate_images_pdf(16, seed=42, size_range=(10, 16))
+    out = _pixel_index_replay(imgs.itertuples(index=False), res=11,
+                              parent_res=3, dggs="e4r", n_bands=4)
+    out.to_parquet(os.path.join(FIXDIR, "e4r_pixel_index_16.parquet"),
+                   index=False)
+    print(f"e4r_pixel_index_16: {len(out)} rows")
+
+
 def geotiff_pixel_index_fixture():
     """Single-node replay of the reference's own raster
     (/root/reference/tests/data/se-island.tiff — ZSTD tiles, predictor
@@ -855,6 +870,7 @@ def main():
     point_list_fixture()
     compact_3h_fixture()
     i9r_pixel_index_fixture()
+    e4r_pixel_index_fixture()
     geotiff_pixel_index_fixture()
     utm_pixel_index_fixture()
     polar_pixel_index_fixture()
