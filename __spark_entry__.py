@@ -1813,6 +1813,26 @@ def q_compact_cells_e4r(spark, sf_dir):
 
 
 
+def q_e9r_pixel_index(spark, sf_dir):
+    """Pixel indexing on e9r (round 6 — equal-area aperture-9 diamonds:
+    e4r's slice-and-scale map × i9r's base-3 arithmetic).  Oracle:
+    single-node replay fixture (.fixtures/e9r_pixel_index_16.parquet);
+    equal-area pinned by the Monte-Carlo battery in
+    tests/test_dggs_e9r.py."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.indexing import index_point_agg
+
+    imgs = images_spark_df(spark, 16, seed=42, size_range=(10, 16))
+    out = index_point_agg(imgs, res=7, dggs="e9r", agg="mean")
+    return out.select(
+        F.lower(F.hex("cell")).alias("e9r_07"),
+        F.lower(F.hex("parent")).alias("e9r_02"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 5)],
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_mean_sum_count": q_agg_mean_sum_count,
@@ -1899,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_pixel_index": q_geotiff_pixel_index,
         "i9r_pixel_index": q_i9r_pixel_index,
         "e4r_pixel_index": q_e4r_pixel_index,
+        "e9r_pixel_index": q_e9r_pixel_index,
         "compact_cells_e4r": q_compact_cells_e4r,
         "compact_cells_i9r": q_compact_cells_i9r,
         "utm_pixel_index": q_utm_pixel_index,
@@ -3405,6 +3426,12 @@ def oracle_sql() -> dict[str, str]:
                        + ((((((((((c_custkey % 122) * 7 + ((c_custkey * 3) % 7)) * 7 + ((c_custkey * 5) % 7)) * 7 + ((c_custkey * 7) % 7)) * 7 + ((c_custkey * 9) % 7)) * 7 + ((c_custkey * 11) % 7)) * 7 + ((c_custkey * 13) % 7)) * 7 + ((c_custkey * 15) % 7)) * 7 + ((c_custkey * 17) % 7)) * 7 + ((c_custkey * 19) % 7)) * 16 + 9 AS z7
               FROM customer)
             SELECT k, cell, z7, cell AS back FROM g
+        """,
+        "e9r_pixel_index": f"""
+            SELECT e9r_07, e9r_02, CAST(n_px AS BIGINT) AS n_px,
+                   {", ".join(f"round(band_{i}, 4) AS band_{i}"
+                              for i in range(1, 5))}
+            FROM read_parquet('{_FIXDIR}/e9r_pixel_index_16.parquet')
         """,
         "e4r_pixel_index": f"""
             SELECT e4r_11, e4r_03, CAST(n_px AS BIGINT) AS n_px,

@@ -302,11 +302,11 @@ def index_raster(
             out = round_decimals(out, cols, decimals)
     if compact:
         if dggs not in ("hex7", "s2", "geohash", "rhp", "i3h", "a5",
-                        "i4r", "i9r", "e4r"):
+                        "i4r", "i9r", "e4r", "e9r"):
             raise ValueError(
                 "compact=True needs an id-arithmetic hierarchy "
-                "(hex7/s2/geohash/rhp/i3h/a5/i4r/i9r/e4r; maidenhead "
-                "mixes 10/24-ary levels)"
+                "(hex7/s2/geohash/rhp/i3h/a5/i4r/i9r/e4r/e9r; "
+                "maidenhead mixes 10/24-ary levels)"
             )
         from raster2dggs_spark.operators.compaction import (
             compact_cells, compact_cells_3h,

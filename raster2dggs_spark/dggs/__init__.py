@@ -1,6 +1,7 @@
 from raster2dggs_spark.dggs import (
     a5lib,
     e4rlib,
+    e9rlib,
     i4rlib,
     i9rlib,
     geohashlib,
@@ -12,7 +13,8 @@ from raster2dggs_spark.dggs import (
 )
 
 __all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "rhplib",
-           "i3hlib", "a5lib", "i4rlib", "i9rlib", "e4rlib", "check_grid"]
+           "i3hlib", "a5lib", "i4rlib", "i9rlib", "e4rlib", "e9rlib",
+           "check_grid"]
 
 # i3h: aperture-3 hex (ISEA3H layout, multi-parent hierarchy) — encode/
 # cover/A17 surfaces; ids are this repo's own (see i3hlib), like hex7.
@@ -20,9 +22,9 @@ __all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "rhplib",
 # i4r: icosahedral aperture-4 rhombus (ISEA4R layout, see i4rlib)
 # i9r: the aperture-9 sibling on the same 10-diamond layout (ISEA9R,
 # see i9rlib); e4r: the EQUAL-AREA aperture-4 sibling (IVEA/ISEA class,
-# see e4rlib) — same honest own-id contract.
+# see e4rlib; e9r its aperture-9 twin) — same honest own-id contract.
 GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5",
-         "i4r", "i9r", "e4r")
+         "i4r", "i9r", "e4r", "e9r")
 
 
 def check_grid(dggs: str) -> str:

@@ -19,6 +19,7 @@ import numpy as np
 from raster2dggs_spark.dggs import (
     a5lib,
     e4rlib,
+    e9rlib,
     i4rlib,
     i9rlib,
     check_grid,
@@ -37,7 +38,7 @@ def grid_lib(dggs: str):
     return {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
             "maidenhead": maidenheadlib, "rhp": rhplib,
             "i3h": i3hlib, "a5": a5lib, "i4r": i4rlib,
-            "i9r": i9rlib, "e4r": e4rlib}[dggs]
+            "i9r": i9rlib, "e4r": e4rlib, "e9r": e9rlib}[dggs]
 
 
 def wrap_lon(lon):
@@ -105,6 +106,8 @@ def pitch_deg(res: int, dggs: str) -> float:
         return float(np.degrees(i9rlib.cell_pitch_rad(res)))
     if dggs == "e4r":
         return float(np.degrees(e4rlib.cell_pitch_rad(res)))
+    if dggs == "e9r":
+        return float(np.degrees(e9rlib.cell_pitch_rad(res)))
     if dggs in ("geohash", "maidenhead"):
         return min(cell_spans(res, dggs))
     raise ValueError(dggs)
@@ -122,7 +125,8 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int,
     # round-4 battery measured ~0.25× at res ≤ 3) — sample denser
     # there; rectangle grids are exact at every res
     f = 0.35
-    if dggs in ("s2", "rhp", "i3h", "a5", "i4r", "i9r", "e4r") and res <= 3:
+    if dggs in ("s2", "rhp", "i3h", "a5", "i4r", "i9r", "e4r",
+                "e9r") and res <= 3:
         f = 0.18
     step = pitch_deg(res, dggs) * f
     lat_lo = max(-90.0, lat_min - step)

@@ -34,6 +34,8 @@ def n_cells(res: int, dggs: str = "hex7") -> int:
         return 10 * 9 ** res  # same diamonds, aperture 9
     if dggs == "e4r":
         return 10 * 4 ** res  # equal-area diamonds, aperture 4
+    if dggs == "e9r":
+        return 10 * 9 ** res  # equal-area diamonds, aperture 9
     return 6 * 4**res
 
 
@@ -62,6 +64,8 @@ def resolve_resolution(mode: str, mean_pixel_area_m2: float,
         max_res = min(max_res, 16)
     if dggs == "e4r":
         max_res = min(max_res, 26)
+    if dggs == "e9r":
+        max_res = min(max_res, 16)
     areas = np.array([cell_area_m2_mean(r, dggs) for r in range(max_res + 1)])
     if mode == "smaller-than-pixel":
         ok = np.flatnonzero(areas <= mean_pixel_area_m2)

@@ -131,6 +131,10 @@ def _cells_children(cells, res: int, dggs: str):
         from raster2dggs_spark.dggs import e4rlib
 
         return e4rlib.cell_to_children(cells).ravel()
+    if dggs == "e9r":
+        from raster2dggs_spark.dggs import e9rlib
+
+        return e9rlib.cell_to_children(cells).ravel()
     raise ValueError(f"children arithmetic not implemented for {dggs!r}")
 
 
@@ -466,7 +470,7 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "hex7",
         return head.bitwiseOR(
             F.shiftleft(F.shiftrightunsigned(row, sh), 26)
         ).bitwiseOR(F.shiftrightunsigned(col, sh))
-    if dggs == "i9r":
+    if dggs in ("i9r", "e9r"):
         # per-axis floor-div of the 26-bit row/col fields by 3^k —
         # mirrors i9rlib.cell_to_parent; values < 2^26 so the double
         # floor-div is exact (rhp precedent)

@@ -47,15 +47,16 @@ def add_cell_geometry(df: DataFrame, dggs: str = "hex7",
     @F.pandas_udf(T.BinaryType())
     def geom(cell: pd.Series) -> pd.Series:
         from raster2dggs_spark.dggs import (
-            a5lib, cover, e4rlib, h3lib, i3hlib, i4rlib, i9rlib,
-            rhplib, s2lib,
+            a5lib, cover, e4rlib, e9rlib, h3lib, i3hlib, i4rlib,
+            i9rlib, rhplib, s2lib,
         )
 
         cells = cell.values
         if kind == "polygon":
             blib = {"hex7": h3lib, "s2": s2lib, "rhp": rhplib,
                     "i3h": i3hlib, "a5": a5lib, "i4r": i4rlib,
-                    "i9r": i9rlib, "e4r": e4rlib}.get(dggs)
+                    "i9r": i9rlib, "e4r": e4rlib,
+                    "e9r": e9rlib}.get(dggs)
             if blib is not None:
                 vlon, vlat = blib.cell_to_boundary(cells)
                 return pd.Series(wkb_polygons(vlon, vlat))

@@ -803,6 +803,19 @@ def e4r_pixel_index_fixture():
     print(f"e4r_pixel_index_16: {len(out)} rows")
 
 
+def e9r_pixel_index_fixture():
+    """Single-node replay on the EQUAL-AREA aperture-9 e9r grid (res 7,
+    parents res 2)."""
+    from raster2dggs_spark.sources.images import generate_images_pdf
+
+    imgs = generate_images_pdf(16, seed=42, size_range=(10, 16))
+    out = _pixel_index_replay(imgs.itertuples(index=False), res=7,
+                              parent_res=2, dggs="e9r", n_bands=4)
+    out.to_parquet(os.path.join(FIXDIR, "e9r_pixel_index_16.parquet"),
+                   index=False)
+    print(f"e9r_pixel_index_16: {len(out)} rows")
+
+
 def geotiff_pixel_index_fixture():
     """Single-node replay of the reference's own raster
     (/root/reference/tests/data/se-island.tiff — ZSTD tiles, predictor
@@ -871,6 +884,7 @@ def main():
     compact_3h_fixture()
     i9r_pixel_index_fixture()
     e4r_pixel_index_fixture()
+    e9r_pixel_index_fixture()
     geotiff_pixel_index_fixture()
     utm_pixel_index_fixture()
     polar_pixel_index_fixture()
