@@ -1833,6 +1833,23 @@ def q_e9r_pixel_index(spark, sf_dir):
 
 
 
+def q_sample_bilinear_e4r(spark, sf_dir):
+    """Sample transfer on the EQUAL-AREA e4r grid (round 6): exercises
+    the equal-area cover + centroid inverse (Newton) + ownership +
+    first-wins dedupe end-to-end; oracle-checked against the same
+    independent single-node scalar-tap replay pattern as the
+    hex7/s2/a5 siblings (.fixtures/sample_bilinear_e4r_24.parquet)."""
+    from raster2dggs_spark.sources import images_spark_df
+    from raster2dggs_spark.operators.sample import sample_cells
+    from raster2dggs_spark.operators.indexing import to_reference_output
+
+    imgs = images_spark_df(spark, 24, seed=42, size_range=(16, 24))
+    return to_reference_output(
+        sample_cells(imgs, res=9, kernel="bilinear", dggs="e4r"), "e4r", 9, 1
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "agg_mean_sum_count": q_agg_mean_sum_count,
@@ -1889,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bilinear": q_sample_bilinear,
         "sample_bilinear_s2": q_sample_bilinear_s2,
         "sample_bilinear_a5": q_sample_bilinear_a5,
+        "sample_bilinear_e4r": q_sample_bilinear_e4r,
         "sample_points_bilinear": q_sample_points_bilinear,
         "sample_points_bicubic": q_sample_points_bicubic,
         "sample_points_join": q_sample_points_join,
@@ -3585,6 +3603,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT s2_10, s2_02,
                    band_1, band_2, band_3, band_4
             FROM read_parquet('{_FIXDIR}/sample_bilinear_s2_24.parquet')
+        """,
+        "sample_bilinear_e4r": f"""
+            SELECT e4r_09, e4r_01,
+                   band_1, band_2, band_3, band_4
+            FROM read_parquet('{_FIXDIR}/sample_bilinear_e4r_24.parquet')
         """,
         "sample_bilinear_a5": f"""
             SELECT a5_09, a5_01,

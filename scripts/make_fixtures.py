@@ -878,6 +878,8 @@ def main():
     i4r_pixel_index_fixture()
     sample_bilinear_fixture("hex7", 6, "sample_bilinear_hex7_24.parquet")
     sample_bilinear_fixture("s2", 10, "sample_bilinear_s2_24.parquet")
+    sample_bilinear_fixture("a5", 9, "sample_bilinear_a5_24.parquet")
+    sample_bilinear_fixture("e4r", 9, "sample_bilinear_e4r_24.parquet")
     overlay_values_fixture()
     overlay_values_multi_fixture()
     point_list_fixture()
