@@ -102,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--geo", nargs="?", const="polygon", default=None,
                    choices=("point", "polygon"),
                    help="write GeoParquet 1.1.0 with cell geometry")
+    p.add_argument("--overview", default="0",
+                   help="GeoTIFF inputs only: pyramid level to read "
+                        "(0 = full resolution, N = Nth overview IFD, "
+                        "'auto' = coarsest overview whose pixels are "
+                        "still finer than the output cells — a large "
+                        "I/O saver on COGs)")
     p.add_argument("--tempdir", default=None)
     p.add_argument("--profile", action="store_true",
                    help="phase timing breakdown to stderr")
@@ -209,9 +215,30 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
     with prof.phase("open"):
         if args.raster_input.lower().endswith((".tif", ".tiff")):
-            from raster2dggs_spark.sources.geotiff import read_geotiff
+            from raster2dggs_spark.sources.geotiff import (
+                meta_pixel_area_m2, parse_geotiff, pick_overview_level,
+                read_geotiff)
 
-            images = read_geotiff(spark, args.raster_input)
+            level = 0
+            if args.overview != "0":
+                # header-only parse (a few KB) — never decodes pixels
+                meta = parse_geotiff(args.raster_input)
+                if args.overview == "auto":
+                    from raster2dggs_spark.functions.resolution import (
+                        cell_area_m2_mean, resolve_resolution)
+
+                    res_i0 = res if isinstance(res, int) else (
+                        resolve_resolution(str(res),
+                                           meta_pixel_area_m2(meta),
+                                           args.dggs))
+                    # auto modes resolve against FULL-RES pixel area
+                    # (reference F9), not the overview we then read
+                    res = res_i0
+                    level = pick_overview_level(
+                        meta, cell_area_m2_mean(res_i0, args.dggs))
+                else:
+                    level = int(args.overview)
+            images = read_geotiff(spark, args.raster_input, level=level)
         else:
             images = spark.read.parquet(args.raster_input)
         res_i = resolve_res(images, res, args.dggs)

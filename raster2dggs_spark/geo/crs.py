@@ -108,7 +108,12 @@ class TransverseMercator:
 
     def _xi_eta(self, lat_deg, lon_deg):
         phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
-        lam = np.radians(np.asarray(lon_deg, dtype=np.float64) - self.lon0)
+        # TM is periodic in lon: wrap into ±180° of the central meridian
+        # so canonical lons across the antimeridian (UTM zones 1/60, the
+        # west half of Chatham 3793's lon0=-176.5 domain) don't produce
+        # lam ≈ ∓357° garbage.
+        dlon = np.asarray(lon_deg, dtype=np.float64) - self.lon0
+        lam = np.radians((dlon + 180.0) % 360.0 - 180.0)
         taup = self._tau_prime(phi)
         cl = np.cos(lam)
         xi_p = np.arctan2(taup, cl)
@@ -245,7 +250,7 @@ class LambertConformalConic:
         lon = np.asarray(lon, dtype=np.float64)
         lat = np.asarray(lat, dtype=np.float64)
         rho = self.a * self.F * self._t(np.radians(lat)) ** self.n
-        th = self.n * np.radians(lon - self.lon0)
+        th = self.n * np.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
         return (self.x0 + rho * np.sin(th),
                 self.y0 + self.rho0 - rho * np.cos(th))
 
@@ -316,7 +321,7 @@ class AlbersEqualArea:
         lon = np.asarray(lon, dtype=np.float64)
         lat = np.asarray(lat, dtype=np.float64)
         rho = self._rho(np.radians(lat))
-        th = self.n * np.radians(lon - self.lon0)
+        th = self.n * np.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
         return (self.x0 + rho * np.sin(th),
                 self.y0 + self.rho0 - rho * np.cos(th))
 
@@ -591,7 +596,10 @@ def geodesic_row_areas_m2(affine, w: int, h: int, crs: str):
     for i in range(4):
         lon1, lat1 = quads[i]
         lon2, lat2 = quads[(i + 1) % 4]
-        area += np.radians(lon2 - lon1) * (
+        # wrap each edge delta: a pixel straddling the antimeridian
+        # (UTM zone 1/60, Chatham TM) must not contribute a ±360° term
+        dlon = (lon2 - lon1 + 180.0) % 360.0 - 180.0
+        area += np.radians(dlon) * (
             np.sin(np.radians(lat1)) + np.sin(np.radians(lat2))) / 2.0
     r = EARTH_AUTHALIC_RADIUS_M
     return np.abs(area) * r * r

@@ -155,9 +155,24 @@ def sample_cells(
                 k, h, w = arr.shape
                 affine = (row.affine_a, row.affine_b, row.affine_c,
                           row.affine_d, row.affine_e, row.affine_f)
-                # tile bbox in WGS84 (north-up affines: corners suffice)
-                cs = np.array([0.0, w, 0.0, w])
-                rs = np.array([0.0, 0.0, h, h])
+                # tile bbox in WGS84.  For geographic tiles the corners
+                # suffice, but a straight projected edge (TM/LCC/polar)
+                # BOWS in lon/lat (~x²·tanφ/2R over a TM half-width) —
+                # larger than cover_bbox's 0.35×pitch safety margin at
+                # fine res on large tiles — so densify the outline
+                # before taking min/max (the latitude-distortion bug
+                # class; see CLAUDE.md).
+                if row.crs == "EPSG:4326":
+                    cs = np.array([0.0, w, 0.0, w])
+                    rs = np.array([0.0, 0.0, h, h])
+                else:
+                    t = np.linspace(0.0, 1.0, 9)
+                    cs = np.concatenate(
+                        [t * w, np.full_like(t, w), (1 - t) * w,
+                         np.zeros_like(t)])
+                    rs = np.concatenate(
+                        [np.zeros_like(t), t * h, np.full_like(t, h),
+                         (1 - t) * h])
                 x, y = apply_affine(affine, cs, rs)
                 lons, lats = to_lonlat(x, y, row.crs)
                 # cover the tile bbox in bounded pieces: an extent too

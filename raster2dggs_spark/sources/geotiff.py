@@ -39,13 +39,14 @@ import numpy as np
 import pandas as pd
 
 _TAG_NAMES = {
+    254: "subfile_type",
     256: "width", 257: "height", 258: "bits", 259: "compression",
     273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
     279: "strip_counts", 284: "planar", 317: "predictor",
     322: "tile_w", 323: "tile_h", 324: "tile_offsets",
     325: "tile_counts", 339: "sample_format",
     33550: "pixel_scale", 33922: "tiepoint", 34264: "transform",
-    34735: "geo_keys", 42113: "gdal_nodata",
+    34735: "geo_keys", 42112: "gdal_metadata", 42113: "gdal_nodata",
 }
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -69,37 +70,20 @@ def _dtype_for(bits: int, fmt: int, bo: str) -> np.dtype:
     return np.dtype(f"{kind}{bits // 8}").newbyteorder(bo)
 
 
-def parse_geotiff(path: str) -> dict:
-    """Parse the first IFD into a plain dict (picklable — it rides in the
-    window-plan DataFrame).  Bounded reads: header + tag value arrays."""
-    head = _read_range(path, 0, 16)
-    if head[:2] == b"II":
-        bo = "<"
-    elif head[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError(f"{path}: not a TIFF")
-    magic, = struct.unpack(bo + "H", head[2:4])
-    if magic == 42:  # classic: 4-byte offsets, 12-byte entries
-        big = False
-        ifd_off, = struct.unpack(bo + "I", head[4:8])
-        entry_sz, inline_max = 12, 4
-    elif magic == 43:  # BigTIFF: 8-byte offsets, 20-byte entries
-        big = True
-        off_sz, zero = struct.unpack(bo + "HH", head[4:8])
-        if off_sz != 8 or zero != 0:
-            raise ValueError(f"{path}: malformed BigTIFF header")
-        ifd_off, = struct.unpack(bo + "Q", head[8:16])
-        entry_sz, inline_max = 20, 8
-    else:
-        raise ValueError(f"{path}: bad TIFF magic {magic}")
-
+def _read_ifd(path: str, bo: str, big: bool, ifd_off: int
+              ) -> tuple[dict, int]:
+    """Read one IFD's known tags; return (tags, next_ifd_offset)."""
+    entry_sz, inline_max = (20, 8) if big else (12, 4)
     if big:
         n_entries, = struct.unpack(bo + "Q", _read_range(path, ifd_off, 8))
-        entries = _read_range(path, ifd_off + 8, entry_sz * n_entries)
+        entries = _read_range(path, ifd_off + 8, entry_sz * n_entries + 8)
+        next_off, = struct.unpack_from(bo + "Q", entries,
+                                       entry_sz * n_entries)
     else:
         n_entries, = struct.unpack(bo + "H", _read_range(path, ifd_off, 2))
-        entries = _read_range(path, ifd_off + 2, entry_sz * n_entries)
+        entries = _read_range(path, ifd_off + 2, entry_sz * n_entries + 4)
+        next_off, = struct.unpack_from(bo + "I", entries,
+                                       entry_sz * n_entries)
     tags: dict = {}
     for i in range(n_entries):
         if big:
@@ -128,7 +112,38 @@ def parse_geotiff(path: str) -> dict:
         else:
             vals = struct.unpack(bo + str(cnt) + _TYPE_FMT[typ], raw)
             tags[name] = vals if cnt > 1 else vals[0]
+    return tags, int(next_off)
 
+
+def _parse_band_names(xml: str, spp: int) -> list | None:
+    """Band descriptions from GDAL_METADATA (tag 42112): ``<Item
+    name="DESCRIPTION" sample="k" role="description">...`` — what the
+    reference surfaces as ``src.descriptions`` for by-label band
+    selection (/root/reference/raster2dggs/common.py:768-801)."""
+    import re
+
+    names: list = [None] * spp
+    found = False
+    for attrs, text in re.findall(r"<Item\s+([^>]*)>(.*?)</Item>", xml,
+                                  re.S):
+        a = dict(re.findall(r'(\w+)="([^"]*)"', attrs))
+        if a.get("role") != "description":
+            continue
+        try:
+            k = int(a.get("sample", "-1"))
+        except ValueError:
+            continue
+        if 0 <= k < spp:
+            for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                            ("&apos;", "'"), ("&amp;", "&")):
+                text = text.replace(ent, ch)
+            names[k] = text.strip()
+            found = True
+    return names if found else None
+
+
+def _ifd_dims(tags: dict, path: str) -> dict:
+    """Shared per-IFD geometry/codec fields (main IFD and overviews)."""
     w, h = int(tags["width"]), int(tags["height"])
     spp = int(tags.get("spp", 1))
     bits = tags.get("bits", 8)
@@ -154,6 +169,47 @@ def parse_geotiff(path: str) -> dict:
         th = int(tags.get("rows_per_strip", h))
         offsets, counts = _tup("strip_offsets"), _tup("strip_counts")
         tiled = False
+    return {
+        "path": path, "w": w, "h": h, "spp": spp, "bits": bits,
+        "sample_format": fmt, "compression": comp, "predictor": pred,
+        "planar": planar, "tiled": tiled, "tile_w": tw, "tile_h": th,
+        "offsets": list(offsets), "counts": list(counts),
+    }
+
+
+def parse_geotiff(path: str) -> dict:
+    """Parse the IFD chain into a plain dict (picklable — it rides in
+    the window-plan DataFrame).  Bounded reads: header + tag value
+    arrays.  Reduced-resolution IFDs after the first (COG / GDAL
+    overview pyramids, NewSubfileType bit 0) are exposed under
+    ``meta["overviews"]`` — each a complete meta dict of its own (same
+    crs/nodata, affine scaled by the decimation factor) that the window
+    planner and decoder consume unchanged, so resolution auto-modes can
+    read a matching overview instead of the full-resolution array
+    (reference F9, /root/reference/raster2dggs/common.py:67-122)."""
+    head = _read_range(path, 0, 16)
+    if head[:2] == b"II":
+        bo = "<"
+    elif head[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"{path}: not a TIFF")
+    magic, = struct.unpack(bo + "H", head[2:4])
+    if magic == 42:  # classic: 4-byte offsets, 12-byte entries
+        big = False
+        ifd_off, = struct.unpack(bo + "I", head[4:8])
+    elif magic == 43:  # BigTIFF: 8-byte offsets, 20-byte entries
+        big = True
+        off_sz, zero = struct.unpack(bo + "HH", head[4:8])
+        if off_sz != 8 or zero != 0:
+            raise ValueError(f"{path}: malformed BigTIFF header")
+        ifd_off, = struct.unpack(bo + "Q", head[8:16])
+    else:
+        raise ValueError(f"{path}: bad TIFF magic {magic}")
+
+    tags, next_off = _read_ifd(path, bo, big, ifd_off)
+    meta = _ifd_dims(tags, path)
+    meta["bo"] = bo
 
     # -- georeferencing ---------------------------------------------------
     if "transform" in tags:
@@ -167,14 +223,33 @@ def parse_geotiff(path: str) -> dict:
         affine = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)  # pixel space
 
     crs = "EPSG:4326"
-    gk = _tup("geo_keys")
-    if gk:
+    gk = tags.get("geo_keys")
+    if gk is not None:
+        gk = (gk,) if not isinstance(gk, tuple) else gk
         keys = {gk[i]: gk[i + 3] for i in range(4, len(gk) - 3, 4)
                 if gk[i + 1] == 0}
-        if keys.get(1024) == 2:  # geographic model → degrees
+        model = keys.get(1024)
+        if model == 2:  # geographic model → degrees
+            # a non-WGS84 geographic CRS (e.g. NAD83 4269) must NOT be
+            # silently treated as 4326 — datum shifts are real meters
+            gcode = keys.get(2048)
+            if gcode is not None and gcode not in (4326, 32767):
+                raise ValueError(
+                    f"{path}: geographic CRS EPSG:{gcode} unsupported "
+                    "offline (only WGS84 4326); reproject the file or "
+                    "pass the image table with explicit crs")
             crs = "EPSG:4326"
-        elif 3072 in keys:
-            crs = f"EPSG:{keys[3072]}"
+        elif model == 1:  # projected model: the code is REQUIRED
+            pcode = keys.get(3072)
+            if pcode is None or pcode == 32767:
+                raise ValueError(
+                    f"{path}: projected GeoTIFF without a usable "
+                    "ProjectedCSTypeGeoKey (3072) — refusing to guess "
+                    "a CRS for a meters-unit affine")
+            crs = f"EPSG:{pcode}"
+        elif model is not None:
+            raise ValueError(
+                f"{path}: unsupported GTModelType {model} (geocentric?)")
 
     nodata = None
     nd = tags.get("gdal_nodata")
@@ -182,13 +257,74 @@ def parse_geotiff(path: str) -> dict:
         nd = nd.strip()
         nodata = float("nan") if nd.lower() == "nan" else float(nd)
 
-    return {
-        "path": path, "bo": bo, "w": w, "h": h, "spp": spp, "bits": bits,
-        "sample_format": fmt, "compression": comp, "predictor": pred,
-        "planar": planar, "tiled": tiled, "tile_w": tw, "tile_h": th,
-        "offsets": list(offsets), "counts": list(counts),
-        "affine": affine, "crs": crs, "nodata": nodata,
-    }
+    band_names = None
+    gm = tags.get("gdal_metadata")
+    if gm:
+        band_names = _parse_band_names(gm, meta["spp"])
+
+    meta.update(affine=affine, crs=crs, nodata=nodata,
+                band_names=band_names)
+
+    # -- overview IFD chain (COG pyramids) --------------------------------
+    overviews = []
+    seen = {ifd_off}
+    while next_off and next_off not in seen and len(overviews) < 32:
+        seen.add(next_off)
+        otags, next_off = _read_ifd(path, bo, big, next_off)
+        if "width" not in otags or "height" not in otags:
+            continue
+        sub = otags.get("subfile_type", 0)
+        sub = int(sub[0] if isinstance(sub, tuple) else sub)
+        if not (sub & 1):  # not a reduced-resolution subfile
+            continue
+        om = _ifd_dims(otags, path)
+        om["bo"] = bo
+        # overview IFDs carry no geo tags: derive the affine by the
+        # decimation factor (GDAL semantics — overview pixel k covers
+        # factor×factor full-res pixels anchored at the same origin)
+        sx = meta["w"] / om["w"]
+        sy = meta["h"] / om["h"]
+        a, b, c, d, e, f = affine
+        om.update(affine=(a * sx, b * sy, c, d * sx, e * sy, f),
+                  crs=crs, nodata=nodata, band_names=band_names)
+        overviews.append(om)
+    overviews.sort(key=lambda m: -m["w"])  # finest → coarsest
+    meta["overviews"] = overviews
+    return meta
+
+
+def meta_pixel_area_m2(meta: dict) -> float:
+    """Mean full-resolution pixel area from header metadata alone
+    (centre-latitude cos correction for geographic rasters) — lets the
+    CLI resolve auto-modes without decoding a single pixel."""
+    a, b, c, d, e, f = meta["affine"]
+    det = abs(a * e - b * d)
+    if meta["crs"] == "EPSG:4326":
+        lat_c = f + e * meta["h"] / 2.0
+        return det * (111_195.0 ** 2) * max(0.01, np.cos(np.radians(lat_c)))
+    return det
+
+
+def pick_overview_level(meta: dict, cell_area_m2: float) -> int:
+    """Coarsest pyramid level (0 = full resolution) whose mean pixel
+    area is still ≤ the target cell area — reading it loses nothing at
+    the output resolution while cutting bytes by the decimation².  The
+    mean pixel area uses the |det affine| of the level (projected CRS:
+    ~m² already; geographic: deg² × (111195 m/deg)² equatorial scale —
+    conservative: overstates pixel area off-equator, so auto never
+    picks a level TOO coarse)."""
+    deg2 = 0.0 if meta["crs"] not in ("EPSG:4326",) else 1.0
+
+    def _px_area(m):
+        a, b, c, d, e, f = m["affine"]
+        det = abs(a * e - b * d)
+        return det * (111_195.0 ** 2) if deg2 else det
+
+    level = 0
+    for i, om in enumerate(meta.get("overviews") or [], start=1):
+        if _px_area(om) <= cell_area_m2:
+            level = i
+    return level
 
 
 # --------------------------------------------------------------------------
@@ -377,9 +513,18 @@ def decode_segment(meta: dict, seg_index: int, buf: bytes) -> np.ndarray:
 # window plan + Spark ingest
 
 
-def _plan_rows(path: str) -> list[dict]:
-    """Window-plan rows for ONE file (bounded header reads only)."""
-    meta = parse_geotiff(path)
+def _plan_rows(path: str, level: int = 0) -> list[dict]:
+    """Window-plan rows for ONE file (bounded header reads only).
+    ``level`` > 0 plans the (level-1)-th overview IFD instead of the
+    full-resolution image (clamped to the coarsest available)."""
+    full = parse_geotiff(path)
+    if level > 0 and full.get("overviews"):
+        meta = full["overviews"][min(level, len(full["overviews"])) - 1]
+        meta = dict(meta)  # keep the plan row self-contained
+    else:
+        level = 0
+        meta = dict(full)
+    meta.pop("overviews", None)
     w, h, spp = meta["w"], meta["h"], meta["spp"]
     tw, th = meta["tile_w"], meta["tile_h"]
     if meta["tiled"]:
@@ -396,7 +541,8 @@ def _plan_rows(path: str) -> list[dict]:
         col0, row0 = ti * tw, tj * th
         segs = [pidx + p * per_plane for p in range(n_planes)]
         rows.append({
-            "image_id": f"{base}#w{pidx:05d}",
+            "image_id": (f"{base}#w{pidx:05d}" if level == 0
+                         else f"{base}#o{level}w{pidx:05d}"),
             "path": path,
             "seg_indices": segs,
             "seg_offsets": [int(meta["offsets"][s]) for s in segs],
@@ -408,7 +554,7 @@ def _plan_rows(path: str) -> list[dict]:
     return rows
 
 
-def window_plan(paths: list[str]) -> pd.DataFrame:
+def window_plan(paths: list[str], level: int = 0) -> pd.DataFrame:
     """One row per output window (tile/strip footprint).  For chunky
     files a window is one segment; for planar files it is ``spp``
     segments (one per band plane) sharing a footprint.  Driver-side —
@@ -416,11 +562,11 @@ def window_plan(paths: list[str]) -> pd.DataFrame:
     scan inside :func:`read_geotiff`."""
     rows = []
     for path in paths:
-        rows.extend(_plan_rows(path))
+        rows.extend(_plan_rows(path, level))
     return pd.DataFrame(rows)
 
 
-def scan_geotiffs(spark, paths: list[str]):
+def scan_geotiffs(spark, paths: list[str], level: int = 0):
     """Distributed header scan: the PATH LIST is parallelized and each
     executor tag-walks its own files (a few KB of range reads per file)
     — at 10^6-file scale the driver never opens a single raster.
@@ -448,7 +594,7 @@ def scan_geotiffs(spark, paths: list[str]):
         for b in batches:
             rows = []
             for path in b["path"]:
-                for r in _plan_rows(path):
+                for r in _plan_rows(path, level):
                     meta = r.pop("meta")
                     r["meta_json"] = json.dumps(meta)
                     rows.append(r)
@@ -459,7 +605,7 @@ def scan_geotiffs(spark, paths: list[str]):
 
 
 def read_geotiff(spark, paths: list[str] | str, fmt: str = "raw",
-                 n_partitions: int | None = None):
+                 n_partitions: int | None = None, level: int = 0):
     """Read GeoTIFF file(s) into the engine's IMAGE_SCHEMA DataFrame —
     one row per TIFF tile/strip window, payload re-encoded with the
     engine codec, per-window affine, CRS string from the GeoKeys.
@@ -479,11 +625,11 @@ def read_geotiff(spark, paths: list[str] | str, fmt: str = "raw",
         return spark.createDataFrame([], IMAGE_SCHEMA)
     if len(paths) > 256:
         # many-files path: header scan fans out to executors too
-        pdf = scan_geotiffs(spark, paths)
+        pdf = scan_geotiffs(spark, paths, level)
         nparts = n_partitions or spark.sparkContext.defaultParallelism
         pdf = pdf.repartition(nparts)
     else:
-        plan = window_plan(paths)
+        plan = window_plan(paths, level)
         if plan.empty:
             return spark.createDataFrame([], IMAGE_SCHEMA)
         plan = plan.assign(meta_json=plan["meta"].map(json.dumps)).drop(
@@ -539,7 +685,7 @@ def read_geotiff(spark, paths: list[str] | str, fmt: str = "raw",
                     "crs": meta["crs"],
                     "nodata": meta["nodata"],
                     "bands": int(arr.shape[0]),
-                    "band_names": None,
+                    "band_names": meta.get("band_names"),
                 })
             if out:
                 yield pd.DataFrame(out)
@@ -547,10 +693,12 @@ def read_geotiff(spark, paths: list[str] | str, fmt: str = "raw",
     return pdf.mapInPandas(decode, IMAGE_SCHEMA)
 
 
-def read_geotiff_local(path: str) -> np.ndarray:
+def read_geotiff_local(path: str, level: int = 0) -> np.ndarray:
     """Driver-side full decode → (bands, h, w) float32 (tests/oracles)."""
     meta = parse_geotiff(path)
-    plan = window_plan([path])
+    if level > 0:
+        meta = meta["overviews"][min(level, len(meta["overviews"])) - 1]
+    plan = window_plan([path], level)
     full = np.full((meta["spp"] if meta["planar"] == 1 else meta["spp"],
                     meta["h"], meta["w"]), np.nan, dtype=np.float32)
     for r in plan.itertuples(index=False):
@@ -587,24 +735,39 @@ def _epsg_code_of(crs: str) -> int:
         raise ValueError(f"write_geotiff needs an EPSG crs, got {crs!r}")
 
 
-def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
-                  nodata: float | None = None, compression: str = "zstd",
-                  tile: tuple[int, int] = (256, 256),
-                  predictor: int = 2) -> None:
-    """Write a (bands, h, w) float32 array as a tiled GeoTIFF (chunky,
-    little-endian, classic TIFF) — the export twin of the reader, and
-    the corpus generator for the ingest bench.  ``compression``:
-    zstd | deflate | none; ``predictor`` 1 or 2 (32-bit horizontal
-    word differencing, the GDAL float default this reader decodes
-    bit-exactly on se-island.tiff)."""
-    import pyarrow as pa
+def downsample_average(arr: np.ndarray, factor: int) -> np.ndarray:
+    """Block-mean decimation — GDAL's 'average' overview resampling,
+    with exact partial-block means at the right/bottom edges.  Also the
+    oracle for the overview-decode bit-exactness test."""
+    _, h, w = arr.shape
+    idx_r = np.arange(0, h, factor)
+    idx_c = np.arange(0, w, factor)
+    s = np.add.reduceat(
+        np.add.reduceat(arr.astype(np.float64), idx_r, axis=1),
+        idx_c, axis=2)
+    nr = np.minimum(factor, h - idx_r).astype(np.float64)[None, :, None]
+    nc = np.minimum(factor, w - idx_c).astype(np.float64)[None, None, :]
+    return (s / (nr * nc)).astype(np.float32)
 
-    arr = np.ascontiguousarray(arr, dtype=np.float32)
+
+def _gdal_metadata_xml(band_names: list) -> bytes:
+    items = []
+    for k, nm in enumerate(band_names):
+        if nm is None:
+            continue
+        for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                        ('"', "&quot;")):
+            nm = nm.replace(ch, ent)
+        items.append(f'<Item name="DESCRIPTION" sample="{k}" '
+                     f'role="description">{nm}</Item>')
+    xml = "<GDALMetadata>\n" + "\n".join(items) + "\n</GDALMetadata>\n"
+    return xml.encode("ascii", "replace") + b"\x00"
+
+
+def _encode_level(arr: np.ndarray, tw: int, th: int, comp_code: int,
+                  predictor: int, codec) -> list[bytes]:
+    """Tile payloads for one resolution level (chunky float32)."""
     bands, h, w = arr.shape
-    tw, th = tile
-    comp_code = {"none": 1, "deflate": 8, "zstd": 50000}[compression]
-    codec = pa.Codec("zstd") if compression == "zstd" else None
-
     segs = []
     for r0 in range(0, h, th):
         for c0 in range(0, w, tw):
@@ -624,27 +787,14 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
                 segs.append(zlib.compress(raw, 6))
             else:
                 segs.append(codec.compress(raw).to_pybytes())
+    return segs
 
-    a, b, c, d, e, f = affine
-    if abs(b) > 0 or abs(d) > 0:
-        raise ValueError("write_geotiff: north-up affines only (b=d=0)")
-    gk = _geokeys_for_crs(crs)
-    tags = [
-        (256, 3, 1, w), (257, 3, 1, h),
-        (258, 3, bands, [32] * bands),
-        (259, 3, 1, comp_code), (262, 3, 1, 1),
-        (277, 3, 1, bands), (284, 3, 1, 1),
-        (317, 3, 1, predictor),
-        (322, 3, 1, tw), (323, 3, 1, th),
-        (339, 3, bands, [3] * bands),
-        (33550, 12, 3, [abs(a), abs(e), 0.0]),
-        (33922, 12, 6, [0.0, 0.0, 0.0, c, f, 0.0]),
-        (34735, 3, len(gk), list(gk)),
-    ]
-    if nodata is not None:
-        nd = "nan" if np.isnan(nodata) else repr(float(nodata))
-        tags.append((42113, 2, len(nd) + 1, nd.encode() + b"\x00"))
 
+def _serialize_ifd(tags: list, segs: list[bytes], base: int) -> bytearray:
+    """One classic-TIFF IFD block at absolute offset ``base``, laid out
+    [count][entries][next=0][oversized values][seg arrays][segments].
+    The caller patches the next-IFD pointer (at offset 2+12*n within
+    the block) once the following block's base is known."""
     fmt_of = {3: "H", 4: "I", 12: "d", 2: "s"}
     n_all = len(tags) + 2
     ifd_size = 2 + 12 * n_all + 4
@@ -662,7 +812,7 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
             entry_vals.append((tag, typ, cnt, ("off", len(extra))))
             extra += data
     n_seg = len(segs)
-    extra_base = 8 + ifd_size
+    extra_base = base + ifd_size
     seg_meta = 0 if n_seg == 1 else 2 * 4 * n_seg
     seg_base = extra_base + len(extra) + seg_meta
     offs, cur = [], seg_base
@@ -680,7 +830,7 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
         entry_vals.append((324, 4, n_seg, ("seg", 0)))
         entry_vals.append((325, 4, n_seg, ("seg", 4 * n_seg)))
     entry_vals.sort(key=lambda t: t[0])
-    buf = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    buf = bytearray()
     buf += struct.pack("<H", n_all)
     for tag, typ, cnt, val in entry_vals:
         buf += struct.pack("<HHI", tag, typ, cnt)
@@ -690,9 +840,83 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
             buf += struct.pack("<I", extra_base + len(extra) + val[1])
         else:
             buf += val
-    buf += struct.pack("<I", 0)
+    buf += struct.pack("<I", 0)  # next-IFD pointer — patched by caller
     buf += extra + seg_arrays
+    for sg in segs:
+        buf += sg
+    return buf
+
+
+def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
+                  nodata: float | None = None, compression: str = "zstd",
+                  tile: tuple[int, int] = (256, 256),
+                  predictor: int = 2,
+                  band_names: list | None = None,
+                  overview_levels: tuple[int, ...] = ()) -> None:
+    """Write a (bands, h, w) float32 array as a tiled GeoTIFF (chunky,
+    little-endian, classic TIFF) — the export twin of the reader, and
+    the corpus generator for the ingest bench.  ``compression``:
+    zstd | deflate | none; ``predictor`` 1 or 2 (32-bit horizontal
+    word differencing, the GDAL float default this reader decodes
+    bit-exactly on se-island.tiff).  ``band_names`` become GDAL
+    band descriptions (GDAL_METADATA tag 42112, role="description" —
+    the reference's ``src.descriptions``).  ``overview_levels`` (e.g.
+    ``(2, 4)``) append reduced-resolution IFDs (NewSubfileType=1,
+    block-average resampling) — the COG pyramid shape the reader's
+    ``meta["overviews"]`` exposes."""
+    import pyarrow as pa
+
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    bands, h, w = arr.shape
+    tw, th = tile
+    comp_code = {"none": 1, "deflate": 8, "zstd": 50000}[compression]
+    codec = pa.Codec("zstd") if compression == "zstd" else None
+
+    a, b, c, d, e, f = affine
+    if abs(b) > 0 or abs(d) > 0:
+        raise ValueError("write_geotiff: north-up affines only (b=d=0)")
+    gk = _geokeys_for_crs(crs)
+
+    levels = [arr] + [downsample_average(arr, fct)
+                      for fct in sorted(overview_levels)]
+    blocks: list[bytearray] = []
+    bases: list[int] = []
+    cur = 8  # classic header
+    for li, la in enumerate(levels):
+        lb, lh, lw = la.shape
+        tags = [
+            (256, 3, 1, lw), (257, 3, 1, lh),
+            (258, 3, lb, [32] * lb),
+            (259, 3, 1, comp_code), (262, 3, 1, 1),
+            (277, 3, 1, lb), (284, 3, 1, 1),
+            (317, 3, 1, predictor),
+            (322, 3, 1, tw), (323, 3, 1, th),
+            (339, 3, lb, [3] * lb),
+        ]
+        if li == 0:
+            tags += [
+                (33550, 12, 3, [abs(a), abs(e), 0.0]),
+                (33922, 12, 6, [0.0, 0.0, 0.0, c, f, 0.0]),
+                (34735, 3, len(gk), list(gk)),
+            ]
+            if nodata is not None:
+                nd = "nan" if np.isnan(nodata) else repr(float(nodata))
+                tags.append((42113, 2, len(nd) + 1, nd.encode() + b"\x00"))
+            if band_names is not None:
+                xml = _gdal_metadata_xml(band_names)
+                tags.append((42112, 2, len(xml), xml))
+        else:
+            tags.append((254, 4, 1, 1))  # reduced-resolution subfile
+        segs = _encode_level(la, tw, th, comp_code, predictor, codec)
+        blk = _serialize_ifd(tags, segs, cur)
+        bases.append(cur)
+        blocks.append(blk)
+        cur += len(blk)
+    # chain the IFDs: patch each block's next pointer
+    for i in range(len(blocks) - 1):
+        n_all, = struct.unpack_from("<H", blocks[i], 0)
+        struct.pack_into("<I", blocks[i], 2 + 12 * n_all, bases[i + 1])
     with open(path, "wb") as fh:
-        fh.write(bytes(buf))
-        for sg in segs:
-            fh.write(sg)
+        fh.write(b"II" + struct.pack("<HI", 42, 8))
+        for blk in blocks:
+            fh.write(bytes(blk))

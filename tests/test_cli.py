@@ -218,3 +218,62 @@ def test_cli_geotiff_input_reference_command_shape(spark, tmp_path):
     for b in ("band_1", "band_2", "band_3"):
         # CLI applies the reference's default decimals=1 rounding
         assert (got[b] - exp[b].round(1)).abs().max() < 1e-9
+
+
+def test_cli_band_label_on_real_geotiff(spark, tmp_path):
+    """-b by LABEL on a real .tif: selection resolves through the GDAL
+    band descriptions (tag 42112) the reader now parses, and produces
+    the identical output to the equivalent numeric -b run (round 7)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raster2dggs_spark.sources.geotiff import write_geotiff
+
+    rng = np.random.default_rng(3)
+    arr = (rng.random((3, 50, 70)) * 10).astype(np.float32)
+    tif = str(tmp_path / "named.tif")
+    write_geotiff(tif, arr, (0.05, 0, 5.0, 0, -0.05, 8.0), "EPSG:4326",
+                  band_names=["red", "green", "nir"], tile=(32, 32))
+    out_l = str(tmp_path / "by_label")
+    out_i = str(tmp_path / "by_index")
+    main(["hex7", tif, out_l, "-r", "7", "--point", "value", "-a", "mean",
+          "-b", "nir"], spark=spark)
+    main(["hex7", tif, out_i, "-r", "7", "--point", "value", "-a", "mean",
+          "-b", "3"], spark=spark)
+    tl = pq.read_table(out_l).to_pandas().sort_values("hex7_07")
+    ti = pq.read_table(out_i).to_pandas().sort_values("hex7_07")
+    assert len(tl) > 0
+    assert tl.reset_index(drop=True).equals(ti.reset_index(drop=True))
+    # unknown label raises (reference semantics; surfaces from the
+    # executor as a captured PythonException)
+    with pytest.raises(Exception, match="not found"):
+        main(["hex7", tif, str(tmp_path / "bad"), "-r", "7",
+              "--point", "value", "-a", "mean", "-b", "swir"], spark=spark)
+
+
+def test_cli_overview_auto_on_cog(spark, tmp_path):
+    """--overview auto on a pyramided GeoTIFF: a coarse output res reads
+    the matching overview IFD (fewer windows, fewer bytes) and still
+    aggregates to sane cells; --overview 0 reads full res."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raster2dggs_spark.sources.geotiff import write_geotiff
+
+    arr = np.ones((1, 512, 512), dtype=np.float32) * 5.0
+    tif = str(tmp_path / "cog.tif")
+    write_geotiff(tif, arr, (0.001, 0, 0.0, 0, -0.001, 1.0), "EPSG:4326",
+                  overview_levels=(4, 16), tile=(128, 128))
+    out_a = str(tmp_path / "auto")
+    out_f = str(tmp_path / "full")
+    # hex7 res 5 cells are ~100 km² — far coarser than 16× the ~110 m
+    # pixels, so auto must pick the coarsest overview
+    main(["hex7", tif, out_a, "-r", "5", "--point", "value", "-a", "mean",
+          "--overview", "auto"], spark=spark)
+    main(["hex7", tif, out_f, "-r", "5", "--point", "value", "-a", "mean"],
+         spark=spark)
+    ta = pq.read_table(out_a).to_pandas().sort_values("hex7_05")
+    tf = pq.read_table(out_f).to_pandas().sort_values("hex7_05")
+    # constant raster: identical cell sets, identical means, either path
+    assert ta["hex7_05"].tolist() == tf["hex7_05"].tolist()
+    assert (ta["band_1"] - tf["band_1"]).abs().max() < 1e-9

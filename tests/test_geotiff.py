@@ -469,3 +469,166 @@ def test_write_geotiff_4326_geographic_keys():
         assert np.array_equal(read_geotiff_local(p), arr)
     finally:
         os.unlink(p)
+
+
+# --------------------------------------------------------------------------
+# round 7: COG overview pyramids, band descriptions, CRS strictness
+
+
+def _tmp_tif():
+    with tempfile.NamedTemporaryFile(suffix=".tiff", delete=False) as fh:
+        return fh.name
+
+
+def test_overview_pyramid_roundtrip_bit_exact():
+    """write_geotiff(overview_levels=...) emits chained reduced-resolution
+    IFDs (NewSubfileType=1); the reader walks the chain, derives the
+    scaled affine, and every level decodes bit-exactly against the
+    block-average oracle."""
+    from raster2dggs_spark.sources.geotiff import (
+        downsample_average, write_geotiff)
+
+    rng = np.random.default_rng(7)
+    arr = rng.random((3, 300, 500)).astype(np.float32) * 100.0
+    p = _tmp_tif()
+    try:
+        write_geotiff(p, arr, (0.01, 0, 10.0, 0, -0.01, 50.0), "EPSG:4326",
+                      nodata=-9.0, overview_levels=(2, 4), tile=(128, 128))
+        m = parse_geotiff(p)
+        assert len(m["overviews"]) == 2
+        o1, o2 = m["overviews"]
+        assert (o1["w"], o1["h"]) == (250, 150)
+        assert (o2["w"], o2["h"]) == (125, 75)
+        # affine scales by the exact decimation factor; origin fixed
+        assert abs(o1["affine"][0] - 0.02) < 1e-12
+        assert abs(o2["affine"][4] + 0.04) < 1e-12
+        assert o1["affine"][2] == 10.0 and o1["affine"][5] == 50.0
+        assert o1["crs"] == "EPSG:4326" and o1["nodata"] == -9.0
+        assert np.array_equal(read_geotiff_local(p), arr)
+        for lvl, fct in ((1, 2), (2, 4)):
+            assert np.array_equal(read_geotiff_local(p, level=lvl),
+                                  downsample_average(arr, fct)), lvl
+    finally:
+        os.unlink(p)
+
+
+def test_pick_overview_level_monotone():
+    """auto picks the COARSEST level whose pixels are still finer than
+    the target cell — never coarser (information-preserving)."""
+    from raster2dggs_spark.sources.geotiff import (
+        pick_overview_level, write_geotiff)
+
+    arr = np.zeros((1, 64, 64), dtype=np.float32)
+    p = _tmp_tif()
+    try:
+        write_geotiff(p, arr, (0.01, 0, 0.0, 0, -0.01, 1.0), "EPSG:4326",
+                      overview_levels=(2, 4), tile=(32, 32))
+        m = parse_geotiff(p)
+        # full-res pixel ≈ (0.01·111195)² ≈ 1.24e6 m²; levels ×4 / ×16
+        assert pick_overview_level(m, 1.0e6) == 0
+        assert pick_overview_level(m, 5.0e6) == 1
+        assert pick_overview_level(m, 2.0e7) == 2
+        assert pick_overview_level(m, 1.0e12) == 2  # clamps to coarsest
+    finally:
+        os.unlink(p)
+
+
+def test_overview_plan_reads_fewer_bytes():
+    """The windows planned at an overview level cover ~1/factor² of the
+    payload bytes of the full-resolution plan — the I/O saving is in
+    the PLAN, before any pixel is read."""
+    from raster2dggs_spark.sources.geotiff import window_plan, write_geotiff
+
+    rng = np.random.default_rng(1)
+    arr = rng.random((2, 512, 512)).astype(np.float32)
+    p = _tmp_tif()
+    try:
+        write_geotiff(p, arr, (0.01, 0, 0.0, 0, -0.01, 5.0), "EPSG:4326",
+                      overview_levels=(4,), tile=(128, 128))
+
+        def _bytes(level):
+            plan = window_plan([p], level)
+            return sum(sum(c) for c in plan["seg_counts"])
+
+        b0, b1 = _bytes(0), _bytes(1)
+        assert b1 * 8 < b0  # zstd noise margin on the 16× decimation
+    finally:
+        os.unlink(p)
+
+
+def test_band_descriptions_roundtrip_and_spark_table(spark):
+    """GDAL_METADATA (tag 42112) band descriptions: writer emits, reader
+    parses (incl. XML entities), read_geotiff carries them into the
+    image table's band_names column — so by-label -b works on real GDAL
+    files exactly as the reference's src.descriptions path
+    (/root/reference/raster2dggs/common.py:768-801)."""
+    from raster2dggs_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    arr = np.stack([np.full((40, 60), v, dtype=np.float32)
+                    for v in (1.0, 2.0, 3.0)])
+    p = _tmp_tif()
+    try:
+        write_geotiff(p, arr, (0.02, 0, 5.0, 0, -0.02, 8.0), "EPSG:4326",
+                      band_names=["red", None, "nir & <edge>"],
+                      tile=(32, 32))
+        m = parse_geotiff(p)
+        assert m["band_names"] == ["red", None, "nir & <edge>"]
+        df = read_geotiff(spark, p)
+        names = df.select("band_names").distinct().collect()
+        assert len(names) == 1
+        assert list(names[0][0]) == ["red", None, "nir & <edge>"]
+    finally:
+        os.unlink(p)
+
+
+def _write_with_geokeys(path, gk):
+    """Minimal 4×4 float32 TIFF with an arbitrary GeoKey directory —
+    for exercising the reader's CRS strictness paths."""
+    from raster2dggs_spark.sources.geotiff import _serialize_ifd
+
+    arr = np.arange(16, dtype=np.float32).reshape(4, 4)
+    tags = [
+        (256, 3, 1, 4), (257, 3, 1, 4), (258, 3, 1, [32]),
+        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1), (284, 3, 1, 1),
+        (317, 3, 1, 1), (322, 3, 1, 4), (323, 3, 1, 4),
+        (339, 3, 1, [3]),
+        (33550, 12, 3, [0.5, 0.5, 0.0]),
+        (33922, 12, 6, [0.0, 0.0, 0.0, 10.0, 20.0, 0.0]),
+        (34735, 3, len(gk), list(gk)),
+    ]
+    blk = _serialize_ifd(tags, [arr.tobytes()], 8)
+    with open(path, "wb") as fh:
+        fh.write(b"II" + struct.pack("<HI", 42, 8) + bytes(blk))
+
+
+def test_crs_strict_projected_without_code_raises():
+    """GTModelType=1 (projected) without ProjectedCSTypeGeoKey must
+    refuse — a meters-unit affine silently read as WGS84 degrees would
+    produce wrong cells with no error (round-7 ADVICE)."""
+    p = _tmp_tif()
+    try:
+        _write_with_geokeys(p, (1, 1, 0, 1, 1024, 0, 1, 1))
+        with pytest.raises(ValueError, match="ProjectedCSType"):
+            parse_geotiff(p)
+        # user-defined (32767) is just as unusable
+        _write_with_geokeys(p, (1, 1, 0, 2, 1024, 0, 1, 1,
+                                3072, 0, 1, 32767))
+        with pytest.raises(ValueError, match="ProjectedCSType"):
+            parse_geotiff(p)
+    finally:
+        os.unlink(p)
+
+
+def test_crs_strict_non_wgs84_geographic_raises():
+    p = _tmp_tif()
+    try:
+        _write_with_geokeys(p, (1, 1, 0, 2, 1024, 0, 1, 2,
+                                2048, 0, 1, 4269))  # NAD83
+        with pytest.raises(ValueError, match="4269"):
+            parse_geotiff(p)
+        # WGS84 stays fine
+        _write_with_geokeys(p, (1, 1, 0, 2, 1024, 0, 1, 2,
+                                2048, 0, 1, 4326))
+        assert parse_geotiff(p)["crs"] == "EPSG:4326"
+    finally:
+        os.unlink(p)
