@@ -1603,6 +1603,32 @@ def q_utm_pixel_index(spark, sf_dir):
     )
 
 
+def q_sinusoidal_pixel_index(spark, sf_dir):
+    """Sinusoidal + World-Mercator CRS gate (round 7): ramp tiles
+    georeferenced in the MODIS land-grid family (sphere sinusoidal
+    ESRI:54008, a custom-parameter SINU variant) and ellipsoidal World
+    Mercator EPSG:3395 run the full meters-affine → closed-form inverse
+    → hex7 encode pipeline (reference capability: any-CRS via pyproj,
+    common.py:803-813).  Oracle: single-node replay fixture; the
+    projection math is pinned independently in tests/test_geo.py
+    (round-trip <1e-11°, exact equal-area Jacobian, the published
+    EPSG:3395 y(60°N)=8362698.5485 value)."""
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_sinu_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_sinu_images_pdf(16, seed=42),
+                                 IMAGE_SCHEMA)
+    out = index_point_agg(imgs, res=7, parent_res=2, agg="mean", n_bands=1)
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_07"),
+        F.lower(F.hex("parent")).alias("hex7_02"),
+        F.col("npx").cast("long").alias("n_px"),
+        _r4("band_1").alias("band_1"),
+    )
+
+
 def q_sample_points_lanczos(spark, sf_dir):
     """Lanczos-3 point sampling, fully oracle-checked (round 6 — closes
     the last kernel without a relational oracle): on a separable linear
@@ -1941,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells_e4r": q_compact_cells_e4r,
         "compact_cells_i9r": q_compact_cells_i9r,
         "utm_pixel_index": q_utm_pixel_index,
+        "sinusoidal_pixel_index": q_sinusoidal_pixel_index,
         "polar_pixel_index": q_polar_pixel_index,
         "conic_pixel_index": q_conic_pixel_index,
         "sample_points_lanczos": q_sample_points_lanczos,
@@ -3513,6 +3540,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT hex7_09, hex7_03, CAST(n_px AS BIGINT) AS n_px,
                    round(band_1, 4) AS band_1
             FROM read_parquet('{_FIXDIR}/utm_pixel_index_16.parquet')
+        """,
+        "sinusoidal_pixel_index": f"""
+            SELECT hex7_07, hex7_02, CAST(n_px AS BIGINT) AS n_px,
+                   round(band_1, 4) AS band_1
+            FROM read_parquet('{_FIXDIR}/sinu_pixel_index_16.parquet')
         """,
         "sample_points_lanczos": """
             WITH p AS (

@@ -393,6 +393,105 @@ class LambertAzimuthalEqualArea:
         return (lon + 180.0) % 360.0 - 180.0, lat
 
 
+MODIS_SPHERE_R = 6371007.181  # MODIS sinusoidal sphere radius (meters)
+
+
+class Sinusoidal:
+    """Spherical sinusoidal — the MODIS land-product grid family
+    (ESRI:54008-style; the reference reads these via pyproj,
+    /root/reference/raster2dggs/common.py:803-813).  Exactly equal-area:
+    x = R·λ·cosφ, y = R·φ, |J| = R²cosφ ≡ the sphere's area element
+    (pinned numerically in tests/test_geo.py)."""
+
+    def __init__(self, lon0: float = 0.0, x0: float = 0.0, y0: float = 0.0,
+                 R: float = MODIS_SPHERE_R):
+        self.lon0, self.x0, self.y0, self.R = lon0, x0, y0, R
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        return (self.x0 + self.R * lam * np.cos(phi),
+                self.y0 + self.R * phi)
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x0
+        y = np.asarray(y, dtype=np.float64) - self.y0
+        phi = y / self.R
+        c = np.cos(phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(np.abs(c) < 1e-12, 0.0, x / (self.R * c))
+        lon = self.lon0 + np.degrees(lam)
+        return (lon + 180.0) % 360.0 - 180.0, np.degrees(phi)
+
+
+class EllipsoidalMercator:
+    """Ellipsoidal Mercator (EPSG method 9804/1026 — World Mercator
+    EPSG:3395).  y = a·asinh(τ′) with the conformal tangent τ′ shared
+    with the TM machinery; the inverse reuses the exact Newton
+    ``_tau_from_taup`` — no truncated latitude series."""
+
+    def __init__(self, lon0: float = 0.0, x0: float = 0.0, y0: float = 0.0,
+                 a: float = EARTH_RADIUS_M, f: float = WGS84_F):
+        self.lon0, self.x0, self.y0, self.a = lon0, x0, y0, a
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+
+    def forward(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        s = np.sin(phi)
+        sigma = np.sinh(self.e * np.arctanh(self.e * s))
+        tau = np.tan(phi)
+        taup = tau * np.sqrt(1.0 + sigma * sigma) - sigma * np.sqrt(
+            1.0 + tau * tau)
+        lam = np.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        return self.x0 + self.a * lam, self.y0 + self.a * np.arcsinh(taup)
+
+    def inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - self.x0
+        y = np.asarray(y, dtype=np.float64) - self.y0
+        taup = np.sinh(y / self.a)
+        tau = _tau_from_taup(taup, self.e2)
+        lon = self.lon0 + np.degrees(x / self.a)
+        return (lon + 180.0) % 360.0 - 180.0, np.degrees(np.arctan(tau))
+
+
+_SINU_CACHE: dict[str, Sinusoidal] = {}
+
+
+def sinusoidal_for_crs(crs: str) -> Sinusoidal | None:
+    """Sinusoidal instance for ``ESRI:54008`` (MODIS sphere, lon0=0) or
+    the self-describing ``SINU:<lon0>:<x0>:<y0>:<R>`` form the GeoTIFF
+    reader emits for user-defined CT_Sinusoidal geokeys."""
+    s = _SINU_CACHE.get(crs)
+    if s is not None:
+        return s
+    up = str(crs).upper()
+    if up == "ESRI:54008":
+        s = Sinusoidal()
+    elif up.startswith("SINU:"):
+        try:
+            lon0, x0, y0, R = (float(v) for v in up[5:].split(":"))
+        except ValueError:
+            return None
+        s = Sinusoidal(lon0, x0, y0, R)
+    else:
+        return None
+    _SINU_CACHE[crs] = s
+    return s
+
+
+_MERC_3395 = None
+
+
+def _merc_3395() -> EllipsoidalMercator:
+    global _MERC_3395
+    if _MERC_3395 is None:
+        _MERC_3395 = EllipsoidalMercator()
+    return _MERC_3395
+
+
 _CONIC_NAMED = {
     # code: (cls, kwargs)
     2154: (LambertConformalConic,  # RGF93 / Lambert-93 (GRS80)
@@ -496,7 +595,12 @@ def to_lonlat(x, y, crs: str):
                 np.asarray(y, dtype=np.float64))
     if crs == "EPSG:3857":
         return mercator_to_lonlat(x, y)
+    sn = sinusoidal_for_crs(crs)
+    if sn is not None:
+        return sn.inverse(x, y)
     code = _epsg_code(crs)
+    if code == 3395:
+        return _merc_3395().inverse(x, y)
     tm = tm_for_epsg(code)
     if tm is not None:
         return tm.inverse(x, y)
@@ -506,10 +610,11 @@ def to_lonlat(x, y, crs: str):
     cp = conic_for_epsg(code)
     if cp is not None:
         return cp.inverse(x, y)
-    raise ValueError(f"unsupported crs {crs!r} (offline: 4326, 3857, UTM "
-                     "326xx/327xx/258xx/269xx, NZTM 2193, Chatham 3793, "
+    raise ValueError(f"unsupported crs {crs!r} (offline: 4326, 3857, 3395, "
+                     "UTM 326xx/327xx/258xx/269xx, NZTM 2193, Chatham 3793, "
                      "polar stereographic 3413/3031/3976/5041/5042, LCC "
-                     "2154/3347, Albers 5070, LAEA 3035)")
+                     "2154/3347, Albers 5070, LAEA 3035, sinusoidal "
+                     "ESRI:54008 / SINU:lon0:x0:y0:R)")
 
 
 def from_lonlat(lon, lat, crs: str):
@@ -520,7 +625,12 @@ def from_lonlat(lon, lat, crs: str):
                 np.asarray(lat, dtype=np.float64))
     if crs == "EPSG:3857":
         return lonlat_to_mercator(lon, lat)
+    sn = sinusoidal_for_crs(crs)
+    if sn is not None:
+        return sn.forward(lon, lat)
     code = _epsg_code(crs)
+    if code == 3395:
+        return _merc_3395().forward(lon, lat)
     tm = tm_for_epsg(code)
     if tm is not None:
         return tm.forward(lon, lat)
@@ -530,10 +640,11 @@ def from_lonlat(lon, lat, crs: str):
     cp = conic_for_epsg(code)
     if cp is not None:
         return cp.forward(lon, lat)
-    raise ValueError(f"unsupported crs {crs!r} (offline: 4326, 3857, UTM "
-                     "326xx/327xx/258xx/269xx, NZTM 2193, Chatham 3793, "
+    raise ValueError(f"unsupported crs {crs!r} (offline: 4326, 3857, 3395, "
+                     "UTM 326xx/327xx/258xx/269xx, NZTM 2193, Chatham 3793, "
                      "polar stereographic 3413/3031/3976/5041/5042, LCC "
-                     "2154/3347, Albers 5070, LAEA 3035)")
+                     "2154/3347, Albers 5070, LAEA 3035, sinusoidal "
+                     "ESRI:54008 / SINU:lon0:x0:y0:R)")
 
 
 def haversine_m(lon1, lat1, lon2, lat2, radius: float = EARTH_AUTHALIC_RADIUS_M):

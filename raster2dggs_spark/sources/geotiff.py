@@ -46,7 +46,8 @@ _TAG_NAMES = {
     322: "tile_w", 323: "tile_h", 324: "tile_offsets",
     325: "tile_counts", 339: "sample_format",
     33550: "pixel_scale", 33922: "tiepoint", 34264: "transform",
-    34735: "geo_keys", 42112: "gdal_metadata", 42113: "gdal_nodata",
+    34735: "geo_keys", 34736: "geo_doubles",
+    42112: "gdal_metadata", 42113: "gdal_nodata",
 }
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -226,8 +227,15 @@ def parse_geotiff(path: str) -> dict:
     gk = tags.get("geo_keys")
     if gk is not None:
         gk = (gk,) if not isinstance(gk, tuple) else gk
-        keys = {gk[i]: gk[i + 3] for i in range(4, len(gk) - 3, 4)
-                if gk[i + 1] == 0}
+        dbl = tags.get("geo_doubles") or ()
+        dbl = (dbl,) if not isinstance(dbl, tuple) else dbl
+        keys: dict = {}
+        for i in range(4, len(gk) - 3, 4):
+            kid, loc, cnt, val = gk[i], gk[i + 1], gk[i + 2], gk[i + 3]
+            if loc == 0:
+                keys[kid] = val
+            elif loc == 34736 and val + cnt <= len(dbl):
+                keys[kid] = dbl[val] if cnt == 1 else dbl[val:val + cnt]
         model = keys.get(1024)
         if model == 2:  # geographic model → degrees
             # a non-WGS84 geographic CRS (e.g. NAD83 4269) must NOT be
@@ -242,11 +250,29 @@ def parse_geotiff(path: str) -> dict:
         elif model == 1:  # projected model: the code is REQUIRED
             pcode = keys.get(3072)
             if pcode is None or pcode == 32767:
-                raise ValueError(
-                    f"{path}: projected GeoTIFF without a usable "
-                    "ProjectedCSTypeGeoKey (3072) — refusing to guess "
-                    "a CRS for a meters-unit affine")
-            crs = f"EPSG:{pcode}"
+                # user-defined projection: the one family GDAL routinely
+                # writes this way is MODIS sinusoidal (CT_Sinusoidal=24,
+                # params in GeoDoubleParams) — reconstruct it; anything
+                # else is refused rather than guessed
+                if keys.get(3075) == 24:
+                    from raster2dggs_spark.geo.crs import MODIS_SPHERE_R
+
+                    lon0 = float(keys.get(3088, keys.get(3080, 0.0)))
+                    fe = float(keys.get(3082, 0.0))
+                    fn = float(keys.get(3083, 0.0))
+                    R = float(keys.get(2057, MODIS_SPHERE_R))
+                    if (lon0, fe, fn, R) == (0.0, 0.0, 0.0,
+                                             MODIS_SPHERE_R):
+                        crs = "ESRI:54008"
+                    else:
+                        crs = f"SINU:{lon0!r}:{fe!r}:{fn!r}:{R!r}"
+                else:
+                    raise ValueError(
+                        f"{path}: projected GeoTIFF without a usable "
+                        "ProjectedCSTypeGeoKey (3072) — refusing to "
+                        "guess a CRS for a meters-unit affine")
+            else:
+                crs = f"EPSG:{pcode}"
         elif model is not None:
             raise ValueError(
                 f"{path}: unsupported GTModelType {model} (geocentric?)")
@@ -719,13 +745,31 @@ def read_geotiff_local(path: str, level: int = 0) -> np.ndarray:
 # GeoTIFF writer (export / round-trip / bench-corpus generation)
 
 
-def _geokeys_for_crs(crs: str) -> tuple:
+def _geokeys_for_crs(crs: str) -> tuple[tuple, tuple]:
+    """(GeoKeyDirectory shorts, GeoDoubleParams doubles) for ``crs``.
+    Sinusoidal CRSs (no EPSG code) get the user-defined form GDAL
+    writes for MODIS: ProjectedCSType=32767 + CT_Sinusoidal(24) with
+    the parameters in GeoDoubleParams."""
+    from raster2dggs_spark.geo.crs import sinusoidal_for_crs
+
+    sn = sinusoidal_for_crs(crs)
+    if sn is not None:
+        doubles = (sn.R, sn.lon0, sn.x0, sn.y0)
+        return ((1, 1, 0, 6,
+                 1024, 0, 1, 1,          # projected model
+                 2057, 34736, 1, 0,      # GeogSemiMajorAxis = R
+                 3072, 0, 1, 32767,      # user-defined PCS
+                 3075, 0, 1, 24,         # CT_Sinusoidal
+                 3080, 34736, 1, 1,      # NatOriginLong = lon0
+                 3082, 34736, 1, 2,      # FalseEasting
+                 3083, 34736, 1, 3),     # FalseNorthing
+                doubles)
     code = _epsg_code_of(crs)
     if code == 4326:
         # GTModelTypeGeoKey=2 (geographic), GeographicTypeGeoKey=4326
-        return (1, 1, 0, 2, 1024, 0, 1, 2, 2048, 0, 1, 4326)
+        return (1, 1, 0, 2, 1024, 0, 1, 2, 2048, 0, 1, 4326), ()
     # projected: GTModelType=1, ProjectedCSType=code
-    return (1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, code)
+    return (1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, code), ()
 
 
 def _epsg_code_of(crs: str) -> int:
@@ -875,7 +919,7 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
     a, b, c, d, e, f = affine
     if abs(b) > 0 or abs(d) > 0:
         raise ValueError("write_geotiff: north-up affines only (b=d=0)")
-    gk = _geokeys_for_crs(crs)
+    gk, gk_doubles = _geokeys_for_crs(crs)
 
     levels = [arr] + [downsample_average(arr, fct)
                       for fct in sorted(overview_levels)]
@@ -899,6 +943,8 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
                 (33922, 12, 6, [0.0, 0.0, 0.0, c, f, 0.0]),
                 (34735, 3, len(gk), list(gk)),
             ]
+            if gk_doubles:
+                tags.append((34736, 12, len(gk_doubles), list(gk_doubles)))
             if nodata is not None:
                 nd = "nan" if np.isnan(nodata) else repr(float(nodata))
                 tags.append((42113, 2, len(nd) + 1, nd.encode() + b"\x00"))

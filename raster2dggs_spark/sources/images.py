@@ -299,6 +299,54 @@ def generate_conic_images_pdf(n_images: int, seed: int = 42,
     return pd.DataFrame(rows)
 
 
+_SINU_ANCHORS = (
+    # sinusoidal (MODIS sphere + a custom-parameter variant) and World
+    # Mercator 3395 — the round-7 CRS families.  High-|lat| anchors
+    # exercise the sinusoidal shear where corner bboxes would fail.
+    ("ESRI:54008", -100.0, 45.0),
+    ("ESRI:54008", 140.0, -65.0),
+    ("SINU:5.0:100000.0:-2000.0:6371000.0", 12.0, 8.0),
+    ("EPSG:3395", -70.0, 60.0),
+)
+
+
+def generate_sinu_images_pdf(n_images: int, seed: int = 42,
+                             size_range=(12, 28)) -> pd.DataFrame:
+    """Sinusoidal/ellipsoidal-Mercator ramp tiles (round 7): the MODIS
+    land-grid family (ESRI:54008 sphere sinusoidal + a shifted custom
+    SINU variant) and World Mercator EPSG:3395 — reference capability:
+    arbitrary-CRS rasters via pyproj (common.py:803-813).  Same
+    decode-exact ramp contract as the TM/polar/conic twins."""
+    from raster2dggs_spark.geo.crs import from_lonlat
+
+    rows = []
+    for i in range(n_images):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 17, i]))
+        crs, lon_a, lat_a = _SINU_ANCHORS[i % len(_SINU_ANCHORS)]
+        w = int(rng.integers(size_range[0], size_range[1] + 1))
+        h = int(rng.integers(size_range[0], size_range[1] + 1))
+        lon0 = lon_a + float(rng.uniform(-2.0, 2.0))
+        lat0 = lat_a + float(rng.uniform(-1.0, 1.0))
+        x0, y0 = from_lonlat(np.array([lon0]), np.array([lat0]), crs)
+        px = float(rng.uniform(200.0, 500.0))  # MODIS-scale pixels
+        affine = (px, 0.0, float(x0[0]), 0.0, -px, float(y0[0]))
+        arr = (np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+               + np.float32(i))
+        payload = encode_image(arr, "raw")
+        rows.append({
+            "image_id": f"img_sinu_{i:08d}",
+            "bytes": payload,
+            "w": w, "h": h, "fmt": "raw",
+            "caption": f"sinusoidal ramp tile {i} of seed {seed} ({crs})",
+            "phash": average_hash64(arr[0]),
+            "affine_a": affine[0], "affine_b": affine[1],
+            "affine_c": affine[2], "affine_d": affine[3],
+            "affine_e": affine[4], "affine_f": affine[5],
+            "crs": crs, "nodata": None, "bands": 1, "band_names": None,
+        })
+    return pd.DataFrame(rows)
+
+
 def images_spark_df(spark, n_images: int, seed: int = 42, **kw):
     """Spark DataFrame of the synthetic table (small scales; driver-built).
 

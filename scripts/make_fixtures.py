@@ -851,6 +851,24 @@ def geotiff_pixel_index_fixture():
     print(f"geotiff_pixel_index: {len(out)} rows")
 
 
+def sinu_pixel_index_fixture():
+    """Single-node replay of the sinusoidal/World-Mercator ramp tiles
+    (MODIS-sphere ESRI:54008, a custom-parameter SINU variant, and
+    EPSG:3395 — sources.images.generate_sinu_images_pdf): meters-affine
+    → sinusoidal/ellipsoidal-Mercator inverse → hex7 encode at res 7
+    (MODIS-scale ~200-500 m pixels).  The projection math is pinned
+    independently in tests/test_geo.py (round-trip identity, exact
+    equal-area Jacobian, the published 3395 y(60°N) value)."""
+    from raster2dggs_spark.sources.images import generate_sinu_images_pdf
+
+    imgs = generate_sinu_images_pdf(16, seed=42)
+    out = _pixel_index_replay(imgs.itertuples(index=False), res=7,
+                              parent_res=2, dggs="hex7", n_bands=1)
+    out.to_parquet(os.path.join(FIXDIR, "sinu_pixel_index_16.parquet"),
+                   index=False)
+    print(f"sinu_pixel_index_16: {len(out)} rows")
+
+
 def utm_pixel_index_fixture():
     """Single-node replay of the TM-georeferenced ramp tiles (UTM
     north+south, NZTM, Chatham — sources.images.generate_tm_images_pdf):
@@ -891,6 +909,7 @@ def main():
     utm_pixel_index_fixture()
     polar_pixel_index_fixture()
     conic_pixel_index_fixture()
+    sinu_pixel_index_fixture()
 
     from raster2dggs_spark.session import get_spark
 

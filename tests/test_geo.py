@@ -390,3 +390,143 @@ def test_etrs_nad83_utm_aliases():
     tm2 = tm_for_epsg(26910)  # NAD83 / UTM 10N, lon0 -123
     x, y = tm2.forward(np.array([-123.0]), np.array([45.0]))
     assert abs(x[0] - 500000.0) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# round 7: sinusoidal (MODIS) + ellipsoidal World Mercator 3395
+
+
+def test_sinusoidal_roundtrip_identity():
+    from raster2dggs_spark.geo.crs import from_lonlat, to_lonlat
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.9, 179.9, 4000)
+    lat = rng.uniform(-89.5, 89.5, 4000)
+    for crs in ("ESRI:54008", "SINU:5.0:100000.0:-2000.0:6371000.0"):
+        x, y = from_lonlat(lon, lat, crs)
+        lo, la = to_lonlat(x, y, crs)
+        assert np.abs(lo - lon).max() < 1e-11
+        assert np.abs(la - lat).max() < 1e-11
+
+
+def test_sinusoidal_known_values_and_modis_sphere():
+    """x = R·λ·cosφ, y = R·φ on the MODIS sphere R=6371007.181 — the
+    closed form IS the definition, so pin it directly, plus the MODIS
+    grid's famous global width 2·π·R ≈ 40031.6 km at the equator."""
+    from raster2dggs_spark.geo.crs import MODIS_SPHERE_R, from_lonlat
+
+    x, y = from_lonlat(np.array([10.0]), np.array([30.0]), "ESRI:54008")
+    assert abs(x[0] - MODIS_SPHERE_R * np.radians(10.0)
+               * np.cos(np.radians(30.0))) < 1e-9
+    assert abs(y[0] - MODIS_SPHERE_R * np.radians(30.0)) < 1e-9
+    # ±180 canonicalizes to -180 (the wrap is half-open): |x| = π·R
+    xw, _ = from_lonlat(np.array([180.0]), np.array([0.0]), "ESRI:54008")
+    assert abs(abs(xw[0]) - np.pi * MODIS_SPHERE_R) < 1e-6  # 20015.8 km
+
+
+def test_sinusoidal_exact_equal_area_jacobian():
+    """|∂(x,y)/∂(λ,φ)| ≡ R²cosφ (the sphere's area element) — numeric
+    central differences at mid/high/low latitudes within 1e-6 relative."""
+    from raster2dggs_spark.geo.crs import MODIS_SPHERE_R, from_lonlat
+
+    eps = 1e-6
+    for L, P in ((20.0, 45.0), (-120.0, -70.0), (170.0, 5.0),
+                 (0.0, 85.0)):
+        args = (np.array([L]), np.array([P]))
+        x0, y0 = from_lonlat(*args, "ESRI:54008")
+        xl, yl = from_lonlat(np.array([L + eps]), np.array([P]),
+                             "ESRI:54008")
+        xp, yp = from_lonlat(np.array([L]), np.array([P + eps]),
+                             "ESRI:54008")
+        J = ((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (
+            np.radians(eps) ** 2)
+        ratio = J[0] / (MODIS_SPHERE_R ** 2 * np.cos(np.radians(P)))
+        assert abs(ratio - 1.0) < 1e-6, (L, P, ratio)
+
+
+def test_mercator_3395_roundtrip_and_published_value():
+    """EPSG:3395 inverse∘forward identity and the published y(60°N)
+    value 8362698.5485 m (vs the spherical 3857's 8399737.89 — the
+    37 km ellipsoidal correction is the whole point)."""
+    from raster2dggs_spark.geo.crs import from_lonlat, to_lonlat
+
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-179.9, 179.9, 4000)
+    lat = rng.uniform(-85.0, 85.0, 4000)
+    x, y = from_lonlat(lon, lat, "EPSG:3395")
+    lo, la = to_lonlat(x, y, "EPSG:3395")
+    assert np.abs(lo - lon).max() < 1e-11
+    assert np.abs(la - lat).max() < 1e-11
+    _, y60 = from_lonlat(np.array([0.0]), np.array([60.0]), "EPSG:3395")
+    assert abs(y60[0] - 8362698.5485) < 1e-3
+
+
+def test_mercator_3395_matches_independent_ln_form():
+    """The asinh(τ′) implementation equals the classic
+    a·ln[tan(π/4+φ/2)·((1-e·sinφ)/(1+e·sinφ))^(e/2)] formulation
+    (independent algebraic path) to sub-nanometer."""
+    from raster2dggs_spark.geo.crs import from_lonlat
+
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e = np.sqrt(f * (2.0 - f))
+    lats = np.array([-80.0, -45.0, -10.0, 0.0, 15.0, 52.5, 75.0])
+    phi = np.radians(lats)
+    y_ind = a * np.log(np.tan(np.pi / 4.0 + phi / 2.0)
+                       * ((1.0 - e * np.sin(phi))
+                          / (1.0 + e * np.sin(phi))) ** (e / 2.0))
+    _, y = from_lonlat(np.zeros_like(lats), lats, "EPSG:3395")
+    assert np.abs(y - y_ind).max() < 1e-6
+
+
+def test_sinusoidal_geotiff_roundtrip_user_defined_geokeys():
+    """write→parse round-trip through the user-defined CT_Sinusoidal
+    geokey form GDAL writes for MODIS (PCS=32767, CT=24, params in
+    GeoDoubleParams) — both the canonical MODIS sphere and a
+    custom-parameter variant."""
+    import os
+    import tempfile
+
+    from raster2dggs_spark.sources.geotiff import (
+        parse_geotiff, read_geotiff_local, write_geotiff)
+
+    arr = np.arange(200, dtype=np.float32).reshape(1, 10, 20)
+    for crs in ("ESRI:54008", "SINU:5.0:100000.0:-2000.0:6371000.0",
+                "EPSG:3395"):
+        with tempfile.NamedTemporaryFile(suffix=".tif",
+                                         delete=False) as fh:
+            p = fh.name
+        try:
+            write_geotiff(p, arr, (463.3, 0, -20015109.0, 0, -463.3,
+                                   1111950.0), crs, tile=(16, 16))
+            m = parse_geotiff(p)
+            assert m["crs"] == crs
+            assert np.array_equal(read_geotiff_local(p), arr)
+        finally:
+            os.unlink(p)
+
+
+def test_antimeridian_wrap_tm_and_row_areas():
+    """Round-7 ADVICE regressions: (1) TM forward wraps lon-lon0 into
+    ±180° — a canonical lon on the far side of the antimeridian (UTM
+    zone 1, Chatham's west half) projects to the SAME point as its
+    +360° twin; (2) geodesic_row_areas_m2 over an antimeridian-
+    straddling Chatham TM raster stays within sane bounds (no ±360°
+    edge term)."""
+    from raster2dggs_spark.geo.crs import (
+        from_lonlat, geodesic_row_areas_m2)
+
+    # UTM zone 1 (lon0=-177): a point at +177 must equal its -183 twin
+    x1, y1 = from_lonlat(np.array([177.0]), np.array([10.0]),
+                         "EPSG:32601")
+    x2, y2 = from_lonlat(np.array([177.0 - 360.0]), np.array([10.0]),
+                         "EPSG:32601")
+    assert abs(x1[0] - x2[0]) < 1e-6 and abs(y1[0] - y2[0]) < 1e-6
+    assert abs(x1[0]) < 5e6  # sane zone-frame coordinate, not garbage
+    # Chatham TM raster whose lon/lat corners straddle the antimeridian
+    x0, y0 = from_lonlat(np.array([179.9]), np.array([-43.9]),
+                         "EPSG:3793")
+    aff = (30.0, 0.0, float(x0[0]), 0.0, -30.0, float(y0[0]))
+    areas = geodesic_row_areas_m2(aff, 2000, 64, "EPSG:3793")
+    assert np.all(areas > 0)
+    # 30 m pixels: true geodesic area within 2% of the nominal 900 m²
+    assert np.all(np.abs(areas / 900.0 - 1.0) < 0.02)
