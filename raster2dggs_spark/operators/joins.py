@@ -551,6 +551,14 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     expansion (SURVEY.md J6) expressed as radius expansion."""
     if radius_m is None:
         radius_m = estimate_knn_radius(targets, k, lon_col, lat_col)
+    # the ring-cover UDF and the per-point encode are the compute-dense
+    # stages; a narrow upstream (single parquet file, filtered subset)
+    # would single-task them — widen BEFORE the heavy work.  No-op on
+    # tables already at cluster parallelism (the 100-TB case), and the
+    # shuffle it adds is of slim (id, lon, lat) rows only.
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    if targets.rdd.getNumPartitions() < par:
+        targets = targets.repartition(par)
     t = index_points(targets, res, dggs, lon_col, lat_col).select(
         F.col(t_id), F.col("cell"),
         F.col(lon_col).alias("t_lon"), F.col(lat_col).alias("t_lat"),
@@ -717,6 +725,8 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     from raster2dggs_spark.operators.aggregates import top_k
 
     remaining = queries.select(q_id, lon_col, lat_col)
+    if remaining.rdd.getNumPartitions() < par:
+        remaining = remaining.repartition(par)
     results = None
     tk = None
     radius = radius_m
