@@ -1629,6 +1629,28 @@ def q_sinusoidal_pixel_index(spark, sf_dir):
     )
 
 
+def q_jpeg_pixel_index(spark, sf_dir):
+    """JPEG-in-TIFF ingest gate (round 7): a compression-7 GeoTIFF
+    (baseline JPEG tiles, separate JPEGTables tag 347, YCbCr 4:2:0 —
+    the imagery/basemap tile family the reference reads via rasterio,
+    common.py:803-813) decodes through the pure-NumPy JPEG decoder
+    inside executors and indexes at hex7 res 7.  Oracle: single-node
+    full-frame replay fixture (decode is bit-deterministic); the codec
+    is pinned independently in tests/test_jpeg.py against a
+    hand-assembled bitstream with a closed-form IDCT oracle."""
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    from raster2dggs_spark.sources.geotiff import read_geotiff
+
+    imgs = read_geotiff(spark, os.path.join(_FIXDIR, "jpeg_gate.tif"))
+    out = index_point_agg(imgs, res=7, parent_res=2, agg="mean", n_bands=3)
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_07"),
+        F.lower(F.hex("parent")).alias("hex7_02"),
+        F.col("npx").cast("long").alias("n_px"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 4)],
+    )
+
+
 def q_sample_points_lanczos(spark, sf_dir):
     """Lanczos-3 point sampling, fully oracle-checked (round 6 — closes
     the last kernel without a relational oracle): on a separable linear
@@ -1968,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells_i9r": q_compact_cells_i9r,
         "utm_pixel_index": q_utm_pixel_index,
         "sinusoidal_pixel_index": q_sinusoidal_pixel_index,
+        "jpeg_pixel_index": q_jpeg_pixel_index,
         "polar_pixel_index": q_polar_pixel_index,
         "conic_pixel_index": q_conic_pixel_index,
         "sample_points_lanczos": q_sample_points_lanczos,
@@ -3545,6 +3568,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT hex7_07, hex7_02, CAST(n_px AS BIGINT) AS n_px,
                    round(band_1, 4) AS band_1
             FROM read_parquet('{_FIXDIR}/sinu_pixel_index_16.parquet')
+        """,
+        "jpeg_pixel_index": f"""
+            SELECT hex7_07, hex7_02, CAST(n_px AS BIGINT) AS n_px,
+                   round(band_1, 4) AS band_1, round(band_2, 4) AS band_2,
+                   round(band_3, 4) AS band_3
+            FROM read_parquet('{_FIXDIR}/jpeg_pixel_index.parquet')
         """,
         "sample_points_lanczos": """
             WITH p AS (

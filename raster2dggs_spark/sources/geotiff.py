@@ -41,10 +41,11 @@ import pandas as pd
 _TAG_NAMES = {
     254: "subfile_type",
     256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric",
     273: "strip_offsets", 277: "spp", 278: "rows_per_strip",
     279: "strip_counts", 284: "planar", 317: "predictor",
     322: "tile_w", 323: "tile_h", 324: "tile_offsets",
-    325: "tile_counts", 339: "sample_format",
+    325: "tile_counts", 339: "sample_format", 347: "jpeg_tables",
     33550: "pixel_scale", 33922: "tiepoint", 34264: "transform",
     34735: "geo_keys", 34736: "geo_doubles",
     42112: "gdal_metadata", 42113: "gdal_nodata",
@@ -104,7 +105,10 @@ def _read_ifd(path: str, bo: str, big: bool, ifd_off: int
             voff, = struct.unpack_from(bo + ("Q" if big else "I"),
                                        entries, val_at)
             raw = _read_range(path, voff, size)
-        if typ == 2:
+        if name == "jpeg_tables":
+            # raw abbreviated JPEG stream (hex for JSON transport)
+            tags[name] = raw.hex()
+        elif typ == 2:
             tags[name] = raw.rstrip(b"\x00").decode("ascii", "replace")
         elif typ == 5:  # RATIONAL
             vals = struct.unpack(bo + str(2 * cnt) + "I", raw)
@@ -175,6 +179,8 @@ def _ifd_dims(tags: dict, path: str) -> dict:
         "sample_format": fmt, "compression": comp, "predictor": pred,
         "planar": planar, "tiled": tiled, "tile_w": tw, "tile_h": th,
         "offsets": list(offsets), "counts": list(counts),
+        "photometric": int(tags.get("photometric", 1)),
+        "jpeg_tables": tags.get("jpeg_tables"),
     }
 
 
@@ -506,6 +512,29 @@ def decode_segment(meta: dict, seg_index: int, buf: bytes) -> np.ndarray:
     tw, th = meta["tile_w"], meta["tile_h"]
     bps = meta["bits"] // 8
     planar_bands = spp if meta["planar"] == 1 else 1
+    if meta["compression"] == 7:
+        # new-style JPEG (imagery/basemap tiles): the segment is a
+        # baseline JPEG stream; shared DQT/DHT tables ride the
+        # JPEGTables tag (347) as an abbreviated stream.  Photometric 6
+        # = components are YCbCr (convert); 1/2 = keep as coded.
+        from raster2dggs_spark.codecs.jpeg import decode_baseline_jpeg
+
+        tbl = meta.get("jpeg_tables")
+        img = decode_baseline_jpeg(
+            buf, bytes.fromhex(tbl) if tbl else None,
+            to_rgb=meta.get("photometric", 1) == 6)
+        if meta["tiled"]:
+            across = (w + tw - 1) // tw
+            per_plane = across * ((h + th - 1) // th)
+            pidx = seg_index % per_plane
+            col0, row0 = (pidx % across) * tw, (pidx // across) * th
+        else:
+            per_plane = (h + th - 1) // th
+            col0, row0 = 0, (seg_index % per_plane) * th
+        arr = img.transpose(2, 0, 1).astype(np.float32)[:, :th, :tw]
+        return np.ascontiguousarray(
+            arr[:, : max(0, min(arr.shape[1], h - row0)),
+                : max(0, min(arr.shape[2], w - col0))])
     if meta["tiled"]:
         across = (w + tw - 1) // tw
         per_plane = across * ((h + th - 1) // th)
@@ -809,10 +838,26 @@ def _gdal_metadata_xml(band_names: list) -> bytes:
 
 
 def _encode_level(arr: np.ndarray, tw: int, th: int, comp_code: int,
-                  predictor: int, codec) -> list[bytes]:
-    """Tile payloads for one resolution level (chunky float32)."""
+                  predictor: int, codec, jpeg_quality: int = 90,
+                  jpeg_subsample: bool = False) -> list[bytes]:
+    """Tile payloads for one resolution level (chunky float32; JPEG
+    tiles are 8-bit with edge-replicate padding to the tile size)."""
     bands, h, w = arr.shape
     segs = []
+    if comp_code == 7:
+        from raster2dggs_spark.codecs.jpeg import encode_baseline_jpeg
+
+        u8 = np.clip(np.round(arr), 0, 255).astype(np.uint8)
+        for r0 in range(0, h, th):
+            for c0 in range(0, w, tw):
+                src = u8[:, r0:r0 + th, c0:c0 + tw].transpose(1, 2, 0)
+                block = np.pad(
+                    src, ((0, th - src.shape[0]), (0, tw - src.shape[1]),
+                          (0, 0)), mode="edge")
+                segs.append(encode_baseline_jpeg(
+                    block if bands == 3 else block[:, :, 0],
+                    quality=jpeg_quality, subsample=jpeg_subsample))
+        return segs
     for r0 in range(0, h, th):
         for c0 in range(0, w, tw):
             block = np.zeros((th, tw, bands), dtype=np.float32)
@@ -845,7 +890,7 @@ def _serialize_ifd(tags: list, segs: list[bytes], base: int) -> bytearray:
     extra = bytearray()
     entry_vals = []
     for tag, typ, cnt, val in tags:
-        if typ == 2:
+        if typ in (2, 7):  # ASCII / UNDEFINED: raw bytes
             data = val
         else:
             vv = val if isinstance(val, list) else [val]
@@ -896,7 +941,10 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
                   tile: tuple[int, int] = (256, 256),
                   predictor: int = 2,
                   band_names: list | None = None,
-                  overview_levels: tuple[int, ...] = ()) -> None:
+                  overview_levels: tuple[int, ...] = (),
+                  jpeg_quality: int = 90,
+                  jpeg_subsample: bool = False,
+                  jpeg_tables_separate: bool = True) -> None:
     """Write a (bands, h, w) float32 array as a tiled GeoTIFF (chunky,
     little-endian, classic TIFF) — the export twin of the reader, and
     the corpus generator for the ingest bench.  ``compression``:
@@ -913,8 +961,15 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
     arr = np.ascontiguousarray(arr, dtype=np.float32)
     bands, h, w = arr.shape
     tw, th = tile
-    comp_code = {"none": 1, "deflate": 8, "zstd": 50000}[compression]
+    comp_code = {"none": 1, "deflate": 8, "zstd": 50000,
+                 "jpeg": 7}[compression]
     codec = pa.Codec("zstd") if compression == "zstd" else None
+    jpeg = comp_code == 7
+    if jpeg:
+        if bands not in (1, 3):
+            raise ValueError("jpeg compression: 1 or 3 bands (got "
+                             f"{bands})")
+        predictor = 1  # meaningless for JPEG
 
     a, b, c, d, e, f = affine
     if abs(b) > 0 or abs(d) > 0:
@@ -930,12 +985,13 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
         lb, lh, lw = la.shape
         tags = [
             (256, 3, 1, lw), (257, 3, 1, lh),
-            (258, 3, lb, [32] * lb),
-            (259, 3, 1, comp_code), (262, 3, 1, 1),
+            (258, 3, lb, [8 if jpeg else 32] * lb),
+            (259, 3, 1, comp_code),
+            (262, 3, 1, (6 if lb == 3 else 1) if jpeg else 1),
             (277, 3, 1, lb), (284, 3, 1, 1),
             (317, 3, 1, predictor),
             (322, 3, 1, tw), (323, 3, 1, th),
-            (339, 3, lb, [3] * lb),
+            (339, 3, lb, [1 if jpeg else 3] * lb),
         ]
         if li == 0:
             tags += [
@@ -953,7 +1009,18 @@ def write_geotiff(path: str, arr: np.ndarray, affine, crs: str = "EPSG:4326",
                 tags.append((42112, 2, len(xml), xml))
         else:
             tags.append((254, 4, 1, 1))  # reduced-resolution subfile
-        segs = _encode_level(la, tw, th, comp_code, predictor, codec)
+        segs = _encode_level(la, tw, th, comp_code, predictor, codec,
+                             jpeg_quality, jpeg_subsample)
+        if jpeg and jpeg_tables_separate:
+            # GDAL's form: shared DQT/DHT once in JPEGTables (tag 347),
+            # per-tile streams abbreviated (all tiles share tables —
+            # same encoder parameters per level by construction)
+            from raster2dggs_spark.codecs.jpeg import split_jpeg_tables
+
+            split = [split_jpeg_tables(sg) for sg in segs]
+            jtables = split[0][0]
+            segs = [ab for _, ab in split]
+            tags.append((347, 7, len(jtables), jtables))
         blk = _serialize_ifd(tags, segs, cur)
         bases.append(cur)
         blocks.append(blk)

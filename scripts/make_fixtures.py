@@ -869,6 +869,45 @@ def sinu_pixel_index_fixture():
     print(f"sinu_pixel_index_16: {len(out)} rows")
 
 
+def jpeg_pixel_index_fixture():
+    """JPEG-in-TIFF gate (round 7): a deterministic compression-7
+    raster (baseline JPEG tiles, separate JPEGTables, YCbCr 4:2:0) is
+    written into .fixtures/, decoded by the pure-NumPy JPEG decoder and
+    replayed single-node.  The Spark side reads the SAME file through
+    the distributed window plan; decode is bit-deterministic, so the
+    hash gate applies.  The codec itself is pinned independently in
+    tests/test_jpeg.py (hand-assembled bitstream vs closed-form IDCT)."""
+    from types import SimpleNamespace
+
+    from raster2dggs_spark.codecs import encode_image
+    from raster2dggs_spark.sources.geotiff import (
+        parse_geotiff, read_geotiff_local, write_geotiff,
+    )
+
+    x = np.linspace(0, 4 * np.pi, 300)
+    y = np.linspace(0, 3 * np.pi, 280)
+    base = (np.sin(y)[:, None] * np.cos(x)[None, :] * 0.5 + 0.5) * 255
+    arr = np.stack([base, np.roll(base, 90, 0), 255 - base]).astype(
+        np.float32)
+    path = os.path.join(FIXDIR, "jpeg_gate.tif")
+    write_geotiff(path, arr, (0.01, 0.0, 5.0, 0.0, -0.01, 8.0),
+                  "EPSG:4326", compression="jpeg", tile=(128, 128),
+                  jpeg_subsample=True, jpeg_quality=88)
+    meta = parse_geotiff(path)
+    full = read_geotiff_local(path)
+    r = SimpleNamespace(
+        bytes=encode_image(full, "raw"), nodata=None,
+        affine_a=meta["affine"][0], affine_b=meta["affine"][1],
+        affine_c=meta["affine"][2], affine_d=meta["affine"][3],
+        affine_e=meta["affine"][4], affine_f=meta["affine"][5],
+        crs=meta["crs"])
+    out = _pixel_index_replay([r], res=7, parent_res=2, dggs="hex7",
+                              n_bands=3)
+    out.to_parquet(os.path.join(FIXDIR, "jpeg_pixel_index.parquet"),
+                   index=False)
+    print(f"jpeg_pixel_index: {len(out)} rows")
+
+
 def utm_pixel_index_fixture():
     """Single-node replay of the TM-georeferenced ramp tiles (UTM
     north+south, NZTM, Chatham — sources.images.generate_tm_images_pdf):
@@ -910,6 +949,7 @@ def main():
     polar_pixel_index_fixture()
     conic_pixel_index_fixture()
     sinu_pixel_index_fixture()
+    jpeg_pixel_index_fixture()
 
     from raster2dggs_spark.session import get_spark
 
