@@ -125,23 +125,25 @@ def dct2_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 def _build_decode_table(bits: list[int], vals: list[int]):
-    """The T.81 F.2.2.3 decoder arrays (mincode/maxcode/valptr) — one
-    lookup per code length, O(16) worst case per symbol."""
-    mincode = np.zeros(17, dtype=np.int64)
-    maxcode = np.full(17, -1, dtype=np.int64)
-    valptr = np.zeros(17, dtype=np.int64)
+    """16-bit peek LUT: every left-aligned 16-bit window maps directly
+    to (symbol, code length) — one list index per Huffman symbol
+    instead of a bit-by-bit walk (the classic libjpeg fast path; plain
+    Python lists beat numpy for scalar lookups)."""
+    lut_sym = [0] * 65536
+    lut_len = [0] * 65536
     code = 0
     k = 0
     for ln in range(1, 17):
-        n = bits[ln - 1]
-        if n:
-            valptr[ln] = k
-            mincode[ln] = code
-            code += n
-            maxcode[ln] = code - 1
-            k += n
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            sym = vals[k]
+            lut_sym[lo:hi] = [sym] * (hi - lo)
+            lut_len[lo:hi] = [ln] * (hi - lo)
+            code += 1
+            k += 1
         code <<= 1
-    return mincode, maxcode, valptr, np.array(vals, dtype=np.int64)
+    return lut_sym, lut_len
 
 
 def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
@@ -209,6 +211,11 @@ class _BitReader:
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
     def resync(self):
         """Byte-align and skip the restart marker at the current
         position (called at restart intervals)."""
@@ -222,15 +229,13 @@ class _BitReader:
             self.pos += 1
 
     def decode_symbol(self, table) -> int:
-        mincode, maxcode, valptr, vals = table
-        code = self.read_bit()
-        ln = 1
-        while code > maxcode[ln]:
-            code = (code << 1) | self.read_bit()
-            ln += 1
-            if ln > 16:
-                raise ValueError("corrupt JPEG: invalid Huffman code")
-        return int(vals[valptr[ln] + code - mincode[ln]])
+        lut_sym, lut_len = table
+        v = self.peek16()
+        ln = lut_len[v]
+        if ln == 0:
+            raise ValueError("corrupt JPEG: invalid Huffman code")
+        self.nbits -= ln
+        return lut_sym[v]
 
 
 def _extend(v: int, n: int) -> int:
