@@ -53,6 +53,9 @@ def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     timings: dict[str, float] = {}
     extras: dict = {}
+    # quiet/loaded classification rides the artifact (round-6 VERDICT:
+    # the committed JSON should be adjudicable as a quiet run by itself)
+    extras["loadavg_start"] = list(os.getloadavg())
 
     imgs = get_images(spark)
     imgs = imgs.persist()
@@ -156,6 +159,56 @@ def main():
     extras["geotiff_pixels"] = int(grow["px"])
     extras["geotiff_px_per_sec"] = round(
         grow["px"] / timings["geotiff_ingest"], 1)
+
+    # -- q1c: JPEG-in-TIFF ingest (round 7: compression-7 imagery tiles;
+    # the entropy scan is per-tile Python, parallel across executors) ------
+    def _jpeg_corpus():
+        import glob
+
+        tdir = os.path.join(REPO, ".bench_cache", "jpegs_16")
+        done = os.path.join(tdir, "_SUCCESS")
+        if not os.path.exists(done):
+            from raster2dggs_spark.sources.geotiff import write_geotiff
+            import numpy as np
+
+            os.makedirs(tdir, exist_ok=True)
+
+            def gen(idxs):
+                for i in idxs:
+                    x = np.linspace(0, 4 * np.pi * (1 + i % 3), 1024)
+                    base = (np.sin(x)[:, None] * np.cos(x)[None, :]
+                            * 0.5 + 0.5) * 255
+                    arr = np.stack([base, np.roll(base, 101 + i, 0),
+                                    255 - base]).astype(np.float32)
+                    lon0 = -170.0 + (i % 8) * 42.0
+                    lat0 = 55.0 - (i // 8) * 25.0
+                    write_geotiff(
+                        os.path.join(tdir, f"j{i:03d}.tiff"), arr,
+                        (2e-4, 0.0, lon0, 0.0, -2e-4, lat0), "EPSG:4326",
+                        compression="jpeg", tile=(256, 256),
+                        jpeg_subsample=True)
+                    yield (i,)
+
+            spark.sparkContext.parallelize(range(16), 16).mapPartitions(
+                gen).count()
+            open(done, "w").close()
+        return sorted(glob.glob(os.path.join(tdir, "*.tiff")))
+
+    jpeg_paths = _jpeg_corpus()
+
+    def q_jpeg():
+        from raster2dggs_spark.operators.indexing import pixel_cells
+        from raster2dggs_spark.sources.geotiff import read_geotiff
+
+        g = read_geotiff(spark, jpeg_paths)
+        return pixel_cells(g, res=9, n_bands=3, keep_image_id=False).agg(
+            F.count(F.lit(1)).alias("px")).collect()[0]
+
+    jrow = timed("jpeg_ingest", q_jpeg)
+    extras["jpeg_files"] = len(jpeg_paths)
+    extras["jpeg_pixels"] = int(jrow["px"])
+    extras["jpeg_px_per_sec"] = round(
+        jrow["px"] / timings["jpeg_ingest"], 1)
 
     # -- q2: S2 variant ---------------------------------------------------
     def q_pixels_s2():
