@@ -467,6 +467,61 @@ def q_knn_join_i4r(spark, sf_dir):
     return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_composite_best_quality(spark, sf_dir):
+    """Multi-scene best-quality composite (round 7) — the EO cloud-free
+    mosaic workload the reference (single-raster CLI) has no analogue
+    for.  A deterministic 6-footprint x 3-epoch scene stack is indexed
+    per scene (hex7 res 6), pre-aggregated per (scene, cell) and reduced
+    per cell by argmax over (rounded per-cell QA mean, timestamp, scene
+    id) — all native (max_by over a struct comparator; one exchange per
+    stage, no window functions).  The non-relational encode stage is
+    pinned by the single-node replay fixture
+    (.fixtures/composite_stack_6x3.parquet, integer-exact band means);
+    the oracle replays the composite reduction itself RELATIONALLY on
+    that fixture."""
+    from raster2dggs_spark.operators.composite import composite_scenes
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_scene_stack_pdf,
+    )
+
+    images, meta = generate_scene_stack_pdf(6, epochs=3, seed=7)
+    imgs = spark.createDataFrame(images, IMAGE_SCHEMA)
+    m = spark.createDataFrame(meta[["image_id", "scene_ts"]])
+    out = composite_scenes(imgs, m, res=6, strategy="best_quality",
+                           quality_band="band_4")
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_06"),
+        F.col("scene"),
+        F.col("scene_ts").cast("long").alias("scene_ts"),
+        _r4("quality").alias("qa"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 4)],
+        F.col("n_scenes").cast("long").alias("n_scenes"),
+    )
+
+
+def q_composite_median(spark, sf_dir):
+    """Per-cell exact median across the same 6x3 scene stack (robust
+    temporal composite).  Exactly 3 scenes cover every cell (identical
+    epoch geometry), so the median is the middle observation in both
+    engines — no even-count interpolation ambiguity.  Same fixture
+    trust shape as composite_best_quality."""
+    from raster2dggs_spark.operators.composite import composite_scenes
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_scene_stack_pdf,
+    )
+
+    images, meta = generate_scene_stack_pdf(6, epochs=3, seed=7)
+    imgs = spark.createDataFrame(images, IMAGE_SCHEMA)
+    m = spark.createDataFrame(meta[["image_id", "scene_ts"]])
+    out = composite_scenes(imgs, m, res=6, strategy="median",
+                           quality_band="band_4")
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_06"),
+        *[_r4(f"band_{i}").alias(f"band_{i}") for i in range(1, 4)],
+        F.col("n_scenes").cast("long").alias("n_scenes"),
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline family (documents / embeddings tables)
 # --------------------------------------------------------------------------
@@ -1969,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_geohash": q_knn_join_geohash,
         "knn_join_i4r": q_knn_join_i4r,
         "zonal_join": q_zonal_join,
+        "composite_best_quality": q_composite_best_quality,
+        "composite_median": q_composite_median,
         "dedup_exact": q_dedup_exact,
         "phash_near_dup": q_phash_near_dup,
         "minhash_lsh": q_minhash_lsh,
@@ -3603,6 +3660,38 @@ def oracle_sql() -> dict[str, str]:
                        + ((((((((((c_custkey % 122) * 7 + ((c_custkey * 3) % 7)) * 7 + ((c_custkey * 5) % 7)) * 7 + ((c_custkey * 7) % 7)) * 7 + ((c_custkey * 9) % 7)) * 7 + ((c_custkey * 11) % 7)) * 7 + ((c_custkey * 13) % 7)) * 7 + ((c_custkey * 15) % 7)) * 7 + ((c_custkey * 17) % 7)) * 7 + ((c_custkey * 19) % 7)) * 16 + 9 AS z7
               FROM customer)
             SELECT k, cell, z7, cell AS back FROM g
+        """,
+        "composite_best_quality": f"""
+            WITH sc AS (
+              SELECT image_id, scene_ts, hex7_06,
+                     band_1, band_2, band_3, band_4
+              FROM read_parquet('{_FIXDIR}/composite_stack_6x3.parquet')
+            ), r AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY hex7_06
+                       ORDER BY round(band_4, 4) DESC, scene_ts DESC,
+                                image_id DESC) AS rn,
+                     count(*) OVER (PARTITION BY hex7_06) AS n_sc
+              FROM sc
+            )
+            SELECT hex7_06, image_id AS scene,
+                   CAST(scene_ts AS BIGINT) AS scene_ts,
+                   round(band_4, 4) AS qa,
+                   round(band_1, 4) AS band_1,
+                   round(band_2, 4) AS band_2,
+                   round(band_3, 4) AS band_3,
+                   CAST(n_sc AS BIGINT) AS n_scenes
+            FROM r WHERE rn = 1
+        """,
+        "composite_median": f"""
+            SELECT hex7_06,
+                   round(median(band_1), 4) AS band_1,
+                   round(median(band_2), 4) AS band_2,
+                   round(median(band_3), 4) AS band_3,
+                   CAST(count(*) AS BIGINT) AS n_scenes
+            FROM read_parquet('{_FIXDIR}/composite_stack_6x3.parquet')
+            GROUP BY hex7_06
         """,
         "e9r_pixel_index": f"""
             SELECT e9r_07, e9r_02, CAST(n_px AS BIGINT) AS n_px,

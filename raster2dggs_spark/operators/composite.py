@@ -1,0 +1,158 @@
+"""Multi-scene per-cell compositing — the EO mosaic workload.
+
+The reference indexes ONE raster per run; real archives (Landsat,
+Sentinel-2) hold many overlapping scenes of the same ground and the
+canonical 100-TB job is the *composite*: for every cell, reduce the
+time stack to one observation — best-quality (cloud-free mosaic),
+latest (most-recent-pixel map), or median (robust seasonal surface).
+This module adds that as a first-class operator over the engine's cell
+index; there is no reference counterpart (raster2dggs stops at one
+raster, `/root/reference/raster2dggs/common.py:705-979` takes a single
+``raster_input``), so the semantics follow the standard EO compositing
+definitions instead.
+
+Scale shape (100 TB):
+
+- input is the per-(scene, cell) table — scenes are indexed
+  independently (embarrassingly parallel stage 1) and pre-aggregated
+  per scene+cell, so the composite's shuffle moves ~cells × epochs,
+  never ~pixels;
+- every strategy is a NATIVE single-exchange ``groupBy(cell)``:
+  argmax strategies use ``max_by`` over a struct comparator (one pass,
+  no window function — ``Window.partitionBy`` would single-task hot
+  cells, the repo's measured landmine), median/mean use the built-in
+  aggregates;
+- tie-breaks are TOTAL (quality, then timestamp, then scene id), so
+  results are deterministic under retries/speculation and identical
+  across engines — quality is rounded to 4 dp before comparison (the
+  cross-engine argmax stability rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STRATEGIES = ("best_quality", "latest", "median", "mean")
+
+
+def composite_cells(
+    scene_cells: DataFrame,
+    value_cols: list[str],
+    strategy: str = "best_quality",
+    quality_col: str = "quality",
+    time_col: str = "scene_ts",
+    scene_col: str = "image_id",
+    key_cols: tuple[str, ...] = ("cell",),
+) -> DataFrame:
+    """Reduce a per-(scene, cell) observation table to one row per cell.
+
+    ``scene_cells``: one row per scene per cell (e.g. the output of
+    :func:`scene_cell_means`).  Strategies:
+
+    - ``best_quality``: per cell, the observation with the highest
+      ``quality_col`` (ties → latest ``time_col``, then greatest
+      ``scene_col`` — a total order).  Emits the winning scene id,
+      timestamp and quality beside the values (provenance columns).
+    - ``latest``: the observation with the greatest ``time_col``
+      (ties → greatest ``scene_col``).
+    - ``median`` / ``mean``: per-band exact median / mean across the
+      stack; no single winning scene, so only ``n_scenes`` provenance.
+    """
+    if strategy not in STRATEGIES:
+        raise ValueError(f"strategy must be one of {STRATEGIES}, got {strategy!r}")
+    keys = [F.col(k) for k in key_cols]
+    if strategy in ("best_quality", "latest"):
+        if strategy == "best_quality":
+            order = F.struct(
+                F.round(F.col(quality_col), 4).alias("q"),
+                F.col(time_col).alias("t"),
+                F.col(scene_col).alias("s"),
+            )
+        else:
+            order = F.struct(F.col(time_col).alias("t"),
+                             F.col(scene_col).alias("s"))
+        payload = F.struct(
+            F.col(scene_col).alias("scene"),
+            F.col(time_col).alias("scene_ts"),
+            F.col(quality_col).alias("quality"),
+            *[F.col(c).alias(c) for c in value_cols],
+        )
+        g = scene_cells.groupBy(*keys).agg(
+            F.max_by(payload, order).alias("w"),
+            F.count(F.lit(1)).alias("n_scenes"),
+        )
+        return g.select(
+            *key_cols,
+            F.col("w.scene").alias("scene"),
+            F.col("w.scene_ts").alias("scene_ts"),
+            F.col("w.quality").alias("quality"),
+            *[F.col(f"w.{c}").alias(c) for c in value_cols],
+            "n_scenes",
+        )
+    agg = F.median if strategy == "median" else F.avg
+    return scene_cells.groupBy(*keys).agg(
+        *[agg(c).alias(c) for c in value_cols],
+        F.count(F.lit(1)).alias("n_scenes"),
+    )
+
+
+def scene_cell_means(
+    pixel_rows: DataFrame,
+    band_cols: list[str],
+    scene_col: str = "image_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Pre-aggregate exploded pixel rows to one row per (scene, cell):
+    per-band means + pixel count.  This is the map-side-shrink stage of
+    the composite pipeline — downstream shuffles move ~cells, not
+    ~pixels.  Per-band NaNs (omit-policy nodata) are nulled first so
+    each band's mean ignores them (Spark's avg skips NULL, not NaN)."""
+    def _nn(c):
+        col = F.col(c)
+        return F.avg(F.when(F.isnan(col), None).otherwise(col)).alias(c)
+
+    return pixel_rows.groupBy(scene_col, cell_col).agg(
+        *[_nn(c) for c in band_cols],
+        F.count(F.lit(1)).alias("n_px"),
+    )
+
+
+def composite_scenes(
+    images: DataFrame,
+    scene_meta: DataFrame,
+    res: int,
+    strategy: str = "best_quality",
+    dggs: str = "hex7",
+    n_bands: int = 4,
+    quality_band: str | None = None,
+    parent_res: int | None = None,
+) -> DataFrame:
+    """End-to-end composite: index every scene's pixels to cells, reduce
+    to per-(scene, cell) means, attach scene metadata (broadcast — the
+    scene catalog is tiny next to the pixel data), and composite per
+    cell.  ``quality_band`` names the per-pixel QA band (e.g. "band_4")
+    whose per-cell mean drives ``best_quality``; value bands are the
+    remaining ones.  Exactly two exchanges end to end: the
+    (scene, cell) combine and the cell composite."""
+    from raster2dggs_spark.operators.indexing import (
+        band_cols, default_parent_res, derived_parent_col, pixel_cells,
+    )
+
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    bcols = band_cols(n_bands)
+    value_cols = [c for c in bcols if c != quality_band]
+    px = pixel_cells(images, res=res, dggs=dggs, n_bands=n_bands,
+                     keep_image_id=True)
+    sc = scene_cell_means(px, bcols)
+    sc = sc.join(F.broadcast(scene_meta), "image_id")
+    out = composite_cells(
+        sc,
+        value_cols=value_cols,
+        strategy=strategy,
+        quality_col=quality_band if quality_band else "scene_quality",
+        time_col="scene_ts",
+    )
+    return out.withColumn(
+        "parent", derived_parent_col("cell", parent_res, dggs, from_res=res))

@@ -347,6 +347,60 @@ def generate_sinu_images_pdf(n_images: int, seed: int = 42,
     return pd.DataFrame(rows)
 
 
+def generate_scene_stack_pdf(n_footprints: int, epochs: int = 3,
+                             seed: int = 7, size_range=(14, 20)):
+    """Deterministic multi-epoch scene stacks for compositing (round 7):
+    each footprint is observed ``epochs`` times with IDENTICAL geometry
+    (same affine/w/h — the resampled-to-common-grid shape of an EO
+    archive) but epoch-varying values.  Returns ``(images_pdf,
+    meta_pdf)`` — the image table plus a STAC-style scene catalog
+    ``(image_id, footprint, epoch, scene_ts)``.
+
+    All four bands are INTEGER-valued float32 ramps (band_4 is the
+    per-pixel QA band): sums of small integers are exact in float64
+    regardless of association order, so per-(scene, cell) means are
+    bit-identical between any single-node replay and the distributed
+    plan — the property the composite oracles rest on.  No nodata."""
+    img_rows, meta_rows = [], []
+    for f in range(n_footprints):
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 23, f]))
+        w = int(rng.integers(size_range[0], size_range[1] + 1))
+        h = int(rng.integers(size_range[0], size_range[1] + 1))
+        lon0 = float(rng.uniform(-170.0, 170.0))
+        lat0 = float(rng.uniform(-60.0, 60.0))
+        ext = float(rng.uniform(0.2, 0.8))
+        affine = (ext / w, 0.0, lon0, 0.0, -ext / h, lat0)
+        base = np.arange(h * w, dtype=np.int64).reshape(h, w)
+        for t in range(epochs):
+            arr = np.stack([
+                (base % 97) + 13 * t,
+                (base * 3) % 251 + t,
+                np.full((h, w), f * 10 + t, dtype=np.int64),
+                (base * 7 + 31 * t + f) % 101,      # per-pixel QA
+            ]).astype(np.float32)
+            payload = encode_image(arr, "raw")
+            image_id = f"img_scene_{f:04d}_t{t}"
+            img_rows.append({
+                "image_id": image_id,
+                "bytes": payload,
+                "w": w, "h": h, "fmt": "raw",
+                "caption": f"scene stack fp {f} epoch {t} seed {seed}",
+                "phash": average_hash64(arr[0]),
+                "affine_a": affine[0], "affine_b": affine[1],
+                "affine_c": affine[2], "affine_d": affine[3],
+                "affine_e": affine[4], "affine_f": affine[5],
+                "crs": "EPSG:4326", "nodata": None, "bands": 4,
+                "band_names": None,
+            })
+            meta_rows.append({
+                "image_id": image_id,
+                "footprint": f,
+                "epoch": t,
+                "scene_ts": 1_700_000_000 + 86_400 * t + f,
+            })
+    return pd.DataFrame(img_rows), pd.DataFrame(meta_rows)
+
+
 def images_spark_df(spark, n_images: int, seed: int = 42, **kw):
     """Spark DataFrame of the synthetic table (small scales; driver-built).
 

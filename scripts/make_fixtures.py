@@ -925,6 +925,51 @@ def utm_pixel_index_fixture():
     print(f"utm_pixel_index_16: {len(out)} rows")
 
 
+def composite_stack_fixture():
+    """Single-node replay of the composite pipeline's NON-relational
+    stage: per-(scene, cell) band means over the deterministic 6x3
+    scene stack (decode → pixel centres → hex7 res-7 encode → per
+    scene+cell integer-exact mean).  The composite reductions
+    themselves (argmax / median) are replayed RELATIONALLY in the
+    oracle SQL on top of this table."""
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.dggs import h3lib
+    from raster2dggs_spark.geo import pixel_centers_lonlat
+    from raster2dggs_spark.sources.images import generate_scene_stack_pdf
+
+    res, n_bands = 6, 4
+    images, meta = generate_scene_stack_pdf(6, epochs=3, seed=7)
+    ts = dict(zip(meta["image_id"], meta["scene_ts"]))
+    rows = []
+    for r in images.itertuples(index=False):
+        arr = decode_image(bytes(r.bytes)).astype(np.float64)
+        k, h, w = arr.shape
+        affine = (r.affine_a, r.affine_b, r.affine_c,
+                  r.affine_d, r.affine_e, r.affine_f)
+        lon, lat = pixel_centers_lonlat(affine, w, h, r.crs)
+        cells = h3lib.latlng_to_cell(lon, lat, res)
+        vals = arr.reshape(k, h * w)
+        sums: dict = {}
+        for c_idx in range(cells.shape[0]):
+            key = int(cells[c_idx])
+            slot = sums.setdefault(key, [0, [0.0] * n_bands])
+            slot[0] += 1
+            for b in range(k):
+                slot[1][b] += vals[b, c_idx]
+        for key in sorted(sums):
+            npx, bsum = sums[key]
+            row = {"image_id": r.image_id, "scene_ts": int(ts[r.image_id]),
+                   "hex7_06": format(key, "x"), "n_px": npx}
+            for b in range(n_bands):
+                row[f"band_{b + 1}"] = bsum[b] / npx
+            rows.append(row)
+    out = pd.DataFrame(rows)
+    out.to_parquet(os.path.join(FIXDIR, "composite_stack_6x3.parquet"),
+                   index=False)
+    print(f"composite_stack_6x3: {len(out)} rows "
+          f"({out['hex7_06'].nunique()} cells)")
+
+
 def main():
     os.makedirs(FIXDIR, exist_ok=True)
     image_stats_fixture()
@@ -950,6 +995,7 @@ def main():
     conic_pixel_index_fixture()
     sinu_pixel_index_fixture()
     jpeg_pixel_index_fixture()
+    composite_stack_fixture()
 
     from raster2dggs_spark.session import get_spark
 
