@@ -467,6 +467,58 @@ def q_knn_join_i4r(spark, sf_dir):
     return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_focal_mean_geohash(spark, sf_dir):
+    """Focal (3x3 Chebyshev window) mean on the geohash lattice
+    (round 7, operators/focal.py:focal_lattice) — raster map algebra's
+    neighborhood statistic over a sparse cell index.  Customer points
+    are encoded at precision 3, reduced to one value per cell, then
+    each cell aggregates over the cells PRESENT in its window (lon
+    wraps, lat clips).  FULLY RELATIONAL oracle: the integer lattice
+    coordinates are the encoder's own quantization
+    (floor((lon+180)/360 * 2^8), floor((lat+90)/180 * 2^7) — exact
+    integer arithmetic in both engines), the window join replays with
+    modular dx and the means re-aggregate in SQL."""
+    from raster2dggs_spark.operators.focal import focal_lattice
+    from raster2dggs_spark.operators.joins import index_points
+
+    pts = _customer_points(spark, sf_dir).withColumn(
+        "v", ((F.col("point_id") * 11) % 97).cast("double"))
+    cells = (index_points(pts, res=3, dggs="geohash")
+             .groupBy("cell").agg(F.avg("v").alias("v")))
+    out = focal_lattice(cells, ["v"], k=1, keep_indices=True)
+    return out.select(
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        _r4("v").alias("v"),
+        _r4("focal_v").alias("focal_v"),
+        F.col("n_window").cast("long").alias("n_window"),
+    )
+
+
+def q_focal_metric_points(spark, sf_dir):
+    """Metric focal mean (radius 750 km) over keyed points (round 7,
+    operators/focal.py:focal_metric): the grid-blocked radius self-join
+    — contributors replicate to every lat band x lon block their disk
+    intersects (exact asin(sin a / cos q) lon reach, pole caps), one
+    equi-join, exact rounded-haversine filter, one gather.  The oracle
+    is the BRUTE-FORCE all-pairs haversine in SQL (op-for-op mirror of
+    the Column expression), so the blocked plan's candidate set is
+    proven complete — the latitude-distortion regression class, gated
+    relationally."""
+    from raster2dggs_spark.operators.focal import focal_metric
+
+    pts = (_customer_points(spark, sf_dir)
+           .withColumnRenamed("point_id", "key")
+           .withColumn("v", ((F.col("key") * 11) % 97).cast("double")))
+    out = focal_metric(pts, ["v"], radius_m=750_000.0)
+    return out.select(
+        F.col("key").cast("long").alias("key"),
+        _r4("v").alias("v"),
+        _r4("focal_v").alias("focal_v"),
+        F.col("n_window").cast("long").alias("n_window"),
+    )
+
+
 def q_composite_best_quality(spark, sf_dir):
     """Multi-scene best-quality composite (round 7) — the EO cloud-free
     mosaic workload the reference (single-raster CLI) has no analogue
@@ -2024,6 +2076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_geohash": q_knn_join_geohash,
         "knn_join_i4r": q_knn_join_i4r,
         "zonal_join": q_zonal_join,
+        "focal_mean_geohash": q_focal_mean_geohash,
+        "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
         "dedup_exact": q_dedup_exact,
@@ -3660,6 +3714,49 @@ def oracle_sql() -> dict[str, str]:
                        + ((((((((((c_custkey % 122) * 7 + ((c_custkey * 3) % 7)) * 7 + ((c_custkey * 5) % 7)) * 7 + ((c_custkey * 7) % 7)) * 7 + ((c_custkey * 9) % 7)) * 7 + ((c_custkey * 11) % 7)) * 7 + ((c_custkey * 13) % 7)) * 7 + ((c_custkey * 15) % 7)) * 7 + ((c_custkey * 17) % 7)) * 7 + ((c_custkey * 19) % 7)) * 16 + 9 AS z7
               FROM customer)
             SELECT k, cell, z7, cell AS back FROM g
+        """,
+        "focal_mean_geohash": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            q AS (
+              SELECT CAST(floor(least(greatest((lon + 180.0) / 360.0, 0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                          * 256.0) AS BIGINT) AS gx,
+                     CAST(floor(least(greatest((lat + 90.0) / 180.0, 0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                          * 128.0) AS BIGINT) AS gy,
+                     CAST((point_id * 11) % 97 AS DOUBLE) AS v
+              FROM p),
+            c AS (SELECT gx, gy, avg(v) AS v FROM q GROUP BY gx, gy),
+            f AS (
+              SELECT a.gx, a.gy, a.v,
+                     avg(b.v) AS fv, count(*) AS nw
+              FROM c a JOIN c b
+                ON ((b.gx - a.gx + 257) % 256) <= 2
+               AND abs(b.gy - a.gy) <= 1
+              GROUP BY a.gx, a.gy, a.v)
+            SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,
+                   CAST(nw AS BIGINT) AS n_window
+            FROM f
+        """,
+        "focal_metric_points": f"""
+            WITH p0 AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            p AS (SELECT point_id AS key, lon, lat,
+                         CAST((point_id * 11) % 97 AS DOUBLE) AS v
+                  FROM p0),
+            j AS (
+              SELECT a.key, a.v, b.v AS bv
+              FROM p a JOIN p b
+                ON round(2.0 * 6371007.1809 * asin(sqrt(least(
+                     sin((radians(b.lat) - radians(a.lat)) / 2)
+                       * sin((radians(b.lat) - radians(a.lat)) / 2)
+                     + cos(radians(a.lat)) * cos(radians(b.lat))
+                       * sin((radians(b.lon) - radians(a.lon)) / 2)
+                       * sin((radians(b.lon) - radians(a.lon)) / 2),
+                     1.0))), 4) <= 750000.0
+            )
+            SELECT key, round(v, 4) AS v, round(avg(bv), 4) AS focal_v,
+                   CAST(count(*) AS BIGINT) AS n_window
+            FROM j GROUP BY key, v
         """,
         "composite_best_quality": f"""
             WITH sc AS (

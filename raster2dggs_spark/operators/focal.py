@@ -1,0 +1,314 @@
+"""Focal (neighborhood) map algebra over the cell index.
+
+The reference stops at per-cell aggregation; the next thing users of a
+cell-indexed raster do is NEIGHBORHOOD statistics — smoothing, focal
+anomaly, terrain-style windows — i.e. for every cell, an aggregate over
+the cells around it.  Two operators, matched to the two cell-geometry
+families this engine carries:
+
+- :func:`focal_lattice` — EXACT Chebyshev-window focal on the
+  fixed-degree lattice grids (geohash): the (2k+1)^2 window of the
+  reference raster-algebra tradition, computed by pure integer index
+  arithmetic (decode once, scatter natively, aggregate, join back).
+- :func:`focal_metric` — radius-based focal for ANY keyed point set
+  (cell centers of the curved grids, station data, ...): all
+  contributors within ``radius_m`` great-circle distance.  On the
+  seam-ambiguous encoders (hex7/i3h/...) a lattice k-ring is not even
+  well-defined at icosahedron face seams (one physical hex, two ids —
+  the repo's standing adjudication), so the METRIC window is the
+  honest focal semantics there.
+
+Scale shape (100 TB):
+
+- focal_lattice: one narrow decode UDF, a native (2k+1)^2 scatter
+  (``explode(sequence(-k,k))`` twice), ONE exchange for the gather
+  aggregate, and a self-join back on the integer key (Catalyst plans a
+  shuffled hash join on the same key — AQE-coalesced).  The scatter
+  multiplies rows by the window size, exactly like the classic
+  separable-pass raster convolution's IO lower bound.
+- focal_metric: grid-blocked radius self-join.  Contributors replicate
+  to every lat/lon block their disk intersects (banded integer ranges;
+  block widths are CONSERVATIVE per lat band — width uses the cosine
+  of the band edge NEAREST the pole, the repo's latitude-distortion
+  rule, so high-lat blocks over-cover, never under-cover — an exact
+  rounded-haversine filter then trims).  Receivers sit in their own
+  block only, so every (receiver, contributor) pair meets exactly
+  once: no pair dedupe shuffle.  Hot blocks (dense regions) are plain
+  equi-join skew — AQE skew splitting applies.
+
+Cross-engine determinism: the pair filter compares the haversine
+distance ROUNDED to 4 dp (0.1 mm) against the radius — libm ulp
+differences (~1e-10 m at 1e6 m) cannot flip a comparison that is not
+already 1e-10 from the rounding boundary, which deterministic inputs
+either never are (then the oracle is stable forever) or fail loudly
+once at fixture time.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EARTH_R = 6_371_007.1809  # authalic, matches geo/constants
+
+_AGGS = {
+    "mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+    "median": F.median, "std": F.stddev_samp, "count": None,
+}
+
+
+def _agg_exprs(value_cols: list[str], agg: str, prefix: str = "focal_"):
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
+    exprs = [F.count(F.lit(1)).alias("n_window")]
+    if agg != "count":
+        fn = _AGGS[agg]
+        exprs += [fn(c).alias(f"{prefix}{c}") for c in value_cols]
+    return exprs
+
+
+# --------------------------------------------------------------------------
+# exact lattice focal (geohash)
+# --------------------------------------------------------------------------
+
+def geohash_lattice_indices(cells_df: DataFrame, cell_col: str = "cell",
+                            ) -> DataFrame:
+    """Attach the integer lattice coordinates (gx, gy) of each packed
+    geohash id — gx = floor((lon+180)/360 * 2^nlon) exactly as the
+    encoder quantized it (dggs/geohashlib.py:37-40), recovered by bit
+    de-interleave.  One narrow Arrow pass."""
+    out_schema = T.StructType(
+        list(cells_df.schema.fields)
+        + [T.StructField("gx", T.LongType(), False),
+           T.StructField("gy", T.LongType(), False),
+           T.StructField("gprec", T.LongType(), False)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.dggs import geohashlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = pdf[cell_col].values.astype(np.uint64)
+            p = geohashlib.get_precision(c)
+            if len(np.unique(p)) > 1:
+                raise ValueError("mixed geohash precisions in focal input")
+            prec = int(p[0])
+            nbits = 5 * prec
+            nlon = (nbits + 1) // 2
+            nlat = nbits // 2
+            bits = c >> np.uint64(4)
+            gx = np.zeros(c.shape[0], dtype=np.uint64)
+            gy = np.zeros(c.shape[0], dtype=np.uint64)
+            for k in range(nbits):
+                b = (bits >> np.uint64(nbits - 1 - k)) & np.uint64(1)
+                if k % 2 == 0:
+                    gx |= b << np.uint64(nlon - 1 - k // 2)
+                else:
+                    gy |= b << np.uint64(nlat - 1 - k // 2)
+            pdf = pdf.copy()
+            pdf["gx"] = gx.astype(np.int64)
+            pdf["gy"] = gy.astype(np.int64)
+            pdf["gprec"] = np.int64(prec)
+            yield pdf
+
+    return cells_df.mapInPandas(fn, out_schema)
+
+
+def focal_lattice(cells_df: DataFrame, value_cols: list[str], k: int = 1,
+                  agg: str = "mean", cell_col: str = "cell",
+                  keep_indices: bool = False) -> DataFrame:
+    """Exact (2k+1)x(2k+1) Chebyshev-window focal aggregate on a
+    single-precision geohash cell table (one row per cell).
+
+    For every input cell, aggregates ``value_cols`` over the input
+    cells in its window (itself included; absent neighbors simply don't
+    contribute — the sparse-raster convention).  Longitude wraps at the
+    antimeridian; latitude clips at the poles.  Output: the input row +
+    ``focal_<col>`` per value column + ``n_window`` (cells present in
+    the window)."""
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    g = geohash_lattice_indices(cells_df, cell_col)
+    # lattice extents 2^nlon x 2^nlat with nlon = (5p+1)//2, nlat = 5p//2
+    wlon = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                  "CAST((5 * gprec + 1) DIV 2 AS INT))")
+    wlat = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                  "CAST((5 * gprec) DIV 2 AS INT))")
+    seq = F.sequence(F.lit(-k), F.lit(k))
+    scat = (g
+            .withColumn("dx", F.explode(seq))
+            .withColumn("dy", F.explode(seq))
+            .withColumn("sx", ((F.col("gx") + F.col("dx")) % wlon + wlon) % wlon)
+            .withColumn("sy", F.col("gy") + F.col("dy"))
+            .where((F.col("sy") >= 0) & (F.col("sy") < wlat)))
+    gathered = scat.groupBy("sx", "sy").agg(*_agg_exprs(value_cols, agg))
+    out = g.join(gathered,
+                 (g["gx"] == gathered["sx"]) & (g["gy"] == gathered["sy"]))
+    keep = [c for c in cells_df.columns]
+    if keep_indices:
+        keep += [g["gx"], g["gy"]]
+    focal_cols = ([f"focal_{c}" for c in value_cols] if agg != "count" else [])
+    return out.select(*keep, *focal_cols, "n_window")
+
+
+# --------------------------------------------------------------------------
+# metric focal (any grid / any keyed points)
+# --------------------------------------------------------------------------
+
+def focal_metric(points: DataFrame, value_cols: list[str], radius_m: float,
+                 agg: str = "mean", key_col: str = "key",
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Radius-based focal aggregate: for every input point, aggregate
+    ``value_cols`` over ALL input points within ``radius_m``
+    great-circle metres (itself included).  Output: input row +
+    ``focal_<col>`` + ``n_window``.
+
+    Blocked self-join (module docstring): one Arrow pass emits each
+    point into every lat/lon block its disk intersects (+ its own block
+    flagged as the receiver copy), one equi-join on the block key, an
+    exact rounded-haversine filter, one gather aggregate."""
+    r_deg = float(np.degrees(radius_m / EARTH_R))
+    band_deg = max(r_deg, 1e-6)
+    nrows = max(1, int(np.ceil(180.0 / band_deg)))
+    in_fields = [points.schema[key_col], points.schema[lon_col],
+                 points.schema[lat_col]] + [points.schema[c] for c in value_cols]
+    scat_schema = T.StructType(
+        [T.StructField("brow", T.LongType(), False),
+         T.StructField("bcol", T.LongType(), False),
+         T.StructField("is_self", T.BooleanType(), False)]
+        + [T.StructField(f.name, f.dataType, True) for f in in_fields])
+
+    def _col_width_deg(brow: np.ndarray) -> np.ndarray:
+        """Block width (deg lon) for a lat band — conservative: uses the
+        band edge NEAREST the pole (max |lat|), so cos is the SMALLEST
+        in the band and the width the largest (overcover-safe; the
+        latitude-distortion rule)."""
+        lat_lo = brow * band_deg - 90.0
+        lat_hi = np.minimum(lat_lo + band_deg, 90.0)
+        edge = np.maximum(np.abs(lat_lo), np.abs(lat_hi))
+        w = band_deg / np.maximum(np.cos(np.radians(np.minimum(edge, 89.9))),
+                                  1e-6)
+        return np.minimum(w, 360.0)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf[lon_col].values.astype(np.float64)
+            lat = pdf[lat_col].values.astype(np.float64)
+            lon = ((lon + 180.0) % 360.0) - 180.0
+            own_row = np.clip(((lat + 90.0) // band_deg).astype(np.int64),
+                              0, nrows - 1)
+            row_lo = np.clip(((lat - r_deg + 90.0) // band_deg).astype(np.int64),
+                             0, nrows - 1)
+            row_hi = np.clip(((lat + r_deg + 90.0) // band_deg).astype(np.int64),
+                             0, nrows - 1)
+            counts = (row_hi - row_lo + 1).astype(np.int64)
+            idx = np.repeat(np.arange(lon.shape[0]), counts)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            rows = (np.arange(int(counts.sum())) - np.repeat(starts, counts)
+                    + np.repeat(row_lo, counts))
+            width = _col_width_deg(rows)
+            ncols = np.maximum(1, np.ceil(360.0 / width)).astype(np.int64)
+            width = 360.0 / ncols  # exact partition of the circle
+            plon = lon[idx]
+            # lon reach: the EXACT maximum lon half-width of a spherical
+            # disk of radius a centred at latitude q is
+            # asin(sin a / cos q) (attained at the tangent latitude
+            # sin(phi*) = sin q / cos a) — NOT a/cos(q), which
+            # UNDERcovers by ~a^3 tan^2(q)/6 (the repo's
+            # latitude-distortion bug class).  Disk touches a pole
+            # (|q| + a >= 90) or arg >= 1 -> every longitude.
+            qabs = np.abs(lat[idx])
+            arg = np.sin(np.radians(r_deg)) / np.maximum(
+                np.cos(np.radians(np.minimum(qabs, 89.999999))), 1e-12)
+            reach = np.degrees(np.arcsin(np.clip(arg, 0.0, 1.0))) + 1e-7
+            reach = np.where((qabs + r_deg >= 89.999999) | (arg >= 1.0),
+                             180.0, np.minimum(reach, 180.0))
+            c_lo = np.floor((plon - reach + 180.0) / width).astype(np.int64)
+            c_hi = np.floor((plon + reach + 180.0) / width).astype(np.int64)
+            c_hi = np.minimum(c_hi, c_lo + ncols - 1)
+            ccounts = (c_hi - c_lo + 1).astype(np.int64)
+            idx2 = np.repeat(np.arange(rows.shape[0]), ccounts)
+            cstarts = np.concatenate([[0], np.cumsum(ccounts)[:-1]])
+            cols = (np.arange(int(ccounts.sum())) - np.repeat(cstarts, ccounts)
+                    + np.repeat(c_lo, ccounts))
+            cols = np.mod(cols, ncols[idx2])
+            src = idx[idx2]
+            data = {
+                "brow": rows[idx2],
+                "bcol": cols,
+                "is_self": (rows[idx2] == own_row[src]) & (
+                    cols == np.mod(
+                        np.floor((lon[src] + 180.0)
+                                 / (360.0 / ncols[idx2])).astype(np.int64),
+                        ncols[idx2])),
+                key_col: pdf[key_col].values[src],
+                lon_col: lon[src],
+                lat_col: lat[src],
+            }
+            for c in value_cols:
+                data[c] = pdf[c].values[src]
+            yield pd.DataFrame(data)
+
+    scat = points.select(key_col, lon_col, lat_col, *value_cols) \
+                 .mapInPandas(fn, scat_schema)
+    recv = (scat.where("is_self")
+            .select(F.col("brow"), F.col("bcol"),
+                    F.col(key_col).alias("r_key"),
+                    F.col(lon_col).alias("r_lon"),
+                    F.col(lat_col).alias("r_lat")))
+    contrib = scat.select("brow", "bcol", lon_col, lat_col, *value_cols)
+    j = recv.join(contrib, ["brow", "bcol"])
+    # op-for-op mirrorable in SQL (multiplication, not pow; radians per
+    # operand) so the DuckDB twin computes bit-comparable distances
+    rlat = F.radians("r_lat")
+    clat = F.radians(lat_col)
+    s1 = F.sin((clat - rlat) / 2)
+    s2 = F.sin((F.radians(lon_col) - F.radians("r_lon")) / 2)
+    a = s1 * s1 + F.cos(rlat) * F.cos(clat) * s2 * s2
+    dist = 2.0 * EARTH_R * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+    j = j.where(F.round(dist, 4) <= F.lit(round(radius_m, 4)))
+    gathered = j.groupBy("r_key").agg(*_agg_exprs(value_cols, agg))
+    out = points.join(gathered, points[key_col] == gathered["r_key"])
+    focal_cols = ([f"focal_{c}" for c in value_cols] if agg != "count" else [])
+    return out.select(*points.columns, *focal_cols, "n_window")
+
+
+def focal_cells(cells_df: DataFrame, value_cols: list[str], res: int,
+                dggs: str, radius_m: float | None = None, k: int = 1,
+                agg: str = "mean", cell_col: str = "cell") -> DataFrame:
+    """Focal aggregate over a cell-indexed table on ANY grid: attaches
+    cell centers and runs the metric window (default radius: k ring
+    pitches + a half — the metric analogue of a k-ring).  For geohash,
+    prefer :func:`focal_lattice` (exact window semantics)."""
+    from raster2dggs_spark.dggs import cover
+
+    if radius_m is None:
+        pitch_m = np.radians(cover.pitch_deg(res, dggs)) * EARTH_R
+        radius_m = (k + 0.5) * float(pitch_m)
+    schema = T.StructType(
+        list(cells_df.schema.fields)
+        + [T.StructField("lon", T.DoubleType(), False),
+           T.StructField("lat", T.DoubleType(), False)])
+
+    def ctr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon, lat = cover.cell_center(pdf[cell_col].values, dggs)
+            pdf = pdf.copy()
+            pdf["lon"] = lon
+            pdf["lat"] = lat
+            yield pdf
+
+    pts = cells_df.mapInPandas(ctr, schema)
+    out = focal_metric(pts, value_cols, radius_m, agg=agg, key_col=cell_col)
+    return out.drop("lon", "lat")

@@ -1,0 +1,153 @@
+"""Focal map algebra (operators/focal.py): exact lattice windows vs a
+brute-force pandas replay, and the blocked metric self-join vs a
+brute-force haversine — including the latitude-distortion danger zones
+(antimeridian, near-pole)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from raster2dggs_spark.operators.focal import (
+    focal_cells, focal_lattice, focal_metric,
+)
+
+EARTH_R = 6_371_007.1809
+
+
+def _cells_pdf(prec=3, n=300, seed=3):
+    from raster2dggs_spark.dggs import geohashlib
+
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-89, 89, n)
+    # force antimeridian + near-pole coverage
+    lon[:30] = rng.uniform(178, 180, 30)
+    lon[30:60] = rng.uniform(-180, -178, 30)
+    lat[:30] = rng.uniform(60, 70, 30)
+    lat[60:90] = rng.uniform(85, 89, 30)
+    cells = geohashlib.lonlat_to_cell(lon, lat, prec)
+    df = pd.DataFrame({"cell": cells, "v": rng.uniform(0, 100, n).round(3)})
+    return df.groupby("cell", as_index=False).agg(v=("v", "mean"))
+
+
+def _lattice_indices(cells, prec):
+    nbits = 5 * prec
+    nlon, nlat = (nbits + 1) // 2, nbits // 2
+    bits = cells.astype(np.uint64) >> np.uint64(4)
+    gx = np.zeros(len(cells), dtype=np.int64)
+    gy = np.zeros(len(cells), dtype=np.int64)
+    for k in range(nbits):
+        b = ((bits >> np.uint64(nbits - 1 - k)) & np.uint64(1)).astype(np.int64)
+        if k % 2 == 0:
+            gx |= b << (nlon - 1 - k // 2)
+        else:
+            gy |= b << (nlat - 1 - k // 2)
+    return gx, gy, 1 << nlon, 1 << nlat
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_focal_lattice_matches_bruteforce(spark, k):
+    prec = 3
+    pdf = _cells_pdf(prec)
+    df = spark.createDataFrame(pdf)
+    out = focal_lattice(df, ["v"], k=k).toPandas()
+
+    gx, gy, wlon, wlat = _lattice_indices(pdf["cell"].values, prec)
+    exp = {}
+    for i in range(len(pdf)):
+        dx = np.abs((gx - gx[i] + wlon // 2) % wlon - wlon // 2)
+        m = (dx <= k) & (np.abs(gy - gy[i]) <= k)
+        exp[int(pdf["cell"].values[i])] = (pdf["v"].values[m].mean(),
+                                           int(m.sum()))
+    assert len(out) == len(pdf)
+    for r in out.itertuples(index=False):
+        ev, en = exp[int(r.cell)]
+        assert r.n_window == en
+        assert abs(r.focal_v - ev) < 1e-9
+
+
+def test_focal_lattice_count_and_errors(spark):
+    pdf = _cells_pdf()
+    df = spark.createDataFrame(pdf)
+    out = focal_lattice(df, ["v"], k=1, agg="count").toPandas()
+    assert "focal_v" not in out.columns and (out["n_window"] >= 1).all()
+    with pytest.raises(ValueError, match="agg"):
+        focal_lattice(df, ["v"], agg="nope").collect()
+    with pytest.raises(ValueError, match="k >= 1"):
+        focal_lattice(df, ["v"], k=0).collect()
+
+
+def _points_pdf(n=250, seed=5):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-88, 88, n)
+    lon[:25] = rng.uniform(176, 180, 25)
+    lon[25:50] = rng.uniform(-180, -176, 25)
+    lat[25:50] = lat[:25] = rng.uniform(55, 65, 25)  # wrap pairs same band
+    lat[50:80] = rng.uniform(84, 89.5, 30)           # near-pole cluster
+    return pd.DataFrame({"key": np.arange(n).astype("int64"),
+                         "lon": lon, "lat": lat,
+                         "v": rng.uniform(0, 10, n).round(3)})
+
+
+def _brute_focal(pdf, radius_m):
+    lon = np.radians(pdf["lon"].values)
+    lat = np.radians(pdf["lat"].values)
+    exp = {}
+    for i in range(len(pdf)):
+        dlat = (lat - lat[i]) / 2
+        dlon = (lon - lon[i]) / 2
+        a = np.sin(dlat) ** 2 + np.cos(lat[i]) * np.cos(lat) * np.sin(dlon) ** 2
+        d = 2 * EARTH_R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+        m = np.round(d, 4) <= round(radius_m, 4)
+        exp[int(pdf["key"].values[i])] = (pdf["v"].values[m].mean(),
+                                          int(m.sum()))
+    return exp
+
+
+@pytest.mark.parametrize("radius_m", [300_000.0, 1_200_000.0])
+def test_focal_metric_matches_bruteforce(spark, radius_m):
+    pdf = _points_pdf()
+    df = spark.createDataFrame(pdf)
+    out = focal_metric(df, ["v"], radius_m).toPandas()
+    exp = _brute_focal(pdf, radius_m)
+    assert len(out) == len(pdf)
+    for r in out.itertuples(index=False):
+        ev, en = exp[int(r.key)]
+        assert r.n_window == en, f"key {r.key}: {r.n_window} != {en}"
+        assert abs(r.focal_v - ev) < 1e-9
+
+
+def test_focal_metric_isolated_point_is_self(spark):
+    pdf = pd.DataFrame({"key": [1, 2], "lon": [0.0, 90.0],
+                        "lat": [0.0, 0.0], "v": [7.0, 9.0]})
+    out = focal_metric(spark.createDataFrame(pdf), ["v"], 1000.0).toPandas()
+    got = {int(r.key): (r.focal_v, r.n_window)
+           for r in out.itertuples(index=False)}
+    assert got == {1: (7.0, 1), 2: (9.0, 1)}
+
+
+def test_focal_cells_hex7_self_and_neighbors(spark):
+    """Metric focal over hex7 cell centers: a tight cluster of cells
+    must see each other; the neighborhood always includes self."""
+    from raster2dggs_spark.dggs import h3lib
+
+    rng = np.random.default_rng(9)
+    lon = 12.0 + rng.uniform(-0.5, 0.5, 400)
+    lat = 47.0 + rng.uniform(-0.5, 0.5, 400)
+    cells = np.unique(h3lib.latlng_to_cell(lon, lat, 6))
+    pdf = pd.DataFrame({"cell": cells.astype("int64"),
+                        "v": np.arange(len(cells), dtype="float64")})
+    df = spark.createDataFrame(pdf)
+    out = focal_cells(df, ["v"], res=6, dggs="hex7", k=1).toPandas()
+    assert len(out) == len(pdf)
+    assert (out["n_window"] >= 1).all()
+    # clustered cells: the vast majority must have found a neighbor
+    assert (out["n_window"] >= 2).mean() > 0.8
+    # sum conservation: total contributions == sum over points of their
+    # window memberships (symmetry of the metric window)
+    out2 = focal_cells(df, ["v"], res=6, dggs="hex7", k=1,
+                       agg="sum").toPandas()
+    m = out.merge(out2, on="cell")
+    assert (m["n_window_x"] == m["n_window_y"]).all()
