@@ -519,6 +519,36 @@ def q_focal_metric_points(spark, sf_dir):
     )
 
 
+def q_terrain_derivatives(spark, sf_dir):
+    """Horn slope/aspect/hillshade on the decode path (round 7,
+    operators/terrain.py) — gdaldem-parity raster map algebra indexed
+    through the normal cell machinery.  Planar-ramp EPSG:3857 tiles
+    whose geometry is pure integer arithmetic in the tile index, so the
+    oracle recomputes the CLOSED-FORM derivatives (Horn is exact on a
+    plane: slope = atan(s*sqrt(1+w^2)/px), aspect = atan2(-1, w),
+    Lambertian hillshade) from range(16) alone — fully relational, no
+    fixture.  Per-image means over (w-2)(h-2) interior pixels."""
+    from raster2dggs_spark.operators.terrain import terrain_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_terrain_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_terrain_images_pdf(16), IMAGE_SCHEMA)
+    px = terrain_cells(imgs, res=7, keep_image_id=True)
+    return (px.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.avg("slope_deg").alias("s"),
+        F.avg("aspect_deg").alias("a"),
+        F.avg("hillshade").alias("h"))
+        .select(
+            "image_id",
+            F.col("n_px").cast("long").alias("n_px"),
+            _r4("s").alias("slope_deg"),
+            _r4("a").alias("aspect_deg"),
+            _r4("h").alias("hillshade"),
+        ))
+
+
 def q_composite_best_quality(spark, sf_dir):
     """Multi-scene best-quality composite (round 7) — the EO cloud-free
     mosaic workload the reference (single-raster CLI) has no analogue
@@ -2076,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_geohash": q_knn_join_geohash,
         "knn_join_i4r": q_knn_join_i4r,
         "zonal_join": q_zonal_join,
+        "terrain_derivatives": q_terrain_derivatives,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
@@ -3714,6 +3745,35 @@ def oracle_sql() -> dict[str, str]:
                        + ((((((((((c_custkey % 122) * 7 + ((c_custkey * 3) % 7)) * 7 + ((c_custkey * 5) % 7)) * 7 + ((c_custkey * 7) % 7)) * 7 + ((c_custkey * 9) % 7)) * 7 + ((c_custkey * 11) % 7)) * 7 + ((c_custkey * 13) % 7)) * 7 + ((c_custkey * 15) % 7)) * 7 + ((c_custkey * 17) % 7)) * 7 + ((c_custkey * 19) % 7)) * 16 + 9 AS z7
               FROM customer)
             SELECT k, cell, z7, cell AS back FROM g
+        """,
+        "terrain_derivatives": """
+            WITH t AS (
+              SELECT i,
+                     12 + (i * 5) % 7 AS w,
+                     12 + (i * 3) % 7 AS h,
+                     CAST(50 + 10 * ((i * 7) % 8) AS DOUBLE) AS px,
+                     CAST(1 + i % 3 AS DOUBLE) AS s
+              FROM range(16) r(i)),
+            d AS (
+              SELECT i, w, h,
+                     s / px AS p,
+                     -(s * w) / px AS q
+              FROM t),
+            e AS (
+              SELECT i, w, h, p, q,
+                     atan(sqrt(p * p + q * q)) AS sr,
+                     fmod(degrees(atan2(-p, -q)) + 360.0, 360.0) AS aspect
+              FROM d)
+            SELECT printf('img_terrain_%08d', i) AS image_id,
+                   CAST((w - 2) * (h - 2) AS BIGINT) AS n_px,
+                   round(degrees(sr), 4) AS slope_deg,
+                   round(aspect, 4) AS aspect_deg,
+                   round(255.0 * greatest(0.0,
+                         cos(radians(45.0)) * cos(sr)
+                         + sin(radians(45.0)) * sin(sr)
+                           * cos(radians(315.0) - radians(aspect))), 4)
+                       AS hillshade
+            FROM e
         """,
         "focal_mean_geohash": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

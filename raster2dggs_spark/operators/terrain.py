@@ -1,0 +1,190 @@
+"""Terrain derivatives (slope / aspect / hillshade) on the decode path.
+
+Classic raster map algebra the reference does not carry (raster2dggs
+indexes source pixel VALUES only): derive Horn-1981 3x3 surface
+gradients per tile inside the decode UDF, then index the derived
+surface to DGGS cells with the engine's normal machinery.  One narrow
+``mapInPandas`` — the stencil needs no cross-tile halo exchange because
+every tile's full array is already in task memory (the same obviation
+the reference's margined reads collapse to, SURVEY.md S3); only the
+tile's 1-pixel border is stencil-incomplete and is dropped (documented;
+at production tile sizes the border is <1% of pixels and tiles can
+overlap by 1px at ingest if seamless borders matter).
+
+Definitions (pinned here, mirrored by the SQL oracles):
+
+- gradients: Horn's weighted differences over the 3x3 window, divided
+  by 8 * (pixel ground size).  Pixel ground size is |a|,|e| in map
+  units for projected CRSs (gdaldem's default behavior) and
+  degrees * radians(1) * R_authalic with a per-ROW cos(lat) on the
+  east-west step for EPSG:4326 (gdaldem's ``-s`` workflow, done
+  exactly per row rather than with one global scale).
+- ``slope_deg`` = degrees(atan(hypot(p_east, q_north))).
+- ``aspect_deg`` = azimuth of the DOWNSLOPE direction, degrees
+  clockwise from north in [0, 360): degrees(atan2(-p_east, -q_north))
+  mod 360.  Flat pixels (p = q = 0) have undefined aspect -> NaN.
+- ``hillshade`` = 255 * max(0, sin(alt) cos(slope)
+  + cos(alt) sin(slope) cos(az_sun - aspect)), the Lambertian
+  reflectance with the default sun at azimuth 315 deg / altitude
+  45 deg; flat pixels use cos(slope)=1 term only (aspect drops out).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EARTH_R = 6_371_007.1809
+M_PER_DEG = float(np.radians(1.0) * EARTH_R)
+
+
+def horn_derivatives(z: np.ndarray, affine, crs: str,
+                     azimuth_deg: float = 315.0, altitude_deg: float = 45.0):
+    """Pure-NumPy Horn 3x3 derivatives of one elevation tile.
+
+    Returns interior-pixel (slope_deg, aspect_deg, hillshade) arrays of
+    shape (h-2, w-2); any NaN in a pixel's 3x3 window yields NaN."""
+    a, b, c, d, e, f = (float(x) for x in affine)
+    h, w = z.shape
+    if h < 3 or w < 3:
+        return (np.empty((0, 0)),) * 3
+    if crs == "EPSG:4326":
+        # east-west metres shrink with cos(lat): exact per interior ROW
+        rows = np.arange(1, h - 1, dtype=np.float64)
+        lat_row = d * (w * 0.5) + e * (rows + 0.5) + f
+        mx = abs(a) * M_PER_DEG * np.cos(np.radians(lat_row))[:, None]
+        my = abs(e) * M_PER_DEG
+    else:
+        mx = abs(a)
+        my = abs(e)
+    zc = z.astype(np.float64)
+    # col/row neighbor planes of the interior block
+    nw, n_, ne = zc[:-2, :-2], zc[:-2, 1:-1], zc[:-2, 2:]
+    w_, ctr, e_ = zc[1:-1, :-2], zc[1:-1, 1:-1], zc[1:-1, 2:]
+    sw, s_, se = zc[2:, :-2], zc[2:, 1:-1], zc[2:, 2:]
+    # d/d(col) and d/d(row) with Horn weights
+    dcol = ((ne + 2.0 * e_ + se) - (nw + 2.0 * w_ + sw)) / 8.0
+    drow = ((sw + 2.0 * s_ + se) - (nw + 2.0 * n_ + ne)) / 8.0
+    # orient to east/north: col runs east iff a > 0; row runs SOUTH iff
+    # e < 0 (north-up affine), so dz/dnorth = -drow then
+    p = (dcol if a >= 0 else -dcol) / mx
+    q = (-drow if e <= 0 else drow) / my
+    # Horn's stencil does not read the centre pixel, but a nodata centre
+    # must still emit nodata (gdaldem semantics)
+    p = np.where(np.isnan(ctr), np.nan, p)
+    q = np.where(np.isnan(ctr), np.nan, q)
+    slope_r = np.arctan(np.hypot(p, q))
+    slope = np.degrees(slope_r)
+    flat = (p == 0.0) & (q == 0.0)
+    with np.errstate(invalid="ignore"):
+        aspect = np.degrees(np.arctan2(-p, -q)) % 360.0
+    aspect = np.where(flat, np.nan, aspect)
+    zen = np.radians(90.0 - altitude_deg)
+    az = np.radians(azimuth_deg)
+    shade = (np.cos(zen) * np.cos(slope_r)
+             + np.sin(zen) * np.sin(slope_r)
+             * np.where(flat, 1.0, np.cos(az - np.radians(aspect))))
+    hill = 255.0 * np.maximum(0.0, shade)
+    hill = np.where(np.isnan(slope), np.nan, hill)
+    return slope, aspect, hill
+
+
+def terrain_cells(
+    images: DataFrame,
+    res: int,
+    dggs: str = "hex7",
+    parent_res: int | None = None,
+    band: int = 1,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    keep_image_id: bool = False,
+) -> DataFrame:
+    """Explode images into per-INTERIOR-pixel derivative rows
+    ``(image_id?, parent, cell, slope_deg, aspect_deg, hillshade)`` —
+    narrow, no shuffle; aggregate downstream with the normal
+    ``groupBy(cell)`` machinery (e.g. ``.groupBy("cell").agg(avg(...))``
+    for the mean-slope-per-cell map)."""
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import (
+        _decode_rows, _encode_points, _prune, default_parent_res,
+    )
+
+    check_grid(dggs)
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    fields = ([T.StructField("image_id", T.StringType(), False)]
+              if keep_image_id else [])
+    fields += [
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("slope_deg", T.DoubleType(), True),
+        T.StructField("aspect_deg", T.DoubleType(), True),
+        T.StructField("hillshade", T.DoubleType(), True),
+    ]
+    schema = T.StructType(fields)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.geo import pixel_centers_lonlat
+
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+        for pdf in batches:
+            for row, arr in _decode_rows(pdf, [band]):
+                z = arr[0]
+                h, w = z.shape
+                if h < 3 or w < 3:
+                    continue
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                slope, aspect, hill = horn_derivatives(
+                    z, affine, row.crs, azimuth_deg, altitude_deg)
+                keep = ~np.isnan(slope).ravel()
+                if not keep.any():
+                    continue
+                lon, lat = pixel_centers_lonlat(affine, w, h, row.crs)
+                interior = np.zeros((h, w), dtype=bool)
+                interior[1:-1, 1:-1] = True
+                lon = lon[interior.ravel()][keep]
+                lat = lat[interior.ravel()][keep]
+                cell, parent = _encode_points(lon, lat, res, parent_res, dggs)
+                data = {}
+                if keep_image_id:
+                    data["image_id"] = np.repeat(row.image_id, cell.shape[0])
+                data["parent"] = parent
+                data["cell"] = cell
+                data["slope_deg"] = slope.ravel()[keep]
+                data["aspect_deg"] = aspect.ravel()[keep]
+                data["hillshade"] = hill.ravel()[keep]
+                buf.append(pd.DataFrame(data))
+                buf_rows += cell.shape[0]
+                if buf_rows >= 250_000:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, buf_rows = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return _prune(images, keep_image_id).mapInPandas(fn, schema)
+
+
+def terrain_point_agg(images: DataFrame, res: int, dggs: str = "hex7",
+                      parent_res: int | None = None, **kw) -> DataFrame:
+    """Mean slope/aspect/hillshade per cell — one exchange (aspect is a
+    circular quantity; the plain mean here matches the oracle's
+    definition and is documented as such — use vector averaging
+    downstream if wrap-aware means are needed)."""
+    px = terrain_cells(images, res, dggs, parent_res, **kw)
+
+    def _nn(c):  # NaN-aware mean (flat pixels carry NaN aspect)
+        col = F.col(c)
+        return F.avg(F.when(F.isnan(col), None).otherwise(col)).alias(c)
+
+    return px.groupBy("parent", "cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        _nn("slope_deg"), _nn("aspect_deg"), _nn("hillshade"),
+    )

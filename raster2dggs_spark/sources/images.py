@@ -347,6 +347,37 @@ def generate_sinu_images_pdf(n_images: int, seed: int = 42,
     return pd.DataFrame(rows)
 
 
+def generate_terrain_images_pdf(n_images: int = 16) -> pd.DataFrame:
+    """Planar-ramp elevation tiles in EPSG:3857 whose geometry and
+    values are pure INTEGER arithmetic in the tile index i — so a SQL
+    oracle can recompute the closed-form Horn derivatives of every tile
+    from ``range(n)`` alone (slope of the plane z = s*(row*w + col) + i
+    is atan(s*sqrt(1+w^2)/px), constant over the interior)."""
+    rows = []
+    for i in range(n_images):
+        w = 12 + (i * 5) % 7
+        h = 12 + (i * 3) % 7
+        px = float(50 + 10 * ((i * 7) % 8))
+        s = float(1 + i % 3)
+        x0 = 10_000.0 * i
+        y0 = 5_000.0 * i
+        arr = ((np.arange(h * w, dtype=np.float64) * s + i)
+               .reshape(1, h, w).astype(np.float32))
+        payload = encode_image(arr, "raw")
+        rows.append({
+            "image_id": f"img_terrain_{i:08d}",
+            "bytes": payload,
+            "w": w, "h": h, "fmt": "raw",
+            "caption": f"terrain ramp tile {i}",
+            "phash": average_hash64(arr[0]),
+            "affine_a": px, "affine_b": 0.0, "affine_c": x0,
+            "affine_d": 0.0, "affine_e": -px, "affine_f": y0,
+            "crs": "EPSG:3857", "nodata": None, "bands": 1,
+            "band_names": None,
+        })
+    return pd.DataFrame(rows)
+
+
 def generate_scene_stack_pdf(n_footprints: int, epochs: int = 3,
                              seed: int = 7, size_range=(14, 20)):
     """Deterministic multi-epoch scene stacks for compositing (round 7):

@@ -1,0 +1,109 @@
+"""Terrain derivatives (operators/terrain.py): Horn kernel pinned
+against closed forms on planes, the 4326 per-row cos(lat) scale, nodata
+propagation, orientation conventions, and the Spark path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raster2dggs_spark.operators.terrain import (
+    EARTH_R, M_PER_DEG, horn_derivatives, terrain_cells, terrain_point_agg,
+)
+
+
+def _plane(h, w, sx, sy, base=0.0):
+    r, c = np.mgrid[0:h, 0:w]
+    return (base + sx * c + sy * r).astype(np.float64)
+
+
+def test_plane_slope_exact_projected():
+    """Horn is exact on a plane: z = 2*col + 3*row at 100 m pixels."""
+    z = _plane(10, 12, 2.0, 3.0)
+    affine = (100.0, 0, 0, 0, -100.0, 0)
+    slope, aspect, hill = horn_derivatives(z, affine, "EPSG:3857")
+    p, q = 2.0 / 100.0, -3.0 / 100.0  # row runs south
+    exp = np.degrees(np.arctan(np.hypot(p, q)))
+    assert slope.shape == (8, 10)
+    assert np.allclose(slope, exp, atol=1e-12)
+    exp_asp = np.degrees(np.arctan2(-p, -q)) % 360.0
+    assert np.allclose(aspect, exp_asp, atol=1e-12)
+    assert np.all((hill >= 0) & (hill <= 255))
+
+
+def test_orientation_signs():
+    """Flipping the affine axes must flip the downslope azimuth."""
+    z = _plane(8, 8, 1.0, 0.0)  # increases eastward if a > 0
+    west_up = horn_derivatives(z, (100.0, 0, 0, 0, -100.0, 0), "EPSG:3857")[1]
+    assert np.allclose(west_up, 270.0)  # downslope due west
+    # a < 0: col runs WEST, so the same array increases westward
+    east_up = horn_derivatives(z, (-100.0, 0, 0, 0, -100.0, 0), "EPSG:3857")[1]
+    assert np.allclose(east_up, 90.0)
+    # e > 0 (south-up): row runs north -> z = row means increases north
+    zn = _plane(8, 8, 0.0, 1.0)
+    south = horn_derivatives(zn, (100.0, 0, 0, 0, 100.0, 0), "EPSG:3857")[1]
+    assert np.allclose(south, 180.0)
+
+
+def test_4326_per_row_cos_scale():
+    """On degree rasters the east-west metre size shrinks by cos(lat):
+    a pure-east ramp at lat 60 must be ~2x steeper than at lat 0."""
+    z = _plane(3, 12, 5.0, 0.0)
+    a = 0.01  # degrees
+    s_eq = horn_derivatives(z, (a, 0, 0, 0, -a, 0.01), "EPSG:4326")[0]
+    s_60 = horn_derivatives(z, (a, 0, 0, 0, -a, 60.01), "EPSG:4326")[0]
+    # interior row centre latitude: f + e * (row + 0.5), row = 1
+    exp_eq = np.degrees(np.arctan(
+        5.0 / (a * M_PER_DEG * np.cos(np.radians(0.01 - a * 1.5)))))
+    exp_60 = np.degrees(np.arctan(
+        5.0 / (a * M_PER_DEG * np.cos(np.radians(60.01 - a * 1.5)))))
+    assert np.allclose(s_eq, exp_eq, atol=1e-9)
+    assert np.allclose(s_60, exp_60, atol=1e-9)
+    assert s_60.mean() > 1.5 * s_eq.mean()
+
+
+def test_flat_tile_nan_aspect_full_hillshade():
+    z = np.full((6, 6), 42.0)
+    slope, aspect, hill = horn_derivatives(z, (100.0, 0, 0, 0, -100.0, 0),
+                                           "EPSG:3857")
+    assert np.all(slope == 0.0)
+    assert np.all(np.isnan(aspect))
+    assert np.allclose(hill, 255.0 * np.cos(np.radians(45.0)))
+
+
+def test_nodata_poisons_window_only():
+    z = _plane(8, 8, 1.0, 1.0)
+    z[4, 4] = np.nan
+    slope = horn_derivatives(z, (100.0, 0, 0, 0, -100.0, 0), "EPSG:3857")[0]
+    nanmask = np.isnan(slope)
+    # the 3x3 window around (4,4) in interior coordinates: the 8 pixels
+    # whose Horn stencil reads the NaN, plus the NaN pixel itself
+    # (gdaldem nodata-centre semantics)
+    exp = np.zeros_like(nanmask)
+    exp[2:5, 2:5] = True
+    assert (nanmask == exp).all()
+
+
+def test_tiny_tile_yields_nothing():
+    slope, _, _ = horn_derivatives(np.ones((2, 5)), (1, 0, 0, 0, -1, 0),
+                                   "EPSG:3857")
+    assert slope.size == 0
+
+
+def test_terrain_cells_spark_counts_and_values(spark):
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_terrain_images_pdf,
+    )
+
+    pdf = generate_terrain_images_pdf(6)
+    imgs = spark.createDataFrame(pdf, IMAGE_SCHEMA)
+    px = terrain_cells(imgs, res=7, keep_image_id=True).toPandas()
+    for r in pdf.itertuples(index=False):
+        sub = px[px.image_id == r.image_id]
+        assert len(sub) == (r.w - 2) * (r.h - 2)
+        i = int(r.image_id.split("_")[-1])
+        s, pxm, w = float(1 + i % 3), float(50 + 10 * ((i * 7) % 8)), r.w
+        exp = np.degrees(np.arctan(s * np.sqrt(1.0 + w * w) / pxm))
+        assert np.allclose(sub["slope_deg"].values, exp, atol=1e-9)
+    agg = terrain_point_agg(imgs, res=7)
+    row = agg.agg(F.sum("n_px")).collect()[0][0]
+    assert row == sum((r.w - 2) * (r.h - 2) for r in pdf.itertuples(index=False))
