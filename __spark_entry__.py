@@ -604,6 +604,46 @@ def q_composite_median(spark, sf_dir):
     )
 
 
+def q_change_detection(spark, sf_dir):
+    """Per-cell temporal change detection over the 6x3 scene stack
+    (round 7, operators/composite.py:change_cells) — the EO change-map
+    workload.  Epoch 0 is "before", epochs 1-2 "after" (t_break
+    1_700_086_400); ONE conditional-aggregate groupBy(cell), never a
+    self-join of two composites.  band_1 drifts +13/epoch (gain),
+    band_2 +1/epoch on a ~125 base (stable), band_3 is f*10+t so
+    footprint 0 exercises the zero-before sign path and footprint 1 the
+    rel-threshold gain edge.  Each cell has exactly 1 before + 2 after
+    scenes (overlap-free stack), so the side means are order-exact; the
+    oracle replays the split + classification RELATIONALLY on the
+    pinned per-(scene, cell) fixture."""
+    from raster2dggs_spark.operators.composite import (
+        change_cells, scene_cell_means,
+    )
+    from raster2dggs_spark.operators.indexing import pixel_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_scene_stack_pdf,
+    )
+
+    images, meta = generate_scene_stack_pdf(6, epochs=3, seed=7)
+    imgs = spark.createDataFrame(images, IMAGE_SCHEMA)
+    m = spark.createDataFrame(meta[["image_id", "scene_ts"]])
+    px = pixel_cells(imgs, res=6, dggs="hex7", n_bands=4,
+                     keep_image_id=True)
+    sc = scene_cell_means(px, [f"band_{i}" for i in range(1, 5)])
+    sc = sc.join(F.broadcast(m), "image_id")
+    out = change_cells(sc, ["band_1", "band_2", "band_3"],
+                       t_break=1_700_086_400, rel_threshold=0.1)
+    cols = [F.lower(F.hex("cell")).alias("hex7_06"),
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_after").cast("long").alias("n_after")]
+    for c in ("band_1", "band_2", "band_3"):
+        cols += [_r4(f"{c}_before").alias(f"{c}_before"),
+                 _r4(f"{c}_after").alias(f"{c}_after"),
+                 _r4(f"{c}_delta").alias(f"{c}_delta"),
+                 F.col(f"{c}_class")]
+    return out.select(*cols)
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline family (documents / embeddings tables)
 # --------------------------------------------------------------------------
@@ -2111,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
+        "change_detection": q_change_detection,
         "dedup_exact": q_dedup_exact,
         "phash_near_dup": q_phash_near_dup,
         "minhash_lsh": q_minhash_lsh,
@@ -3849,6 +3890,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_scenes
             FROM read_parquet('{_FIXDIR}/composite_stack_6x3.parquet')
             GROUP BY hex7_06
+        """,
+        "change_detection": f"""
+            WITH g AS (
+              SELECT hex7_06,
+                     count(CASE WHEN scene_ts < 1700086400 THEN 1 END)
+                         AS n_before,
+                     count(CASE WHEN scene_ts >= 1700086400 THEN 1 END)
+                         AS n_after,
+                     {", ".join(
+                         f"avg(CASE WHEN scene_ts < 1700086400 "
+                         f"THEN band_{i} END) AS b{i}b, "
+                         f"avg(CASE WHEN scene_ts >= 1700086400 "
+                         f"THEN band_{i} END) AS b{i}a"
+                         for i in range(1, 4))}
+              FROM read_parquet('{_FIXDIR}/composite_stack_6x3.parquet')
+              GROUP BY hex7_06)
+            SELECT hex7_06,
+                   CAST(n_before AS BIGINT) AS n_before,
+                   CAST(n_after AS BIGINT) AS n_after,
+                   {", ".join(
+                       f"round(b{i}b, 4) AS band_{i}_before, "
+                       f"round(b{i}a, 4) AS band_{i}_after, "
+                       f"round(b{i}a - b{i}b, 4) AS band_{i}_delta, "
+                       f"CASE WHEN b{i}b IS NULL AND b{i}a IS NULL THEN NULL "
+                       f"WHEN b{i}b IS NULL THEN 'new' "
+                       f"WHEN b{i}a IS NULL THEN 'gone' "
+                       f"WHEN abs(b{i}b) > 0 "
+                       f"AND abs(b{i}a - b{i}b) / abs(b{i}b) <= 0.1 "
+                       f"THEN 'stable' "
+                       f"WHEN NOT (abs(b{i}b) > 0) AND b{i}a = b{i}b "
+                       f"THEN 'stable' "
+                       f"WHEN b{i}a > b{i}b THEN 'gain' "
+                       f"ELSE 'loss' END AS band_{i}_class"
+                       for i in range(1, 4))}
+            FROM g
         """,
         "e9r_pixel_index": f"""
             SELECT e9r_07, e9r_02, CAST(n_px AS BIGINT) AS n_px,

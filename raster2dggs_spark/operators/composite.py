@@ -97,6 +97,71 @@ def composite_cells(
     )
 
 
+CHANGE_CLASSES = ("gain", "loss", "stable", "new", "gone")
+
+
+def change_cells(
+    scene_cells: DataFrame,
+    value_cols: list[str],
+    t_break: int,
+    time_col: str = "scene_ts",
+    key_cols: tuple[str, ...] = ("cell",),
+    rel_threshold: float = 0.1,
+) -> DataFrame:
+    """Per-cell temporal change detection: split the scene stack at
+    ``t_break`` (observations with ``time_col < t_break`` are "before",
+    the rest "after"), reduce each side to per-band means, and classify
+    each band's change.
+
+    The canonical EO change-map workload (deforestation / urban-growth
+    deltas) over the engine's cell index — no reference counterpart
+    (raster2dggs indexes one raster per run).  Spark-first shape: ONE
+    ``groupBy(cell)`` with conditional aggregates — never a self-join
+    of two composites, so the shuffle moves ~cells once and the plan is
+    a single exchange regardless of stack depth.
+
+    Per value column ``c`` emits ``{c}_before``, ``{c}_after``,
+    ``{c}_delta`` (after − before) and ``{c}_class``:
+
+    - ``new`` / ``gone`` when only one side has observations;
+    - else ``gain`` / ``loss`` when the relative change
+      |delta| / |before| exceeds ``rel_threshold`` (sign of delta
+      decides which; a zero before-mean with nonzero delta classifies
+      by delta sign alone);
+    - else ``stable``.
+
+    Classification uses the UNROUNDED means; round for display
+    downstream.
+    """
+    keys = [F.col(k) for k in key_cols]
+    before = F.col(time_col) < F.lit(t_break)
+    aggs = [
+        F.count(F.when(before, 1)).alias("n_before"),
+        F.count(F.when(~before, 1)).alias("n_after"),
+    ]
+    for c in value_cols:
+        v = F.col(c)
+        aggs.append(F.avg(F.when(before, v)).alias(f"{c}_before"))
+        aggs.append(F.avg(F.when(~before, v)).alias(f"{c}_after"))
+    g = scene_cells.groupBy(*keys).agg(*aggs)
+    out_cols = [*key_cols, "n_before", "n_after"]
+    for c in value_cols:
+        b, a = F.col(f"{c}_before"), F.col(f"{c}_after")
+        delta = (a - b).alias(f"{c}_delta")
+        rel = F.when(F.abs(b) > 0, F.abs(a - b) / F.abs(b))
+        cls = (
+            F.when(b.isNull() & a.isNull(), None)
+            .when(b.isNull(), F.lit("new"))
+            .when(a.isNull(), F.lit("gone"))
+            .when(rel.isNotNull() & (rel <= F.lit(rel_threshold)), F.lit("stable"))
+            .when(rel.isNull() & (a == b), F.lit("stable"))
+            .when(a > b, F.lit("gain"))
+            .otherwise(F.lit("loss"))
+        ).alias(f"{c}_class")
+        out_cols += [f"{c}_before", f"{c}_after", delta, cls]
+    return g.select(*out_cols)
+
+
 def scene_cell_means(
     pixel_rows: DataFrame,
     band_cols: list[str],

@@ -117,3 +117,70 @@ def test_stack_generator_deterministic_and_integer_valued():
     assert g0[["affine_a", "affine_c", "affine_f", "w", "h"]].nunique().max() == 1
     arr = decode_image(bytes(a_img["bytes"].iloc[0]))
     assert np.all(arr == np.round(arr))  # integer-exact means downstream
+
+
+# ---------------------------------------------------------------- change
+
+
+def _change_stack(spark):
+    """Hand-built per-(scene, cell) rows covering every change class.
+    t_break = 150: ts 100 is before, ts 200/300 after."""
+    rows = [
+        # gain: before 10, after mean 20 (rel 1.0)
+        ("s0", 100, 1, 10.0), ("s1", 200, 1, 15.0), ("s2", 300, 1, 25.0),
+        # loss: before 10, after 5
+        ("s0", 100, 2, 10.0), ("s1", 200, 2, 5.0),
+        # stable: before 100, after 105 (rel 0.05 <= 0.1)
+        ("s0", 100, 3, 100.0), ("s1", 200, 3, 105.0),
+        # new: no before observation
+        ("s1", 200, 4, 7.0),
+        # gone: no after observation
+        ("s0", 100, 5, 7.0),
+        # zero before, positive after -> gain via the sign path
+        ("s0", 100, 6, 0.0), ("s1", 200, 6, 2.0),
+        # zero before, zero after -> stable via the equality path
+        ("s0", 100, 7, 0.0), ("s1", 200, 7, 0.0),
+        # boundary: rel exactly 0.1 classifies stable (<=)
+        ("s0", 100, 8, 10.0), ("s1", 200, 8, 11.0),
+    ]
+    return spark.createDataFrame(
+        rows, "image_id string, scene_ts long, cell long, v double")
+
+
+def test_change_cells_classes(spark):
+    from raster2dggs_spark.operators.composite import change_cells
+
+    out = change_cells(_change_stack(spark), ["v"], t_break=150)
+    got = {r["cell"]: r.asDict() for r in out.collect()}
+    assert got[1]["v_class"] == "gain" and got[1]["v_delta"] == 10.0
+    assert got[2]["v_class"] == "loss" and got[2]["v_delta"] == -5.0
+    assert got[3]["v_class"] == "stable"
+    assert got[4]["v_class"] == "new" and got[4]["v_before"] is None
+    assert got[4]["n_before"] == 0 and got[4]["n_after"] == 1
+    assert got[5]["v_class"] == "gone" and got[5]["v_after"] is None
+    assert got[6]["v_class"] == "gain"
+    assert got[7]["v_class"] == "stable"
+    assert got[8]["v_class"] == "stable"  # rel == threshold is stable
+
+
+def test_change_cells_single_exchange(spark):
+    """The plan must be ONE aggregation over the input — no self-join
+    (two exchanges of the same source) hiding in the conditional
+    aggregates."""
+    from raster2dggs_spark.operators.composite import change_cells
+
+    out = change_cells(_change_stack(spark), ["v"], t_break=150)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_change_cells_multi_column_and_threshold(spark):
+    from raster2dggs_spark.operators.composite import change_cells
+
+    rows = [("s0", 100, 1, 10.0, 50.0), ("s1", 200, 1, 13.0, 51.0)]
+    df = spark.createDataFrame(
+        rows, "image_id string, scene_ts long, cell long, a double, b double")
+    out = change_cells(df, ["a", "b"], t_break=150, rel_threshold=0.2).collect()[0]
+    assert out["a_class"] == "gain"      # rel 0.3 > 0.2
+    assert out["b_class"] == "stable"    # rel 0.02
