@@ -549,6 +549,36 @@ def q_terrain_derivatives(spark, sf_dir):
         ))
 
 
+def q_d8_flow(spark, sf_dir):
+    """D8 steepest-descent flow direction (round 7,
+    operators/terrain.py:d8_flow) — drainage-direction map algebra on
+    the decode path.  Tilted-plane EPSG:3857 tiles with per-tile
+    integer gradients (gx, gy), so every interior pixel's D8 argmax has
+    a closed form the oracle replays from range(16): 8 drops
+    -s*(gy*dr + gx*dc)/dist (cardinal dist = px, diagonal
+    sqrt(px^2+px^2) — the exact expression the kernel evaluates, so
+    float equality in the argmax tie-break is bit-identical), first
+    max in ESRI scan order E,SE,S,SW,W,NW,N,NE wins; tile 15 is flat
+    and pins the code-0 path.  Per-image mode(d8) + mean max-drop."""
+    from raster2dggs_spark.operators.terrain import d8_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_d8_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_d8_images_pdf(16), IMAGE_SCHEMA)
+    px = d8_cells(imgs, res=7, keep_image_id=True)
+    return (px.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.mode("d8").alias("d8"),
+        F.avg("drop").alias("dr"))
+        .select(
+            "image_id",
+            F.col("n_px").cast("long").alias("n_px"),
+            F.col("d8").cast("long").alias("d8"),
+            _r4("dr").alias("drop"),
+        ))
+
+
 def q_composite_best_quality(spark, sf_dir):
     """Multi-scene best-quality composite (round 7) — the EO cloud-free
     mosaic workload the reference (single-raster CLI) has no analogue
@@ -2147,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_i4r": q_knn_join_i4r,
         "zonal_join": q_zonal_join,
         "terrain_derivatives": q_terrain_derivatives,
+        "d8_flow": q_d8_flow,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
@@ -3815,6 +3846,41 @@ def oracle_sql() -> dict[str, str]:
                            * cos(radians(315.0) - radians(aspect))), 4)
                        AS hillshade
             FROM e
+        """,
+        "d8_flow": """
+            WITH t AS (
+              SELECT i,
+                     12 + (i * 5) % 7 AS w,
+                     12 + (i * 3) % 7 AS h,
+                     CAST(50 + 10 * ((i * 7) % 8) AS DOUBLE) AS px,
+                     CAST(1 + i % 3 AS DOUBLE) AS s,
+                     CASE WHEN i = 15 THEN 0 ELSE (i * 3) % 7 - 3 END AS gx,
+                     CASE WHEN i = 15 THEN 0 ELSE (i * 5) % 7 - 3 END AS gy
+              FROM range(16) r(i)),
+            d AS (SELECT *, sqrt(px * px + px * px) AS dd FROM t),
+            c AS (
+              SELECT i, w, h,
+                     -s * CAST(gx AS DOUBLE) / px            AS d1,
+                     -s * CAST(gy + gx AS DOUBLE) / dd       AS d2,
+                     -s * CAST(gy AS DOUBLE) / px            AS d3,
+                     -s * CAST(gy - gx AS DOUBLE) / dd       AS d4,
+                     -s * CAST(-gx AS DOUBLE) / px           AS d5,
+                     -s * CAST(-gy - gx AS DOUBLE) / dd      AS d6,
+                     -s * CAST(-gy AS DOUBLE) / px           AS d7,
+                     -s * CAST(-gy + gx AS DOUBLE) / dd      AS d8
+              FROM d),
+            m AS (SELECT *,
+                         greatest(d1, d2, d3, d4, d5, d6, d7, d8) AS g
+                  FROM c)
+            SELECT printf('img_d8_%08d', i) AS image_id,
+                   CAST((w - 2) * (h - 2) AS BIGINT) AS n_px,
+                   CAST(CASE WHEN g <= 0 THEN 0
+                        WHEN d1 = g THEN 1 WHEN d2 = g THEN 2
+                        WHEN d3 = g THEN 4 WHEN d4 = g THEN 8
+                        WHEN d5 = g THEN 16 WHEN d6 = g THEN 32
+                        WHEN d7 = g THEN 64 ELSE 128 END AS BIGINT) AS d8,
+                   round(g, 4) + 0.0 AS drop
+            FROM m
         """,
         "focal_mean_geohash": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

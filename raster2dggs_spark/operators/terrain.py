@@ -172,6 +172,131 @@ def terrain_cells(
     return _prune(images, keep_image_id).mapInPandas(fn, schema)
 
 
+# ESRI D8 codes in SCAN ORDER (E, SE, S, SW, W, NW, N, NE) — the
+# tie-break order: the first neighbor attaining the maximum drop wins.
+D8_CODES = (1, 2, 4, 8, 16, 32, 64, 128)
+_D8_OFFSETS = ((0, 1), (1, 1), (1, 0), (1, -1),
+               (0, -1), (-1, -1), (-1, 0), (-1, 1))  # (drow, dcol), north-up
+
+
+def d8_flow(z: np.ndarray, affine, crs: str):
+    """D8 steepest-descent flow direction of one elevation tile.
+
+    For every interior pixel, the drop to each of the 8 neighbors is
+    ``(z_center - z_neighbor) / ground_distance`` (cardinal distance =
+    pixel pitch, diagonal = sqrt(mx^2 + my^2); EPSG:4326 pitches are
+    metre-scaled per row exactly as in :func:`horn_derivatives`).
+    Returns interior arrays ``(code, drop)``: ``code`` is the ESRI D8
+    code (1=E, 2=SE, 4=S, 8=SW, 16=W, 32=NW, 64=N, 128=NE) of the
+    first neighbor in scan order attaining the maximum drop, 0 when no
+    neighbor is strictly lower (flat or pit), and -32768 marks pixels
+    whose 3x3 window contains NaN (callers drop them); ``drop`` is the
+    maximum drop in (elevation units)/(ground unit).
+    """
+    a, b, c, d, e, f = (float(x) for x in affine)
+    h, w = z.shape
+    if h < 3 or w < 3:
+        return np.empty((0, 0), np.int16), np.empty((0, 0))
+    if crs == "EPSG:4326":
+        rows = np.arange(1, h - 1, dtype=np.float64)
+        lat_row = d * (w * 0.5) + e * (rows + 0.5) + f
+        mx = abs(a) * M_PER_DEG * np.cos(np.radians(lat_row))[:, None]
+        my = np.full_like(mx, abs(e) * M_PER_DEG)
+    else:
+        mx = np.full((h - 2, 1), abs(a))
+        my = np.full((h - 2, 1), abs(e))
+    dd = np.sqrt(mx * mx + my * my)
+    east = 1 if a >= 0 else -1   # dcol that moves east
+    south = 1 if e <= 0 else -1  # drow that moves south
+    zc = z.astype(np.float64)
+    ctr = zc[1:-1, 1:-1]
+    drops = np.empty((8,) + ctr.shape)
+    for k, (drow, dcol) in enumerate(_D8_OFFSETS):
+        gr, gc = drow * south, dcol * east  # grid step for this compass dir
+        nb = zc[1 + gr:h - 1 + gr, 1 + gc:w - 1 + gc]
+        dist = dd if (drow and dcol) else (my if drow else mx)
+        drops[k] = (ctr - nb) / dist
+    bad = np.isnan(drops).any(axis=0)
+    best = drops.argmax(axis=0)
+    drop = np.take_along_axis(drops, best[None], axis=0)[0]
+    code = np.asarray(D8_CODES, np.int16)[best]
+    code = np.where(drop <= 0.0, np.int16(0), code)
+    code = np.where(bad, np.int16(-32768), code)
+    drop = np.where(bad, np.nan, drop)
+    return code, drop
+
+
+def d8_cells(
+    images: DataFrame,
+    res: int,
+    dggs: str = "hex7",
+    parent_res: int | None = None,
+    band: int = 1,
+    keep_image_id: bool = False,
+) -> DataFrame:
+    """Explode images into per-interior-pixel D8 rows ``(image_id?,
+    parent, cell, d8, drop)`` — same narrow no-shuffle shape as
+    :func:`terrain_cells`; NaN-window pixels are dropped.  Aggregate
+    downstream (e.g. per-cell majority direction via ``F.mode``)."""
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import (
+        _decode_rows, _encode_points, _prune, default_parent_res,
+    )
+
+    check_grid(dggs)
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    fields = ([T.StructField("image_id", T.StringType(), False)]
+              if keep_image_id else [])
+    fields += [
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("d8", T.IntegerType(), False),
+        T.StructField("drop", T.DoubleType(), False),
+    ]
+    schema = T.StructType(fields)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.geo import pixel_centers_lonlat
+
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+        for pdf in batches:
+            for row, arr in _decode_rows(pdf, [band]):
+                z = arr[0]
+                h, w = z.shape
+                if h < 3 or w < 3:
+                    continue
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                code, drop = d8_flow(z, affine, row.crs)
+                keep = (code.ravel() != -32768)
+                if not keep.any():
+                    continue
+                lon, lat = pixel_centers_lonlat(affine, w, h, row.crs)
+                interior = np.zeros((h, w), dtype=bool)
+                interior[1:-1, 1:-1] = True
+                lon = lon[interior.ravel()][keep]
+                lat = lat[interior.ravel()][keep]
+                cell, parent = _encode_points(lon, lat, res, parent_res, dggs)
+                data = {}
+                if keep_image_id:
+                    data["image_id"] = np.repeat(row.image_id, cell.shape[0])
+                data["parent"] = parent
+                data["cell"] = cell
+                data["d8"] = code.ravel()[keep].astype(np.int32)
+                data["drop"] = drop.ravel()[keep]
+                buf.append(pd.DataFrame(data))
+                buf_rows += cell.shape[0]
+                if buf_rows >= 250_000:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, buf_rows = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return _prune(images, keep_image_id).mapInPandas(fn, schema)
+
+
 def terrain_point_agg(images: DataFrame, res: int, dggs: str = "hex7",
                       parent_res: int | None = None, **kw) -> DataFrame:
     """Mean slope/aspect/hillshade per cell — one exchange (aspect is a

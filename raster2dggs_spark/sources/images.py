@@ -378,6 +378,41 @@ def generate_terrain_images_pdf(n_images: int = 16) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_d8_images_pdf(n_images: int = 16) -> pd.DataFrame:
+    """Tilted-plane elevation tiles in EPSG:3857 with per-tile INTEGER
+    gradient (gx, gy) in grid units: z = i + s*(gy*row + gx*col).  The
+    D8 steepest-descent code of every interior pixel is then a pure
+    argmax over 8 closed-form drops a SQL oracle can replay from
+    ``range(n)``; tile 15 is forced flat (gx = gy = 0) to pin the
+    no-descent path.  All values are small integers — exact in float32
+    and in every engine's float64 arithmetic."""
+    rows = []
+    for i in range(n_images):
+        w = 12 + (i * 5) % 7
+        h = 12 + (i * 3) % 7
+        px = float(50 + 10 * ((i * 7) % 8))
+        s = float(1 + i % 3)
+        gx = (i * 3) % 7 - 3
+        gy = (i * 5) % 7 - 3
+        if i == n_images - 1:
+            gx = gy = 0
+        r_idx, c_idx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        arr = ((gy * r_idx + gx * c_idx) * s + i).astype(np.float32)[None]
+        payload = encode_image(arr, "raw")
+        rows.append({
+            "image_id": f"img_d8_{i:08d}",
+            "bytes": payload,
+            "w": w, "h": h, "fmt": "raw",
+            "caption": f"d8 plane tile {i} grad ({gx},{gy})",
+            "phash": average_hash64(arr[0]),
+            "affine_a": px, "affine_b": 0.0, "affine_c": 10_000.0 * i,
+            "affine_d": 0.0, "affine_e": -px, "affine_f": 5_000.0 * i,
+            "crs": "EPSG:3857", "nodata": None, "bands": 1,
+            "band_names": None,
+        })
+    return pd.DataFrame(rows)
+
+
 def generate_scene_stack_pdf(n_footprints: int, epochs: int = 3,
                              seed: int = 7, size_range=(14, 20)):
     """Deterministic multi-epoch scene stacks for compositing (round 7):

@@ -107,3 +107,106 @@ def test_terrain_cells_spark_counts_and_values(spark):
     agg = terrain_point_agg(imgs, res=7)
     row = agg.agg(F.sum("n_px")).collect()[0][0]
     assert row == sum((r.w - 2) * (r.h - 2) for r in pdf.itertuples(index=False))
+
+
+# ------------------------------------------------------------------- D8
+
+
+def _d8_brute(z, affine, crs):
+    """Independent double-loop D8 reference (scan order E,SE,S,SW,W,
+    NW,N,NE; first max wins; <=0 max -> 0; NaN window -> -32768)."""
+    from raster2dggs_spark.operators.terrain import (
+        D8_CODES, M_PER_DEG, _D8_OFFSETS,
+    )
+
+    a, b, c, d, e, f = (float(x) for x in affine)
+    h, w = z.shape
+    east = 1 if a >= 0 else -1
+    south = 1 if e <= 0 else -1
+    code = np.zeros((h - 2, w - 2), np.int16)
+    drop = np.zeros((h - 2, w - 2))
+    for i in range(1, h - 1):
+        if crs == "EPSG:4326":
+            lat = d * (w * 0.5) + e * (i + 0.5) + f
+            mx = abs(a) * M_PER_DEG * np.cos(np.radians(lat))
+            my = abs(e) * M_PER_DEG
+        else:
+            mx, my = abs(a), abs(e)
+        dd = np.sqrt(mx * mx + my * my)
+        for j in range(1, w - 1):
+            best, bestk, bad = -np.inf, None, False
+            for k, (drow, dcol) in enumerate(_D8_OFFSETS):
+                gr, gc = drow * south, dcol * east
+                dist = dd if (drow and dcol) else (my if drow else mx)
+                val = (z[i, j] - z[i + gr, j + gc]) / dist
+                if np.isnan(val):
+                    bad = True
+                if val > best:
+                    best, bestk = val, k
+            if bad:
+                code[i - 1, j - 1] = -32768
+                drop[i - 1, j - 1] = np.nan
+            elif best <= 0.0:
+                code[i - 1, j - 1] = 0
+                drop[i - 1, j - 1] = best
+            else:
+                code[i - 1, j - 1] = D8_CODES[bestk]
+                drop[i - 1, j - 1] = best
+    return code, drop
+
+
+@pytest.mark.parametrize("crs,affine", [
+    ("EPSG:3857", (75.0, 0, 1000.0, 0, -75.0, 2000.0)),
+    ("EPSG:3857", (-60.0, 0, 1000.0, 0, 60.0, 2000.0)),  # flipped axes
+    ("EPSG:4326", (0.01, 0, 10.0, 0, -0.01, 55.0)),      # per-row cos(lat)
+])
+def test_d8_matches_bruteforce(crs, affine):
+    from raster2dggs_spark.operators.terrain import d8_flow
+
+    rng = np.random.default_rng(11)
+    z = rng.integers(0, 50, (12, 14)).astype(np.float64)
+    z[4, 5] = np.nan  # poisons its 3x3 neighborhood
+    code, drop = d8_flow(z, affine, crs)
+    bc, bd = _d8_brute(z, affine, crs)
+    assert np.array_equal(code, bc)
+    assert np.allclose(drop, bd, equal_nan=True, atol=0, rtol=0)
+
+
+def test_d8_plane_directions():
+    """Descent of z = gx*col + gy*row points opposite the gradient:
+    gx>0, gy=0 (north-up) -> due west (16); gy>0 only -> north (64);
+    equal gx=gy -> the NW diagonal (32) beats cardinals when
+    (gx+gy)/sqrt(2) > gx."""
+    from raster2dggs_spark.operators.terrain import d8_flow
+
+    affine = (30.0, 0, 0, 0, -30.0, 0)
+    code, _ = d8_flow(_plane(8, 8, 1.0, 0.0), affine, "EPSG:3857")
+    assert np.all(code == 16)
+    code, _ = d8_flow(_plane(8, 8, 0.0, 1.0), affine, "EPSG:3857")
+    assert np.all(code == 64)
+    code, _ = d8_flow(_plane(8, 8, 2.0, 2.0), affine, "EPSG:3857")
+    assert np.all(code == 32)
+    code, drop = d8_flow(np.full((8, 8), 7.0), affine, "EPSG:3857")
+    assert np.all(code == 0) and np.all(drop == 0.0)
+
+
+def test_d8_cells_spark_roundtrip(spark):
+    from raster2dggs_spark.operators.terrain import d8_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_d8_images_pdf,
+    )
+
+    pdf = generate_d8_images_pdf(4)
+    imgs = spark.createDataFrame(pdf, IMAGE_SCHEMA)
+    out = d8_cells(imgs, res=7, keep_image_id=True)
+    got = (out.groupBy("image_id")
+           .agg(F.countDistinct("d8").alias("k"),
+                F.count(F.lit(1)).alias("n"))
+           .collect())
+    assert len(got) == 4
+    for r in got:
+        assert r["k"] == 1  # constant-gradient tile -> one direction
+        i = int(r["image_id"].split("_")[-1])
+        w = 12 + (i * 5) % 7
+        h = 12 + (i * 3) % 7
+        assert r["n"] == (w - 2) * (h - 2)
