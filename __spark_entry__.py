@@ -579,6 +579,42 @@ def q_d8_flow(spark, sf_dir):
         ))
 
 
+def q_regrid_geohash_maidenhead(spark, sf_dir):
+    """Cross-grid regrid (round 7, operators/regrid.py): convert a
+    geohash-precision-3-indexed layer onto the maidenhead grid at
+    precision 2 by first-order conservative centroid regridding (source
+    cell centroid encoded into the destination grid, exact spherical
+    rectangle areas as weights).  The reference would re-run the raster
+    through a different indexer; this converts the cell table directly
+    — one narrow mapInPandas + ONE exchange, ~cells not ~pixels.
+    FULLY RELATIONAL oracle: geohash quantization, bbox-center
+    centroids, closed-form band areas, and the maidenhead mixed-radix
+    peel are all the same float arithmetic in DuckDB."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.joins import index_points
+    from raster2dggs_spark.operators.regrid import regrid_cells
+
+    pts = _customer_points(spark, sf_dir).withColumn(
+        "v", ((F.col("point_id") * 11) % 97).cast("double"))
+    src = (index_points(pts, res=3, dggs="geohash")
+           .groupBy("cell").agg(F.avg("v").alias("v")))
+    out = regrid_cells(src, ["v"], "geohash", "maidenhead", dst_res=2)
+
+    @F.pandas_udf("string")
+    def mh_str(c):
+        from raster2dggs_spark.dggs import maidenheadlib
+
+        return pd.Series(maidenheadlib.cells_to_string(c.values))
+
+    return out.select(
+        mh_str("cell").alias("mh_02"),
+        F.col("n_src").cast("long").alias("n_src"),
+        _r4(F.col("w_sum") / F.lit(1e6)).alias("w_km2"),
+        _r4("v").alias("v"),
+    )
+
+
 def q_composite_best_quality(spark, sf_dir):
     """Multi-scene best-quality composite (round 7) — the EO cloud-free
     mosaic workload the reference (single-raster CLI) has no analogue
@@ -2178,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_join": q_zonal_join,
         "terrain_derivatives": q_terrain_derivatives,
         "d8_flow": q_d8_flow,
+        "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
@@ -3881,6 +3918,63 @@ def oracle_sql() -> dict[str, str]:
                         WHEN d7 = g THEN 64 ELSE 128 END AS BIGINT) AS d8,
                    round(g, 4) + 0.0 AS drop
             FROM m
+        """,
+        "regrid_geohash_maidenhead": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            q AS (
+              SELECT CAST(floor(least(greatest((lon + 180.0) / 360.0, 0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                          * 256.0) AS BIGINT) AS gx,
+                     CAST(floor(least(greatest((lat + 90.0) / 180.0, 0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                          * 128.0) AS BIGINT) AS gy,
+                     CAST((point_id * 11) % 97 AS DOUBLE) AS v
+              FROM p),
+            src AS (SELECT gx, gy, avg(v) AS v FROM q GROUP BY gx, gy),
+            cen AS (
+              SELECT v,
+                     (CAST(gx AS DOUBLE) + 0.5) / 256.0 * 360.0 - 180.0
+                         AS clon,
+                     (CAST(gy AS DOUBLE) + 0.5) / 128.0 * 180.0 - 90.0
+                         AS clat
+              FROM src),
+            wgt AS (
+              SELECT *,
+                     radians(360.0 / 256.0)
+                     * (sin(radians(least(clat + (180.0 / 128.0) / 2.0,
+                                          90.0)))
+                        - sin(radians(greatest(clat - (180.0 / 128.0) / 2.0,
+                                               -90.0))))
+                     * 6371007.1809 * 6371007.1809 AS w
+              FROM cen),
+            mh AS (
+              SELECT v, w,
+                     floor(((clon + 180.0) / 360.0) * 18.0) AS fx1,
+                     ((clon + 180.0) / 360.0) * 18.0
+                         - floor(((clon + 180.0) / 360.0) * 18.0) AS rx1,
+                     floor(((clat + 90.0) / 180.0) * 18.0) AS fy1,
+                     ((clat + 90.0) / 180.0) * 18.0
+                         - floor(((clat + 90.0) / 180.0) * 18.0) AS ry1
+              FROM wgt),
+            mh2 AS (
+              SELECT v, w,
+                     CAST(fx1 AS INT) AS dx1, CAST(fy1 AS INT) AS dy1,
+                     CAST(floor(rx1 * 10.0) AS INT) AS dx2,
+                     CAST(floor(ry1 * 10.0) AS INT) AS dy2
+              FROM mh),
+            loc AS (
+              SELECT substring('ABCDEFGHIJKLMNOPQR', dx1 + 1, 1)
+                     || substring('ABCDEFGHIJKLMNOPQR', dy1 + 1, 1)
+                     || CAST(dx2 AS VARCHAR) || CAST(dy2 AS VARCHAR)
+                         AS mh_02,
+                     v, w
+              FROM mh2)
+            SELECT mh_02,
+                   CAST(count(*) AS BIGINT) AS n_src,
+                   round(sum(w) / 1000000.0, 4) AS w_km2,
+                   round(sum(w * v) / sum(w), 4) AS v
+            FROM loc
+            GROUP BY mh_02
         """,
         "focal_mean_geohash": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

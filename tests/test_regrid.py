@@ -1,0 +1,114 @@
+"""Cross-grid regridding (operators/regrid.py): centroid assignment vs
+a single-node replay, exact mass conservation under both modes and any
+oversample depth, the hex7 children refinement, and error paths."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from raster2dggs_spark.dggs import cover
+from raster2dggs_spark.operators.regrid import regrid_cells
+
+
+def _hex7_layer(spark, n=200, res=7):
+    """Deterministic hex7 cell layer with a value per cell."""
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-20.0, 20.0, n)
+    lat = rng.uniform(30.0, 50.0, n)
+    cells = np.unique(cover.encode(lon, lat, res, "hex7"))
+    vals = (cells % 89).astype(np.float64)
+    return (
+        spark.createDataFrame(
+            [(int(c), float(v)) for c, v in zip(cells, vals)],
+            "cell long, v double"),
+        cells, vals,
+    )
+
+
+def test_centroid_regrid_matches_replay(spark):
+    """hex7 res 7 -> s2 res 8: replay centroid->encode->weighted mean
+    in plain NumPy and compare exactly (rounded 1e-9)."""
+    from raster2dggs_spark.dggs import h3lib
+
+    df, cells, vals = _hex7_layer(spark)
+    out = {r["cell"]: (r["n_src"], r["w_sum"], r["v"])
+           for r in regrid_cells(df, ["v"], "hex7", "s2", 8).collect()}
+
+    w = h3lib.cell_area_m2(cells)
+    lon, lat = cover.cell_center(cells, "hex7")
+    dst = cover.encode(lon, lat, 8, "s2")
+    exp = {}
+    for d, wi, vi in zip(dst, w, vals):
+        n, ws, wv = exp.get(int(d), (0, 0.0, 0.0))
+        exp[int(d)] = (n + 1, ws + wi, wv + wi * vi)
+    assert set(out) == set(exp)
+    for d, (n, ws, wv) in exp.items():
+        gn, gws, gv = out[d]
+        assert gn == n
+        assert gws == pytest.approx(ws, rel=1e-12)
+        assert gv == pytest.approx(wv / ws, rel=1e-12)
+
+
+@pytest.mark.parametrize("oversample", [0, 1, 2])
+def test_mass_conservation(spark, oversample):
+    """Σ w·v and Σ w are conserved exactly for every oversample depth
+    (each contribution lands in exactly one destination cell)."""
+    df, cells, vals = _hex7_layer(spark, n=80)
+    from raster2dggs_spark.dggs import h3lib
+
+    w = h3lib.cell_area_m2(cells)
+    out = regrid_cells(df, ["v"], "hex7", "s2", 6, oversample=oversample)
+    got = out.agg(F.sum("w_sum").alias("w"),
+                  F.sum(F.col("v") * F.col("w_sum")).alias("m"),
+                  F.sum("n_src").alias("n")).collect()[0]
+    assert got["w"] == pytest.approx(float(w.sum()), rel=1e-9)
+    assert got["m"] == pytest.approx(float((w * vals).sum()), rel=1e-9)
+    assert got["n"] == len(cells) * 7 ** oversample
+
+
+def test_sum_mode_conserves_totals(spark):
+    """mode='sum' (extensive quantities): destination total equals the
+    source total exactly."""
+    df, cells, vals = _hex7_layer(spark, n=120)
+    out = regrid_cells(df, ["v"], "hex7", "geohash", 2, mode="sum")
+    got = out.agg(F.sum("v")).collect()[0][0]
+    assert got == pytest.approx(float(vals.sum()), rel=1e-12)
+
+
+def test_oversample_refines_boundary_assignment(spark):
+    """With src pitch comparable to dst pitch, oversampling must move
+    SOME area across destination cells (children of a boundary cell
+    split between destinations) while conserving the total."""
+    df, cells, _ = _hex7_layer(spark, n=150, res=5)
+    a = {r["cell"]: r["w_sum"]
+         for r in regrid_cells(df, ["v"], "hex7", "s2", 6).collect()}
+    b = {r["cell"]: r["w_sum"]
+         for r in regrid_cells(df, ["v"], "hex7", "s2", 6,
+                               oversample=2).collect()}
+    assert sum(a.values()) == pytest.approx(sum(b.values()), rel=1e-9)
+    assert set(b) >= set(a)   # refinement only ADDS boundary cells
+    moved = sum(abs(b.get(k, 0.0) - a.get(k, 0.0)) for k in set(a) | set(b))
+    assert moved > 0.0
+
+
+def test_nan_values_drop_weight_not_row(spark):
+    src = spark.createDataFrame(
+        [(int(c), v) for c, v in zip(
+            cover.encode(np.array([10.0, 10.1]), np.array([45.0, 45.05]),
+                         5, "geohash"), [float("nan"), 3.0])],
+        "cell long, v double")
+    out = regrid_cells(src, ["v"], "geohash", "maidenhead", 1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_src"] == 2          # both contribute presence/area
+    assert r["v"] == pytest.approx(3.0)  # NaN contributes no value weight
+
+
+def test_error_paths(spark):
+    df = spark.createDataFrame([(1, 1.0)], "cell long, v double")
+    with pytest.raises(ValueError, match="mode"):
+        regrid_cells(df, ["v"], "hex7", "s2", 5, mode="max")
+    with pytest.raises(ValueError, match="oversample"):
+        regrid_cells(df, ["v"], "s2", "hex7", 5, oversample=1)
+    with pytest.raises(ValueError):
+        regrid_cells(df, ["v"], "h3", "s2", 5)
