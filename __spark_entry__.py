@@ -1295,6 +1295,38 @@ def q_compact_cells_geohash(spark, sf_dir):
     return out.select(F.col("cell").cast("long").alias("cell"), "v")
 
 
+def q_compact_cells_quadkey(spark, sf_dir):
+    """A16 on the quadkey 4-ary quadtree (round 7's 12th grid):
+    level-5 ids constructed by pure integer arithmetic from lineitem
+    keys (id = (bits<<5)|level, child bits = parent<<2|digit); even
+    okeys emit all 4 siblings with a uniform value (must merge and
+    round-trip back), odd okeys emit 3 (must pass through).
+    compact→uncompact must return exactly the constructed set — the
+    compact_cells round-trip-identity oracle."""
+    from raster2dggs_spark.operators.compaction import (
+        compact_cells, uncompact_cells,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = (li.select((F.col("l_orderkey") % 997).alias("okey")).distinct()
+         .filter(F.col("okey") < 256))
+    k = o.withColumn(
+        "d",
+        F.explode(
+            F.when(F.col("okey") % 2 == 0, F.sequence(F.lit(0), F.lit(3)))
+            .otherwise(F.sequence(F.lit(0), F.lit(2)))
+        ),
+    ).withColumn("d", F.col("d").cast("long"))
+    cell = (F.col("okey") * 4 + F.col("d")) * 32 + 5
+    df = k.select(cell.alias("cell"),
+                  (F.col("okey") % 5).cast("double").alias("v"))
+    out = uncompact_cells(
+        compact_cells(df, ["v"], res=5, min_res=3, dggs="quadkey"),
+        res=5, dggs="quadkey",
+    )
+    return out.select(F.col("cell").cast("long").alias("cell"), "v")
+
+
 def q_compact_cells_a5(spark, sf_dir):
     """A16 on the a5 grid ACROSS the aperture-5→4 boundary (the
     reference's A5 subdivision-schedule special case, ref tests/
@@ -1813,6 +1845,32 @@ def q_geohash_pixel_index(spark, sf_dir):
     )
 
 
+def q_quadkey_pixel_index(spark, sf_dir):
+    """Pixel indexing on the quadkey (Web-Mercator quadtree / Bing
+    tile) grid — round 7's 12th backend (dggs/quadkeylib.py).  The
+    encode is (lon quantize, Mercator ln/tan quantize, Morton pack) —
+    the DuckDB twin replays the identical float expressions (only
+    libm's tan/ln may differ by 1 ulp; a boundary flip needs a pixel
+    center within ~1e-15 of a tile edge)."""
+    from raster2dggs_spark.operators.indexing import index_point_agg
+    import pandas as pd
+
+    imgs = _ramp_images(spark)
+    out = index_point_agg(imgs, res=12, parent_res=4, dggs="quadkey",
+                          agg="mean")
+
+    @F.pandas_udf("string")
+    def qk_str(c):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.cells_to_string(c.values))
+
+    return out.select(
+        qk_str("cell").alias("qk_12"), qk_str("parent").alias("qk_04"),
+        F.col("npx").cast("long").alias("n_px"), _r4("band_1").alias("v"),
+    )
+
+
 def q_maidenhead_pixel_median(spark, sf_dir):
     """Holistic aggregate through the raw-pixel path (index_point routes
     median via exploded pixel rows, not algebraic partials) — oracle
@@ -2267,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_list": q_point_list,
         "compact_cells": q_compact_cells,
         "compact_cells_geohash": q_compact_cells_geohash,
+        "compact_cells_quadkey": q_compact_cells_quadkey,
         "compact_cells_a5": q_compact_cells_a5,
         "compact_cells_i4r": q_compact_cells_i4r,
         "compact_cells_3h": q_compact_cells_3h,
@@ -2277,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_pixel_index": q_s2_pixel_index,
         "s2_pixel_index_full": q_s2_pixel_index_full,
         "geohash_pixel_index": q_geohash_pixel_index,
+        "quadkey_pixel_index": q_quadkey_pixel_index,
         "geotiff_pixel_index": q_geotiff_pixel_index,
         "i9r_pixel_index": q_i9r_pixel_index,
         "e4r_pixel_index": q_e4r_pixel_index,
@@ -2795,6 +2855,41 @@ def _maidenhead_median_sql() -> str:
     head, _, _tail = base.rpartition("SELECT mh_03")
     return head + """SELECT mh_03, mh_01, round(median(v), 4) AS v
         FROM s GROUP BY mh_03, mh_01
+    """
+
+
+def _quadkey_sql(res: int = 6, parent: int = 2) -> str:
+    """DuckDB twin of q_quadkey_pixel_index: lon quantize + Mercator
+    ln/tan quantize + base-4 digit render, mirroring
+    dggs/quadkeylib.py's float expression tree term by term."""
+    n = 1 << res
+    phi = ("radians(least(greatest(lat_deg, -85.05112878), "
+           "85.05112878))")
+    fy = f"(1.0 - ln(tan({phi}) + 1.0 / cos({phi})) / pi()) / 2.0"
+    digits = " || ".join(
+        f"CAST(2 * ((ty >> {res - 1 - i}) & 1)"
+        f" + ((tx >> {res - 1 - i}) & 1) AS VARCHAR)"
+        for i in range(res))
+    pdigits = " || ".join(
+        f"CAST(2 * ((ty >> {res - 1 - i}) & 1)"
+        f" + ((tx >> {res - 1 - i}) & 1) AS VARCHAR)"
+        for i in range(parent))
+    return f"""
+        WITH {_ramp_px_sql()},
+        t AS (SELECT v,
+                CAST(least(greatest(
+                    floor(((lon_deg + 180.0) / 360.0) * {float(n)!r}),
+                    0), {n - 1}) AS BIGINT) AS tx,
+                CAST(least(greatest(
+                    floor(({fy}) * {float(n)!r}),
+                    0), {n - 1}) AS BIGINT) AS ty
+              FROM px),
+        s AS (SELECT v, {digits} AS qk_{res:02d}, {pdigits} AS qk_{parent:02d}
+              FROM t)
+        SELECT qk_{res:02d}, qk_{parent:02d}, CAST(count(*) AS BIGINT)
+                   AS n_px,
+               round(avg(v), 4) AS v
+        FROM s GROUP BY qk_{res:02d}, qk_{parent:02d}
     """
 
 
@@ -3776,6 +3871,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(okey % 5 AS DOUBLE) AS v
             FROM k
         """,
+        "compact_cells_quadkey": """
+            WITH o AS (SELECT DISTINCT l_orderkey % 997 AS okey
+                       FROM lineitem),
+            f AS (SELECT okey FROM o WHERE okey < 256),
+            k AS (SELECT okey,
+                         unnest(CASE WHEN okey % 2 = 0 THEN [0,1,2,3]
+                                ELSE [0,1,2] END) AS d
+                  FROM f)
+            SELECT CAST((okey * 4 + d) * 32 + 5 AS BIGINT) AS cell,
+                   CAST(okey % 5 AS DOUBLE) AS v
+            FROM k
+        """,
         "compact_cells_a5": """
             WITH fv AS (SELECT l_orderkey % 12 AS face,
                                round(sum(l_quantity), 4) AS v
@@ -4270,6 +4377,7 @@ def oracle_sql() -> dict[str, str]:
         "maidenhead_pixel_index": _maidenhead_sql(),
         "maidenhead_pixel_median": _maidenhead_median_sql(),
         "geohash_pixel_index": _geohash_sql(6, 3),
+        "quadkey_pixel_index": _quadkey_sql(12, 4),
         "rhp_pixel_index": _rhp_sql(6, 1),
         "hist_area_normalized": _hist_area_sql(5, 256.0),
         "sample_points_bilinear": """

@@ -36,6 +36,7 @@ import time
 
 
 GRIDS = ("hex7", "h3", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5",
+         "quadkey",
          "i4r", "i9r", "e4r", "e9r")
 
 

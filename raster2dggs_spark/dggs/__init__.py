@@ -1,5 +1,6 @@
 from raster2dggs_spark.dggs import (
     a5lib,
+    quadkeylib,
     e4rlib,
     e9rlib,
     i4rlib,
@@ -24,7 +25,7 @@ __all__ = ["h3lib", "s2lib", "geohashlib", "maidenheadlib", "rhplib",
 # see i9rlib); e4r: the EQUAL-AREA aperture-4 sibling (IVEA/ISEA class,
 # see e4rlib; e9r its aperture-9 twin) — same honest own-id contract.
 GRIDS = ("hex7", "s2", "geohash", "maidenhead", "rhp", "i3h", "a5",
-         "i4r", "i9r", "e4r", "e9r")
+         "i4r", "i9r", "e4r", "e9r", "quadkey")
 
 
 def check_grid(dggs: str) -> str:

@@ -18,6 +18,7 @@ import numpy as np
 
 from raster2dggs_spark.dggs import (
     a5lib,
+    quadkeylib,
     e4rlib,
     e9rlib,
     i4rlib,
@@ -38,7 +39,8 @@ def grid_lib(dggs: str):
     return {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
             "maidenhead": maidenheadlib, "rhp": rhplib,
             "i3h": i3hlib, "a5": a5lib, "i4r": i4rlib,
-            "i9r": i9rlib, "e4r": e4rlib, "e9r": e9rlib}[dggs]
+            "i9r": i9rlib, "e4r": e4rlib, "e9r": e9rlib,
+            "quadkey": quadkeylib}[dggs]
 
 
 def wrap_lon(lon):
@@ -110,6 +112,12 @@ def pitch_deg(res: int, dggs: str) -> float:
         return float(np.degrees(e9rlib.cell_pitch_rad(res)))
     if dggs in ("geohash", "maidenhead"):
         return min(cell_spans(res, dggs))
+    if dggs == "quadkey":
+        # constant lon span; lat span is latitude-dependent (max 360/n
+        # at the equator, ->0 near ±85°).  This is the EQUATORIAL span:
+        # fine for margin inflation (conservative-large), and covers
+        # never sample quadkey (exact enumeration fast path above).
+        return 360.0 / (1 << res)
     raise ValueError(dggs)
 
 
@@ -120,6 +128,35 @@ def cover_bbox(lon_min, lat_min, lon_max, lat_max, res: int,
     if dggs == "hex7":  # keeps h3lib's tuned lattice
         return h3lib.cover_bbox(lon_min, lat_min, lon_max, lat_max, res,
                                 max_samples=max_samples)
+    if dggs == "quadkey":
+        # EXACT enumeration — tiles are an analytic lon x Mercator-lat
+        # lattice, no density sampling needed (and the degree pitch is
+        # latitude-dependent, so sampling would be wrong near ±85°)
+        n = 1 << res
+        # unwrapped frame: enumerate raw column indices then wrap mod n
+        cx0 = int(np.floor((lon_min + 180.0) / 360.0 * n)) - 1
+        cx1 = int(np.floor((lon_max + 180.0) / 360.0 * n)) + 1
+        _, ty0 = quadkeylib._tile_xy(np.array([0.0]),
+                                     np.array([lat_max]), res)
+        _, ty1 = quadkeylib._tile_xy(np.array([0.0]),
+                                     np.array([lat_min]), res)
+        txs = np.arange(cx0, cx1 + 1, dtype=np.int64)
+        tys = np.arange(max(0, int(ty0[0]) - 1),
+                        min(n - 1, int(ty1[0]) + 1) + 1, dtype=np.int64)
+        if txs.size * tys.size > max_samples:
+            raise ValueError(
+                f"bbox cover at res {res} needs {txs.size * tys.size} "
+                "tiles > cap; use a coarser res or split the bbox")
+        gx = np.repeat(np.mod(txs, n), tys.size)
+        gy = np.tile(tys, txs.size)
+        cand = np.unique(
+            (quadkeylib._morton(gy, gx, res) << 5) | np.int64(res))
+        clon, clat = cell_center(cand, dggs)
+        mid = 0.5 * (lon_min + lon_max)
+        clon = clon + 360.0 * np.round((mid - clon) / 360.0)
+        keep = ((clon >= lon_min) & (clon < lon_max)
+                & (clat >= lat_min) & (clat < lat_max))
+        return cand[keep]
     # curved grids at coarse res: projection distortion shrinks the
     # worst-case cell inradius well below the nominal pitch (the hex7
     # round-4 battery measured ~0.25× at res ≤ 3) — sample denser

@@ -36,11 +36,18 @@ def n_cells(res: int, dggs: str = "hex7") -> int:
         return 10 * 4 ** res  # equal-area diamonds, aperture 4
     if dggs == "e9r":
         return 10 * 9 ** res  # equal-area diamonds, aperture 9
+    if dggs == "quadkey":
+        return 4 ** res  # web-mercator quadtree (covers |lat|<=85.05)
     return 6 * 4**res
 
 
 def cell_area_m2_mean(res: int, dggs: str = "hex7") -> float:
-    """Mean cell area at ``res`` (exact: cells partition the sphere)."""
+    """Mean cell area at ``res`` (exact: cells partition the sphere —
+    quadkey partitions the |lat| <= 85.05° Mercator band, whose area
+    fraction is sin(85.05...°))."""
+    if dggs == "quadkey":
+        covered = EARTH_AREA_M2 * float(np.sin(np.radians(85.05112878))) / 2.0
+        return covered * 2.0 / n_cells(res, dggs)
     return EARTH_AREA_M2 / n_cells(res, dggs)
 
 
@@ -58,6 +65,8 @@ def resolve_resolution(mode: str, mean_pixel_area_m2: float,
         max_res = min(max_res, 30)
     if dggs == "a5":
         max_res = min(max_res, 27)
+    if dggs == "quadkey":
+        max_res = min(max_res, 23)
     if dggs == "i4r":
         max_res = min(max_res, 26)
     if dggs == "i9r":

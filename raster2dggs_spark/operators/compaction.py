@@ -37,7 +37,7 @@ def compact_cells(df: DataFrame, value_cols: list[str], res: int,
     aperture-5-then-4 schedule) — parent derivation stays native
     bit/int arithmetic (joins.parent_expr), zero Python in the loop."""
     if dggs not in ("hex7", "s2", "geohash", "rhp", "a5", "i4r", "i9r",
-                    "e4r", "e9r"):
+                    "e4r", "e9r", "quadkey"):
         raise ValueError(
             f"compact: no hierarchy arithmetic for {dggs!r} "
             "(maidenhead mixes 10/24-ary per level)"
@@ -47,7 +47,7 @@ def compact_cells(df: DataFrame, value_cols: list[str], res: int,
         if dggs == "a5":
             return 5 if parent_res == 0 else 4
         return {"hex7": 7, "s2": 4, "geohash": 32, "rhp": 9, "i4r": 4,
-                "i9r": 9, "e4r": 4, "e9r": 9}[dggs]
+                "i9r": 9, "e4r": 4, "e9r": 9, "quadkey": 4}[dggs]
     out_parts: list[DataFrame] = []
     cur = df
     for r in range(res, min_res, -1):
@@ -189,11 +189,21 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
                 | np.int64(res << 52)
                 | (rows << np.int64(26)) | cols)
 
+    def _expand_quadkey(group: np.ndarray, r_cur: int) -> np.ndarray:
+        """4-ary quadtree: bits' = bits << 2·depth | pattern (5-bit
+        level field)."""
+        depth = res - r_cur
+        n = 4 ** depth
+        bits = (group.astype(np.int64) >> 5)
+        pat = np.arange(n, dtype=np.int64)
+        kids = (bits[:, None] << np.int64(2 * depth)) | pat[None, :]
+        return (kids << 5) | np.int64(res)
+
     expanders = {"hex7": _expand_hex7, "s2": _expand_s2,
                  "geohash": _expand_geohash, "rhp": _expand_rhp,
                  "a5": _expand_a5, "i4r": _expand_i4r,
                  "i9r": _expand_i9r, "e4r": _expand_i4r,
-                 "e9r": _expand_i9r}
+                 "e9r": _expand_i9r, "quadkey": _expand_quadkey}
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from raster2dggs_spark.dggs import h3lib, s2lib
@@ -210,6 +220,8 @@ def uncompact_cells(df: DataFrame, res: int, dggs: str = "hex7",
                 cr = (np.asarray(cells, dtype=np.int64) >> 55) & 0x1F
             elif dggs in ("i4r", "i9r", "e4r", "e9r"):
                 cr = (np.asarray(cells, dtype=np.int64) >> 52) & 0x1F
+            elif dggs == "quadkey":  # 5-bit level field
+                cr = (np.asarray(cells, dtype=np.int64) & 0x1F)
             else:  # geohash/rhp: packed res nibble
                 cr = (np.asarray(cells, dtype=np.int64) & 0xF)
             out_cells = []

@@ -150,13 +150,14 @@ def _encode_points(lon, lat, res, parent_res, dggs):
     from raster2dggs_spark.dggs.cover import wrap_lon
 
     from raster2dggs_spark.dggs import (
-        a5lib, e4rlib, e9rlib, i3hlib, i4rlib, i9rlib,
+        a5lib, e4rlib, e9rlib, i3hlib, i4rlib, i9rlib, quadkeylib,
     )
 
     lib = {"hex7": h3lib, "s2": s2lib, "geohash": geohashlib,
            "maidenhead": maidenheadlib, "rhp": rhplib,
            "i3h": i3hlib, "a5": a5lib, "i4r": i4rlib,
-           "i9r": i9rlib, "e4r": e4rlib, "e9r": e9rlib}.get(dggs)
+           "i9r": i9rlib, "e4r": e4rlib, "e9r": e9rlib,
+           "quadkey": quadkeylib}.get(dggs)
     if lib is None:
         raise ValueError(f"unknown dggs {dggs!r}")
     # antimeridian-crossing tiles produce pixel-centre lons beyond ±180
@@ -174,10 +175,10 @@ def default_parent_res(res: int, dggs: str = "hex7") -> int:
     """Reference default: parent_res = max(0, res - offset), offset sized
     for ~64K subcells per partition (cli_factory.py:124-161): H3 offset 6
     (7^6≈117K), S2 offset 8 (4^8=65K), geohash offset 3 (32^3=33K)."""
-    floor = 1 if dggs in ("geohash", "maidenhead") else 0
+    floor = 1 if dggs in ("geohash", "maidenhead", "quadkey") else 0
     off = {"hex7": 6, "s2": 8, "geohash": 3, "maidenhead": 2, "rhp": 5,
            "i3h": 10, "a5": 8, "i4r": 8, "i9r": 5, "e4r": 8,
-           "e9r": 5}[dggs]  # 3^10≈59K; 4^8=65K; 9^5≈59K subcells
+           "e9r": 5, "quadkey": 8}[dggs]  # 3^10≈59K; 4^8=65K; 9^5≈59K
     return max(floor, res - off)
 
 

@@ -484,6 +484,13 @@ def parent_expr(cell_col, parent_res: int, dggs: str = "hex7",
         return head.bitwiseOR(
             F.shiftleft(F.floor(row / F.lit(div)).cast("long"), 26)
         ).bitwiseOR(F.floor(col / F.lit(div)).cast("long"))
+    if dggs == "quadkey":
+        # drop trailing base-4 digits — mirrors quadkeylib.cell_to_parent
+        if from_res is None:
+            raise ValueError("quadkey parent_expr needs from_res")
+        drop = 2 * (from_res - parent_res)
+        bits = F.shiftrightunsigned(c, 5 + drop)
+        return F.shiftleft(bits, 5).bitwiseOR(F.lit(parent_res))
     if dggs == "maidenhead":
         if from_res is None:
             raise ValueError("maidenhead parent_expr needs from_res")

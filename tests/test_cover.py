@@ -8,7 +8,8 @@ import pytest
 from raster2dggs_spark.dggs import cover
 
 GRIDS_RES = [("hex7", 6), ("s2", 11), ("geohash", 4), ("maidenhead", 3),
-             ("rhp", 6), ("i3h", 10), ("a5", 9), ("i4r", 10)]
+             ("rhp", 6), ("i3h", 10), ("a5", 9), ("i4r", 10),
+             ("quadkey", 11)]
 
 BBOX = (12.3, 41.2, 14.1, 42.6)  # ~1.8 x 1.4 degrees
 
@@ -37,7 +38,7 @@ def test_cover_bbox_sound_and_complete(dggs, res):
 
 @pytest.mark.parametrize("dggs,res",
                          [("hex7", 5), ("s2", 9), ("rhp", 4), ("i3h", 8),
-                          ("a5", 8), ("i4r", 9)])
+                          ("a5", 8), ("i4r", 9), ("quadkey", 9)])
 def test_cover_bbox_antimeridian(dggs, res):
     """Unwrapped-frame bbox across +-180 (reference F14 semantics)."""
     cells = cover.cover_bbox(178.5, -20.0, 181.5, -18.0, res, dggs)
