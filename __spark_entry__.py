@@ -579,6 +579,40 @@ def q_d8_flow(spark, sf_dir):
         ))
 
 
+def q_flow_accumulation(spark, sf_dir):
+    """Tile-local D8 flow ACCUMULATION (round 7,
+    operators/terrain.py:flow_accumulation) — the hydrology step after
+    d8_flow: per-pixel upstream drainage counts by single-pass
+    topological propagation in descending-z order.  V-valley fixture
+    tiles (z = s*(2|c-cm| + h - r) + i, integer-exact) make flow
+    CONVERGE into the trough; the oracle replays the generic 8-drop
+    argmax closed-form (drop = s*(2|u| - 2|u+dc| + dr)/dist, bit-equal
+    floats) and accumulates by recursive-CTE transitive closure —
+    every (source, node-on-path) visit counted once.  Per-image
+    integer aggregates: n_px, max/sum accumulation, stream-network
+    pixel count (acc >= 10)."""
+    from raster2dggs_spark.operators.terrain import accumulation_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_valley_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_valley_images_pdf(16),
+                                 IMAGE_SCHEMA)
+    px = accumulation_cells(imgs, res=7, keep_image_id=True)
+    return (px.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("acc").alias("am"),
+        F.sum("acc").alias("asum"),
+        F.sum((F.col("acc") >= 10).cast("long")).alias("sp"))
+        .select(
+            "image_id",
+            F.col("n").cast("long").alias("n_px"),
+            F.col("am").cast("long").alias("acc_max"),
+            F.col("asum").cast("long").alias("acc_sum"),
+            F.col("sp").cast("long").alias("stream_px"),
+        ))
+
+
 def q_regrid_geohash_maidenhead(spark, sf_dir):
     """Cross-grid regrid (round 7, operators/regrid.py): convert a
     geohash-precision-3-indexed layer onto the maidenhead grid at
@@ -2272,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_join": q_zonal_join,
         "terrain_derivatives": q_terrain_derivatives,
         "d8_flow": q_d8_flow,
+        "flow_accumulation": q_flow_accumulation,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_metric_points": q_focal_metric_points,
@@ -4025,6 +4060,76 @@ def oracle_sql() -> dict[str, str]:
                         WHEN d7 = g THEN 64 ELSE 128 END AS BIGINT) AS d8,
                    round(g, 4) + 0.0 AS drop
             FROM m
+        """,
+        "flow_accumulation": """
+            WITH RECURSIVE t AS (
+              SELECT i,
+                     12 + (i * 5) % 7 AS w,
+                     12 + (i * 3) % 7 AS h,
+                     CAST(50 + 10 * ((i * 7) % 8) AS DOUBLE) AS px,
+                     CAST(1 + i % 3 AS DOUBLE) AS s,
+                     2 + (i * 3) % (12 + (i * 5) % 7 - 4) AS cm
+              FROM range(16) r(i)),
+            p AS (
+              SELECT t.i, t.w, t.h, t.px, t.s, t.cm,
+                     CAST(rr.r AS BIGINT) AS r, CAST(cc.c AS BIGINT) AS c,
+                     sqrt(t.px * t.px + t.px * t.px) AS dd
+              FROM t, range(1, 17) rr(r), range(1, 17) cc(c)
+              WHERE rr.r <= t.h - 2 AND cc.c <= t.w - 2),
+            d AS (
+              SELECT *,
+                s*(2*abs(c-cm) - 2*abs(c+1-cm) + 0) / px AS d1,
+                s*(2*abs(c-cm) - 2*abs(c+1-cm) + 1) / dd AS d2,
+                s*(2*abs(c-cm) - 2*abs(c-cm)   + 1) / px AS d3,
+                s*(2*abs(c-cm) - 2*abs(c-1-cm) + 1) / dd AS d4,
+                s*(2*abs(c-cm) - 2*abs(c-1-cm) + 0) / px AS d5,
+                s*(2*abs(c-cm) - 2*abs(c-1-cm) - 1) / dd AS d6,
+                s*(2*abs(c-cm) - 2*abs(c-cm)   - 1) / px AS d7,
+                s*(2*abs(c-cm) - 2*abs(c+1-cm) - 1) / dd AS d8
+              FROM p),
+            m AS (SELECT *,
+                         greatest(d1, d2, d3, d4, d5, d6, d7, d8) AS g
+                  FROM d),
+            e AS (
+              SELECT i, r, c,
+                     r + CASE WHEN d1 = g THEN 0 WHEN d2 = g THEN 1
+                              WHEN d3 = g THEN 1 WHEN d4 = g THEN 1
+                              WHEN d5 = g THEN 0 WHEN d6 = g THEN -1
+                              WHEN d7 = g THEN -1 ELSE -1 END AS nr,
+                     c + CASE WHEN d1 = g THEN 1 WHEN d2 = g THEN 1
+                              WHEN d3 = g THEN 0 WHEN d4 = g THEN -1
+                              WHEN d5 = g THEN -1 WHEN d6 = g THEN -1
+                              WHEN d7 = g THEN 0 ELSE 1 END AS nc
+              FROM m
+              WHERE g > 0
+                AND r + CASE WHEN d1 = g THEN 0 WHEN d2 = g THEN 1
+                             WHEN d3 = g THEN 1 WHEN d4 = g THEN 1
+                             WHEN d5 = g THEN 0 WHEN d6 = g THEN -1
+                             WHEN d7 = g THEN -1 ELSE -1 END
+                    BETWEEN 1 AND h - 2
+                AND c + CASE WHEN d1 = g THEN 1 WHEN d2 = g THEN 1
+                             WHEN d3 = g THEN 0 WHEN d4 = g THEN -1
+                             WHEN d5 = g THEN -1 WHEN d6 = g THEN -1
+                             WHEN d7 = g THEN 0 ELSE 1 END
+                    BETWEEN 1 AND w - 2),
+            reach AS (
+              SELECT i, nr AS r, nc AS c FROM e
+              UNION ALL
+              SELECT e.i, e.nr, e.nc
+              FROM reach q JOIN e ON e.i = q.i AND e.r = q.r AND e.c = q.c),
+            acc AS (SELECT i, r, c, count(*) AS acc
+                    FROM reach GROUP BY i, r, c),
+            fl AS (
+              SELECT p.i, COALESCE(a.acc, 0) AS acc
+              FROM p LEFT JOIN acc a
+                ON a.i = p.i AND a.r = p.r AND a.c = p.c)
+            SELECT printf('img_valley_%08d', i) AS image_id,
+                   CAST(count(*) AS BIGINT) AS n_px,
+                   CAST(max(acc) AS BIGINT) AS acc_max,
+                   CAST(sum(acc) AS BIGINT) AS acc_sum,
+                   CAST(sum(CASE WHEN acc >= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS stream_px
+            FROM fl GROUP BY i
         """,
         "regrid_geohash_maidenhead": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

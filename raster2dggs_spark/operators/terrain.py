@@ -297,6 +297,125 @@ def d8_cells(
     return _prune(images, keep_image_id).mapInPandas(fn, schema)
 
 
+def flow_accumulation(z: np.ndarray, affine, crs: str):
+    """Tile-local D8 flow accumulation of one elevation tile.
+
+    Returns interior arrays ``(code, acc)``: ``code`` exactly as
+    :func:`d8_flow`; ``acc`` is the number of INTERIOR pixels whose D8
+    flow path drains through each pixel (upstream count, ESRI
+    convention — not counting the pixel itself).  Tile-local contract
+    (same as the rest of the decode-path map algebra): flow that exits
+    the interior (into the 1-px stencil border or off-tile) leaves the
+    accounting, and pixels with a NaN 3x3 window neither route nor
+    forward flow.  Propagation is exact single-pass in descending-z
+    topological order — D8 targets are strictly lower, so every
+    pixel's inflow is complete before it pushes downstream.
+    """
+    code, _ = d8_flow(z, affine, crs)
+    if code.size == 0:
+        return code, np.empty((0, 0), np.int64)
+    a = float(affine[0])
+    e = float(affine[4])
+    east = 1 if a >= 0 else -1
+    south = 1 if e <= 0 else -1
+    hi, wi = code.shape
+    rr, cc = np.meshgrid(np.arange(hi), np.arange(wi), indexing="ij")
+    nr = np.full(code.shape, -1, np.int64)
+    nc = np.full(code.shape, -1, np.int64)
+    for cd, (drow, dcol) in zip(D8_CODES, _D8_OFFSETS):
+        m = code == cd
+        if m.any():
+            nr[m] = rr[m] + drow * south
+            nc[m] = cc[m] + dcol * east
+    ok = (code > 0) & (nr >= 0) & (nr < hi) & (nc >= 0) & (nc < wi)
+    nxt = np.where(ok, nr * wi + nc, -1).ravel()
+    zi = z[1:-1, 1:-1].astype(np.float64).ravel()
+    # descending-z is a topological order of the (strictly downhill)
+    # flow forest; NaNs sort last and have nxt == -1 anyway
+    order = np.argsort(-zi, kind="stable")
+    acc = [0] * zi.size
+    nxt_l = nxt.tolist()
+    for idx in order.tolist():
+        j = nxt_l[idx]
+        if j >= 0:
+            acc[j] += acc[idx] + 1
+    return code, np.asarray(acc, np.int64).reshape(code.shape)
+
+
+def accumulation_cells(
+    images: DataFrame,
+    res: int,
+    dggs: str = "hex7",
+    parent_res: int | None = None,
+    band: int = 1,
+    keep_image_id: bool = False,
+) -> DataFrame:
+    """Explode images into per-interior-pixel accumulation rows
+    ``(image_id?, parent, cell, d8, acc)`` — the same narrow
+    no-shuffle decode-path shape as :func:`d8_cells`.  The per-tile
+    propagation is O(n log n) (one sort) + one linear pass, so a task
+    does no more work than the decode itself; cross-tile accumulation
+    would need a drainage-graph join and is out of scope (documented,
+    like the 1-px stencil border)."""
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import (
+        _decode_rows, _encode_points, _prune, default_parent_res,
+    )
+
+    check_grid(dggs)
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    fields = ([T.StructField("image_id", T.StringType(), False)]
+              if keep_image_id else [])
+    fields += [
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("d8", T.IntegerType(), False),
+        T.StructField("acc", T.LongType(), False),
+    ]
+    schema = T.StructType(fields)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.geo import pixel_centers_lonlat
+
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+        for pdf in batches:
+            for row, arr in _decode_rows(pdf, [band]):
+                z = arr[0]
+                h, w = z.shape
+                if h < 3 or w < 3:
+                    continue
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                code, acc = flow_accumulation(z, affine, row.crs)
+                keep = (code.ravel() != -32768)
+                if not keep.any():
+                    continue
+                lon, lat = pixel_centers_lonlat(affine, w, h, row.crs)
+                interior = np.zeros((h, w), dtype=bool)
+                interior[1:-1, 1:-1] = True
+                lon = lon[interior.ravel()][keep]
+                lat = lat[interior.ravel()][keep]
+                cell, parent = _encode_points(lon, lat, res, parent_res, dggs)
+                data = {}
+                if keep_image_id:
+                    data["image_id"] = np.repeat(row.image_id, cell.shape[0])
+                data["parent"] = parent
+                data["cell"] = cell
+                data["d8"] = code.ravel()[keep].astype(np.int32)
+                data["acc"] = acc.ravel()[keep]
+                buf.append(pd.DataFrame(data))
+                buf_rows += cell.shape[0]
+                if buf_rows >= 250_000:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, buf_rows = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return _prune(images, keep_image_id).mapInPandas(fn, schema)
+
+
 def terrain_point_agg(images: DataFrame, res: int, dggs: str = "hex7",
                       parent_res: int | None = None, **kw) -> DataFrame:
     """Mean slope/aspect/hillshade per cell — one exchange (aspect is a

@@ -413,6 +413,43 @@ def generate_d8_images_pdf(n_images: int = 16) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_valley_images_pdf(n_images: int = 16) -> pd.DataFrame:
+    """V-shaped valley elevation tiles in EPSG:3857 for flow
+    ACCUMULATION: ``z = s * (2*|col - cm| + h - row) + i`` with an
+    integer trough column ``cm`` — both valley walls drain diagonally
+    into the trough (SW east of it, SE west of it; drop 3s/(px*sqrt2)
+    beats the 2s/px cardinal), the trough drains due south, so flow
+    CONVERGES and per-pixel upstream counts are nontrivial.  All
+    values are small integers times s — exact in float32 and every
+    engine's float64 — and the 8 per-pixel drops have the closed form
+    ``s*(2*abs(u) - 2*abs(u+dc) + dr)/dist`` (u = col-cm) that a SQL
+    oracle replays generically with abs(), then accumulates by
+    recursive transitive closure."""
+    rows = []
+    for i in range(n_images):
+        w = 12 + (i * 5) % 7
+        h = 12 + (i * 3) % 7
+        px = float(50 + 10 * ((i * 7) % 8))
+        s = float(1 + i % 3)
+        cm = 2 + (i * 3) % (w - 4)
+        r_idx, c_idx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        arr = ((2 * np.abs(c_idx - cm) + (h - r_idx)) * s + i).astype(
+            np.float32)[None]
+        payload = encode_image(arr, "raw")
+        rows.append({
+            "image_id": f"img_valley_{i:08d}",
+            "bytes": payload,
+            "w": w, "h": h, "fmt": "raw",
+            "caption": f"valley tile {i} trough col {cm}",
+            "phash": average_hash64(arr[0]),
+            "affine_a": px, "affine_b": 0.0, "affine_c": 10_000.0 * i,
+            "affine_d": 0.0, "affine_e": -px, "affine_f": 5_000.0 * i,
+            "crs": "EPSG:3857", "nodata": None, "bands": 1,
+            "band_names": None,
+        })
+    return pd.DataFrame(rows)
+
+
 def generate_scene_stack_pdf(n_footprints: int, epochs: int = 3,
                              seed: int = 7, size_range=(14, 20)):
     """Deterministic multi-epoch scene stacks for compositing (round 7):

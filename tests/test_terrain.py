@@ -210,3 +210,105 @@ def test_d8_cells_spark_roundtrip(spark):
         w = 12 + (i * 5) % 7
         h = 12 + (i * 3) % 7
         assert r["n"] == (w - 2) * (h - 2)
+
+
+def _acc_brute(z, affine, crs):
+    """Brute-force upstream counts: follow every interior pixel's D8
+    path pixel-by-pixel, incrementing each interior node it passes."""
+    from raster2dggs_spark.operators.terrain import d8_flow
+
+    code, _ = d8_flow(z, affine, crs)
+    hi, wi = code.shape
+    a, e = float(affine[0]), float(affine[4])
+    east = 1 if a >= 0 else -1
+    south = 1 if e <= 0 else -1
+    step = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1), 16: (0, -1),
+            32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+    acc = np.zeros((hi, wi), np.int64)
+    for r0 in range(hi):
+        for c0 in range(wi):
+            if code[r0, c0] in (0, -32768):
+                continue
+            r, c = r0, c0
+            while True:
+                dr, dc = step[int(code[r, c])]
+                r, c = r + dr * south, c + dc * east
+                if not (0 <= r < hi and 0 <= c < wi):
+                    break
+                acc[r, c] += 1
+                if code[r, c] in (0, -32768):
+                    break
+    return code, acc
+
+
+@pytest.mark.parametrize("crs,affine", [
+    ("EPSG:3857", (75.0, 0, 1000.0, 0, -75.0, 2000.0)),
+    ("EPSG:3857", (-60.0, 0, 1000.0, 0, 60.0, 2000.0)),  # flipped axes
+    ("EPSG:4326", (0.01, 0, 10.0, 0, -0.01, 55.0)),
+])
+def test_flow_accumulation_matches_bruteforce(crs, affine):
+    from raster2dggs_spark.operators.terrain import flow_accumulation
+
+    rng = np.random.default_rng(23)
+    z = rng.integers(0, 200, (14, 16)).astype(np.float64)
+    z[5, 6] = np.nan
+    code, acc = flow_accumulation(z, affine, crs)
+    bc, bacc = _acc_brute(z, affine, crs)
+    assert np.array_equal(code, bc)
+    assert np.array_equal(acc, bacc)
+
+
+def test_flow_accumulation_valley_closed_form():
+    """On the valley fixture plane z = s*(2|c-cm| + h - r): walls flow
+    diagonally into the trough, trough flows south — the trough pixel
+    at interior row r accumulates every pixel that joined upstream."""
+    from raster2dggs_spark.operators.terrain import flow_accumulation
+    from raster2dggs_spark.sources.images import generate_valley_images_pdf
+    from raster2dggs_spark.codecs import decode_image
+
+    pdf = generate_valley_images_pdf(3)
+    row = pdf.iloc[1]
+    z = decode_image(row["bytes"]).astype(np.float64)[0]
+    affine = (row.affine_a, row.affine_b, row.affine_c,
+              row.affine_d, row.affine_e, row.affine_f)
+    code, acc = flow_accumulation(z, affine, "EPSG:3857")
+    bc, bacc = _acc_brute(z, affine, "EPSG:3857")
+    assert np.array_equal(acc, bacc)
+    i, w, h = 1, 12 + 5 % 7, 12 + 3 % 7
+    cm = 2 + (1 * 3) % (w - 4)
+    # interior coords: r in 1..h-2 maps to code[r-1]; trough col cm
+    assert np.all(code[:, cm - 1] == 4)          # trough drains south
+    assert np.all(code[:, cm:][:, : w - 2 - cm] == 8)   # east wall -> SW
+    assert np.all(code[:, : cm - 1] == 2)        # west wall -> SE
+    # walls: diagonal chains — acc = chain length above
+    for r in range(1, h - 1):
+        for c in range(cm + 1, w - 1):
+            assert acc[r - 1, c - 1] == min(r - 1, w - 2 - c)
+    # trough accumulates monotonically downstream
+    trough = acc[:, cm - 1]
+    assert np.all(np.diff(trough) > 0)
+    # first interior trough row: its diagonal feeders are border pixels,
+    # excluded by the tile-local contract
+    assert trough[0] == 0
+
+
+def test_accumulation_cells_spark(spark):
+    from raster2dggs_spark.operators.terrain import accumulation_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_valley_images_pdf,
+    )
+
+    pdf = generate_valley_images_pdf(4)
+    imgs = spark.createDataFrame(pdf, IMAGE_SCHEMA)
+    out = accumulation_cells(imgs, res=7, keep_image_id=True)
+    got = {r["image_id"]: r for r in
+           (out.groupBy("image_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("acc").alias("amax"),
+                 F.sum("acc").alias("asum")).collect())}
+    assert len(got) == 4
+    for i in range(4):
+        w = 12 + (i * 5) % 7
+        h = 12 + (i * 3) % 7
+        r = got[f"img_valley_{i:08d}"]
+        assert r["n"] == (w - 2) * (h - 2)
+        assert r["amax"] > h - 3  # trough bottom beats a plain chain
