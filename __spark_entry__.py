@@ -744,6 +744,41 @@ def q_change_detection(spark, sf_dir):
     return out.select(*cols)
 
 
+def q_trend(spark, sf_dir):
+    """Per-cell OLS time-series trend over the 6x3 scene stack (round
+    7, operators/composite.py:trend_cells) — the decades-of-scenes
+    NDVI-trend regression, as ONE groupBy(cell) of SQL-standard regr_*
+    aggregates (map-side partials; shuffle moves ~cells).  x = epoch
+    index 0..2 (exact integers); band_1 drifts exactly +13/epoch and
+    band_2 +1/epoch (slope pins), band_4's %101 QA ramp is non-linear
+    in t so its r2 is a nontrivial fraction.  The oracle replays the
+    identical regr_slope/intercept/r2 on the pinned per-(scene, cell)
+    fixture (epoch parsed from the scene id both sides)."""
+    from raster2dggs_spark.operators.composite import (
+        scene_cell_means, trend_cells,
+    )
+    from raster2dggs_spark.operators.indexing import pixel_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_scene_stack_pdf,
+    )
+
+    images, meta = generate_scene_stack_pdf(6, epochs=3, seed=7)
+    imgs = spark.createDataFrame(images, IMAGE_SCHEMA)
+    m = spark.createDataFrame(meta[["image_id", "epoch"]])
+    bands = [f"band_{i}" for i in range(1, 5)]
+    px = pixel_cells(imgs, res=6, dggs="hex7", n_bands=4,
+                     keep_image_id=True)
+    sc = scene_cell_means(px, bands).join(F.broadcast(m), "image_id")
+    out = trend_cells(sc, bands, x_col="epoch")
+    cols = [F.lower(F.hex("cell")).alias("hex7_06"),
+            F.col("n_obs").cast("long").alias("n_obs")]
+    for c in bands:
+        cols += [_r4(f"{c}_slope").alias(f"{c}_slope"),
+                 _r4(f"{c}_intercept").alias(f"{c}_intercept"),
+                 _r4(f"{c}_r2").alias(f"{c}_r2")]
+    return out.select(*cols)
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline family (documents / embeddings tables)
 # --------------------------------------------------------------------------
@@ -2313,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
         "change_detection": q_change_detection,
+        "trend": q_trend,
         "dedup_exact": q_dedup_exact,
         "phash_near_dup": q_phash_near_dup,
         "minhash_lsh": q_minhash_lsh,
@@ -4297,6 +4333,22 @@ def oracle_sql() -> dict[str, str]:
                        f"ELSE 'loss' END AS band_{i}_class"
                        for i in range(1, 4))}
             FROM g
+        """,
+        "trend": f"""
+            WITH sc AS (
+              SELECT hex7_06,
+                     CAST(right(image_id, 1) AS DOUBLE) AS x,
+                     band_1, band_2, band_3, band_4
+              FROM read_parquet('{_FIXDIR}/composite_stack_6x3.parquet'))
+            SELECT hex7_06, CAST(count(*) AS BIGINT) AS n_obs,
+                   {", ".join(
+                       f"round(regr_slope(band_{i}, x), 4) + 0.0 "
+                       f"AS band_{i}_slope, "
+                       f"round(regr_intercept(band_{i}, x), 4) + 0.0 "
+                       f"AS band_{i}_intercept, "
+                       f"round(regr_r2(band_{i}, x), 4) + 0.0 AS band_{i}_r2"
+                       for i in range(1, 5))}
+            FROM sc GROUP BY hex7_06
         """,
         "e9r_pixel_index": f"""
             SELECT e9r_07, e9r_02, CAST(n_px AS BIGINT) AS n_px,

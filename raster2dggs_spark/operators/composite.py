@@ -162,6 +162,35 @@ def change_cells(
     return g.select(*out_cols)
 
 
+def trend_cells(
+    scene_cells: DataFrame,
+    value_cols: list[str],
+    x_col: str = "scene_ts",
+    key_cols: tuple[str, ...] = ("cell",),
+) -> DataFrame:
+    """Per-cell OLS linear trend of each band against ``x_col`` — the
+    NDVI-trend / land-surface-change regression that EO archives run
+    over decades of scenes.  Emits ``n_obs`` plus per band ``{c}_slope``
+    (value units per x unit), ``{c}_intercept`` (value at x = 0) and
+    ``{c}_r2``.
+
+    Spark-first shape: the SQL-standard ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` aggregates in ONE
+    ``groupBy(cell)`` — partial-aggregated map-side, so the shuffle
+    moves ~cells regardless of stack depth; no window functions, no
+    self-joins, no UDFs.  Rows where either side is NULL are ignored
+    per the SQL standard (use them for gappy archives)."""
+    aggs = [F.count(F.lit(1)).alias("n_obs")]
+    for c in value_cols:
+        y, x = F.col(c), F.col(x_col).cast("double")
+        aggs += [
+            F.regr_slope(y, x).alias(f"{c}_slope"),
+            F.regr_intercept(y, x).alias(f"{c}_intercept"),
+            F.regr_r2(y, x).alias(f"{c}_r2"),
+        ]
+    return scene_cells.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+
 def scene_cell_means(
     pixel_rows: DataFrame,
     band_cols: list[str],

@@ -184,3 +184,28 @@ def test_change_cells_multi_column_and_threshold(spark):
     out = change_cells(df, ["a", "b"], t_break=150, rel_threshold=0.2).collect()[0]
     assert out["a_class"] == "gain"      # rel 0.3 > 0.2
     assert out["b_class"] == "stable"    # rel 0.02
+
+
+def test_trend_cells_exact_ols(spark):
+    from raster2dggs_spark.operators.composite import trend_cells
+
+    rows = [
+        # cell 1: y = 2x + 5 exactly -> slope 2, intercept 5, r2 1
+        ("s0", 0, 1, 5.0), ("s1", 1, 1, 7.0), ("s2", 2, 1, 9.0),
+        # cell 2: y = (0, 1, 0) -> slope 0, intercept 1/3, r2 0
+        ("s0", 0, 2, 0.0), ("s1", 1, 2, 1.0), ("s2", 2, 2, 0.0),
+        # cell 3: a NULL observation is skipped (SQL-standard regr_*)
+        ("s0", 0, 3, 1.0), ("s1", 1, 3, None), ("s2", 2, 3, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, epoch int, cell long, v double")
+    got = {r["cell"]: r for r in
+           trend_cells(df, ["v"], x_col="epoch").collect()}
+    assert got[1]["v_slope"] == pytest.approx(2.0)
+    assert got[1]["v_intercept"] == pytest.approx(5.0)
+    assert got[1]["v_r2"] == pytest.approx(1.0)
+    assert got[2]["v_slope"] == pytest.approx(0.0)
+    assert got[2]["v_r2"] == pytest.approx(0.0, abs=1e-12)
+    # cell 3: two points (x=0,2) -> slope (3-1)/2 = 1, n_obs counts rows
+    assert got[3]["v_slope"] == pytest.approx(1.0)
+    assert got[3]["n_obs"] == 3
