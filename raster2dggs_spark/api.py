@@ -302,10 +302,10 @@ def index_raster(
             out = round_decimals(out, cols, decimals)
     if compact:
         if dggs not in ("hex7", "s2", "geohash", "rhp", "i3h", "a5",
-                        "i4r", "i9r", "e4r", "e9r"):
+                        "i4r", "i9r", "e4r", "e9r", "quadkey"):
             raise ValueError(
                 "compact=True needs an id-arithmetic hierarchy "
-                "(hex7/s2/geohash/rhp/i3h/a5/i4r/i9r/e4r/e9r; "
+                "(hex7/s2/geohash/rhp/i3h/a5/i4r/i9r/e4r/e9r/quadkey; "
                 "maidenhead mixes 10/24-ary levels)"
             )
         from raster2dggs_spark.operators.compaction import (

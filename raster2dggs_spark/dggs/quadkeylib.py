@@ -135,8 +135,9 @@ def cell_to_lonlat(cells):
 
 
 def cell_to_boundary(cells):
-    """(n, 5, 2) closed lon/lat rings (exact rectangle corners, CCW
-    from the SW corner)."""
+    """(vlon, vlat) open-ring (n, 4) vertex arrays — exact rectangle
+    corners, CCW from the SW corner (the package-wide boundary
+    contract; consumers close the ring)."""
     tx, ty, lvl = cell_to_tile(cells)
     n = (np.int64(1) << lvl).astype(np.float64)
     lon0 = tx.astype(np.float64) / n * 360.0 - 180.0
@@ -145,14 +146,9 @@ def cell_to_boundary(cells):
         np.pi * (1.0 - 2.0 * ty.astype(np.float64) / n))))
     lat0 = np.degrees(np.arctan(np.sinh(
         np.pi * (1.0 - 2.0 * (ty.astype(np.float64) + 1.0) / n))))
-    ring = np.stack([
-        np.stack([lon0, lat0], axis=-1),
-        np.stack([lon1, lat0], axis=-1),
-        np.stack([lon1, lat1], axis=-1),
-        np.stack([lon0, lat1], axis=-1),
-        np.stack([lon0, lat0], axis=-1),
-    ], axis=1)
-    return ring
+    vlon = np.stack([lon0, lon1, lon1, lon0], axis=1)
+    vlat = np.stack([lat0, lat0, lat1, lat1], axis=1)
+    return vlon, vlat
 
 
 def cell_area_m2(cells, radius_m: float = EARTH_R):

@@ -348,20 +348,21 @@ def hist_normalize_cell_area(hist: DataFrame, res: int, dggs: str = "hex7",
             out, F.col(weight_col) / F.lit(float(rhplib.cell_area_m2(res)))
         )
     if dggs in ("hex7", "i3h", "a5", "i4r", "i9r", "e4r", "e9r", "s2",
-                "geohash", "maidenhead"):
+                "geohash", "maidenhead", "quadkey"):
         import pandas as pd
 
         @F.pandas_udf("double")
         def area_m2(c):
             from raster2dggs_spark.dggs import (
                 a5lib, e4rlib, e9rlib, geohashlib, h3lib, i3hlib,
-                i4rlib, i9rlib, maidenheadlib, s2lib,
+                i4rlib, i9rlib, maidenheadlib, quadkeylib, s2lib,
             )
 
             lib = {"hex7": h3lib, "i3h": i3hlib, "a5": a5lib,
                    "i4r": i4rlib, "i9r": i9rlib, "e4r": e4rlib,
                    "e9r": e9rlib, "s2": s2lib, "geohash": geohashlib,
-                   "maidenhead": maidenheadlib}[dggs]
+                   "maidenhead": maidenheadlib,
+                   "quadkey": quadkeylib}[dggs]
             return pd.Series(lib.cell_area_m2(c.values))
 
         return hist.withColumn(out, F.col(weight_col) / area_m2(cell_col))

@@ -135,6 +135,10 @@ def _cells_children(cells, res: int, dggs: str):
         from raster2dggs_spark.dggs import e9rlib
 
         return e9rlib.cell_to_children(cells).ravel()
+    if dggs == "quadkey":
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return quadkeylib.cell_to_children(cells, res + 1).ravel()
     raise ValueError(f"children arithmetic not implemented for {dggs!r}")
 
 

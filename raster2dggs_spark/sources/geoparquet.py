@@ -48,7 +48,7 @@ def add_cell_geometry(df: DataFrame, dggs: str = "hex7",
     def geom(cell: pd.Series) -> pd.Series:
         from raster2dggs_spark.dggs import (
             a5lib, cover, e4rlib, e9rlib, h3lib, i3hlib, i4rlib,
-            i9rlib, rhplib, s2lib,
+            i9rlib, quadkeylib, rhplib, s2lib,
         )
 
         cells = cell.values
@@ -56,7 +56,7 @@ def add_cell_geometry(df: DataFrame, dggs: str = "hex7",
             blib = {"hex7": h3lib, "s2": s2lib, "rhp": rhplib,
                     "i3h": i3hlib, "a5": a5lib, "i4r": i4rlib,
                     "i9r": i9rlib, "e4r": e4rlib,
-                    "e9r": e9rlib}.get(dggs)
+                    "e9r": e9rlib, "quadkey": quadkeylib}.get(dggs)
             if blib is not None:
                 vlon, vlat = blib.cell_to_boundary(cells)
                 return pd.Series(wkb_polygons(vlon, vlat))

@@ -80,14 +80,12 @@ def test_area_closure_and_children_sum():
 
 def test_boundary_rectangles_contain_center():
     c = qk.lonlat_to_cell(np.array([174.8, -0.01]), np.array([-36.9, 0.01]), 9)
-    ring = qk.cell_to_boundary(c)
-    assert ring.shape == (2, 5, 2)
-    assert np.array_equal(ring[:, 0], ring[:, -1])  # closed
+    vlon, vlat = qk.cell_to_boundary(c)
+    assert vlon.shape == (2, 4) and vlat.shape == (2, 4)
     lo, la = qk.cell_to_lonlat(c)
     for i in range(2):
-        lons, lats = ring[i, :4, 0], ring[i, :4, 1]
-        assert lons.min() < lo[i] < lons.max()
-        assert lats.min() < la[i] < lats.max()
+        assert vlon[i].min() < lo[i] < vlon[i].max()
+        assert vlat[i].min() < la[i] < vlat[i].max()
 
 
 def test_pole_clamp_into_edge_rows():

@@ -24,7 +24,7 @@ def test_parent_contains_child_every_grid(lon, lat):
     hierarchies; hex/s2 parents contain the child center's coarse
     encode up to boundary rounding)."""
     for dggs, res in (("geohash", 6), ("maidenhead", 3), ("rhp", 6),
-                      ("a5", 8), ("i4r", 9), ("i9r", 6)):
+                      ("a5", 8), ("i4r", 9), ("i9r", 6), ("quadkey", 12)):
         c = cover.encode(np.array([lon]), np.array([lat]), res, dggs)
         p = cover.cell_parent(c, res - 1, dggs)
         direct = cover.encode(np.array([lon]), np.array([lat]), res - 1, dggs)
@@ -36,7 +36,8 @@ def test_parent_contains_child_every_grid(lon, lat):
 def test_center_reencodes_to_self_prefix_grids(lon, lat):
     """Rectangle/prefix grids: a cell's center must encode back to the
     cell (exact round-trip — no seam duality on these grids)."""
-    for dggs, res in (("geohash", 6), ("maidenhead", 3)):
+    for dggs, res in (("geohash", 6), ("maidenhead", 3),
+                      ("quadkey", 12)):
         c = cover.encode(np.array([lon]), np.array([lat]), res, dggs)
         clon, clat = cover.cell_center(c, dggs)
         c2 = cover.encode(clon, clat, res, dggs)
