@@ -530,3 +530,70 @@ def test_streaming_geotiff_ingest_equals_batch(spark, tmp_path):
     a, b = g["band_1"].values.astype(float), e["band_1"].values.astype(float)
     assert np.allclose(a, b, rtol=1e-12, atol=1e-12)
     assert table.snapshot()["lineage"]["operator"] == "index_geotiffs_stream"
+
+
+def test_streaming_composite_equals_batch(spark, tmp_path):
+    """Streaming mosaic maintenance: scene waves drain into per-cell
+    WINNER snapshots; finish_composite over all snapshots equals the
+    batch best-quality composite over the union — argmax is
+    associative under the total comparator, so batch boundaries are
+    invisible.  Re-delivered batches are skipped (lineage batch-id)."""
+    import os
+
+    from raster2dggs_spark.operators.composite import composite_scenes
+    from raster2dggs_spark.sources.icetable import IceTable
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_scene_stack_pdf,
+    )
+    from raster2dggs_spark.streaming.composite import (
+        composite_stream, finish_composite, make_commit_batch,
+    )
+
+    images, meta = generate_scene_stack_pdf(4, epochs=3, seed=7)
+    meta_df = spark.createDataFrame(meta[["image_id", "scene_ts"]])
+    all_imgs = spark.createDataFrame(images, IMAGE_SCHEMA)
+    indir = str(tmp_path / "arrivals")
+    os.makedirs(indir)
+    table = IceTable(str(tmp_path / "t"))
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1: epochs 0-1 arrive; wave 2: epoch 2 (winners must flip
+    # where epoch 2's QA beats the standing winner)
+    w1 = images[~images["image_id"].str.endswith("_t2")]
+    w2 = images[images["image_id"].str.endswith("_t2")]
+    spark.createDataFrame(w1, IMAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(indir)
+    q = composite_stream(spark, indir, meta_df, table, res=6,
+                         checkpoint_dir=ckpt, quality_band="band_4")
+    q.awaitTermination()
+    v1 = table.current_version()
+    assert v1 >= 1
+    spark.createDataFrame(w2, IMAGE_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(indir)
+    q = composite_stream(spark, indir, meta_df, table, res=6,
+                         checkpoint_dir=ckpt, quality_band="band_4")
+    q.awaitTermination()
+    assert table.current_version() > v1
+
+    vcols = ["band_1", "band_2", "band_3"]
+    got = (finish_composite(table.read(spark), vcols)
+           .toPandas().sort_values("cell").reset_index(drop=True))
+    exp = (composite_scenes(all_imgs, meta_df, res=6,
+                            strategy="best_quality", quality_band="band_4")
+           .toPandas().sort_values("cell").reset_index(drop=True))
+    assert (got["cell"].values == exp["cell"].values).all()
+    assert (got["scene"].values == exp["scene"].values).all()
+    assert (got["n_scenes"].values == exp["n_scenes"].values).all()
+    for c in vcols + ["quality"]:
+        assert np.allclose(got[c].astype(float), exp[c].astype(float),
+                           rtol=0, atol=0)
+    # winners actually flipped across the batch boundary somewhere
+    assert (got["scene"].str.endswith("_t2")).any()
+    assert (~got["scene"].str.endswith("_t2")).any()
+
+    # re-delivery of an already-committed batch is a no-op
+    commit = make_commit_batch(table, meta_df, 6, "best_quality", "hex7",
+                               "band_4", 4, indir, ckpt)
+    v = table.current_version()
+    commit(spark.createDataFrame(w2, IMAGE_SCHEMA), 0)
+    assert table.current_version() == v
