@@ -744,6 +744,49 @@ def q_change_detection(spark, sf_dir):
     return out.select(*cols)
 
 
+def q_line_cells_quadkey(spark, sf_dir):
+    """Polyline -> cell EXACT supercover on the quadkey grid (round 7,
+    operators/joins.py:line_cells) — the vector2dggs linestring
+    workload.  200 synthetic zigzag polylines with exact-binary vertex
+    coordinates; each segment is mapped into continuous tile-index
+    space (lon linear, N-S through Mercator fy), every grid-line
+    crossing t is enumerated analytically, and consecutive-crossing
+    midpoints name the traversed cells — no sampling.  The oracle
+    replays the identical construction relationally: generate_series
+    for the crossings, lead() midpoints, floor/clip, base-4 digit
+    render.  Only libm tan/ln may differ by 1 ulp (same accepted risk
+    as quadkey_pixel_index); a flip needs a crossing within ~1e-12 of
+    a tile corner."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.joins import line_cells
+
+    ln = spark.range(200).select(
+        F.col("id").alias("line_id"),
+        (F.lit(3) + F.col("id") % 4).cast("int").alias("m"),
+        (F.lit(-170.0) + (F.col("id") * 7 % 340).cast("double")).alias("a"),
+        (F.lit(-55.0) + (F.col("id") * 11 % 110).cast("double")).alias("b"),
+    )
+    ks = F.sequence(F.lit(0), F.col("m"))
+    df = ln.select(
+        "line_id",
+        F.transform(ks, lambda k: F.col("a")
+                    + F.lit(0.25) * k.cast("double")).alias("xs"),
+        F.transform(ks, lambda k: F.col("b")
+                    + F.lit(0.125) * (k % 2).cast("double")
+                    + F.lit(0.0625) * k.cast("double")).alias("ys"),
+    )
+    out = line_cells(df, res=12, dggs="quadkey")
+
+    @F.pandas_udf("string")
+    def qk_str(c):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.cells_to_string(c.values))
+
+    return out.select("line_id", qk_str("cell").alias("qk_12"))
+
+
 def q_trend(spark, sf_dir):
     """Per-cell OLS time-series trend over the 6x3 scene stack (round
     7, operators/composite.py:trend_cells) — the decades-of-scenes
@@ -2349,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_median": q_composite_median,
         "change_detection": q_change_detection,
         "trend": q_trend,
+        "line_cells_quadkey": q_line_cells_quadkey,
         "dedup_exact": q_dedup_exact,
         "phash_near_dup": q_phash_near_dup,
         "minhash_lsh": q_minhash_lsh,
@@ -4333,6 +4377,77 @@ def oracle_sql() -> dict[str, str]:
                        f"ELSE 'loss' END AS band_{i}_class"
                        for i in range(1, 4))}
             FROM g
+        """,
+        "line_cells_quadkey": """
+            WITH l AS (
+              SELECT i AS line_id, 3 + i % 4 AS m,
+                     CAST(-170 + (i * 7) % 340 AS DOUBLE) AS a,
+                     CAST(-55 + (i * 11) % 110 AS DOUBLE) AS b
+              FROM range(200) r(i)),
+            seg AS (
+              SELECT line_id, s.j AS j,
+                     a + 0.25 * CAST(s.j AS DOUBLE) AS lon0,
+                     b + 0.125 * CAST(s.j % 2 AS DOUBLE)
+                       + 0.0625 * CAST(s.j AS DOUBLE) AS lat0,
+                     a + 0.25 * CAST(s.j + 1 AS DOUBLE) AS lon1,
+                     b + 0.125 * CAST((s.j + 1) % 2 AS DOUBLE)
+                       + 0.0625 * CAST(s.j + 1 AS DOUBLE) AS lat1
+              FROM l, range(7) s(j) WHERE s.j < m),
+            uv AS (
+              SELECT line_id, j,
+                     (lon0 + 180.0) / 360.0 * 4096.0 AS u0,
+                     (lon1 + 180.0) / 360.0 * 4096.0 AS u1,
+                     ((1.0 - ln(tan(radians(lat0))
+                                + 1.0 / cos(radians(lat0))) / pi())
+                      / 2.0) * 4096.0 AS v0,
+                     ((1.0 - ln(tan(radians(lat1))
+                                + 1.0 / cos(radians(lat1))) / pi())
+                      / 2.0) * 4096.0 AS v1
+              FROM seg),
+            cr AS (
+              SELECT *,
+                     CAST(floor(least(u0, u1)) AS BIGINT) AS fu0,
+                     CAST(floor(greatest(u0, u1)) AS BIGINT) AS fu1,
+                     CAST(floor(least(v0, v1)) AS BIGINT) AS fv0,
+                     CAST(floor(greatest(v0, v1)) AS BIGINT) AS fv1
+              FROM uv),
+            ts AS (
+              SELECT line_id, j, u0, v0, u1, v1, 0.0 AS t FROM cr
+              UNION ALL
+              SELECT line_id, j, u0, v0, u1, v1, 1.0 FROM cr
+              UNION ALL
+              SELECT line_id, j, u0, v0, u1, v1,
+                     (CAST(g.k AS DOUBLE) - u0) / (u1 - u0)
+              FROM cr JOIN range(0, 4097) g(k)
+                ON g.k >= fu0 + 1 AND g.k <= fu1
+              UNION ALL
+              SELECT line_id, j, u0, v0, u1, v1,
+                     (CAST(g.k AS DOUBLE) - v0) / (v1 - v0)
+              FROM cr JOIN range(0, 4097) g(k)
+                ON g.k >= fv0 + 1 AND g.k <= fv1),
+            mid AS (
+              SELECT *,
+                     lead(t) OVER (PARTITION BY line_id, j
+                                   ORDER BY t) AS t2
+              FROM ts),
+            px AS (
+              SELECT line_id,
+                     u0 + (u1 - u0) * (0.5 * (t + t2)) AS um,
+                     v0 + (v1 - v0) * (0.5 * (t + t2)) AS vm
+              FROM mid WHERE t2 IS NOT NULL),
+            xy AS (
+              SELECT DISTINCT line_id,
+                     CAST(least(greatest(floor(um), 0), 4095) AS BIGINT)
+                         AS tx,
+                     CAST(least(greatest(floor(vm), 0), 4095) AS BIGINT)
+                         AS ty
+              FROM px)
+            SELECT DISTINCT CAST(line_id AS BIGINT) AS line_id,
+                   """ + " || ".join(
+                       f"CAST(2 * ((ty >> {12 - 1 - i}) & 1)"
+                       f" + ((tx >> {12 - 1 - i}) & 1) AS VARCHAR)"
+                       for i in range(12)) + """ AS qk_12
+            FROM xy
         """,
         "trend": f"""
             WITH sc AS (

@@ -50,6 +50,27 @@ def lonlat_to_cell(lon_deg, lat_deg, precision: int):
     return ((bits << np.uint64(4)) | np.uint64(precision)).astype(np.int64)
 
 
+def cell_from_indices(ix, iy, precision: int):
+    """Pack integer (lon, lat) quantizer indices straight into ids —
+    the same interleave as :func:`lonlat_to_cell` minus the float
+    quantization (exact-supercover constructor)."""
+    if not 1 <= precision <= MAX_PRECISION:
+        raise ValueError("precision 1..12")
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    ix = np.asarray(ix, dtype=np.uint64).ravel()
+    iy = np.asarray(iy, dtype=np.uint64).ravel()
+    bits = np.zeros(ix.shape[0], dtype=np.uint64)
+    for k in range(nbits):
+        if k % 2 == 0:
+            src = (ix >> np.uint64(nlon - 1 - k // 2)) & np.uint64(1)
+        else:
+            src = (iy >> np.uint64(nlat - 1 - k // 2)) & np.uint64(1)
+        bits |= src << np.uint64(nbits - 1 - k)
+    return ((bits << np.uint64(4)) | np.uint64(precision)).astype(np.int64)
+
+
 def get_precision(cells):
     c = np.asarray(cells).astype(np.uint64)
     return (c & np.uint64(0xF)).astype(np.int64)

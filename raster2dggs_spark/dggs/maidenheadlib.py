@@ -49,6 +49,26 @@ def lonlat_to_cell(lon_deg, lat_deg, precision: int):
     return (bits << 4) | precision
 
 
+def cell_from_indices(ix, iy, precision: int):
+    """Pack total mixed-radix (column, row) indices (0..Πb-1 each)
+    straight into ids — digit-peel twin of :func:`lonlat_to_cell`
+    minus the float quantization (exact-supercover constructor)."""
+    if not 1 <= precision <= MAX_PRECISION:
+        raise ValueError("precision 1..5")
+    ix = np.asarray(ix, dtype=np.int64).ravel().copy()
+    iy = np.asarray(iy, dtype=np.int64).ravel().copy()
+    n = 1
+    for b in BASES[:precision]:
+        n *= b
+    bits = np.zeros(ix.shape[0], dtype=np.int64)
+    for b in BASES[:precision]:
+        n //= b
+        dx, ix = np.divmod(ix, n)
+        dy, iy = np.divmod(iy, n)
+        bits = bits * (b * b) + dx * b + dy
+    return (bits << 4) | precision
+
+
 def get_precision(cells):
     return (np.asarray(cells, dtype=np.int64) & 0xF)
 

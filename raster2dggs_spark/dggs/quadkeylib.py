@@ -73,6 +73,16 @@ def lonlat_to_cell(lon_deg, lat_deg, level: int):
     return (_morton(ty, tx, level) << 5) | np.int64(level)
 
 
+def tile_to_cell(tx, ty, level: int):
+    """Pack slippy (tx, ty) indices into ids — the XYZ ingestion path
+    and the exact-supercover constructor (no float round-trip)."""
+    if not 1 <= level <= MAX_LEVEL:
+        raise ValueError(f"level 1..{MAX_LEVEL}")
+    tx = np.asarray(tx, dtype=np.int64).ravel()
+    ty = np.asarray(ty, dtype=np.int64).ravel()
+    return (_morton(ty, tx, level) << 5) | np.int64(level)
+
+
 def get_resolution(cells):
     return (np.asarray(cells, dtype=np.int64) & 0x1F)
 

@@ -383,3 +383,62 @@ def test_knn_join_pole_adjacent_bands(spark, dggs, res):
         exp = order[:k].tolist()
         gotq = out[out.q_id == qi].sort_values("rank")["t_id"].tolist()
         assert gotq == exp, f"q {qi}: {gotq} != {exp}"
+
+
+def test_line_cells_contract(spark):
+    """line_cells: single narrow MapInPandas (no shuffle); vertices'
+    own cells always present; the documented densified-sampling
+    semantics is monotone in density (default step's cells are a
+    subset of a 5x denser pass)."""
+    import numpy as np
+
+    from raster2dggs_spark.dggs import cover
+    from raster2dggs_spark.operators.joins import line_cells
+
+    rows = []
+    for i in range(12):
+        m = 3 + i % 4
+        a = -170.0 + (i * 7) % 340
+        b = -55.0 + (i * 11) % 110
+        xs = [a + 0.25 * k for k in range(m + 1)]
+        ys = [b + 0.125 * (k % 2) + 0.0625 * k for k in range(m + 1)]
+        rows.append((i, xs, ys))
+    df = spark.createDataFrame(
+        rows, "line_id long, xs array<double>, ys array<double>")
+    def _dense_samples(dggs, res, per_seg=4000):
+        s = set()
+        for i, xs, ys in rows:
+            for j in range(len(xs) - 1):
+                t = np.linspace(0.0, 1.0, per_seg)
+                lon = xs[j] + (xs[j + 1] - xs[j]) * t
+                lat = ys[j] + (ys[j + 1] - ys[j]) * t
+                for c in cover.encode(lon, lat, res, dggs):
+                    s.add((i, c))
+        return s
+
+    # rectangle grids: EXACT supercover — a brute dense sampling can
+    # never find a traversed cell the operator missed
+    for dggs, res in (("quadkey", 12), ("geohash", 5)):
+        out = line_cells(df, res, dggs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        got = {(r["line_id"], r["cell"]) for r in out.collect()}
+        dense = _dense_samples(dggs, res)
+        assert dense <= got, (dggs, len(dense - got))
+        # and no phantom cells: every extra must be a sliver the dense
+        # pass stepped over, so the overshoot is small
+        assert len(got - dense) <= 0.05 * len(got) + 2, dggs
+
+    # curved grids: documented densified-sampling contract
+    for dggs, res in (("hex7", 7), ("s2", 12), ("maidenhead", 3)):
+        out = line_cells(df, res, dggs)
+        got = {(r["line_id"], r["cell"]) for r in out.collect()}
+        dense = {(r["line_id"], r["cell"]) for r in
+                 line_cells(df, res, dggs, step_frac=0.07).collect()}
+        assert len(got - dense) <= 0.02 * len(dense) + 1, dggs
+        assert len(got) >= 0.9 * len(dense), dggs
+        for i, xs, ys in rows:
+            for lon, lat in ((xs[0], ys[0]), (xs[-1], ys[-1])):
+                c = cover.encode(np.array([lon]), np.array([lat]),
+                                 res, dggs)[0]
+                assert (i, c) in got, (dggs, i)
