@@ -433,6 +433,42 @@ def main():
     extras["compact3h_output"] = c3_out["rows"]
     cdf.unpersist()
 
+    # -- q13: hydrology decode path — D8 + tile-local flow accumulation
+    # over the full bench corpus (round 7): decode, per-tile descending-z
+    # propagation, encode, per-image reduce; narrow, no shuffle ----------
+    from raster2dggs_spark.operators.terrain import accumulation_cells
+
+    fa_row = timed("flow_accum", lambda: accumulation_cells(imgs, res=9)
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.max("acc").alias("amax")).collect()[0])
+    extras["flow_accum_px"] = int(fa_row["n"])
+
+    # -- q14: vector supercover at scale — 100k zigzag polylines exactly
+    # supercovered onto quadkey res 12 (round 7, line_cells): analytic
+    # crossings, one narrow mapInPandas, per-line in-task dedupe --------
+    from raster2dggs_spark.operators.joins import line_cells
+
+    lin = spark.range(100_000).select(
+        F.col("id").alias("line_id"),
+        (F.lit(3) + F.col("id") % 5).cast("int").alias("m"),
+        (F.lit(-175.0) + (F.col("id") * 13 % 350).cast("double")).alias("a"),
+        (F.lit(-55.0) + (F.col("id") * 17 % 110).cast("double")).alias("b"))
+    _ks = F.sequence(F.lit(0), F.col("m"))
+    lines_df = lin.select(
+        "line_id",
+        F.transform(_ks, lambda k: F.col("a")
+                    + F.lit(0.25) * k.cast("double")).alias("xs"),
+        F.transform(_ks, lambda k: F.col("b")
+                    + F.lit(0.125) * (k % 2).cast("double")
+                    + F.lit(0.0625) * k.cast("double")).alias("ys"),
+    ).repartition(CPUS).persist()
+    lines_df.count()
+    lc_row = timed("line_cells_100k", lambda: line_cells(
+        lines_df, 12, "quadkey")
+        .agg(F.count(F.lit(1)).alias("n")).collect()[0])
+    extras["line_cells_rows"] = int(lc_row["n"])
+    lines_df.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -476,7 +476,10 @@ def line_cells(lines: DataFrame, res: int, dggs: str = "hex7",
                 sm = seg[:-1][pair]
                 um = u0[sm] + du[sm] * tm
                 vm = v0[sm] + dv[sm] * tm
-                ix = np.clip(np.floor(um).astype(np.int64), 0, nx - 1)
+                # lon axis is periodic: unwrapped-frame lines across
+                # the antimeridian (F14 semantics) wrap mod nx; the lat
+                # axis clips into the edge rows
+                ix = np.mod(np.floor(um).astype(np.int64), nx)
                 iy = np.clip(np.floor(vm).astype(np.int64), 0, ny - 1)
                 olid, ocell = lid[sm], make(ix, iy)
                 if vlid:  # degenerate single-point rows in this batch

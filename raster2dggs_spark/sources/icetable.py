@@ -138,13 +138,18 @@ class IceTable:
         return manifests
 
     def _commit(self, spark: SparkSession, partition_by: str, lineage,
-                new_files: set[str] | None = None) -> dict:
+                new_files: set[str] | None = None,
+                manifests: dict | None = None) -> dict:
         """Commit a snapshot.  ``new_files=None`` (overwrite semantics)
         manifests the whole data dir; with a file set (append semantics)
         the previous snapshot's manifests are carried forward and only
-        ``new_files`` are added — uncommitted orphans stay unpublished."""
+        ``new_files`` are added — uncommitted orphans stay unpublished.
+        An explicit ``manifests`` dict (maintenance ops) is committed
+        verbatim."""
         os.makedirs(self.meta_dir, exist_ok=True)
-        if new_files is None:
+        if manifests is not None:
+            pass
+        elif new_files is None:
             manifests = self._manifests_from_files(
                 self._list_data_files(), spark)
         else:
@@ -205,6 +210,57 @@ class IceTable:
         if not files:
             raise FileNotFoundError(f"snapshot v{snap['version']} lists no files")
         return spark.read.option("basePath", self.data_dir).parquet(*files)
+
+    def optimize(self, spark: SparkSession, min_files: int = 2) -> dict:
+        """Small-file compaction (the Iceberg ``rewrite_data_files`` /
+        OPTIMIZE maintenance pass): partitions whose current manifest
+        lists ``min_files`` or more data files are rewritten into one
+        coalesced file each and committed as a new snapshot; compact
+        partitions carry forward untouched.  After N streaming
+        micro-batch appends a partition holds N tiny files — at
+        production batch cadence the read amplification, not the data
+        volume, becomes the scan bottleneck; this is the standing
+        answer.
+
+        Snapshot-isolated like every write: the rewritten files land
+        beside the old ones and the commit swaps the manifests, so
+        concurrent readers of older versions (time travel) keep
+        working until ``vacuum`` reclaims the superseded files.
+        Scale shape: ONE ``repartition(partition_col)`` shuffle over
+        only the affected partitions' rows (compact partitions are not
+        read at all), and the footer scan of the new files fans out to
+        executors past the driver limit.  Returns the new snapshot (or
+        the current one unchanged if nothing needed rewriting)."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"no committed snapshot under {self.root}")
+        part_col = snap["partition_by"]
+        rewrite = [m for m in snap["manifests"]
+                   if len(m["files"]) >= min_files]
+        if not rewrite:
+            return snap
+        keep = {m["partition"]: {"partition": m["partition"],
+                                 "files": list(m["files"]),
+                                 "row_count": m["row_count"]}
+                for m in snap["manifests"] if len(m["files"]) < min_files}
+        before = self._list_data_files()
+        old = [os.path.join(self.root, f)
+               for m in rewrite for f in m["files"]]
+        df = spark.read.option("basePath", self.data_dir).parquet(*old)
+        (df.repartition(part_col)
+           .write.mode("append").partitionBy(part_col)
+           .parquet(self.data_dir))
+        new_files = self._list_data_files() - before
+        manifests = dict(keep)
+        manifests.update(self._manifests_from_files(new_files, spark))
+        return self._commit(
+            spark, part_col,
+            {"operator": "optimize",
+             "rewrote_partitions": len(rewrite),
+             "rewrote_files": sum(len(m["files"]) for m in rewrite),
+             "parent_snapshot": snap["version"]},
+            manifests=manifests)
 
     def vacuum(self, min_age_s: float = 0.0) -> list[str]:
         """Delete data files not referenced by the current snapshot

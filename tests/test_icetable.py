@@ -3,6 +3,8 @@ read-back, count audit."""
 
 import os
 
+import pyspark.sql.functions as F
+
 
 def test_icetable_roundtrip(spark, tmp_path):
     from raster2dggs_spark.sources import IceTable
@@ -73,3 +75,46 @@ def test_icetable_time_travel_read(spark, tmp_path):
     assert t.read(spark, version=1).count() == 100
     ids_v1 = {r["id"] for r in t.read(spark, version=1).collect()}
     assert ids_v1 == set(range(100))
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """OPTIMIZE: three appends leave 3 files/partition; optimize
+    rewrites each hot partition to ONE file, reads stay row-identical,
+    time travel to the pre-optimize snapshot still works, a second
+    optimize is a no-op, and vacuum then reclaims the superseded
+    files without breaking the current read."""
+    from raster2dggs_spark.sources.icetable import IceTable
+
+    t = IceTable(str(tmp_path / "t"))
+    for w in range(3):
+        df = spark.range(w * 100, (w + 1) * 100).select(
+            (F.col("id") % 4).alias("p"), F.col("id").alias("v"))
+        t.write(df.repartition(2), "p", mode="append",
+                lineage={"wave": w})
+    v_before = t.current_version()
+    snap0 = t.snapshot()
+    files_before = {m["partition"]: len(m["files"])
+                    for m in snap0["manifests"]}
+    assert all(n >= 3 for n in files_before.values())
+    rows_before = sorted((r["p"], r["v"])
+                         for r in t.read(spark).collect())
+
+    snap1 = t.optimize(spark)
+    assert snap1["version"] == v_before + 1
+    assert snap1["lineage"]["operator"] == "optimize"
+    assert all(len(m["files"]) == 1 for m in snap1["manifests"])
+    assert snap1["total_rows"] == snap0["total_rows"]
+    assert sorted((r["p"], r["v"])
+                  for r in t.read(spark).collect()) == rows_before
+    # time travel to the pre-optimize snapshot still reads old files
+    assert sorted((r["p"], r["v"])
+                  for r in t.read(spark, version=v_before).collect()) \
+        == rows_before
+    # idempotent: nothing left to rewrite
+    snap2 = t.optimize(spark)
+    assert snap2["version"] == snap1["version"]
+    # vacuum reclaims superseded files; current read unaffected
+    removed = t.vacuum()
+    assert len(removed) >= sum(files_before.values()) - len(files_before)
+    assert sorted((r["p"], r["v"])
+                  for r in t.read(spark).collect()) == rows_before

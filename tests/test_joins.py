@@ -442,3 +442,23 @@ def test_line_cells_contract(spark):
                 c = cover.encode(np.array([lon]), np.array([lat]),
                                  res, dggs)[0]
                 assert (i, c) in got, (dggs, i)
+
+
+def test_line_cells_antimeridian(spark):
+    """Unwrapped-frame polyline across +-180 (F14 semantics): the lon
+    axis wraps mod n, so the supercover lands in both hemispheres'
+    edge columns with no gap."""
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.joins import line_cells
+
+    df = spark.createDataFrame(
+        [(0, [179.7, 180.3], [10.0, 10.1])],
+        "line_id long, xs array<double>, ys array<double>")
+    out = line_cells(df, 10, "quadkey").collect()
+    tx, ty, _ = quadkeylib.cell_to_tile(
+        np.array([r["cell"] for r in out], dtype=np.int64))
+    n = 1 << 10
+    assert (tx == n - 1).any() and (tx == 0).any()   # both sides
+    # contiguous traversal: exactly the columns the segment spans
+    assert set(tx) <= {n - 1, 0, 1}
+    assert len(set(map(tuple, zip(tx, ty)))) == len(out)
