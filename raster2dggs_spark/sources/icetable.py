@@ -194,19 +194,45 @@ class IceTable:
 
     # -- read path ---------------------------------------------------------
     def read(self, spark: SparkSession,
-             version: int | None = None) -> DataFrame:
+             version: int | None = None,
+             partition_values=None) -> DataFrame:
         """Snapshot-isolated scan: reads exactly the files the selected
         snapshot's manifests list (orphans from crashed writers are
         invisible until committed).  ``version`` time-travels to an
         older snapshot (Iceberg ``VERSION AS OF`` semantics): append
         snapshots carry the previous manifests forward, so an old
         version reproduces exactly the rows committed then — provided
-        ``vacuum`` has not removed files newer overwrites orphaned."""
+        ``vacuum`` has not removed files newer overwrites orphaned.
+
+        ``partition_values`` (iterable of partition-column values)
+        prunes at the MANIFEST, not the filesystem: only the matching
+        partitions' files are handed to the reader — Iceberg's
+        metadata-level partition pruning.  On a parent-partitioned
+        100-TB table a point lookup then opens a handful of files
+        instead of listing 10⁵-10⁶ directories; an empty selection
+        returns an empty frame with the snapshot's schema rather than
+        a scan."""
         snap = self.snapshot(version)
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        manifests = snap["manifests"]
+        if partition_values is not None:
+            col = snap["partition_by"]
+            want = {f"{col}={v}" for v in partition_values}
+            pruned = [m for m in manifests if m["partition"] in want]
+            if not pruned:
+                # typed empty frame: take the schema from one real file
+                any_file = next((f for m in manifests for f in m["files"]),
+                                None)
+                if any_file is None:
+                    raise FileNotFoundError(
+                        f"snapshot v{snap['version']} lists no files")
+                schema = spark.read.option("basePath", self.data_dir) \
+                    .parquet(os.path.join(self.root, any_file)).schema
+                return spark.createDataFrame([], schema)
+            manifests = pruned
         files = [os.path.join(self.root, f)
-                 for m in snap["manifests"] for f in m["files"]]
+                 for m in manifests for f in m["files"]]
         if not files:
             raise FileNotFoundError(f"snapshot v{snap['version']} lists no files")
         return spark.read.option("basePath", self.data_dir).parquet(*files)

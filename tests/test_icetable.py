@@ -118,3 +118,24 @@ def test_optimize_compacts_small_files(spark, tmp_path):
     assert len(removed) >= sum(files_before.values()) - len(files_before)
     assert sorted((r["p"], r["v"])
                   for r in t.read(spark).collect()) == rows_before
+
+
+def test_read_partition_pruning(spark, tmp_path):
+    """Manifest-level partition pruning: read(partition_values=...)
+    hands ONLY the matching partitions' files to the reader (asserted
+    on the scan's input files, not just the rows), and an empty
+    selection returns a typed empty frame without scanning."""
+    from raster2dggs_spark.sources.icetable import IceTable
+
+    t = IceTable(str(tmp_path / "t"))
+    df = spark.range(400).select((F.col("id") % 8).alias("p"),
+                                 F.col("id").alias("v"))
+    t.write(df, "p")
+    pruned = t.read(spark, partition_values=[2, 5])
+    assert sorted({r["p"] for r in pruned.collect()}) == [2, 5]
+    assert pruned.count() == 100
+    scanned = pruned.inputFiles()
+    assert scanned and all(("p=2" in f) or ("p=5" in f) for f in scanned)
+    empty = t.read(spark, partition_values=[99])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"p", "v"}
