@@ -138,6 +138,25 @@ def q_agg_stats(spark, sf_dir):
     )
 
 
+def q_agg_percentiles(spark, sf_dir):
+    """Exact linearly-interpolated percentiles per key (A2 extension:
+    percentile_cont / numpy type-7 — Spark F.percentile and DuckDB
+    quantile_cont share the definition).  Integer quantities make the
+    interpolated values small rationals — no rounding-boundary risk."""
+    from raster2dggs_spark.operators.aggregates import agg_multi
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg_multi(li, ["l_returnflag"], ["l_quantity"],
+                    ["p25", "p75", "p90", "count"])
+    return out.select(
+        "l_returnflag",
+        _r4("l_quantity_p25").alias("qty_p25"),
+        _r4("l_quantity_p75").alias("qty_p75"),
+        _r4("l_quantity_p90").alias("qty_p90"),
+        F.col("l_quantity_count").cast("long").alias("n"),
+    )
+
+
 def q_agg_mode(spark, sf_dir):
     from raster2dggs_spark.operators.aggregates import agg_mode
 
@@ -486,6 +505,31 @@ def q_focal_mean_geohash(spark, sf_dir):
     cells = (index_points(pts, res=3, dggs="geohash")
              .groupBy("cell").agg(F.avg("v").alias("v")))
     out = focal_lattice(cells, ["v"], k=1, keep_indices=True)
+    return out.select(
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        _r4("v").alias("v"),
+        _r4("focal_v").alias("focal_v"),
+        F.col("n_window").cast("long").alias("n_window"),
+    )
+
+
+def q_focal_mean_quadkey(spark, sf_dir):
+    """Focal (3x3 Chebyshev window) mean on the QUADKEY lattice (late
+    round 7: focal_lattice generalized over the power-of-2 rectangle
+    grids).  Same shape as focal_mean_geohash, but the y quantizer is
+    Mercator — the oracle replays the slippy fy expression (the
+    quadkey_pixel_index float tree) then the identical modular window
+    join."""
+    from raster2dggs_spark.operators.focal import focal_lattice
+    from raster2dggs_spark.operators.joins import index_points
+
+    pts = _customer_points(spark, sf_dir).withColumn(
+        "v", ((F.col("point_id") * 11) % 97).cast("double"))
+    cells = (index_points(pts, res=5, dggs="quadkey")
+             .groupBy("cell").agg(F.avg("v").alias("v")))
+    out = focal_lattice(cells, ["v"], k=1, keep_indices=True,
+                        dggs="quadkey")
     return out.select(
         F.col("gx").cast("long").alias("gx"),
         F.col("gy").cast("long").alias("gy"),
@@ -2359,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_mean_sum_count": q_agg_mean_sum_count,
         "agg_minmax_range": q_agg_minmax_range,
         "agg_stats": q_agg_stats,
+        "agg_percentiles": q_agg_percentiles,
         "agg_mode": q_agg_mode,
         "agg_majority": q_agg_majority,
         "agg_multi": q_agg_multi,
@@ -2387,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_accumulation": q_flow_accumulation,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
+        "focal_mean_quadkey": q_focal_mean_quadkey,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
@@ -3627,6 +3673,14 @@ def oracle_sql() -> dict[str, str]:
                    round(median(l_quantity), 4) AS qty_median
             FROM lineitem GROUP BY l_returnflag
         """,
+        "agg_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+                   round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,
+                   round(quantile_cont(l_quantity, 0.90), 4) AS qty_p90,
+                   CAST(count(l_quantity) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "agg_mode": """
             SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty_mode FROM (
                 SELECT l_returnflag, l_quantity,
@@ -4285,6 +4339,32 @@ def oracle_sql() -> dict[str, str]:
                      avg(b.v) AS fv, count(*) AS nw
               FROM c a JOIN c b
                 ON ((b.gx - a.gx + 257) % 256) <= 2
+               AND abs(b.gy - a.gy) <= 1
+              GROUP BY a.gx, a.gy, a.v)
+            SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,
+                   CAST(nw AS BIGINT) AS n_window
+            FROM f
+        """,
+        "focal_mean_quadkey": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            q AS (
+              SELECT CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 32.0), 0), 31)
+                     AS BIGINT) AS gx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 32.0), 0), 31) AS BIGINT) AS gy,
+                     CAST((point_id * 11) % 97 AS DOUBLE) AS v
+              FROM p),
+            c AS (SELECT gx, gy, avg(v) AS v FROM q GROUP BY gx, gy),
+            f AS (
+              SELECT a.gx, a.gy, a.v,
+                     avg(b.v) AS fv, count(*) AS nw
+              FROM c a JOIN c b
+                ON ((b.gx - a.gx + 33) % 32) <= 2
                AND abs(b.gy - a.gy) <= 1
               GROUP BY a.gx, a.gy, a.v)
             SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,

@@ -30,6 +30,11 @@ SIMPLE_AGGS = {
     "median": lambda c: F.median(c),
     "nunique": lambda c: F.count_distinct(c),
     "range": lambda c: F.max(c) - F.min(c),
+    # exact linearly-interpolated percentiles (SQL percentile_cont /
+    # pandas type-7 — the reference's numpy aggfuncs' default)
+    "p25": lambda c: F.percentile(c, F.lit(0.25)),
+    "p75": lambda c: F.percentile(c, F.lit(0.75)),
+    "p90": lambda c: F.percentile(c, F.lit(0.90)),
 }
 
 

@@ -74,15 +74,18 @@ def _agg_exprs(value_cols: list[str], agg: str, prefix: str = "focal_"):
 
 
 # --------------------------------------------------------------------------
-# exact lattice focal (geohash)
+# exact lattice focal (geohash / quadkey)
 # --------------------------------------------------------------------------
 
-def geohash_lattice_indices(cells_df: DataFrame, cell_col: str = "cell",
-                            ) -> DataFrame:
+def lattice_indices(cells_df: DataFrame, cell_col: str = "cell",
+                    dggs: str = "geohash") -> DataFrame:
     """Attach the integer lattice coordinates (gx, gy) of each packed
-    geohash id — gx = floor((lon+180)/360 * 2^nlon) exactly as the
-    encoder quantized it (dggs/geohashlib.py:37-40), recovered by bit
-    de-interleave.  One narrow Arrow pass."""
+    rectangle-grid id — for geohash, gx = floor((lon+180)/360 * 2^nlon)
+    exactly as the encoder quantized it (dggs/geohashlib.py:37-40),
+    recovered by bit de-interleave; for quadkey the slippy (tx, ty)
+    tile indices (dggs/quadkeylib.py).  One narrow Arrow pass."""
+    if dggs not in ("geohash", "quadkey"):
+        raise ValueError(f"lattice focal: geohash | quadkey, got {dggs!r}")
     out_schema = T.StructType(
         list(cells_df.schema.fields)
         + [T.StructField("gx", T.LongType(), False),
@@ -90,10 +93,22 @@ def geohash_lattice_indices(cells_df: DataFrame, cell_col: str = "cell",
            T.StructField("gprec", T.LongType(), False)])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from raster2dggs_spark.dggs import geohashlib
+        from raster2dggs_spark.dggs import geohashlib, quadkeylib
 
         for pdf in batches:
             if not len(pdf):
+                continue
+            if dggs == "quadkey":
+                c = pdf[cell_col].values.astype(np.int64)
+                lvl = quadkeylib.get_resolution(c)
+                if len(np.unique(lvl)) > 1:
+                    raise ValueError("mixed quadkey levels in focal input")
+                tx, ty, _ = quadkeylib.cell_to_tile(c)
+                pdf = pdf.copy()
+                pdf["gx"] = tx
+                pdf["gy"] = ty
+                pdf["gprec"] = np.int64(int(lvl[0]))
+                yield pdf
                 continue
             c = pdf[cell_col].values.astype(np.uint64)
             p = geohashlib.get_precision(c)
@@ -121,11 +136,18 @@ def geohash_lattice_indices(cells_df: DataFrame, cell_col: str = "cell",
     return cells_df.mapInPandas(fn, out_schema)
 
 
+def geohash_lattice_indices(cells_df: DataFrame, cell_col: str = "cell",
+                            ) -> DataFrame:
+    """Back-compat alias of :func:`lattice_indices` for geohash."""
+    return lattice_indices(cells_df, cell_col, "geohash")
+
+
 def focal_lattice(cells_df: DataFrame, value_cols: list[str], k: int = 1,
                   agg: str = "mean", cell_col: str = "cell",
-                  keep_indices: bool = False) -> DataFrame:
+                  keep_indices: bool = False,
+                  dggs: str = "geohash") -> DataFrame:
     """Exact (2k+1)x(2k+1) Chebyshev-window focal aggregate on a
-    single-precision geohash cell table (one row per cell).
+    single-precision geohash or quadkey cell table (one row per cell).
 
     For every input cell, aggregates ``value_cols`` over the input
     cells in its window (itself included; absent neighbors simply don't
@@ -135,12 +157,16 @@ def focal_lattice(cells_df: DataFrame, value_cols: list[str], k: int = 1,
     the window)."""
     if k < 1:
         raise ValueError("k >= 1 required")
-    g = geohash_lattice_indices(cells_df, cell_col)
-    # lattice extents 2^nlon x 2^nlat with nlon = (5p+1)//2, nlat = 5p//2
-    wlon = F.expr("shiftleft(CAST(1 AS BIGINT), "
-                  "CAST((5 * gprec + 1) DIV 2 AS INT))")
-    wlat = F.expr("shiftleft(CAST(1 AS BIGINT), "
-                  "CAST((5 * gprec) DIV 2 AS INT))")
+    g = lattice_indices(cells_df, cell_col, dggs)
+    if dggs == "quadkey":
+        wlon = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(gprec AS INT))")
+        wlat = wlon
+    else:
+        # lattice extents 2^nlon x 2^nlat, nlon = (5p+1)//2, nlat = 5p//2
+        wlon = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                      "CAST((5 * gprec + 1) DIV 2 AS INT))")
+        wlat = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                      "CAST((5 * gprec) DIV 2 AS INT))")
     seq = F.sequence(F.lit(-k), F.lit(k))
     scat = (g
             .withColumn("dx", F.explode(seq))

@@ -151,3 +151,27 @@ def test_focal_cells_hex7_self_and_neighbors(spark):
                        agg="sum").toPandas()
     m = out.merge(out2, on="cell")
     assert (m["n_window_x"] == m["n_window_y"]).all()
+
+
+def test_focal_lattice_quadkey_wraps_lon(spark):
+    """Quadkey lattice focal: tiles in columns 0 and n-1 of the same
+    row are Chebyshev-1 neighbors (lon wraps), rows clip."""
+    import numpy as np
+
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.focal import focal_lattice
+
+    lvl = 5
+    n = 1 << lvl
+    cells = quadkeylib.tile_to_cell(
+        np.array([0, n - 1, 5]), np.array([7, 7, 20]), lvl)
+    df = spark.createDataFrame(
+        [(int(c), float(v)) for c, v in zip(cells, [1.0, 3.0, 10.0])],
+        "cell long, v double")
+    out = {(r["gx"], r["gy"]): r for r in
+           focal_lattice(df, ["v"], k=1, keep_indices=True,
+                         dggs="quadkey").collect()}
+    assert out[(0, 7)]["n_window"] == 2          # wraps to gx = n-1
+    assert out[(0, 7)]["focal_v"] == 2.0         # mean(1, 3)
+    assert out[(n - 1, 7)]["n_window"] == 2
+    assert out[(5, 20)]["n_window"] == 1         # isolated
