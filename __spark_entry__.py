@@ -1137,6 +1137,41 @@ def q_embedding_knn_ivfpq(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_embedding_knn_ivfpq_rerank(spark, sf_dir):
+    """IVF-PQ + EXACT re-rank (late round 7,
+    operators/similarity.py:ivfpq_rerank_topk) — the production ANN
+    recipe: ADC top-12 from compressed codes, then raw vectors join
+    back for those 12 only and an exact round(cos, 6) re-ranks to
+    top-5.  Same md5-deterministic construction as
+    embedding_knn_ivfpq, so the oracle replays coarse + re-rank
+    end-to-end (identical fold order both engines)."""
+    from pyspark.sql import Window
+
+    from raster2dggs_spark.operators.similarity import ivfpq_rerank_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = (
+        e.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id").limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("__h", "vec_id")) - 1)
+            .alias("c_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+    )
+    q = e.where("vec_id < 30").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivfpq_rerank_topk(q, e, cents, dim=64, m=8, k=16, topn=5,
+                            n_probe=3, topn_coarse=12)
+    return out.select("q_id", F.col("vec_id").alias("t_id"),
+                      F.col("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup, fully oracle-checked INCLUDING the
     probabilistic LSH candidate stage (md5-derived hyperplanes are
@@ -2458,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_knn_pq": q_embedding_knn_pq,
         "embedding_knn_ivfpq": q_embedding_knn_ivfpq,
+        "embedding_knn_ivfpq_rerank": q_embedding_knn_ivfpq_rerank,
         "image_stats": q_image_stats,
         "image_thumbnails": q_image_thumbnails,
         "video_frame_stats": q_video_frame_stats,
@@ -3536,11 +3572,15 @@ def _pq_sql(dim: int = 64, m: int = 8, k: int = 16, topn: int = 5,
 
 
 def _ivfpq_sql(dim: int = 64, m: int = 8, k: int = 16, topn: int = 5,
-               n_probe: int = 3, n_cents: int = 8, nq: int = 30) -> str:
+               n_probe: int = 3, n_cents: int = 8, nq: int = 30,
+               rerank_topn: int | None = None) -> str:
     """DuckDB twin of q_embedding_knn_ivfpq: md5-seeded centroids,
     cosine routing (argmax over array-fold dot products — identical
     fold order to Spark's F.aggregate), then the PQ encode + ADC of
-    _pq_sql restricted to the probed buckets."""
+    _pq_sql restricted to the probed buckets.  ``rerank_topn`` appends
+    the exact-cosine re-rank stage (ivfpq_rerank_topk's twin): the ADC
+    top-``topn`` become the coarse candidates, raw vectors join back
+    for those only, round(cos, 6) re-ranks to ``rerank_topn``."""
     sub = dim // m
     n_cb = m * k * sub
     cos_tc = _COS.format(a="t.v", b="c.c")
@@ -3592,11 +3632,29 @@ def _ivfpq_sql(dim: int = 64, m: int = 8, k: int = 16, topn: int = 5,
                 JOIN codes t ON t.vec_id = c.t_id AND t.sub = qd.sub
                             AND t.code = qd.code
                 GROUP BY 1, 2 HAVING count(*) = {m})
+        {f'''
+        , coarse AS (SELECT q_id, t_id FROM (
+            SELECT q_id, t_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adist ASC, t_id ASC) AS rn
+            FROM tot) WHERE rn <= {topn}),
+        ex AS (SELECT c.q_id, c.t_id,
+                      round({_COS.format(a="a.v", b="b.v")}, 6) AS cosine
+               FROM coarse c
+               JOIN v a ON a.vec_id = c.q_id
+               JOIN v b ON b.vec_id = c.t_id)
+        SELECT q_id, t_id, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, t_id ASC)
+                    AS BIGINT) AS rank
+        FROM ex QUALIFY rank <= {rerank_topn}
+        ''' if rerank_topn is not None else f'''
         SELECT q_id, t_id,
                CAST(row_number() OVER (PARTITION BY q_id
                                        ORDER BY adist ASC, t_id ASC)
                     AS BIGINT) AS rank
         FROM tot QUALIFY rank <= {topn}
+        '''}
     """
 
 
@@ -3974,6 +4032,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
         "embedding_knn_pq": _pq_sql(64, 8, 16, 5, 30),
         "embedding_knn_ivfpq": _ivfpq_sql(64, 8, 16, 5, 3, 8, 30),
+        "embedding_knn_ivfpq_rerank": _ivfpq_sql(
+            64, 8, 16, 12, 3, 8, 30, rerank_topn=5),
         "dedup_components": _dedup_components_sql(16, 2, 1000),
         "zonal_windowed_events": f"""
             WITH p AS (

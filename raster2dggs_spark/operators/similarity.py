@@ -550,3 +550,44 @@ def ivfpq_topk(queries: DataFrame, targets: DataFrame, centroids: DataFrame,
     ).where(F.col("__m") == m)
     out = top_k(tot, [q_id], "adist", topn, ascending=True, tiebreak=[t_id])
     return out.select(q_id, t_id, "adist", "rank")
+
+
+def ivfpq_rerank_topk(queries: DataFrame, targets: DataFrame,
+                      centroids: DataFrame, dim: int, m: int = 8,
+                      k: int = 16, topn: int = 5, n_probe: int = 4,
+                      topn_coarse: int | None = None,
+                      q_id: str = "q_id", t_id: str = "vec_id",
+                      q_vec: str = "q_vec", t_vec: str = "embedding",
+                      codebooks: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ with EXACT re-ranking — the production ANN recipe: ADC
+    over compressed codes produces a cheap coarse candidate order; the
+    per-query top ``topn_coarse`` (default 4·topn) candidates — and
+    ONLY those — fetch their raw vectors once for an exact-cosine
+    re-rank.  Recovers most of the PQ quantization loss while reading
+    ``topn_coarse`` full vectors per query instead of the corpus.
+
+    Scale shape: the coarse stage inherits ivfpq_topk's broadcast
+    equi-joins; the re-rank is one equi-join of the (queries × coarse)
+    candidate list against the target table on the id key — Catalyst
+    broadcasts the candidate side whenever the query set is small, and
+    at any size it stays a key join, never a cross join."""
+    from raster2dggs_spark.operators.aggregates import top_k
+
+    nc = topn_coarse if topn_coarse is not None else 4 * topn
+    coarse = ivfpq_topk(queries, targets, centroids, dim, m, k,
+                        topn=nc, n_probe=n_probe, q_id=q_id, t_id=t_id,
+                        q_vec=q_vec, t_vec=t_vec, codebooks=codebooks)
+    t = targets.select(F.col(t_id),
+                       _as_double(F.col(t_vec)).alias("__tv"))
+    q = queries.select(F.col(q_id),
+                       _as_double(F.col(q_vec)).alias("__qv"))
+    cand = (coarse.select(q_id, t_id)
+            .join(t, t_id).join(F.broadcast(q), q_id))
+    cos = F.round(
+        _dot(F.col("__qv"), F.col("__tv"))
+        / (_norm(F.col("__qv")) * _norm(F.col("__tv"))), 6)
+    cand = cand.withColumn("cosine", cos).withColumn(
+        "__neg", -F.col("cosine"))
+    out = top_k(cand, [q_id], "__neg", topn, ascending=True,
+                tiebreak=[t_id])
+    return out.select(q_id, t_id, "cosine", "rank")
