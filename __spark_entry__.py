@@ -866,6 +866,73 @@ def q_trend(spark, sf_dir):
     return out.select(*cols)
 
 
+def q_interpolate_gaps(spark, sf_dir):
+    """Per-cell temporal gap-filling (late round 7,
+    operators/composite.py:interpolate_gaps): even-footprint cells
+    lose their epoch-1 observation, then every cell re-emits the full
+    epoch grid {0,1,2} with linear interior interpolation and constant
+    edges (np.interp semantics).  One groupBy(cell) applyInPandas —
+    group size is the stack depth, no hot-key hazard.  The oracle
+    replays the drop + prev/next-neighbor interpolation relationally
+    on the pinned fixture (exact 0.5 ratios — no float ambiguity)."""
+    from raster2dggs_spark.operators.composite import (
+        interpolate_gaps, scene_cell_means,
+    )
+    from raster2dggs_spark.operators.indexing import pixel_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_scene_stack_pdf,
+    )
+
+    images, _meta = generate_scene_stack_pdf(6, epochs=3, seed=7)
+    imgs = spark.createDataFrame(images, IMAGE_SCHEMA)
+    bands = [f"band_{i}" for i in range(1, 4)]
+    px = pixel_cells(imgs, res=6, dggs="hex7", n_bands=4,
+                     keep_image_id=True)
+    sc = (scene_cell_means(px, bands)
+          .withColumn("epoch",
+                      F.col("image_id").substr(17, 1).cast("int"))
+          .withColumn("fp",
+                      F.col("image_id").substr(11, 4).cast("int")))
+    gappy = sc.where(~((F.col("epoch") == 1) & (F.col("fp") % 2 == 0)))
+    out = interpolate_gaps(gappy, bands, xs=[0, 1, 2], x_col="epoch")
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_06"),
+        F.col("epoch").cast("long").alias("epoch"),
+        *[_r4(c).alias(c) for c in bands],
+    )
+
+
+def q_anomaly(spark, sf_dir):
+    """Per-cell climatology anomalies (late round 7,
+    operators/composite.py:anomaly_cells): each scene observation's
+    z-score against its OWN cell's stack mean/std — one groupBy(cell)
+    + one equi-join, never Window.partitionBy (the hot-cell landmine).
+    band_3 is constant per footprint except the +t drift, so its std
+    exercises the near-zero guard; the oracle replays avg/stddev_samp
+    and the division relationally on the pinned per-(scene, cell)
+    fixture."""
+    from raster2dggs_spark.operators.composite import (
+        anomaly_cells, scene_cell_means,
+    )
+    from raster2dggs_spark.operators.indexing import pixel_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_scene_stack_pdf,
+    )
+
+    images, _meta = generate_scene_stack_pdf(6, epochs=3, seed=7)
+    imgs = spark.createDataFrame(images, IMAGE_SCHEMA)
+    bands = [f"band_{i}" for i in range(1, 4)]
+    px = pixel_cells(imgs, res=6, dggs="hex7", n_bands=4,
+                     keep_image_id=True)
+    sc = scene_cell_means(px, bands)
+    out = anomaly_cells(sc, bands)
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_06"),
+        "image_id",
+        *[_r4(f"{c}_z").alias(f"{c}_z") for c in bands],
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline family (documents / embeddings tables)
 # --------------------------------------------------------------------------
@@ -2473,6 +2540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_median": q_composite_median,
         "change_detection": q_change_detection,
         "trend": q_trend,
+        "anomaly": q_anomaly,
+        "interpolate_gaps": q_interpolate_gaps,
         "line_cells_quadkey": q_line_cells_quadkey,
         "dedup_exact": q_dedup_exact,
         "phash_near_dup": q_phash_near_dup,
@@ -4588,6 +4657,56 @@ def oracle_sql() -> dict[str, str]:
                        f" + ((tx >> {12 - 1 - i}) & 1) AS VARCHAR)"
                        for i in range(12)) + """ AS qk_12
             FROM xy
+        """,
+        "interpolate_gaps": f"""
+            WITH sc AS (
+              SELECT hex7_06,
+                     CAST(right(image_id, 1) AS INT) AS epoch,
+                     CAST(substr(image_id, 11, 4) AS INT) AS fp,
+                     band_1, band_2, band_3
+              FROM read_parquet('{_FIXDIR}/composite_stack_6x3.parquet')),
+            g AS (SELECT * FROM sc
+                  WHERE NOT (epoch = 1 AND fp % 2 = 0)),
+            cg AS (SELECT hex7_06, CAST(r.x AS DOUBLE) AS x
+                   FROM (SELECT DISTINCT hex7_06 FROM g), range(3) r(x)),
+            pn AS (
+              SELECT cg.hex7_06, cg.x,
+                     max(g.epoch) FILTER (g.epoch <= cg.x) AS px,
+                     min(g.epoch) FILTER (g.epoch >= cg.x) AS nx
+              FROM cg JOIN g USING (hex7_06)
+              GROUP BY cg.hex7_06, cg.x)
+            SELECT pn.hex7_06, CAST(pn.x AS BIGINT) AS epoch,
+                   {", ".join(
+                       f"round(CASE "
+                       f"WHEN pn.px IS NULL THEN nv.band_{i} "
+                       f"WHEN pn.nx IS NULL THEN pv.band_{i} "
+                       f"WHEN pn.px = pn.nx THEN pv.band_{i} "
+                       f"ELSE pv.band_{i} + (nv.band_{i} - pv.band_{i})"
+                       f" * ((pn.x - pn.px) / (pn.nx - pn.px)) END, 4)"
+                       f" + 0.0 AS band_{i}"
+                       for i in range(1, 4))}
+            FROM pn
+            LEFT JOIN g pv ON pv.hex7_06 = pn.hex7_06 AND pv.epoch = pn.px
+            LEFT JOIN g nv ON nv.hex7_06 = pn.hex7_06 AND nv.epoch = pn.nx
+        """,
+        "anomaly": f"""
+            WITH sc AS (
+              SELECT hex7_06, image_id, band_1, band_2, band_3
+              FROM read_parquet('{_FIXDIR}/composite_stack_6x3.parquet')),
+            clim AS (
+              SELECT hex7_06,
+                     {", ".join(
+                         f"avg(band_{i}) AS m{i}, "
+                         f"stddev_samp(band_{i}) AS s{i}"
+                         for i in range(1, 4))}
+              FROM sc GROUP BY hex7_06)
+            SELECT sc.hex7_06, sc.image_id,
+                   {", ".join(
+                       f"CASE WHEN s{i} > 0 THEN "
+                       f"round((band_{i} - m{i}) / s{i}, 4) + 0.0 "
+                       f"END AS band_{i}_z"
+                       for i in range(1, 4))}
+            FROM sc JOIN clim ON clim.hex7_06 = sc.hex7_06
         """,
         "trend": f"""
             WITH sc AS (

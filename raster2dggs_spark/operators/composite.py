@@ -191,6 +191,85 @@ def trend_cells(
     return scene_cells.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
 
 
+def anomaly_cells(
+    scene_cells: DataFrame,
+    value_cols: list[str],
+    key_cols: tuple[str, ...] = ("cell",),
+) -> DataFrame:
+    """Per-observation anomaly z-scores against the cell's own
+    climatology: for each band, ``z = (v - mean_cell) / std_cell``
+    over the cell's scene stack (sample std; z is NULL when the stack
+    is constant or a single scene).  The EO anomaly-map workload
+    (drought/heat anomalies vs per-pixel climatology).
+
+    Spark-first shape: ONE ``groupBy(cell)`` computes the climatology,
+    then ONE equi-join attaches it back to the observations —
+    deliberately not ``Window.partitionBy(cell)``, which single-tasks
+    hot cells (the repo's measured landmine); the join key is the same
+    cell key the table is already clustered by, so AQE plans it
+    locally at scale."""
+    keys = list(key_cols)
+    aggs = []
+    for c in value_cols:
+        aggs += [F.avg(c).alias(f"__m_{c}"),
+                 F.stddev_samp(c).alias(f"__s_{c}")]
+    clim = scene_cells.groupBy(*keys).agg(*aggs)
+    out = scene_cells.join(clim, keys)
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_z",
+            F.when(F.col(f"__s_{c}") > 0,
+                   (F.col(c) - F.col(f"__m_{c}")) / F.col(f"__s_{c}")))
+    return out.drop(*[f"__m_{c}" for c in value_cols],
+                    *[f"__s_{c}" for c in value_cols])
+
+
+def interpolate_gaps(
+    scene_cells: DataFrame,
+    value_cols: list[str],
+    xs: list[float],
+    x_col: str = "epoch",
+    key_cols: tuple[str, ...] = ("cell",),
+) -> DataFrame:
+    """Per-cell temporal gap-filling onto the explicit grid ``xs`` —
+    the EO cloud-gap workload: every cell emits one row per grid x,
+    each band linearly interpolated between the cell's nearest present
+    (non-null) observations, held constant beyond the ends
+    (``np.interp`` semantics, pinned as the contract).  A band with no
+    observations in a cell stays NULL.
+
+    Spark-first shape: ONE shuffle (``groupBy(cell)``) into an
+    ``applyInPandas`` whose group size is the stack depth — bounded by
+    the archive's epoch count, never by cell popularity, so there is
+    no hot-key hazard; the per-group kernel is a vectorized
+    ``np.interp``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    grid = np.asarray(sorted(float(x) for x in xs), dtype=np.float64)
+    key_fields = [scene_cells.schema[k] for k in key_cols]
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, False) for f in key_fields]
+        + [T.StructField(x_col, T.DoubleType(), False)]
+        + [T.StructField(c, T.DoubleType(), True) for c in value_cols])
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [kv] * grid.size for k, kv in zip(key_cols, key)}
+        out[x_col] = grid
+        x = pdf[x_col].to_numpy(dtype=np.float64)
+        order = np.argsort(x, kind="stable")
+        for c in value_cols:
+            v = pdf[c].to_numpy(dtype=np.float64)[order]
+            xv = x[order]
+            ok = ~np.isnan(v)
+            out[c] = (np.interp(grid, xv[ok], v[ok]) if ok.any()
+                      else np.full(grid.size, np.nan))
+        return pd.DataFrame(out)
+
+    return scene_cells.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
 def scene_cell_means(
     pixel_rows: DataFrame,
     band_cols: list[str],

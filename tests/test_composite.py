@@ -209,3 +209,35 @@ def test_trend_cells_exact_ols(spark):
     # cell 3: two points (x=0,2) -> slope (3-1)/2 = 1, n_obs counts rows
     assert got[3]["v_slope"] == pytest.approx(1.0)
     assert got[3]["n_obs"] == 3
+
+
+def test_anomaly_cells(spark):
+    from raster2dggs_spark.operators.composite import anomaly_cells
+
+    rows = [("s0", 1, 10.0), ("s1", 1, 20.0), ("s2", 1, 30.0),
+            ("s0", 2, 5.0), ("s1", 2, 5.0)]  # constant stack -> NULL z
+    df = spark.createDataFrame(rows, "image_id string, cell long, v double")
+    got = {(r["cell"], r["image_id"]): r["v_z"]
+           for r in anomaly_cells(df, ["v"]).collect()}
+    assert got[(1, "s1")] == pytest.approx(0.0)
+    assert got[(1, "s2")] == pytest.approx(1.0)   # (30-20)/10
+    assert got[(2, "s0")] is None                 # std = 0
+
+
+def test_interpolate_gaps_semantics(spark):
+    from raster2dggs_spark.operators.composite import interpolate_gaps
+
+    rows = [
+        # cell 1: observed at 0 and 2 -> x=1 midpoint
+        (1, 0, 10.0), (1, 2, 30.0),
+        # cell 2: observed only at 1 -> constant everywhere
+        (2, 1, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "cell long, epoch int, v double")
+    got = {(r["cell"], r["epoch"]): r["v"]
+           for r in interpolate_gaps(df, ["v"], xs=[0, 1, 2]).collect()}
+    assert got[(1, 0.0)] == 10.0
+    assert got[(1, 1.0)] == 20.0     # linear interior
+    assert got[(1, 2.0)] == 30.0
+    assert got[(2, 0.0)] == 7.0      # constant edges
+    assert got[(2, 2.0)] == 7.0
