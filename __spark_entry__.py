@@ -866,6 +866,37 @@ def q_trend(spark, sf_dir):
     return out.select(*cols)
 
 
+def q_rolling_smooth(spark, sf_dir):
+    """Per-cell centered rolling mean over the epoch axis (late round
+    7, operators/composite.py:rolling_cells) — RANGE-frame window
+    |x'-x| <= 1, partitioned by cell (partition size = stack depth, so
+    the banned hot-key Window hazard does not arise on the time axis).
+    The oracle is the identical RANGE window in DuckDB."""
+    from raster2dggs_spark.operators.composite import (
+        rolling_cells, scene_cell_means,
+    )
+    from raster2dggs_spark.operators.indexing import pixel_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_scene_stack_pdf,
+    )
+
+    images, _meta = generate_scene_stack_pdf(6, epochs=3, seed=7)
+    imgs = spark.createDataFrame(images, IMAGE_SCHEMA)
+    bands = [f"band_{i}" for i in range(1, 4)]
+    px = pixel_cells(imgs, res=6, dggs="hex7", n_bands=4,
+                     keep_image_id=True)
+    sc = (scene_cell_means(px, bands)
+          .withColumn("epoch",
+                      F.col("image_id").substr(17, 1).cast("int")))
+    out = rolling_cells(sc, bands, window=1.0)
+    return out.select(
+        F.lower(F.hex("cell")).alias("hex7_06"),
+        F.col("epoch").cast("long").alias("epoch"),
+        *[_r4(f"{c}_smooth").alias(f"{c}_smooth") for c in bands],
+        F.col("n_in_window").cast("long").alias("n_in_window"),
+    )
+
+
 def q_interpolate_gaps(spark, sf_dir):
     """Per-cell temporal gap-filling (late round 7,
     operators/composite.py:interpolate_gaps): even-footprint cells
@@ -2542,6 +2573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend": q_trend,
         "anomaly": q_anomaly,
         "interpolate_gaps": q_interpolate_gaps,
+        "rolling_smooth": q_rolling_smooth,
         "line_cells_quadkey": q_line_cells_quadkey,
         "dedup_exact": q_dedup_exact,
         "phash_near_dup": q_phash_near_dup,
@@ -4657,6 +4689,22 @@ def oracle_sql() -> dict[str, str]:
                        f" + ((tx >> {12 - 1 - i}) & 1) AS VARCHAR)"
                        for i in range(12)) + """ AS qk_12
             FROM xy
+        """,
+        "rolling_smooth": f"""
+            WITH sc AS (
+              SELECT hex7_06,
+                     CAST(right(image_id, 1) AS INT) AS epoch,
+                     band_1, band_2, band_3
+              FROM read_parquet('{_FIXDIR}/composite_stack_6x3.parquet'))
+            SELECT hex7_06, CAST(epoch AS BIGINT) AS epoch,
+                   {", ".join(
+                       f"round(avg(band_{i}) OVER w, 4) + 0.0 "
+                       f"AS band_{i}_smooth" for i in range(1, 4))},
+                   CAST(count(*) OVER w AS BIGINT) AS n_in_window
+            FROM sc
+            WINDOW w AS (PARTITION BY hex7_06
+                         ORDER BY CAST(epoch AS BIGINT)
+                         RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
         """,
         "interpolate_gaps": f"""
             WITH sc AS (

@@ -270,6 +270,40 @@ def interpolate_gaps(
     return scene_cells.groupBy(*key_cols).applyInPandas(fn, schema)
 
 
+def rolling_cells(
+    scene_cells: DataFrame,
+    value_cols: list[str],
+    window: float,
+    x_col: str = "epoch",
+    key_cols: tuple[str, ...] = ("cell",),
+) -> DataFrame:
+    """Per-cell centered rolling mean over the time axis: each
+    observation averages the cell's observations with
+    ``|x' - x| <= window`` (RANGE frame, so irregular sampling is
+    handled by VALUE distance, not row offsets) — the EO temporal
+    smoothing pass before thresholding/trend.  Emits ``{c}_smooth``
+    and ``n_in_window`` beside the input row.
+
+    Uses ``Window.partitionBy(cell)`` deliberately: the partition size
+    is the cell's STACK DEPTH (bounded by the archive's epoch count),
+    not its spatial popularity — the hot-key hazard the repo bans
+    Window for does not arise on the time axis."""
+    from pyspark.sql import Window
+
+    if not float(window).is_integer():
+        raise ValueError(
+            "rolling_cells: Spark RANGE frames take integer bounds — "
+            "scale x_col to integer units (e.g. days) and retry")
+    iw = int(window)
+    w = (Window.partitionBy(*[F.col(k) for k in key_cols])
+         .orderBy(F.col(x_col).cast("long"))
+         .rangeBetween(-iw, iw))
+    out = scene_cells
+    for c in value_cols:
+        out = out.withColumn(f"{c}_smooth", F.avg(c).over(w))
+    return out.withColumn("n_in_window", F.count(F.lit(1)).over(w))
+
+
 def scene_cell_means(
     pixel_rows: DataFrame,
     band_cols: list[str],

@@ -241,3 +241,18 @@ def test_interpolate_gaps_semantics(spark):
     assert got[(1, 2.0)] == 30.0
     assert got[(2, 0.0)] == 7.0      # constant edges
     assert got[(2, 2.0)] == 7.0
+
+
+def test_rolling_cells_range_frame(spark):
+    from raster2dggs_spark.operators.composite import rolling_cells
+
+    rows = [(1, 0, 10.0), (1, 1, 20.0), (1, 3, 40.0)]  # gap at x=2
+    df = spark.createDataFrame(rows, "cell long, epoch int, v double")
+    got = {r["epoch"]: r for r in
+           rolling_cells(df, ["v"], window=1).collect()}
+    assert got[0]["v_smooth"] == 15.0 and got[0]["n_in_window"] == 2
+    assert got[1]["v_smooth"] == 15.0 and got[1]["n_in_window"] == 2
+    # x=3: RANGE frame sees only itself (x=2 absent, x=1 out of range)
+    assert got[3]["v_smooth"] == 40.0 and got[3]["n_in_window"] == 1
+    with pytest.raises(ValueError):
+        rolling_cells(df, ["v"], window=1.5)
