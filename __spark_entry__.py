@@ -486,6 +486,19 @@ def q_knn_join_i4r(spark, sf_dir):
     return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_within_distance(spark, sf_dir):
+    """Geodesic distance-band join (the kNN family's range-join shape):
+    disk-cover candidate cells at a radius-adaptive coarse res, native
+    bitwise parent equi-join, exact haversine filter.  Oracle is the
+    brute-force cross-join haversine filter."""
+    from raster2dggs_spark.operators.joins import within_distance_join
+
+    q = _customer_points(spark, sf_dir).withColumnRenamed("point_id", "q_id")
+    t = _supplier_points(spark, sf_dir)
+    out = within_distance_join(q, t, radius_m=1_200_000.0, res=9)
+    return out.select("q_id", "t_id", _r4("dist_m").alias("dist_m"))
+
+
 def q_focal_mean_geohash(spark, sf_dir):
     """Focal (3x3 Chebyshev window) mean on the geohash lattice
     (round 7, operators/focal.py:focal_lattice) — raster map algebra's
@@ -2559,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "knn_join_geohash": q_knn_join_geohash,
         "knn_join_i4r": q_knn_join_i4r,
+        "within_distance": q_within_distance,
         "zonal_join": q_zonal_join,
         "terrain_derivatives": q_terrain_derivatives,
         "d8_flow": q_d8_flow,
@@ -4007,6 +4021,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rank
             FROM d
             QUALIFY rank <= 3
+        """,
+        "within_distance": f"""
+            WITH q AS (SELECT point_id AS q_id, lon, lat
+                       FROM ({_CUSTOMER_POINTS_SQL})),
+                 t AS ({_SUPPLIER_POINTS_SQL}),
+                 d AS (
+                   SELECT q.q_id, t.t_id,
+                          2.0 * 6371007.1809 * asin(sqrt(
+                            pow(sin(radians(t.lat - q.lat) / 2), 2)
+                            + cos(radians(q.lat)) * cos(radians(t.lat))
+                            * pow(sin(radians(t.lon - q.lon) / 2), 2)
+                          )) AS dist_m
+                   FROM q CROSS JOIN t)
+            SELECT q_id, t_id, round(dist_m, 4) AS dist_m
+            FROM d WHERE dist_m <= 1200000.0
         """,
         "zonal_join": f"""
             WITH pts AS ({_CUSTOMER_POINTS_SQL}),

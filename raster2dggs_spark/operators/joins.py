@@ -743,6 +743,209 @@ def estimate_knn_radius(targets: DataFrame, k: int,
     return margin * float(np.sqrt((k + 1) / n * area / np.pi)) + 1.0
 
 
+
+def disk_cover_cells(df: DataFrame, radius: float, cres: int,
+                     dggs: str = "hex7", q_id: str = "q_id",
+                     lon_col: str = "lon", lat_col: str = "lat"
+                     ) -> DataFrame:
+    """Explode each query point into the cells (at ``cres``) of its
+    geodesic disk of ``radius`` meters — the shared candidate-cell
+    generator for kNN and within-distance joins.  Exact integer
+    enumeration on fixed-degree grids (geohash/maidenhead); dense
+    0.35x-pitch ring sampling elsewhere.  One narrow ``mapInPandas``
+    over (id, lon, lat) rows; no shuffle."""
+    schema = T.StructType([
+        T.StructField(q_id, df.schema[q_id].dataType, False),
+        T.StructField("q_lon", T.DoubleType(), False),
+        T.StructField("q_lat", T.DoubleType(), False),
+        T.StructField("jcell", T.LongType(), False),
+    ])
+    # the disk-sample pattern (azimuth, angular distance) is shared by
+    # every query in a batch -> precompute once per batch, vectorize
+    # across the whole batch (one encode for all queries)
+    from raster2dggs_spark.dggs import cover as _cover
+
+    ang = radius / EARTH_R
+    pitch0 = np.radians(_cover.pitch_deg(cres, dggs)) * 0.35
+    # grids whose cells are lon/lat-aligned rectangles get EXACT integer
+    # enumeration (quadkey rows through the Mercator fy axis — its cells
+    # SHRINK in lat-degrees toward the poles, so equatorial-pitch ring
+    # sampling would skip rows there: the lat-distortion bug class)
+    fixed_deg_grid = dggs in ("geohash", "maidenhead", "quadkey")
+
+    def disk_pattern(pitch):
+        steps = int(np.ceil(ang / pitch)) + 1
+        pat_az = [np.array([0.0])]
+        pat_rad = [np.array([0.0])]
+        for rad in np.linspace(0.0, ang, steps + 1)[1:]:
+            kk = max(6, int(np.ceil(2 * np.pi * rad / pitch)))
+            pat_az.append(np.linspace(0.0, 2 * np.pi, kk, endpoint=False))
+            pat_rad.append(np.full(kk, rad))
+        return np.concatenate(pat_az), np.concatenate(pat_rad)
+
+    def _ragged_ranges(lo, hi):
+        """Flatten per-row integer ranges [lo_i, hi_i] into
+        (row_index, value) arrays."""
+        counts = (hi - lo + 1).astype(np.int64)
+        total = int(counts.sum())
+        idx = np.repeat(np.arange(lo.shape[0]), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        seq = np.arange(total) - np.repeat(starts, counts)
+        return idx, np.repeat(lo, counts) + seq
+
+    def fn_fixed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # geohash/maidenhead cells are lon/lat rectangles with FIXED
+        # degree spans, so the disk cover is enumerated EXACTLY as
+        # integer index ranges per lat band (conservative lon width
+        # per band) — an angular sampling pattern would need its
+        # pitch shrunk by cos(lat) and blow up near the poles
+        from raster2dggs_spark.dggs import cover
+
+        ang_deg = np.degrees(ang)
+        if dggs == "quadkey":
+            from raster2dggs_spark.dggs import quadkeylib
+
+            nq = 1 << cres
+            nlon = nlat = nq
+            lonspan = 360.0 / nq
+
+            def row_of_lat(lat):
+                phi = np.radians(np.clip(lat, -quadkeylib.MAX_LAT,
+                                         quadkeylib.MAX_LAT))
+                return (1.0 - np.log(np.tan(phi) + 1.0 / np.cos(phi))
+                        / np.pi) / 2.0 * nq
+
+            def lat_of_row(v):
+                # edge rows absorb the |lat| > MAX_LAT clip -> extend
+                # their band to the pole for the width computation
+                out = np.degrees(np.arctan(np.sinh(
+                    np.pi * (1.0 - 2.0 * np.asarray(v, np.float64) / nq))))
+                out = np.where(np.asarray(v) <= 0, 90.0, out)
+                return np.where(np.asarray(v) >= nq, -90.0, out)
+        else:
+            lonspan, latspan = cover.cell_spans(cres, dggs)
+            nlon = int(round(360.0 / lonspan))
+            nlat = int(round(180.0 / latspan))
+
+            def row_of_lat(lat):
+                return (lat + 90.0) / latspan
+
+            def lat_of_row(v):
+                return np.asarray(v, np.float64) * latspan - 90.0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qlon = pdf[lon_col].values.astype(np.float64)
+            qlat = pdf[lat_col].values.astype(np.float64)
+            r_a = row_of_lat(qlat - ang_deg)
+            r_b = row_of_lat(qlat + ang_deg)
+            li0 = np.clip(np.floor(np.minimum(r_a, r_b))
+                          .astype(np.int64), 0, nlat - 1)
+            li1 = np.clip(np.floor(np.maximum(r_a, r_b))
+                          .astype(np.int64), 0, nlat - 1)
+            qi_r, row = _ragged_ranges(li0, li1)
+            b0 = lat_of_row(row)
+            b1 = lat_of_row(row + 1)
+            band_lat_lo = np.minimum(b0, b1)
+            band_lat_hi = np.maximum(b0, b1)
+            # EXACT per-band lon half-width (spherical law of
+            # cosines): at latitude phi the disk's boundary sits at
+            # dlam = acos((cos a - sin(qlat) sin(phi)) /
+            #             (cos(qlat) cos(phi))),
+            # with the clip encoding the two degenerate regimes —
+            # q >= 1: disk never reaches phi (width 0); q <= -1: the
+            # whole parallel lies inside the disk (over-the-pole
+            # reach, width 180).  Over an interval of latitudes the
+            # max width is attained at an endpoint or at the widest
+            # latitude phi* with sin(phi*) = sin(qlat)/cos a (disk
+            # tangent to a meridian), so evaluating those <=3
+            # candidates is exact.  The former 1.2*a/cos(phi)
+            # heuristic undercovered bands adjacent to (but not
+            # inside) a pole cap — the known lat-distortion bug
+            # class (round-3 ADVICE).
+            qlat_b = qlat[qi_r]
+            qlat_r = np.radians(qlat_b)
+            sin_q, cos_q = np.sin(qlat_r), np.cos(qlat_r)
+            cos_a = np.cos(ang)
+
+            def _width_deg(phi_deg):
+                phi = np.radians(np.clip(phi_deg, -89.999999, 89.999999))
+                q = (cos_a - sin_q * np.sin(phi)) / (
+                    np.maximum(cos_q, 1e-12) * np.cos(phi))
+                return np.degrees(np.arccos(np.clip(q, -1.0, 1.0)))
+
+            lo_phi = np.maximum(band_lat_lo, qlat_b - ang_deg)
+            hi_phi = np.minimum(band_lat_hi, qlat_b + ang_deg)
+            dlon = np.maximum(_width_deg(lo_phi), _width_deg(hi_phi))
+            if cos_a > 0.0:
+                s = sin_q / cos_a
+                ok = np.abs(s) <= 1.0
+                phi_star = np.degrees(np.arcsin(np.clip(s, -1.0, 1.0)))
+                in_band = ok & (phi_star >= lo_phi) & (phi_star <= hi_phi)
+                if in_band.any():
+                    dlon = np.where(in_band,
+                                    np.maximum(dlon, _width_deg(phi_star)),
+                                    dlon)
+            else:
+                # radius >= quarter sphere: cover everything
+                dlon = np.full_like(dlon, 180.0)
+            # queries at/near a pole: cos(qlat) ~ 0 makes the ratio
+            # meaningless — every longitude is within the disk's span
+            dlon = np.where(cos_q < 1e-9, 180.0, dlon)
+            dlon = np.minimum(180.0, dlon + 1e-7)  # float-safety pad
+            ji0 = np.floor((qlon[qi_r] - dlon + 180.0) / lonspan).astype(np.int64)
+            ji1 = np.floor((qlon[qi_r] + dlon + 180.0) / lonspan).astype(np.int64)
+            ji1 = np.minimum(ji1, ji0 + nlon - 1)  # full wrap at most once
+            qi_c, col = _ragged_ranges(ji0, ji1)
+            col = np.mod(col, nlon)
+            rowc = row[qi_c]
+            qidx = qi_r[qi_c]
+            lon_c = (col + 0.5) * lonspan - 180.0
+            lat_c = lat_of_row(rowc + 0.5)
+            cells = cover.encode(lon_c, lat_c, cres, dggs)
+            yield pd.DataFrame({
+                q_id: pdf[q_id].values[qidx],
+                "q_lon": qlon[qidx],
+                "q_lat": qlat[qidx],
+                "jcell": cells,
+            })
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.dggs import cover, h3lib
+
+        pat_az, pat_rad = disk_pattern(pitch0)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf[q_id].values
+            qlon = np.radians(pdf[lon_col].values.astype(np.float64))
+            qlat = np.radians(pdf[lat_col].values.astype(np.float64))
+            n, p = qlon.shape[0], pat_az.shape[0]
+            la, lo = h3lib._geo_az_distance(
+                qlat[:, None], qlon[:, None], pat_az[None, :], pat_rad[None, :]
+            )
+            glon = np.degrees(lo).ravel()
+            glat = np.degrees(la).ravel()
+            cells = cover.encode(glon, glat, cres, dggs)
+            qidx = np.repeat(np.arange(n), p)
+            # dedupe (query, cell) pairs: lexsort + consecutive-diff
+            order = np.lexsort((cells, qidx))
+            qi, ce = qidx[order], cells[order]
+            keep = np.ones(qi.shape[0], dtype=bool)
+            keep[1:] = (qi[1:] != qi[:-1]) | (ce[1:] != ce[:-1])
+            qi, ce = qi[keep], ce[keep]
+            yield pd.DataFrame({
+                q_id: qids[qi],
+                "q_lon": pdf[lon_col].values[qi],
+                "q_lat": pdf[lat_col].values[qi],
+                "jcell": ce,
+            })
+
+    if fixed_deg_grid:
+        return df.mapInPandas(fn_fixed, schema)
+
+    return df.mapInPandas(fn, schema)
+
 def knn_join(queries: DataFrame, targets: DataFrame, k: int,
              radius_m: float | None = None, res: int = 9, dggs: str = "hex7",
              q_id: str = "q_id", t_id: str = "t_id",
@@ -774,161 +977,8 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     t = t.persist()
 
     def ring_cells(df: DataFrame, radius: float, cres: int) -> DataFrame:
-        schema = T.StructType([
-            T.StructField(q_id, df.schema[q_id].dataType, False),
-            T.StructField("q_lon", T.DoubleType(), False),
-            T.StructField("q_lat", T.DoubleType(), False),
-            T.StructField("jcell", T.LongType(), False),
-        ])
-        # the disk-sample pattern (azimuth, angular distance) is shared by
-        # every query in a batch -> precompute once per batch, vectorize
-        # across the whole batch (one encode for all queries)
-        from raster2dggs_spark.dggs import cover as _cover
-
-        ang = radius / EARTH_R
-        pitch0 = np.radians(_cover.pitch_deg(cres, dggs)) * 0.35
-        fixed_deg_grid = dggs in ("geohash", "maidenhead")
-
-        def disk_pattern(pitch):
-            steps = int(np.ceil(ang / pitch)) + 1
-            pat_az = [np.array([0.0])]
-            pat_rad = [np.array([0.0])]
-            for rad in np.linspace(0.0, ang, steps + 1)[1:]:
-                kk = max(6, int(np.ceil(2 * np.pi * rad / pitch)))
-                pat_az.append(np.linspace(0.0, 2 * np.pi, kk, endpoint=False))
-                pat_rad.append(np.full(kk, rad))
-            return np.concatenate(pat_az), np.concatenate(pat_rad)
-
-        def _ragged_ranges(lo, hi):
-            """Flatten per-row integer ranges [lo_i, hi_i] into
-            (row_index, value) arrays."""
-            counts = (hi - lo + 1).astype(np.int64)
-            total = int(counts.sum())
-            idx = np.repeat(np.arange(lo.shape[0]), counts)
-            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            seq = np.arange(total) - np.repeat(starts, counts)
-            return idx, np.repeat(lo, counts) + seq
-
-        def fn_fixed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # geohash/maidenhead cells are lon/lat rectangles with FIXED
-            # degree spans, so the disk cover is enumerated EXACTLY as
-            # integer index ranges per lat band (conservative lon width
-            # per band) — an angular sampling pattern would need its
-            # pitch shrunk by cos(lat) and blow up near the poles
-            from raster2dggs_spark.dggs import cover
-
-            ang_deg = np.degrees(ang)
-            lonspan, latspan = cover.cell_spans(cres, dggs)
-            nlon = int(round(360.0 / lonspan))
-            nlat = int(round(180.0 / latspan))
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                qlon = pdf[lon_col].values.astype(np.float64)
-                qlat = pdf[lat_col].values.astype(np.float64)
-                li0 = np.clip(np.floor((qlat - ang_deg + 90.0) / latspan)
-                              .astype(np.int64), 0, nlat - 1)
-                li1 = np.clip(np.floor((qlat + ang_deg + 90.0) / latspan)
-                              .astype(np.int64), 0, nlat - 1)
-                qi_r, row = _ragged_ranges(li0, li1)
-                band_lo = row * latspan - 90.0
-                # EXACT per-band lon half-width (spherical law of
-                # cosines): at latitude phi the disk's boundary sits at
-                # dlam = acos((cos a - sin(qlat) sin(phi)) /
-                #             (cos(qlat) cos(phi))),
-                # with the clip encoding the two degenerate regimes —
-                # q >= 1: disk never reaches phi (width 0); q <= -1: the
-                # whole parallel lies inside the disk (over-the-pole
-                # reach, width 180).  Over an interval of latitudes the
-                # max width is attained at an endpoint or at the widest
-                # latitude phi* with sin(phi*) = sin(qlat)/cos a (disk
-                # tangent to a meridian), so evaluating those <=3
-                # candidates is exact.  The former 1.2*a/cos(phi)
-                # heuristic undercovered bands adjacent to (but not
-                # inside) a pole cap — the known lat-distortion bug
-                # class (round-3 ADVICE).
-                qlat_b = qlat[qi_r]
-                qlat_r = np.radians(qlat_b)
-                sin_q, cos_q = np.sin(qlat_r), np.cos(qlat_r)
-                cos_a = np.cos(ang)
-
-                def _width_deg(phi_deg):
-                    phi = np.radians(np.clip(phi_deg, -89.999999, 89.999999))
-                    q = (cos_a - sin_q * np.sin(phi)) / (
-                        np.maximum(cos_q, 1e-12) * np.cos(phi))
-                    return np.degrees(np.arccos(np.clip(q, -1.0, 1.0)))
-
-                lo_phi = np.maximum(band_lo, qlat_b - ang_deg)
-                hi_phi = np.minimum(band_lo + latspan, qlat_b + ang_deg)
-                dlon = np.maximum(_width_deg(lo_phi), _width_deg(hi_phi))
-                if cos_a > 0.0:
-                    s = sin_q / cos_a
-                    ok = np.abs(s) <= 1.0
-                    phi_star = np.degrees(np.arcsin(np.clip(s, -1.0, 1.0)))
-                    in_band = ok & (phi_star >= lo_phi) & (phi_star <= hi_phi)
-                    if in_band.any():
-                        dlon = np.where(in_band,
-                                        np.maximum(dlon, _width_deg(phi_star)),
-                                        dlon)
-                else:
-                    # radius >= quarter sphere: cover everything
-                    dlon = np.full_like(dlon, 180.0)
-                # queries at/near a pole: cos(qlat) ~ 0 makes the ratio
-                # meaningless — every longitude is within the disk's span
-                dlon = np.where(cos_q < 1e-9, 180.0, dlon)
-                dlon = np.minimum(180.0, dlon + 1e-7)  # float-safety pad
-                ji0 = np.floor((qlon[qi_r] - dlon + 180.0) / lonspan).astype(np.int64)
-                ji1 = np.floor((qlon[qi_r] + dlon + 180.0) / lonspan).astype(np.int64)
-                ji1 = np.minimum(ji1, ji0 + nlon - 1)  # full wrap at most once
-                qi_c, col = _ragged_ranges(ji0, ji1)
-                col = np.mod(col, nlon)
-                rowc = row[qi_c]
-                qidx = qi_r[qi_c]
-                lon_c = (col + 0.5) * lonspan - 180.0
-                lat_c = (rowc + 0.5) * latspan - 90.0
-                cells = cover.encode(lon_c, lat_c, cres, dggs)
-                yield pd.DataFrame({
-                    q_id: pdf[q_id].values[qidx],
-                    "q_lon": qlon[qidx],
-                    "q_lat": qlat[qidx],
-                    "jcell": cells,
-                })
-
-        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from raster2dggs_spark.dggs import cover, h3lib
-
-            pat_az, pat_rad = disk_pattern(pitch0)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                qids = pdf[q_id].values
-                qlon = np.radians(pdf[lon_col].values.astype(np.float64))
-                qlat = np.radians(pdf[lat_col].values.astype(np.float64))
-                n, p = qlon.shape[0], pat_az.shape[0]
-                la, lo = h3lib._geo_az_distance(
-                    qlat[:, None], qlon[:, None], pat_az[None, :], pat_rad[None, :]
-                )
-                glon = np.degrees(lo).ravel()
-                glat = np.degrees(la).ravel()
-                cells = cover.encode(glon, glat, cres, dggs)
-                qidx = np.repeat(np.arange(n), p)
-                # dedupe (query, cell) pairs: lexsort + consecutive-diff
-                order = np.lexsort((cells, qidx))
-                qi, ce = qidx[order], cells[order]
-                keep = np.ones(qi.shape[0], dtype=bool)
-                keep[1:] = (qi[1:] != qi[:-1]) | (ce[1:] != ce[:-1])
-                qi, ce = qi[keep], ce[keep]
-                yield pd.DataFrame({
-                    q_id: qids[qi],
-                    "q_lon": pdf[lon_col].values[qi],
-                    "q_lat": pdf[lat_col].values[qi],
-                    "jcell": ce,
-                })
-
-        if fixed_deg_grid:
-            return df.mapInPandas(fn_fixed, schema)
-
-        return df.mapInPandas(fn, schema)
+        return disk_cover_cells(df, radius, cres, dggs, q_id,
+                                lon_col, lat_col)
 
     from raster2dggs_spark.operators.aggregates import top_k
 
@@ -974,6 +1024,56 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
     remaining.unpersist()
     t.unpersist()
     return results
+
+
+def within_distance_join(queries: DataFrame, targets: DataFrame,
+                         radius_m: float, res: int = 9, dggs: str = "hex7",
+                         q_id: str = "q_id", t_id: str = "t_id",
+                         lon_col: str = "lon", lat_col: str = "lat"
+                         ) -> DataFrame:
+    """Geodesic distance-band join: every (query, target) pair within
+    ``radius_m`` meters, with the exact haversine distance — the spatial
+    range join of the kNN family (ref ``interpolation.py`` neighbor
+    gathering generalized to an explicit radius; the buffered-bbox cell
+    filter of ``common.py:344-360`` as a first-class join).
+
+    Plan shape (100-TB): targets are indexed ONCE at fine ``res`` and
+    joined on the native bitwise parent at a radius-adaptive coarser
+    res; queries explode to their disk-cover cells (exact integer
+    enumeration on fixed-degree grids, dense ring sampling elsewhere)
+    in one narrow ``mapInPandas`` — superset candidates, then one exact
+    haversine filter.  ONE shuffle (the equi-join); no window, no
+    driver loop.  The cover res keeps candidates at O(cells-in-disk)
+    per query regardless of radius, so skew follows data density, not
+    radius."""
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    if targets.rdd.getNumPartitions() < par:
+        targets = targets.repartition(par)
+    q = queries.select(q_id, lon_col, lat_col)
+    if q.rdd.getNumPartitions() < par:
+        q = q.repartition(par)
+    t = index_points(targets, res, dggs, lon_col, lat_col).select(
+        F.col(t_id), F.col("cell"),
+        F.col(lon_col).alias("t_lon"), F.col(lat_col).alias("t_lat"),
+    )
+    cres = _res_for_radius(radius_m, dggs, res)
+    tt = t.withColumn("jcell", parent_expr("cell", cres, dggs, from_res=res))
+    # pad the sampled disk by one cover-cell pitch: a target just inside
+    # the radius can sit in a cell whose disk overlap is a thin sliver —
+    # the superset is free (exact filter below), the miss would not be
+    from raster2dggs_spark.dggs import cover as _cover
+
+    pad_m = np.radians(_cover.pitch_deg(cres, dggs)) * EARTH_R
+    cand = disk_cover_cells(q, radius_m + pad_m, cres, dggs, q_id,
+                            lon_col, lat_col).join(tt, "jcell")
+    dist = 2.0 * EARTH_R * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(F.col("t_lat") - F.col("q_lat")) / 2), 2)
+        + F.cos(F.radians("q_lat")) * F.cos(F.radians("t_lat"))
+        * F.pow(F.sin(F.radians(F.col("t_lon") - F.col("q_lon")) / 2), 2)
+    ))
+    return (cand.withColumn("dist_m", dist)
+            .where(F.col("dist_m") <= F.lit(float(radius_m)))
+            .select(q_id, t_id, "dist_m"))
 
 
 def zonal_join(cells_df: DataFrame, zones: DataFrame, res: int,

@@ -87,6 +87,43 @@ def test_knn_join_matches_bruteforce(spark):
     assert all(len(v) == k for v in got.values())
 
 
+@pytest.mark.parametrize("dggs,res", [("hex7", 9), ("geohash", 8), ("quadkey", 12)])
+def test_within_distance_join_matches_bruteforce(spark, dggs, res):
+    from raster2dggs_spark.operators.joins import within_distance_join
+
+    rng = np.random.default_rng(23)
+    n_q, n_t, radius = 60, 600, 120_000.0
+    # mid-lat block plus a high-latitude band (the lat-distortion class:
+    # covers that under-sample lon columns fail exactly here)
+    qlon = np.concatenate([rng.uniform(-10, 10, n_q // 2),
+                           rng.uniform(150, 179, n_q // 2)])
+    qlat = np.concatenate([rng.uniform(40, 50, n_q // 2),
+                           rng.uniform(78, 86, n_q // 2)])
+    tlon = np.concatenate([rng.uniform(-12, 12, n_t // 2),
+                           rng.uniform(148, 180, n_t // 2)])
+    tlat = np.concatenate([rng.uniform(38, 52, n_t // 2),
+                           rng.uniform(77, 87, n_t // 2)])
+    q = spark.createDataFrame(pd.DataFrame(
+        {"q_id": np.arange(n_q, dtype=np.int64), "lon": qlon, "lat": qlat}))
+    t = spark.createDataFrame(pd.DataFrame(
+        {"t_id": np.arange(n_t, dtype=np.int64), "lon": tlon, "lat": tlat}))
+    out = within_distance_join(q, t, radius_m=radius, res=res,
+                               dggs=dggs).toPandas()
+    expected = set()
+    for i in range(n_q):
+        d = haversine_m(np.full(n_t, qlon[i]), np.full(n_t, qlat[i]),
+                        tlon, tlat)
+        expected |= {(i, int(j)) for j in np.flatnonzero(d <= radius)}
+    got = set(zip(out["q_id"].astype(int), out["t_id"].astype(int)))
+    assert got == expected
+    # distances are the exact haversine (spot check)
+    m = out.set_index(["q_id", "t_id"])["dist_m"]
+    for (i, j) in list(expected)[:20]:
+        ref = float(haversine_m(np.array([qlon[i]]), np.array([qlat[i]]),
+                                np.array([tlon[j]]), np.array([tlat[j]]))[0])
+        assert abs(m.loc[(i, j)] - ref) < 1e-6
+
+
 def test_zonal_join(spark, fixtures):
     from raster2dggs_spark.operators.joins import zonal_join, index_points
 
