@@ -844,6 +844,43 @@ def q_line_cells_quadkey(spark, sf_dir):
     return out.select("line_id", qk_str("cell").alias("qk_12"))
 
 
+def q_polyfill_quadkey(spark, sf_dir):
+    """Polygon -> cells EXACT center-in fill on the quadkey grid
+    (operators/joins.py:polygon_fill_cells) — the vector2dggs polygon
+    workload (h3 polyfill semantics).  Concave L-shaped hexagon rings
+    derived from supplier keys by integer arithmetic; the scanline
+    enumerates each tile-row center's edge crossings analytically in
+    continuous (lon, Mercator-fy) tile space and pairs them into spans.
+    The oracle replays the identical construction relationally:
+    half-open crossing join, row_number/lead pairing, ceil span
+    expansion, base-4 digit render."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.joins import polygon_fill_cells
+
+    s = _t(spark, sf_dir, "supplier")
+    lon0 = (((F.col("s_suppkey") * 41) % 330) - 165).cast("double")
+    lat0 = (((F.col("s_suppkey") * 23) % 130) - 65).cast("double")
+    dx = [0.0, 12.0, 12.0, 5.0, 5.0, 0.0]
+    dy = [0.0, 0.0, 4.0, 4.0, 9.0, 9.0]
+    polys = s.select(
+        F.col("s_suppkey").cast("long").alias("poly_id"),
+        F.array(*[lon0 + F.lit(d) for d in dx]).cast(
+            "array<double>").alias("xs"),
+        F.array(*[lat0 + F.lit(d) for d in dy]).cast(
+            "array<double>").alias("ys"),
+    )
+    out = polygon_fill_cells(polys, res=8, dggs="quadkey")
+
+    @F.pandas_udf("string")
+    def qk_str(c):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.cells_to_string(c.values))
+
+    return out.select("poly_id", qk_str("cell").alias("qk_8"))
+
+
 def q_trend(spark, sf_dir):
     """Per-cell OLS time-series trend over the 6x3 scene stack (round
     7, operators/composite.py:trend_cells) — the decades-of-scenes
@@ -2589,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_gaps": q_interpolate_gaps,
         "rolling_smooth": q_rolling_smooth,
         "line_cells_quadkey": q_line_cells_quadkey,
+        "polyfill_quadkey": q_polyfill_quadkey,
         "dedup_exact": q_dedup_exact,
         "phash_near_dup": q_phash_near_dup,
         "minhash_lsh": q_minhash_lsh,
@@ -4718,6 +4756,61 @@ def oracle_sql() -> dict[str, str]:
                        f" + ((tx >> {12 - 1 - i}) & 1) AS VARCHAR)"
                        for i in range(12)) + """ AS qk_12
             FROM xy
+        """,
+        "polyfill_quadkey": """
+            WITH s AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS poly_id,
+                     CAST(((s_suppkey * 41) % 330) - 165 AS DOUBLE) AS lon0,
+                     CAST(((s_suppkey * 23) % 130) - 65 AS DOUBLE) AS lat0
+              FROM supplier),
+            v AS (
+              SELECT poly_id, r.k AS k,
+                     lon0 + CASE r.k WHEN 1 THEN 12.0 WHEN 2 THEN 12.0
+                                     WHEN 3 THEN 5.0 WHEN 4 THEN 5.0
+                                     ELSE 0.0 END AS lon,
+                     lat0 + CASE r.k WHEN 2 THEN 4.0 WHEN 3 THEN 4.0
+                                     WHEN 4 THEN 9.0 WHEN 5 THEN 9.0
+                                     ELSE 0.0 END AS lat
+              FROM s, range(6) r(k)),
+            e AS (
+              SELECT a.poly_id,
+                     (a.lon + 180.0) / 360.0 * 256.0 AS u0,
+                     ((1.0 - ln(tan(radians(a.lat))
+                                + 1.0 / cos(radians(a.lat))) / pi())
+                      / 2.0) * 256.0 AS v0,
+                     (b.lon + 180.0) / 360.0 * 256.0 AS u1,
+                     ((1.0 - ln(tan(radians(b.lat))
+                                + 1.0 / cos(radians(b.lat))) / pi())
+                      / 2.0) * 256.0 AS v1
+              FROM v a JOIN v b
+                ON a.poly_id = b.poly_id AND b.k = (a.k + 1) % 6),
+            cr AS (
+              SELECT poly_id, g.iy AS iy,
+                     u0 + (u1 - u0)
+                        * ((CAST(g.iy AS DOUBLE) + 0.5 - v0)
+                           / (v1 - v0)) AS uc
+              FROM e JOIN range(0, 256) g(iy)
+                ON CAST(g.iy AS DOUBLE) + 0.5 >= least(v0, v1)
+               AND CAST(g.iy AS DOUBLE) + 0.5 <  greatest(v0, v1)),
+            p AS (
+              SELECT poly_id, iy, uc,
+                     row_number() OVER (PARTITION BY poly_id, iy
+                                        ORDER BY uc) AS rn,
+                     lead(uc) OVER (PARTITION BY poly_id, iy
+                                    ORDER BY uc) AS ur
+              FROM cr),
+            cell AS (
+              SELECT DISTINCT poly_id,
+                     CAST(g.ix AS BIGINT) AS tx, CAST(iy AS BIGINT) AS ty
+              FROM p JOIN range(0, 256) g(ix)
+                ON g.ix >= CAST(ceil(uc - 0.5) AS BIGINT)
+               AND g.ix <= CAST(ceil(ur - 0.5) AS BIGINT) - 1
+              WHERE rn % 2 = 1)
+            SELECT poly_id, """ + " || ".join(
+                f"CAST(2 * ((ty >> {8 - 1 - i}) & 1)"
+                f" + ((tx >> {8 - 1 - i}) & 1) AS VARCHAR)"
+                for i in range(8)) + """ AS qk_8
+            FROM cell
         """,
         "rolling_smooth": f"""
             WITH sc AS (

@@ -323,6 +323,132 @@ def polygon_cells(polys: DataFrame, res: int, dggs: str = "hex7") -> DataFrame:
     return polys.mapInPandas(fn, schema)
 
 
+def _ragged(lo: np.ndarray, hi: np.ndarray):
+    """Flatten per-row integer ranges [lo_i, hi_i] (empty when hi < lo)
+    into (row_index, value) arrays."""
+    counts = np.maximum(hi - lo + 1, 0).astype(np.int64)
+    total = int(counts.sum())
+    idx = np.repeat(np.arange(lo.shape[0]), counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    seq = np.arange(total) - np.repeat(starts, counts)
+    return idx, np.repeat(lo, counts) + seq
+
+
+def polygon_fill_cells(polys: DataFrame, res: int, dggs: str = "hex7",
+                       id_col: str = "poly_id", xs_col: str = "xs",
+                       ys_col: str = "ys") -> DataFrame:
+    """Polygon -> cells whose CENTER lies inside (h3 ``polyfill`` /
+    vector2dggs polygon semantics; ref `common.py` cell-enumeration
+    capability generalized from bboxes to arbitrary rings).
+
+    - **Rectangle grids (quadkey / geohash): EXACT scanline.**  The ring
+      maps into the grid's continuous tile space (lon linear; quadkey's
+      N-S axis through Mercator ``fy`` — edges are straight lines of
+      the grid's own planar space), each tile-row center's edge
+      crossings are enumerated analytically (half-open even-odd rule),
+      and crossings pair left/right into spans of interior centers.
+      Nothing sampled, nothing missed.
+    - **Curved grids**: the guaranteed-density cover machinery
+      (``polygon_cells``) filtered to center-in rows; edges are
+      straight in lon/lat there (documented contract difference).
+
+    Scale shape: one narrow ``mapInPandas`` — a polygon is scanned,
+    paired and expanded entirely inside its task, vectorized across the
+    batch's edges; no shuffle, no cross-task state."""
+    from raster2dggs_spark.dggs import check_grid
+
+    check_grid(dggs)
+    if dggs not in ("quadkey", "geohash"):
+        return (polygon_cells(polys, res, dggs)
+                .where(F.col("center_in"))
+                .select(F.col("poly_id").alias(id_col), "cell"))
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+    ])
+
+    def _axes():
+        if dggs == "quadkey":
+            from raster2dggs_spark.dggs import quadkeylib
+
+            n = 1 << res
+
+            def fy(lat):
+                phi = np.radians(np.clip(lat, -quadkeylib.MAX_LAT,
+                                         quadkeylib.MAX_LAT))
+                return (1.0 - np.log(np.tan(phi) + 1.0 / np.cos(phi))
+                        / np.pi) / 2.0
+
+            return (lambda lon: (lon + 180.0) / 360.0 * n,
+                    lambda lat: fy(lat) * n, n, n,
+                    lambda ix, iy: quadkeylib.tile_to_cell(ix, iy, res))
+        from raster2dggs_spark.dggs import geohashlib
+
+        nbits = 5 * res
+        nx, ny = 1 << ((nbits + 1) // 2), 1 << (nbits // 2)
+        return (lambda lon: (lon + 180.0) / 360.0 * nx,
+                lambda lat: (lat + 90.0) / 180.0 * ny, nx, ny,
+                lambda ix, iy: geohashlib.cell_from_indices(ix, iy, res))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ufun, vfun, nx, ny, make = _axes()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pids, ex0, ey0, ex1, ey1 = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                xs = np.asarray(getattr(row, xs_col), dtype=np.float64)
+                ys = np.asarray(getattr(row, ys_col), dtype=np.float64)
+                if xs.shape[0] < 3:
+                    continue
+                pids.append(np.repeat(np.int64(getattr(row, id_col)),
+                                      xs.shape[0]))
+                ex0.append(xs); ey0.append(ys)
+                ex1.append(np.roll(xs, -1)); ey1.append(np.roll(ys, -1))
+            if not pids:
+                continue
+            pid = np.concatenate(pids)
+            u0 = ufun(np.concatenate(ex0)); u1 = ufun(np.concatenate(ex1))
+            v0 = vfun(np.concatenate(ey0)); v1 = vfun(np.concatenate(ey1))
+            a = np.minimum(v0, v1)
+            b = np.maximum(v0, v1)
+            # rows whose center vc = iy + 0.5 satisfies a <= vc < b
+            # (half-open even-odd: shared vertices count exactly once)
+            row_lo = np.ceil(a - 0.5).astype(np.int64)
+            row_hi = (np.ceil(b - 0.5) - 1.0).astype(np.int64)
+            if int(np.maximum(row_hi - row_lo + 1, 0).sum()) > 5_000_000:
+                raise ValueError(
+                    "polygon_fill_cells: a batch spans >5M scan rows at "
+                    f"res {res}; use a coarser res or split polygons")
+            ei, iy = _ragged(row_lo, row_hi)
+            vc = iy.astype(np.float64) + 0.5
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (vc - v0[ei]) / (v1[ei] - v0[ei])
+            uc = u0[ei] + (u1[ei] - u0[ei]) * t
+            # pair crossings left->right per (poly, row)
+            o = np.lexsort((uc, iy, pid[ei]))
+            sp, siy, suc = pid[ei][o], iy[o], uc[o]
+            new = np.ones(sp.shape[0], dtype=bool)
+            new[1:] = (sp[1:] != sp[:-1]) | (siy[1:] != siy[:-1])
+            cum = np.arange(sp.shape[0]) - np.maximum.accumulate(
+                np.where(new, np.arange(sp.shape[0]), 0))
+            left = cum % 2 == 0
+            ul, ur = suc[left], suc[~left]
+            lp, liy = sp[left], siy[left]
+            ix_lo = np.ceil(ul - 0.5).astype(np.int64)
+            ix_hi = (np.ceil(ur - 0.5) - 1.0).astype(np.int64)
+            si, ix = _ragged(ix_lo, ix_hi)
+            ix = np.mod(ix, nx)
+            out = pd.DataFrame({
+                id_col: lp[si],
+                "cell": make(ix, np.clip(liy[si], 0, ny - 1)),
+            })
+            yield out.drop_duplicates(ignore_index=True)
+
+    return polys.mapInPandas(fn, schema)
+
+
 def line_cells(lines: DataFrame, res: int, dggs: str = "hex7",
                step_frac: float = 0.2,
                id_col: str = "line_id", xs_col: str = "xs",

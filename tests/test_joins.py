@@ -124,6 +124,93 @@ def test_within_distance_join_matches_bruteforce(spark, dggs, res):
         assert abs(m.loc[(i, j)] - ref) < 1e-6
 
 
+@pytest.mark.parametrize("dggs,res", [("quadkey", 9), ("geohash", 4)])
+def test_polygon_fill_exact_scanline(spark, dggs, res):
+    """Scanline fill == brute-force raycast of every bbox cell center in
+    the grid's own continuous tile space (where edges are straight)."""
+    from raster2dggs_spark.operators.joins import (
+        polygon_fill_cells, raycast_contains)
+    from raster2dggs_spark.dggs import geohashlib, quadkeylib
+
+    # concave L + a notched high-latitude ring (lat-distortion class)
+    polys = [
+        (0, [10.0, 22.0, 22.0, 15.0, 15.0, 10.0],
+            [40.0, 40.0, 44.0, 44.0, 49.0, 49.0]),
+        (1, [100.0, 130.0, 130.0, 112.0, 112.0, 100.0],
+            [70.0, 70.0, 82.0, 82.0, 76.0, 76.0]),
+    ]
+    pdf_in = pd.DataFrame(polys, columns=["poly_id", "xs", "ys"])
+    df = spark.createDataFrame(
+        pdf_in, "poly_id long, xs array<double>, ys array<double>")
+    out = polygon_fill_cells(df, res, dggs=dggs).toPandas()
+
+    if dggs == "quadkey":
+        n = 1 << res
+        nx = ny = n
+
+        def ufun(lon):
+            return (np.asarray(lon, np.float64) + 180.0) / 360.0 * n
+
+        def vfun(lat):
+            phi = np.radians(np.clip(np.asarray(lat, np.float64),
+                                     -quadkeylib.MAX_LAT, quadkeylib.MAX_LAT))
+            return (1.0 - np.log(np.tan(phi) + 1.0 / np.cos(phi))
+                    / np.pi) / 2.0 * n
+
+        def make(ix, iy):
+            return quadkeylib.tile_to_cell(ix, iy, res)
+    else:
+        nbits = 5 * res
+        nx, ny = 1 << ((nbits + 1) // 2), 1 << (nbits // 2)
+
+        def ufun(lon):
+            return (np.asarray(lon, np.float64) + 180.0) / 360.0 * nx
+
+        def vfun(lat):
+            return (np.asarray(lat, np.float64) + 90.0) / 180.0 * ny
+
+        def make(ix, iy):
+            return geohashlib.cell_from_indices(ix, iy, res)
+
+    expected = set()
+    for pid, xs, ys in polys:
+        ux, vy = ufun(xs), vfun(ys)
+        ix0, ix1 = int(np.floor(ux.min())) - 1, int(np.ceil(ux.max())) + 1
+        iy0, iy1 = int(np.floor(vy.min())) - 1, int(np.ceil(vy.max())) + 1
+        gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1),
+                             np.arange(iy0, iy1 + 1))
+        gx, gy = gx.ravel(), gy.ravel()
+        inside = raycast_contains(gx + 0.5, gy + 0.5, ux, vy)
+        cells = make(gx[inside].astype(np.int64),
+                     gy[inside].astype(np.int64))
+        expected |= {(pid, int(c)) for c in cells}
+    got = set(zip(out["poly_id"].astype(int), out["cell"].astype(int)))
+    assert got == expected
+    assert len(got) > 100  # nontrivial fill
+
+
+def test_polygon_fill_curved_fallback(spark):
+    """Curved grids route through the cover machinery's center-in flag:
+    fill == raycast of each emitted/omitted candidate center."""
+    from raster2dggs_spark.operators.joins import (
+        polygon_fill_cells, polygon_cells, raycast_contains)
+    from raster2dggs_spark.dggs import h3lib
+
+    xs = [10.0, 22.0, 22.0, 15.0, 15.0, 10.0]
+    ys = [40.0, 40.0, 44.0, 44.0, 49.0, 49.0]
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, xs, ys)], columns=["poly_id", "xs", "ys"]),
+        "poly_id long, xs array<double>, ys array<double>")
+    res = 4
+    fill = polygon_fill_cells(df, res, dggs="hex7").toPandas()
+    cand = polygon_cells(df, res, dggs="hex7").toPandas()
+    lon, lat = h3lib.cell_to_latlng(cand["cell"].values)
+    inside = raycast_contains(lon, lat, np.asarray(xs), np.asarray(ys))
+    expected = set(cand["cell"].values[inside].tolist())
+    assert set(fill["cell"].astype(int)) == expected
+    assert len(expected) > 20
+
+
 def test_zonal_join(spark, fixtures):
     from raster2dggs_spark.operators.joins import zonal_join, index_points
 
