@@ -1173,6 +1173,35 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(d, "doc_id", "text", k=5)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (dominant token/bigram
+    mass fractions + duplicate-bigram fraction) — the boilerplate/spam
+    filter of the curation pipeline.  The argmax is TOTAL-ordered
+    (count DESC, gram ASC) via max-count + min-gram-at-max, so the
+    DuckDB twin replays it with plain grouped aggregates."""
+    from raster2dggs_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 §C style): training docs sharing
+    any word 4-gram with the held-out eval split (the md5-bucket 'test'
+    partition), with match counts.  Composes hash_split +
+    ngram_decontaminate so the whole pipeline — split assignment,
+    shingling, overlap join — is one relational twin in DuckDB."""
+    from raster2dggs_spark.operators.text import (hash_split,
+                                                  ngram_decontaminate)
+
+    d = _t(spark, sf_dir, "documents")
+    sp = hash_split(d, "doc_id").select("doc_id", "split")
+    labeled = d.select("doc_id", "text").join(sp, "doc_id")
+    train = labeled.where(F.col("split") != "test")
+    ev = labeled.where(F.col("split") == "test")
+    return ngram_decontaminate(train, ev, "doc_id", "text", n=4)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by md5 bucket — stable
     across engines/partitionings/table growth (the property random()
@@ -2641,6 +2670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": q_curate_docs,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2938,6 +2969,82 @@ def _hash_split_sql(buckets: int = 10_000) -> str:
                     WHEN bucket < {int(round(0.95 * buckets))} THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+
+_REPETITION_SQL = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    uni AS (SELECT doc_id, unnest(toks) AS g FROM t),
+    ucnt AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY doc_id, g),
+    uper AS (SELECT doc_id, max(c) AS mx, sum(c) AS total,
+                    count(*) AS dn
+             FROM ucnt GROUP BY doc_id),
+    utop AS (SELECT u.doc_id, min(u.g) AS top_token
+             FROM ucnt u JOIN uper p
+               ON u.doc_id = p.doc_id AND u.c = p.mx
+             GROUP BY u.doc_id),
+    big AS (SELECT doc_id, toks[s.i] || ' ' || toks[s.i + 1] AS g
+            FROM t, unnest(generate_series(1, len(toks) - 1)) s(i)
+            WHERE len(toks) >= 2),
+    bcnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+    bper AS (SELECT doc_id, max(c) AS mx, sum(c) AS total,
+                    count(*) AS dn
+             FROM bcnt GROUP BY doc_id),
+    btop AS (SELECT b.doc_id, min(b.g) AS top_bigram
+             FROM bcnt b JOIN bper p
+               ON b.doc_id = p.doc_id AND b.c = p.mx
+             GROUP BY b.doc_id)
+    SELECT u.doc_id,
+           CAST(u.total AS BIGINT) AS n_tokens,
+           ut.top_token,
+           round(u.mx / u.total, 6) AS top_token_frac,
+           round((u.total - u.dn) / u.total, 6) AS dup_token_frac,
+           CAST(b.total AS BIGINT) AS n_bigrams,
+           bt.top_bigram,
+           round(b.mx / b.total, 6) AS top_bigram_frac,
+           round((b.total - b.dn) / b.total, 6) AS dup_bigram_frac
+    FROM uper u
+    JOIN utop ut ON ut.doc_id = u.doc_id
+    JOIN bper b ON b.doc_id = u.doc_id
+    JOIN btop bt ON bt.doc_id = u.doc_id
+"""
+
+
+def _decontaminate_sql(n: int = 5, buckets: int = 10_000) -> str:
+    """Relational twin of q_decontaminate: hash_split's md5-hex bucket
+    arithmetic verbatim, n-gram shingling by list slicing, one overlap
+    join against the eval split's distinct gram set."""
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), "
+        f"{i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    gram = " || ' ' || ".join(f"toks[u.i + {j}]" for j in range(n))
+    return f"""
+        WITH lab AS (SELECT doc_id,
+                            ({hexval}) % {buckets} AS bucket
+                     FROM documents),
+        tok AS (SELECT d.doc_id,
+                       CASE WHEN lab.bucket < {int(round(0.95 * buckets))}
+                            THEN 'train' ELSE 'test' END AS s,
+                       {_TOKS} AS toks
+                FROM documents d JOIN lab USING (doc_id)),
+        ng AS (SELECT DISTINCT doc_id, s, {gram} AS shingle
+               FROM tok, unnest(generate_series(1, len(toks) - {n - 1}))
+                    u(i)
+               WHERE len(toks) >= {n}),
+        ev AS (SELECT DISTINCT shingle FROM ng WHERE s = 'test'),
+        tr AS (SELECT doc_id, shingle FROM ng WHERE s = 'train'),
+        tot AS (SELECT doc_id, count(*) AS total_ngrams
+                FROM tr GROUP BY doc_id),
+        hit AS (SELECT tr.doc_id, count(*) AS matched_ngrams
+                FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id)
+        SELECT tot.doc_id,
+               CAST(tot.total_ngrams AS BIGINT) AS total_ngrams,
+               CAST(hit.matched_ngrams AS BIGINT) AS matched_ngrams,
+               round(hit.matched_ngrams / tot.total_ngrams, 6)
+                   AS contaminated_frac
+        FROM tot JOIN hit USING (doc_id)
     """
 
 
@@ -4224,6 +4331,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "hash_split": _hash_split_sql(10_000),
+        "repetition_stats": _REPETITION_SQL,
+        "decontaminate": _decontaminate_sql(4, 10_000),
         "curate_docs": _curate_sql(0.5, 10_000),
         "video_frame_stats": _video_frame_stats_sql(24, 4),
         "audio_features": _audio_features_sql(16, 1024),

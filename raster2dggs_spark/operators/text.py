@@ -151,6 +151,90 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
                       F.col("rank").cast("long").alias("rank"))
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 adapted to single-line word streams): the dominant token
+    and bigram with their mass fractions, and the duplicate-bigram
+    instance fraction.  High values flag boilerplate / spam / generated
+    loops for the curation pipeline.
+
+    All native expressions: one explode per gram size, two groupBys and
+    an equi-join per signal — the argmax is the TOTAL-ordered
+    (count DESC, gram ASC), computed as max-count then min-gram-at-max
+    so the identical construction exists in the DuckDB twin (no
+    engine-specific arg_max tie semantics).  Shuffles move ~distinct
+    (doc, gram) rows; no windows, no skew hot keys beyond the doc's own
+    grams."""
+    from raster2dggs_spark.operators.dedup import tokens_expr
+
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+    uni = toks.select(id_col, F.explode("toks").alias("g"))
+    big = toks.where(F.size("toks") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+            )
+        ).alias("g"),
+    )
+
+    def top_frac(grams: DataFrame, prefix: str) -> DataFrame:
+        cnt = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        per = cnt.groupBy(id_col).agg(
+            F.max("c").alias("mx"),
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("distinct_n"),
+        )
+        top = (cnt.join(per, id_col)
+               .where(F.col("c") == F.col("mx"))
+               .groupBy(id_col)
+               .agg(F.min("g").alias(f"top_{prefix}")))
+        return per.join(top, id_col).select(
+            id_col,
+            F.col("total").alias(f"n_{prefix}s"),
+            F.col(f"top_{prefix}"),
+            F.round(F.col("mx") / F.col("total"), 6).alias(
+                f"top_{prefix}_frac"),
+            F.round((F.col("total") - F.col("distinct_n"))
+                    / F.col("total"), 6).alias(f"dup_{prefix}_frac"),
+        )
+
+    return top_frac(uni, "token").join(top_frac(big, "bigram"), id_col)
+
+
+def ngram_decontaminate(train: DataFrame, eval_df: DataFrame,
+                        id_col: str, text_col: str, n: int = 8
+                        ) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §C / The Pile style): flag
+    training documents sharing any word ``n``-gram with the evaluation
+    set, with match counts and the contaminated fraction.
+
+    Plan shape (100-TB): the eval side reduces to its DISTINCT n-gram
+    set — orders of magnitude smaller than the corpus and independent
+    of corpus size — then one hash equi-join on the gram against the
+    train side's distinct (doc, gram) rows and one groupBy(doc).
+    Deliberately UNHINTED join (the eval gram set of a big benchmark
+    suite may still exceed the broadcast budget; AQE broadcasts at
+    runtime when it fits).  No windows; map-side partial counts."""
+    from raster2dggs_spark.operators.dedup import word_shingles
+
+    tr = word_shingles(train, id_col, text_col, n)
+    ev = word_shingles(eval_df, id_col, text_col, n).select(
+        "shingle").distinct()
+    tot = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_ngrams"))
+    hit = (tr.join(ev, "shingle")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("matched_ngrams")))
+    return (tot.join(hit, id_col)
+            .select(id_col,
+                    F.col("total_ngrams").cast("long").alias("total_ngrams"),
+                    F.col("matched_ngrams").cast("long").alias(
+                        "matched_ngrams"),
+                    F.round(F.col("matched_ngrams") / F.col("total_ngrams"),
+                            6).alias("contaminated_frac")))
+
+
 def hash_split(df: DataFrame, id_col: str,
                weights: dict[str, float] | None = None,
                buckets: int = 10_000) -> DataFrame:

@@ -426,3 +426,61 @@ def test_phash_near_dup_recall_and_cap(spark):
     uncapped = phash_near_dup(dfh, max_hamming=3, nbits=60,
                               max_bucket=None).toPandas()
     assert len(capped) <= len(uncapped)
+
+
+def test_repetition_stats_known_values(spark):
+    from raster2dggs_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam eggs"),          # top token spam 3/4
+            (2, "a b a b a b"),                  # top bigram "a b" 3/5
+            (3, "x y z w"),                      # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(docs, "doc_id", "text").collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["top_token"] == "spam"
+    assert abs(out[1]["top_token_frac"] - 0.75) < 1e-9
+    # bigrams of doc1: "spam spam" x2, "spam eggs" -> dup frac 1/3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["top_bigram"] == "spam spam"
+    assert abs(out[1]["dup_bigram_frac"] - round(1 / 3, 6)) < 1e-9
+    assert out[2]["top_bigram"] == "a b"
+    assert abs(out[2]["top_bigram_frac"] - 0.6) < 1e-9
+    assert abs(out[2]["dup_token_frac"] - round(4 / 6, 6)) < 1e-9
+    # ties broken by min gram: doc3 all counts 1 -> lexicographic min
+    assert out[3]["top_token"] == "w"
+    assert out[3]["dup_token_frac"] == 0.0
+
+
+def test_ngram_decontaminate_counts(spark):
+    from raster2dggs_spark.operators.text import ngram_decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words live here today"),
+            (3, "quick brown fox jumps again and again"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox jumps happily")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in ngram_decontaminate(train, ev, "doc_id", "text",
+                                        n=4).collect()}
+    # eval 4-grams: "a quick brown fox", "quick brown fox jumps",
+    # "brown fox jumps happily"
+    # doc1 grams include "quick brown fox jumps" -> 1 match of 6 grams
+    assert out[1]["matched_ngrams"] == 1
+    assert out[1]["total_ngrams"] == 6
+    assert abs(out[1]["contaminated_frac"] - round(1 / 6, 6)) < 1e-9
+    # doc3 also contains "quick brown fox jumps"
+    assert out[3]["matched_ngrams"] == 1
+    # doc2 shares nothing -> absent (inner join keeps flagged docs only)
+    assert 2 not in out
