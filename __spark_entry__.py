@@ -552,6 +552,51 @@ def q_focal_mean_quadkey(spark, sf_dir):
     )
 
 
+def _quadkey5_density(spark, sf_dir):
+    """Shared deterministic quadkey-res-5 cell layer (customer points,
+    v = avg of an integer-derived value) — input of the focal and
+    spatial-statistics gate queries."""
+    from raster2dggs_spark.operators.joins import index_points
+
+    pts = _customer_points(spark, sf_dir).withColumn(
+        "v", ((F.col("point_id") * 11) % 97).cast("double"))
+    return (index_points(pts, res=5, dggs="quadkey")
+            .groupBy("cell").agg(F.avg("v").alias("v")))
+
+
+def q_morans_i_local(spark, sf_dir):
+    """Local Moran's I (Anselin LISA) on the quadkey lattice: z-scores
+    vs the layer mean, row-standardized queen-neighbor spatial lag,
+    local_i = z*lag/m2 — hot/cold-spot detection over the cell index.
+    The oracle replays the z-transform and the modular 3x3 window join
+    (minus self) relationally."""
+    from raster2dggs_spark.operators.focal import morans_i_local
+
+    out = morans_i_local(_quadkey5_density(spark, sf_dir), "v",
+                         dggs="quadkey")
+    return out.select(
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        _r4("v").alias("v"),
+        _r4("z").alias("z"),
+        _r4("lag").alias("lag"),
+        F.round("local_i", 6).alias("local_i"),
+        F.col("n_neighbors").cast("long").alias("n_neighbors"),
+    )
+
+
+def q_morans_i_global(spark, sf_dir):
+    """Global Moran's I with row-standardized queen weights over the
+    same layer — one scalar row (I, n, S0); the oracle reduces the LISA
+    twin with the identical I = sum(z*lag)/(S0*m2) formula."""
+    from raster2dggs_spark.operators.focal import morans_i_global
+
+    out = morans_i_global(_quadkey5_density(spark, sf_dir), "v",
+                          dggs="quadkey")
+    return out.select(F.round("moran_i", 6).alias("moran_i"),
+                      "n_cells", "s0")
+
+
 def q_focal_metric_points(spark, sf_dir):
     """Metric focal mean (radius 750 km) over keyed points (round 7,
     operators/focal.py:focal_metric): the grid-blocked radius self-join
@@ -2646,6 +2691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
+        "morans_i_local": q_morans_i_local,
+        "morans_i_global": q_morans_i_global,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
@@ -4707,6 +4754,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,
                    CAST(nw AS BIGINT) AS n_window
             FROM f
+        """,
+        "morans_i_local": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            q AS (
+              SELECT CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 32.0), 0), 31)
+                     AS BIGINT) AS gx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 32.0), 0), 31) AS BIGINT) AS gy,
+                     CAST((point_id * 11) % 97 AS DOUBLE) AS v
+              FROM p),
+            c AS (SELECT gx, gy, avg(v) AS v FROM q GROUP BY gx, gy),
+            st AS (SELECT avg(v) AS mu, avg(v * v) AS m2raw FROM c),
+            z AS (SELECT gx, gy, v, v - mu AS z,
+                         m2raw - mu * mu AS m2
+                  FROM c, st),
+            nb AS (SELECT a.gx, a.gy, sum(b.z) AS zsum,
+                          count(*) AS nn
+                   FROM z a JOIN z b
+                     ON ((b.gx - a.gx + 33) % 32) <= 2
+                    AND abs(b.gy - a.gy) <= 1
+                    AND NOT (b.gx = a.gx AND b.gy = a.gy)
+                   GROUP BY a.gx, a.gy)
+            SELECT z.gx, z.gy,
+                   round(z.v, 4) + 0.0 AS v,
+                   round(z.z, 4) + 0.0 AS z,
+                   round(zsum / nn, 4) + 0.0 AS lag,
+                   round(z.z * (zsum / nn) / z.m2, 6) + 0.0 AS local_i,
+                   CAST(nn AS BIGINT) AS n_neighbors
+            FROM z JOIN nb ON z.gx = nb.gx AND z.gy = nb.gy
+        """,
+        "morans_i_global": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            q AS (
+              SELECT CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 32.0), 0), 31)
+                     AS BIGINT) AS gx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 32.0), 0), 31) AS BIGINT) AS gy,
+                     CAST((point_id * 11) % 97 AS DOUBLE) AS v
+              FROM p),
+            c AS (SELECT gx, gy, avg(v) AS v FROM q GROUP BY gx, gy),
+            st AS (SELECT avg(v) AS mu, avg(v * v) AS m2raw FROM c),
+            z AS (SELECT gx, gy, v - mu AS z, m2raw - mu * mu AS m2
+                  FROM c, st),
+            nb AS (SELECT a.gx, a.gy, sum(b.z) AS zsum,
+                          count(*) AS nn
+                   FROM z a JOIN z b
+                     ON ((b.gx - a.gx + 33) % 32) <= 2
+                    AND abs(b.gy - a.gy) <= 1
+                    AND NOT (b.gx = a.gx AND b.gy = a.gy)
+                   GROUP BY a.gx, a.gy),
+            n AS (SELECT count(*) AS n_cells FROM c)
+            SELECT round(sum(z.z * (nb.zsum / nb.nn))
+                         / (count(*) * max(z.m2)), 6) + 0.0 AS moran_i,
+                   CAST(max(n.n_cells) AS BIGINT) AS n_cells,
+                   CAST(count(*) AS BIGINT) AS s0
+            FROM z JOIN nb ON z.gx = nb.gx AND z.gy = nb.gy, n
         """,
         "focal_metric_points": f"""
             WITH p0 AS ({_CUSTOMER_POINTS_SQL.strip()}),

@@ -184,6 +184,88 @@ def focal_lattice(cells_df: DataFrame, value_cols: list[str], k: int = 1,
     return out.select(*keep, *focal_cols, "n_window")
 
 
+def _lattice_extent_exprs(dggs: str):
+    """(wlon, wlat) lattice extents as native Columns (shared by
+    focal_lattice and the Moran operators)."""
+    if dggs == "quadkey":
+        wlon = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(gprec AS INT))")
+        return wlon, wlon
+    wlon = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                  "CAST((5 * gprec + 1) DIV 2 AS INT))")
+    wlat = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                  "CAST((5 * gprec) DIV 2 AS INT))")
+    return wlon, wlat
+
+
+def morans_i_local(cells_df: DataFrame, value_col: str,
+                   dggs: str = "geohash", cell_col: str = "cell"
+                   ) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) on a rectangle-lattice cell
+    layer: per cell, ``z`` (deviation from the layer mean), the
+    row-standardized spatial lag (mean of the 8 queen neighbors' z) and
+    ``local_i = z * lag / m2`` with ``m2`` the layer's population
+    variance.  Hot/cold-spot detection — the spatial-statistics step
+    after zonal/focal aggregation.
+
+    Cells with no present neighbor are dropped (LISA is undefined for
+    islands; the inner gather join encodes that).  Scale shape: one
+    1-row broadcast (mu, m2), an 8-way native scatter, ONE exchange for
+    the gather, one equi-join back — the focal_lattice plan with a
+    z-transform; no windows, no driver iteration."""
+    g = lattice_indices(cells_df, cell_col, dggs)
+    st = cells_df.agg(
+        F.avg(value_col).alias("mu"),
+        F.avg(F.col(value_col) * F.col(value_col)).alias("m2raw"),
+    )
+    g = (g.crossJoin(F.broadcast(st))
+         .withColumn("z", F.col(value_col) - F.col("mu"))
+         .withColumn("m2", F.col("m2raw") - F.col("mu") * F.col("mu")))
+    wlon, wlat = _lattice_extent_exprs(dggs)
+    seq = F.sequence(F.lit(-1), F.lit(1))
+    scat = (g
+            .withColumn("dx", F.explode(seq))
+            .withColumn("dy", F.explode(seq))
+            .where((F.col("dx") != 0) | (F.col("dy") != 0))
+            .withColumn("sx", ((F.col("gx") + F.col("dx")) % wlon + wlon)
+                        % wlon)
+            .withColumn("sy", F.col("gy") + F.col("dy"))
+            .where((F.col("sy") >= 0) & (F.col("sy") < wlat)))
+    gathered = scat.groupBy("sx", "sy").agg(
+        F.sum("z").alias("zsum"), F.count(F.lit(1)).alias("n_neighbors"))
+    out = g.join(gathered,
+                 (g["gx"] == gathered["sx"]) & (g["gy"] == gathered["sy"]))
+    lag = F.col("zsum") / F.col("n_neighbors")
+    return out.select(
+        *cells_df.columns, "gx", "gy", "z", "m2",
+        lag.alias("lag"),
+        (F.col("z") * lag / F.col("m2")).alias("local_i"),
+        F.col("n_neighbors"),
+    )
+
+
+def morans_i_global(cells_df: DataFrame, value_col: str,
+                    dggs: str = "geohash", cell_col: str = "cell"
+                    ) -> DataFrame:
+    """Global Moran's I with row-standardized queen weights:
+    ``I = sum(z * lag) / (S0 * m2)`` where S0 counts cells that have at
+    least one present neighbor (each such row's weights sum to 1) —
+    algebraically (n/S0) * sum_ij w_ij z_i z_j / sum z_i^2.  One extra
+    scalar aggregate over the LISA plan; returns a single row
+    (moran_i, n_cells, s0)."""
+    loc = morans_i_local(cells_df, value_col, dggs, cell_col)
+    n = cells_df.agg(F.count(F.lit(1)).alias("n_cells"))
+    agg = loc.agg(
+        F.sum(F.col("z") * F.col("lag")).alias("szl"),
+        F.count(F.lit(1)).alias("s0"),
+        F.max("m2").alias("m2"),
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        (F.col("szl") / (F.col("s0") * F.col("m2"))).alias("moran_i"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("s0").cast("long").alias("s0"),
+    )
+
+
 # --------------------------------------------------------------------------
 # metric focal (any grid / any keyed points)
 # --------------------------------------------------------------------------

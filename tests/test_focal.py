@@ -175,3 +175,64 @@ def test_focal_lattice_quadkey_wraps_lon(spark):
     assert out[(0, 7)]["focal_v"] == 2.0         # mean(1, 3)
     assert out[(n - 1, 7)]["n_window"] == 2
     assert out[(5, 20)]["n_window"] == 1         # isolated
+
+
+def test_morans_i_checkerboard_and_blocks(spark):
+    """Anselin LISA sanity on constructed geohash lattices: a
+    checkerboard is maximally dispersed (global I < 0, every local_i
+    with full windows negative); two constant half-planes are clustered
+    (global I > 0); values cross-checked against a direct numpy
+    reference on the same present-neighbor weights."""
+    from raster2dggs_spark.operators.focal import (
+        morans_i_local, morans_i_global)
+    from raster2dggs_spark.dggs import geohashlib
+
+    prec = 3
+    # an 8x8 block of adjacent geohash cells from a lon/lat window
+    lons = 10.05 + (360.0 / 256.0) * np.arange(8)   # prec-3 lon span
+    lats = 40.05 + (180.0 / 128.0) * np.arange(8)   # prec-3 lat span
+    glon, glat = np.meshgrid(lons, lats)
+    cells = geohashlib.lonlat_to_cell(glon.ravel(), glat.ravel(), prec)
+    assert len(np.unique(cells)) == 64
+    gx, gy, _, _ = _lattice_indices(cells, prec)
+
+    def run(values):
+        df = spark.createDataFrame(
+            pd.DataFrame({"cell": cells.astype(np.int64), "v": values}))
+        loc = morans_i_local(df, "v", dggs="geohash").toPandas()
+        glob = morans_i_global(df, "v", dggs="geohash").toPandas()
+        return loc, float(glob["moran_i"].iloc[0])
+
+    # numpy reference
+    def ref_local(values):
+        mu = values.mean()
+        m2 = (values * values).mean() - mu * mu
+        z = values - mu
+        out = {}
+        for i in range(len(cells)):
+            nb = [j for j in range(len(cells))
+                  if j != i and abs(gx[j] - gx[i]) <= 1
+                  and abs(gy[j] - gy[i]) <= 1]
+            if nb:
+                lag = float(np.mean(z[nb]))
+                out[int(cells[i])] = z[i] * lag / m2
+        return out
+
+    checker = ((gx + gy) % 2).astype(np.float64) * 10.0
+    loc, I = run(checker)
+    ref = ref_local(checker)
+    got = dict(zip(loc["cell"].astype(int), loc["local_i"]))
+    assert set(got) == set(ref)
+    for c, v in ref.items():
+        assert abs(got[c] - v) < 1e-9
+    # queen weights: the 4 diagonal neighbors share the checker color,
+    # so interior (full-window) lag is EXACTLY zero and global I is
+    # mildly negative (edge cells only)
+    assert I < 0
+    interior = loc[(loc["n_neighbors"] == 8)]
+    assert len(interior) == 36
+    assert (interior["local_i"].abs() < 1e-12).all()
+
+    halves = (gx >= np.median(gx)).astype(np.float64) * 10.0
+    _, I2 = run(halves)
+    assert I2 > 0.5  # strong clustering
