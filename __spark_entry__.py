@@ -564,6 +564,40 @@ def _quadkey5_density(spark, sf_dir):
             .groupBy("cell").agg(F.avg("v").alias("v")))
 
 
+def q_pyramid_rollup(spark, sf_dir):
+    """Multi-resolution pyramid (res 10 -> 6) of a quadkey point-density
+    layer — every level aggregated from the previous level's partials
+    via native bitwise parents (tree reduction).  Exact integer-valued
+    doubles make every engine's sums bit-equal; the oracle aggregates
+    each level directly from the base cells (associativity is the
+    invariant under test) grouped by base-4 prefix."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.joins import index_points
+    from raster2dggs_spark.operators.regrid import pyramid_rollup
+
+    pts = _customer_points(spark, sf_dir).withColumn(
+        "v", ((F.col("point_id") * 11) % 97).cast("double"))
+    cells = index_points(pts, res=10, dggs="quadkey").select("cell", "v")
+    out = pyramid_rollup(cells, "v", from_res=10, to_res=6,
+                         dggs="quadkey")
+
+    @F.pandas_udf("string")
+    def qk_str(c):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.cells_to_string(c.values))
+
+    return out.select(
+        "res", qk_str("cell").alias("qk"),
+        _r4("v_sum").alias("v_sum"),
+        "v_count",
+        _r4("v_min").alias("v_min"),
+        _r4("v_max").alias("v_max"),
+        F.round("v_mean", 6).alias("v_mean"),
+    )
+
+
 def q_morans_i_local(spark, sf_dir):
     """Local Moran's I (Anselin LISA) on the quadkey lattice: z-scores
     vs the layer mean, row-standardized queen-neighbor spatial lag,
@@ -2693,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean_quadkey": q_focal_mean_quadkey,
         "morans_i_local": q_morans_i_local,
         "morans_i_global": q_morans_i_global,
+        "pyramid_rollup": q_pyramid_rollup,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
@@ -4754,6 +4789,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,
                    CAST(nw AS BIGINT) AS n_window
             FROM f
+        """,
+        "pyramid_rollup": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            b AS (
+              SELECT CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 1024.0), 0), 1023)
+                     AS BIGINT) AS tx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 1024.0), 0), 1023) AS BIGINT) AS ty,
+                     CAST((point_id * 11) % 97 AS DOUBLE) AS v
+              FROM p),
+            q AS (SELECT """ + " || ".join(
+                f"CAST(2 * ((ty >> {10 - 1 - i}) & 1)"
+                f" + ((tx >> {10 - 1 - i}) & 1) AS VARCHAR)"
+                for i in range(10)) + """ AS qk10, v FROM b)
+            SELECT g.r AS res,
+                   substr(qk10, 1, CAST(g.r AS INT)) AS qk,
+                   round(sum(v), 4) AS v_sum,
+                   CAST(count(v) AS BIGINT) AS v_count,
+                   round(min(v), 4) + 0.0 AS v_min,
+                   round(max(v), 4) + 0.0 AS v_max,
+                   round(sum(v) / count(v), 6) + 0.0 AS v_mean
+            FROM q, range(6, 11) g(r)
+            GROUP BY g.r, substr(qk10, 1, CAST(g.r AS INT))
         """,
         "morans_i_local": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

@@ -156,3 +156,51 @@ def regrid_cells(
         else:
             final.append(F.col(f"wv_{c}").alias(c))
     return agg.select(*final)
+
+
+def pyramid_rollup(cells_df: DataFrame, value_col: str, from_res: int,
+                   to_res: int, dggs: str, cell_col: str = "cell"
+                   ) -> DataFrame:
+    """Multi-resolution pyramid of a cell-indexed layer: one row per
+    (res, cell) for every level from ``from_res`` down to ``to_res``,
+    carrying sum / count / min / max / mean of ``value_col`` — the cell
+    analogue of a COG overview pyramid (the reference's resolution
+    modes pick ONE res per run, `common.py:67-122`; dashboards want
+    every zoom level of the same index).
+
+    Scale shape: level r is aggregated FROM LEVEL r+1's partials via
+    the native bitwise ``parent_expr`` — a tree reduction, so total
+    shuffle volume is the sum of the (geometrically shrinking) level
+    sizes, not levels x base, and no level ever re-reads the base
+    table.  sum/count/min/max compose exactly through the tree; mean
+    is finalized from the partials per emitted level."""
+    if to_res > from_res:
+        raise ValueError("to_res must be <= from_res")
+    from raster2dggs_spark.operators.joins import parent_expr
+
+    cur = cells_df.groupBy(cell_col).agg(
+        F.sum(value_col).alias("v_sum"),
+        F.count(value_col).alias("v_count"),
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+    )
+    levels = []
+    for r in range(from_res, to_res - 1, -1):
+        if r < from_res:
+            cur = (cur.groupBy(
+                parent_expr(cell_col, r, dggs, from_res=r + 1)
+                .alias(cell_col))
+                .agg(F.sum("v_sum").alias("v_sum"),
+                     F.sum("v_count").alias("v_count"),
+                     F.min("v_min").alias("v_min"),
+                     F.max("v_max").alias("v_max")))
+        levels.append(cur.withColumn("res", F.lit(r).cast("long")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "res", cell_col, "v_sum",
+        F.col("v_count").cast("long").alias("v_count"),
+        "v_min", "v_max",
+        (F.col("v_sum") / F.col("v_count")).alias("v_mean"),
+    )

@@ -112,3 +112,44 @@ def test_error_paths(spark):
         regrid_cells(df, ["v"], "s2", "hex7", 5, oversample=1)
     with pytest.raises(ValueError):
         regrid_cells(df, ["v"], "h3", "s2", 5)
+
+
+def test_pyramid_rollup_levels_match_direct(spark):
+    """Each pyramid level (tree-reduced from the previous level) equals
+    the direct base->level aggregation; totals are conserved."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from raster2dggs_spark.dggs import geohashlib
+    from raster2dggs_spark.operators.regrid import pyramid_rollup
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    lon = rng.uniform(-170, 170, n)
+    lat = rng.uniform(-80, 80, n)
+    v = rng.integers(0, 100, n).astype(np.float64)
+    cells = geohashlib.lonlat_to_cell(lon, lat, 5)
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": cells.astype(np.int64), "v": v}))
+    out = pyramid_rollup(df, "v", from_res=5, to_res=2,
+                         dggs="geohash").toPandas()
+    assert sorted(out["res"].unique()) == [2, 3, 4, 5]
+    for r in (2, 3, 4, 5):
+        lv = out[out["res"] == r]
+        # conservation at every level
+        assert lv["v_count"].sum() == n
+        assert abs(lv["v_sum"].sum() - v.sum()) < 1e-6
+        # direct recomputation from base points
+        direct = pd.DataFrame({
+            "cell": geohashlib.lonlat_to_cell(lon, lat, r), "v": v
+        }).groupby("cell")["v"].agg(["sum", "count", "min", "max"])
+        got = lv.set_index("cell")
+        assert set(got.index) == set(direct.index)
+        assert np.allclose(got["v_sum"].loc[direct.index], direct["sum"])
+        assert (got["v_count"].loc[direct.index]
+                == direct["count"]).all()
+        assert np.allclose(got["v_min"].loc[direct.index], direct["min"])
+        assert np.allclose(got["v_max"].loc[direct.index], direct["max"])
+        assert np.allclose(got["v_mean"].loc[direct.index],
+                           direct["sum"] / direct["count"])
