@@ -564,6 +564,25 @@ def _quadkey5_density(spark, sf_dir):
             .groupBy("cell").agg(F.avg("v").alias("v")))
 
 
+def q_getis_gi_star(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-statistic (3x3 binary weights incl.
+    self) on the quadkey density layer — the significance-scored
+    sibling of the Moran LISA.  Oracle replays the focal sum join and
+    the Gi* formula term-for-term."""
+    from raster2dggs_spark.operators.focal import getis_ord_gi_star
+
+    out = getis_ord_gi_star(_quadkey5_density(spark, sf_dir), "v",
+                            dggs="quadkey", k=1)
+    return out.select(
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        _r4("v").alias("v"),
+        _r4("window_sum").alias("window_sum"),
+        F.col("n_window").cast("long").alias("n_window"),
+        F.round("gi_star", 6).alias("gi_star"),
+    )
+
+
 def q_pyramid_rollup(spark, sf_dir):
     """Multi-resolution pyramid (res 10 -> 6) of a quadkey point-density
     layer — every level aggregated from the previous level's partials
@@ -2728,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_local": q_morans_i_local,
         "morans_i_global": q_morans_i_global,
         "pyramid_rollup": q_pyramid_rollup,
+        "getis_gi_star": q_getis_gi_star,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
@@ -4789,6 +4809,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,
                    CAST(nw AS BIGINT) AS n_window
             FROM f
+        """,
+        "getis_gi_star": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            q AS (
+              SELECT CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 32.0), 0), 31)
+                     AS BIGINT) AS gx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 32.0), 0), 31) AS BIGINT) AS gy,
+                     CAST((point_id * 11) % 97 AS DOUBLE) AS v
+              FROM p),
+            c AS (SELECT gx, gy, avg(v) AS v FROM q GROUP BY gx, gy),
+            st AS (SELECT count(*) AS n, avg(v) AS mu,
+                          avg(v * v) AS m2raw
+                   FROM c),
+            f AS (SELECT a.gx, a.gy, a.v, sum(b.v) AS sw,
+                         count(*) AS nw
+                  FROM c a JOIN c b
+                    ON ((b.gx - a.gx + 33) % 32) <= 2
+                   AND abs(b.gy - a.gy) <= 1
+                  GROUP BY a.gx, a.gy, a.v)
+            SELECT gx, gy, round(v, 4) + 0.0 AS v,
+                   round(sw, 4) + 0.0 AS window_sum,
+                   CAST(nw AS BIGINT) AS n_window,
+                   round((sw - mu * nw)
+                         / (sqrt(m2raw - mu * mu)
+                            * sqrt((n * nw - nw * nw) / (n - 1))), 6)
+                       + 0.0 AS gi_star
+            FROM f, st
         """,
         "pyramid_rollup": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

@@ -243,6 +243,38 @@ def morans_i_local(cells_df: DataFrame, value_col: str,
     )
 
 
+def getis_ord_gi_star(cells_df: DataFrame, value_col: str,
+                      dggs: str = "geohash", k: int = 1,
+                      cell_col: str = "cell") -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-statistic per cell (Ord & Getis 1995)
+    with binary (2k+1)^2 Chebyshev-window weights INCLUDING self:
+
+        Gi* = (S_w - mu*W) / (S * sqrt((n*W - W^2) / (n - 1)))
+
+    where S_w is the window sum, W the window count (present cells),
+    mu/S the layer mean/population std.  |Gi*| > ~1.96 marks
+    significant hot (positive) / cold (negative) spots.  Plan: the
+    focal_lattice sum plan + a 1-row broadcast of (n, mu, m2) — one
+    scatter, one gather exchange, one join."""
+    g = focal_lattice(cells_df, [value_col], k=k, agg="sum",
+                      keep_indices=True, dggs=dggs)
+    st = cells_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("mu"),
+        F.avg(F.col(value_col) * F.col(value_col)).alias("m2raw"),
+    )
+    out = g.crossJoin(F.broadcast(st))
+    s = F.sqrt(F.col("m2raw") - F.col("mu") * F.col("mu"))
+    w = F.col("n_window")
+    gi = ((F.col(f"focal_{value_col}") - F.col("mu") * w)
+          / (s * F.sqrt((F.col("n") * w - w * w) / (F.col("n") - 1))))
+    return out.select(
+        *cells_df.columns, "gx", "gy",
+        F.col(f"focal_{value_col}").alias("window_sum"),
+        F.col("n_window"), gi.alias("gi_star"),
+    )
+
+
 def morans_i_global(cells_df: DataFrame, value_col: str,
                     dggs: str = "geohash", cell_col: str = "cell"
                     ) -> DataFrame:

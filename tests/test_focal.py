@@ -236,3 +236,37 @@ def test_morans_i_checkerboard_and_blocks(spark):
     halves = (gx >= np.median(gx)).astype(np.float64) * 10.0
     _, I2 = run(halves)
     assert I2 > 0.5  # strong clustering
+
+
+def test_getis_gi_star_matches_numpy(spark):
+    """Gi* against a direct numpy computation with binary queen+self
+    weights; a planted hot block scores strongly positive."""
+    from raster2dggs_spark.operators.focal import getis_ord_gi_star
+    from raster2dggs_spark.dggs import geohashlib
+
+    prec = 3
+    lons = 10.05 + (360.0 / 256.0) * np.arange(8)
+    lats = 40.05 + (180.0 / 128.0) * np.arange(8)
+    glon, glat = np.meshgrid(lons, lats)
+    cells = geohashlib.lonlat_to_cell(glon.ravel(), glat.ravel(), prec)
+    gx, gy, _, _ = _lattice_indices(cells, prec)
+    rng = np.random.default_rng(3)
+    v = rng.uniform(0, 10, 64)
+    hot = (gx >= gx.min() + 5) & (gy >= gy.min() + 5)
+    v[hot] += 100.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": cells.astype(np.int64), "v": v}))
+    out = getis_ord_gi_star(df, "v", dggs="geohash").toPandas()
+    n, mu = 64, v.mean()
+    s = np.sqrt((v * v).mean() - mu * mu)
+    got = out.set_index(out["cell"].astype(int))
+    for i in range(64):
+        win = [j for j in range(64)
+               if abs(gx[j] - gx[i]) <= 1 and abs(gy[j] - gy[i]) <= 1]
+        w = len(win)
+        ref = (v[win].sum() - mu * w) / (
+            s * np.sqrt((n * w - w * w) / (n - 1)))
+        assert abs(got.loc[int(cells[i]), "gi_star"] - ref) < 1e-9
+    # the hot block's interior is a significant hot spot
+    hot_cells = set(cells[hot].astype(int))
+    assert (got.loc[list(hot_cells), "gi_star"] > 2.0).all()
