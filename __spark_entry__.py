@@ -564,6 +564,35 @@ def _quadkey5_density(spark, sf_dir):
             .groupBy("cell").agg(F.avg("v").alias("v")))
 
 
+def q_idw_grid(spark, sf_dir):
+    """IDW gridding (Shepard p=2): supplier station values interpolated
+    onto the quadkey-res-6 cells occupied by customers, contributors
+    within 500 km of each cell center.  Runs the real disk-cover +
+    parent-join + haversine plan; the oracle is the brute-force
+    cross-join twin with the identical center math (inverse Mercator)
+    and weight expression."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.joins import idw_to_cells, index_points
+
+    pts = _supplier_points(spark, sf_dir).withColumn(
+        "v", ((F.col("t_id") * 13) % 101).cast("double"))
+    cells = (index_points(_customer_points(spark, sf_dir), res=6,
+                          dggs="quadkey")
+             .select("cell").distinct())
+    out = idw_to_cells(pts, cells, radius_m=500_000.0, res=9,
+                       dggs="quadkey", value_col="v")
+
+    @F.pandas_udf("string")
+    def qk_str(c):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.cells_to_string(c.values))
+
+    return out.select(qk_str("cell").alias("qk_6"),
+                      F.round("idw", 6).alias("idw"), "n_contrib")
+
+
 def q_getis_gi_star(spark, sf_dir):
     """Getis-Ord Gi* hot-spot z-statistic (3x3 binary weights incl.
     self) on the quadkey density layer — the significance-scored
@@ -2748,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_global": q_morans_i_global,
         "pyramid_rollup": q_pyramid_rollup,
         "getis_gi_star": q_getis_gi_star,
+        "idw_grid": q_idw_grid,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
@@ -4809,6 +4839,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,
                    CAST(nw AS BIGINT) AS n_window
             FROM f
+        """,
+        "idw_grid": f"""
+            WITH c0 AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            cells AS (
+              SELECT DISTINCT
+                     CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 64.0), 0), 63)
+                     AS BIGINT) AS tx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 64.0), 0), 63) AS BIGINT) AS ty
+              FROM c0),
+            ctr AS (
+              SELECT tx, ty,
+                     (CAST(tx AS DOUBLE) + 0.5) / 64.0 * 360.0 - 180.0
+                         AS clon,
+                     degrees(atan((exp(pi() * (1.0
+                         - 2.0 * (CAST(ty AS DOUBLE) + 0.5) / 64.0))
+                       - exp(-(pi() * (1.0
+                         - 2.0 * (CAST(ty AS DOUBLE) + 0.5) / 64.0))))
+                       / 2.0)) AS clat
+              FROM cells),
+            t AS (SELECT t_id,
+                         CAST((t_id * 13) % 101 AS DOUBLE) AS v,
+                         lon, lat
+                  FROM ({_SUPPLIER_POINTS_SQL})),
+            d AS (
+              SELECT ctr.tx, ctr.ty, t.v,
+                     2.0 * 6371007.1809 * asin(sqrt(
+                       pow(sin(radians(t.lat - ctr.clat) / 2), 2)
+                       + cos(radians(ctr.clat)) * cos(radians(t.lat))
+                       * pow(sin(radians(t.lon - ctr.clon) / 2), 2)
+                     )) AS dist_m
+              FROM ctr CROSS JOIN t),
+            g AS (
+              SELECT tx, ty,
+                     sum((1.0 / pow(greatest(dist_m, 0.001), 2.0)) * v)
+                         AS wv,
+                     sum(1.0 / pow(greatest(dist_m, 0.001), 2.0)) AS w,
+                     count(*) AS n
+              FROM d WHERE dist_m <= 500000.0
+              GROUP BY tx, ty)
+            SELECT """ + " || ".join(
+                f"CAST(2 * ((ty >> {6 - 1 - i}) & 1)"
+                f" + ((tx >> {6 - 1 - i}) & 1) AS VARCHAR)"
+                for i in range(6)) + """ AS qk_6,
+                   round(wv / w, 6) + 0.0 AS idw,
+                   CAST(n AS BIGINT) AS n_contrib
+            FROM g
         """,
         "getis_gi_star": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

@@ -1155,7 +1155,8 @@ def knn_join(queries: DataFrame, targets: DataFrame, k: int,
 def within_distance_join(queries: DataFrame, targets: DataFrame,
                          radius_m: float, res: int = 9, dggs: str = "hex7",
                          q_id: str = "q_id", t_id: str = "t_id",
-                         lon_col: str = "lon", lat_col: str = "lat"
+                         lon_col: str = "lon", lat_col: str = "lat",
+                         keep_target_cols: tuple = ()
                          ) -> DataFrame:
     """Geodesic distance-band join: every (query, target) pair within
     ``radius_m`` meters, with the exact haversine distance — the spatial
@@ -1181,9 +1182,13 @@ def within_distance_join(queries: DataFrame, targets: DataFrame,
     t = index_points(targets, res, dggs, lon_col, lat_col).select(
         F.col(t_id), F.col("cell"),
         F.col(lon_col).alias("t_lon"), F.col(lat_col).alias("t_lat"),
+        *[F.col(c) for c in keep_target_cols],
     )
     cres = _res_for_radius(radius_m, dggs, res)
-    tt = t.withColumn("jcell", parent_expr("cell", cres, dggs, from_res=res))
+    # drop the fine target cell once the coarse join key exists — it
+    # also frees the "cell" name for q_id (idw_to_cells joins on it)
+    tt = t.withColumn("jcell", parent_expr("cell", cres, dggs,
+                                           from_res=res)).drop("cell")
     # pad the sampled disk by one cover-cell pitch: a target just inside
     # the radius can sit in a cell whose disk overlap is a thin sliver —
     # the superset is free (exact filter below), the miss would not be
@@ -1199,7 +1204,57 @@ def within_distance_join(queries: DataFrame, targets: DataFrame,
     ))
     return (cand.withColumn("dist_m", dist)
             .where(F.col("dist_m") <= F.lit(float(radius_m)))
-            .select(q_id, t_id, "dist_m"))
+            .select(q_id, t_id, "dist_m", *keep_target_cols))
+
+
+def idw_to_cells(points: DataFrame, cells_df: DataFrame, radius_m: float,
+                 res: int = 9, dggs: str = "hex7",
+                 value_col: str = "v", cell_col: str = "cell",
+                 t_id: str = "t_id", lon_col: str = "lon",
+                 lat_col: str = "lat", power: float = 2.0) -> DataFrame:
+    """Inverse-distance-weighted gridding: interpolate scattered point
+    values onto the centers of a cell layer — the station-data →
+    gridded-raster step (Shepard 1968; the ungridded twin of the
+    reference's cell-center sampling kernels, `interpolation.py`).
+
+    Per target cell: idw = sum(v / d^p) / sum(1 / d^p) over the points
+    within ``radius_m`` of the cell center (d floored at 1 mm so an
+    exact center hit cannot divide by zero), plus ``n_contrib``.
+
+    Scale shape: the within-distance join's plan — targets indexed once
+    at fine ``res``, cell centers explode to disk-cover candidate cells,
+    ONE equi-join + exact haversine filter, then ONE groupBy(cell) with
+    map-side partial sums.  No windows, no cross joins; cost scales
+    with actual (cell, point) proximity pairs, not |cells| x |points|."""
+    from raster2dggs_spark.dggs import cover as _cover
+
+    schema = T.StructType(
+        [cells_df.schema[cell_col],
+         T.StructField(lon_col, T.DoubleType(), False),
+         T.StructField(lat_col, T.DoubleType(), False)])
+
+    def ctr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon, lat = _cover.cell_center(pdf[cell_col].values, dggs)
+            yield pd.DataFrame({cell_col: pdf[cell_col].values,
+                                lon_col: lon, lat_col: lat})
+
+    centers = cells_df.select(cell_col).mapInPandas(ctr, schema)
+    wd = within_distance_join(
+        centers, points, radius_m, res=res, dggs=dggs, q_id=cell_col,
+        t_id=t_id, lon_col=lon_col, lat_col=lat_col,
+        keep_target_cols=(value_col,))
+    w = 1.0 / F.pow(F.greatest(F.col("dist_m"), F.lit(1e-3)),
+                    F.lit(float(power)))
+    return (wd.groupBy(cell_col)
+            .agg(F.sum(w * F.col(value_col)).alias("wv"),
+                 F.sum(w).alias("w"),
+                 F.count(F.lit(1)).alias("n_contrib"))
+            .select(cell_col,
+                    (F.col("wv") / F.col("w")).alias("idw"),
+                    F.col("n_contrib").cast("long").alias("n_contrib")))
 
 
 def zonal_join(cells_df: DataFrame, zones: DataFrame, res: int,

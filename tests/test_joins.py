@@ -586,3 +586,43 @@ def test_line_cells_antimeridian(spark):
     # contiguous traversal: exactly the columns the segment spans
     assert set(tx) <= {n - 1, 0, 1}
     assert len(set(map(tuple, zip(tx, ty)))) == len(out)
+
+
+def test_idw_to_cells_matches_bruteforce(spark):
+    from raster2dggs_spark.operators.joins import idw_to_cells
+    from raster2dggs_spark.dggs import cover, quadkeylib
+
+    rng = np.random.default_rng(31)
+    n_t = 300
+    tlon = rng.uniform(-20, 20, n_t)
+    tlat = rng.uniform(30, 60, n_t)
+    tv = rng.uniform(0, 50, n_t)
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"t_id": np.arange(n_t, dtype=np.int64),
+         "lon": tlon, "lat": tlat, "v": tv}))
+    # target cells: the quadkey res-7 cells around the data
+    clon = rng.uniform(-18, 18, 80)
+    clat = rng.uniform(32, 58, 80)
+    cells = np.unique(quadkeylib.lonlat_to_cell(clon, clat, 7))
+    cdf = spark.createDataFrame(
+        pd.DataFrame({"cell": cells.astype(np.int64)}))
+    radius = 300_000.0
+    out = idw_to_cells(pts, cdf, radius, res=9, dggs="quadkey",
+                       value_col="v").toPandas()
+    # brute force at the same centers
+    ctr_lon, ctr_lat = cover.cell_center(cells, "quadkey")
+    expected = {}
+    for i, c in enumerate(cells):
+        d = haversine_m(np.full(n_t, ctr_lon[i]),
+                        np.full(n_t, ctr_lat[i]), tlon, tlat)
+        m = d <= radius
+        if m.any():
+            w = 1.0 / np.maximum(d[m], 1e-3) ** 2
+            expected[int(c)] = ((w * tv[m]).sum() / w.sum(), int(m.sum()))
+    got = {int(r.cell): (r.idw, r.n_contrib)
+           for r in out.itertuples(index=False)}
+    assert set(got) == set(expected)
+    for c, (ev, en) in expected.items():
+        assert got[c][1] == en
+        assert abs(got[c][0] - ev) < 1e-6
+    assert len(expected) > 30
