@@ -564,6 +564,40 @@ def _quadkey5_density(spark, sf_dir):
             .groupBy("cell").agg(F.avg("v").alias("v")))
 
 
+def q_emerging_hotspots(spark, sf_dir):
+    """Space-time emerging hot spots (ESRI space-time-cube workflow)
+    over the events stream: 5-day bins x quadkey res-4 cells of event
+    counts, Gi* per bin against that bin's own layer stats, then a
+    Mann-Kendall sign trend per cell over its Gi* series.  The oracle
+    replays bins, per-bin Gi* window joins and the MK pair join."""
+    from raster2dggs_spark.operators.focal import emerging_hotspots
+    from raster2dggs_spark.operators.joins import index_points
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        (((F.col("event_id") * 37) % 344) - 172 + 0.3)
+        .cast("double").alias("lon"),
+        (((F.col("event_id") * 53) % 160) - 80 + 0.3)
+        .cast("double").alias("lat"),
+    )
+    pts = index_points(ev, res=4, dggs="quadkey")
+    binned = pts.withColumn(
+        "tbin",
+        F.floor(F.datediff(F.col("ts").cast("date"),
+                           F.lit("2024-01-01").cast("date")) / 5)
+        .cast("long"))
+    layer = binned.groupBy("cell", "tbin").agg(
+        F.count(F.lit(1)).cast("double").alias("v"))
+    out = emerging_hotspots(layer, "v", dggs="quadkey", k=1)
+    return out.select(
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        "n_bins", "mk_s",
+        (F.col("gi_last") + F.lit(0.0)).alias("gi_last"),
+        "trend",
+    )
+
+
 def q_idw_grid(spark, sf_dir):
     """IDW gridding (Shepard p=2): supplier station values interpolated
     onto the quadkey-res-6 cells occupied by customers, contributors
@@ -2778,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rollup": q_pyramid_rollup,
         "getis_gi_star": q_getis_gi_star,
         "idw_grid": q_idw_grid,
+        "emerging_hotspots": q_emerging_hotspots,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
@@ -4839,6 +4874,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,
                    CAST(nw AS BIGINT) AS n_window
             FROM f
+        """,
+        "emerging_hotspots": """
+            WITH e AS (
+              SELECT CAST(((event_id * 37) % 344) - 172 + 0.3 AS DOUBLE)
+                         AS lon,
+                     CAST(((event_id * 53) % 160) - 80 + 0.3 AS DOUBLE)
+                         AS lat,
+                     CAST(floor(date_diff('day', DATE '2024-01-01',
+                                          CAST(ts AS DATE)) / 5)
+                          AS BIGINT) AS tbin
+              FROM events),
+            q AS (
+              SELECT CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 16.0), 0), 15)
+                     AS BIGINT) AS gx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 16.0), 0), 15) AS BIGINT) AS gy,
+                     tbin
+              FROM e),
+            c AS (SELECT gx, gy, tbin, CAST(count(*) AS DOUBLE) AS v
+                  FROM q GROUP BY gx, gy, tbin),
+            st AS (SELECT tbin, count(*) AS n, avg(v) AS mu,
+                          avg(v * v) AS m2raw
+                   FROM c GROUP BY tbin),
+            f AS (SELECT a.gx, a.gy, a.tbin, sum(b.v) AS sw,
+                         count(*) AS nw
+                  FROM c a JOIN c b ON a.tbin = b.tbin
+                    AND ((b.gx - a.gx + 17) % 16) <= 2
+                    AND abs(b.gy - a.gy) <= 1
+                  GROUP BY a.gx, a.gy, a.tbin),
+            gi AS (SELECT f.gx, f.gy, f.tbin,
+                          round((sw - mu * nw)
+                                / (sqrt(m2raw - mu * mu)
+                                   * sqrt((n * nw - nw * nw) / (n - 1))),
+                                6) AS gi
+                   FROM f JOIN st ON st.tbin = f.tbin),
+            mk AS (SELECT a.gx, a.gy,
+                          CAST(sum(sign(b.gi - a.gi)) AS BIGINT) AS mk_s
+                   FROM gi a JOIN gi b
+                     ON a.gx = b.gx AND a.gy = b.gy AND a.tbin < b.tbin
+                   GROUP BY a.gx, a.gy),
+            per AS (SELECT gx, gy, count(*) AS n_bins, max(tbin) AS tmax
+                    FROM gi GROUP BY gx, gy),
+            lastgi AS (SELECT gi.gx, gi.gy, gi.gi AS gi_last
+                       FROM gi JOIN per
+                         ON gi.gx = per.gx AND gi.gy = per.gy
+                        AND gi.tbin = per.tmax)
+            SELECT per.gx, per.gy,
+                   CAST(per.n_bins AS BIGINT) AS n_bins,
+                   coalesce(mk.mk_s, 0) AS mk_s,
+                   lastgi.gi_last + 0.0 AS gi_last,
+                   CASE WHEN coalesce(mk.mk_s, 0) > 0 THEN 'intensifying'
+                        WHEN coalesce(mk.mk_s, 0) < 0 THEN 'diminishing'
+                        ELSE 'stable' END AS trend
+            FROM per
+            JOIN lastgi ON lastgi.gx = per.gx AND lastgi.gy = per.gy
+            LEFT JOIN mk ON mk.gx = per.gx AND mk.gy = per.gy
         """,
         "idw_grid": f"""
             WITH c0 AS ({_CUSTOMER_POINTS_SQL.strip()}),

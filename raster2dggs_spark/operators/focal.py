@@ -298,6 +298,78 @@ def morans_i_global(cells_df: DataFrame, value_col: str,
     )
 
 
+def emerging_hotspots(df: DataFrame, value_col: str,
+                      dggs: str = "geohash", k: int = 1,
+                      cell_col: str = "cell", time_col: str = "tbin"
+                      ) -> DataFrame:
+    """Space-time emerging hot-spot analysis (the ESRI space-time-cube
+    workflow): Gi* per time bin over each bin's own layer statistics,
+    then a Mann-Kendall monotonic-trend test on each cell's Gi* series
+    — ``mk_s = sum over bin pairs t1 < t2 of sign(gi[t2] - gi[t1])``,
+    classified intensifying / diminishing / stable.
+
+    Input: one row per (cell, time bin) with ``value_col`` (e.g. event
+    counts).  Gi* uses only bins where the cell is present (sparse
+    convention); Gi* values are rounded to 6 dp before the sign test so
+    the trend is reproducible across engines.
+
+    Scale shape: per-bin layer stats in ONE groupBy(tbin) (tiny,
+    broadcast), the lattice scatter/gather keyed by (tbin, sx, sy) —
+    bins ride the existing exchange, no per-bin jobs — and the MK pair
+    join is a self-join on cell over T rows per cell (T = #bins, so
+    T^2/2 pairs per cell, all task-local after one hash partition by
+    cell)."""
+    g = lattice_indices(df, cell_col, dggs)
+    st = df.groupBy(time_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(value_col).alias("mu"),
+        F.avg(F.col(value_col) * F.col(value_col)).alias("m2raw"),
+    )
+    wlon, wlat = _lattice_extent_exprs(dggs)
+    seq = F.sequence(F.lit(-k), F.lit(k))
+    scat = (g
+            .withColumn("dx", F.explode(seq))
+            .withColumn("dy", F.explode(seq))
+            .withColumn("sx", ((F.col("gx") + F.col("dx")) % wlon + wlon)
+                        % wlon)
+            .withColumn("sy", F.col("gy") + F.col("dy"))
+            .where((F.col("sy") >= 0) & (F.col("sy") < wlat)))
+    gathered = scat.groupBy(time_col, "sx", "sy").agg(
+        F.sum(value_col).alias("sw"), F.count(F.lit(1)).alias("nw"))
+    loc = (g.join(gathered,
+                  (g[time_col] == gathered[time_col])
+                  & (g["gx"] == gathered["sx"])
+                  & (g["gy"] == gathered["sy"]))
+           .drop(gathered[time_col])
+           .join(F.broadcast(st), time_col))
+    s = F.sqrt(F.col("m2raw") - F.col("mu") * F.col("mu"))
+    w = F.col("nw")
+    gi = ((F.col("sw") - F.col("mu") * w)
+          / (s * F.sqrt((F.col("n") * w - w * w) / (F.col("n") - 1))))
+    loc = loc.select(cell_col, "gx", "gy", time_col,
+                     F.round(gi, 6).alias("gi"))
+    a, b = loc.alias("a"), loc.alias("b")
+    mk = (a.join(b, (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}"))
+                 & (F.col(f"a.{time_col}") < F.col(f"b.{time_col}")))
+          .groupBy(F.col(f"a.{cell_col}").alias(cell_col))
+          .agg(F.sum(F.signum(F.col("b.gi") - F.col("a.gi")))
+               .cast("long").alias("mk_s")))
+    per = loc.groupBy(cell_col, "gx", "gy").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max(time_col).alias("__tmax"))
+    last = loc.select(cell_col, F.col(time_col).alias("__tmax"),
+                      F.col("gi").alias("gi_last"))
+    out = (per.join(last, [cell_col, "__tmax"])
+           .join(mk, cell_col, "left").drop("__tmax")
+           .withColumn("mk_s", F.coalesce(F.col("mk_s"), F.lit(0))))
+    trend = (F.when(F.col("mk_s") > 0, "intensifying")
+             .when(F.col("mk_s") < 0, "diminishing")
+             .otherwise("stable"))
+    return out.select(cell_col, "gx", "gy",
+                      F.col("n_bins").cast("long").alias("n_bins"),
+                      "mk_s", "gi_last", trend.alias("trend"))
+
+
 # --------------------------------------------------------------------------
 # metric focal (any grid / any keyed points)
 # --------------------------------------------------------------------------

@@ -270,3 +270,44 @@ def test_getis_gi_star_matches_numpy(spark):
     # the hot block's interior is a significant hot spot
     hot_cells = set(cells[hot].astype(int))
     assert (got.loc[list(hot_cells), "gi_star"] > 2.0).all()
+
+
+def test_emerging_hotspots_planted_trend(spark):
+    """A block whose values grow monotonically across bins scores the
+    maximal Mann-Kendall S (T*(T-1)/2) and classifies intensifying; a
+    shrinking block classifies diminishing; flat background is stable."""
+    from raster2dggs_spark.operators.focal import emerging_hotspots
+    from raster2dggs_spark.dggs import geohashlib
+
+    prec = 3
+    lons = 10.05 + (360.0 / 256.0) * np.arange(8)
+    lats = 40.05 + (180.0 / 128.0) * np.arange(8)
+    glon, glat = np.meshgrid(lons, lats)
+    cells = geohashlib.lonlat_to_cell(glon.ravel(), glat.ravel(), prec)
+    gx, gy, _, _ = _lattice_indices(cells, prec)
+    T = 5
+    rows = []
+    up = (gx <= gx.min() + 1) & (gy <= gy.min() + 1)
+    down = (gx >= gx.max() - 1) & (gy >= gy.max() - 1)
+    for t in range(T):
+        v = np.full(64, 10.0)
+        v[up] += 20.0 * t       # strictly growing hot corner
+        v[down] += 20.0 * (T - 1 - t)   # strictly shrinking corner
+        for c, vv in zip(cells, v):
+            rows.append((int(c), t, float(vv)))
+    df = spark.createDataFrame(rows, "cell long, tbin long, v double")
+    out = emerging_hotspots(df, "v", dggs="geohash").toPandas()
+    got = out.set_index(out["cell"].astype(int))
+    max_s = T * (T - 1) // 2
+    for c in cells[up]:
+        assert got.loc[int(c), "mk_s"] == max_s
+        assert got.loc[int(c), "trend"] == "intensifying"
+        assert got.loc[int(c), "gi_last"] > 1.0
+    for c in cells[down]:
+        assert got.loc[int(c), "mk_s"] == -max_s
+        assert got.loc[int(c), "trend"] == "diminishing"
+    assert (got["n_bins"] == T).all()
+    # far-from-both-corners background stays non-extreme
+    mid = (np.abs(gx - gx.mean()) <= 1) & (np.abs(gy - gy.mean()) <= 1)
+    assert (got.loc[[int(c) for c in cells[mid]], "mk_s"].abs()
+            < max_s).all()
