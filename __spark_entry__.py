@@ -564,6 +564,22 @@ def _quadkey5_density(spark, sf_dir):
             .groupBy("cell").agg(F.avg("v").alias("v")))
 
 
+def q_variogram(spark, sf_dir):
+    """Empirical semivariogram (Matheron) of the supplier station field
+    in 8 x 250 km distance bins — pair enumeration runs the real
+    disk-cover within-distance plan; the oracle is the brute-force
+    cross-join twin with identical binning and 0.5*diff^2 estimator."""
+    from raster2dggs_spark.operators.joins import empirical_variogram
+
+    pts = _supplier_points(spark, sf_dir).withColumn(
+        "v", ((F.col("t_id") * 13) % 101).cast("double"))
+    out = empirical_variogram(pts, "v", max_dist_m=2_000_000.0,
+                              n_bins=8, res=9, dggs="hex7")
+    return out.select("bin", _r4("bin_lo").alias("bin_lo"),
+                      _r4("bin_hi").alias("bin_hi"),
+                      F.round("gamma", 6).alias("gamma"), "n_pairs")
+
+
 def q_emerging_hotspots(spark, sf_dir):
     """Space-time emerging hot spots (ESRI space-time-cube workflow)
     over the events stream: 5-day bins x quadkey res-4 cells of event
@@ -2813,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_gi_star": q_getis_gi_star,
         "idw_grid": q_idw_grid,
         "emerging_hotspots": q_emerging_hotspots,
+        "variogram": q_variogram,
         "focal_metric_points": q_focal_metric_points,
         "composite_best_quality": q_composite_best_quality,
         "composite_median": q_composite_median,
@@ -4874,6 +4891,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,
                    CAST(nw AS BIGINT) AS n_window
             FROM f
+        """,
+        "variogram": f"""
+            WITH t AS (SELECT t_id,
+                              CAST((t_id * 13) % 101 AS DOUBLE) AS v,
+                              lon, lat
+                       FROM ({_SUPPLIER_POINTS_SQL})),
+            d AS (
+              SELECT a.t_id AS ia, b.t_id AS ib, a.v AS va, b.v AS vb,
+                     2.0 * 6371007.1809 * asin(sqrt(
+                       pow(sin(radians(b.lat - a.lat) / 2), 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                       * pow(sin(radians(b.lon - a.lon) / 2), 2)
+                     )) AS dist_m
+              FROM t a CROSS JOIN t b),
+            p AS (SELECT CAST(floor(dist_m / 250000.0) AS BIGINT) AS bin,
+                         vb - va AS diff
+                  FROM d WHERE ia != ib AND dist_m < 2000000.0)
+            SELECT bin,
+                   round(bin * 250000.0, 4) AS bin_lo,
+                   round((bin + 1) * 250000.0, 4) AS bin_hi,
+                   round(avg(0.5 * (diff * diff)), 6) + 0.0 AS gamma,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY bin
         """,
         "emerging_hotspots": """
             WITH e AS (

@@ -1257,6 +1257,47 @@ def idw_to_cells(points: DataFrame, cells_df: DataFrame, radius_m: float,
                     F.col("n_contrib").cast("long").alias("n_contrib")))
 
 
+def empirical_variogram(points: DataFrame, value_col: str,
+                        max_dist_m: float, n_bins: int = 10,
+                        res: int = 9, dggs: str = "hex7",
+                        t_id: str = "t_id", lon_col: str = "lon",
+                        lat_col: str = "lat") -> DataFrame:
+    """Empirical semivariogram of a point field (Matheron estimator):
+    per distance bin of width ``max_dist_m / n_bins``,
+    ``gamma = avg(0.5 * (v_i - v_j)^2)`` over the point pairs whose
+    great-circle separation falls in the bin — the structure-function
+    diagnostic that precedes kriging.  ``n_pairs`` counts ORDERED
+    pairs (each unordered pair twice; gamma is unchanged, the count is
+    symmetric).
+
+    Scale shape: the pair enumeration is the within-distance join
+    (disk-cover candidates + one equi-join + exact haversine — never
+    the |P|^2 cross join), then ONE groupBy(bin) over ``n_bins`` rows
+    of map-side partials."""
+    q = points.select(F.col(t_id).alias("__vq_id"),
+                      F.col(lon_col), F.col(lat_col))
+    wd = within_distance_join(
+        q, points, max_dist_m, res=res, dggs=dggs, q_id="__vq_id",
+        t_id=t_id, lon_col=lon_col, lat_col=lat_col,
+        keep_target_cols=(value_col,))
+    qv = points.select(F.col(t_id).alias("__vq_id"),
+                       F.col(value_col).alias("__vq"))
+    width = float(max_dist_m) / n_bins
+    j = (wd.join(qv, "__vq_id")
+         .where((F.col("__vq_id") != F.col(t_id))
+                & (F.col("dist_m") < F.lit(float(max_dist_m)))))
+    diff = F.col(value_col) - F.col("__vq")
+    b = F.floor(F.col("dist_m") / F.lit(width)).cast("long")
+    return (j.groupBy(b.alias("bin"))
+            .agg(F.avg(0.5 * (diff * diff)).alias("gamma"),
+                 F.count(F.lit(1)).alias("n_pairs"))
+            .select("bin",
+                    (F.col("bin") * F.lit(width)).alias("bin_lo"),
+                    ((F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+                    "gamma",
+                    F.col("n_pairs").cast("long").alias("n_pairs")))
+
+
 def zonal_join(cells_df: DataFrame, zones: DataFrame, res: int,
                agg_exprs: list, dggs: str = "hex7",
                zone_id: str = "poly_id",

@@ -626,3 +626,39 @@ def test_idw_to_cells_matches_bruteforce(spark):
         assert got[c][1] == en
         assert abs(got[c][0] - ev) < 1e-6
     assert len(expected) > 30
+
+
+def test_empirical_variogram_matches_bruteforce(spark):
+    from raster2dggs_spark.operators.joins import empirical_variogram
+
+    rng = np.random.default_rng(17)
+    n = 250
+    lon = rng.uniform(-5, 5, n)
+    lat = rng.uniform(40, 48, n)
+    # value = smooth north-south trend + noise -> gamma grows with lag
+    v = 10.0 * lat + rng.normal(0, 1.0, n)
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"t_id": np.arange(n, dtype=np.int64),
+         "lon": lon, "lat": lat, "v": v}))
+    max_d, nb = 600_000.0, 6
+    out = empirical_variogram(pts, "v", max_d, n_bins=nb,
+                              res=9).toPandas()
+    # brute force
+    width = max_d / nb
+    acc = {}
+    for i in range(n):
+        d = haversine_m(np.full(n, lon[i]), np.full(n, lat[i]), lon, lat)
+        for j in np.flatnonzero((d < max_d)):
+            if j == i:
+                continue
+            b = int(d[j] // width)
+            s, c = acc.get(b, (0.0, 0))
+            acc[b] = (s + 0.5 * (v[j] - v[i]) ** 2, c + 1)
+    got = out.set_index("bin")
+    assert set(got.index) == set(acc)
+    for b, (s, c) in acc.items():
+        assert got.loc[b, "n_pairs"] == c
+        assert abs(got.loc[b, "gamma"] - s / c) < 1e-6
+    # structure: a trending field's variogram increases with lag
+    g = got.sort_index()["gamma"].values
+    assert g[-1] > 3.0 * g[0]
