@@ -469,6 +469,29 @@ def main():
     extras["line_cells_rows"] = int(lc_row["n"])
     lines_df.unpersist()
 
+    # -- q15: vector polygon fill at scale — 100k concave L-rings exactly
+    # scanline-filled onto quadkey res 11 (polygon_fill_cells): analytic
+    # row-center crossings, span pairing, one narrow mapInPandas --------
+    from raster2dggs_spark.operators.joins import polygon_fill_cells
+
+    pol = spark.range(100_000).select(
+        F.col("id").alias("poly_id"),
+        (F.lit(-172.0) + (F.col("id") * 19 % 344).cast("double")).alias("a"),
+        (F.lit(-60.0) + (F.col("id") * 23 % 120).cast("double")).alias("b"))
+    _dx = [0.0, 1.5, 1.5, 0.6, 0.6, 0.0]
+    _dy = [0.0, 0.0, 0.5, 0.5, 1.2, 1.2]
+    polys_df = pol.select(
+        "poly_id",
+        F.array(*[F.col("a") + F.lit(d) for d in _dx]).alias("xs"),
+        F.array(*[F.col("b") + F.lit(d) for d in _dy]).alias("ys"),
+    ).repartition(CPUS).persist()
+    polys_df.count()
+    pf_row = timed("polyfill_100k", lambda: polygon_fill_cells(
+        polys_df, 11, "quadkey")
+        .agg(F.count(F.lit(1)).alias("n")).collect()[0])
+    extras["polyfill_rows"] = int(pf_row["n"])
+    polys_df.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
