@@ -847,6 +847,57 @@ def q_flow_accumulation(spark, sf_dir):
         ))
 
 
+def q_cost_distance(spark, sf_dir):
+    """Cost distance / accumulated-cost surface (round 7,
+    operators/costdist.py) — the canonical GLOBAL lattice operation
+    (GRASS r.cost / ArcGIS CostDistance) the reference's per-cell
+    aggregation stops short of: minimum chamfer-(10,14) path cost from
+    any source cell, 8-connected, w(u,v) = (cost_u + cost_v) * (5|7).
+    Block-synchronous Dijkstra — exact in-memory solve per 2^b x 2^b
+    lattice block per superstep, changed rim cells scattered as the
+    next round's boundary conditions, quiescent blocks never re-run —
+    so supersteps scale with BLOCK-graph diameter, not cell count.
+    Fixture: four 16x16 cost grids (md5-derived integer costs 1..9,
+    ~1-in-53 cells + the (0,0) corner as sources) placed on disjoint
+    level-7 quadkey tiles; integer chamfer sums are bit-exact across
+    engines, and the oracle replays the exact fixpoint as a DuckDB
+    recursive-CTE Bellman-Ford with a cost cap above the true maximum
+    (positive weights => pruning partial sums >= 600 is lossless;
+    settled max is 517)."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.costdist import cost_distance
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    fix = base.select(
+        "img", "x", "y",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 9 + 1)
+        .cast("double").alias("cost"),
+        ((F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 53 == 0)
+         | ((F.col("x") == 0) & (F.col("y") == 0))).alias("is_src"))
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = fix.withColumn(
+        "cell", qk_cell(F.lit(8) + F.col("img") * 32 + F.col("x"),
+                        F.lit(40) + F.col("y")))
+    out = cost_distance(cells, cost_col="cost", source_col="is_src",
+                        dggs="quadkey", block_bits=3)
+    return out.select("img", "x", "y",
+                      F.col("dist").cast("long").alias("dist"))
+
+
 def q_regrid_geohash_maidenhead(spark, sf_dir):
     """Cross-grid regrid (round 7, operators/regrid.py): convert a
     geohash-precision-3-indexed layer onto the maidenhead grid at
@@ -2820,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_derivatives": q_terrain_derivatives,
         "d8_flow": q_d8_flow,
         "flow_accumulation": q_flow_accumulation,
+        "cost_distance": q_cost_distance,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
@@ -4152,6 +4204,16 @@ def _near_dup_sql(threshold: float = 0.9, n_planes: int = 16,
     """
 
 
+# big-endian parse of an md5 hex substring (DuckDB lacks conv()): first
+# and second 8 hex digits, matching Spark's conv(substring(h,..,8),16,10)
+_MD5_HEX1 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+    for i in range(1, 9))
+_MD5_HEX2 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {8 + i}, 1)) - 1) * {16 ** (8 - i)}"
+    for i in range(1, 9))
+
+
 def oracle_sql() -> dict[str, str]:
     out = {
         "agg_mean_sum_count": """
@@ -4785,6 +4847,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN acc >= 10 THEN 1 ELSE 0 END)
                         AS BIGINT) AS stream_px
             FROM fl GROUP BY i
+        """,
+        # exact fixpoint of the block-synchronous Dijkstra: recursive-CTE
+        # Bellman-Ford over the 8-connected chamfer graph; positive
+        # weights make the 600 cost cap lossless (settled max is 517)
+        "cost_distance": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            raw AS (
+              SELECT img, x, y, ({_MD5_HEX1}) % 9 + 1 AS cost,
+                     ((({_MD5_HEX2}) % 53) = 0 OR (x = 0 AND y = 0))
+                       AS is_src
+              FROM base),
+            edges AS (
+              SELECT a.img AS img, a.x AS ax, a.y AS ay,
+                     b.x AS bx, b.y AS by,
+                     (a.cost + b.cost) *
+                     (CASE WHEN a.x = b.x OR a.y = b.y THEN 5 ELSE 7 END)
+                       AS w
+              FROM raw a JOIN raw b
+                ON a.img = b.img AND abs(a.x - b.x) <= 1
+               AND abs(a.y - b.y) <= 1
+               AND NOT (a.x = b.x AND a.y = b.y)),
+            reach(img, x, y, d) AS (
+              SELECT img, x, y, CAST(0 AS BIGINT) FROM raw WHERE is_src
+              UNION
+              SELECT e.img, e.bx, e.by, r.d + e.w
+              FROM reach r
+              JOIN edges e ON e.img = r.img AND e.ax = r.x AND e.ay = r.y
+              WHERE r.d + e.w < 600)
+            SELECT img, x, y, CAST(MIN(d) AS BIGINT) AS dist
+            FROM reach GROUP BY img, x, y
         """,
         "regrid_geohash_maidenhead": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

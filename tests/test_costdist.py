@@ -1,0 +1,135 @@
+"""Cost distance (operators/costdist.py): block-synchronous Dijkstra vs
+a brute-force whole-grid Dijkstra on quadkey (with an antimeridian wall
+gap forcing wrap paths) and geohash (asymmetric extents, sparse cells),
+plus the error paths and the frontier-restriction evidence."""
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from raster2dggs_spark.operators.costdist import cost_distance
+
+_OFFS = ((-1, -1, 7), (0, -1, 5), (1, -1, 7), (-1, 0, 5), (1, 0, 5),
+         (-1, 1, 7), (0, 1, 5), (1, 1, 7))
+
+
+def _brute(gx, gy, cost, src, wlon):
+    """Whole-grid multi-source Dijkstra (lon wraps, lat clips)."""
+    idx = {(int(gx[i]), int(gy[i])): i for i in range(len(gx))
+           if np.isfinite(cost[i])}
+    best = {i: np.inf for i in idx.values()}
+    h = []
+    for i in idx.values():
+        if src[i]:
+            best[i] = 0.0
+            h.append((0.0, i))
+    heapq.heapify(h)
+    while h:
+        d, u = heapq.heappop(h)
+        if d > best[u]:
+            continue
+        for dx, dy, m in _OFFS:
+            v = idx.get((int((gx[u] + dx) % wlon), int(gy[u] + dy)))
+            if v is None:
+                continue
+            nd = d + (cost[u] + cost[v]) * m
+            if nd < best[v]:
+                best[v] = nd
+                heapq.heappush(h, (nd, v))
+    return {i: best[i] for i in idx.values()}
+
+
+def _check(out, cells, exp):
+    bycell = {int(c): i for i, c in enumerate(cells)}
+    assert len(out) == len(cells)
+    for r in out.itertuples(index=False):
+        i = bycell[int(r.cell)]
+        e = exp.get(i)
+        got = None if pd.isna(r.dist) else float(r.dist)
+        if e is None or not np.isfinite(e):
+            assert got is None, (r.cell, got)
+        else:
+            assert got is not None and abs(got - e) < 1e-9, (r.cell, got, e)
+
+
+def test_quadkey_matches_bruteforce(spark):
+    """32x32 quadkey grid, 15% impassable + a meridian wall with one
+    gap, two sources — paths must wrap the antimeridian to beat the
+    wall detour, and the settled surface must equal global Dijkstra."""
+    from raster2dggs_spark.dggs import quadkeylib
+
+    level, w = 5, 32
+    rng = np.random.default_rng(42)
+    tx, ty = np.meshgrid(np.arange(w), np.arange(w))
+    tx, ty = tx.ravel(), ty.ravel()
+    cost = rng.integers(1, 10, w * w).astype(float)
+    wallmask = rng.random(w * w) < 0.15
+    wallmask |= (tx == 16) & (ty != 7)
+    cost[wallmask] = np.nan
+    src = np.zeros(w * w, bool)
+    for sx, sy in ((2, 3), (29, 28)):
+        i = np.where((tx == sx) & (ty == sy))[0][0]
+        cost[i] = 3.0
+        src[i] = True
+    cells = quadkeylib.tile_to_cell(tx, ty, level)
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": cells, "cost": cost, "is_source": src}))
+
+    stats = {}
+    out = cost_distance(df, dggs="quadkey", block_bits=3,
+                        stats=stats).toPandas()
+    _check(out, cells, _brute(tx, ty, cost, src, w))
+    # frontier restriction: cumulative active blocks << rounds * 16
+    assert stats["rounds"] >= 3
+    assert stats["blocks_run"] < stats["rounds"] * 16
+
+
+def test_geohash_sparse_matches_bruteforce(spark):
+    """Sparse geohash prec-2 layer (60% of the globe absent => absent
+    cells are walls), float costs, multiple scattered sources."""
+    from raster2dggs_spark.dggs import geohashlib
+
+    prec = 2
+    wlon = wlat = 32
+    rng = np.random.default_rng(7)
+    gx, gy = np.meshgrid(np.arange(wlon), np.arange(wlat))
+    gx, gy = gx.ravel(), gy.ravel()
+    keep = rng.random(wlon * wlat) < 0.4
+    gx, gy = gx[keep], gy[keep]
+    lon = (gx + 0.5) / wlon * 360.0 - 180.0
+    lat = (gy + 0.5) / wlat * 180.0 - 90.0
+    cells = geohashlib.lonlat_to_cell(lon, lat, prec)
+    cost = rng.uniform(0.5, 4.0, len(gx)).round(2)
+    src = rng.random(len(gx)) < 0.02
+    cost[src] = 1.0
+    assert src.sum() >= 2
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": cells, "cost": cost, "is_source": src}))
+
+    out = cost_distance(df, dggs="geohash", block_bits=3).toPandas()
+    _check(out, cells, _brute(gx, gy, cost, src, wlon))
+
+
+def test_error_paths(spark):
+    from raster2dggs_spark.dggs import quadkeylib
+
+    tx = np.arange(8)
+    cells = quadkeylib.tile_to_cell(tx, np.zeros(8, np.int64), 3)
+    pdf = pd.DataFrame({"cell": cells,
+                        "cost": np.ones(8),
+                        "is_source": [True] + [False] * 7})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="block_bits"):
+        cost_distance(df, dggs="quadkey", block_bits=0)
+    bad = pdf.copy()
+    bad.loc[0, "cost"] = np.nan
+    with pytest.raises(ValueError, match="impassable"):
+        cost_distance(spark.createDataFrame(bad), dggs="quadkey")
+    none = pdf.copy()
+    none["is_source"] = False
+    with pytest.raises(ValueError, match="source"):
+        cost_distance(spark.createDataFrame(none), dggs="quadkey")
+    with pytest.raises(RuntimeError, match="converge"):
+        cost_distance(df, dggs="quadkey", block_bits=1, max_rounds=1)
