@@ -898,6 +898,53 @@ def q_cost_distance(spark, sf_dir):
                       F.col("dist").cast("long").alias("dist"))
 
 
+def q_cost_allocation(spark, sf_dir):
+    """Cost allocation / weighted Voronoi (round 7,
+    operators/costdist.py cost_distance(id_col=...)) — ArcGIS
+    CostAllocation: every cell labelled with the SOURCE whose
+    least-cost path wins, ties broken by minimum source id via the
+    exact lexicographic (path cost, id) order (integer chamfer costs
+    make equal-cost ties common, so the tie-break is load-bearing —
+    CLAUDE.md total-order rule).  Same md5 fixture as cost_distance
+    with deterministic zone ids; the oracle carries the id through the
+    recursive CTE and takes MIN(id) over rows at the minimal cost."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.costdist import cost_distance
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    fix = base.select(
+        "img", "x", "y",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 9 + 1)
+        .cast("double").alias("cost"),
+        ((F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 53 == 0)
+         | ((F.col("x") == 0) & (F.col("y") == 0))).alias("is_src"),
+        ((F.col("x") * 31 + F.col("y") * 17 + F.col("img")) % 100)
+        .alias("zone"))
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = fix.withColumn(
+        "cell", qk_cell(F.lit(8) + F.col("img") * 32 + F.col("x"),
+                        F.lit(40) + F.col("y")))
+    out = cost_distance(cells, cost_col="cost", source_col="is_src",
+                        dggs="quadkey", block_bits=3, id_col="zone")
+    return out.select("img", "x", "y",
+                      F.col("dist").cast("long").alias("dist"),
+                      F.col("alloc").cast("long").alias("alloc"))
+
+
 def q_regrid_geohash_maidenhead(spark, sf_dir):
     """Cross-grid regrid (round 7, operators/regrid.py): convert a
     geohash-precision-3-indexed layer onto the maidenhead grid at
@@ -2872,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_flow": q_d8_flow,
         "flow_accumulation": q_flow_accumulation,
         "cost_distance": q_cost_distance,
+        "cost_allocation": q_cost_allocation,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
@@ -4884,6 +4932,50 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.d + e.w < 600)
             SELECT img, x, y, CAST(MIN(d) AS BIGINT) AS dist
             FROM reach GROUP BY img, x, y
+        """,
+        # allocation: carry the source id through the CTE; the winner is
+        # the lex-min (cost, id) — MIN(id) over rows at the minimal cost
+        "cost_allocation": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            raw AS (
+              SELECT img, x, y, ({_MD5_HEX1}) % 9 + 1 AS cost,
+                     ((({_MD5_HEX2}) % 53) = 0 OR (x = 0 AND y = 0))
+                       AS is_src,
+                     (x * 31 + y * 17 + img) % 100 AS zone
+              FROM base),
+            edges AS (
+              SELECT a.img AS img, a.x AS ax, a.y AS ay,
+                     b.x AS bx, b.y AS by,
+                     (a.cost + b.cost) *
+                     (CASE WHEN a.x = b.x OR a.y = b.y THEN 5 ELSE 7 END)
+                       AS w
+              FROM raw a JOIN raw b
+                ON a.img = b.img AND abs(a.x - b.x) <= 1
+               AND abs(a.y - b.y) <= 1
+               AND NOT (a.x = b.x AND a.y = b.y)),
+            reach(img, x, y, d, s) AS (
+              SELECT img, x, y, CAST(0 AS BIGINT), zone
+              FROM raw WHERE is_src
+              UNION
+              SELECT e.img, e.bx, e.by, r.d + e.w, r.s
+              FROM reach r
+              JOIN edges e ON e.img = r.img AND e.ax = r.x AND e.ay = r.y
+              WHERE r.d + e.w < 600),
+            md AS (
+              SELECT img, x, y, MIN(d) AS d FROM reach GROUP BY img, x, y)
+            SELECT r.img, r.x, r.y, CAST(r.d AS BIGINT) AS dist,
+                   CAST(MIN(r.s) AS BIGINT) AS alloc
+            FROM reach r
+            JOIN md ON md.img = r.img AND md.x = r.x AND md.y = r.y
+                   AND md.d = r.d
+            GROUP BY r.img, r.x, r.y, r.d
         """,
         "regrid_geohash_maidenhead": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

@@ -1,12 +1,15 @@
 """Cost-distance (accumulated-cost surface) over a cell-indexed raster.
 
 The classic GIS "cost surface" workflow (GRASS ``r.cost``, ArcGIS
-CostDistance, Tomlin's map-algebra SPREAD): given a per-cell traversal
-cost and a set of source cells, compute for every cell the minimum
-accumulated cost of an 8-connected path from any source.  The reference
-(raster2dggs) stops at per-cell indexing/aggregation; cost distance is
-the canonical *global* operation users run on the resulting lattice
-(least-cost corridors, accessibility, wildfire/evacuation reach).
+CostDistance/CostAllocation, Tomlin's map-algebra SPREAD): given a
+per-cell traversal cost and a set of source cells, compute for every
+cell the minimum accumulated cost of an 8-connected path from any
+source — and, with ``id_col``, WHICH source wins (cost allocation /
+weighted Voronoi, ties to the minimum source id via an exact
+lexicographic (cost, id) order).  The reference (raster2dggs) stops at
+per-cell indexing/aggregation; cost distance is the canonical *global*
+operation users run on the resulting lattice (least-cost corridors,
+accessibility, wildfire/evacuation reach, facility catchments).
 
 Semantics
 ---------
@@ -83,17 +86,23 @@ _OFFS = ((-1, -1, _DIAG), (0, -1, _ROOK), (1, -1, _DIAG),
          (-1, 1, _DIAG), (0, 1, _ROOK), (1, 1, _DIAG))
 
 
+_NO_ALLOC = np.iinfo(np.int64).max   # lex-max: any real id beats it
+
+
 def _dijkstra_block(pdf: pd.DataFrame, wlon: int) -> pd.DataFrame:
     """Exact multi-source Dijkstra on one block.
 
     ``pdf``: internal cells (``ext == 0``) + rim cells imported from
     neighbouring blocks (``ext == 1``), columns cell/gx/gy/cost/dist/
-    seen.  External dists are fixed boundary conditions, pre-relaxed
-    into their internal neighbours; the heap then settles internal
-    cells only.  Deterministic: internal nodes sorted, heap keyed
-    (dist, gy, gx).  Returns internal rows with the settled dist and
-    ``improved`` = 1 where it is below ``seen`` (the value last
-    exported to neighbouring blocks; +inf if never exported).
+    alloc/seen/seena.  External (dist, alloc) pairs are fixed boundary
+    conditions, pre-relaxed into their internal neighbours; the heap
+    then settles internal cells only.  The settled label per cell is
+    the LEXICOGRAPHIC minimum over paths of (cost, source id) — exact
+    cost-allocation tie-breaking, total by construction.  Returns
+    internal rows with the settled pair and ``improved`` = 1 where it
+    is lex-below (``seen``, ``seena``) — the pair last exported to
+    neighbouring blocks (+inf if never exported, so a SOURCE sitting
+    on a block rim still seeds the next block).
     """
     internal = pdf[pdf["ext"] == 0].sort_values(["gy", "gx"],
                                                 kind="mergesort")
@@ -101,19 +110,23 @@ def _dijkstra_block(pdf: pd.DataFrame, wlon: int) -> pd.DataFrame:
     gy = internal["gy"].to_numpy(np.int64)
     cost = internal["cost"].to_numpy(np.float64)
     dist0 = internal["dist"].to_numpy(np.float64)
+    alloc0 = internal["alloc"].to_numpy(np.int64)
     seen0 = internal["seen"].to_numpy(np.float64)
+    seena0 = internal["seena"].to_numpy(np.int64)
     idx = {(int(gx[i]), int(gy[i])): i for i in range(len(gx))}
     best = dist0.copy()
+    balloc = alloc0.copy()
     heap: list = []
 
     ext = pdf[pdf["ext"] == 1]
     if len(ext):
         # duplicate imports of one rim cell (two source blocks) fold by
-        # min through the relaxation itself
-        for ex, ey, ec, ed in zip(ext["gx"].to_numpy(np.int64),
-                                  ext["gy"].to_numpy(np.int64),
-                                  ext["cost"].to_numpy(np.float64),
-                                  ext["dist"].to_numpy(np.float64)):
+        # lex-min through the relaxation itself
+        for ex, ey, ec, ed, ea in zip(ext["gx"].to_numpy(np.int64),
+                                      ext["gy"].to_numpy(np.int64),
+                                      ext["cost"].to_numpy(np.float64),
+                                      ext["dist"].to_numpy(np.float64),
+                                      ext["alloc"].to_numpy(np.int64)):
             if not np.isfinite(ed):
                 continue
             for dx, dy, m in _OFFS:
@@ -121,16 +134,19 @@ def _dijkstra_block(pdf: pd.DataFrame, wlon: int) -> pd.DataFrame:
                 if v is None:
                     continue
                 nd = ed + (ec + cost[v]) * m
-                if nd < best[v]:
+                if (nd, ea) < (best[v], balloc[v]):
                     best[v] = nd
-                    heapq.heappush(heap, (nd, int(gy[v]), int(gx[v]), v))
+                    balloc[v] = ea
+                    heapq.heappush(heap,
+                                   (nd, int(ea), int(gy[v]), int(gx[v]), v))
     for i in range(len(gx)):
         if np.isfinite(dist0[i]):
-            heapq.heappush(heap, (dist0[i], int(gy[i]), int(gx[i]), i))
+            heapq.heappush(heap, (dist0[i], int(alloc0[i]),
+                                  int(gy[i]), int(gx[i]), i))
 
     while heap:
-        d, _, _, u = heapq.heappop(heap)
-        if d > best[u]:
+        d, a, _, _, u = heapq.heappop(heap)
+        if (d, a) > (best[u], balloc[u]):
             continue
         cu = cost[u]
         ux, uy = int(gx[u]), int(gy[u])
@@ -139,18 +155,19 @@ def _dijkstra_block(pdf: pd.DataFrame, wlon: int) -> pd.DataFrame:
             if v is None:
                 continue
             nd = d + (cu + cost[v]) * m
-            if nd < best[v]:
+            if (nd, a) < (best[v], balloc[v]):
                 best[v] = nd
-                heapq.heappush(heap, (nd, int(gy[v]), int(gx[v]), v))
+                balloc[v] = a
+                heapq.heappush(heap, (nd, a, int(gy[v]), int(gx[v]), v))
 
     out = internal[["cell", "gx", "gy", "cost"]].copy()
     out["dist"] = best
-    # export when neighbours have never seen a value this low — covers
+    out["alloc"] = balloc
+    # export when neighbours have never seen a pair this low — covers
     # both strict improvements AND never-yet-exported finite cells
-    # (a SOURCE on a block rim has dist0 == 0 == best but seen == inf;
-    # without this its dist-0 seed would never reach the next block)
-    improved = best < seen0
+    improved = (best < seen0) | ((best == seen0) & (balloc < seena0))
     out["seen"] = np.where(improved, best, seen0)
+    out["seena"] = np.where(improved, balloc, seena0)
     out["improved"] = improved.astype(np.int64)
     return out
 
@@ -159,14 +176,21 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
                   source_col: str = "is_source", cell_col: str = "cell",
                   dggs: str = "quadkey", block_bits: int = 6,
                   max_rounds: int = 128,
+                  id_col: str | None = None,
                   stats: dict | None = None) -> DataFrame:
     """Accumulated cost distance from source cells over the lattice.
 
     Input: one row per cell (single-resolution ``geohash``/``quadkey``
     table) with a traversal cost and a source flag.  Output: the input
     columns + ``dist`` — the chamfer-(10,14)-scaled minimum path cost
-    (NULL for impassable/unreachable cells).  See module docstring for
-    semantics and the block-synchronous algorithm.
+    (NULL for impassable/unreachable cells) — and, when ``id_col`` is
+    given, ``alloc`` — COST ALLOCATION (ArcGIS CostAllocation /
+    GRASS r.cost start_points attribute): the ``id_col`` value of the
+    source whose least-cost path wins, ties broken by the MINIMUM id
+    (the settled label is the exact lexicographic minimum of
+    (path cost, source id) over all paths — a total order, so the
+    result is engine- and schedule-independent).  See module docstring
+    for semantics and the block-synchronous algorithm.
 
     ``stats``: pass a dict to receive ``{"rounds": n, "blocks_run": m}``
     — supersteps executed and cumulative active-block count (evidence
@@ -174,10 +198,13 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
     """
     if block_bits < 1:
         raise ValueError("block_bits >= 1 required")
+    src_id = (F.col(id_col).cast("long") if id_col is not None
+              else F.lit(0).cast("long"))
     g = lattice_indices(
         cells_df.select(F.col(cell_col).alias("cell"),
                         F.col(cost_col).cast("double").alias("cost"),
-                        F.col(source_col).cast("boolean").alias("src")),
+                        F.col(source_col).cast("boolean").alias("src"),
+                        src_id.alias("sid")),
         "cell", dggs)
     wlon_c, wlat_c = _lattice_extent_exprs(dggs)
     head = g.select(wlon_c.alias("w"), wlat_c.alias("h")).first()
@@ -192,13 +219,19 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
 
     passable = (F.col("cost").isNotNull() & ~F.isnan("cost")
                 & (F.col("cost") > 0))
-    if g.where(F.col("src") & ~passable).limit(1).count():
-        raise ValueError("cost_distance: source cell is impassable")
+    if g.where(F.col("src")
+               & (~passable | F.col("sid").isNull())).limit(1).count():
+        raise ValueError(
+            "cost_distance: source cell is impassable or has a NULL id")
+    no_alloc = F.lit(int(_NO_ALLOC)).cast("long")
     state = (g.where(passable)
              .select("cell", "gx", "gy", "cost", *bxy,
                      F.when(F.col("src"), F.lit(0.0))
                      .otherwise(F.lit(float("inf"))).alias("dist"),
+                     F.when(F.col("src"), F.col("sid"))
+                     .otherwise(no_alloc).alias("alloc"),
                      F.lit(float("inf")).alias("seen"),
+                     no_alloc.alias("seena"),
                      F.col("src").cast("long").alias("improved"))
              .localCheckpoint(eager=True))
 
@@ -207,7 +240,9 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
         T.StructField("gx", T.LongType()), T.StructField("gy", T.LongType()),
         T.StructField("cost", T.DoubleType()),
         T.StructField("dist", T.DoubleType()),
+        T.StructField("alloc", T.LongType()),
         T.StructField("seen", T.DoubleType()),
+        T.StructField("seena", T.LongType()),
         T.StructField("improved", T.LongType()),
     ])
     moves = F.array(*[F.struct(F.lit(dx).alias("dbx"), F.lit(dy).alias("dby"))
@@ -217,8 +252,8 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
     def rim_seeds(st: DataFrame) -> DataFrame:
         """Changed cells exported to every adjacent block they border."""
         imp = st.where(F.col("improved") > 0)
-        mv = imp.select("cell", "gx", "gy", "cost", "dist", "bx", "by",
-                        F.explode(moves).alias("mv"))
+        mv = imp.select("cell", "gx", "gy", "cost", "dist", "alloc",
+                        "bx", "by", F.explode(moves).alias("mv"))
         dbx, dby = F.col("mv.dbx"), F.col("mv.dby")
         x_ok = (F.when(dbx == 0, F.lit(True))
                 .when(dbx < 0, F.col("gx") % W == 0)
@@ -227,7 +262,7 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
                 .when(dby < 0, F.col("gy") % W == 0)
                 .otherwise(F.col("gy") % W == W - 1))
         return (mv.where(x_ok & y_ok)
-                .select("cell", "gx", "gy", "cost", "dist",
+                .select("cell", "gx", "gy", "cost", "dist", "alloc",
                         (((F.col("bx") + dbx) % nbx + nbx) % nbx).alias("bx"),
                         (F.col("by") + dby).alias("by"))
                 .where((F.col("by") >= 0) & (F.col("by") < nby)))
@@ -253,18 +288,20 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
         hold = (state.join(F.broadcast(active), ["bx", "by"], "left_anti")
                 .withColumn("improved", F.lit(0).cast("long")))
         inner = run.select("bx", "by", "cell", "gx", "gy", "cost", "dist",
-                           "seen", F.lit(0).cast("long").alias("ext"))
+                           "alloc", "seen", "seena",
+                           F.lit(0).cast("long").alias("ext"))
         if seeds is not None:
             inner = inner.unionByName(
                 seeds.select("bx", "by", F.lit(-1).cast("long").alias("cell"),
-                             "gx", "gy", "cost", "dist",
+                             "gx", "gy", "cost", "dist", "alloc",
                              F.lit(float("inf")).alias("seen"),
+                             no_alloc.alias("seena"),
                              F.lit(1).cast("long").alias("ext")))
         solved = (inner.groupBy("bx", "by")
                   .applyInPandas(
                       lambda key, pdf: _dijkstra_block(pdf, wlon), sch)
                   .select("cell", "gx", "gy", "cost", *bxy,
-                          "dist", "seen", "improved"))
+                          "dist", "alloc", "seen", "seena", "improved"))
         state = hold.unionByName(solved).localCheckpoint(eager=True)
         # seeds land only where a passable cell can hear them, but
         # re-running an all-impassable block is a harmless no-op
@@ -275,9 +312,11 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
         stats["rounds"] = rounds
         stats["blocks_run"] = blocks_run
 
-    dist = state.select(
-        "cell",
-        F.when(F.col("dist") == float("inf"), F.lit(None).cast("double"))
-        .otherwise(F.col("dist")).alias("dist"))
+    reached = F.col("dist") != float("inf")
+    out_cols = [F.when(reached, F.col("dist")).alias("dist")]
+    if id_col is not None:
+        out_cols.append(F.when(reached, F.col("alloc")).alias("alloc"))
+    dist = state.select("cell", *out_cols)
+    keep = ["dist"] + (["alloc"] if id_col is not None else [])
     return cells_df.join(dist, cells_df[cell_col] == dist["cell"], "left") \
-                   .select(*[cells_df[c] for c in cells_df.columns], "dist")
+                   .select(*[cells_df[c] for c in cells_df.columns], *keep)

@@ -15,30 +15,34 @@ _OFFS = ((-1, -1, 7), (0, -1, 5), (1, -1, 7), (-1, 0, 5), (1, 0, 5),
          (-1, 1, 7), (0, 1, 5), (1, 1, 7))
 
 
-def _brute(gx, gy, cost, src, wlon):
-    """Whole-grid multi-source Dijkstra (lon wraps, lat clips)."""
+def _brute(gx, gy, cost, src, wlon, sid=None):
+    """Whole-grid multi-source Dijkstra (lon wraps, lat clips); tracks
+    the lexicographic-min (dist, source id) pair when sid is given."""
+    big = np.iinfo(np.int64).max
     idx = {(int(gx[i]), int(gy[i])): i for i in range(len(gx))
            if np.isfinite(cost[i])}
-    best = {i: np.inf for i in idx.values()}
+    best = {i: (np.inf, big) for i in idx.values()}
     h = []
     for i in idx.values():
         if src[i]:
-            best[i] = 0.0
-            h.append((0.0, i))
+            a = int(sid[i]) if sid is not None else 0
+            best[i] = (0.0, a)
+            h.append((0.0, a, i))
     heapq.heapify(h)
     while h:
-        d, u = heapq.heappop(h)
-        if d > best[u]:
+        d, a, u = heapq.heappop(h)
+        if (d, a) > best[u]:
             continue
         for dx, dy, m in _OFFS:
             v = idx.get((int((gx[u] + dx) % wlon), int(gy[u] + dy)))
             if v is None:
                 continue
             nd = d + (cost[u] + cost[v]) * m
-            if nd < best[v]:
-                best[v] = nd
-                heapq.heappush(h, (nd, v))
-    return {i: best[i] for i in idx.values()}
+            if (nd, a) < best[v]:
+                best[v] = (nd, a)
+                heapq.heappush(h, (nd, a, v))
+    return {i: best[i][0] for i in idx.values()}, \
+           {i: best[i][1] for i in idx.values()}
 
 
 def _check(out, cells, exp):
@@ -80,7 +84,7 @@ def test_quadkey_matches_bruteforce(spark):
     stats = {}
     out = cost_distance(df, dggs="quadkey", block_bits=3,
                         stats=stats).toPandas()
-    _check(out, cells, _brute(tx, ty, cost, src, w))
+    _check(out, cells, _brute(tx, ty, cost, src, w)[0])
     # frontier restriction: cumulative active blocks << rounds * 16
     assert stats["rounds"] >= 3
     assert stats["blocks_run"] < stats["rounds"] * 16
@@ -109,7 +113,41 @@ def test_geohash_sparse_matches_bruteforce(spark):
         pd.DataFrame({"cell": cells, "cost": cost, "is_source": src}))
 
     out = cost_distance(df, dggs="geohash", block_bits=3).toPandas()
-    _check(out, cells, _brute(gx, gy, cost, src, wlon))
+    _check(out, cells, _brute(gx, gy, cost, src, wlon)[0])
+
+
+def test_cost_allocation_matches_bruteforce(spark):
+    """id_col tracking: every reached cell is labelled with the
+    lex-min (dist, source id) winner — equal-cost ties (integer costs
+    make them common) must break to the MINIMUM id on both engines."""
+    from raster2dggs_spark.dggs import quadkeylib
+
+    level, w = 5, 32
+    rng = np.random.default_rng(11)
+    tx, ty = np.meshgrid(np.arange(w), np.arange(w))
+    tx, ty = tx.ravel(), ty.ravel()
+    cost = rng.integers(1, 4, w * w).astype(float)
+    cost[rng.random(w * w) < 0.1] = np.nan
+    src = rng.random(w * w) < 0.01
+    cost[src] = 1.0
+    sid = np.where(src, (tx * 131 + ty * 7) % 100, -1).astype(np.int64)
+    assert src.sum() >= 3
+    cells = quadkeylib.tile_to_cell(tx, ty, level)
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": cells, "cost": cost, "is_source": src,
+                      "zone": sid}))
+
+    out = cost_distance(df, dggs="quadkey", block_bits=3,
+                        id_col="zone").toPandas()
+    exp_d, exp_a = _brute(tx, ty, cost, src, w, sid=sid)
+    _check(out, cells, exp_d)
+    bycell = {int(c): i for i, c in enumerate(cells)}
+    for r in out.itertuples(index=False):
+        i = bycell[int(r.cell)]
+        if i in exp_d and np.isfinite(exp_d[i]):
+            assert int(r.alloc) == exp_a[i], (r.cell, r.alloc, exp_a[i])
+        else:
+            assert pd.isna(r.alloc)
 
 
 def test_error_paths(spark):
