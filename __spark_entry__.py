@@ -945,6 +945,42 @@ def q_cost_allocation(spark, sf_dir):
                       F.col("alloc").cast("long").alias("alloc"))
 
 
+def q_watershed_basins(spark, sf_dir):
+    """D8 watershed labelling (round 7, operators/terrain.py
+    basin_cells) — the hydrology step after flow accumulation: every
+    interior pixel labelled with the TERMINAL its D8 path drains to
+    (pit/flat or edge outlet), by pointer-jumping on the drainage
+    forest.  Egg-carton fixture tiles (z = ((3r²+5c²+7rc+i) mod 31)·s,
+    integer-exact, many pits per tile); the oracle recomputes z and
+    the 8 generic drops (z_c - z_n)/dist in SQL (same IEEE arithmetic,
+    same scan-order argmax tie-break) and follows the drainage paths
+    by recursive CTE to the same terminals.  Output: one row per
+    BASIN — image, terminal full-tile (r, c), pixel count, pit flag —
+    so terminal positions AND basin sizes hash-match exactly."""
+    from raster2dggs_spark.operators.terrain import basin_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_basin_images_pdf(16),
+                                 IMAGE_SCHEMA)
+    px = basin_cells(imgs, res=7, keep_image_id=True)
+    img = F.substring("image_id", 11, 8).cast("long")
+    wi = F.lit(10) + (img * 5) % 7   # interior width = w - 2
+    lab = px.select(
+        img.alias("img"),
+        (F.col("basin") / wi).cast("long").alias("tr0"),
+        (F.col("basin") % wi).alias("tc0"),
+        F.col("is_pit").cast("long").alias("is_pit"))
+    return (lab.groupBy("img", "tr0", "tc0", "is_pit")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("img",
+                    (F.col("tr0") + 1).alias("tr"),
+                    (F.col("tc0") + 1).alias("tc"),
+                    F.col("n").cast("long").alias("basin_px"),
+                    "is_pit"))
+
+
 def q_regrid_geohash_maidenhead(spark, sf_dir):
     """Cross-grid regrid (round 7, operators/regrid.py): convert a
     geohash-precision-3-indexed layer onto the maidenhead grid at
@@ -2920,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_accumulation": q_flow_accumulation,
         "cost_distance": q_cost_distance,
         "cost_allocation": q_cost_allocation,
+        "watershed_basins": q_watershed_basins,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
@@ -4252,6 +4289,34 @@ def _near_dup_sql(threshold: float = 0.9, n_planes: int = 16,
     """
 
 
+def _basin_z(dr: int, dc: int) -> str:
+    """Egg-carton elevation at (r+dr, c+dc) — the exact integer formula
+    of sources/images.py:generate_basin_images_pdf, times s."""
+    r = f"(r+{dr})" if dr else "r"
+    c = f"(c+{dc})" if dc else "c"
+    return f"(((3*{r}*{r} + 5*{c}*{c} + 7*{r}*{c} + i) % 31) * s)"
+
+
+# the 8 D8 drops in scan order E,SE,S,SW,W,NW,N,NE — generic
+# (z_center - z_neighbour) / ground-distance, same IEEE arithmetic as
+# operators/terrain.py:d8_flow (cardinal dist = px, diagonal = dd)
+_BASIN_D8 = ",\n                ".join(
+    f"({_basin_z(0, 0)} - {_basin_z(dr, dc)}) / "
+    f"{'dd' if dr and dc else 'px'} AS d{k + 1}"
+    for k, (dr, dc) in enumerate(
+        [(0, 1), (1, 1), (1, 0), (1, -1),
+         (0, -1), (-1, -1), (-1, 0), (-1, 1)]))
+
+_BASIN_STEP_R = ("CASE WHEN d1 = g THEN 0 WHEN d2 = g THEN 1 "
+                 "WHEN d3 = g THEN 1 WHEN d4 = g THEN 1 "
+                 "WHEN d5 = g THEN 0 WHEN d6 = g THEN -1 "
+                 "WHEN d7 = g THEN -1 ELSE -1 END")
+_BASIN_STEP_C = ("CASE WHEN d1 = g THEN 1 WHEN d2 = g THEN 1 "
+                 "WHEN d3 = g THEN 0 WHEN d4 = g THEN -1 "
+                 "WHEN d5 = g THEN -1 WHEN d6 = g THEN -1 "
+                 "WHEN d7 = g THEN 0 ELSE 1 END")
+
+
 # big-endian parse of an md5 hex substring (DuckDB lacks conv()): first
 # and second 8 hex digits, matching Spark's conv(substring(h,..,8),16,10)
 _MD5_HEX1 = " + ".join(
@@ -4976,6 +5041,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN md ON md.img = r.img AND md.x = r.x AND md.y = r.y
                    AND md.d = r.d
             GROUP BY r.img, r.x, r.y, r.d
+        """,
+        # generic D8 replay (z recomputed in SQL, same IEEE drops and
+        # scan-order argmax) + recursive path-following to the terminal
+        "watershed_basins": f"""
+            WITH RECURSIVE t AS (
+              SELECT i,
+                     12 + (i * 5) % 7 AS w,
+                     12 + (i * 3) % 7 AS h,
+                     CAST(50 + 10 * ((i * 7) % 8) AS DOUBLE) AS px,
+                     CAST(1 + i % 3 AS DOUBLE) AS s
+              FROM range(16) r(i)),
+            p AS (
+              SELECT t.i, t.w, t.h, t.px, t.s,
+                     CAST(rr.r AS BIGINT) AS r, CAST(cc.c AS BIGINT) AS c,
+                     sqrt(t.px * t.px + t.px * t.px) AS dd
+              FROM t, range(1, 17) rr(r), range(1, 17) cc(c)
+              WHERE rr.r <= t.h - 2 AND cc.c <= t.w - 2),
+            d AS (
+              SELECT *,
+                {_BASIN_D8}
+              FROM p),
+            m AS (SELECT *,
+                         greatest(d1, d2, d3, d4, d5, d6, d7, d8) AS g
+                  FROM d),
+            e AS (
+              SELECT i, r, c,
+                     r + {_BASIN_STEP_R} AS nr,
+                     c + {_BASIN_STEP_C} AS nc
+              FROM m
+              WHERE g > 0
+                AND r + {_BASIN_STEP_R} BETWEEN 1 AND h - 2
+                AND c + {_BASIN_STEP_C} BETWEEN 1 AND w - 2),
+            path(i, r0, c0, r, c) AS (
+              SELECT i, r, c, r, c FROM p
+              UNION ALL
+              SELECT q.i, q.r0, q.c0, e.nr, e.nc
+              FROM path q JOIN e ON e.i = q.i AND e.r = q.r AND e.c = q.c),
+            term AS (
+              SELECT pp.i, pp.r0, pp.c0, pp.r AS tr, pp.c AS tc
+              FROM path pp
+              LEFT JOIN e ON e.i = pp.i AND e.r = pp.r AND e.c = pp.c
+              WHERE e.i IS NULL)
+            SELECT tm.i AS img, tm.tr, tm.tc,
+                   CAST(count(*) AS BIGINT) AS basin_px,
+                   CAST(CASE WHEN mm.g <= 0 THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_pit
+            FROM term tm
+            JOIN m mm ON mm.i = tm.i AND mm.r = tm.tr AND mm.c = tm.tc
+            GROUP BY tm.i, tm.tr, tm.tc, mm.g
         """,
         "regrid_geohash_maidenhead": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

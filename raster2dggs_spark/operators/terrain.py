@@ -416,6 +416,134 @@ def accumulation_cells(
     return _prune(images, keep_image_id).mapInPandas(fn, schema)
 
 
+def basin_label(z: np.ndarray, affine, crs: str):
+    """Tile-local D8 watershed labelling of one elevation tile.
+
+    Returns interior arrays ``(code, basin)``: ``code`` exactly as
+    :func:`d8_flow`; ``basin`` is the interior LINEAR index
+    (``r * (w-2) + c`` in interior coordinates) of the terminal pixel
+    each pixel's D8 path reaches — a pit/flat (code 0), a pixel whose
+    flow exits the interior (edge outlet), or a NaN-window pixel
+    (which neither routes nor forwards, so it acts as a sink; its own
+    row is dropped by callers as in :func:`d8_cells`).  Tile-local
+    contract as the rest of the decode-path map algebra.  Labelling is
+    pointer-jumping on the drainage forest — O(n log path) with full
+    path compression, no recursion.
+    """
+    code, _ = d8_flow(z, affine, crs)
+    if code.size == 0:
+        return code, np.empty((0, 0), np.int64)
+    a = float(affine[0])
+    e = float(affine[4])
+    east = 1 if a >= 0 else -1
+    south = 1 if e <= 0 else -1
+    hi, wi = code.shape
+    rr, cc = np.meshgrid(np.arange(hi), np.arange(wi), indexing="ij")
+    nr = np.full(code.shape, -1, np.int64)
+    nc = np.full(code.shape, -1, np.int64)
+    for cd, (drow, dcol) in zip(D8_CODES, _D8_OFFSETS):
+        m = code == cd
+        if m.any():
+            nr[m] = rr[m] + drow * south
+            nc[m] = cc[m] + dcol * east
+    ok = (code > 0) & (nr >= 0) & (nr < hi) & (nc >= 0) & (nc < wi)
+    n = code.size
+    parent = np.where(ok.ravel(), (nr * wi + nc).ravel(), np.arange(n))
+    # pointer doubling: the forest has no cycles (strictly downhill),
+    # so parent[parent] converges to the root in O(log path) sweeps
+    while True:
+        p2 = parent[parent]
+        if np.array_equal(p2, parent):
+            break
+        parent = p2
+    return code, parent.reshape(code.shape)
+
+
+def basin_cells(
+    images: DataFrame,
+    res: int,
+    dggs: str = "hex7",
+    parent_res: int | None = None,
+    band: int = 1,
+    keep_image_id: bool = False,
+) -> DataFrame:
+    """Explode images into per-interior-pixel watershed rows
+    ``(image_id?, parent, cell, d8, basin, basin_cell, is_pit)`` —
+    the same narrow no-shuffle decode-path shape as :func:`d8_cells`.
+    ``basin`` is the tile-local interior linear index of the terminal
+    pixel (the per-tile basin key); ``basin_cell`` is that terminal's
+    DGGS cell id (the globally joinable key); ``is_pit`` is True when
+    the terminal is a pit/flat (code 0) rather than an edge outlet.
+    Downstream: ``groupBy(image_id, basin)`` for basin sizes,
+    ``groupBy(basin_cell)`` for cross-layer joins."""
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import (
+        _decode_rows, _encode_points, _prune, default_parent_res,
+    )
+
+    check_grid(dggs)
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    fields = ([T.StructField("image_id", T.StringType(), False)]
+              if keep_image_id else [])
+    fields += [
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("d8", T.IntegerType(), False),
+        T.StructField("basin", T.LongType(), False),
+        T.StructField("basin_cell", T.LongType(), False),
+        T.StructField("is_pit", T.BooleanType(), False),
+    ]
+    schema = T.StructType(fields)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.geo import pixel_centers_lonlat
+
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+        for pdf in batches:
+            for row, arr in _decode_rows(pdf, [band]):
+                z = arr[0]
+                h, w = z.shape
+                if h < 3 or w < 3:
+                    continue
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                code, basin = basin_label(z, affine, row.crs)
+                keep = (code.ravel() != -32768)
+                if not keep.any():
+                    continue
+                lon, lat = pixel_centers_lonlat(affine, w, h, row.crs)
+                interior = np.zeros((h, w), dtype=bool)
+                interior[1:-1, 1:-1] = True
+                lon_i = lon[interior.ravel()]
+                lat_i = lat[interior.ravel()]
+                # terminals can be dropped (NaN-window) pixels, so the
+                # basin_cell lookup must cover ALL interior pixels
+                cell_all, parent_all = _encode_points(
+                    lon_i, lat_i, res, parent_res, dggs)
+                bflat = basin.ravel()
+                data = {}
+                if keep_image_id:
+                    data["image_id"] = np.repeat(row.image_id,
+                                                 int(keep.sum()))
+                data["parent"] = parent_all[keep]
+                data["cell"] = cell_all[keep]
+                data["d8"] = code.ravel()[keep].astype(np.int32)
+                data["basin"] = bflat[keep]
+                data["basin_cell"] = cell_all[bflat[keep]]
+                data["is_pit"] = (code.ravel()[bflat[keep]] == 0)
+                buf.append(pd.DataFrame(data))
+                buf_rows += int(keep.sum())
+                if buf_rows >= 250_000:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, buf_rows = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return _prune(images, keep_image_id).mapInPandas(fn, schema)
+
+
 def terrain_point_agg(images: DataFrame, res: int, dggs: str = "hex7",
                       parent_res: int | None = None, **kw) -> DataFrame:
     """Mean slope/aspect/hillshade per cell — one exchange (aspect is a

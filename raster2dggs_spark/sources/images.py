@@ -450,6 +450,41 @@ def generate_valley_images_pdf(n_images: int = 16) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_basin_images_pdf(n_images: int = 16) -> pd.DataFrame:
+    """Egg-carton elevation tiles in EPSG:3857 for WATERSHED labelling:
+    ``z = ((3*r*r + 5*c*c + 7*r*c + i) % 31) * s`` — a quasi-random
+    but closed-form integer surface with many local minima (pits) and
+    edge outflows, so the D8 drainage forest has rich multi-basin
+    structure.  All values are small integers times s — exact in
+    float32 and every engine's float64 — and a SQL oracle replays the
+    drops GENERICALLY as ``(z(r,c) - z(r+dr,c+dc)) / dist`` from the
+    same formula (same IEEE divide, same scan-order argmax
+    tie-break)."""
+    rows = []
+    for i in range(n_images):
+        w = 12 + (i * 5) % 7
+        h = 12 + (i * 3) % 7
+        px = float(50 + 10 * ((i * 7) % 8))
+        s = float(1 + i % 3)
+        r_idx, c_idx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        zi = (3 * r_idx * r_idx + 5 * c_idx * c_idx
+              + 7 * r_idx * c_idx + i) % 31
+        arr = (zi * s).astype(np.float32)[None]
+        payload = encode_image(arr, "raw")
+        rows.append({
+            "image_id": f"img_basin_{i:08d}",
+            "bytes": payload,
+            "w": w, "h": h, "fmt": "raw",
+            "caption": f"egg-carton basin tile {i}",
+            "phash": average_hash64(arr[0]),
+            "affine_a": px, "affine_b": 0.0, "affine_c": 10_000.0 * i,
+            "affine_d": 0.0, "affine_e": -px, "affine_f": 5_000.0 * i,
+            "crs": "EPSG:3857", "nodata": None, "bands": 1,
+            "band_names": None,
+        })
+    return pd.DataFrame(rows)
+
+
 def generate_scene_stack_pdf(n_footprints: int, epochs: int = 3,
                              seed: int = 7, size_range=(14, 20)):
     """Deterministic multi-epoch scene stacks for compositing (round 7):

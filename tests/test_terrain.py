@@ -312,3 +312,97 @@ def test_accumulation_cells_spark(spark):
         r = got[f"img_valley_{i:08d}"]
         assert r["n"] == (w - 2) * (h - 2)
         assert r["amax"] > h - 3  # trough bottom beats a plain chain
+
+
+def _basin_brute(z, affine, crs):
+    """Brute-force watershed: follow every interior pixel's D8 path to
+    its terminal (pit/flat, NaN-window sink, or interior exit)."""
+    from raster2dggs_spark.operators.terrain import d8_flow
+
+    code, _ = d8_flow(z, affine, crs)
+    hi, wi = code.shape
+    a, e = float(affine[0]), float(affine[4])
+    east = 1 if a >= 0 else -1
+    south = 1 if e <= 0 else -1
+    step = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1), 16: (0, -1),
+            32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+    basin = np.zeros((hi, wi), np.int64)
+    for r0 in range(hi):
+        for c0 in range(wi):
+            r, c = r0, c0
+            while code[r, c] not in (0, -32768):
+                dr, dc = step[int(code[r, c])]
+                r2, c2 = r + dr * south, c + dc * east
+                if not (0 <= r2 < hi and 0 <= c2 < wi):
+                    break
+                r, c = r2, c2
+            basin[r0, c0] = r * wi + c
+    return code, basin
+
+
+@pytest.mark.parametrize("crs,affine", [
+    ("EPSG:3857", (75.0, 0, 1000.0, 0, -75.0, 2000.0)),
+    ("EPSG:3857", (-60.0, 0, 1000.0, 0, 60.0, 2000.0)),  # flipped axes
+    ("EPSG:4326", (0.01, 0, 10.0, 0, -0.01, 55.0)),
+])
+def test_basin_label_matches_bruteforce(crs, affine):
+    from raster2dggs_spark.operators.terrain import basin_label
+
+    rng = np.random.default_rng(31)
+    z = rng.integers(0, 40, (13, 15)).astype(np.float64)
+    z[4, 6] = np.nan  # NaN-window pixels become sinks
+    code, basin = basin_label(z, affine, crs)
+    bc, bb = _basin_brute(z, affine, crs)
+    assert np.array_equal(code, bc)
+    assert np.array_equal(basin, bb)
+
+
+def test_basin_label_eggcarton_structure():
+    """Egg-carton fixture: multiple pits per tile, every basin id is a
+    terminal (fixpoint of the forest), pit terminals have code 0."""
+    from raster2dggs_spark.codecs import decode_image
+    from raster2dggs_spark.operators.terrain import basin_label
+    from raster2dggs_spark.sources.images import generate_basin_images_pdf
+
+    pdf = generate_basin_images_pdf(4)
+    for _, row in pdf.iterrows():
+        z = decode_image(row["bytes"]).astype(np.float64)[0]
+        affine = (row.affine_a, row.affine_b, row.affine_c,
+                  row.affine_d, row.affine_e, row.affine_f)
+        code, basin = basin_label(z, affine, "EPSG:3857")
+        _, bb = _basin_brute(z, affine, "EPSG:3857")
+        assert np.array_equal(basin, bb)
+        flat = basin.ravel()
+        # fixpoint: the terminal of a terminal is itself
+        assert np.array_equal(flat[flat], flat)
+        pits = np.unique(flat[code.ravel()[flat] == 0])
+        assert len(pits) >= 2  # genuinely multi-basin
+
+
+def test_basin_cells_spark(spark):
+    from raster2dggs_spark.operators.terrain import basin_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    pdf = generate_basin_images_pdf(4)
+    imgs = spark.createDataFrame(pdf, IMAGE_SCHEMA)
+    out = basin_cells(imgs, res=7, keep_image_id=True).toPandas()
+    for i in range(4):
+        w = 12 + (i * 5) % 7
+        h = 12 + (i * 3) % 7
+        sub = out[out["image_id"] == f"img_basin_{i:08d}"]
+        assert len(sub) == (w - 2) * (h - 2)
+        # basin ids are valid interior indices; terminals label themselves
+        wi = w - 2
+        assert sub["basin"].between(0, (h - 2) * wi - 1).all()
+        # per-pixel linear index recovered from emit order (row-major)
+        sub = sub.reset_index(drop=True)
+        own = sub["basin"].to_numpy()
+        assert np.array_equal(own[own], own)  # fixpoint through the table
+        # pit flag consistent: basin rows flagged is_pit have d8 == 0
+        pit_targets = sub.loc[own[sub["is_pit"].to_numpy()], "d8"]
+        assert (pit_targets == 0).all()
+        # basin_cell is the cell id AT the terminal row
+        cells = sub["cell"].to_numpy()
+        assert np.array_equal(sub["basin_cell"].to_numpy(), cells[own])
