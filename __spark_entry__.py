@@ -945,6 +945,59 @@ def q_cost_allocation(spark, sf_dir):
                       F.col("alloc").cast("long").alias("alloc"))
 
 
+def q_cost_corridor(spark, sf_dir):
+    """Least-cost corridor (round 7, operators/costdist.py
+    cost_corridor) — ArcGIS Corridor: sum of the cost-distance
+    surfaces from source set A and source set B; per cell, the exact
+    cost of the cheapest A->B path constrained through that cell (the
+    two legs use disjoint edges, so the sum is exact).  The corridor
+    membership flag thresholds at the per-image least-cost A->B
+    distance + 60 (6 cost units in chamfer scale).  Same md5 fixture;
+    the oracle runs TWO capped recursive-CTE Bellman-Fords and joins
+    them (caps validated: leg maxima 273/326 < 700)."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.costdist import cost_corridor
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    fix = base.select(
+        "img", "x", "y",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 9 + 1)
+        .cast("double").alias("cost"),
+        (((F.col("x") == 0) & (F.col("y") == 0)) | (h2 % 29 == 0))
+        .alias("is_a"),
+        (((F.col("x") == 15) & (F.col("y") == 15)) | (h2 % 31 == 0))
+        .alias("is_b"))
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = fix.withColumn(
+        "cell", qk_cell(F.lit(8) + F.col("img") * 32 + F.col("x"),
+                        F.lit(40) + F.col("y")))
+    out = cost_corridor(cells, cost_col="cost", source_a_col="is_a",
+                        source_b_col="is_b", dggs="quadkey", block_bits=3)
+    # per-image best via groupBy + broadcast join back (not a window —
+    # the repo's hot-key discipline, even though 4x256 would be fine)
+    best = out.groupBy("img").agg(F.min("corridor").alias("img_best"))
+    return (out.join(F.broadcast(best), "img")
+            .select("img", "x", "y",
+                    F.col("corridor").cast("long").alias("corridor"),
+                    (F.col("corridor") <= F.col("img_best") + 60)
+                    .cast("long").alias("in_corridor")))
+
+
 def q_watershed_basins(spark, sf_dir):
     """D8 watershed labelling (round 7, operators/terrain.py
     basin_cells) — the hydrology step after flow accumulation: every
@@ -2956,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_accumulation": q_flow_accumulation,
         "cost_distance": q_cost_distance,
         "cost_allocation": q_cost_allocation,
+        "cost_corridor": q_cost_corridor,
         "watershed_basins": q_watershed_basins,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
@@ -5041,6 +5095,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN md ON md.img = r.img AND md.x = r.x AND md.y = r.y
                    AND md.d = r.d
             GROUP BY r.img, r.x, r.y, r.d
+        """,
+        # two capped reaches (one per source set) joined per cell; the
+        # corridor sum is exact because the legs use disjoint edges
+        "cost_corridor": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            raw AS (
+              SELECT img, x, y, ({_MD5_HEX1}) % 9 + 1 AS cost,
+                     (x = 0 AND y = 0) OR (({_MD5_HEX2}) % 29 = 0)
+                       AS is_a,
+                     (x = 15 AND y = 15) OR (({_MD5_HEX2}) % 31 = 0)
+                       AS is_b
+              FROM base),
+            edges AS (
+              SELECT a.img AS img, a.x AS ax, a.y AS ay,
+                     b.x AS bx, b.y AS by,
+                     (a.cost + b.cost) *
+                     (CASE WHEN a.x = b.x OR a.y = b.y THEN 5 ELSE 7 END)
+                       AS w
+              FROM raw a JOIN raw b
+                ON a.img = b.img AND abs(a.x - b.x) <= 1
+               AND abs(a.y - b.y) <= 1
+               AND NOT (a.x = b.x AND a.y = b.y)),
+            ra(img, x, y, d) AS (
+              SELECT img, x, y, CAST(0 AS BIGINT) FROM raw WHERE is_a
+              UNION
+              SELECT e.img, e.bx, e.by, r.d + e.w
+              FROM ra r
+              JOIN edges e ON e.img = r.img AND e.ax = r.x AND e.ay = r.y
+              WHERE r.d + e.w < 700),
+            rb(img, x, y, d) AS (
+              SELECT img, x, y, CAST(0 AS BIGINT) FROM raw WHERE is_b
+              UNION
+              SELECT e.img, e.bx, e.by, r.d + e.w
+              FROM rb r
+              JOIN edges e ON e.img = r.img AND e.ax = r.x AND e.ay = r.y
+              WHERE r.d + e.w < 700),
+            da AS (SELECT img, x, y, MIN(d) AS d FROM ra
+                   GROUP BY img, x, y),
+            db AS (SELECT img, x, y, MIN(d) AS d FROM rb
+                   GROUP BY img, x, y),
+            corr AS (
+              SELECT da.img, da.x, da.y, da.d + db.d AS corridor
+              FROM da JOIN db ON db.img = da.img AND db.x = da.x
+                             AND db.y = da.y),
+            best AS (SELECT img, MIN(corridor) AS img_best FROM corr
+                     GROUP BY img)
+            SELECT c.img, c.x, c.y, CAST(c.corridor AS BIGINT) AS corridor,
+                   CAST(CASE WHEN c.corridor <= b.img_best + 60
+                             THEN 1 ELSE 0 END AS BIGINT) AS in_corridor
+            FROM corr c JOIN best b ON b.img = c.img
         """,
         # generic D8 replay (z recomputed in SQL, same IEEE drops and
         # scan-order argmax) + recursive path-following to the terminal

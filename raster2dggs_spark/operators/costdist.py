@@ -320,3 +320,38 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
     keep = ["dist"] + (["alloc"] if id_col is not None else [])
     return cells_df.join(dist, cells_df[cell_col] == dist["cell"], "left") \
                    .select(*[cells_df[c] for c in cells_df.columns], *keep)
+
+
+def cost_corridor(cells_df: DataFrame, cost_col: str = "cost",
+                  source_a_col: str = "is_a", source_b_col: str = "is_b",
+                  cell_col: str = "cell", dggs: str = "quadkey",
+                  block_bits: int = 6, max_rounds: int = 128) -> DataFrame:
+    """Least-cost corridor between two source sets (ArcGIS Corridor,
+    the classic connectivity-planning composition): ``corridor`` =
+    cost distance FROM the A set + cost distance FROM the B set — the
+    total cost of the cheapest A->B path CONSTRAINED through each cell
+    (edge costs are disjoint across the two legs, so the sum is exact,
+    not a bound).  Its minimum over all cells is the unconstrained
+    least-cost A->B distance, returned per row as ``best`` so callers
+    can threshold (``corridor <= best + slack``) without a second
+    pass.  NULL where either leg is unreachable/impassable.  Two
+    independent block-synchronous sweeps — the state fits one row per
+    cell each, so this is 2x cost_distance, not a new scaling class.
+    """
+    da = cost_distance(cells_df, cost_col=cost_col,
+                       source_col=source_a_col, cell_col=cell_col,
+                       dggs=dggs, block_bits=block_bits,
+                       max_rounds=max_rounds)
+    db = (cost_distance(cells_df, cost_col=cost_col,
+                        source_col=source_b_col, cell_col=cell_col,
+                        dggs=dggs, block_bits=block_bits,
+                        max_rounds=max_rounds)
+          .select(F.col(cell_col).alias("_cc_cell"),
+                  F.col("dist").alias("_cc_db")))
+    both = (da.join(db, da[cell_col] == db["_cc_cell"], "left")
+            .withColumn("corridor", F.col("dist") + F.col("_cc_db"))
+            .drop("_cc_cell", "_cc_db", "dist"))
+    best = both.agg(F.min("corridor")).first()[0]
+    if best is None:
+        raise ValueError("cost_corridor: A and B are mutually unreachable")
+    return both.withColumn("best", F.lit(float(best)))

@@ -150,6 +150,48 @@ def test_cost_allocation_matches_bruteforce(spark):
             assert pd.isna(r.alloc)
 
 
+def test_cost_corridor(spark):
+    """Corridor = dA + dB per cell; its min equals the A->B least cost
+    and the min-cell set contains every cell on some optimal path."""
+    from raster2dggs_spark.operators.costdist import cost_corridor
+
+    from raster2dggs_spark.dggs import quadkeylib
+
+    w = 16
+    rng = np.random.default_rng(5)
+    tx, ty = np.meshgrid(np.arange(w), np.arange(w))
+    tx, ty = tx.ravel(), ty.ravel()
+    cost = rng.integers(1, 6, w * w).astype(float)
+    is_a = (tx == 1) & (ty == 1)
+    is_b = (tx == 14) & (ty == 14)
+    cells = quadkeylib.tile_to_cell(tx, ty, 4)
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": cells, "cost": cost,
+                      "is_a": is_a, "is_b": is_b}))
+    out = cost_corridor(df, dggs="quadkey", block_bits=3).toPandas()
+
+    da, _ = _brute(tx, ty, cost, is_a, w)
+    db, _ = _brute(tx, ty, cost, is_b, w)
+    exp = {i: da[i] + db[i] for i in da}
+    bycell = {int(c): i for i, c in enumerate(cells)}
+    assert len(out) == w * w
+    best = min(exp.values())
+    for r in out.itertuples(index=False):
+        i = bycell[int(r.cell)]
+        assert abs(float(r.corridor) - exp[i]) < 1e-9
+        assert abs(float(r.best) - best) < 1e-9
+
+    # mutually unreachable: TWO NaN walls (lon wraps, one won't do)
+    cost2 = cost.copy()
+    cost2[(tx == 8) | (tx == 0)] = np.nan
+    cost2[is_a | is_b] = 1.0
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"cell": cells, "cost": cost2,
+                      "is_a": is_a, "is_b": is_b}))
+    with pytest.raises(ValueError, match="unreachable"):
+        cost_corridor(df2, dggs="quadkey", block_bits=3)
+
+
 def test_error_paths(spark):
     from raster2dggs_spark.dggs import quadkeylib
 
