@@ -945,6 +945,41 @@ def q_cost_allocation(spark, sf_dir):
                       F.col("alloc").cast("long").alias("alloc"))
 
 
+def q_horizon_angles(spark, sf_dir):
+    """Horizon tangents (round 7, operators/terrain.py horizon_cells —
+    the GRASS r.horizon family): per pixel and compass ray, the max
+    elevation tangent (z_obstacle - z_pixel) / ground_distance within
+    the tile.  Egg-carton fixture; the oracle replays every ray as a
+    per-row/column/diagonal self-join with the identical IEEE division
+    ((c2-c)*px ground distance).  Aggregates are order-independent
+    EXACT statistics per image and direction — min, max (same float
+    multiset => same float), and the count of positive tangents —
+    so no float-summation ambiguity enters the hash."""
+    from raster2dggs_spark.operators.terrain import horizon_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_basin_images_pdf(16),
+                                 IMAGE_SCHEMA)
+    dirs = ("e", "w", "n", "s", "se")
+    px = horizon_cells(imgs, res=7, keep_image_id=True, directions=dirs)
+    img = F.substring("image_id", 11, 8).cast("long").alias("img")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_px")]
+    for d in dirs:
+        # empty-ray pixels carry NaN — Spark sorts NaN ABOVE all reals
+        # (and NaN > 0 is true), so NULL them out to match SQL NULL
+        # aggregate semantics
+        c = F.when(~F.isnan(f"tan_{d}"), F.col(f"tan_{d}"))
+        aggs += [
+            _r4(F.min(c)).alias(f"min_{d}"),
+            _r4(F.max(c)).alias(f"max_{d}"),
+            F.sum((c > 0).cast("long")).cast("long").alias(f"pos_{d}"),
+        ]
+    return (px.select(img, *[f"tan_{d}" for d in dirs])
+            .groupBy("img").agg(*aggs))
+
+
 def q_cost_corridor(spark, sf_dir):
     """Least-cost corridor (round 7, operators/costdist.py
     cost_corridor) — ArcGIS Corridor: sum of the cost-distance
@@ -3011,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_allocation": q_cost_allocation,
         "cost_corridor": q_cost_corridor,
         "watershed_basins": q_watershed_basins,
+        "horizon_angles": q_horizon_angles,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
@@ -5152,6 +5188,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN c.corridor <= b.img_best + 60
                              THEN 1 ELSE 0 END AS BIGINT) AS in_corridor
             FROM corr c JOIN best b ON b.img = c.img
+        """,
+        # every ray replayed as a same-row/col/diagonal self-join with
+        # the identical IEEE division; min/max/pos-count are exact
+        # order-independent statistics (no float summation)
+        "horizon_angles": f"""
+            WITH t AS (
+              SELECT i,
+                     12 + (i * 5) % 7 AS w,
+                     12 + (i * 3) % 7 AS h,
+                     CAST(50 + 10 * ((i * 7) % 8) AS DOUBLE) AS px,
+                     CAST(1 + i % 3 AS DOUBLE) AS s
+              FROM range(16) r(i)),
+            p AS (
+              SELECT t.i, t.px,
+                     CAST(rr.r AS BIGINT) AS r, CAST(cc.c AS BIGINT) AS c,
+                     ((3 * rr.r * rr.r + 5 * cc.c * cc.c
+                       + 7 * rr.r * cc.c + t.i) % 31) * t.s AS z,
+                     sqrt(t.px * t.px + t.px * t.px) AS dd
+              FROM t, range(0, 18) rr(r), range(0, 18) cc(c)
+              WHERE rr.r <= t.h - 1 AND cc.c <= t.w - 1),
+            hz AS (
+              SELECT p1.i, p1.r, p1.c,
+                MAX(CASE WHEN p2.r = p1.r AND p2.c > p1.c
+                    THEN (p2.z - p1.z) / ((p2.c - p1.c) * p1.px) END)
+                  AS te,
+                MAX(CASE WHEN p2.r = p1.r AND p2.c < p1.c
+                    THEN (p2.z - p1.z) / ((p1.c - p2.c) * p1.px) END)
+                  AS tw,
+                MAX(CASE WHEN p2.c = p1.c AND p2.r < p1.r
+                    THEN (p2.z - p1.z) / ((p1.r - p2.r) * p1.px) END)
+                  AS tn,
+                MAX(CASE WHEN p2.c = p1.c AND p2.r > p1.r
+                    THEN (p2.z - p1.z) / ((p2.r - p1.r) * p1.px) END)
+                  AS ts,
+                MAX(CASE WHEN p2.r - p1.r = p2.c - p1.c AND p2.r > p1.r
+                    THEN (p2.z - p1.z) / ((p2.r - p1.r) * p1.dd) END)
+                  AS tse
+              FROM p p1
+              LEFT JOIN p p2
+                ON p2.i = p1.i
+               AND (p2.r = p1.r OR p2.c = p1.c
+                    OR p2.r - p1.r = p2.c - p1.c)
+               AND NOT (p2.r = p1.r AND p2.c = p1.c)
+              GROUP BY p1.i, p1.r, p1.c)
+            SELECT i AS img, CAST(count(*) AS BIGINT) AS n_px,
+                   round(MIN(te), 4) AS min_e, round(MAX(te), 4) AS max_e,
+                   CAST(sum(CASE WHEN te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pos_e,
+                   round(MIN(tw), 4) AS min_w, round(MAX(tw), 4) AS max_w,
+                   CAST(sum(CASE WHEN tw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pos_w,
+                   round(MIN(tn), 4) AS min_n, round(MAX(tn), 4) AS max_n,
+                   CAST(sum(CASE WHEN tn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pos_n,
+                   round(MIN(ts), 4) AS min_s, round(MAX(ts), 4) AS max_s,
+                   CAST(sum(CASE WHEN ts > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pos_s,
+                   round(MIN(tse), 4) AS min_se,
+                   round(MAX(tse), 4) AS max_se,
+                   CAST(sum(CASE WHEN tse > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS pos_se
+            FROM hz GROUP BY i
         """,
         # generic D8 replay (z recomputed in SQL, same IEEE drops and
         # scan-order argmax) + recursive path-following to the terminal

@@ -544,6 +544,151 @@ def basin_cells(
     return _prune(images, keep_image_id).mapInPandas(fn, schema)
 
 
+_HORIZON_DIRS = {
+    "e": (0, 1), "w": (0, -1), "s": (1, 0), "n": (-1, 0),
+    "se": (1, 1), "nw": (-1, -1), "sw": (1, -1), "ne": (-1, 1),
+}
+
+
+def horizon_scan(z: np.ndarray, affine, crs: str, directions):
+    """Tile-local horizon tangents of one elevation tile (GRASS
+    ``r.horizon`` family): for every pixel and each requested
+    principal compass direction, the MAXIMUM elevation tangent
+    ``(z_obstacle - z_pixel) / ground_distance`` over all pixels along
+    that ray within the tile (negative when everything is downhill;
+    NaN where the ray is empty — the pixel sits on that tile edge).
+
+    Directions are compass letters e/w/n/s/se/nw/sw/ne.  EPSG:4326
+    supports the CARDINAL four only: an E/W ray stays on one row (its
+    metre pitch ``mx(lat)`` is constant along the ray, so ``k * mx``
+    is exact), N/S uses the constant ``my`` — while a diagonal ray
+    crosses latitude bands where no single pitch is exact, so
+    requesting one raises rather than silently distorting (the
+    repo-wide latitude-distortion rule).  Projected CRSs support all
+    eight.  NaN obstacles are ignored (``fmax``); NaN observers stay
+    NaN.  O(ray length) vectorized passes per direction — bounded by
+    the tile edge, the decode-path work unit.
+    """
+    h, w = z.shape
+    a, e = float(affine[0]), float(affine[4])
+    zc = z.astype(np.float64)
+    east = 1 if a >= 0 else -1
+    south = 1 if e <= 0 else -1
+    if crs == "EPSG:4326":
+        rows = np.arange(h, dtype=np.float64)
+        lat_row = (float(affine[3]) * (w * 0.5)
+                   + e * (rows + 0.5) + float(affine[5]))
+        mx = (abs(a) * M_PER_DEG
+              * np.cos(np.radians(lat_row)))[:, None]  # per observer row
+        my = np.full((h, 1), abs(e) * M_PER_DEG)
+        dd = None
+    else:
+        mx = np.full((h, 1), abs(a))
+        my = np.full((h, 1), abs(e))
+        # sqrt(a*a + e*e), NOT np.hypot — hypot can differ in the last
+        # ulp and every oracle replays the sqrt form (d8_flow convention)
+        dd = np.full((h, 1), float(np.sqrt(a * a + e * e)))
+    out = {}
+    for name in directions:
+        if name not in _HORIZON_DIRS:
+            raise ValueError(f"horizon: unknown direction {name!r}")
+        drow, dcol = _HORIZON_DIRS[name]
+        if dd is None and drow and dcol:
+            raise ValueError(
+                "horizon: diagonal rays are not exact under EPSG:4326 "
+                "(latitude-varying pixel pitch); use a projected CRS "
+                "or cardinal directions")
+        gr, gc = drow * south, dcol * east   # grid step for compass dir
+        pitch = dd if (drow and dcol) else (my if drow else mx)
+        best = np.full((h, w), -np.inf)
+        for k in range(1, max(h, w)):
+            r0, r1 = max(0, -gr * k), min(h, h - gr * k)
+            c0, c1 = max(0, -gc * k), min(w, w - gc * k)
+            if r0 >= r1 or c0 >= c1:
+                break
+            obs = zc[r0 + gr * k:r1 + gr * k, c0 + gc * k:c1 + gc * k]
+            tan = (obs - zc[r0:r1, c0:c1]) / (k * pitch[r0:r1])
+            best[r0:r1, c0:c1] = np.fmax(best[r0:r1, c0:c1], tan)
+        best[np.isinf(best)] = np.nan        # empty ray: tile edge
+        best[np.isnan(zc)] = np.nan
+        out[name] = best
+    return out
+
+
+def horizon_cells(
+    images: DataFrame,
+    res: int,
+    dggs: str = "hex7",
+    directions=("e", "w", "n", "s"),
+    parent_res: int | None = None,
+    band: int = 1,
+    keep_image_id: bool = False,
+) -> DataFrame:
+    """Explode images into per-pixel horizon rows ``(image_id?,
+    parent, cell, tan_<dir>...)`` — maximum elevation tangent along
+    each requested compass ray (see :func:`horizon_scan`), the
+    building block for solar/terrain-shading analytics.  Same narrow
+    no-shuffle decode-path shape as the other terrain operators; all
+    pixels emit (full tile — a ray op needs no 3x3 stencil), NaN-z
+    pixels are dropped."""
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import (
+        _decode_rows, _encode_points, _prune, default_parent_res,
+    )
+
+    check_grid(dggs)
+    directions = tuple(directions)
+    for name in directions:
+        if name not in _HORIZON_DIRS:
+            raise ValueError(f"horizon: unknown direction {name!r}")
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    fields = ([T.StructField("image_id", T.StringType(), False)]
+              if keep_image_id else [])
+    fields += [
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+    ] + [T.StructField(f"tan_{d}", T.DoubleType(), True)
+         for d in directions]
+    schema = T.StructType(fields)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.geo import pixel_centers_lonlat
+
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+        for pdf in batches:
+            for row, arr in _decode_rows(pdf, [band]):
+                z = arr[0]
+                h, w = z.shape
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                tans = horizon_scan(z, affine, row.crs, directions)
+                keep = ~np.isnan(z.ravel())
+                if not keep.any():
+                    continue
+                lon, lat = pixel_centers_lonlat(affine, w, h, row.crs)
+                cell, parent = _encode_points(
+                    lon[keep], lat[keep], res, parent_res, dggs)
+                data = {}
+                if keep_image_id:
+                    data["image_id"] = np.repeat(row.image_id,
+                                                 int(keep.sum()))
+                data["parent"] = parent
+                data["cell"] = cell
+                for d in directions:
+                    data[f"tan_{d}"] = tans[d].ravel()[keep]
+                buf.append(pd.DataFrame(data))
+                buf_rows += int(keep.sum())
+                if buf_rows >= 250_000:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, buf_rows = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return _prune(images, keep_image_id).mapInPandas(fn, schema)
+
+
 def terrain_point_agg(images: DataFrame, res: int, dggs: str = "hex7",
                       parent_res: int | None = None, **kw) -> DataFrame:
     """Mean slope/aspect/hillshade per cell — one exchange (aspect is a

@@ -406,3 +406,102 @@ def test_basin_cells_spark(spark):
         # basin_cell is the cell id AT the terminal row
         cells = sub["cell"].to_numpy()
         assert np.array_equal(sub["basin_cell"].to_numpy(), cells[own])
+
+
+def _horizon_brute(z, affine, crs, directions):
+    """Per-pixel per-direction max tangent by explicit ray walking."""
+    from raster2dggs_spark.operators.terrain import M_PER_DEG
+
+    h, w = z.shape
+    a, e = float(affine[0]), float(affine[4])
+    east = 1 if a >= 0 else -1
+    south = 1 if e <= 0 else -1
+    comp = {"e": (0, 1), "w": (0, -1), "s": (1, 0), "n": (-1, 0),
+            "se": (1, 1), "nw": (-1, -1), "sw": (1, -1), "ne": (-1, 1)}
+    out = {}
+    for name in directions:
+        drow, dcol = comp[name]
+        gr, gc = drow * south, dcol * east
+        best = np.full((h, w), np.nan)
+        for r in range(h):
+            if crs == "EPSG:4326":
+                lat = float(affine[3]) * (w * 0.5) + e * (r + 0.5) \
+                    + float(affine[5])
+                mx = abs(a) * M_PER_DEG * np.cos(np.radians(lat))
+                my = abs(e) * M_PER_DEG
+                pitch = my if drow else mx
+            else:
+                pitch = np.sqrt(a * a + e * e) if (drow and dcol) else \
+                    (abs(e) if drow else abs(a))
+            for c in range(w):
+                if np.isnan(z[r, c]):
+                    continue
+                vals = []
+                k = 1
+                while True:
+                    r2, c2 = r + gr * k, c + gc * k
+                    if not (0 <= r2 < h and 0 <= c2 < w):
+                        break
+                    if not np.isnan(z[r2, c2]):
+                        vals.append((z[r2, c2] - z[r, c]) / (k * pitch))
+                    k += 1
+                if vals:
+                    best[r, c] = max(vals)
+        out[name] = best
+    return out
+
+
+@pytest.mark.parametrize("crs,affine,dirs", [
+    ("EPSG:3857", (75.0, 0, 1000.0, 0, -75.0, 2000.0),
+     ("e", "w", "n", "s", "se", "nw", "sw", "ne")),
+    ("EPSG:3857", (-60.0, 0, 1000.0, 0, 60.0, 2000.0), ("e", "s", "ne")),
+    ("EPSG:4326", (0.01, 0, 10.0, 0, -0.01, 55.0), ("e", "w", "n", "s")),
+])
+def test_horizon_matches_bruteforce(crs, affine, dirs):
+    from raster2dggs_spark.operators.terrain import horizon_scan
+
+    rng = np.random.default_rng(17)
+    z = rng.uniform(0, 100, (11, 13)).round(1)
+    z[3, 4] = np.nan
+    got = horizon_scan(z, affine, crs, dirs)
+    exp = _horizon_brute(z, affine, crs, dirs)
+    for d in dirs:
+        assert np.allclose(got[d], exp[d], equal_nan=True, atol=0,
+                           rtol=0), d
+
+
+def test_horizon_4326_diagonal_raises():
+    from raster2dggs_spark.operators.terrain import horizon_scan
+
+    z = np.zeros((5, 5))
+    with pytest.raises(ValueError, match="diagonal"):
+        horizon_scan(z, (0.01, 0, 0, 0, -0.01, 50.0), "EPSG:4326", ("se",))
+    with pytest.raises(ValueError, match="direction"):
+        horizon_scan(z, (1.0, 0, 0, 0, -1.0, 0), "EPSG:3857", ("x",))
+
+
+def test_horizon_cells_spark(spark):
+    from raster2dggs_spark.operators.terrain import horizon_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    pdf = generate_basin_images_pdf(3)
+    imgs = spark.createDataFrame(pdf, IMAGE_SCHEMA)
+    out = horizon_cells(imgs, res=7, keep_image_id=True,
+                        directions=("e", "w", "se")).toPandas()
+    from raster2dggs_spark.codecs import decode_image
+
+    for i in range(3):
+        row = pdf.iloc[i]
+        z = decode_image(row["bytes"]).astype(np.float64)[0]
+        sub = out[out["image_id"] == f"img_basin_{i:08d}"].reset_index(
+            drop=True)
+        assert len(sub) == row["w"] * row["h"]  # full tile, no NaN
+        affine = (row.affine_a, row.affine_b, row.affine_c,
+                  row.affine_d, row.affine_e, row.affine_f)
+        exp = _horizon_brute(z, affine, "EPSG:3857", ("e", "w", "se"))
+        for d in ("e", "w", "se"):
+            assert np.allclose(sub[f"tan_{d}"].to_numpy(),
+                               exp[d].ravel(), equal_nan=True,
+                               atol=0, rtol=0)
