@@ -492,6 +492,47 @@ def main():
     extras["polyfill_rows"] = int(pf_row["n"])
     polys_df.unpersist()
 
+    # -- q16: iterative lattice op at scale — multi-source cost distance
+    # over a 512x512 quadkey grid (262k cells, ~100 scattered sources,
+    # deterministic integer costs): block-synchronous Dijkstra, rounds
+    # bounded by the block-graph diameter, quiescent blocks never re-run
+    from raster2dggs_spark.operators.costdist import cost_distance
+
+    cd_n = 512
+    cd = spark.range(cd_n * cd_n).select(
+        (F.col("id") % cd_n).alias("tx"),
+        (F.col("id") / cd_n).cast("long").alias("ty"))
+    cd = cd.select(
+        "tx", "ty",
+        ((F.col("tx") * 7 + F.col("ty") * 11) % 13 + 1)
+        .cast("double").alias("cost"),
+        ((F.col("tx") * 31 + F.col("ty") * 17) % 2621 == 0).alias("is_src"))
+
+    @F.pandas_udf("long")
+    def _qk9(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 9))
+
+    cd_df = (cd.withColumn("cell", _qk9("tx", "ty"))
+             .select("cell", "cost", "is_src")
+             .repartition(CPUS).persist())
+    cd_df.count()
+    cd_stats: dict = {}
+
+    def run_cd():
+        cd_stats.clear()
+        return (cost_distance(cd_df, source_col="is_src", dggs="quadkey",
+                              block_bits=6, stats=cd_stats)
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("dist").alias("s")).collect()[0])
+
+    cd_row = timed("cost_distance_262k", run_cd)
+    extras["cost_distance_cells"] = int(cd_row["n"])
+    extras["cost_distance_rounds"] = cd_stats.get("rounds")
+    extras["cost_distance_blocks_run"] = cd_stats.get("blocks_run")
+    cd_df.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -34,10 +34,11 @@ block-parallel formulation (GRASS's segment strategy; delta-stepping
 with block-sized buckets):
 
 1. Cells tile into 2^b x 2^b lattice blocks (``block_bits``).
-2. Each superstep runs an EXACT in-memory multi-source Dijkstra inside
-   every ACTIVE block (``applyInPandas`` over the block key), with the
-   rim cells exported by neighbouring blocks last superstep folded in
-   as fixed boundary conditions (external->internal pre-relaxation;
+2. Each superstep settles every ACTIVE block EXACTLY in memory
+   (``applyInPandas`` over the block key) by vectorized lex-min
+   relaxation sweeps on a dense grid — no per-cell Python — with the
+   rim cells exported by neighbouring blocks last superstep on a halo
+   as fixed boundary conditions (external->internal relaxation;
    external-external edges are unnecessary — a path that leaves and
    re-enters a block is settled by the next superstep's seeds).
 3. Only cells whose distance improved are re-exported, and only blocks
@@ -66,8 +67,6 @@ latitude clips (geohash poles / quadkey Mercator edge).
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 
@@ -89,78 +88,118 @@ _OFFS = ((-1, -1, _DIAG), (0, -1, _ROOK), (1, -1, _DIAG),
 _NO_ALLOC = np.iinfo(np.int64).max   # lex-max: any real id beats it
 
 
-def _dijkstra_block(pdf: pd.DataFrame, wlon: int) -> pd.DataFrame:
-    """Exact multi-source Dijkstra on one block.
+def _shift_in(a: np.ndarray, dy: int, dx: int, wrap_x: bool, fill):
+    """``s[y, x] = a[y + dy, x + dx]``; out-of-range reads ``fill``
+    (x wraps instead when ``wrap_x`` — a block spanning the whole lon
+    extent)."""
+    b = a
+    if dx:
+        if wrap_x:
+            b = np.roll(b, -dx, axis=1)
+        else:
+            c = np.full_like(b, fill)
+            if dx > 0:
+                c[:, :-dx] = b[:, dx:]
+            else:
+                c[:, -dx:] = b[:, :dx]
+            b = c
+    if dy:
+        c = np.full_like(b, fill)
+        if dy > 0:
+            c[:-dy, :] = b[dy:, :]
+        else:
+            c[-dy:, :] = b[:dy, :]
+        b = c
+    return b
+
+
+def _relax_block(pdf: pd.DataFrame, wlon: int, W: int) -> pd.DataFrame:
+    """Exact block-local settle by VECTORIZED lex-min relaxation sweeps.
 
     ``pdf``: internal cells (``ext == 0``) + rim cells imported from
-    neighbouring blocks (``ext == 1``), columns cell/gx/gy/cost/dist/
-    alloc/seen/seena.  External (dist, alloc) pairs are fixed boundary
-    conditions, pre-relaxed into their internal neighbours; the heap
-    then settles internal cells only.  The settled label per cell is
-    the LEXICOGRAPHIC minimum over paths of (cost, source id) — exact
-    cost-allocation tie-breaking, total by construction.  Returns
+    neighbouring blocks (``ext == 1``), columns bx/by/cell/gx/gy/cost/
+    dist/alloc/seen/seena.  Cells scatter into a dense (W+2)^2 grid
+    with the external pairs on a 1-cell halo as FIXED boundary
+    conditions, then Gauss-Seidel-ordered full-array sweeps (8 shifted
+    numpy relaxations per sweep, no per-cell Python) run to the unique
+    fixpoint: per cell the LEXICOGRAPHIC minimum over paths of
+    (cost, source id) — exact cost-allocation tie-breaking, total by
+    construction, so the result is sweep-order independent.  Sweeps
+    needed scale with the longest in-block shortest-path hop count,
+    and each is O(block cells) vectorized — orders of magnitude
+    cheaper than a Python heap at production block sizes.  Returns
     internal rows with the settled pair and ``improved`` = 1 where it
     is lex-below (``seen``, ``seena``) — the pair last exported to
     neighbouring blocks (+inf if never exported, so a SOURCE sitting
     on a block rim still seeds the next block).
     """
-    internal = pdf[pdf["ext"] == 0].sort_values(["gy", "gx"],
-                                                kind="mergesort")
-    gx = internal["gx"].to_numpy(np.int64)
-    gy = internal["gy"].to_numpy(np.int64)
-    cost = internal["cost"].to_numpy(np.float64)
-    dist0 = internal["dist"].to_numpy(np.float64)
-    alloc0 = internal["alloc"].to_numpy(np.int64)
-    seen0 = internal["seen"].to_numpy(np.float64)
-    seena0 = internal["seena"].to_numpy(np.int64)
-    idx = {(int(gx[i]), int(gy[i])): i for i in range(len(gx))}
-    best = dist0.copy()
-    balloc = alloc0.copy()
-    heap: list = []
+    internal = pdf[pdf["ext"] == 0]
+    x0 = int(pdf["bx"].iloc[0]) * W
+    y0 = int(pdf["by"].iloc[0]) * W
+    wrap_x = wlon <= W          # degenerate: one block spans all lons
+    width = wlon if wrap_x else W + 2
+    height = W + 2
+    xoff = 0 if wrap_x else 1
+    dist = np.full((height, width), np.inf)
+    alloc = np.full((height, width), _NO_ALLOC, np.int64)
+    cost = np.full((height, width), np.nan)
+    upd = np.zeros((height, width), bool)
+
+    igx = internal["gx"].to_numpy(np.int64)
+    igy = internal["gy"].to_numpy(np.int64)
+    ily = igy - y0 + 1
+    ilx = igx if wrap_x else igx - x0 + xoff
+    cost[ily, ilx] = internal["cost"].to_numpy(np.float64)
+    dist[ily, ilx] = internal["dist"].to_numpy(np.float64)
+    alloc[ily, ilx] = internal["alloc"].to_numpy(np.int64)
+    upd[ily, ilx] = True
 
     ext = pdf[pdf["ext"] == 1]
     if len(ext):
-        # duplicate imports of one rim cell (two source blocks) fold by
-        # lex-min through the relaxation itself
-        for ex, ey, ec, ed, ea in zip(ext["gx"].to_numpy(np.int64),
-                                      ext["gy"].to_numpy(np.int64),
-                                      ext["cost"].to_numpy(np.float64),
-                                      ext["dist"].to_numpy(np.float64),
-                                      ext["alloc"].to_numpy(np.int64)):
-            if not np.isfinite(ed):
-                continue
-            for dx, dy, m in _OFFS:
-                v = idx.get((int((ex + dx) % wlon), int(ey + dy)))
-                if v is None:
-                    continue
-                nd = ed + (ec + cost[v]) * m
-                if (nd, ea) < (best[v], balloc[v]):
-                    best[v] = nd
-                    balloc[v] = ea
-                    heapq.heappush(heap,
-                                   (nd, int(ea), int(gy[v]), int(gx[v]), v))
-    for i in range(len(gx)):
-        if np.isfinite(dist0[i]):
-            heapq.heappush(heap, (dist0[i], int(alloc0[i]),
-                                  int(gy[i]), int(gx[i]), i))
+        ed = ext["dist"].to_numpy(np.float64)
+        ea = ext["alloc"].to_numpy(np.int64)
+        ec = ext["cost"].to_numpy(np.float64)
+        egx = ext["gx"].to_numpy(np.int64)
+        ely = ext["gy"].to_numpy(np.int64) - y0 + 1
+        if wrap_x:
+            elx = egx
+        else:
+            dxs = (egx - x0) % wlon
+            elx = np.where(dxs == wlon - 1, 0, dxs + xoff)
+        # duplicate imports of one rim cell (two source blocks) fold to
+        # the lex-min pair: scatter worst-first so the best writes last
+        order = np.lexsort((ea, ed))[::-1]
+        oy, ox = ely[order], elx[order]
+        cost[oy, ox] = ec[order]
+        # never regress a position the halo shares with internal state
+        # (in-block wrap can alias a seed onto its own exporter)
+        keep = ((ed[order] < dist[oy, ox])
+                | ((ed[order] == dist[oy, ox]) & (ea[order] < alloc[oy, ox])))
+        dist[oy[keep], ox[keep]] = ed[order][keep]
+        alloc[oy[keep], ox[keep]] = ea[order][keep]
 
-    while heap:
-        d, a, _, _, u = heapq.heappop(heap)
-        if (d, a) > (best[u], balloc[u]):
-            continue
-        cu = cost[u]
-        ux, uy = int(gx[u]), int(gy[u])
+    for _ in range(4 * height * width):
+        changed = False
         for dx, dy, m in _OFFS:
-            v = idx.get(((ux + dx) % wlon, uy + dy))
-            if v is None:
-                continue
-            nd = d + (cu + cost[v]) * m
-            if (nd, a) < (best[v], balloc[v]):
-                best[v] = nd
-                balloc[v] = a
-                heapq.heappush(heap, (nd, a, int(gy[v]), int(gx[v]), v))
+            nd_src = _shift_in(dist, dy, dx, wrap_x, np.inf)
+            nc_src = _shift_in(cost, dy, dx, wrap_x, np.nan)
+            na_src = _shift_in(alloc, dy, dx, wrap_x, _NO_ALLOC)
+            nd = nd_src + (nc_src + cost) * m
+            better = ((nd < dist) | ((nd == dist) & (na_src < alloc))) & upd
+            if better.any():
+                dist[better] = nd[better]
+                alloc[better] = na_src[better]
+                changed = True
+        if not changed:
+            break
+    else:  # pragma: no cover - bounded by in-block path hop count
+        raise RuntimeError("cost_distance: block relaxation diverged")
 
     out = internal[["cell", "gx", "gy", "cost"]].copy()
+    best = dist[ily, ilx]
+    balloc = alloc[ily, ilx]
+    seen0 = internal["seen"].to_numpy(np.float64)
+    seena0 = internal["seena"].to_numpy(np.int64)
     out["dist"] = best
     out["alloc"] = balloc
     # export when neighbours have never seen a pair this low — covers
@@ -299,7 +338,7 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
                              F.lit(1).cast("long").alias("ext")))
         solved = (inner.groupBy("bx", "by")
                   .applyInPandas(
-                      lambda key, pdf: _dijkstra_block(pdf, wlon), sch)
+                      lambda key, pdf: _relax_block(pdf, wlon, W), sch)
                   .select("cell", "gx", "gy", "cost", *bxy,
                           "dist", "alloc", "seen", "seena", "improved"))
         state = hold.unionByName(solved).localCheckpoint(eager=True)
