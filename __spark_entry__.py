@@ -1033,6 +1033,49 @@ def q_cost_corridor(spark, sf_dir):
                     .cast("long").alias("in_corridor")))
 
 
+def q_region_group(spark, sf_dir):
+    """Region grouping / raster clump (round 7, operators/costdist.py
+    clump_cells — GRASS r.clump, ArcGIS RegionGroup): every cell
+    labelled with the MINIMUM id of its rook-connected equal-class
+    component, via the block-synchronous superstep machinery with
+    zero-weight class-gated edges (min-label propagation; an entire
+    block settles per superstep).  Same md5 fixture: class = hex1 % 4,
+    ~1-in-17 cells are NULL-class holes that break connectivity; the
+    oracle computes the same min-id per component by recursive-CTE
+    transitive closure over the same-class rook edges."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.costdist import clump_cells
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    hole = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 17 == 0
+    fix = base.select(
+        "img", "x", "y",
+        F.when(~hole, F.conv(F.substring(h, 1, 8), 16, 10)
+               .cast("long") % 4).alias("cls"),
+        (F.col("img") * 256 + F.col("y") * 16 + F.col("x")).alias("pid"))
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = fix.withColumn(
+        "cell", qk_cell(F.lit(8) + F.col("img") * 32 + F.col("x"),
+                        F.lit(40) + F.col("y")))
+    out = clump_cells(cells, "cls", "pid", dggs="quadkey", block_bits=3)
+    return out.select("img", "x", "y",
+                      F.col("clump").cast("long").alias("clump"))
+
+
 def q_watershed_basins(spark, sf_dir):
     """D8 watershed labelling (round 7, operators/terrain.py
     basin_cells) — the hydrology step after flow accumulation: every
@@ -3045,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance": q_cost_distance,
         "cost_allocation": q_cost_allocation,
         "cost_corridor": q_cost_corridor,
+        "region_group": q_region_group,
         "watershed_basins": q_watershed_basins,
         "horizon_angles": q_horizon_angles,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
@@ -5188,6 +5232,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN c.corridor <= b.img_best + 60
                              THEN 1 ELSE 0 END AS BIGINT) AS in_corridor
             FROM corr c JOIN best b ON b.img = c.img
+        """,
+        # min-id per equal-class rook component by recursive transitive
+        # closure over the same-class edges; NULL-class holes left-join
+        "region_group": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            raw AS (
+              SELECT img, x, y,
+                     CASE WHEN ({_MD5_HEX2}) % 17 = 0 THEN NULL
+                          ELSE ({_MD5_HEX1}) % 4 END AS cls,
+                     img * 256 + y * 16 + x AS pid
+              FROM base),
+            cl AS (SELECT * FROM raw WHERE cls IS NOT NULL),
+            edges AS (
+              SELECT a.img AS img, a.x AS ax, a.y AS ay,
+                     b.x AS bx, b.y AS by
+              FROM cl a JOIN cl b
+                ON a.img = b.img AND a.cls = b.cls
+               AND abs(a.x - b.x) + abs(a.y - b.y) = 1),
+            reach(img, x, y, rid) AS (
+              SELECT img, x, y, pid FROM cl
+              UNION
+              SELECT e.img, e.bx, e.by, r.rid
+              FROM reach r
+              JOIN edges e ON e.img = r.img AND e.ax = r.x AND e.ay = r.y),
+            lab AS (
+              SELECT img, x, y, MIN(rid) AS clump
+              FROM reach GROUP BY img, x, y)
+            SELECT raw.img, raw.x, raw.y, CAST(lab.clump AS BIGINT) AS clump
+            FROM raw LEFT JOIN lab
+              ON lab.img = raw.img AND lab.x = raw.x AND lab.y = raw.y
         """,
         # every ray replayed as a same-row/col/diagonal self-join with
         # the identical IEEE division; min/max/pos-count are exact

@@ -113,7 +113,9 @@ def _shift_in(a: np.ndarray, dy: int, dx: int, wrap_x: bool, fill):
     return b
 
 
-def _relax_block(pdf: pd.DataFrame, wlon: int, W: int) -> pd.DataFrame:
+def _relax_block(pdf: pd.DataFrame, wlon: int, W: int,
+                 clump: bool = False,
+                 offs: tuple = _OFFS) -> pd.DataFrame:
     """Exact block-local settle by VECTORIZED lex-min relaxation sweeps.
 
     ``pdf``: internal cells (``ext == 0``) + rim cells imported from
@@ -180,11 +182,17 @@ def _relax_block(pdf: pd.DataFrame, wlon: int, W: int) -> pd.DataFrame:
 
     for _ in range(4 * height * width):
         changed = False
-        for dx, dy, m in _OFFS:
+        for dx, dy, m in offs:
             nd_src = _shift_in(dist, dy, dx, wrap_x, np.inf)
             nc_src = _shift_in(cost, dy, dx, wrap_x, np.nan)
             na_src = _shift_in(alloc, dy, dx, wrap_x, _NO_ALLOC)
-            nd = nd_src + (nc_src + cost) * m
+            if clump:
+                # zero-weight edges between SAME-CLASS neighbours (the
+                # cost plane carries the class value); the lex order
+                # degenerates to min-label propagation per region
+                nd = np.where(nc_src == cost, nd_src, np.inf)
+            else:
+                nd = nd_src + (nc_src + cost) * m
             better = ((nd < dist) | ((nd == dist) & (na_src < alloc))) & upd
             if better.any():
                 dist[better] = nd[better]
@@ -209,6 +217,102 @@ def _relax_block(pdf: pd.DataFrame, wlon: int, W: int) -> pd.DataFrame:
     out["seena"] = np.where(improved, balloc, seena0)
     out["improved"] = improved.astype(np.int64)
     return out
+
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("cell", T.LongType()),
+    T.StructField("gx", T.LongType()), T.StructField("gy", T.LongType()),
+    T.StructField("cost", T.DoubleType()),
+    T.StructField("dist", T.DoubleType()),
+    T.StructField("alloc", T.LongType()),
+    T.StructField("seen", T.DoubleType()),
+    T.StructField("seena", T.LongType()),
+    T.StructField("improved", T.LongType()),
+])
+
+
+def _superstep_fixpoint(state: DataFrame, wlon: int, W: int,
+                        nbx: int, nby: int, max_rounds: int,
+                        stats: dict | None, op: str,
+                        clump: bool = False,
+                        offs: tuple = _OFFS) -> DataFrame:
+    """Run block-synchronous supersteps (see module docstring) from an
+    initial ``_STATE_SCHEMA``+bx/by state to the global fixpoint.
+    Shared by :func:`cost_distance` (chamfer relaxation) and
+    :func:`clump_cells` (zero-weight same-class label propagation).
+    """
+    no_alloc = F.lit(int(_NO_ALLOC)).cast("long")
+    moves = F.array(*[F.struct(F.lit(dx).alias("dbx"), F.lit(dy).alias("dby"))
+                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                      if (dx, dy) != (0, 0)])
+
+    def rim_seeds(st: DataFrame) -> DataFrame:
+        """Changed cells exported to every adjacent block they border."""
+        imp = st.where(F.col("improved") > 0)
+        mv = imp.select("cell", "gx", "gy", "cost", "dist", "alloc",
+                        "bx", "by", F.explode(moves).alias("mv"))
+        dbx, dby = F.col("mv.dbx"), F.col("mv.dby")
+        x_ok = (F.when(dbx == 0, F.lit(True))
+                .when(dbx < 0, F.col("gx") % W == 0)
+                .otherwise(F.col("gx") % W == W - 1))
+        y_ok = (F.when(dby == 0, F.lit(True))
+                .when(dby < 0, F.col("gy") % W == 0)
+                .otherwise(F.col("gy") % W == W - 1))
+        return (mv.where(x_ok & y_ok)
+                .select("cell", "gx", "gy", "cost", "dist", "alloc",
+                        (((F.col("bx") + dbx) % nbx + nbx) % nbx).alias("bx"),
+                        (F.col("by") + dby).alias("by"))
+                .where((F.col("by") >= 0) & (F.col("by") < nby)))
+
+    bxy = (F.shiftright(F.col("gx"), W.bit_length() - 1).alias("bx"),
+           F.shiftright(F.col("gy"), W.bit_length() - 1).alias("by"))
+    seeds = None
+    rounds = 0
+    blocks_run = 0
+    # distinct over a just-checkpointed frame is cheap — no checkpoint
+    active = state.where(F.col("improved") > 0).select("bx", "by").distinct()
+    n_active = active.count()
+    if n_active == 0:
+        raise ValueError(f"{op}: no active cells (empty or no sources)")
+    while n_active:
+        # improved interior cells that export no rim seed cannot affect
+        # any other block, and their own block is already exactly
+        # settled — empty seed list (n_active == 0) == global fixpoint
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"{op} did not converge in {max_rounds} rounds")
+        rounds += 1
+        blocks_run += n_active
+        run = state.join(F.broadcast(active), ["bx", "by"])
+        hold = (state.join(F.broadcast(active), ["bx", "by"], "left_anti")
+                .withColumn("improved", F.lit(0).cast("long")))
+        inner = run.select("bx", "by", "cell", "gx", "gy", "cost", "dist",
+                           "alloc", "seen", "seena",
+                           F.lit(0).cast("long").alias("ext"))
+        if seeds is not None:
+            inner = inner.unionByName(
+                seeds.select("bx", "by", F.lit(-1).cast("long").alias("cell"),
+                             "gx", "gy", "cost", "dist", "alloc",
+                             F.lit(float("inf")).alias("seen"),
+                             no_alloc.alias("seena"),
+                             F.lit(1).cast("long").alias("ext")))
+        solved = (inner.groupBy("bx", "by")
+                  .applyInPandas(
+                      lambda key, pdf: _relax_block(pdf, wlon, W,
+                                                    clump=clump, offs=offs),
+                      _STATE_SCHEMA)
+                  .select("cell", "gx", "gy", "cost", *bxy,
+                          "dist", "alloc", "seen", "seena", "improved"))
+        state = hold.unionByName(solved).localCheckpoint(eager=True)
+        # seeds land only where a passable cell can hear them, but
+        # re-running an all-impassable block is a harmless no-op
+        seeds = rim_seeds(state).localCheckpoint(eager=True)
+        active = seeds.select("bx", "by").distinct()
+        n_active = active.count()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["blocks_run"] = blocks_run
+    return state
 
 
 def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
@@ -274,82 +378,8 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
                      F.col("src").cast("long").alias("improved"))
              .localCheckpoint(eager=True))
 
-    sch = T.StructType([
-        T.StructField("cell", T.LongType()),
-        T.StructField("gx", T.LongType()), T.StructField("gy", T.LongType()),
-        T.StructField("cost", T.DoubleType()),
-        T.StructField("dist", T.DoubleType()),
-        T.StructField("alloc", T.LongType()),
-        T.StructField("seen", T.DoubleType()),
-        T.StructField("seena", T.LongType()),
-        T.StructField("improved", T.LongType()),
-    ])
-    moves = F.array(*[F.struct(F.lit(dx).alias("dbx"), F.lit(dy).alias("dby"))
-                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-                      if (dx, dy) != (0, 0)])
-
-    def rim_seeds(st: DataFrame) -> DataFrame:
-        """Changed cells exported to every adjacent block they border."""
-        imp = st.where(F.col("improved") > 0)
-        mv = imp.select("cell", "gx", "gy", "cost", "dist", "alloc",
-                        "bx", "by", F.explode(moves).alias("mv"))
-        dbx, dby = F.col("mv.dbx"), F.col("mv.dby")
-        x_ok = (F.when(dbx == 0, F.lit(True))
-                .when(dbx < 0, F.col("gx") % W == 0)
-                .otherwise(F.col("gx") % W == W - 1))
-        y_ok = (F.when(dby == 0, F.lit(True))
-                .when(dby < 0, F.col("gy") % W == 0)
-                .otherwise(F.col("gy") % W == W - 1))
-        return (mv.where(x_ok & y_ok)
-                .select("cell", "gx", "gy", "cost", "dist", "alloc",
-                        (((F.col("bx") + dbx) % nbx + nbx) % nbx).alias("bx"),
-                        (F.col("by") + dby).alias("by"))
-                .where((F.col("by") >= 0) & (F.col("by") < nby)))
-
-    seeds = None
-    rounds = 0
-    blocks_run = 0
-    # distinct over a just-checkpointed frame is cheap — no checkpoint
-    active = state.where(F.col("improved") > 0).select("bx", "by").distinct()
-    n_active = active.count()
-    if n_active == 0:
-        raise ValueError("cost_distance: no (passable) source cells")
-    while n_active:
-        # improved interior cells that export no rim seed cannot affect
-        # any other block, and their own block is already exactly
-        # settled — empty seed list (n_active == 0) == global fixpoint
-        if rounds >= max_rounds:
-            raise RuntimeError(
-                f"cost_distance did not converge in {max_rounds} rounds")
-        rounds += 1
-        blocks_run += n_active
-        run = state.join(F.broadcast(active), ["bx", "by"])
-        hold = (state.join(F.broadcast(active), ["bx", "by"], "left_anti")
-                .withColumn("improved", F.lit(0).cast("long")))
-        inner = run.select("bx", "by", "cell", "gx", "gy", "cost", "dist",
-                           "alloc", "seen", "seena",
-                           F.lit(0).cast("long").alias("ext"))
-        if seeds is not None:
-            inner = inner.unionByName(
-                seeds.select("bx", "by", F.lit(-1).cast("long").alias("cell"),
-                             "gx", "gy", "cost", "dist", "alloc",
-                             F.lit(float("inf")).alias("seen"),
-                             no_alloc.alias("seena"),
-                             F.lit(1).cast("long").alias("ext")))
-        solved = (inner.groupBy("bx", "by")
-                  .applyInPandas(
-                      lambda key, pdf: _relax_block(pdf, wlon, W), sch)
-                  .select("cell", "gx", "gy", "cost", *bxy,
-                          "dist", "alloc", "seen", "seena", "improved"))
-        state = hold.unionByName(solved).localCheckpoint(eager=True)
-        # seeds land only where a passable cell can hear them, but
-        # re-running an all-impassable block is a harmless no-op
-        seeds = rim_seeds(state).localCheckpoint(eager=True)
-        active = seeds.select("bx", "by").distinct()
-        n_active = active.count()
-    if stats is not None:
-        stats["rounds"] = rounds
-        stats["blocks_run"] = blocks_run
+    state = _superstep_fixpoint(state, wlon, W, nbx, nby, max_rounds,
+                                stats, op="cost_distance")
 
     reached = F.col("dist") != float("inf")
     out_cols = [F.when(reached, F.col("dist")).alias("dist")]
@@ -394,3 +424,67 @@ def cost_corridor(cells_df: DataFrame, cost_col: str = "cost",
     if best is None:
         raise ValueError("cost_corridor: A and B are mutually unreachable")
     return both.withColumn("best", F.lit(float(best)))
+
+
+_ROOK_OFFS = tuple(o for o in _OFFS if o[0] == 0 or o[1] == 0)
+
+
+def clump_cells(cells_df: DataFrame, class_col: str, id_col: str,
+                cell_col: str = "cell", dggs: str = "quadkey",
+                block_bits: int = 6, diagonal: bool = False,
+                max_rounds: int = 128,
+                stats: dict | None = None) -> DataFrame:
+    """Region grouping (GRASS ``r.clump`` / ArcGIS RegionGroup): label
+    every cell with the MINIMUM ``id_col`` value of its connected
+    component of equal ``class_col`` cells — rook adjacency by default,
+    queen with ``diagonal=True`` (the r.clump ``-d`` flag).  Cells with
+    NULL class are inert (label NULL); absent cells break connectivity.
+
+    Same block-synchronous superstep machinery as :func:`cost_distance`
+    with ZERO-WEIGHT edges gated on class equality: every cell starts
+    as its own dist-0 source carrying its id, and the lexicographic
+    relaxation degenerates to min-label propagation per region — the
+    hash-to-min connected-components idiom, but with the lattice
+    structure exploited (an entire block settles per superstep, so
+    rounds scale with the region's BLOCK diameter, not its cell
+    diameter).  Output: the input columns + ``clump`` (long).
+    """
+    if block_bits < 1:
+        raise ValueError("block_bits >= 1 required")
+    g = lattice_indices(
+        cells_df.select(F.col(cell_col).alias("cell"),
+                        F.col(class_col).cast("double").alias("cost"),
+                        F.col(id_col).cast("long").alias("sid")),
+        "cell", dggs)
+    wlon_c, wlat_c = _lattice_extent_exprs(dggs)
+    head = g.select(wlon_c.alias("w"), wlat_c.alias("h")).first()
+    if head is None:
+        raise ValueError("clump_cells: empty input")
+    wlon = int(head["w"])
+    W = 1 << block_bits
+    nbx = max(1, wlon // W)
+    nby = max(1, int(head["h"]) // W)
+    bxy = (F.shiftright(F.col("gx"), block_bits).alias("bx"),
+           F.shiftright(F.col("gy"), block_bits).alias("by"))
+
+    ok = (F.col("cost").isNotNull() & ~F.isnan("cost")
+          & F.col("sid").isNotNull())
+    if g.where(F.col("cost").isNotNull() & ~F.isnan("cost")
+               & F.col("sid").isNull()).limit(1).count():
+        raise ValueError("clump_cells: NULL id on a classed cell")
+    state = (g.where(ok)
+             .select("cell", "gx", "gy", "cost", *bxy,
+                     F.lit(0.0).alias("dist"),
+                     F.col("sid").alias("alloc"),
+                     F.lit(float("inf")).alias("seen"),
+                     F.lit(int(_NO_ALLOC)).cast("long").alias("seena"),
+                     F.lit(1).cast("long").alias("improved"))
+             .localCheckpoint(eager=True))
+
+    state = _superstep_fixpoint(
+        state, wlon, W, nbx, nby, max_rounds, stats, op="clump_cells",
+        clump=True, offs=_OFFS if diagonal else _ROOK_OFFS)
+
+    lab = state.select("cell", F.col("alloc").alias("clump"))
+    return cells_df.join(lab, cells_df[cell_col] == lab["cell"], "left") \
+                   .select(*[cells_df[c] for c in cells_df.columns], "clump")

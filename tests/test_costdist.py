@@ -213,3 +213,65 @@ def test_error_paths(spark):
         cost_distance(spark.createDataFrame(none), dggs="quadkey")
     with pytest.raises(RuntimeError, match="converge"):
         cost_distance(df, dggs="quadkey", block_bits=1, max_rounds=1)
+
+
+def _clump_brute(gx, gy, cls, ids, wlon, diagonal):
+    """BFS reference: min id per connected equal-class component."""
+    offs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    if diagonal:
+        offs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    pos = {(int(gx[i]), int(gy[i])): i for i in range(len(gx))
+           if not np.isnan(cls[i])}
+    lab = {}
+    for start in pos.values():
+        if start in lab:
+            continue
+        comp, todo = [start], [start]
+        seen = {start}
+        while todo:
+            u = todo.pop()
+            for dx, dy in offs:
+                v = pos.get((int((gx[u] + dx) % wlon), int(gy[u] + dy)))
+                if v is None or v in seen or cls[v] != cls[u]:
+                    continue
+                seen.add(v)
+                comp.append(v)
+                todo.append(v)
+        m = min(int(ids[i]) for i in comp)
+        for i in comp:
+            lab[i] = m
+    return lab
+
+
+@pytest.mark.parametrize("diagonal", [False, True])
+def test_clump_matches_bruteforce(spark, diagonal):
+    """Random 4-class 32x32 quadkey layer with 10% holes: every cell's
+    clump label equals the BFS min-id of its equal-class component —
+    rook and queen, including components that wrap the antimeridian."""
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.costdist import clump_cells
+
+    w = 32
+    rng = np.random.default_rng(13)
+    tx, ty = np.meshgrid(np.arange(w), np.arange(w))
+    tx, ty = tx.ravel(), ty.ravel()
+    cls = rng.integers(0, 4, w * w).astype(float)
+    cls[rng.random(w * w) < 0.1] = np.nan
+    ids = (tx * 1000 + ty).astype(np.int64)
+    cells = quadkeylib.tile_to_cell(tx, ty, 5)
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell": cells, "cls": cls, "pid": ids}))
+
+    stats = {}
+    out = clump_cells(df, "cls", "pid", dggs="quadkey", block_bits=3,
+                      diagonal=diagonal, stats=stats).toPandas()
+    exp = _clump_brute(tx, ty, cls, ids, w, diagonal)
+    bycell = {int(c): i for i, c in enumerate(cells)}
+    assert len(out) == w * w
+    for r in out.itertuples(index=False):
+        i = bycell[int(r.cell)]
+        if i in exp:
+            assert int(r.clump) == exp[i], (tx[i], ty[i])
+        else:
+            assert pd.isna(r.clump)
+    assert stats["rounds"] >= 1
