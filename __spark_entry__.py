@@ -1033,6 +1033,98 @@ def q_cost_corridor(spark, sf_dir):
                     .cast("long").alias("in_corridor")))
 
 
+def q_euclid_distance(spark, sf_dir):
+    """Exact Euclidean distance transform (round 7,
+    operators/proximity.py euclidean_distance — gdal_proximity /
+    ArcGIS EuclideanDistance): squared planar lattice distance from
+    every cell to its nearest SOURCE cell, exact separable FH lower
+    envelope (column pass collapses sources to per-column summaries,
+    row pass evaluates the 1D parabola envelope with exact Python-int
+    integer breakpoints — no float in any decision).  Same md5 fixture
+    family as cost_distance (~1-in-29 sources + the (0,0) corner), but
+    distance is GEOMETRIC: the four image tiles sit on ONE global
+    lattice 32 columns apart, so cross-image distances are real and
+    the oracle minimizes over ALL sources globally.  collect strategy
+    (sources broadcast; zero shuffles)."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.proximity import euclidean_distance
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    fix = base.select(
+        "img", "x", "y",
+        ((F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 29 == 0)
+         | ((F.col("x") == 0) & (F.col("y") == 0))).alias("is_src"))
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = fix.withColumn(
+        "cell", qk_cell(F.lit(8) + F.col("img") * 32 + F.col("x"),
+                        F.lit(40) + F.col("y")))
+    out = euclidean_distance(cells, source_col="is_src", dggs="quadkey",
+                             strategy="collect")
+    return out.select("img", "x", "y",
+                      F.col("d2").cast("long").alias("d2"))
+
+
+def q_euclid_allocation(spark, sf_dir):
+    """Euclidean allocation (round 7, operators/proximity.py
+    euclidean_distance(id_col=) — ArcGIS EuclideanAllocation / GRASS
+    r.grow.distance value=): every cell labelled with the source whose
+    exact squared distance wins, ties to the MINIMUM source id via the
+    exact lex (d2, id) order folded into the integer envelope
+    breakpoints (CLAUDE.md total-order rule; deterministic zone ids
+    mod 100 make ties common).  Runs the distributed JOIN strategy —
+    per-column summaries stay on executors, one cogroup-by-row shuffle
+    — so the gate exercises the 100-TB path, not just the broadcast
+    fast path; the oracle takes MIN(zone) over global all-pairs rows
+    at the minimal distance."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.proximity import euclidean_distance
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    fix = base.select(
+        "img", "x", "y",
+        ((F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 29 == 0)
+         | ((F.col("x") == 0) & (F.col("y") == 0))).alias("is_src"),
+        ((F.col("x") * 31 + F.col("y") * 17 + F.col("img")) % 100)
+        .alias("zone"))
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = fix.withColumn(
+        "cell", qk_cell(F.lit(8) + F.col("img") * 32 + F.col("x"),
+                        F.lit(40) + F.col("y")))
+    out = euclidean_distance(cells, source_col="is_src", dggs="quadkey",
+                             id_col="zone", strategy="join")
+    return out.select("img", "x", "y",
+                      F.col("d2").cast("long").alias("d2"),
+                      F.col("alloc").cast("long").alias("alloc"))
+
+
 def q_region_group(spark, sf_dir):
     """Region grouping / raster clump (round 7, operators/costdist.py
     clump_cells — GRASS r.clump, ArcGIS RegionGroup): every cell
@@ -3088,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance": q_cost_distance,
         "cost_allocation": q_cost_allocation,
         "cost_corridor": q_cost_corridor,
+        "euclid_distance": q_euclid_distance,
+        "euclid_allocation": q_euclid_allocation,
         "region_group": q_region_group,
         "watershed_basins": q_watershed_basins,
         "horizon_angles": q_horizon_angles,
@@ -5235,6 +5329,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         # min-id per equal-class rook component by recursive transitive
         # closure over the same-class edges; NULL-class holes left-join
+        # exact EDT: brute-force all-pairs squared-distance minimum over
+        # the GLOBAL lattice (tiles 32 columns apart interact)
+        "euclid_distance": f"""
+            WITH base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            raw AS (
+              SELECT img, x, y,
+                     8 + img * 32 + x AS ax, 40 + y AS ay,
+                     ((({_MD5_HEX2}) % 29) = 0 OR (x = 0 AND y = 0))
+                       AS is_src
+              FROM base)
+            SELECT t.img, t.x, t.y,
+                   CAST(MIN((t.ax - s.ax) * (t.ax - s.ax)
+                            + (t.ay - s.ay) * (t.ay - s.ay)) AS BIGINT)
+                     AS d2
+            FROM raw t JOIN raw s ON s.is_src
+            GROUP BY t.img, t.x, t.y
+        """,
+        # allocation: MIN(zone) over all-pairs rows at the minimal d2 —
+        # the lex (d2, id) tie-break the envelope folds into its integer
+        # breakpoints
+        "euclid_allocation": f"""
+            WITH base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            raw AS (
+              SELECT img, x, y,
+                     8 + img * 32 + x AS ax, 40 + y AS ay,
+                     ((({_MD5_HEX2}) % 29) = 0 OR (x = 0 AND y = 0))
+                       AS is_src,
+                     (x * 31 + y * 17 + img) % 100 AS zone
+              FROM base),
+            pairs AS (
+              SELECT t.img, t.x, t.y,
+                     (t.ax - s.ax) * (t.ax - s.ax)
+                     + (t.ay - s.ay) * (t.ay - s.ay) AS d2,
+                     s.zone
+              FROM raw t JOIN raw s ON s.is_src),
+            md AS (SELECT img, x, y, MIN(d2) AS d2
+                   FROM pairs GROUP BY img, x, y)
+            SELECT p.img, p.x, p.y, CAST(p.d2 AS BIGINT) AS d2,
+                   CAST(MIN(p.zone) AS BIGINT) AS alloc
+            FROM pairs p
+            JOIN md ON md.img = p.img AND md.x = p.x AND md.y = p.y
+                   AND md.d2 = p.d2
+            GROUP BY p.img, p.x, p.y, p.d2
+        """,
         "region_group": f"""
             WITH RECURSIVE
             base AS (
