@@ -1204,6 +1204,33 @@ def q_watershed_basins(spark, sf_dir):
                     "is_pit"))
 
 
+def q_viewshed(spark, sf_dir):
+    """Line-of-sight viewshed (round 7, operators/terrain.py
+    viewshed_cells — GRASS r.viewshed / ArcGIS Viewshed, R3 form):
+    per pixel, visible from the per-tile observer (2,3)+2m iff no
+    bilinear sightline sample subtends an elevation tangent strictly
+    above the target's (grazing ties are visible).  Along one ray the constant step length
+    cancels, so the decision is the exact integer cross product
+    (z_k - z_o)*D > (z_t - z_o)*k with bilinear z_k carrying
+    denominator D^2 — no float in any comparison.  Egg-carton fixture
+    (integer closed-form z); the oracle replays every (target, step)
+    pair relationally: integer floor/mod sightline positions, 4-way
+    z join for the bilinear numerator, and the same cross-multiplied
+    blocking predicate."""
+    from raster2dggs_spark.operators.terrain import viewshed_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_basin_images_pdf(8),
+                                 IMAGE_SCHEMA)
+    px = viewshed_cells(imgs, observer=(2, 3), obs_height=2, res=7,
+                        keep_image_id=True, keep_pixel=True)
+    return px.select(
+        F.substring("image_id", 11, 8).cast("long").alias("img"),
+        "pr", "pc", F.col("visible").cast("long").alias("visible"))
+
+
 def q_regrid_geohash_maidenhead(spark, sf_dir):
     """Cross-grid regrid (round 7, operators/regrid.py): convert a
     geohash-precision-3-indexed layer onto the maidenhead grid at
@@ -3185,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_group": q_region_group,
         "watershed_basins": q_watershed_basins,
         "horizon_angles": q_horizon_angles,
+        "viewshed": q_viewshed,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
@@ -5329,6 +5357,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         # min-id per equal-class rook component by recursive transitive
         # closure over the same-class edges; NULL-class holes left-join
+        # R3 viewshed replayed relationally: integer floor/mod sightline
+        # positions, 4-way z join for the bilinear numerator (x D^2), and
+        # the cross-multiplied blocking predicate — all integer
+        "viewshed": """
+            WITH imgs AS (
+              SELECT i, 12 + (i * 5) % 7 AS w, 12 + (i * 3) % 7 AS h,
+                     1 + i % 3 AS s
+              FROM range(8) t(i)),
+            zt AS (
+              SELECT i, r, c, m.w, m.h,
+                     CAST(((3*r*r + 5*c*c + 7*r*c + i) % 31) * s
+                          AS BIGINT) AS z
+              FROM imgs m, range(0, 18) rr(r), range(0, 18) cc(c)
+              WHERE r < m.h AND c < m.w),
+            obs AS (SELECT i, z + 2 AS zo FROM zt WHERE r = 2 AND c = 3),
+            tgt AS (SELECT zt.*,
+                           greatest(abs(r - 2), abs(c - 3)) AS d
+                    FROM zt),
+            stp AS (
+              SELECT t.i, t.r, t.c, t.z, t.d, k,
+                     (2 * t.d + k * (t.r - 2)) // t.d AS fy,
+                     (2 * t.d + k * (t.r - 2)) % t.d AS ry,
+                     (3 * t.d + k * (t.c - 3)) // t.d AS fx,
+                     (3 * t.d + k * (t.c - 3)) % t.d AS rx
+              FROM tgt t, range(1, 18) kk(k) WHERE k < t.d),
+            bil AS (
+              SELECT s.*,
+                     COALESCE(z00.z, 0) * (s.d - s.ry) * (s.d - s.rx)
+                     + COALESCE(z01.z, 0) * (s.d - s.ry) * s.rx
+                     + COALESCE(z10.z, 0) * s.ry * (s.d - s.rx)
+                     + COALESCE(z11.z, 0) * s.ry * s.rx AS zk
+              FROM stp s
+              LEFT JOIN zt z00 ON z00.i = s.i AND z00.r = s.fy
+                              AND z00.c = s.fx
+              LEFT JOIN zt z01 ON z01.i = s.i AND z01.r = s.fy
+                              AND z01.c = s.fx + 1
+              LEFT JOIN zt z10 ON z10.i = s.i AND z10.r = s.fy + 1
+                              AND z10.c = s.fx
+              LEFT JOIN zt z11 ON z11.i = s.i AND z11.r = s.fy + 1
+                              AND z11.c = s.fx + 1),
+            blk AS (
+              SELECT b.i, b.r, b.c, count(*) AS nblk
+              FROM bil b JOIN obs o ON o.i = b.i
+              WHERE (b.zk - o.zo * b.d * b.d) * b.d
+                    > (b.z - o.zo) * b.k * b.d * b.d
+              GROUP BY b.i, b.r, b.c)
+            SELECT t.i AS img, t.r AS pr, t.c AS pc,
+                   CAST(CASE WHEN COALESCE(nblk, 0) = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS visible
+            FROM tgt t
+            LEFT JOIN blk ON blk.i = t.i AND blk.r = t.r AND blk.c = t.c
+        """,
         # exact EDT: brute-force all-pairs squared-distance minimum over
         # the GLOBAL lattice (tiles 32 columns apart interact)
         "euclid_distance": f"""

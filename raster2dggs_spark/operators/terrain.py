@@ -705,3 +705,189 @@ def terrain_point_agg(images: DataFrame, res: int, dggs: str = "hex7",
         F.count(F.lit(1)).alias("n_px"),
         _nn("slope_deg"), _nn("aspect_deg"), _nn("hillshade"),
     )
+
+
+def viewshed(z: np.ndarray, observer: tuple, obs_height: float = 0.0):
+    """Tile-local line-of-sight viewshed (GRASS ``r.viewshed`` /
+    ArcGIS Viewshed, the R3 formulation): a pixel is VISIBLE from the
+    observer iff no point along the straight grid-space sightline
+    subtends an elevation angle STRICTLY above the target's own angle
+    (a grazing tie is visible — flat terrain is fully visible, the
+    GRASS/ArcGIS convention).
+
+    The sightline is sampled at the D Chebyshev steps k = 1..D-1
+    (D = max(|dr|, |dc|)) with BILINEAR elevation interpolation; along
+    one ray the ground step length is constant, so it cancels from the
+    tangent comparison and the test reduces to the exact cross
+    product::
+
+        blocked  <=>  (z_k - z_o) * D  >  (z_t - z_o) * k
+
+    Bilinear z_k has denominator D^2, so with INTEGER elevations the
+    whole decision is integer (int64, no float in any comparison —
+    the proximity/cost-distance exactness discipline); non-integral
+    elevations run the identical cross-multiplied form in float64.
+    NaN terrain is transparent (a NaN sample never blocks); a NaN
+    observer makes everything invisible.
+
+    Geographic CRS rasters are REJECTED by :func:`viewshed_cells`:
+    the step ground length along a N-S-leaning ray varies with
+    latitude, so the cancellation (and any single-pitch tangent) is
+    inexact — the repo's latitude-distortion rule.  Earth-curvature /
+    refraction corrections (r.viewshed ``-c``) are out of scope.
+
+    O(cells x max-Chebyshev-radius) fully vectorized; the distribution
+    axis is many observers / many tiles (embarrassingly parallel on
+    the decode path), matching how viewsheds are run in practice.
+    """
+    h, w = z.shape
+    orr, occ = int(observer[0]), int(observer[1])
+    if not (0 <= orr < h and 0 <= occ < w):
+        raise ValueError(f"viewshed: observer {observer} outside "
+                         f"{h}x{w} tile")
+    finite = np.isfinite(z)
+    integral = bool(np.all(z[finite] == np.floor(z[finite]))) \
+        and float(obs_height) == int(obs_height)
+    rr, cc = np.mgrid[0:h, 0:w]
+    dr = (rr - orr).astype(np.int64)
+    dc = (cc - occ).astype(np.int64)
+    D = np.maximum(np.abs(dr), np.abs(dc))
+    if integral:
+        zmax = float(np.abs(z[finite]).max()) if finite.any() else 0.0
+        # int64 headroom: |lhs| <= (2 zmax + |zo|) * D^3
+        if (zmax + abs(obs_height) + 1) * float(D.max() + 1) ** 3 >= 2**62:
+            integral = False
+    if integral:
+        zc = np.where(finite, z, 0).astype(np.int64)
+        zo = zc[orr, occ] + int(obs_height)
+    else:
+        zc = z.astype(np.float64)
+        zo = zc[orr, occ] + float(obs_height)
+    if not finite[orr, occ]:
+        return np.zeros((h, w), bool)
+
+    blocked = np.zeros(h * w, bool)
+    Df, drf, dcf = D.ravel(), dr.ravel(), dc.ravel()
+    zf = zc.ravel()
+    okf = finite.ravel()
+    for k in range(1, int(D.max())):
+        m = Df > k
+        if not m.any():
+            break
+        Dm, drm, dcm = Df[m], drf[m], dcf[m]
+        py = orr * Dm + k * drm          # >= 0: convex combination
+        px = occ * Dm + k * dcm
+        fy, ry = py // Dm, py % Dm
+        fx, rx = px // Dm, px % Dm
+        fy1 = np.minimum(fy + 1, h - 1)  # weight is 0 when clipped
+        fx1 = np.minimum(fx + 1, w - 1)
+        w00 = (Dm - ry) * (Dm - rx)
+        w01 = (Dm - ry) * rx
+        w10 = ry * (Dm - rx)
+        w11 = ry * rx
+        if integral:
+            # NaN-as-0 never blocks here only if the sample touches no
+            # NaN cell; mask samples touching any non-finite corner
+            good = (okf.reshape(h, w)[fy, fx]
+                    & okf.reshape(h, w)[fy, fx1]
+                    & okf.reshape(h, w)[fy1, fx]
+                    & okf.reshape(h, w)[fy1, fx1])
+            zk = (zc[fy, fx] * w00 + zc[fy, fx1] * w01
+                  + zc[fy1, fx] * w10 + zc[fy1, fx1] * w11)
+            lhs = (zk - zo * Dm * Dm) * Dm
+            rhs = (zf[m] - zo) * k * Dm * Dm
+            blk = good & (lhs > rhs)
+        else:
+            zk = (zc[fy, fx] * w00 + zc[fy, fx1] * w01
+                  + zc[fy1, fx] * w10 + zc[fy1, fx1] * w11)
+            lhs = (zk - float(zo) * Dm * Dm) * Dm
+            rhs = (zf[m] - zo) * k * (Dm * Dm).astype(np.float64)
+            with np.errstate(invalid="ignore"):
+                blk = lhs > rhs          # NaN comparison is False
+        idx = np.flatnonzero(m)[blk]
+        blocked[idx] = True
+    vis = ~blocked.reshape(h, w)
+    vis &= finite                        # NaN targets are not visible
+    return vis
+
+
+def viewshed_cells(
+    images: DataFrame,
+    observer: tuple = (2, 3),
+    obs_height: float = 0.0,
+    res: int = 7,
+    dggs: str = "hex7",
+    parent_res: int | None = None,
+    band: int = 1,
+    keep_image_id: bool = False,
+    keep_pixel: bool = False,
+) -> DataFrame:
+    """Explode images into per-pixel visibility rows ``(image_id?,
+    parent, cell, [pr, pc,] visible)`` from a per-tile observer pixel
+    (see :func:`viewshed`).  Same narrow no-shuffle decode-path shape
+    as the other terrain operators; NaN-z pixels are dropped;
+    ``keep_pixel`` adds the tile-local (row, col) for relational
+    replay.  Geographic CRS tiles raise (latitude-distortion rule)."""
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import (
+        _decode_rows, _encode_points, _prune, default_parent_res,
+    )
+
+    check_grid(dggs)
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    fields = ([T.StructField("image_id", T.StringType(), False)]
+              if keep_image_id else [])
+    fields += [
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+    ]
+    if keep_pixel:
+        fields += [T.StructField("pr", T.LongType(), False),
+                   T.StructField("pc", T.LongType(), False)]
+    fields += [T.StructField("visible", T.BooleanType(), False)]
+    schema = T.StructType(fields)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.geo import pixel_centers_lonlat
+
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+        for pdf in batches:
+            for row, arr in _decode_rows(pdf, [band]):
+                z = arr[0]
+                if row.crs == "EPSG:4326":
+                    raise ValueError(
+                        "viewshed: geographic CRS tiles have "
+                        "latitude-varying step lengths along a ray; "
+                        "reproject first (latitude-distortion rule)")
+                h, w = z.shape
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                vis = viewshed(z, observer, obs_height)
+                keep = ~np.isnan(z.ravel())
+                if not keep.any():
+                    continue
+                lon, lat = pixel_centers_lonlat(affine, w, h, row.crs)
+                cell, parent = _encode_points(
+                    lon[keep], lat[keep], res, parent_res, dggs)
+                data = {}
+                if keep_image_id:
+                    data["image_id"] = np.repeat(row.image_id,
+                                                 int(keep.sum()))
+                data["parent"] = parent
+                data["cell"] = cell
+                if keep_pixel:
+                    rr, cc = np.mgrid[0:h, 0:w]
+                    data["pr"] = rr.ravel()[keep]
+                    data["pc"] = cc.ravel()[keep]
+                data["visible"] = vis.ravel()[keep]
+                buf.append(pd.DataFrame(data))
+                buf_rows += int(keep.sum())
+                if buf_rows >= 250_000:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, buf_rows = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return _prune(images, keep_image_id).mapInPandas(fn, schema)
