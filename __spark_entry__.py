@@ -1204,6 +1204,57 @@ def q_watershed_basins(spark, sf_dir):
                     "is_pit"))
 
 
+def q_zonal_geometry(spark, sf_dir):
+    """Zonal geometry (round 7, operators/focal.py zonal_geometry —
+    ArcGIS ZonalGeometry): per zone, cell-count area, rook-edge
+    perimeter (4 per cell minus same-zone rook neighbours; NULL holes
+    expose edges), lattice bbox, centroid, and the isoperimetric
+    quotient 16A/P^2.  Physical plan is scatter -> one equi-join ->
+    one groupBy (no windows — hot-zone safe).  Same md5 class fixture
+    as region_group, zones composed img*10+cls so the oracle's
+    Manhattan-distance-1 self-join replays adjacency exactly."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.focal import zonal_geometry
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    hole = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 17 == 0
+    fix = base.select(
+        "img", "x", "y",
+        F.when(~hole, F.col("img") * 10
+               + F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 4)
+        .alias("zone"))
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = fix.withColumn(
+        "cell", qk_cell(F.lit(8) + F.col("img") * 32 + F.col("x"),
+                        F.lit(40) + F.col("y")))
+    out = zonal_geometry(cells, "zone", dggs="quadkey")
+    return out.select(
+        F.col("zone").cast("long").alias("zone"),
+        F.col("area").cast("long").alias("area"),
+        F.col("perimeter").cast("long").alias("perimeter"),
+        F.col("min_gx").cast("long").alias("min_gx"),
+        F.col("max_gx").cast("long").alias("max_gx"),
+        F.col("min_gy").cast("long").alias("min_gy"),
+        F.col("max_gy").cast("long").alias("max_gy"),
+        _r4(F.col("centroid_gx")).alias("cx"),
+        _r4(F.col("centroid_gy")).alias("cy"),
+        _r4(F.col("iq")).alias("iq"))
+
+
 def q_viewshed(spark, sf_dir):
     """Line-of-sight viewshed (round 7, operators/terrain.py
     viewshed_cells — GRASS r.viewshed / ArcGIS Viewshed, R3 form):
@@ -3213,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watershed_basins": q_watershed_basins,
         "horizon_angles": q_horizon_angles,
         "viewshed": q_viewshed,
+        "zonal_geometry": q_zonal_geometry,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
@@ -5357,6 +5409,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # min-id per equal-class rook component by recursive transitive
         # closure over the same-class edges; NULL-class holes left-join
+        # zonal geometry: Manhattan-distance-1 self-join counts same-zone
+        # rook adjacencies; perimeter = sum(4 - n_same)
+        "zonal_geometry": f"""
+            WITH base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            raw AS (
+              SELECT img, x, y, 8 + img * 32 + x AS gx, 40 + y AS gy,
+                     CASE WHEN (({_MD5_HEX2}) % 17) = 0 THEN NULL
+                          ELSE img * 10 + (({_MD5_HEX1}) % 4) END AS zone
+              FROM base),
+            cells AS (SELECT * FROM raw WHERE zone IS NOT NULL),
+            adj AS (
+              SELECT a.zone, a.gx, a.gy, count(b.gx) AS n_same
+              FROM cells a
+              LEFT JOIN cells b
+                ON b.zone = a.zone
+               AND abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+              GROUP BY a.zone, a.gx, a.gy)
+            SELECT CAST(zone AS BIGINT) AS zone,
+                   CAST(count(*) AS BIGINT) AS area,
+                   CAST(sum(4 - n_same) AS BIGINT) AS perimeter,
+                   CAST(min(gx) AS BIGINT) AS min_gx,
+                   CAST(max(gx) AS BIGINT) AS max_gx,
+                   CAST(min(gy) AS BIGINT) AS min_gy,
+                   CAST(max(gy) AS BIGINT) AS max_gy,
+                   round(avg(gx), 4) AS cx,
+                   round(avg(gy), 4) AS cy,
+                   round(16.0 * count(*)
+                         / (sum(4 - n_same) * sum(4 - n_same)), 4) AS iq
+            FROM adj GROUP BY zone
+        """,
         # R3 viewshed replayed relationally: integer floor/mod sightline
         # positions, 4-way z join for the bilinear numerator (x D^2), and
         # the cross-multiplied blocking predicate — all integer

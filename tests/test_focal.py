@@ -311,3 +311,43 @@ def test_emerging_hotspots_planted_trend(spark):
     mid = (np.abs(gx - gx.mean()) <= 1) & (np.abs(gy - gy.mean()) <= 1)
     assert (got.loc[[int(c) for c in cells[mid]], "mk_s"].abs()
             < max_s).all()
+
+
+def test_zonal_geometry_vs_brute_force(spark):
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.focal import zonal_geometry
+
+    rng = np.random.default_rng(13)
+    W = H = 14
+    gx = (np.arange(W * H) % W).astype(np.int64)
+    gy = (np.arange(W * H) // W).astype(np.int64)
+    zone = rng.integers(0, 3, W * H).astype("float64")
+    zone[rng.random(W * H) < 0.1] = np.nan           # holes
+    cell = quadkeylib.tile_to_cell(gx + 8, gy + 40, 7)
+    pdf = pd.DataFrame({"cell": cell, "zone": zone})
+    df = spark.createDataFrame(pdf).withColumn(
+        "zone", F.col("zone").cast("long"))
+    out = zonal_geometry(df, "zone", dggs="quadkey").toPandas()
+    out = out.set_index("zone").sort_index()
+
+    zi = np.full((H, W), -1, np.int64)
+    ok = ~np.isnan(zone)
+    zi[gy[ok], gx[ok]] = zone[ok].astype(np.int64)
+    for zv in (0, 1, 2):
+        m = zi == zv
+        area = int(m.sum())
+        per = 0
+        ys, xs = np.nonzero(m)
+        for y, x in zip(ys, xs):
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ny, nx = y + dy, x + dx
+                if not (0 <= ny < H and 0 <= nx < W) or not m[ny, nx]:
+                    per += 1
+        row = out.loc[zv]
+        assert row.area == area and row.perimeter == per
+        assert row.min_gx == xs.min() + 8 and row.max_gy == ys.max() + 40
+        assert abs(row.centroid_gx - (xs.mean() + 8)) < 1e-9
+        assert abs(row.iq - 16.0 * area / per**2) < 1e-12
