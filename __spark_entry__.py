@@ -1673,6 +1673,55 @@ def q_phash_near_dup(spark, sf_dir):
                       F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_pii_stats(spark, sf_dir):
+    """PII detection + redaction (round 7, operators/text.py pii_stats
+    — the CCNet/RefinedWeb curation pass): per-pattern regexp counts
+    (email / naive IPv4 / E.164-ish phone) and the md5 of the text
+    with every match replaced by <KIND>.  The synthetic corpus carries
+    no PII, so the gate INJECTS it deterministically (doc_id mod 3
+    picks the kind, lpad'd digits from doc_id) with the identical
+    string expression on both engines; patterns live in the RE2 ∩
+    Java-regex subset so counts and replacements match byte-for-byte
+    (md5 is the shared hash)."""
+    from raster2dggs_spark.operators.text import pii_stats
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"),
+                            (F.col("doc_id") % 97).cast("string"),
+                            F.lit("@mail-example.org for details")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit(" node at 10.0."),
+                           (F.col("doc_id") % 256).cast("string"),
+                           F.lit("."),
+                           ((F.col("doc_id") * 7) % 256).cast("string"),
+                           F.lit(" responded")))
+            .otherwise(
+                F.concat(F.lit(" call +64 555 "),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                4, "0")))))
+    return pii_stats(aug, "doc_id", "text")
+
+
+def q_dup_span_coverage(spark, sf_dir):
+    """Cross-document duplicated-span coverage (round 7,
+    operators/text.py dup_span_coverage — the exact-substring dedup
+    signal of Lee et al. 2022 at word-8-gram granularity): per doc,
+    the fraction of token positions covered by an 8-gram appearing in
+    >= 2 documents.  Fully relational (posexplode grams, exact df,
+    x8 position fan-out of duplicated grams, distinct-position count);
+    the oracle replays it with correlated unnest(range()) slicing and
+    the same round-6dp coverage."""
+    from raster2dggs_spark.operators.text import dup_span_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_span_coverage(d, "doc_id", "text", n=8)
+
+
 def q_dedup_exact(spark, sf_dir):
     from raster2dggs_spark.operators.dedup import exact_dedup
 
@@ -3285,6 +3334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_smooth": q_rolling_smooth,
         "line_cells_quadkey": q_line_cells_quadkey,
         "polyfill_quadkey": q_polyfill_quadkey,
+        "pii_stats": q_pii_stats,
+        "dup_span_coverage": q_dup_span_coverage,
         "dedup_exact": q_dedup_exact,
         "phash_near_dup": q_phash_near_dup,
         "minhash_lsh": q_minhash_lsh,
@@ -4859,6 +4910,88 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
              AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
             GROUP BY z.poly_id
+        """,
+        # identical injected-PII expression, RE2 regexes, 'g'-flag
+        # replace (DuckDB default replaces only the first match)
+        "pii_stats": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 3 = 0 THEN
+                         ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+                         || '@mail-example.org for details'
+                       WHEN doc_id % 3 = 1 THEN
+                         ' node at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                         || ' responded'
+                       ELSE ' call +64 555 '
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     END AS t2
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t2,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t2,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t2,
+                     '\\+\\d{1,3}[ \\-]\\d{3}[ \\-]\\d{4}'))
+                     AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(t2,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(t2,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                     + len(regexp_extract_all(t2,
+                     '\\+\\d{1,3}[ \\-]\\d{3}[ \\-]\\d{4}'))
+                     AS BIGINT) AS n_pii,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t2,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                     '<IPV4>', 'g'),
+                     '\\+\\d{1,3}[ \\-]\\d{3}[ \\-]\\d{4}',
+                     '<PHONE>', 'g')) AS redacted_md5
+            FROM aug
+        """,
+        # word-8-gram duplicated-span coverage: correlated unnest(range)
+        # slicing, exact per-gram document frequency, x8 position fan-out
+        "dup_span_coverage": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+            base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+            ng AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(list_slice(t, i, i + 7), ' ') AS g
+              FROM toks,
+                   unnest(range(1, greatest(len(t) - 6, 1))) AS r(i)
+              WHERE i <= len(t) - 7),
+            dfreq AS (SELECT g, count(DISTINCT doc_id) AS dfv
+                      FROM ng GROUP BY g),
+            dup AS (SELECT ng.doc_id, ng.pos
+                    FROM ng JOIN dfreq ON dfreq.g = ng.g
+                    WHERE dfv >= 2),
+            cov AS (SELECT doc_id, count(DISTINCT pos + o) AS covered
+                    FROM dup, unnest(range(0, 8)) AS t2(o)
+                    GROUP BY doc_id),
+            ndup AS (SELECT doc_id, count(*) AS n_dup_grams
+                     FROM dup GROUP BY doc_id),
+            ngr AS (SELECT doc_id, count(*) AS n_grams
+                    FROM ng GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(ngr.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(ndup.n_dup_grams, 0) AS BIGINT)
+                     AS n_dup_grams,
+                   CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered,
+                   round(COALESCE(cov.covered, 0)
+                         / greatest(b.n_tokens, 1), 6) AS coverage
+            FROM base b
+            LEFT JOIN ngr ON ngr.doc_id = b.doc_id
+            LEFT JOIN ndup ON ndup.doc_id = b.doc_id
+            LEFT JOIN cov ON cov.doc_id = b.doc_id
         """,
         "dedup_exact": """
             WITH h AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),

@@ -304,3 +304,96 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     thr_expr = (F.lit(int(round(default_rate * buckets))) if expr is None
                 else expr.otherwise(int(round(default_rate * buckets))))
     return df.where(bucket < thr_expr)
+
+
+# PII patterns shared verbatim with the DuckDB oracle: RE2-compatible
+# (no lookaround/backreferences), identical leftmost non-overlapping
+# match semantics in Spark's Java regex for these constructs.  The
+# naive IPv4 pattern (no 0-255 range check) is the documented
+# gdal-style tradeoff; redaction applies in THIS dict order (emails
+# first so their digit runs can't be half-eaten by the phone rule).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[ \-]\d{3}[ \-]\d{4}",
+}
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str,
+              patterns: dict | None = None) -> DataFrame:
+    """PII detection + redaction signals per document — the standard
+    curation pass (CCNet / RefinedWeb style) before releasing or
+    training on scraped text: per-pattern match counts, the total, and
+    the md5 of the text with every match replaced by ``<KIND>``
+    (emails -> ``<EMAIL>`` ...), so downstream exact-dedup can run on
+    the REDACTED stream.  All native ``regexp_count`` /
+    ``regexp_replace`` Column expressions (JVM-side, zero Python);
+    patterns must stay in the RE2 ∩ Java-regex subset so the DuckDB
+    twin matches byte-for-byte."""
+    pats = patterns or PII_PATTERNS
+    out = [F.col(id_col)]
+    total = F.lit(0)
+    red = F.col(text_col)
+    for kind, pat in pats.items():
+        cnt = F.regexp_count(F.col(text_col), F.lit(pat))
+        out.append(cnt.cast("long").alias(f"n_{kind}"))
+        total = total + cnt
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    out.append(total.cast("long").alias("n_pii"))
+    out.append(F.md5(red).alias("redacted_md5"))
+    return df.select(*out)
+
+
+def dup_span_coverage(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 8) -> DataFrame:
+    """Cross-document duplicated-span coverage — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") at word-``n``-gram granularity: per
+    document, the fraction of token positions covered by at least one
+    ``n``-gram that also appears in ANOTHER document.  High coverage
+    flags boilerplate mirrors / near-copies that MinHash-level dedup
+    keeps (they differ somewhere) but substring dedup would cut.
+
+    Fully relational: tokenize (shared ``tokens_expr``), posexplode
+    the ``n``-grams, document frequency per gram (two-step exact
+    distinct — hot grams partial-aggregate map-side, no windows),
+    grams with df >= 2 fan out to their ``n`` covered positions, and a
+    per-doc distinct-position count closes it.  Shuffle volume is
+    O(gram instances), the same order as the corpus itself; the only
+    replication is the x``n`` position fan-out of DUPLICATED grams.
+
+    Output: (id, n_tokens, n_grams, n_dup_grams, covered, coverage)
+    with coverage rounded to 6dp for engine parity.
+    """
+    from raster2dggs_spark.operators.dedup import tokens_expr
+
+    toks = df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+    base = toks.select(id_col, F.size("toks").alias("n_tokens"))
+    ng = (toks.where(F.size("toks") >= n)
+          .select(F.col(id_col),
+                  F.posexplode(F.transform(
+                      F.sequence(F.lit(0), F.size("toks") - n),
+                      lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n))
+                  )).alias("pos", "g")))
+    dfreq = (ng.select("g", id_col).distinct()
+             .groupBy("g").agg(F.count(F.lit(1)).alias("dfreq")))
+    dup = ng.join(dfreq.where(F.col("dfreq") >= 2).select("g"), "g")
+    cov = (dup.select(F.col(id_col),
+                      F.explode(F.sequence(F.col("pos"),
+                                           F.col("pos") + n - 1))
+                      .alias("p"))
+           .distinct()
+           .groupBy(id_col).agg(F.count(F.lit(1)).alias("covered")))
+    ndup = dup.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams"))
+    ngrams = ng.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    out = (base.join(ngrams, id_col, "left")
+           .join(ndup, id_col, "left")
+           .join(cov, id_col, "left"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+    return out.select(
+        id_col, F.col("n_tokens").cast("long").alias("n_tokens"),
+        z("n_grams"), z("n_dup_grams"), z("covered"),
+        F.round(F.coalesce(F.col("covered"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+        .alias("coverage"))

@@ -484,3 +484,54 @@ def test_ngram_decontaminate_counts(spark):
     assert out[3]["matched_ngrams"] == 1
     # doc2 shares nothing -> absent (inner join keeps flagged docs only)
     assert 2 not in out
+
+
+def test_pii_stats_counts_and_redaction(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import pii_stats
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail a.b+c@x-y.org or d@ee.io, server 10.0.0.1 up",
+            "call +64 555 0042 or +1 800 9999 now",
+            "nothing sensitive here 1.2.3 not-an-ip 1234",
+        ]})
+    out = (pii_stats(spark.createDataFrame(pdf), "doc_id", "text")
+           .toPandas().set_index("doc_id").sort_index())
+    assert list(out.n_email) == [2, 0, 0]
+    assert list(out.n_ipv4) == [1, 0, 0]
+    assert list(out.n_phone) == [0, 2, 0]
+    assert list(out.n_pii) == [3, 2, 0]
+    import hashlib
+    red1 = "mail <EMAIL> or <EMAIL>, server <IPV4> up"
+    assert out.loc[1, "redacted_md5"] == hashlib.md5(
+        red1.encode()).hexdigest()
+
+
+def test_dup_span_coverage_known_corpus(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import dup_span_coverage
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            f"one two three {shared} four five",
+            f"{shared} completely different tail words here",
+            "six seven eight nine ten eleven twelve thirteen fourteen",
+        ]})
+    out = (dup_span_coverage(spark.createDataFrame(pdf), "doc_id",
+                             "text", n=8)
+           .toPandas().set_index("doc_id").sort_index())
+    # doc 1: 13 tokens, shared 8-gram at pos 3 -> 8 covered
+    assert out.loc[1, "n_tokens"] == 13
+    assert out.loc[1, "n_dup_grams"] == 1
+    assert out.loc[1, "covered"] == 8
+    assert abs(out.loc[1, "coverage"] - round(8 / 13, 6)) < 1e-9
+    # doc 2: shared gram at pos 0
+    assert out.loc[2, "covered"] == 8
+    # doc 3: no duplicated grams
+    assert out.loc[3, "n_dup_grams"] == 0 and out.loc[3, "covered"] == 0
