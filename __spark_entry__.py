@@ -1204,6 +1204,32 @@ def q_watershed_basins(spark, sf_dir):
                     "is_pit"))
 
 
+def q_terrain_indices(spark, sf_dir):
+    """gdaldem TPI / TRI / roughness (round 7, operators/terrain.py
+    terrain_index_cells): centre-minus-neighbour-mean, Wilson mean
+    absolute difference, and 3x3 max-min, per interior pixel on the
+    egg-carton integer fixture.  All three are multiples of 1/8 of an
+    integer, so sums are EXACT doubles in any order — the per-image
+    (count, sum, min, max) aggregates hash-match the oracle's 8-way
+    neighbour join bit-for-bit (rounded 4dp per repo rule)."""
+    from raster2dggs_spark.operators.terrain import terrain_index_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_basin_images_pdf(12),
+                                 IMAGE_SCHEMA)
+    px = terrain_index_cells(imgs, res=7, keep_image_id=True)
+    img = F.substring("image_id", 11, 8).cast("long").alias("img")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_px")]
+    for c in ("tpi", "tri", "roughness"):
+        aggs += [_r4(F.sum(c)).alias(f"sum_{c}"),
+                 _r4(F.min(c)).alias(f"min_{c}"),
+                 _r4(F.max(c)).alias(f"max_{c}")]
+    return px.select(img, "tpi", "tri", "roughness").groupBy("img") \
+             .agg(*aggs)
+
+
 def q_zonal_geometry(spark, sf_dir):
     """Zonal geometry (round 7, operators/focal.py zonal_geometry —
     ArcGIS ZonalGeometry): per zone, cell-count area, rook-edge
@@ -3314,6 +3340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "horizon_angles": q_horizon_angles,
         "viewshed": q_viewshed,
         "zonal_geometry": q_zonal_geometry,
+        "terrain_indices": q_terrain_indices,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
@@ -5542,6 +5569,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # min-id per equal-class rook component by recursive transitive
         # closure over the same-class edges; NULL-class holes left-join
+        # TPI/TRI/roughness: 8-way neighbour join over the closed-form z;
+        # every index is an exact multiple of 1/8 so sums are order-free
+        "terrain_indices": """
+            WITH imgs AS (
+              SELECT i, 12 + (i * 5) % 7 AS w, 12 + (i * 3) % 7 AS h,
+                     1 + i % 3 AS s
+              FROM range(12) t(i)),
+            zt AS (
+              SELECT i, r, c, m.w, m.h,
+                     CAST(((3*r*r + 5*c*c + 7*r*c + i) % 31) * s
+                          AS BIGINT) AS z
+              FROM imgs m, range(0, 18) rr(r), range(0, 18) cc(c)
+              WHERE r < m.h AND c < m.w),
+            nb AS (
+              SELECT a.i, a.r, a.c, a.z AS zc,
+                     sum(b.z) AS nsum,
+                     sum(abs(a.z - b.z)) AS adiff,
+                     max(b.z) AS nmx, min(b.z) AS nmn
+              FROM zt a JOIN zt b
+                ON b.i = a.i AND abs(b.r - a.r) <= 1
+               AND abs(b.c - a.c) <= 1
+               AND NOT (b.r = a.r AND b.c = a.c)
+              WHERE a.r BETWEEN 1 AND a.h - 2
+                AND a.c BETWEEN 1 AND a.w - 2
+              GROUP BY a.i, a.r, a.c, a.z),
+            px AS (
+              SELECT i, zc - nsum / 8.0 AS tpi, adiff / 8.0 AS tri,
+                     greatest(zc, nmx) - least(zc, nmn) AS rough
+              FROM nb)
+            SELECT i AS img, CAST(count(*) AS BIGINT) AS n_px,
+                   round(sum(tpi), 4) AS sum_tpi,
+                   round(min(tpi), 4) AS min_tpi,
+                   round(max(tpi), 4) AS max_tpi,
+                   round(sum(tri), 4) AS sum_tri,
+                   round(min(tri), 4) AS min_tri,
+                   round(max(tri), 4) AS max_tri,
+                   round(sum(rough), 4) AS sum_roughness,
+                   round(min(rough), 4) AS min_roughness,
+                   round(max(rough), 4) AS max_roughness
+            FROM px GROUP BY i
+        """,
         # zonal geometry: Manhattan-distance-1 self-join counts same-zone
         # rook adjacencies; perimeter = sum(4 - n_same)
         "zonal_geometry": f"""

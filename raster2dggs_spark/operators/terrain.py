@@ -891,3 +891,107 @@ def viewshed_cells(
             yield pd.concat(buf, ignore_index=True)
 
     return _prune(images, keep_image_id).mapInPandas(fn, schema)
+
+
+def terrain_indices(z: np.ndarray):
+    """Pure-NumPy gdaldem-family 3x3 terrain indices of one tile:
+    ``tpi`` (Topographic Position Index, centre minus 8-neighbour
+    mean), ``tri`` (Terrain Ruggedness Index, Wilson's mean absolute
+    centre-neighbour difference — the gdaldem default), ``roughness``
+    (3x3 window max minus min).  All CRS-free (elevation-only
+    stencils).  Returns interior-pixel arrays of shape (h-2, w-2); any
+    NaN in the 3x3 window propagates (IEEE NaN arithmetic / fmax
+    not used deliberately)."""
+    h, w = z.shape
+    if h < 3 or w < 3:
+        return (np.empty((0, 0)),) * 3
+    zc = z.astype(np.float64)
+    nbrs = (zc[:-2, :-2], zc[:-2, 1:-1], zc[:-2, 2:],
+            zc[1:-1, :-2], zc[1:-1, 2:],
+            zc[2:, :-2], zc[2:, 1:-1], zc[2:, 2:])
+    ctr = zc[1:-1, 1:-1]
+    nsum = sum(nbrs)
+    tpi = ctr - nsum / 8.0
+    tri = sum(np.abs(ctr - nb) for nb in nbrs) / 8.0
+    mx = ctr.copy()
+    mn = ctr.copy()
+    for nb in nbrs:
+        mx = np.maximum(mx, nb)     # np.maximum propagates NaN
+        mn = np.minimum(mn, nb)
+    return tpi, tri, mx - mn
+
+
+def terrain_index_cells(
+    images: DataFrame,
+    res: int,
+    dggs: str = "hex7",
+    parent_res: int | None = None,
+    band: int = 1,
+    keep_image_id: bool = False,
+) -> DataFrame:
+    """Explode images into per-INTERIOR-pixel index rows ``(image_id?,
+    parent, cell, tpi, tri, roughness)`` (see :func:`terrain_indices`)
+    — the gdaldem TPI/TRI/roughness modes the slope/aspect/hillshade
+    operator does not cover.  Same narrow no-shuffle decode-path shape
+    as :func:`terrain_cells`."""
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import (
+        _decode_rows, _encode_points, _prune, default_parent_res,
+    )
+
+    check_grid(dggs)
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    fields = ([T.StructField("image_id", T.StringType(), False)]
+              if keep_image_id else [])
+    fields += [
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("tpi", T.DoubleType(), True),
+        T.StructField("tri", T.DoubleType(), True),
+        T.StructField("roughness", T.DoubleType(), True),
+    ]
+    schema = T.StructType(fields)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.geo import pixel_centers_lonlat
+
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+        for pdf in batches:
+            for row, arr in _decode_rows(pdf, [band]):
+                z = arr[0]
+                h, w = z.shape
+                if h < 3 or w < 3:
+                    continue
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                tpi, tri, rough = terrain_indices(z)
+                keep = ~np.isnan(tpi).ravel()
+                if not keep.any():
+                    continue
+                lon, lat = pixel_centers_lonlat(affine, w, h, row.crs)
+                interior = np.zeros((h, w), dtype=bool)
+                interior[1:-1, 1:-1] = True
+                lon = lon[interior.ravel()][keep]
+                lat = lat[interior.ravel()][keep]
+                cell, parent = _encode_points(lon, lat, res, parent_res,
+                                              dggs)
+                data = {}
+                if keep_image_id:
+                    data["image_id"] = np.repeat(row.image_id,
+                                                 cell.shape[0])
+                data["parent"] = parent
+                data["cell"] = cell
+                data["tpi"] = tpi.ravel()[keep]
+                data["tri"] = tri.ravel()[keep]
+                data["roughness"] = rough.ravel()[keep]
+                buf.append(pd.DataFrame(data))
+                buf_rows += cell.shape[0]
+                if buf_rows >= 250_000:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, buf_rows = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return _prune(images, keep_image_id).mapInPandas(fn, schema)

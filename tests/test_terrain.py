@@ -505,3 +505,57 @@ def test_horizon_cells_spark(spark):
             assert np.allclose(sub[f"tan_{d}"].to_numpy(),
                                exp[d].ravel(), equal_nan=True,
                                atol=0, rtol=0)
+
+
+def test_terrain_indices_vs_brute_force():
+    import numpy as np
+
+    from raster2dggs_spark.operators.terrain import terrain_indices
+
+    rng = np.random.default_rng(3)
+    z = rng.integers(0, 50, (9, 11)).astype(np.float32)
+    z[4, 6] = np.nan
+    tpi, tri, rough = terrain_indices(z)
+    h, w = z.shape
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            win = z[r - 1:r + 2, c - 1:c + 2].astype(np.float64)
+            nb = np.delete(win.ravel(), 4)
+            zc = float(z[r, c])
+            if np.isnan(win).any():
+                assert np.isnan(tpi[r - 1, c - 1])
+                assert np.isnan(tri[r - 1, c - 1])
+                assert np.isnan(rough[r - 1, c - 1])
+                continue
+            assert tpi[r - 1, c - 1] == zc - nb.sum() / 8.0
+            assert tri[r - 1, c - 1] == np.abs(zc - nb).sum() / 8.0
+            assert rough[r - 1, c - 1] == win.max() - win.min()
+
+
+def test_terrain_index_cells_plan(spark):
+    import numpy as np
+
+    from raster2dggs_spark.operators.terrain import (
+        terrain_index_cells, terrain_indices,
+    )
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    pdf = generate_basin_images_pdf(3)
+    imgs = spark.createDataFrame(pdf, IMAGE_SCHEMA)
+    out = (terrain_index_cells(imgs, res=7, keep_image_id=True)
+           .toPandas())
+    for i in range(3):
+        w = 12 + (i * 5) % 7
+        h = 12 + (i * 3) % 7
+        s = 1 + i % 3
+        r_idx, c_idx = np.meshgrid(np.arange(h), np.arange(w),
+                                   indexing="ij")
+        z = (((3 * r_idx**2 + 5 * c_idx**2 + 7 * r_idx * c_idx + i)
+              % 31) * s).astype(np.float32)
+        tpi, tri, rough = terrain_indices(z)
+        got = out[out.image_id == f"img_basin_{i:08d}"]
+        assert len(got) == (h - 2) * (w - 2)
+        assert abs(got.tpi.sum() - np.nansum(tpi)) < 1e-9
+        assert abs(got.roughness.max() - np.nanmax(rough)) < 1e-12
