@@ -1204,6 +1204,54 @@ def q_watershed_basins(spark, sf_dir):
                     "is_pit"))
 
 
+def q_sieve(spark, sf_dir):
+    """Sieve filter (round 7, operators/costdist.py sieve_cells — the
+    gdal_sieve workflow, single-pass documented semantics): regions
+    below 6 cells take the class of the adjacent LARGE region with the
+    longest shared rook boundary, ties to the minimum region label;
+    small regions with no large neighbour keep their class.  Same md5
+    class fixture as region_group (pid = img*256+y*16+x so the oracle
+    CTE labels identically); the oracle extends the transitive-closure
+    labelling with relational size / boundary-count / max-then-min
+    argmax steps."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.costdist import sieve_cells
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    hole = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 17 == 0
+    fix = base.select(
+        "img", "x", "y",
+        F.when(~hole, F.conv(F.substring(h, 1, 8), 16, 10)
+               .cast("long") % 4).alias("cls"),
+        (F.col("img") * 256 + F.col("y") * 16 + F.col("x")).alias("pid"))
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = fix.withColumn(
+        "cell", qk_cell(F.lit(8) + F.col("img") * 32 + F.col("x"),
+                        F.lit(40) + F.col("y")))
+    out = sieve_cells(cells, "cls", "pid", min_size=6, dggs="quadkey",
+                      block_bits=3)
+    return out.select(
+        "img", "x", "y",
+        F.col("clump").cast("long").alias("clump"),
+        F.col("clump_size").cast("long").alias("clump_size"),
+        F.col("sieved").cast("long").alias("sieved"),
+        F.col("reassigned").cast("long").alias("reassigned"))
+
+
 def q_terrain_indices(spark, sf_dir):
     """gdaldem TPI / TRI / roughness (round 7, operators/terrain.py
     terrain_index_cells): centre-minus-neighbour-mean, Wilson mean
@@ -3336,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euclid_distance": q_euclid_distance,
         "euclid_allocation": q_euclid_allocation,
         "region_group": q_region_group,
+        "sieve": q_sieve,
         "watershed_basins": q_watershed_basins,
         "horizon_angles": q_horizon_angles,
         "viewshed": q_viewshed,
@@ -5788,6 +5837,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT raw.img, raw.x, raw.y, CAST(lab.clump AS BIGINT) AS clump
             FROM raw LEFT JOIN lab
               ON lab.img = raw.img AND lab.x = raw.x AND lab.y = raw.y
+        """,
+        # sieve: the region_group closure + relational size / shared-
+        # boundary counting / max-count-then-min-label argmax
+        "sieve": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            raw AS (
+              SELECT img, x, y,
+                     CASE WHEN ({_MD5_HEX2}) % 17 = 0 THEN NULL
+                          ELSE ({_MD5_HEX1}) % 4 END AS cls,
+                     img * 256 + y * 16 + x AS pid
+              FROM base),
+            cl AS (SELECT * FROM raw WHERE cls IS NOT NULL),
+            edges AS (
+              SELECT a.img AS img, a.x AS ax, a.y AS ay,
+                     b.x AS bx, b.y AS by
+              FROM cl a JOIN cl b
+                ON a.img = b.img AND a.cls = b.cls
+               AND abs(a.x - b.x) + abs(a.y - b.y) = 1),
+            reach(img, x, y, rid) AS (
+              SELECT img, x, y, pid FROM cl
+              UNION
+              SELECT e.img, e.bx, e.by, r.rid
+              FROM reach r
+              JOIN edges e ON e.img = r.img AND e.ax = r.x AND e.ay = r.y),
+            lab0 AS (
+              SELECT img, x, y, MIN(rid) AS clump
+              FROM reach GROUP BY img, x, y),
+            lab2 AS (
+              SELECT raw.img, raw.x, raw.y, raw.cls, lab0.clump
+              FROM raw LEFT JOIN lab0
+                ON lab0.img = raw.img AND lab0.x = raw.x
+               AND lab0.y = raw.y),
+            reg AS (SELECT clump, count(*) AS sz, MIN(cls) AS rcls
+                    FROM lab2 WHERE clump IS NOT NULL GROUP BY clump),
+            bedge AS (
+              SELECT a.clump AS c1, b.clump AS c2, count(*) AS shared
+              FROM lab2 a JOIN lab2 b
+                ON a.img = b.img
+               AND abs(a.x - b.x) + abs(a.y - b.y) = 1
+               AND a.clump IS NOT NULL AND b.clump IS NOT NULL
+               AND a.clump <> b.clump
+              GROUP BY a.clump, b.clump),
+            cand AS (
+              SELECT e.c1, e.c2, e.shared
+              FROM bedge e
+              JOIN reg rs ON rs.clump = e.c1 AND rs.sz < 6
+              JOIN reg rl ON rl.clump = e.c2 AND rl.sz >= 6),
+            best AS (SELECT c1, MAX(shared) AS mx FROM cand GROUP BY c1),
+            pick AS (SELECT c.c1, MIN(c.c2) AS winner
+                     FROM cand c JOIN best b
+                       ON b.c1 = c.c1 AND c.shared = b.mx
+                     GROUP BY c.c1),
+            rm AS (SELECT p.c1, r.rcls AS ncls
+                   FROM pick p JOIN reg r ON r.clump = p.winner)
+            SELECT l.img, l.x, l.y,
+                   CAST(l.clump AS BIGINT) AS clump,
+                   CAST(reg.sz AS BIGINT) AS clump_size,
+                   CAST(COALESCE(rm.ncls, l.cls) AS BIGINT) AS sieved,
+                   CAST(CASE WHEN rm.c1 IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS reassigned
+            FROM lab2 l
+            LEFT JOIN reg ON reg.clump = l.clump
+            LEFT JOIN rm ON rm.c1 = l.clump
         """,
         # every ray replayed as a same-row/col/diagonal self-join with
         # the identical IEEE division; min/max/pos-count are exact

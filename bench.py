@@ -531,7 +531,66 @@ def main():
     extras["cost_distance_cells"] = int(cd_row["n"])
     extras["cost_distance_rounds"] = cd_stats.get("rounds")
     extras["cost_distance_blocks_run"] = cd_stats.get("blocks_run")
+
+    # -- q17: exact Euclidean distance transform + allocation on the same
+    # 512x512 lattice (~100 sources) via the DISTRIBUTED join strategy
+    # (per-column summaries on executors, one cogroup-by-row shuffle)
+    from raster2dggs_spark.operators.proximity import euclidean_distance
+
+    ed_df = cd_df.withColumn(
+        "sid", (F.xxhash64("cell") % 1000).cast("long"))
+
+    def run_ed():
+        return (euclidean_distance(ed_df, source_col="is_src",
+                                   dggs="quadkey", id_col="sid",
+                                   strategy="join")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("d2").alias("s")).collect()[0])
+
+    ed_row = timed("euclid_262k", run_ed)
+    extras["euclid_cells"] = int(ed_row["n"])
     cd_df.unpersist()
+
+    # -- q18: viewshed at scale — 16 observers on 128x128 integer tiles
+    # (R3 bilinear sightlines, integer cross-product blocking): 16 x
+    # 2.1M sightline samples, embarrassingly parallel on the decode path
+    from raster2dggs_spark.operators.terrain import viewshed_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, encode_image,
+    )
+
+    vs_rows = []
+    vn = 128
+    rr_, cc_ = np.meshgrid(np.arange(vn), np.arange(vn), indexing="ij")
+    for i in range(16):
+        zi = ((3 * rr_ * rr_ + 5 * cc_ * cc_ + 7 * rr_ * cc_ + i)
+              % 31).astype(np.float32)[None]
+        vs_rows.append({
+            "image_id": f"img_vshed_{i:08d}",
+            "bytes": encode_image(zi, "raw"),
+            "w": vn, "h": vn, "fmt": "raw",
+            "caption": f"viewshed bench tile {i}",
+            "phash": 0,
+            "affine_a": 30.0, "affine_b": 0.0, "affine_c": 10_000.0 * i,
+            "affine_d": 0.0, "affine_e": -30.0, "affine_f": 5_000.0 * i,
+            "crs": "EPSG:3857", "nodata": None, "bands": 1,
+            "band_names": None,
+        })
+    vs_imgs = spark.createDataFrame(
+        pd.DataFrame(vs_rows), IMAGE_SCHEMA).repartition(CPUS).persist()
+    vs_imgs.count()
+
+    def run_vs():
+        return (viewshed_cells(vs_imgs, observer=(5, 7), obs_height=3,
+                               res=9, dggs="quadkey")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("visible").cast("long")).alias("v"))
+                .collect()[0])
+
+    vs_row = timed("viewshed_262k", run_vs)
+    extras["viewshed_px"] = int(vs_row["n"])
+    extras["viewshed_visible_px"] = int(vs_row["v"])
+    vs_imgs.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -275,3 +275,58 @@ def test_clump_matches_bruteforce(spark, diagonal):
         else:
             assert pd.isna(r.clump)
     assert stats["rounds"] >= 1
+
+
+def test_sieve_cells_speckle_removal(spark):
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.costdist import sieve_cells
+
+    # 10x10 background of class 0 with a 2-cell speckle of class 1 and
+    # a 12-cell legitimate patch of class 2
+    W = H = 10
+    gx = (np.arange(W * H) % W).astype(np.int64)
+    gy = (np.arange(W * H) // W).astype(np.int64)
+    cls = np.zeros(W * H, np.int64)
+    cls[(gy == 4) & ((gx == 4) | (gx == 5))] = 1          # speckle
+    patch = (gy >= 7) & (gx < 4)                           # 3x4 = 12
+    cls[patch] = 2
+    pid = gy * W + gx
+    cell = quadkeylib.tile_to_cell(gx + 8, gy + 40, 7)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"cell": cell, "cls": cls, "pid": pid}))
+    out = (sieve_cells(df, "cls", "pid", min_size=6, dggs="quadkey",
+                       block_bits=3)
+           .toPandas())
+    out["gx"] = gx[out.pid.to_numpy()]                     # pid = y*W+x
+    sp = out[out.cls == 1]
+    assert len(sp) == 2
+    assert (sp.sieved == 0).all() and sp.reassigned.all()
+    assert (sp.clump_size == 2).all()
+    pt = out[out.cls == 2]
+    assert (pt.sieved == 2).all() and not pt.reassigned.any()
+    bg = out[out.cls == 0]
+    assert (bg.sieved == 0).all() and not bg.reassigned.any()
+
+
+def test_sieve_small_without_large_neighbor_keeps_class(spark):
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.costdist import sieve_cells
+
+    # two adjacent SMALL regions only: neither is >= min_size, so
+    # nothing is reassigned (single-pass, non-cascading semantics)
+    gx = np.array([0, 1, 2, 3], np.int64)
+    gy = np.zeros(4, np.int64)
+    cls = np.array([0, 0, 1, 1], np.int64)
+    cell = quadkeylib.tile_to_cell(gx + 8, gy + 40, 7)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"cell": cell, "cls": cls, "pid": gx}))
+    out = (sieve_cells(df, "cls", "pid", min_size=6, dggs="quadkey",
+                       block_bits=3).toPandas())
+    assert not out.reassigned.any()
+    assert (out.sieved == out.cls).all()
