@@ -1204,6 +1204,30 @@ def q_watershed_basins(spark, sf_dir):
                     "is_pit"))
 
 
+def q_flow_length(spark, sf_dir):
+    """D8 downstream flow length (round 7, operators/terrain.py
+    flow_length_cells — ArcGIS FlowLength / GRASS r.stream.distance):
+    per interior pixel, the INTEGER counts of east-west, north-south
+    and diagonal steps along the drainage path to its terminal
+    (pointer doubling with additive counters — bit-exact in any
+    doubling order), plus the metric length as one final dot product
+    with the pitches.  Egg-carton fixture; the oracle follows the same
+    D8 paths by recursive CTE accumulating the same three counters."""
+    from raster2dggs_spark.operators.terrain import flow_length_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_basin_images_pdf(16),
+                                 IMAGE_SCHEMA)
+    px = flow_length_cells(imgs, res=7, keep_image_id=True,
+                           keep_pixel=True)
+    return px.select(
+        F.substring("image_id", 11, 8).cast("long").alias("img"),
+        "pr", "pc", "n_ew", "n_ns", "n_diag",
+        _r4(F.col("flow_len_m")).alias("flow_len"))
+
+
 def q_sieve(spark, sf_dir):
     """Sieve filter (round 7, operators/costdist.py sieve_cells — the
     gdal_sieve workflow, single-pass documented semantics): regions
@@ -1565,6 +1589,41 @@ def q_polyfill_quadkey(spark, sf_dir):
         return pd.Series(quadkeylib.cells_to_string(c.values))
 
     return out.select("poly_id", qk_str("cell").alias("qk_8"))
+
+
+def q_polygon_overlay(spark, sf_dir):
+    """Vector-vector overlay through the lattice (round 7,
+    operators/joins.py polygon_overlay_area): layer A = the
+    polyfill_quadkey L-hexagons, layer B = 10x6-degree rectangles
+    offset from the same supplier seeds (guaranteed self-overlap plus
+    cross-pair collisions); both layers exactly center-in rasterized
+    at quadkey res 8, one cell equi-join, per-pair n_shared / frac_a /
+    frac_b / jaccard.  The oracle replays BOTH fills relationally (the
+    proven scanline construction for the hexes; the same (lon,
+    Mercator-fy) half-open span arithmetic for the rectangles) and the
+    same count/fraction algebra."""
+    from raster2dggs_spark.operators.joins import polygon_overlay_area
+
+    s = _t(spark, sf_dir, "supplier")
+    lon0 = (((F.col("s_suppkey") * 41) % 330) - 165).cast("double")
+    lat0 = (((F.col("s_suppkey") * 23) % 130) - 65).cast("double")
+    dx = [0.0, 12.0, 12.0, 5.0, 5.0, 0.0]
+    dy = [0.0, 0.0, 4.0, 4.0, 9.0, 9.0]
+    polys_a = s.select(
+        F.col("s_suppkey").cast("long").alias("a_id"),
+        F.array(*[lon0 + F.lit(d) for d in dx]).cast(
+            "array<double>").alias("xs"),
+        F.array(*[lat0 + F.lit(d) for d in dy]).cast(
+            "array<double>").alias("ys"))
+    lon0b = lon0 + (F.col("s_suppkey") % 7).cast("double") - 3.0
+    lat0b = lat0 + (F.col("s_suppkey") % 5).cast("double") - 2.0
+    polys_b = s.select(
+        F.col("s_suppkey").cast("long").alias("b_id"),
+        F.array(lon0b, lon0b + 10.0, lon0b + 10.0, lon0b).cast(
+            "array<double>").alias("xs"),
+        F.array(lat0b, lat0b, lat0b + 6.0, lat0b + 6.0).cast(
+            "array<double>").alias("ys"))
+    return polygon_overlay_area(polys_a, polys_b, res=8, dggs="quadkey")
 
 
 def q_trend(spark, sf_dir):
@@ -3385,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euclid_allocation": q_euclid_allocation,
         "region_group": q_region_group,
         "sieve": q_sieve,
+        "flow_length": q_flow_length,
         "watershed_basins": q_watershed_basins,
         "horizon_angles": q_horizon_angles,
         "viewshed": q_viewshed,
@@ -3410,6 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_smooth": q_rolling_smooth,
         "line_cells_quadkey": q_line_cells_quadkey,
         "polyfill_quadkey": q_polyfill_quadkey,
+        "polygon_overlay": q_polygon_overlay,
         "pii_stats": q_pii_stats,
         "dup_span_coverage": q_dup_span_coverage,
         "dedup_exact": q_dedup_exact,
@@ -5972,6 +6033,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         # generic D8 replay (z recomputed in SQL, same IEEE drops and
         # scan-order argmax) + recursive path-following to the terminal
+        # flow length: the watershed D8 construction + a recursive CTE
+        # accumulating integer EW/NS/diagonal step counters; metric
+        # length is one final dot product with the pitches
+        "flow_length": f"""
+            WITH RECURSIVE t AS (
+              SELECT i,
+                     12 + (i * 5) % 7 AS w,
+                     12 + (i * 3) % 7 AS h,
+                     CAST(50 + 10 * ((i * 7) % 8) AS DOUBLE) AS px,
+                     CAST(1 + i % 3 AS DOUBLE) AS s
+              FROM range(16) r(i)),
+            p AS (
+              SELECT t.i, t.w, t.h, t.px, t.s,
+                     CAST(rr.r AS BIGINT) AS r, CAST(cc.c AS BIGINT) AS c,
+                     sqrt(t.px * t.px + t.px * t.px) AS dd
+              FROM t, range(1, 17) rr(r), range(1, 17) cc(c)
+              WHERE rr.r <= t.h - 2 AND cc.c <= t.w - 2),
+            d AS (
+              SELECT *,
+                {_BASIN_D8}
+              FROM p),
+            m AS (SELECT *,
+                         greatest(d1, d2, d3, d4, d5, d6, d7, d8) AS g
+                  FROM d),
+            e AS (
+              SELECT i, r, c,
+                     r + {_BASIN_STEP_R} AS nr,
+                     c + {_BASIN_STEP_C} AS nc
+              FROM m
+              WHERE g > 0
+                AND r + {_BASIN_STEP_R} BETWEEN 1 AND h - 2
+                AND c + {_BASIN_STEP_C} BETWEEN 1 AND w - 2),
+            e2 AS (
+              SELECT i, r, c, nr, nc,
+                     CASE WHEN nr = r THEN 1 ELSE 0 END AS sew,
+                     CASE WHEN nc = c THEN 1 ELSE 0 END AS sns,
+                     CASE WHEN nr <> r AND nc <> c THEN 1 ELSE 0 END
+                       AS sdg
+              FROM e),
+            path(i, r0, c0, r, c, ew, ns, dg) AS (
+              SELECT i, r, c, r, c,
+                     CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                     CAST(0 AS BIGINT)
+              FROM p
+              UNION ALL
+              SELECT q.i, q.r0, q.c0, e2.nr, e2.nc,
+                     q.ew + e2.sew, q.ns + e2.sns, q.dg + e2.sdg
+              FROM path q
+              JOIN e2 ON e2.i = q.i AND e2.r = q.r AND e2.c = q.c),
+            term AS (
+              SELECT pp.i, pp.r0, pp.c0, pp.ew, pp.ns, pp.dg
+              FROM path pp
+              LEFT JOIN e2 ON e2.i = pp.i AND e2.r = pp.r
+                          AND e2.c = pp.c
+              WHERE e2.i IS NULL)
+            SELECT tm.i AS img, tm.r0 AS pr, tm.c0 AS pc,
+                   CAST(tm.ew AS BIGINT) AS n_ew,
+                   CAST(tm.ns AS BIGINT) AS n_ns,
+                   CAST(tm.dg AS BIGINT) AS n_diag,
+                   round(tm.ew * pp.px + tm.ns * pp.px + tm.dg * pp.dd, 4)
+                     AS flow_len
+            FROM term tm
+            JOIN p pp ON pp.i = tm.i AND pp.r = tm.r0 AND pp.c = tm.c0
+        """,
         "watershed_basins": f"""
             WITH RECURSIVE t AS (
               SELECT i,
@@ -6600,6 +6725,102 @@ def oracle_sql() -> dict[str, str]:
                 f" + ((tx >> {8 - 1 - i}) & 1) AS VARCHAR)"
                 for i in range(8)) + """ AS qk_8
             FROM cell
+        """,
+        # both layers rasterized relationally (scanline spans for the
+        # hexes, half-open (lon, fy) span arithmetic for the rects),
+        # joined on (tx, ty), then the same count/fraction algebra
+        "polygon_overlay": """
+            WITH s AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS pid,
+                     CAST(((s_suppkey * 41) % 330) - 165 AS DOUBLE) AS lon0,
+                     CAST(((s_suppkey * 23) % 130) - 65 AS DOUBLE) AS lat0
+              FROM supplier),
+            v AS (
+              SELECT pid, r.k AS k,
+                     lon0 + CASE r.k WHEN 1 THEN 12.0 WHEN 2 THEN 12.0
+                                     WHEN 3 THEN 5.0 WHEN 4 THEN 5.0
+                                     ELSE 0.0 END AS lon,
+                     lat0 + CASE r.k WHEN 2 THEN 4.0 WHEN 3 THEN 4.0
+                                     WHEN 4 THEN 9.0 WHEN 5 THEN 9.0
+                                     ELSE 0.0 END AS lat
+              FROM s, range(6) r(k)),
+            e AS (
+              SELECT a.pid,
+                     (a.lon + 180.0) / 360.0 * 256.0 AS u0,
+                     ((1.0 - ln(tan(radians(a.lat))
+                                + 1.0 / cos(radians(a.lat))) / pi())
+                      / 2.0) * 256.0 AS v0,
+                     (b.lon + 180.0) / 360.0 * 256.0 AS u1,
+                     ((1.0 - ln(tan(radians(b.lat))
+                                + 1.0 / cos(radians(b.lat))) / pi())
+                      / 2.0) * 256.0 AS v1
+              FROM v a JOIN v b ON a.pid = b.pid AND b.k = (a.k + 1) % 6),
+            cr AS (
+              SELECT pid, g.iy AS iy,
+                     u0 + (u1 - u0)
+                        * ((CAST(g.iy AS DOUBLE) + 0.5 - v0)
+                           / (v1 - v0)) AS uc
+              FROM e JOIN range(0, 256) g(iy)
+                ON CAST(g.iy AS DOUBLE) + 0.5 >= least(v0, v1)
+               AND CAST(g.iy AS DOUBLE) + 0.5 <  greatest(v0, v1)),
+            p AS (
+              SELECT pid, iy, uc,
+                     row_number() OVER (PARTITION BY pid, iy
+                                        ORDER BY uc) AS rn,
+                     lead(uc) OVER (PARTITION BY pid, iy
+                                    ORDER BY uc) AS ur
+              FROM cr),
+            cella AS (
+              SELECT DISTINCT pid AS a_id,
+                     CAST(g.ix AS BIGINT) AS tx, CAST(iy AS BIGINT) AS ty
+              FROM p JOIN range(0, 256) g(ix)
+                ON g.ix >= CAST(ceil(uc - 0.5) AS BIGINT)
+               AND g.ix <= CAST(ceil(ur - 0.5) AS BIGINT) - 1
+              WHERE rn % 2 = 1),
+            rb AS (
+              SELECT pid AS b_id,
+                     lon0 + (pid % 7) - 3.0 AS blon0,
+                     lat0 + (pid % 5) - 2.0 AS blat0
+              FROM s),
+            rbuv AS (
+              SELECT b_id,
+                     (blon0 + 180.0) / 360.0 * 256.0 AS u0,
+                     (blon0 + 10.0 + 180.0) / 360.0 * 256.0 AS u1,
+                     ((1.0 - ln(tan(radians(blat0 + 6.0))
+                                + 1.0 / cos(radians(blat0 + 6.0))) / pi())
+                      / 2.0) * 256.0 AS vn,
+                     ((1.0 - ln(tan(radians(blat0))
+                                + 1.0 / cos(radians(blat0))) / pi())
+                      / 2.0) * 256.0 AS vs
+              FROM rb),
+            cellb AS (
+              SELECT b_id, CAST(gx.ix AS BIGINT) AS tx,
+                     CAST(gy.iy AS BIGINT) AS ty
+              FROM rbuv
+              JOIN range(0, 256) gy(iy)
+                ON CAST(gy.iy AS DOUBLE) + 0.5 >= vn
+               AND CAST(gy.iy AS DOUBLE) + 0.5 <  vs
+              JOIN range(0, 256) gx(ix)
+                ON gx.ix >= CAST(ceil(u0 - 0.5) AS BIGINT)
+               AND gx.ix <= CAST(ceil(u1 - 0.5) AS BIGINT) - 1),
+            inter AS (
+              SELECT a_id, b_id, count(*) AS n_shared
+              FROM cella a JOIN cellb b
+                ON a.tx = b.tx AND a.ty = b.ty
+              GROUP BY a_id, b_id),
+            na AS (SELECT a_id, count(*) AS n_a FROM cella GROUP BY a_id),
+            nb AS (SELECT b_id, count(*) AS n_b FROM cellb GROUP BY b_id)
+            SELECT i.a_id, i.b_id,
+                   CAST(i.n_shared AS BIGINT) AS n_shared,
+                   CAST(na.n_a AS BIGINT) AS n_a,
+                   CAST(nb.n_b AS BIGINT) AS n_b,
+                   round(i.n_shared / na.n_a, 6) AS frac_a,
+                   round(i.n_shared / nb.n_b, 6) AS frac_b,
+                   round(i.n_shared / (na.n_a + nb.n_b - i.n_shared), 6)
+                     AS jaccard
+            FROM inter i
+            JOIN na ON na.a_id = i.a_id
+            JOIN nb ON nb.b_id = i.b_id
         """,
         "rolling_smooth": f"""
             WITH sc AS (

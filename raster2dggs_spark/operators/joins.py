@@ -1316,3 +1316,55 @@ def zonal_join(cells_df: DataFrame, zones: DataFrame, res: int,
     joined = cells_df.join(
         _gate_broadcast(cover, max_broadcast_cover, est_rows=est), "cell")
     return joined.groupBy(zone_id).agg(*agg_exprs)
+
+
+def polygon_overlay_area(polys_a: DataFrame, polys_b: DataFrame,
+                         res: int, dggs: str = "quadkey",
+                         id_a: str = "a_id", id_b: str = "b_id",
+                         ) -> DataFrame:
+    """Vector-vector polygon overlay THROUGH the cell lattice — the
+    DGGS thesis applied to the classic GIS intersect: both layers are
+    exactly center-in rasterized (:func:`polygon_fill_cells`), one
+    cell equi-join finds every overlapping pair, and per-pair cell
+    counts give discrete intersection measures::
+
+        n_shared, frac_a = n/|A|, frac_b = n/|B|,
+        jaccard = n / (|A| + |B| - n)      (all fractions 6dp)
+
+    No geometry library, no sweep-line, no candidate bbox pass: the
+    lattice IS the spatial index, the join key, and the measure.  At
+    scale each layer rasterizes embarrassingly parallel (a polygon
+    never leaves its task), the cell join shuffles O(covered cells),
+    and per-polygon totals are one groupBy each — contrast a pairwise
+    geometric intersect, which needs an R-tree broadcast or an
+    all-pairs filter.  Counts are CELL counts (exact under the
+    center-in contract; multiply by per-cell areas downstream for m^2
+    at latitude-varying grids).  Pairs with no shared cell are absent
+    (inner-join semantics).
+    """
+    a = (polygon_fill_cells(
+            polys_a.select(F.col(id_a).alias("poly_id"), "xs", "ys"),
+            res, dggs)
+         .select(F.col("poly_id").alias(id_a), "cell"))
+    b = (polygon_fill_cells(
+            polys_b.select(F.col(id_b).alias("poly_id"), "xs", "ys"),
+            res, dggs)
+         .select(F.col("poly_id").alias(id_b), "cell"))
+    inter = (a.join(b, "cell")
+             .groupBy(id_a, id_b)
+             .agg(F.count(F.lit(1)).alias("n_shared")))
+    na = a.groupBy(id_a).agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.groupBy(id_b).agg(F.count(F.lit(1)).alias("n_b"))
+    return (inter.join(na, id_a).join(nb, id_b)
+            .select(id_a, id_b,
+                    F.col("n_shared").cast("long").alias("n_shared"),
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.round(F.col("n_shared") / F.col("n_a"), 6)
+                    .alias("frac_a"),
+                    F.round(F.col("n_shared") / F.col("n_b"), 6)
+                    .alias("frac_b"),
+                    F.round(F.col("n_shared")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_shared")), 6)
+                    .alias("jaccard")))

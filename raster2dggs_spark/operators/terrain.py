@@ -995,3 +995,157 @@ def terrain_index_cells(
             yield pd.concat(buf, ignore_index=True)
 
     return _prune(images, keep_image_id).mapInPandas(fn, schema)
+
+
+def flow_length(z: np.ndarray, affine, crs: str):
+    """Tile-local D8 downstream flow length (ArcGIS FlowLength
+    DOWNSTREAM / GRASS r.stream.distance): for every interior pixel,
+    the number of east-west, north-south and diagonal D8 steps along
+    its drainage path to the terminal (pit/flat, edge outlet, or
+    NaN sink) — INTEGER counters, so the result is bit-exact across
+    engines and path-doubling orders; the metric length is the dot
+    product ``n_ew*|a| + n_ns*|e| + n_diag*sqrt(a^2+e^2)`` taken once
+    at the end (anisotropic pitches handled exactly, no float
+    accumulates along the path).
+
+    Pointer doubling with additive counters on the drainage forest
+    (strictly downhill => acyclic): (ptr, ew, ns, dg) with the
+    invariant "counters measure v -> ptr", updated counters-first —
+    O(n log path) vectorized, no recursion.  Returns interior arrays
+    (code, n_ew, n_ns, n_diag).
+    """
+    code, _ = d8_flow(z, affine, crs)
+    if code.size == 0:
+        return code, *(np.empty((0, 0), np.int64),) * 3
+    a = float(affine[0])
+    e = float(affine[4])
+    east = 1 if a >= 0 else -1
+    south = 1 if e <= 0 else -1
+    hi, wi = code.shape
+    rr, cc = np.meshgrid(np.arange(hi), np.arange(wi), indexing="ij")
+    nr = np.full(code.shape, -1, np.int64)
+    nc = np.full(code.shape, -1, np.int64)
+    ew = np.zeros(code.shape, np.int64)
+    ns = np.zeros(code.shape, np.int64)
+    dg = np.zeros(code.shape, np.int64)
+    for cd, (drow, dcol) in zip(D8_CODES, _D8_OFFSETS):
+        m = code == cd
+        if m.any():
+            nr[m] = rr[m] + drow * south
+            nc[m] = cc[m] + dcol * east
+            if drow and dcol:
+                dg[m] = 1
+            elif drow:
+                ns[m] = 1
+            else:
+                ew[m] = 1
+    ok = (code > 0) & (nr >= 0) & (nr < hi) & (nc >= 0) & (nc < wi)
+    n = code.size
+    ptr = np.where(ok.ravel(), (nr * wi + nc).ravel(), np.arange(n))
+    # a step that leaves the interior does not count toward the
+    # interior path (the tile-local contract: the terminal is the last
+    # INTERIOR pixel, as in basin_label)
+    ew, ns, dg = (np.where(ok, x, 0).ravel() for x in (ew, ns, dg))
+    while True:
+        p2 = ptr[ptr]
+        if np.array_equal(p2, ptr):
+            break
+        ew = ew + ew[ptr]
+        ns = ns + ns[ptr]
+        dg = dg + dg[ptr]
+        ptr = p2
+    return (code, ew.reshape(code.shape), ns.reshape(code.shape),
+            dg.reshape(code.shape))
+
+
+def flow_length_cells(
+    images: DataFrame,
+    res: int,
+    dggs: str = "hex7",
+    parent_res: int | None = None,
+    band: int = 1,
+    keep_image_id: bool = False,
+    keep_pixel: bool = False,
+) -> DataFrame:
+    """Explode images into per-interior-pixel flow-length rows
+    ``(image_id?, parent, cell, [pr, pc,] n_ew, n_ns, n_diag,
+    flow_len_m)`` (see :func:`flow_length`); ``flow_len_m`` is the
+    exact dot product with the tile's pitches, computed ONCE from the
+    integer counters.  Same narrow no-shuffle decode-path shape as
+    :func:`basin_cells`; NaN-window pixels are dropped."""
+    from raster2dggs_spark.dggs import check_grid
+    from raster2dggs_spark.operators.indexing import (
+        _decode_rows, _encode_points, _prune, default_parent_res,
+    )
+
+    check_grid(dggs)
+    if parent_res is None:
+        parent_res = default_parent_res(res, dggs)
+    fields = ([T.StructField("image_id", T.StringType(), False)]
+              if keep_image_id else [])
+    fields += [
+        T.StructField("parent", T.LongType(), False),
+        T.StructField("cell", T.LongType(), False),
+    ]
+    if keep_pixel:
+        fields += [T.StructField("pr", T.LongType(), False),
+                   T.StructField("pc", T.LongType(), False)]
+    fields += [
+        T.StructField("n_ew", T.LongType(), False),
+        T.StructField("n_ns", T.LongType(), False),
+        T.StructField("n_diag", T.LongType(), False),
+        T.StructField("flow_len_m", T.DoubleType(), False),
+    ]
+    schema = T.StructType(fields)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.geo import pixel_centers_lonlat
+
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+        for pdf in batches:
+            for row, arr in _decode_rows(pdf, [band]):
+                z = arr[0]
+                h, w = z.shape
+                if h < 3 or w < 3:
+                    continue
+                affine = (row.affine_a, row.affine_b, row.affine_c,
+                          row.affine_d, row.affine_e, row.affine_f)
+                code, ew, ns, dg = flow_length(z, affine, row.crs)
+                keep = (code >= 0).ravel()   # NaN-window pixels: -1
+                if not keep.any():
+                    continue
+                a, e = float(affine[0]), float(affine[4])
+                dd = float(np.sqrt(a * a + e * e))
+                lon, lat = pixel_centers_lonlat(affine, w, h, row.crs)
+                interior = np.zeros((h, w), dtype=bool)
+                interior[1:-1, 1:-1] = True
+                lon = lon[interior.ravel()][keep]
+                lat = lat[interior.ravel()][keep]
+                cell, parent = _encode_points(lon, lat, res, parent_res,
+                                              dggs)
+                data = {}
+                if keep_image_id:
+                    data["image_id"] = np.repeat(row.image_id,
+                                                 cell.shape[0])
+                data["parent"] = parent
+                data["cell"] = cell
+                if keep_pixel:
+                    rr, cc = np.mgrid[1:h - 1, 1:w - 1]
+                    data["pr"] = rr.ravel()[keep]
+                    data["pc"] = cc.ravel()[keep]
+                data["n_ew"] = ew.ravel()[keep]
+                data["n_ns"] = ns.ravel()[keep]
+                data["n_diag"] = dg.ravel()[keep]
+                data["flow_len_m"] = (ew.ravel()[keep] * abs(a)
+                                      + ns.ravel()[keep] * abs(e)
+                                      + dg.ravel()[keep] * dd)
+                buf.append(pd.DataFrame(data))
+                buf_rows += cell.shape[0]
+                if buf_rows >= 250_000:
+                    yield pd.concat(buf, ignore_index=True)
+                    buf, buf_rows = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
+    return _prune(images, keep_image_id).mapInPandas(fn, schema)

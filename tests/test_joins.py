@@ -662,3 +662,40 @@ def test_empirical_variogram_matches_bruteforce(spark):
     # structure: a trending field's variogram increases with lag
     g = got.sort_index()["gamma"].values
     assert g[-1] > 3.0 * g[0]
+
+
+def test_polygon_overlay_area_known_rects(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.joins import polygon_overlay_area
+
+    # two axis-aligned rectangles with a known overlap on the equator
+    # (away from Mercator-distortion cell-count surprises: res-8 cells
+    # are ~1.4 deg, so use multi-degree rectangles)
+    def rect(pid, x0, y0, w, h):
+        return {"pid": pid,
+                "xs": [x0, x0 + w, x0 + w, x0],
+                "ys": [y0, y0, y0 + h, y0 + h]}
+
+    a = spark.createDataFrame(pd.DataFrame([
+        rect(1, 0.0, 0.0, 20.0, 12.0),
+        rect(2, 100.0, 0.0, 10.0, 10.0),      # no partner overlap
+    ])).selectExpr("pid as a_id", "xs", "ys")
+    b = spark.createDataFrame(pd.DataFrame([
+        rect(7, 10.0, 4.0, 20.0, 12.0),       # overlaps rect 1
+        rect(8, -60.0, 0.0, 5.0, 5.0),        # overlaps nothing
+    ])).selectExpr("pid as b_id", "xs", "ys")
+    out = polygon_overlay_area(a, b, res=8, dggs="quadkey").toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row.a_id == 1 and row.b_id == 7
+    # overlap [10,20]x[4,12] = 1/3 of rect1's lon span; exact cell
+    # counts come from the center-in fill — assert the identities that
+    # MUST hold regardless of grid quantization
+    assert 0 < row.n_shared <= min(row.n_a, row.n_b)
+    assert abs(row.frac_a - round(row.n_shared / row.n_a, 6)) < 1e-12
+    assert abs(row.jaccard - round(
+        row.n_shared / (row.n_a + row.n_b - row.n_shared), 6)) < 1e-12
+    # quantitative: overlap is 80 sq-deg of rect1's 240 -> frac_a near
+    # 1/3 (cell quantization keeps it within a couple of cells)
+    assert 0.25 < row.frac_a < 0.42

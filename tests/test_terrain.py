@@ -559,3 +559,64 @@ def test_terrain_index_cells_plan(spark):
         assert len(got) == (h - 2) * (w - 2)
         assert abs(got.tpi.sum() - np.nansum(tpi)) < 1e-9
         assert abs(got.roughness.max() - np.nanmax(rough)) < 1e-12
+
+
+def test_flow_length_vs_path_follow():
+    import numpy as np
+
+    from raster2dggs_spark.operators.terrain import (
+        D8_CODES, _D8_OFFSETS, d8_flow, flow_length,
+    )
+
+    rng = np.random.default_rng(17)
+    affine = (30.0, 0.0, 0.0, 0.0, -30.0, 0.0)
+    step = {cd: off for cd, off in zip(D8_CODES, _D8_OFFSETS)}
+    for _ in range(15):
+        h = int(rng.integers(3, 14))
+        w = int(rng.integers(3, 14))
+        z = rng.integers(0, 40, (h, w)).astype(np.float32)
+        code, ew, ns, dg = flow_length(z, affine, "EPSG:3857")
+        c2, _ = d8_flow(z, affine, "EPSG:3857")
+        hi, wi = c2.shape
+        for r in range(hi):
+            for c in range(wi):
+                e = n = d = 0
+                cr, cc = r, c
+                while True:
+                    cd = int(c2[cr, cc])
+                    if cd <= 0:
+                        break
+                    dr, dc = step[cd]
+                    nr, nc = cr + dr, cc + dc
+                    if not (0 <= nr < hi and 0 <= nc < wi):
+                        break
+                    if dr and dc:
+                        d += 1
+                    elif dr:
+                        n += 1
+                    else:
+                        e += 1
+                    cr, cc = nr, nc
+                assert (ew[r, c], ns[r, c], dg[r, c]) == (e, n, d)
+
+
+def test_flow_length_cells_metric(spark):
+    import numpy as np
+
+    from raster2dggs_spark.operators.terrain import flow_length_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_basin_images_pdf(2),
+                                 IMAGE_SCHEMA)
+    out = flow_length_cells(imgs, res=7, keep_image_id=True,
+                            keep_pixel=True).toPandas()
+    assert (out.n_ew >= 0).all()
+    # metric length is the exact dot product with the pitches
+    for i in range(2):
+        px = float(50 + 10 * ((i * 7) % 8))
+        g = out[out.image_id == f"img_basin_{i:08d}"]
+        want = (g.n_ew * px + g.n_ns * px
+                + g.n_diag * np.sqrt(px * px + px * px))
+        assert np.allclose(g.flow_len_m, want, rtol=0, atol=0)
