@@ -499,6 +499,29 @@ def q_within_distance(spark, sf_dir):
     return out.select("q_id", "t_id", _r4("dist_m").alias("dist_m"))
 
 
+def q_dbscan(spark, sf_dir):
+    """DBSCAN density clustering (round 7, operators/clustering.py
+    dbscan_points — Ester et al. 1996; ArcGIS Density-based
+    Clustering / PostGIS ST_ClusterDBSCAN): eps-neighborhoods via the
+    geodesic range join (self-pair counts, textbook |N| >= minPts),
+    clusters = min-id connected components of the core-core graph
+    (pointer jumping), border points adopt the MIN cluster among core
+    neighbours (deterministic, schedule-independent — the total-order
+    rule where sequential DBSCANs are order-dependent), noise NULL.
+    Customer subset point_id % 3 = 1 (stride coprime to the
+    generator's 8-scenario rotation); the oracle is the brute-force
+    cross-join haversine + recursive-CTE closure."""
+    from raster2dggs_spark.operators.clustering import dbscan_points
+
+    pts = _customer_points(spark, sf_dir).where(
+        F.col("point_id") % 3 == 1)
+    out = dbscan_points(pts, eps_m=600_000.0, min_pts=4)
+    return out.select(
+        "point_id",
+        F.col("is_core").cast("long").alias("is_core"),
+        F.col("cluster").cast("long").alias("cluster"))
+
+
 def q_focal_mean_geohash(spark, sf_dir):
     """Focal (3x3 Chebyshev window) mean on the geohash lattice
     (round 7, operators/focal.py:focal_lattice) — raster map algebra's
@@ -3471,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_cells_quadkey": q_line_cells_quadkey,
         "polyfill_quadkey": q_polyfill_quadkey,
         "polygon_overlay": q_polygon_overlay,
+        "dbscan": q_dbscan,
         "pii_stats": q_pii_stats,
         "dup_span_coverage": q_dup_span_coverage,
         "dedup_exact": q_dedup_exact,
@@ -5036,6 +5060,49 @@ def oracle_sql() -> dict[str, str]:
                    FROM q CROSS JOIN t)
             SELECT q_id, t_id, round(dist_m, 4) AS dist_m
             FROM d WHERE dist_m <= 1200000.0
+        """,
+        # DBSCAN: brute-force eps-graph (self-pairs included), core by
+        # degree, min-id closure over core-core edges, border = MIN
+        # cluster among core neighbours
+        "dbscan": f"""
+            WITH RECURSIVE
+            p AS (SELECT point_id, lon, lat
+                  FROM ({_CUSTOMER_POINTS_SQL})
+                  WHERE point_id % 3 = 1),
+            d AS (
+              SELECT a.point_id AS pa, b.point_id AS pb
+              FROM p a CROSS JOIN p b
+              WHERE 2.0 * 6371007.1809 * asin(sqrt(
+                      pow(sin(radians(b.lat - a.lat) / 2), 2)
+                      + cos(radians(a.lat)) * cos(radians(b.lat))
+                      * pow(sin(radians(b.lon - a.lon) / 2), 2)
+                    )) <= 600000.0),
+            deg AS (SELECT pa, count(*) AS c FROM d GROUP BY pa),
+            core AS (SELECT pa AS id FROM deg WHERE c >= 4),
+            ce AS (
+              SELECT d.pa, d.pb FROM d
+              JOIN core c1 ON c1.id = d.pa
+              JOIN core c2 ON c2.id = d.pb
+              WHERE d.pa <> d.pb),
+            reach(id, lab) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT ce.pb, r.lab
+              FROM reach r JOIN ce ON ce.pa = r.id),
+            comp AS (SELECT id, MIN(lab) AS cluster
+                     FROM reach GROUP BY id),
+            bord AS (
+              SELECT d.pa AS id, MIN(comp.cluster) AS bcluster
+              FROM d JOIN comp ON comp.id = d.pb
+              GROUP BY d.pa)
+            SELECT p.point_id,
+                   CAST(CASE WHEN comp.id IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_core,
+                   CAST(COALESCE(comp.cluster, bord.bcluster) AS BIGINT)
+                     AS cluster
+            FROM p
+            LEFT JOIN comp ON comp.id = p.point_id
+            LEFT JOIN bord ON bord.id = p.point_id
         """,
         "zonal_join": f"""
             WITH pts AS ({_CUSTOMER_POINTS_SQL}),
