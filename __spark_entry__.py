@@ -1878,6 +1878,28 @@ def q_dup_span_coverage(spark, sf_dir):
     return dup_span_coverage(d, "doc_id", "text", n=8)
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (round 7, operators/text.py bm25_topk —
+    Okapi Robertson weighting, the lexical-search / hard-negative-
+    mining pass): top-10 docs per query with scores rounded to 4dp
+    BEFORE ranking and doc-id tie-breaks (total order — raw float
+    ordering would let last-ulp ln differences reorder near-ties
+    across engines).  Spark ranks WITHOUT windows (per-(query,
+    64-bucket) local top-k then a 64-way merge — the hot-key rule);
+    the oracle uses the relational row_number twin over the identical
+    score expression."""
+    from raster2dggs_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(1, "fast table scan and merge"),
+         (2, "slow window query batch"),
+         (3, "customer group data stream"),
+         (4, "spark join filter key")],
+        ["q_id", "q_text"])
+    return bm25_topk(d, qs, k=10)
+
+
 def q_dedup_exact(spark, sf_dir):
     from raster2dggs_spark.operators.dedup import exact_dedup
 
@@ -3495,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_quadkey": q_polyfill_quadkey,
         "polygon_overlay": q_polygon_overlay,
         "dbscan": q_dbscan,
+        "bm25": q_bm25,
         "pii_stats": q_pii_stats,
         "dup_span_coverage": q_dup_span_coverage,
         "dedup_exact": q_dedup_exact,
@@ -5114,6 +5137,53 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
              AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
             GROUP BY z.poly_id
+        """,
+        # BM25: identical score expression and association order; ranks
+        # by (round-4dp score DESC, doc_id) via the row_number twin
+        "bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents),
+            dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tfq AS (
+              SELECT doc_id, t, count(*) AS tf
+              FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+              GROUP BY doc_id, t),
+            dfq AS (SELECT t, count(*) AS df FROM tfq GROUP BY t),
+            q AS (SELECT * FROM (VALUES
+                    (1, 'fast table scan and merge'),
+                    (2, 'slow window query batch'),
+                    (3, 'customer group data stream'),
+                    (4, 'spark join filter key')) v(q_id, q_text)),
+            qt AS (SELECT DISTINCT q_id, t FROM (
+                     SELECT q_id,
+                            unnest(regexp_extract_all(lower(q_text),
+                                                      '[a-z0-9]+')) AS t
+                     FROM q)),
+            sc AS (
+              SELECT qt.q_id, tfq.doc_id,
+                     round(sum(
+                       ln(1.0 + (st.n_docs - dfq.df + 0.5)
+                                / (dfq.df + 0.5))
+                       * tfq.tf * 2.2
+                       / (tfq.tf + 1.2 * (1.0 - 0.75
+                                          + 0.75 * dl.dl / st.avgdl))
+                     ), 4) AS score
+              FROM qt
+              JOIN tfq ON tfq.t = qt.t
+              JOIN dfq ON dfq.t = qt.t
+              JOIN dl ON dl.doc_id = tfq.doc_id
+              CROSS JOIN st
+              GROUP BY qt.q_id, tfq.doc_id),
+            r AS (SELECT q_id, doc_id, score,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY score DESC, doc_id)
+                           AS rank
+                  FROM sc)
+            SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+            FROM r WHERE rank <= 10
         """,
         # identical injected-PII expression, RE2 regexes, 'g'-flag
         # replace (DuckDB default replaces only the first match)

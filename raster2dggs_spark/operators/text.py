@@ -397,3 +397,74 @@ def dup_span_coverage(df: DataFrame, id_col: str, text_col: str,
         F.round(F.coalesce(F.col("covered"), F.lit(0))
                 / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
         .alias("coverage"))
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              q_id_col: str = "q_id", q_text_col: str = "q_text",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones Okapi weighting)
+    — the standard lexical search / hard-negative-mining pass of a
+    training-data pipeline::
+
+        score(q, d) = sum over t in q∩d of
+            ln(1 + (N - df + 0.5)/(df + 0.5))
+            * tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))
+
+    Query term frequency is ignored (distinct query terms — the usual
+    short-query simplification, documented).  Scores are rounded to
+    4dp BEFORE ranking and tied on ascending doc id, so the top-k SET
+    and ranks are total-ordered and engine-reproducible (raw float
+    ordering would let last-ulp ln/division differences reorder
+    near-ties across engines).
+
+    Distributed top-k WITHOUT windows (the hot-key rule — a window
+    partitioned by query puts every scored doc of that query in one
+    task): stage 1 takes a per-(query, 64-way doc-hash bucket) local
+    top-k via sort_array + slice inside a groupBy, stage 2 merges the
+    64 candidate lists per query the same way — map-side reduction,
+    shuffle volume 64k rows per query regardless of corpus size.
+    Output: (q_id, rank, doc_id, score).
+    """
+    from raster2dggs_spark.operators.dedup import tokens_expr
+
+    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("ts"))
+    dl = toks.select(id_col, F.size("ts").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (toks.select(id_col, F.explode("ts").alias("t"))
+          .groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    qt = (queries.select(F.col(q_id_col),
+                         F.explode(tokens_expr(q_text_col)).alias("t"))
+          .distinct())
+    scored = (qt.join(tf, "t").join(dfreq, "t")
+              .join(dl.withColumnRenamed(id_col, "__d"),
+                    F.col(id_col) == F.col("__d"))
+              .crossJoin(F.broadcast(stats)))
+    w = (F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+               / (F.col("df") + 0.5))
+         * F.col("tf") * (k1 + 1.0)
+         / (F.col("tf") + k1 * (1.0 - b
+                                + b * F.col("dl") / F.col("avgdl"))))
+    per_doc = (scored.groupBy(q_id_col, id_col)
+               .agg(F.round(F.sum(w), 4).alias("score")))
+    # ordering key: score DESC then doc id ASC, encoded so sort_array
+    # ascending on the struct gives the final order
+    entry = F.struct((-F.col("score")).alias("negs"),
+                     F.col(id_col).alias("doc"),
+                     F.col("score").alias("score"))
+    local = (per_doc
+             .groupBy(q_id_col,
+                      F.pmod(F.xxhash64(id_col), F.lit(64)).alias("__b"))
+             .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k)
+                  .alias("cand")))
+    merged = (local.select(q_id_col, F.explode("cand").alias("e"))
+              .groupBy(q_id_col)
+              .agg(F.slice(F.sort_array(F.collect_list("e")), 1, k)
+                   .alias("top")))
+    return (merged.select(q_id_col,
+                          F.posexplode("top").alias("pos", "e"))
+            .select(q_id_col, (F.col("pos") + 1).alias("rank"),
+                    F.col("e.doc").alias(id_col),
+                    F.col("e.score").alias("score")))

@@ -535,3 +535,39 @@ def test_dup_span_coverage_known_corpus(spark):
     assert out.loc[2, "covered"] == 8
     # doc 3: no duplicated grams
     assert out.loc[3, "n_dup_grams"] == 0 and out.loc[3, "covered"] == 0
+
+
+def test_bm25_topk_ranking(spark):
+    import math
+
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import bm25_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "apple apple apple banana",
+            "apple banana cherry",
+            "cherry cherry date",
+            "date elderberry fig grape hazelnut iris jasmine kiwi",
+        ]})
+    qs = spark.createDataFrame([(1, "apple"), (2, "cherry date")],
+                               ["q_id", "q_text"])
+    out = (bm25_topk(spark.createDataFrame(docs), qs, k=3)
+           .toPandas())
+    q1 = out[out.q_id == 1].sort_values("rank")
+    # docs 1 and 2 contain 'apple'; doc 1 has higher tf and is shorter
+    # relative to avgdl -> rank 1
+    assert list(q1.doc_id) == [1, 2]
+    # closed-form check of doc 2's score for q1
+    N, df = 4, 2
+    idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+    dl, avgdl = 3, (4 + 3 + 3 + 8) / 4
+    tf = 1
+    want = round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                 4)
+    assert abs(float(q1[q1.doc_id == 2].score.iloc[0]) - want) < 1e-9
+    q2 = out[out.q_id == 2].sort_values("rank")
+    assert list(q2.doc_id)[0] == 3          # two cherry + one date
+    assert set(q2.doc_id) == {2, 3, 4}
