@@ -237,6 +237,109 @@ class IceTable:
             raise FileNotFoundError(f"snapshot v{snap['version']} lists no files")
         return spark.read.option("basePath", self.data_dir).parquet(*files)
 
+    def merge(self, updates: DataFrame, key_cols,
+              lineage: dict | None = None) -> dict:
+        """MERGE / upsert (Iceberg ``MERGE INTO`` copy-on-write): rows of
+        ``updates`` REPLACE current rows with the same key, new keys
+        INSERT; everything commits as one atomic snapshot.
+
+        Partition-pruned rewrite — the scale contract: only partitions
+        whose partition VALUE appears in ``updates`` are read (manifest
+        pruning), anti-joined on the key, unioned with their updates
+        and rewritten; every other partition's manifests carry forward
+        byte-identical, so merge cost is O(touched partitions), not
+        O(table).  Old files stay on disk for time travel (``read(
+        version=...)`` reproduces the pre-merge table) until
+        ``vacuum``.  Keys must be unique within ``updates`` and a row's
+        key must determine its partition value (an update may not MOVE
+        a row between partitions — the Iceberg identity-partition
+        assumption; violating it duplicates the row, as in Iceberg).
+
+        Single-writer assumption as the rest of the layer."""
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        spark = updates.sparkSession
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"merge target has no snapshot under {self.root}; "
+                "write() an initial version first")
+        part_col = snap["partition_by"]
+        pvals = [r[0] for r in
+                 updates.select(part_col).distinct().collect()]
+        current = self.read(spark, partition_values=pvals)
+        if set(current.columns) != set(updates.columns):
+            raise ValueError(
+                f"merge schema mismatch: table {sorted(current.columns)} "
+                f"vs updates {sorted(updates.columns)}")
+        survivors = current.join(
+            updates.select(*keys).distinct(), keys, "left_anti")
+        merged = survivors.unionByName(updates.select(*current.columns))
+
+        before = self._list_data_files()
+        (merged.write.mode("append").partitionBy(part_col)
+         .parquet(self.data_dir))
+        new_files = self._list_data_files() - before
+
+        affected = {f"{part_col}={v}" for v in pvals}
+        manifests: dict[str, dict] = {}
+        for m in snap["manifests"]:
+            if m["partition"] not in affected:
+                manifests[m["partition"]] = {
+                    "partition": m["partition"],
+                    "files": list(m["files"]),
+                    "row_count": m["row_count"],
+                }
+        for part, m in self._manifests_from_files(new_files,
+                                                  spark).items():
+            manifests[part] = m
+        lin = dict(lineage or {})
+        lin.setdefault("operation", "merge")
+        lin.setdefault("merge_keys", keys)
+        lin.setdefault("partitions_rewritten", sorted(affected))
+        return self._commit(spark, part_col, lin, manifests=manifests)
+
+    def delete_where(self, spark: SparkSession, condition,
+                     lineage: dict | None = None) -> dict:
+        """Copy-on-write DELETE: drop rows matching ``condition`` (a
+        Column or SQL string) and commit one atomic snapshot.  One scan
+        finds the partitions that actually contain matches; only those
+        rewrite (manifest-pruned, as in :meth:`merge`) — a delete that
+        touches nothing commits a no-op snapshot with zero rewrites."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(
+                f"delete target has no snapshot under {self.root}")
+        part_col = snap["partition_by"]
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cur = self.read(spark)
+        pvals = [r[0] for r in
+                 cur.where(cond).select(part_col).distinct().collect()]
+        manifests: dict[str, dict] = {}
+        affected = {f"{part_col}={v}" for v in pvals}
+        for m in snap["manifests"]:
+            if m["partition"] not in affected:
+                manifests[m["partition"]] = {
+                    "partition": m["partition"],
+                    "files": list(m["files"]),
+                    "row_count": m["row_count"],
+                }
+        new_files: set[str] = set()
+        if pvals:
+            keep = self.read(spark, partition_values=pvals).where(~cond)
+            before = self._list_data_files()
+            (keep.write.mode("append").partitionBy(part_col)
+             .parquet(self.data_dir))
+            new_files = self._list_data_files() - before
+        for part, m in self._manifests_from_files(new_files,
+                                                  spark).items():
+            manifests[part] = m
+        lin = dict(lineage or {})
+        lin.setdefault("operation", "delete")
+        lin.setdefault("partitions_rewritten", sorted(affected))
+        return self._commit(spark, part_col, lin, manifests=manifests)
+
     def optimize(self, spark: SparkSession, min_files: int = 2) -> dict:
         """Small-file compaction (the Iceberg ``rewrite_data_files`` /
         OPTIMIZE maintenance pass): partitions whose current manifest
