@@ -499,6 +499,66 @@ def q_within_distance(spark, sf_dir):
     return out.select("q_id", "t_id", _r4("dist_m").alias("dist_m"))
 
 
+def _event_points(spark, sf_dir):
+    """Events with deterministic synthetic positions (the event stream
+    carries no geometry; both engines derive identical lon/lat by
+    integer arithmetic)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", "user_id", "ts",
+        (((F.col("event_id") * 7 + F.col("user_id") * 13) % 3400)
+         .cast("double") / 10.0 - 170.0).alias("lon"),
+        (((F.col("event_id") * 11 + F.col("user_id") * 3) % 1600)
+         .cast("double") / 10.0 - 80.0).alias("lat"))
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination matrix (round 7, operators/mobility.py
+    od_matrix — the mobility-analytics staple): per-user event streams
+    with synthetic deterministic positions, indexed at geohash
+    precision 3; consecutive-point transitions between DIFFERENT
+    cells, counted per (from, to) pair.  Ordering is the total
+    (ts, event_id) key so lag() is engine-independent; cells decode to
+    the encoder's own integer lattice indices for the oracle (the
+    focal_mean_geohash quantization replay)."""
+    from raster2dggs_spark.operators.focal import lattice_indices
+    from raster2dggs_spark.operators.mobility import od_matrix
+
+    pts = _event_points(spark, sf_dir)
+    od = od_matrix(pts, "user_id", "ts", res=3, dggs="geohash",
+                   tiebreak_col="event_id")
+    a = (lattice_indices(od, "from_cell", "geohash")
+         .withColumnRenamed("gx", "fgx").withColumnRenamed("gy", "fgy")
+         .drop("gprec"))
+    b = (lattice_indices(a, "to_cell", "geohash")
+         .withColumnRenamed("gx", "tgx").withColumnRenamed("gy", "tgy")
+         .drop("gprec"))
+    return b.select("fgx", "fgy", "tgx", "tgy",
+                    F.col("n_trips").cast("long").alias("n_trips"))
+
+
+def q_cell_dwell(spark, sf_dir):
+    """Dwell-time map (round 7, operators/mobility.py cell_dwell):
+    per (user, cell), total seconds attributed to the cell — each
+    point owns the interval to the user's next point (timestamp
+    deltas via the exact microseconds/1e6 double both engines
+    compute: Spark CAST(ts AS DOUBLE) == DuckDB epoch_us(ts)/1e6,
+    bit-identical)."""
+    from raster2dggs_spark.operators.focal import lattice_indices
+    from raster2dggs_spark.operators.mobility import cell_dwell
+
+    pts = _event_points(spark, sf_dir)
+    dw = cell_dwell(pts, "user_id", "ts", res=3, dggs="geohash",
+                    tiebreak_col="event_id")
+    g = lattice_indices(dw, "cell", "geohash")
+    return g.select(
+        F.col("entity").cast("long").alias("entity"),
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        F.col("dwell_s"),
+        F.col("n_points").cast("long").alias("n_points"))
+
+
 def q_dbscan(spark, sf_dir):
     """DBSCAN density clustering (round 7, operators/clustering.py
     dbscan_points — Ester et al. 1996; ArcGIS Density-based
@@ -3517,6 +3577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfill_quadkey": q_polyfill_quadkey,
         "polygon_overlay": q_polygon_overlay,
         "dbscan": q_dbscan,
+        "od_matrix": q_od_matrix,
+        "cell_dwell": q_cell_dwell,
         "bm25": q_bm25,
         "pii_stats": q_pii_stats,
         "dup_span_coverage": q_dup_span_coverage,
@@ -5083,6 +5145,69 @@ def oracle_sql() -> dict[str, str]:
                    FROM q CROSS JOIN t)
             SELECT q_id, t_id, round(dist_m, 4) AS dist_m
             FROM d WHERE dist_m <= 1200000.0
+        """,
+        # OD matrix: identical synthetic positions + the geohash encoder's
+        # own quantization; lag() over the total (ts, event_id) key
+        "od_matrix": f"""
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST((event_id * 7 + user_id * 13) % 3400 AS DOUBLE)
+                       / 10.0 - 170.0 AS lon,
+                     CAST((event_id * 11 + user_id * 3) % 1600 AS DOUBLE)
+                       / 10.0 - 80.0 AS lat
+              FROM events),
+            q AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(least(greatest((lon + 180.0) / 360.0, 0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                                * 256.0) AS BIGINT) AS gx,
+                     CAST(floor(least(greatest((lat + 90.0) / 180.0, 0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                                * 128.0) AS BIGINT) AS gy
+              FROM e),
+            t AS (
+              SELECT gx, gy,
+                     lag(gx) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pgx,
+                     lag(gy) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pgy
+              FROM q)
+            SELECT pgx AS fgx, pgy AS fgy, gx AS tgx, gy AS tgy,
+                   CAST(count(*) AS BIGINT) AS n_trips
+            FROM t
+            WHERE pgx IS NOT NULL AND (pgx <> gx OR pgy <> gy)
+            GROUP BY pgx, pgy, gx, gy
+        """,
+        # dwell: Spark CAST(ts AS DOUBLE) == DuckDB epoch_us(ts)/1e6
+        # bit-identically (exact integer microseconds / 1e6)
+        "cell_dwell": f"""
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST((event_id * 7 + user_id * 13) % 3400 AS DOUBLE)
+                       / 10.0 - 170.0 AS lon,
+                     CAST((event_id * 11 + user_id * 3) % 1600 AS DOUBLE)
+                       / 10.0 - 80.0 AS lat
+              FROM events),
+            q AS (
+              SELECT user_id, ts, event_id,
+                     CAST(floor(least(greatest((lon + 180.0) / 360.0, 0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                                * 256.0) AS BIGINT) AS gx,
+                     CAST(floor(least(greatest((lat + 90.0) / 180.0, 0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                                * 128.0) AS BIGINT) AS gy
+              FROM e),
+            t AS (
+              SELECT user_id, gx, gy,
+                     COALESCE(epoch_us(lead(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id)) / 1000000.0
+                              - epoch_us(ts) / 1000000.0, 0.0) AS dt
+              FROM q)
+            SELECT user_id AS entity, gx, gy,
+                   round(sum(dt), 4) AS dwell_s,
+                   CAST(count(*) AS BIGINT) AS n_points
+            FROM t GROUP BY user_id, gx, gy
         """,
         # DBSCAN: brute-force eps-graph (self-pairs included), core by
         # degree, min-id closure over core-core edges, border = MIN
