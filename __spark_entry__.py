@@ -1938,6 +1938,30 @@ def q_dup_span_coverage(spark, sf_dir):
     return dup_span_coverage(d, "doc_id", "text", n=8)
 
 
+def q_sketch_distinct(spark, sf_dir):
+    """Mergeable distinct-count sketches (round 7,
+    operators/sketches.py — KMV bottom-k and HyperLogLog): built from
+    md5, the one hash both engines share, so the SKETCH ITSELF is
+    cross-engine reproducible — the oracle recomputes the same minima
+    and registers relationally and the estimates match to 4dp (native
+    approx_count_distinct could never be compared across engines).
+    Distinct users per event_type: KMV k=64 two-stage bottom-k (no
+    unbounded collect on a hot group), HLL p=8 with the linear-
+    counting small-range correction."""
+    from raster2dggs_spark.operators.sketches import (
+        hll_distinct, kmv_distinct,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    kmv = kmv_distinct(e, ["event_type"], "user_id", k=64) \
+        .withColumnRenamed("est_distinct", "est_kmv")
+    hll = hll_distinct(e, ["event_type"], "user_id", p=8) \
+        .withColumnRenamed("est_distinct", "est_hll")
+    return kmv.join(hll, "event_type").select(
+        "event_type", F.col("n_hashes").cast("long").alias("n_hashes"),
+        "est_kmv", "est_hll")
+
+
 def q_bm25(spark, sf_dir):
     """BM25 ranked retrieval (round 7, operators/text.py bm25_topk —
     Okapi Robertson weighting, the lexical-search / hard-negative-
@@ -3580,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "cell_dwell": q_cell_dwell,
         "bm25": q_bm25,
+        "sketch_distinct": q_sketch_distinct,
         "pii_stats": q_pii_stats,
         "dup_span_coverage": q_dup_span_coverage,
         "dedup_exact": q_dedup_exact,
@@ -4931,6 +4956,11 @@ _MD5_HEX2 = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {8 + i}, 1)) - 1) * {16 ** (8 - i)}"
     for i in range(1, 9))
 
+# first 15 hex digits = 60 bits (sketches: fits int64 AND float64)
+_MD5_HEX60 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (15 - i)}"
+    for i in range(1, 16))
+
 
 def oracle_sql() -> dict[str, str]:
     out = {
@@ -5262,6 +5292,63 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
              AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
             GROUP BY z.poly_id
+        """,
+        # sketches rebuilt relationally from the shared md5: KMV bottom-k
+        # via row_number, HLL registers via integer div/mod + log2
+        "sketch_distinct": f"""
+            WITH hsrc AS (
+              SELECT event_type AS etype,
+                     md5(CAST(user_id AS VARCHAR)) AS h
+              FROM events),
+            v AS (SELECT etype,
+                         CAST({_MD5_HEX60} AS BIGINT) AS hv60
+                  FROM hsrc),
+            dh AS (SELECT DISTINCT etype,
+                          CAST(hv60 AS DOUBLE)
+                            / 1152921504606846976.0 AS hv
+                   FROM v),
+            rk AS (SELECT etype, hv,
+                          row_number() OVER (PARTITION BY etype
+                                             ORDER BY hv) AS rn
+                   FROM dh),
+            kagg AS (SELECT etype, count(*) AS nd,
+                            max(CASE WHEN rn <= 64 THEN hv END) AS hk
+                     FROM rk GROUP BY etype),
+            kmv AS (SELECT etype,
+                           CAST(least(nd, 64) AS BIGINT) AS n_hashes,
+                           round(CASE WHEN nd < 64
+                                      THEN CAST(nd AS DOUBLE)
+                                      ELSE 63 / hk END, 4) AS est_kmv
+                    FROM kagg),
+            br AS (SELECT etype, hv60 // 4503599627370496 AS b,
+                          hv60 % 4503599627370496 AS w
+                   FROM v),
+            rr AS (SELECT etype, b,
+                          CASE WHEN w > 0
+                               THEN 52 - CAST(floor(log2(
+                                      CAST(w AS DOUBLE))) AS BIGINT)
+                               ELSE 53 END AS r
+                   FROM br),
+            regs AS (SELECT etype, b, max(r) AS mj
+                     FROM rr GROUP BY etype, b),
+            hagg AS (SELECT etype,
+                            sum(power(2.0, -CAST(mj AS DOUBLE)))
+                              AS ssum,
+                            count(*) AS nonzero
+                     FROM regs GROUP BY etype),
+            hll AS (SELECT etype,
+                           round(CASE WHEN ({repr(0.7213 / (1.0 + 1.079 / 256) * 65536.0)}
+                                            / (ssum + (256 - nonzero)))
+                                        <= 640.0
+                                       AND (256 - nonzero) > 0
+                                  THEN 256.0 * ln(256.0 /
+                                         CAST(256 - nonzero AS DOUBLE))
+                                  ELSE {repr(0.7213 / (1.0 + 1.079 / 256) * 65536.0)}
+                                       / (ssum + (256 - nonzero))
+                                  END, 4) AS est_hll
+                    FROM hagg)
+            SELECT kmv.etype AS event_type, n_hashes, est_kmv, est_hll
+            FROM kmv JOIN hll ON hll.etype = kmv.etype
         """,
         # BM25: identical score expression and association order; ranks
         # by (round-4dp score DESC, doc_id) via the row_number twin
