@@ -144,3 +144,39 @@ def zonal_windowed_event_stats(events: DataFrame, zone_cells: DataFrame,
             "zone_id", "n_events", "sum_value",
         )
     )
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         max_lag_s: int = 1800,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join (the attribution shape: every RIGHT
+    event pairs with the same user's LEFT events from the preceding
+    ``max_lag_s`` seconds — click->purchase, impression->conversion).
+
+    The canonical Structured Streaming two-stream join: watermarks on
+    BOTH sides plus the event-time range condition let the engine
+    bound its join state and evict rows older than watermark+lag —
+    without the range bound the state would grow forever.  Works
+    identically on batch frames (the stream==batch pytest contract);
+    output (user_id, l_event_id, r_event_id, lag_s)."""
+    l = left.select(
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"))
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").cast("timestamp").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"))
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = ((F.col("user_id") == F.col("r_user"))
+            & (F.col("l_ts") <= F.col("r_ts"))
+            & (F.col("l_ts")
+               >= F.col("r_ts") - F.expr(f"INTERVAL {int(max_lag_s)} "
+                                         "SECONDS")))
+    return (l.join(r, cond)
+            .select("user_id", "l_event_id", "r_event_id",
+                    (F.col("r_ts").cast("double")
+                     - F.col("l_ts").cast("double")).alias("lag_s")))

@@ -98,3 +98,42 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
         b[["user_id", "session_idx", "n_events", "start_ts", "end_ts"]],
         check_dtype=False,
     )
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    from raster2dggs_spark.streaming.events import (
+        interval_join_stream, run_stream_to_memory,
+        stream_events_from_parquet,
+    )
+
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    # left = even event ids (e.g. impressions), right = odd (conversions)
+    left_b = ev.where("event_id % 2 = 0")
+    right_b = ev.where("event_id % 2 = 1")
+    batch = (interval_join_stream(left_b, right_b, max_lag_s=1800)
+             .toPandas())
+    assert len(batch) > 0
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dirs = []
+    for name, side in (("l", left_b), ("r", right_b)):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        pdf = side.toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf),
+                       os.path.join(d, "part0.parquet"))
+        dirs.append(d)
+    ls = stream_events_from_parquet(spark, dirs[0], left_b.schema)
+    rs = stream_events_from_parquet(spark, dirs[1], right_b.schema)
+    out = interval_join_stream(ls, rs, max_lag_s=1800)
+    run_stream_to_memory(out, "ijoin", output_mode="append")
+    got = spark.sql("select * from ijoin").toPandas()
+    key = ["user_id", "l_event_id", "r_event_id"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(g)
+    assert (b[key].to_numpy() == g[key].to_numpy()).all()
+    assert np.allclose(b.lag_s.to_numpy(), g.lag_s.to_numpy())
