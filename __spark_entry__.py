@@ -1938,6 +1938,47 @@ def q_dup_span_coverage(spark, sf_dir):
     return dup_span_coverage(d, "doc_id", "text", n=8)
 
 
+def _supplier_graph(spark, sf_dir):
+    """Deterministic 3-out directed graph over supplier keys (both
+    engines construct it by identical integer arithmetic)."""
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("k"))
+    edges = None
+    for a, b in ((7, 3), (13, 5), (29, 11)):
+        e = s.select(F.col("k").alias("src"),
+                     ((F.col("k") * a + b) % 100 + 1).alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    return edges
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank (round 7, operators/graph.py pagerank — the canonical
+    iterative graph workload, no GraphX dependency): 8 damped power
+    iterations with dangling-mass redistribution over the 3-out
+    supplier graph; one shuffle per round, eager localCheckpoint every
+    3 rounds.  The oracle unrolls the SAME 8 iterations as chained
+    CTEs with matching float association; ranks are mean-normalized
+    (x N) before the 4dp rounding so the hash has resolution."""
+    from raster2dggs_spark.operators.graph import pagerank
+
+    edges = _supplier_graph(spark, sf_dir)
+    n = (edges.selectExpr("src AS v").unionByName(
+         edges.selectExpr("dst AS v")).distinct().count())
+    pr = pagerank(edges, iters=8, damping=0.85)
+    return pr.select(F.col("vertex").cast("long").alias("vertex"),
+                     F.round(F.col("rank") * n, 4).alias("rank_norm"))
+
+
+def q_triangle_count(spark, sf_dir):
+    """Triangle count (round 7, operators/graph.py triangle_count):
+    the a<b<c wedge-close three-way self-join on the undirected simple
+    graph folded from the supplier edges; identical construction and
+    join in the oracle."""
+    from raster2dggs_spark.operators.graph import triangle_count
+
+    return triangle_count(_supplier_graph(spark, sf_dir))
+
+
 def q_sketch_distinct(spark, sf_dir):
     """Mergeable distinct-count sketches (round 7,
     operators/sketches.py — KMV bottom-k and HyperLogLog): built from
@@ -3605,6 +3646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_dwell": q_cell_dwell,
         "bm25": q_bm25,
         "sketch_distinct": q_sketch_distinct,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
         "pii_stats": q_pii_stats,
         "dup_span_coverage": q_dup_span_coverage,
         "dedup_exact": q_dedup_exact,
@@ -4956,6 +4999,49 @@ _MD5_HEX2 = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {8 + i}, 1)) - 1) * {16 ** (8 - i)}"
     for i in range(1, 9))
 
+def _pagerank_sql(iters: int = 8) -> str:
+    """Unrolled-iteration PageRank twin (chained CTEs, float
+    association matching operators/graph.py pagerank exactly)."""
+    head = """
+            WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k
+                       FROM supplier),
+            e AS (SELECT DISTINCT src, dst FROM (
+                    SELECT k AS src, (k * 7 + 3) % 100 + 1 AS dst FROM s
+                    UNION ALL
+                    SELECT k, (k * 13 + 5) % 100 + 1 FROM s
+                    UNION ALL
+                    SELECT k, (k * 29 + 11) % 100 + 1 FROM s)),
+            v AS (SELECT DISTINCT vertex FROM (
+                    SELECT src AS vertex FROM e
+                    UNION ALL SELECT dst FROM e)),
+            nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+            od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+            r0 AS (SELECT vertex, 1.0 / n AS rank FROM v, nv)"""
+    blocks = []
+    for i in range(iters):
+        blocks.append(f""",
+            d{i} AS (SELECT COALESCE(sum(r.rank), 0.0) AS dang
+                     FROM r{i} r LEFT JOIN od ON od.src = r.vertex
+                     WHERE od.src IS NULL),
+            m{i} AS (SELECT e.dst AS vertex,
+                            sum(r.rank / od.odeg) AS msum
+                     FROM r{i} r
+                     JOIN od ON od.src = r.vertex
+                     JOIN e ON e.src = r.vertex
+                     GROUP BY e.dst),
+            r{i + 1} AS (SELECT v.vertex,
+                            ((1.0 - 0.85) / nv.n
+                             + 0.85 * d{i}.dang / nv.n)
+                            + 0.85 * COALESCE(m{i}.msum, 0.0) AS rank
+                         FROM v CROSS JOIN nv CROSS JOIN d{i}
+                         LEFT JOIN m{i} ON m{i}.vertex = v.vertex)""")
+    tail = f"""
+            SELECT r.vertex, round(r.rank * nv.n, 4) AS rank_norm
+            FROM r{iters} r CROSS JOIN nv
+        """
+    return head + "".join(blocks) + tail
+
+
 # first 15 hex digits = 60 bits (sketches: fits int64 AND float64)
 _MD5_HEX60 = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (15 - i)}"
@@ -5292,6 +5378,24 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
              AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
             GROUP BY z.poly_id
+        """,
+        # PageRank: the same 8 damped iterations unrolled as chained CTEs
+        "pagerank": _pagerank_sql(8),
+        # triangles: identical least/greatest fold + a<b<c wedge close
+        "triangle_count": """
+            WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k
+                       FROM supplier),
+            eraw AS (
+              SELECT k AS src, (k * 7 + 3) % 100 + 1 AS dst FROM s
+              UNION ALL SELECT k, (k * 13 + 5) % 100 + 1 FROM s
+              UNION ALL SELECT k, (k * 29 + 11) % 100 + 1 FROM s),
+            u AS (SELECT DISTINCT least(src, dst) AS a,
+                         greatest(src, dst) AS b
+                  FROM eraw WHERE src <> dst)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM u e1
+            JOIN u e2 ON e2.a = e1.b
+            JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         # sketches rebuilt relationally from the shared md5: KMV bottom-k
         # via row_number, HLL registers via integer div/mod + log2
