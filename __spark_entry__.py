@@ -2003,6 +2003,24 @@ def q_sketch_distinct(spark, sf_dir):
         "est_kmv", "est_hll")
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency sketch (round 7, operators/sketches.py
+    cms_frequencies): token-frequency estimates for a fixed candidate
+    list over the documents token stream — 3x512 salted-md5 registers,
+    estimate = min over rows, absent tokens 0.  The oracle rebuilds
+    the identical registers relationally (same salts, same 60-bit md5
+    parse, same modulus)."""
+    from raster2dggs_spark.operators.dedup import tokens_expr
+    from raster2dggs_spark.operators.sketches import cms_frequencies
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_expr("text")).alias("t"))
+    cands = spark.createDataFrame(
+        [(w,) for w in ("the", "table", "merge", "spark", "window",
+                        "data", "batch", "zzz_absent")], ["value"])
+    return cms_frequencies(toks, "t", cands, width=512, depth=3)
+
+
 def q_bm25(spark, sf_dir):
     """BM25 ranked retrieval (round 7, operators/text.py bm25_topk —
     Okapi Robertson weighting, the lexical-search / hard-negative-
@@ -3648,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": q_sketch_distinct,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "pii_stats": q_pii_stats,
         "dup_span_coverage": q_dup_span_coverage,
         "dedup_exact": q_dedup_exact,
@@ -5378,6 +5397,49 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
              AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
             GROUP BY z.poly_id
+        """,
+        # CMS: identical salted-md5 registers (3 rows x 512 counters),
+        # estimate = min over rows, absent candidates 0
+        "cms_heavy_hitters": f"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+')) AS t
+              FROM documents),
+            regs AS (
+              SELECT d, bucket, count(*) AS c FROM (
+                SELECT 0 AS d,
+                       CAST({_MD5_HEX60} AS BIGINT) % 512 AS bucket
+                FROM (SELECT md5('0:' || t) AS h FROM toks)
+                UNION ALL
+                SELECT 1,
+                       CAST({_MD5_HEX60} AS BIGINT) % 512
+                FROM (SELECT md5('1:' || t) AS h FROM toks)
+                UNION ALL
+                SELECT 2,
+                       CAST({_MD5_HEX60} AS BIGINT) % 512
+                FROM (SELECT md5('2:' || t) AS h FROM toks))
+              GROUP BY d, bucket),
+            cand AS (SELECT * FROM (VALUES ('the'), ('table'),
+                       ('merge'), ('spark'), ('window'), ('data'),
+                       ('batch'), ('zzz_absent')) v(value)),
+            probes AS (
+              SELECT value, d, bucket FROM (
+                SELECT value, 0 AS d,
+                       CAST({_MD5_HEX60} AS BIGINT) % 512 AS bucket
+                FROM (SELECT value, md5('0:' || value) AS h FROM cand)
+                UNION ALL
+                SELECT value, 1,
+                       CAST({_MD5_HEX60} AS BIGINT) % 512
+                FROM (SELECT value, md5('1:' || value) AS h FROM cand)
+                UNION ALL
+                SELECT value, 2,
+                       CAST({_MD5_HEX60} AS BIGINT) % 512
+                FROM (SELECT value, md5('2:' || value) AS h FROM cand)))
+            SELECT p.value,
+                   CAST(min(COALESCE(r.c, 0)) AS BIGINT) AS est_count
+            FROM probes p
+            LEFT JOIN regs r ON r.d = p.d AND r.bucket = p.bucket
+            GROUP BY p.value
         """,
         # PageRank: the same 8 damped iterations unrolled as chained CTEs
         "pagerank": _pagerank_sql(8),

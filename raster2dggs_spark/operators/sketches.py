@@ -117,3 +117,45 @@ def hll_distinct(df: DataFrame, group_cols: list, value_col: str,
                  F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
            .otherwise(raw)
     return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def cms_frequencies(df: DataFrame, value_col: str,
+                    candidates: DataFrame, cand_col: str = "value",
+                    width: int = 1024, depth: int = 4) -> DataFrame:
+    """Count-Min frequency estimates (Cormode & Muthukrishnan 2005)
+    for a candidate value set — the heavy-hitter / frequency-cap
+    sketch, built like the others from salted md5 so the REGISTERS are
+    cross-engine reproducible.
+
+    ``depth`` independent rows of ``width`` counters: row d hashes
+    ``md5("<d>:" || value) % width``; an item's estimate is the MIN of
+    its ``depth`` counters — always >= the true count, within
+    eN/width with probability 1 - (1/2)^depth.  One groupBy builds all
+    registers (depth x width rows total, map-side combinable); the
+    candidate lookup is a join against that tiny table.  Candidates
+    are explicit because a CMS cannot enumerate keys — pair with
+    :func:`kmv_distinct`/top-k for discovery.  Output: (value,
+    est_count)."""
+    def bucket(col, d):
+        h = F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"{d}:"), col.cast("string"))), 1, 15),
+            16, 10).cast("long")
+        return F.pmod(h, F.lit(width))
+
+    regs = None
+    for d in range(depth):
+        r = df.select(F.lit(d).alias("d"),
+                      bucket(F.col(value_col), d).alias("b"))
+        regs = r if regs is None else regs.unionByName(r)
+    counters = regs.groupBy("d", "b").agg(
+        F.count(F.lit(1)).alias("c"))
+    probes = None
+    for d in range(depth):
+        p = candidates.select(F.col(cand_col).alias("value"),
+                              F.lit(d).alias("d"),
+                              bucket(F.col(cand_col), d).alias("b"))
+        probes = p if probes is None else probes.unionByName(p)
+    return (probes.join(counters, ["d", "b"], "left")
+            .groupBy("value")
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                 .cast("long").alias("est_count")))

@@ -48,3 +48,37 @@ def test_hll_p_validation(spark):
     df, _ = _df(spark, per_group=(10,), n_groups=1)
     with pytest.raises(ValueError):
         hll_distinct(df, ["grp"], "val", p=2)
+
+
+def test_cms_overestimates_and_is_tight_when_wide(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.sketches import cms_frequencies
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream over 200 keys
+    keys = rng.zipf(1.5, 20000) % 200
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": keys.astype("int64")}))
+    truth = pd.Series(keys).value_counts()
+    cands = spark.createDataFrame(
+        pd.DataFrame({"value": truth.index[:20].astype("int64")}))
+    est = (cms_frequencies(df, "v", cands, width=4096, depth=4)
+           .toPandas().set_index("value").est_count)
+    for k in truth.index[:20]:
+        t = truth[k]
+        assert est[k] >= t                     # CMS never undercounts
+        assert est[k] <= t + 2 * len(keys) / 4096 + 1
+
+
+def test_cms_absent_key_zero_when_no_collision(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.sketches import cms_frequencies
+
+    df = spark.createDataFrame(pd.DataFrame({"v": ["a", "b", "a"]}))
+    cands = spark.createDataFrame(
+        pd.DataFrame({"value": ["a", "b", "zzz"]}))
+    est = (cms_frequencies(df, "v", cands, width=65536, depth=4)
+           .toPandas().set_index("value").est_count)
+    assert est["a"] == 2 and est["b"] == 1 and est["zzz"] == 0
