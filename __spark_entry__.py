@@ -582,6 +582,28 @@ def q_dbscan(spark, sf_dir):
         F.col("cluster").cast("long").alias("cluster"))
 
 
+def q_hilbert_key(spark, sf_dir):
+    """Hilbert clustering keys (round 7, functions/hilbert.py — the
+    Delta ZORDER-class data-layout feature, Hilbert variant): the
+    xy2d walk unrolled as one narrow select per bit level (naive
+    expression nesting would blow up 4^order-fold — same reason the
+    oracle twin is a generated CTE CHAIN).  Customer cells at geohash
+    precision 3 (lattice 256x128, order 8); keys are bijective and
+    rook-continuous (pytest) and hash-match the SQL chain exactly."""
+    from raster2dggs_spark.functions.hilbert import with_hilbert_key
+    from raster2dggs_spark.operators.focal import lattice_indices
+    from raster2dggs_spark.operators.joins import index_points
+
+    pts = _customer_points(spark, sf_dir)
+    cells = (index_points(pts, res=3, dggs="geohash")
+             .select("cell").distinct())
+    g = lattice_indices(cells, "cell", "geohash")
+    out = with_hilbert_key(g, "gx", "gy", 8)
+    return out.select(F.col("gx").cast("long").alias("gx"),
+                      F.col("gy").cast("long").alias("gy"),
+                      F.col("hkey").cast("long").alias("hkey"))
+
+
 def q_focal_mean_geohash(spark, sf_dir):
     """Focal (3x3 Chebyshev window) mean on the geohash lattice
     (round 7, operators/focal.py:focal_lattice) — raster map algebra's
@@ -3667,6 +3689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hilbert_key": q_hilbert_key,
         "pii_stats": q_pii_stats,
         "dup_span_coverage": q_dup_span_coverage,
         "dedup_exact": q_dedup_exact,
@@ -5398,6 +5421,27 @@ def oracle_sql() -> dict[str, str]:
              AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
             GROUP BY z.poly_id
         """,
+        # Hilbert: the generated per-bit-level CTE chain over the proven
+        # geohash quantization
+        "hilbert_key": (lambda _ctes: f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL}),
+            q AS (
+              SELECT DISTINCT
+                     CAST(floor(least(greatest((lon + 180.0) / 360.0,
+                                               0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                                * 256.0) AS BIGINT) AS gx,
+                     CAST(floor(least(greatest((lat + 90.0) / 180.0,
+                                               0.0),
+                                      {repr(__import__('math').nextafter(1.0, 0.0))})
+                                * 128.0) AS BIGINT) AS gy
+              FROM p),
+            hbase AS (SELECT gx, gy, gx AS hx, gy AS hy FROM q),
+            {_ctes[0]}
+            SELECT gx, gy, CAST(hd AS BIGINT) AS hkey FROM {_ctes[1]}
+        """)(__import__('raster2dggs_spark.functions.hilbert',
+                        fromlist=['hilbert_sql_ctes'])
+             .hilbert_sql_ctes("hbase", ["gx", "gy"], 8)),
         # CMS: identical salted-md5 registers (3 rows x 512 counters),
         # estimate = min over rows, absent candidates 0
         "cms_heavy_hitters": f"""
