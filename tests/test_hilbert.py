@@ -1,5 +1,7 @@
 """Hilbert clustering keys (functions/hilbert.py)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -93,3 +95,57 @@ def test_order_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"gx": [0], "gy": [0]}))
     with pytest.raises(ValueError):
         with_hilbert_key(df, "gx", "gy", 0)
+
+
+def test_clustered_write_prunes_files(spark, tmp_path):
+    # end-to-end evidence for the layout claim: write the same lattice
+    # hilbert-sorted vs hash-shuffled, read parquet footer min/max for
+    # (gx, gy), count files a small bbox query would have to open
+    import pyarrow.parquet as pq
+
+    n = 128
+    pdf = pd.DataFrame([(x, y) for x in range(n) for y in range(n)],
+                       columns=["gx", "gy"])
+    df = with_hilbert_key(spark.createDataFrame(pdf), "gx", "gy", 7)
+    clustered = str(tmp_path / "clustered")
+    shuffled = str(tmp_path / "shuffled")
+    (df.repartitionByRange(16, "hkey").sortWithinPartitions("hkey")
+       .write.parquet(clustered))
+    df.repartition(16).write.parquet(shuffled)
+
+    def files_touched(path, x0, y0, w):
+        hit = total = 0
+        for fn in os.listdir(path):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, fn)).metadata
+            mn = {"gx": None, "gy": None}
+            mx = {"gx": None, "gy": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mn:
+                        st = col.statistics
+                        mn[name] = (st.min if mn[name] is None
+                                    else min(mn[name], st.min))
+                        mx[name] = (st.max if mx[name] is None
+                                    else max(mx[name], st.max))
+            total += 1
+            if not (mx["gx"] < x0 or mn["gx"] >= x0 + w
+                    or mx["gy"] < y0 or mn["gy"] >= y0 + w):
+                hit += 1
+        return hit, total
+
+    rng = np.random.default_rng(1)
+    ch = sh = 0
+    for _ in range(10):
+        x0 = int(rng.integers(0, n - 8))
+        y0 = int(rng.integers(0, n - 8))
+        c, ct = files_touched(clustered, x0, y0, 8)
+        s, st_ = files_touched(shuffled, x0, y0, 8)
+        ch += c
+        sh += s
+    # a hash-shuffled layout overlaps (nearly) every file every time;
+    # the clustered layout opens a small fraction
+    assert ch < sh / 3, (ch, sh)
