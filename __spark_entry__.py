@@ -1407,6 +1407,37 @@ def q_terrain_indices(spark, sf_dir):
              .agg(*aggs)
 
 
+def q_solar(spark, sf_dir):
+    """Instantaneous clear-sky direct irradiance (round 7,
+    operators/terrain.py solar_cells — the r.sun beam component at one
+    sun position): Lambert incidence on the Horn slope/aspect, zeroed
+    where the west horizon rises above a 40-degree sun.  Egg-carton
+    fixture; the oracle recomputes Horn via the 8-way weighted
+    neighbour join (integer weighted sums are exact, so /8 and /pitch
+    associate identically), the sun-ray horizon via the same-row
+    self-join, and the identical trig composition; per-image
+    aggregates rounded 4dp."""
+    from raster2dggs_spark.operators.terrain import solar_cells
+    from raster2dggs_spark.sources.images import (
+        IMAGE_SCHEMA, generate_basin_images_pdf,
+    )
+
+    imgs = spark.createDataFrame(generate_basin_images_pdf(12),
+                                 IMAGE_SCHEMA)
+    px = solar_cells(imgs, sun_dir="w", altitude_deg=40.0, s0=1000.0,
+                     res=7, keep_image_id=True)
+    img = F.substring("image_id", 11, 8).cast("long").alias("img")
+    return (px.select(img, "cos_inc", "shadowed", "direct")
+            .groupBy("img")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_px"),
+                 F.sum(F.col("shadowed").cast("long")).cast("long")
+                 .alias("n_shadowed"),
+                 _r4(F.sum("cos_inc")).alias("sum_cos_inc"),
+                 _r4(F.min("cos_inc")).alias("min_cos_inc"),
+                 _r4(F.max("cos_inc")).alias("max_cos_inc"),
+                 _r4(F.sum("direct")).alias("sum_direct")))
+
+
 def q_zonal_geometry(spark, sf_dir):
     """Zonal geometry (round 7, operators/focal.py zonal_geometry —
     ArcGIS ZonalGeometry): per zone, cell-count area, rook-edge
@@ -3660,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed": q_viewshed,
         "zonal_geometry": q_zonal_geometry,
         "terrain_indices": q_terrain_indices,
+        "solar": q_solar,
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
@@ -6238,6 +6270,76 @@ def oracle_sql() -> dict[str, str]:
         """,
         # min-id per equal-class rook component by recursive transitive
         # closure over the same-class edges; NULL-class holes left-join
+        # solar: Horn via weighted 8-neighbour join (integer sums exact),
+        # sun-ray horizon via same-row self-join, identical trig chain
+        "solar": """
+            WITH imgs AS (
+              SELECT i, 12 + (i * 5) % 7 AS w, 12 + (i * 3) % 7 AS h,
+                     CAST(50 + 10 * ((i * 7) % 8) AS DOUBLE) AS px,
+                     1 + i % 3 AS s
+              FROM range(12) t(i)),
+            zt AS (
+              SELECT i, r, c, m.w, m.h, m.px,
+                     CAST(((3*r*r + 5*c*c + 7*r*c + i) % 31) * s
+                          AS BIGINT) AS z
+              FROM imgs m, range(0, 18) rr(r), range(0, 18) cc(c)
+              WHERE r < m.h AND c < m.w),
+            horn AS (
+              SELECT a.i, a.r, a.c, a.z, a.px,
+                     sum(b.z * (b.c - a.c)
+                         * CASE WHEN b.r = a.r THEN 2 ELSE 1 END)
+                       AS scol,
+                     sum(b.z * (b.r - a.r)
+                         * CASE WHEN b.c = a.c THEN 2 ELSE 1 END)
+                       AS srow
+              FROM zt a JOIN zt b
+                ON b.i = a.i AND abs(b.r - a.r) <= 1
+               AND abs(b.c - a.c) <= 1
+               AND NOT (b.r = a.r AND b.c = a.c)
+              WHERE a.r BETWEEN 1 AND a.h - 2
+                AND a.c BETWEEN 1 AND a.w - 2
+              GROUP BY a.i, a.r, a.c, a.z, a.px),
+            pq2 AS (
+              SELECT i, r, c, z, px,
+                     (scol / 8.0) / px AS p,
+                     -(srow / 8.0) / px AS q
+              FROM horn),
+            slp AS (
+              SELECT *,
+                     radians(degrees(atan(sqrt(p * p + q * q)))) AS sr,
+                     CASE WHEN p = 0 AND q = 0 THEN NULL
+                          ELSE fmod(degrees(atan2(-p, -q)) + 360.0,
+                                    360.0) END AS aspect
+              FROM pq2),
+            ray AS (
+              SELECT a.i, a.r, a.c,
+                     max((b.z - a.z) / ((a.c - b.c) * a.px)) AS tanw
+              FROM slp a JOIN zt b
+                ON b.i = a.i AND b.r = a.r AND b.c < a.c
+              GROUP BY a.i, a.r, a.c),
+            pxl AS (
+              SELECT s2.i,
+                     cos(radians(90.0 - 40.0)) * cos(s2.sr)
+                     + sin(radians(90.0 - 40.0)) * sin(s2.sr)
+                     * CASE WHEN s2.aspect IS NULL THEN 1.0
+                            ELSE cos(radians(270.0)
+                                     - radians(s2.aspect)) END
+                       AS cos_inc,
+                     CASE WHEN ray.tanw > tan(radians(40.0))
+                          THEN 1 ELSE 0 END AS shadowed
+              FROM slp s2
+              JOIN ray ON ray.i = s2.i AND ray.r = s2.r
+                      AND ray.c = s2.c)
+            SELECT i AS img, CAST(count(*) AS BIGINT) AS n_px,
+                   CAST(sum(shadowed) AS BIGINT) AS n_shadowed,
+                   round(sum(cos_inc), 4) AS sum_cos_inc,
+                   round(min(cos_inc), 4) AS min_cos_inc,
+                   round(max(cos_inc), 4) AS max_cos_inc,
+                   round(sum(1000.0 * greatest(0.0, cos_inc)
+                             * CASE WHEN shadowed = 1 THEN 0.0
+                                    ELSE 1.0 END), 4) AS sum_direct
+            FROM pxl GROUP BY i
+        """,
         # TPI/TRI/roughness: 8-way neighbour join over the closed-form z;
         # every index is an exact multiple of 1/8 so sums are order-free
         "terrain_indices": """

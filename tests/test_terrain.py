@@ -620,3 +620,54 @@ def test_flow_length_cells_metric(spark):
         want = (g.n_ew * px + g.n_ns * px
                 + g.n_diag * np.sqrt(px * px + px * px))
         assert np.allclose(g.flow_len_m, want, rtol=0, atol=0)
+
+
+def test_solar_scan_composition_and_shadows():
+    import numpy as np
+
+    from raster2dggs_spark.operators.terrain import (
+        horizon_scan, horn_derivatives, solar_scan,
+    )
+
+    rng = np.random.default_rng(21)
+    z = rng.integers(0, 20, (12, 14)).astype(np.float32)
+    affine = (30.0, 0.0, 0.0, 0.0, -30.0, 0.0)
+    ci, sh, di = solar_scan(z, affine, "EPSG:3857", "w", 40.0, 1000.0)
+    slope, aspect, _ = horn_derivatives(z, affine, "EPSG:3857")
+    tans = horizon_scan(z, affine, "EPSG:3857", ("w",))["w"][1:-1, 1:-1]
+    want_sh = tans > np.tan(np.radians(40.0))
+    assert (sh == want_sh).all()
+    zen = np.radians(50.0)
+    sr = np.radians(slope)
+    flat = np.isnan(aspect)
+    want_ci = (np.cos(zen) * np.cos(sr) + np.sin(zen) * np.sin(sr)
+               * np.where(flat, 1.0,
+                          np.cos(np.radians(270.0)
+                                 - np.radians(aspect))))
+    assert np.allclose(ci, want_ci, equal_nan=True)
+    assert (di[sh] == 0).all()
+    lit = ~sh & (ci > 0)
+    assert np.allclose(di[lit], 1000.0 * ci[lit])
+    # flat unshadowed ground under a 40-degree sun: cos(50 deg)
+    zf = np.zeros((8, 8), np.float32)
+    cif, shf, dif = solar_scan(zf, affine, "EPSG:3857", "w", 40.0, 1.0)
+    assert not shf.any()
+    assert np.allclose(cif, np.cos(np.radians(50.0)))
+
+
+def test_solar_wall_casts_shadow():
+    import numpy as np
+
+    from raster2dggs_spark.operators.terrain import solar_scan
+
+    # tall wall on the west edge: pixels to its east (within the
+    # shadow length for a 40-degree sun) go dark
+    z = np.zeros((5, 12), np.float32)
+    z[:, 1] = 1000.0                      # 1000 m wall, 30 m pixels
+    ci, sh, di = solar_scan(z, (30.0, 0.0, 0.0, 0.0, -30.0, 0.0),
+                            "EPSG:3857", "w", 40.0, 1.0)
+    # interior col j corresponds to full-tile col j+1; wall at tile
+    # col 1 is interior col 0 — everything east of it is shadowed
+    # (1000/30 >> tan(40) at every in-tile distance)
+    assert sh[:, 1:].all()
+    assert (di[:, 1:] == 0).all()
