@@ -293,6 +293,64 @@ def q_class_fractions(spark, sf_dir):
     )
 
 
+def q_crosstab(spark, sf_dir):
+    """Categorical cross-tabulation (GRASS r.coin / ArcGIS Combine):
+    two md5-classified layers on the 4x16x16 lattice — layer a with
+    nulls (excluded) and integer-valued area weights, layer b with
+    holes (inner join drops them) — tallied per (class_a, class_b)
+    with joint area and share.  Oracle replays the same md5 arithmetic
+    over generate_series."""
+    from raster2dggs_spark.operators.aggregates import crosstab_cells
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"),
+        F.col("id").alias("pid"))
+
+    def _h(salt):
+        return F.md5(F.concat_ws(
+            ":", F.lit(salt), F.col("img").cast("string"),
+            F.col("x").cast("string"), F.col("y").cast("string")))
+
+    def _hex(h, off):
+        return F.conv(F.substring(h, off, 8), 16, 10).cast("long")
+
+    ha, hb = _h("xa"), _h("xb")
+    la = base.select(
+        F.col("pid").alias("cell"),
+        F.when(_hex(ha, 9) % 19 != 0, _hex(ha, 1) % 5).alias("class_a"),
+        (1 + _hex(ha, 9) % 1000).cast("double").alias("area"))
+    lb = (base.where(_hex(hb, 9) % 23 != 0)
+          .select(F.col("pid").alias("cell"),
+                  (_hex(hb, 1) % 4).alias("class_b")))
+    return crosstab_cells(la, lb, "cell", weight="area")
+
+
+def q_simplify_lines(spark, sf_dir):
+    """Ramer-Douglas-Peucker polyline simplification on an 80-line
+    integer fixture (zigzag + gentle-ramp + closed-ring families,
+    eps=3): every keep/drop decision is exact int64 arithmetic
+    (cross^2 vs eps^2*len2), so the DuckDB twin replays the identical
+    split tree as 16 unrolled CTE levels (max_by argmax, smallest-seq
+    ties) and must agree bit-for-bit."""
+    from raster2dggs_spark.operators.vector import simplify_lines
+
+    base = spark.range(80).selectExpr("id AS l").crossJoin(
+        spark.range(17).selectExpr("id AS i"))
+    pts = (base
+           .selectExpr("l", "i",
+                       "CASE WHEN l % 10 = 0 AND i = 16 THEN 0 ELSE i END"
+                       " AS j")
+           .selectExpr(
+               "l AS line_id", "i AS seq",
+               "j * 8 + (l * 7 + j * 3) % 5 AS x",
+               "CASE WHEN l % 3 = 1 THEN (j * (l % 7)) DIV 4 - 9 "
+               "ELSE (j * j * 11 + l * 13) % 37 - 18 END AS y"))
+    return simplify_lines(pts, 3.0)
+
+
 def q_vct(spark, sf_dir):
     from raster2dggs_spark.operators.aggregates import valid_coverage_threshold
 
@@ -1083,6 +1141,53 @@ def q_horizon_angles(spark, sf_dir):
         ]
     return (px.select(img, *[f"tan_{d}" for d in dirs])
             .groupBy("img").agg(*aggs))
+
+
+def q_least_cost_path(spark, sf_dir):
+    """Least-cost path backtrace (GRASS r.drain / ArcGIS CostPath,
+    operators/costdist.py least_cost_path): same md5 cost fixture as
+    cost_distance, target = the (15,15) corner of each image, traced
+    back to the nearest source by exact predecessor equality
+    (dist(p) + w(p,c) == dist(c), ties to min pid) with pointer
+    doubling.  Oracle: the cost_distance reach CTE -> relational
+    predecessor table -> recursive walk."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.costdist import least_cost_path
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    fix = base.select(
+        "img", "x", "y",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 9 + 1)
+        .cast("double").alias("cost"),
+        ((F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 53 == 0)
+         | ((F.col("x") == 0) & (F.col("y") == 0))).alias("is_src"),
+        ((F.col("x") == 15) & (F.col("y") == 15)).alias("is_tgt"),
+        (F.col("img") * 256 + F.col("y") * 16 + F.col("x")).alias("pid"))
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = fix.withColumn(
+        "cell", qk_cell(F.lit(8) + F.col("img") * 32 + F.col("x"),
+                        F.lit(40) + F.col("y")))
+    out = least_cost_path(cells, cost_col="cost", source_col="is_src",
+                          target_col="is_tgt", id_col="pid",
+                          dggs="quadkey", block_bits=3)
+    return out.selectExpr(
+        "CAST(tgt AS BIGINT) AS tgt", "pid DIV 256 AS img",
+        "pid % 16 AS x", "(pid % 256) DIV 16 AS y",
+        "CAST(dist AS BIGINT) AS dist", "CAST(step AS BIGINT) AS step")
 
 
 def q_cost_corridor(spark, sf_dir):
@@ -2160,6 +2265,17 @@ def q_doc_fingerprint(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return fingerprint(d, "doc_id", "text")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """LM-pretraining sequence packing: concat-and-chunk layout of the
+    document token stream into fixed 512-token sequences over 16
+    md5-sharded streams — per-doc (shard, offsets, spanned sequences).
+    Pure window prefix-sum arithmetic; DuckDB twin is the same window."""
+    from raster2dggs_spark.operators.text import pack_token_stream
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_token_stream(d, "doc_id", "text", seq_len=512, shards=16)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -3663,6 +3779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mass_preserve_sum": q_mass_preserve_sum,
         "majority_by_weight": q_majority_by_weight,
         "class_fractions": q_class_fractions,
+        "crosstab": q_crosstab,
+        "simplify_lines": q_simplify_lines,
         "vct": q_vct,
         "decimals": q_decimals,
         "dedupe_first": q_dedupe_first,
@@ -3679,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_flow": q_d8_flow,
         "flow_accumulation": q_flow_accumulation,
         "cost_distance": q_cost_distance,
+        "least_cost_path": q_least_cost_path,
         "cost_allocation": q_cost_allocation,
         "cost_corridor": q_cost_corridor,
         "euclid_distance": q_euclid_distance,
@@ -3733,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
+        "pack_sequences": q_pack_sequences,
         "dedup_components": q_dedup_components,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curate_docs": q_curate_docs,
@@ -4037,6 +4157,38 @@ def _hash_split_sql(buckets: int = 10_000) -> str:
                     WHEN bucket < {int(round(0.95 * buckets))} THEN 'val'
                     ELSE 'test' END AS split
         FROM b
+    """
+
+
+def _pack_sql(seq_len: int = 512, shards: int = 16) -> str:
+    hexval = " + ".join(
+        f"(strpos('0123456789abcdef', substr(mk, {i}, 1)) - 1) "
+        f"* {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, md5('pack:' || CAST(doc_id AS VARCHAR)) AS mk,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                      AS BIGINT) AS n_tokens
+          FROM documents),
+        s AS (SELECT *, ({hexval}) % {shards} AS shard FROM t),
+        c AS (SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY mk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS e
+              FROM s)
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+               CAST(e - n_tokens AS BIGINT) AS start_tok,
+               CAST((e - n_tokens) // {seq_len} AS BIGINT) AS first_seq,
+               CAST(greatest(e - n_tokens, e - 1) // {seq_len} AS BIGINT)
+                   AS last_seq,
+               CAST(CASE WHEN n_tokens > 0 THEN
+                      greatest(e - n_tokens, e - 1) // {seq_len}
+                      - (e - n_tokens) // {seq_len} + 1
+                    ELSE 0 END AS BIGINT) AS n_seqs
+        FROM c
     """
 
 
@@ -5073,6 +5225,68 @@ _MD5_HEX2 = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {8 + i}, 1)) - 1) * {16 ** (8 - i)}"
     for i in range(1, 9))
 
+def _simplify_sql(eps2: int = 9, levels: int = 16) -> str:
+    """Unrolled Douglas-Peucker twin: level k holds the alive segments
+    at split depth k; each level picks the max-deviation interior
+    vertex (max_by key = m*1024 + (1023-seq): primary exact integer
+    deviation metric, smallest seq on ties) and either finalizes the
+    segment or emits its two children.  17-vertex lines terminate
+    within 15 levels; level 16 is a defensive leftover union."""
+    parts = ["""
+        WITH pts AS (
+          SELECT l AS line_id, i AS seq,
+                 j * 8 + (l * 7 + j * 3) % 5 AS x,
+                 CASE WHEN l % 3 = 1 THEN (j * (l % 7)) // 4 - 9
+                      ELSE (j * j * 11 + l * 13) % 37 - 18 END AS y
+          FROM (SELECT l, i,
+                       CASE WHEN l % 10 = 0 AND i = 16 THEN 0 ELSE i END
+                           AS j
+                FROM range(80) t(l) CROSS JOIN range(17) s(i))),
+        a0 AS MATERIALIZED (SELECT DISTINCT line_id, 0 AS s, 16 AS e FROM pts)"""]
+    cross2 = ("((p2.x-p1.x)*(v.y-p1.y)-(p2.y-p1.y)*(v.x-p1.x))"
+              " * ((p2.x-p1.x)*(v.y-p1.y)-(p2.y-p1.y)*(v.x-p1.x))")
+    len2 = "(p2.x-p1.x)*(p2.x-p1.x)+(p2.y-p1.y)*(p2.y-p1.y)"
+    dist2 = "(v.x-p1.x)*(v.x-p1.x)+(v.y-p1.y)*(v.y-p1.y)"
+    for k in range(levels):
+        parts.append(f""",
+        d{k} AS MATERIALIZED (
+          SELECT a.line_id, a.s, a.e, v.seq,
+                 CASE WHEN {len2} = 0 THEN {dist2}
+                      ELSE {cross2} END AS m,
+                 CASE WHEN {len2} = 0 THEN {eps2}
+                      ELSE {eps2} * ({len2}) END AS thr
+          FROM a{k} a
+          JOIN pts p1 ON p1.line_id = a.line_id AND p1.seq = a.s
+          JOIN pts p2 ON p2.line_id = a.line_id AND p2.seq = a.e
+          JOIN pts v  ON v.line_id = a.line_id
+                     AND v.seq > a.s AND v.seq < a.e),
+        b{k} AS MATERIALIZED (SELECT line_id, s, e,
+                        max_by(seq, m * 1024 + (1023 - seq)) AS b,
+                        max(m) AS mmax, max(thr) AS thr
+                 FROM d{k} GROUP BY line_id, s, e),
+        f{k} AS MATERIALIZED (SELECT a.line_id, a.s, a.e
+                 FROM a{k} a LEFT JOIN b{k} b
+                   ON b.line_id = a.line_id AND b.s = a.s AND b.e = a.e
+                 WHERE b.b IS NULL OR b.mmax <= b.thr),
+        a{k + 1} AS MATERIALIZED (
+          SELECT line_id, s, b AS e FROM b{k} WHERE mmax > thr
+          UNION ALL
+          SELECT line_id, b AS s, e FROM b{k} WHERE mmax > thr)""")
+    finals = "\n                 UNION ALL ".join(
+        f"SELECT line_id, s, e FROM f{k}" for k in range(levels))
+    parts.append(f""",
+        allf AS MATERIALIZED ({finals}
+                 UNION ALL SELECT line_id, s, e FROM a{levels}),
+        kept AS (SELECT line_id, s AS seq FROM allf
+                 UNION SELECT line_id, e AS seq FROM allf)
+        SELECT CAST(p.line_id AS BIGINT) AS line_id,
+               CAST(p.seq AS BIGINT) AS seq,
+               CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y
+        FROM kept k JOIN pts p
+          ON p.line_id = k.line_id AND p.seq = k.seq""")
+    return "".join(parts)
+
+
 def _pagerank_sql(iters: int = 8) -> str:
     """Unrolled-iteration PageRank twin (chained CTEs, float
     association matching operators/graph.py pagerank exactly)."""
@@ -5252,6 +5466,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_orderpriority IS NOT NULL
                 GROUP BY o_orderstatus, o_orderpriority
             ) WHERE rn = 1
+        """,
+        "crosstab": f"""
+            WITH base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y, i AS pid
+              FROM range(1024) t(i)),
+            ra AS (SELECT pid,
+                          md5('xa:' || CAST(img AS VARCHAR) || ':' ||
+                              CAST(x AS VARCHAR) || ':' ||
+                              CAST(y AS VARCHAR)) AS h
+                   FROM base),
+            rb AS (SELECT pid,
+                          md5('xb:' || CAST(img AS VARCHAR) || ':' ||
+                              CAST(x AS VARCHAR) || ':' ||
+                              CAST(y AS VARCHAR)) AS h
+                   FROM base),
+            la AS (SELECT pid,
+                          CASE WHEN ({_MD5_HEX2}) % 19 = 0 THEN NULL
+                               ELSE ({_MD5_HEX1}) % 5 END AS class_a,
+                          CAST(1 + ({_MD5_HEX2}) % 1000 AS DOUBLE) AS w
+                   FROM ra),
+            lb AS (SELECT pid, ({_MD5_HEX1}) % 4 AS class_b
+                   FROM rb WHERE ({_MD5_HEX2}) % 23 <> 0),
+            j AS (SELECT class_a, class_b, count(*) AS n_cells,
+                         sum(w) AS jw
+                  FROM la JOIN lb USING (pid)
+                  WHERE class_a IS NOT NULL
+                  GROUP BY class_a, class_b),
+            t AS (SELECT sum(jw) AS tot FROM j)
+            SELECT CAST(class_a AS BIGINT) AS class_a,
+                   CAST(class_b AS BIGINT) AS class_b,
+                   CAST(n_cells AS BIGINT) AS n_cells,
+                   round(jw, 4) AS joint_weight,
+                   round(jw / tot, 6) AS share
+            FROM j CROSS JOIN t
         """,
         "class_fractions": """
             WITH g AS (
@@ -5859,6 +6108,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "hash_split": _hash_split_sql(10_000),
+        "pack_sequences": _pack_sql(512, 16),
+        "simplify_lines": _simplify_sql(9, 16),
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _decontaminate_sql(4, 10_000),
         "curate_docs": _curate_sql(0.5, 10_000),
@@ -6166,6 +6417,69 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.d + e.w < 600)
             SELECT img, x, y, CAST(MIN(d) AS BIGINT) AS dist
             FROM reach GROUP BY img, x, y
+        """,
+        # backtrace: reach CTE -> settled surface -> relational
+        # predecessor table (exact witness equality, min-pid ties) ->
+        # recursive walk from each (15,15) target to its source
+        "least_cost_path": f"""
+            WITH RECURSIVE
+            base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            raw AS (
+              SELECT img, x, y, ({_MD5_HEX1}) % 9 + 1 AS cost,
+                     ((({_MD5_HEX2}) % 53) = 0 OR (x = 0 AND y = 0))
+                       AS is_src
+              FROM base),
+            edges AS (
+              SELECT a.img AS img, a.x AS ax, a.y AS ay,
+                     b.x AS bx, b.y AS by,
+                     (a.cost + b.cost) *
+                     (CASE WHEN a.x = b.x OR a.y = b.y THEN 5 ELSE 7 END)
+                       AS w
+              FROM raw a JOIN raw b
+                ON a.img = b.img AND abs(a.x - b.x) <= 1
+               AND abs(a.y - b.y) <= 1
+               AND NOT (a.x = b.x AND a.y = b.y)),
+            reach(img, x, y, d) AS (
+              SELECT img, x, y, CAST(0 AS BIGINT) FROM raw WHERE is_src
+              UNION
+              SELECT e.img, e.bx, e.by, r.d + e.w
+              FROM reach r
+              JOIN edges e ON e.img = r.img AND e.ax = r.x AND e.ay = r.y
+              WHERE r.d + e.w < 600),
+            mdp AS (
+              SELECT m.img, m.x, m.y, MIN(m.d) AS d,
+                     m.img * 256 + m.y * 16 + m.x AS pid,
+                     bool_or(r.is_src) AS is_src
+              FROM reach m JOIN raw r
+                ON r.img = m.img AND r.x = m.x AND r.y = m.y
+              GROUP BY m.img, m.x, m.y),
+            nxt AS (
+              SELECT c.pid AS u, MIN(p.pid) AS v
+              FROM mdp c
+              JOIN edges e ON e.img = c.img AND e.bx = c.x AND e.by = c.y
+              JOIN mdp p ON p.img = e.img AND p.x = e.ax AND p.y = e.ay
+              WHERE NOT c.is_src AND p.d + e.w = c.d
+              GROUP BY c.pid),
+            walk(tgt, pid, d, step) AS (
+              SELECT pid, pid, d, 0 FROM mdp WHERE x = 15 AND y = 15
+              UNION ALL
+              SELECT w.tgt, n.v, m2.d, w.step + 1
+              FROM walk w
+              JOIN nxt n ON n.u = w.pid
+              JOIN mdp m2 ON m2.pid = n.v)
+            SELECT CAST(tgt AS BIGINT) AS tgt,
+                   CAST(pid // 256 AS BIGINT) AS img,
+                   CAST(pid % 16 AS BIGINT) AS x,
+                   CAST((pid % 256) // 16 AS BIGINT) AS y,
+                   CAST(d AS BIGINT) AS dist,
+                   CAST(step AS BIGINT) AS step
+            FROM walk
         """,
         # allocation: carry the source id through the CTE; the winner is
         # the lex-min (cost, id) — MIN(id) over rows at the minimal cost

@@ -398,3 +398,39 @@ def pack_fractions(df: DataFrame, keys: list[str], class_col: str = "class",
             F.col("__p.f").alias("fractions"),
         ).alias(out),
     )
+
+
+def crosstab_cells(a: DataFrame, b: DataFrame, cell_col: str = "cell",
+                   a_class: str = "class_a", b_class: str = "class_b",
+                   weight: str | None = None) -> DataFrame:
+    """Categorical cross-tabulation of two cell-indexed class layers —
+    the GRASS ``r.coin`` / ArcGIS Combine + Tabulate Area workflow
+    re-expressed relationally: inner-join the layers on the cell key,
+    then tally per (class_a, class_b) pair the joint cell count, the
+    joint weight (cell area if ``weight`` names an area column on layer
+    ``a``), and each pair's share of the joint total.
+
+    Scale: the join shuffles both layers on the cell key once (or AQE
+    broadcasts the smaller layer when it fits); the tally is a
+    map-side-combinable groupBy over at most |classes_a|x|classes_b|
+    rows, and the grand total rides back as a broadcast 1-row frame —
+    no window over the whole result (a count over an empty window
+    would single-task).  Null classes on either side are excluded, as
+    in r.coin (no-data cells don't coincide).
+    """
+    left = a.where(F.col(a_class).isNotNull()).select(
+        F.col(cell_col).alias("__c"), F.col(a_class).alias("class_a"),
+        (F.col(weight) if weight else F.lit(1.0)).alias("__w"))
+    right = b.where(F.col(b_class).isNotNull()).select(
+        F.col(cell_col).alias("__c"), F.col(b_class).alias("class_b"))
+    joint = (left.join(right, "__c")
+             .groupBy("class_a", "class_b")
+             .agg(F.count(F.lit(1)).alias("n_cells"),
+                  F.sum("__w").alias("joint_weight")))
+    total = joint.select(F.sum("joint_weight").alias("__tot"))
+    return (joint.crossJoin(F.broadcast(total))
+            .select("class_a", "class_b",
+                    F.col("n_cells").cast("long").alias("n_cells"),
+                    F.round("joint_weight", 4).alias("joint_weight"),
+                    F.round(F.col("joint_weight") / F.col("__tot"), 6)
+                    .alias("share")))

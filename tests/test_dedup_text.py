@@ -571,3 +571,49 @@ def test_bm25_topk_ranking(spark):
     q2 = out[out.q_id == 2].sort_values("rank")
     assert list(q2.doc_id)[0] == 3          # two cherry + one date
     assert set(q2.doc_id) == {2, 3, 4}
+
+
+def test_pack_token_stream_layout_invariants(spark):
+    """Packing layout: within each shard offsets are a gapless prefix sum
+    in md5 order; sequence spans are consistent with seq_len; zero-token
+    docs occupy no slots; and adding docs to one shard never moves docs
+    in another (subset stability)."""
+    import hashlib as _h
+
+    from raster2dggs_spark.operators.text import pack_token_stream
+
+    rows = [(i, ("tok " * (i * 7 % 23)).strip()) for i in range(60)]
+    rows.append((999, ""))  # zero-token doc
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    L, S = 16, 4
+    out = pack_token_stream(df, "doc_id", "text", seq_len=L, shards=S)
+    pdf = out.toPandas()
+
+    def mk(i):
+        return _h.md5(f"pack:{i}".encode()).hexdigest()
+
+    for sh, grp in pdf.groupby("shard"):
+        g = grp.copy()
+        g["mk"] = g.doc_id.map(mk)
+        g = g.sort_values(["mk", "doc_id"]).reset_index(drop=True)
+        # gapless prefix sum starting at 0
+        assert g.start_tok.iloc[0] == 0
+        ends = g.start_tok + g.n_tokens
+        assert (g.start_tok.iloc[1:].values == ends.iloc[:-1].values).all()
+        assert int(mk(int(g.doc_id.iloc[0]))[:8], 16) % S == sh
+    for r in pdf.itertuples():
+        assert r.first_seq == r.start_tok // L
+        if r.n_tokens > 0:
+            assert r.last_seq == (r.start_tok + r.n_tokens - 1) // L
+            assert r.n_seqs == r.last_seq - r.first_seq + 1
+        else:
+            assert r.n_seqs == 0 and r.first_seq == r.last_seq
+    # subset stability: dropping every doc in shard 0 leaves the other
+    # shards' layouts bit-identical
+    keep = pdf[pdf.shard != 0].doc_id.tolist()
+    sub = df.filter(F.col("doc_id").isin(keep))
+    pdf2 = (pack_token_stream(sub, "doc_id", "text", seq_len=L, shards=S)
+            .toPandas())
+    a = pdf[pdf.shard != 0].sort_values("doc_id").reset_index(drop=True)
+    b = pdf2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -122,3 +122,30 @@ def test_list_agg_per_band(spark):
     l1 = out["band_1"].map(len)
     l2 = out["band_2"].map(len)
     assert (l1 != l2).any()  # 15% holes per band at different pixels
+
+
+def test_crosstab_cells_known_table(spark):
+    """r.coin-style cross-tab on a hand-checkable 6-cell pair of layers:
+    inner join drops cells missing from b, null classes drop from a,
+    counts/weights/shares come out exactly."""
+    from raster2dggs_spark.operators.aggregates import crosstab_cells
+
+    a = spark.createDataFrame(
+        [(1, 0, 2.0), (2, 0, 3.0), (3, 1, 5.0), (4, 1, 1.0),
+         (5, None, 9.0), (6, 0, 4.0)],
+        "cell int, class_a int, area double")
+    b = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 10), (5, 10), (6, 10)],
+        "cell int, class_b int")  # cell 4 missing
+    out = {(r.class_a, r.class_b): r
+           for r in crosstab_cells(a, b, "cell", weight="area").collect()}
+    # survivors: (1,0,10,w2) (2,0,11,w3) (3,1,10,w5) (6,0,10,w4); total=14
+    assert set(out) == {(0, 10), (0, 11), (1, 10)}
+    assert out[(0, 10)].n_cells == 2 and out[(0, 10)].joint_weight == 6.0
+    assert out[(0, 11)].n_cells == 1 and out[(0, 11)].joint_weight == 3.0
+    assert out[(1, 10)].n_cells == 1 and out[(1, 10)].joint_weight == 5.0
+    assert abs(out[(0, 10)].share - round(6.0 / 14.0, 6)) < 1e-12
+    # unweighted path: joint_weight == n_cells
+    uw = {(r.class_a, r.class_b): r
+          for r in crosstab_cells(a, b, "cell").collect()}
+    assert all(r.joint_weight == r.n_cells for r in uw.values())
