@@ -1867,6 +1867,23 @@ def q_polygon_overlay(spark, sf_dir):
     return polygon_overlay_area(polys_a, polys_b, res=8, dggs="quadkey")
 
 
+def q_harmonic_fit(spark, sf_dir):
+    """Per-cell first-order harmonic (seasonal) regression (CCDC/HANTS
+    shape, operators/composite.py harmonic_fit_cells): 200 cells x 24
+    monthly epochs of integer-valued observations with a built-in
+    semiannual square pulse; fits a0 + a1 cos(wt) + b1 sin(wt) via
+    Cramer's rule on nine moment sums in one groupBy.  The oracle
+    mirrors every sum and the exact Cramer parenthesization."""
+    from raster2dggs_spark.operators.composite import harmonic_fit_cells
+
+    base = spark.range(200 * 24).selectExpr(
+        "id DIV 24 AS cell", "id % 24 AS ts",
+        "CAST(((id DIV 24) * 7 + (id % 24) * 13) % 23"
+        " + CASE WHEN (id % 24) % 12 < 6 THEN (id DIV 24) % 5"
+        " ELSE 0 END AS DOUBLE) AS v")
+    return harmonic_fit_cells(base, ["v"], t_col="ts", period=12.0)
+
+
 def q_trend(spark, sf_dir):
     """Per-cell OLS time-series trend over the 6x3 scene stack (round
     7, operators/composite.py:trend_cells) — the decades-of-scenes
@@ -3826,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_median": q_composite_median,
         "change_detection": q_change_detection,
         "trend": q_trend,
+        "harmonic_fit": q_harmonic_fit,
         "anomaly": q_anomaly,
         "interpolate_gaps": q_interpolate_gaps,
         "rolling_smooth": q_rolling_smooth,
@@ -6110,6 +6128,60 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql(10_000),
         "pack_sequences": _pack_sql(512, 16),
         "simplify_lines": _simplify_sql(9, 16),
+        "harmonic_fit": """
+            WITH base AS (
+              SELECT i // 24 AS cell, i % 24 AS ts,
+                     CAST(((i // 24) * 7 + (i % 24) * 13) % 23
+                          + CASE WHEN (i % 24) % 12 < 6
+                                 THEN (i // 24) % 5 ELSE 0 END
+                          AS DOUBLE) AS v
+              FROM range(4800) t(i)),
+            m AS (
+              SELECT cell, count(*) AS n_obs,
+                     sum(cos(ts * (2.0 * pi() / 12.0))) AS sc,
+                     sum(sin(ts * (2.0 * pi() / 12.0))) AS ss,
+                     sum(cos(ts * (2.0 * pi() / 12.0))
+                         * cos(ts * (2.0 * pi() / 12.0))) AS scc,
+                     sum(sin(ts * (2.0 * pi() / 12.0))
+                         * sin(ts * (2.0 * pi() / 12.0))) AS sss,
+                     sum(cos(ts * (2.0 * pi() / 12.0))
+                         * sin(ts * (2.0 * pi() / 12.0))) AS scs,
+                     sum(v) AS sv,
+                     sum(v * cos(ts * (2.0 * pi() / 12.0))) AS svc,
+                     sum(v * sin(ts * (2.0 * pi() / 12.0))) AS svs
+              FROM base GROUP BY cell),
+            k AS (
+              SELECT cell, n_obs,
+                     CAST(n_obs AS DOUBLE) * (scc * sss - scs * scs)
+                       - sc * (sc * sss - scs * ss)
+                       + ss * (sc * scs - scc * ss) AS det,
+                     sv * (scc * sss - scs * scs)
+                       - sc * (svc * sss - scs * svs)
+                       + ss * (svc * scs - scc * svs) AS d0,
+                     CAST(n_obs AS DOUBLE) * (svc * sss - scs * svs)
+                       - sv * (sc * sss - scs * ss)
+                       + ss * (sc * svs - svc * ss) AS d1,
+                     CAST(n_obs AS DOUBLE) * (scc * svs - svc * scs)
+                       - sc * (sc * svs - svc * ss)
+                       + sv * (sc * scs - scc * ss) AS d2
+              FROM m)
+            SELECT CAST(cell AS BIGINT) AS cell,
+                   CAST(n_obs AS BIGINT) AS n_obs,
+                   round(CASE WHEN abs(det) > 1e-9
+                              THEN d0 / det END, 4) AS v_a0,
+                   round(CASE WHEN abs(det) > 1e-9
+                              THEN d1 / det END, 4) AS v_a1,
+                   round(CASE WHEN abs(det) > 1e-9
+                              THEN d2 / det END, 4) AS v_b1,
+                   round(CASE WHEN abs(det) > 1e-9
+                              THEN sqrt((d1 / det) * (d1 / det)
+                                        + (d2 / det) * (d2 / det)) END, 4)
+                       AS v_amp,
+                   round(CASE WHEN abs(det) > 1e-9
+                              THEN atan2(d2 / det, d1 / det) END, 4)
+                       AS v_phase
+            FROM k
+        """,
         "repetition_stats": _REPETITION_SQL,
         "decontaminate": _decontaminate_sql(4, 10_000),
         "curate_docs": _curate_sql(0.5, 10_000),

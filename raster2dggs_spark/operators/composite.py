@@ -363,3 +363,77 @@ def composite_scenes(
     )
     return out.withColumn(
         "parent", derived_parent_col("cell", parent_res, dggs, from_res=res))
+
+
+def harmonic_fit_cells(
+    scene_cells: DataFrame,
+    value_cols: list[str],
+    t_col: str = "scene_ts",
+    period: float = 12.0,
+    key_cols: tuple[str, ...] = ("cell",),
+) -> DataFrame:
+    """Per-cell first-order harmonic (seasonal) regression — the
+    CCDC / HANTS-class phenology fit EO archives run over the scene
+    stack:  v ~= a0 + a1*cos(2*pi*t/period) + b1*sin(2*pi*t/period).
+    Emits per band the fitted ``{c}_a0`` (mean level), ``{c}_a1`` /
+    ``{c}_b1`` (harmonic coefficients), ``{c}_amp`` (seasonal
+    amplitude) and ``{c}_phase`` (atan2(b1, a1), radians — peak
+    timing), plus ``n_obs``.
+
+    Spark-first shape: the 3x3 normal equations need only NINE moment
+    sums (shared design sums + three per band), all computed in ONE
+    map-side-combinable ``groupBy(cell)``; the solve is Cramer's rule
+    as closed-form column arithmetic after the aggregate — no window,
+    no UDF, no second pass, so the shuffle moves ~cells regardless of
+    stack depth.  Cells whose design matrix is singular (fewer than 3
+    distinct phases) emit NULL coefficients.  Outputs are rounded to
+    4 dp (cross-engine float-association rule)."""
+    import math
+
+    w = 2.0 * math.pi / float(period)
+    t = F.col(t_col).cast("double")
+    cs, sn = F.cos(t * w), F.sin(t * w)
+    aggs = [
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(cs).alias("__sc"), F.sum(sn).alias("__ss"),
+        F.sum(cs * cs).alias("__scc"), F.sum(sn * sn).alias("__sss"),
+        F.sum(cs * sn).alias("__scs"),
+    ]
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        aggs += [F.sum(v).alias(f"__sv_{c}"),
+                 F.sum(v * cs).alias(f"__svc_{c}"),
+                 F.sum(v * sn).alias(f"__svs_{c}")]
+    g = scene_cells.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+    n = F.col("n_obs").cast("double")
+    sc, ss = F.col("__sc"), F.col("__ss")
+    scc, sss, scs = F.col("__scc"), F.col("__sss"), F.col("__scs")
+    det = (n * (scc * sss - scs * scs)
+           - sc * (sc * sss - scs * ss)
+           + ss * (sc * scs - scc * ss))
+    ok = F.abs(det) > 1e-9
+    out = [*[F.col(k) for k in key_cols], F.col("n_obs")]
+    for c in value_cols:
+        sv = F.col(f"__sv_{c}")
+        svc = F.col(f"__svc_{c}")
+        svs = F.col(f"__svs_{c}")
+        d0 = (sv * (scc * sss - scs * scs)
+              - sc * (svc * sss - scs * svs)
+              + ss * (svc * scs - scc * svs))
+        d1 = (n * (svc * sss - scs * svs)
+              - sv * (sc * sss - scs * ss)
+              + ss * (sc * svs - svc * ss))
+        d2 = (n * (scc * svs - svc * scs)
+              - sc * (sc * svs - svc * ss)
+              + sv * (sc * scs - scc * ss))
+        a0, a1, b1 = d0 / det, d1 / det, d2 / det
+        out += [
+            F.round(F.when(ok, a0), 4).alias(f"{c}_a0"),
+            F.round(F.when(ok, a1), 4).alias(f"{c}_a1"),
+            F.round(F.when(ok, b1), 4).alias(f"{c}_b1"),
+            F.round(F.when(ok, F.sqrt(a1 * a1 + b1 * b1)), 4)
+            .alias(f"{c}_amp"),
+            F.round(F.when(ok, F.atan2(b1, a1)), 4).alias(f"{c}_phase"),
+        ]
+    return g.select(*out)

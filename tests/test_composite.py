@@ -256,3 +256,45 @@ def test_rolling_cells_range_frame(spark):
     assert got[3]["v_smooth"] == 40.0 and got[3]["n_in_window"] == 1
     with pytest.raises(ValueError):
         rolling_cells(df, ["v"], window=1.5)
+
+
+def test_harmonic_fit_recovers_known_signal(spark):
+    """Noiseless synthetic harmonic is recovered exactly (to the 4dp
+    edge rounding); coefficients match numpy lstsq on a noisy stack;
+    a singular design (single epoch) yields NULL coefficients."""
+    import numpy as np
+
+    from raster2dggs_spark.operators.composite import harmonic_fit_cells
+
+    w = 2.0 * np.pi / 12.0
+    rows = []
+    rng = np.random.default_rng(3)
+    truth = {0: (5.0, 2.0, -1.0), 1: (-3.0, 0.5, 4.0)}
+    noisy = {}
+    for cell, (a0, a1, b1) in truth.items():
+        for t in range(24):
+            rows.append((cell, t, float(a0 + a1 * np.cos(w * t)
+                                        + b1 * np.sin(w * t))))
+    ts = np.arange(24)
+    for cell in (2, 3):
+        v = rng.normal(0, 1, 24) + 10.0 + 3.0 * np.cos(w * ts)
+        noisy[cell] = v
+        rows += [(cell, int(t), float(v[t])) for t in ts]
+    rows += [(9, 0, 1.0), (9, 0, 2.0)]  # singular: one distinct epoch
+    df = spark.createDataFrame(rows, "cell int, ts int, v double")
+    out = {r.cell: r for r in
+           harmonic_fit_cells(df, ["v"], t_col="ts").collect()}
+    for cell, (a0, a1, b1) in truth.items():
+        r = out[cell]
+        assert abs(r.v_a0 - a0) < 1e-3 and abs(r.v_a1 - a1) < 1e-3
+        assert abs(r.v_b1 - b1) < 1e-3
+        assert abs(r.v_amp - np.hypot(a1, b1)) < 1e-3
+        assert abs(r.v_phase - np.arctan2(b1, a1)) < 1e-3
+    for cell, v in noisy.items():
+        X = np.column_stack([np.ones(24), np.cos(w * ts), np.sin(w * ts)])
+        beta = np.linalg.lstsq(X, v, rcond=None)[0]
+        r = out[cell]
+        assert abs(r.v_a0 - beta[0]) < 1e-3
+        assert abs(r.v_a1 - beta[1]) < 1e-3
+        assert abs(r.v_b1 - beta[2]) < 1e-3
+    assert out[9].v_a0 is None and out[9].n_obs == 2
