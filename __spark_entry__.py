@@ -1867,6 +1867,43 @@ def q_polygon_overlay(spark, sf_dir):
     return polygon_overlay_area(polys_a, polys_b, res=8, dggs="quadkey")
 
 
+def q_rasterize(spark, sf_dir):
+    """DGGS -> raster export (operators/regrid.py rasterize_cells, the
+    r.out.gdal inverse of stage-1 indexing): an md5-valued quadkey
+    level-7 layer over the 16x16 tile block (40..55, 40..55) is sampled
+    onto a 32x32 EPSG:3857 grid whose pixel centres sit at tile quarter
+    points (0.25 tiles from every edge — no floor-boundary float risk).
+    The oracle reduces the Web-Mercator affine + encode chain to exact
+    integer tile arithmetic: tile = 40 + p DIV 2."""
+    from raster2dggs_spark.operators.regrid import rasterize_cells
+
+    base = spark.range(256).select(
+        (40 + F.col("id") % 16).alias("tx"),
+        (40 + F.expr("id DIV 16")).alias("ty"))
+    h = F.md5(F.concat_ws(":", F.col("tx").cast("string"),
+                          F.col("ty").cast("string")))
+    vals = base.select(
+        "tx", "ty",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100)
+        .alias("v"))
+
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def qk_cell(tx, ty):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(tx.values, ty.values, 7))
+
+    cells = vals.withColumn("cell", qk_cell("tx", "ty"))
+    L = 20037508.342789244
+    ts = 2.0 * L / 128.0
+    bbox = (40 * ts - L, L - 56 * ts, 56 * ts - L, L - 40 * ts)
+    out = rasterize_cells(cells, ["v"], bbox, 32, 32, 7,
+                          dggs="quadkey", crs="EPSG:3857")
+    return out.select("px", "py", F.col("v").cast("long").alias("v"))
+
+
 def q_harmonic_fit(spark, sf_dir):
     """Per-cell first-order harmonic (seasonal) regression (CCDC/HANTS
     shape, operators/composite.py harmonic_fit_cells): 200 cells x 24
@@ -3844,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_detection": q_change_detection,
         "trend": q_trend,
         "harmonic_fit": q_harmonic_fit,
+        "rasterize": q_rasterize,
         "anomaly": q_anomaly,
         "interpolate_gaps": q_interpolate_gaps,
         "rolling_smooth": q_rolling_smooth,
@@ -6128,6 +6166,21 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql(10_000),
         "pack_sequences": _pack_sql(512, 16),
         "simplify_lines": _simplify_sql(9, 16),
+        "rasterize": f"""
+            WITH base AS (
+              SELECT 40 + i % 16 AS tx, 40 + i // 16 AS ty,
+                     md5(CAST(40 + i % 16 AS VARCHAR) || ':' ||
+                         CAST(40 + i // 16 AS VARCHAR)) AS h
+              FROM range(256) t(i)),
+            vals AS (SELECT tx, ty, ({_MD5_HEX1}) % 100 AS v FROM base),
+            px AS (SELECT i % 32 AS px, i // 32 AS py
+                   FROM range(1024) t(i))
+            SELECT CAST(p.px AS BIGINT) AS px,
+                   CAST(p.py AS BIGINT) AS py,
+                   CAST(v.v AS BIGINT) AS v
+            FROM px p JOIN vals v
+              ON v.tx = 40 + p.px // 2 AND v.ty = 40 + p.py // 2
+        """,
         "harmonic_fit": """
             WITH base AS (
               SELECT i // 24 AS cell, i % 24 AS ts,

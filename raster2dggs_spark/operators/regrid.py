@@ -204,3 +204,67 @@ def pyramid_rollup(cells_df: DataFrame, value_col: str, from_res: int,
         "v_min", "v_max",
         (F.col("v_sum") / F.col("v_count")).alias("v_mean"),
     )
+
+
+def rasterize_cells(
+    cells: DataFrame,
+    value_cols: list[str],
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    res: int,
+    dggs: str = "quadkey",
+    cell_col: str = "cell",
+    crs: str = "EPSG:4326",
+) -> DataFrame:
+    """Inverse of stage-1 indexing — sample a cell-keyed surface onto a
+    regular north-up raster grid (the r.out.gdal / gdal_grid export
+    shape): one output row per target pixel, ``(px, py, cell,
+    <value_cols>)``, nearest-cell (point-in-cell) assignment at the
+    pixel centre.  ``bbox`` = (minx, miny, maxx, maxy) in ``crs``
+    units; row 0 is the top (maxy) row, GDAL-style.
+
+    Plan: the pixel lattice comes from ``spark.range`` (no input scan,
+    perfectly even partitions); pixel-centre -> lon/lat -> cell encode
+    runs in ONE Arrow-batched ``mapInPandas`` over the lattice (the
+    engine's vectorized encode path — no shuffle); values attach with
+    ONE equi-join on the cell key.  At raster-export scale the pixel
+    side is the big one and the aggregated cell side is the small one
+    — AQE broadcasts it when it fits.  Feed the result to
+    ``sources.geotiff.write_geotiff`` per band for a file artifact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.dggs import check_grid
+
+    check_grid(dggs)
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    spark = cells.sparkSession
+    minx, miny, maxx, maxy = (float(v) for v in bbox)
+    dx = (maxx - minx) / width
+    dy = (maxy - miny) / height
+    lattice = spark.range(width * height).select(
+        (F.col("id") % width).alias("px"),
+        F.expr(f"id DIV {width}").alias("py"))
+
+    def fn(batches):
+        from raster2dggs_spark.geo.crs import to_lonlat
+        from raster2dggs_spark.operators.indexing import _encode_points
+
+        for pdf in batches:
+            for lo in range(0, len(pdf), 65536):
+                ch = pdf.iloc[lo:lo + 65536]
+                px = ch["px"].to_numpy()
+                py = ch["py"].to_numpy()
+                xs = minx + (px + 0.5) * dx
+                ys = maxy - (py + 0.5) * dy
+                lon, lat = to_lonlat(xs, ys, crs)
+                cell, _ = _encode_points(lon, lat, res, None, dggs)
+                yield pd.DataFrame({"px": px, "py": py, "cell": cell})
+
+    enc = lattice.mapInPandas(fn, "px long, py long, cell long")
+    vals = cells.select(F.col(cell_col).alias("cell"), *value_cols)
+    return enc.join(vals, "cell", "left").select(
+        "px", "py", "cell", *value_cols)

@@ -153,3 +153,47 @@ def test_pyramid_rollup_levels_match_direct(spark):
         assert np.allclose(got["v_max"].loc[direct.index], direct["max"])
         assert np.allclose(got["v_mean"].loc[direct.index],
                            direct["sum"] / direct["count"])
+
+
+def test_rasterize_cells_plumbing_and_nulls(spark):
+    """rasterize_cells: every pixel encodes to the cell its centre
+    falls in (checked against a direct vectorized encode of the same
+    centres), values join correctly, uncovered cells yield NULL, and
+    the string-id (geohash) schema path works."""
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.dggs import quadkeylib, geohashlib
+    from raster2dggs_spark.operators.regrid import rasterize_cells
+
+    # quadkey: 4x4 tile block at level 3, one tile left out -> NULLs
+    txs, tys = np.meshgrid(np.arange(2, 6), np.arange(1, 5))
+    txs, tys = txs.ravel(), tys.ravel()
+    keep = ~((txs == 3) & (tys == 2))
+    cells = quadkeylib.tile_to_cell(txs[keep], tys[keep], 3)
+    vals = (txs[keep] * 100 + tys[keep]).astype("int64")
+    df = spark.createDataFrame(pd.DataFrame({"cell": cells, "v": vals}))
+    L = 20037508.342789244
+    ts = 2.0 * L / 8.0
+    bbox = (2 * ts - L, L - 5 * ts, 6 * ts - L, L - 1 * ts)
+    out = rasterize_cells(df, ["v"], bbox, 8, 8, 3,
+                          dggs="quadkey", crs="EPSG:3857").toPandas()
+    assert len(out) == 64
+    for r in out.itertuples():
+        tx,ty = 2 + r.px // 2, 1 + r.py // 2
+        exp = quadkeylib.tile_to_cell(np.array([tx]), np.array([ty]), 3)[0]
+        assert r.cell == exp
+        if tx == 3 and ty == 2:
+            assert pd.isna(r.v)
+        else:
+            assert r.v == tx * 100 + ty
+    # geohash backend: 4326 affine, packed int ids, value join lands
+    lon = np.array([0.5, 10.5]); lat = np.array([0.5, 10.5])
+    gcells = geohashlib.lonlat_to_cell(lon, lat, 2)
+    gdf = spark.createDataFrame(
+        pd.DataFrame({"cell": gcells, "v": [7, 9]}))
+    gout = rasterize_cells(gdf, ["v"], (0.0, 0.0, 12.0, 12.0), 3, 3, 2,
+                           dggs="geohash", crs="EPSG:4326").toPandas()
+    exp0 = geohashlib.lonlat_to_cell(np.array([2.0]), np.array([2.0]), 2)[0]
+    got = {(r.px, r.py): (r.cell, r.v) for r in gout.itertuples()}
+    assert got[(0, 2)] == (exp0, 7)  # centre (2,2) in gh cell of (0.5,0.5)
