@@ -1867,6 +1867,31 @@ def q_polygon_overlay(spark, sf_dir):
     return polygon_overlay_area(polys_a, polys_b, res=8, dggs="quadkey")
 
 
+def _warp_bbox():
+    import math
+
+    R = 6378137.0
+    x0, x1 = math.radians(10.1) * R, math.radians(10.7) * R
+
+    def merc_y(lat):
+        return R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+
+    return x0, merc_y(49.45), x1, merc_y(49.95)
+
+
+def q_warp(spark, sf_dir):
+    """gdalwarp / WarpedVRT analogue (operators/sample.py warp_grid,
+    ref common.py:803-813): the ramp_00 tile resampled bilinearly onto
+    a 40x30 EPSG:3857 grid strictly interior to the tile — bilinear of
+    a linear ramp reproduces the field, so the oracle inverts the same
+    Web-Mercator + affine chain in closed form."""
+    from raster2dggs_spark.operators.sample import warp_grid
+
+    imgs = _ramp_images(spark).where("image_id = 'ramp_00'")
+    out = warp_grid(imgs, _warp_bbox(), 40, 30, "EPSG:3857")
+    return out.select("px", "py", _r4("band_1").alias("v"))
+
+
 def q_rasterize(spark, sf_dir):
     """DGGS -> raster export (operators/regrid.py rasterize_cells, the
     r.out.gdal inverse of stage-1 indexing): an md5-valued quadkey
@@ -3882,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend": q_trend,
         "harmonic_fit": q_harmonic_fit,
         "rasterize": q_rasterize,
+        "warp": q_warp,
         "anomaly": q_anomaly,
         "interpolate_gaps": q_interpolate_gaps,
         "rolling_smooth": q_rolling_smooth,
@@ -6166,6 +6192,26 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _hash_split_sql(10_000),
         "pack_sequences": _pack_sql(512, 16),
         "simplify_lines": _simplify_sql(9, 16),
+        "warp": (lambda bb: f"""
+            WITH px AS (SELECT i % 40 AS px, i // 40 AS py
+                        FROM range(1200) t(i)),
+            geo AS (
+              SELECT px, py,
+                     degrees(({bb[0]!r} + (px + 0.5)
+                              * {(bb[2] - bb[0]) / 40.0!r}) / 6378137.0)
+                         AS lon,
+                     degrees(2.0 * atan(exp(({bb[3]!r} - (py + 0.5)
+                              * {(bb[3] - bb[1]) / 30.0!r}) / 6378137.0))
+                             - pi() / 2.0) AS lat
+              FROM px),
+            p AS (SELECT px, py,
+                         (lon - 10.0037) / 0.013 - 0.5 AS col_f,
+                         (50.0041 - lat) / 0.013 - 0.5 AS row_f
+                  FROM geo)
+            SELECT CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+                   round(row_f * 64 + col_f, 4) AS v
+            FROM p
+        """)(_warp_bbox()),
         "rasterize": f"""
             WITH base AS (
               SELECT 40 + i % 16 AS tx, 40 + i // 16 AS ty,

@@ -648,3 +648,66 @@ def _sample_points_join(
             for c in bcols
         ],
     )
+
+
+def warp_grid(
+    images: DataFrame,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    crs_out: str = "EPSG:3857",
+    kernel: str = "bilinear",
+    n_bands: int = MAX_BANDS_DEFAULT,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Raster reprojection onto a regular target grid — the gdalwarp /
+    rasterio ``WarpedVRT`` workload (the reference warps arbitrary-CRS
+    rasters through WarpedVRT before indexing,
+    /root/reference/raster2dggs/common.py:803-813; this engine indexes
+    any supported CRS natively, so warp is exposed as its own export
+    operator instead of a hidden ingest step).
+
+    ``bbox`` = (minx, miny, maxx, maxy) in ``crs_out`` units, row 0 at
+    the top — output one row per target pixel ``(px, py, lon, lat,
+    band_1..band_n)``, NaN outside every source tile.
+
+    Composition, not new machinery: the target lattice comes from
+    ``spark.range`` (no scan, even partitions), pixel centres
+    inverse-project to lon/lat in one Arrow-batched pass (NumPy CRS
+    dispatch), and the interpolation IS :func:`sample_points` — so the
+    warp inherits its two physical strategies (broadcast ``collect``
+    for small image dims, the cell-routed ``join`` path at 100 TB) and
+    its kernels (nearest/bilinear/bicubic/lanczos) unchanged.
+    """
+    spark = images.sparkSession
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    minx, miny, maxx, maxy = (float(v) for v in bbox)
+    dx = (maxx - minx) / width
+    dy = (maxy - miny) / height
+    lattice = spark.range(width * height).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") % width).alias("px"),
+        F.expr(f"id DIV {width}").alias("py"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.geo.crs import to_lonlat
+
+        for pdf in batches:
+            px = pdf["px"].to_numpy()
+            py = pdf["py"].to_numpy()
+            xs = minx + (px + 0.5) * dx
+            ys = maxy - (py + 0.5) * dy
+            lon, lat = to_lonlat(xs, ys, crs_out)
+            yield pd.DataFrame({"point_id": pdf["point_id"].to_numpy(),
+                                "lon": lon, "lat": lat})
+
+    pts = lattice.mapInPandas(
+        fn, "point_id long, lon double, lat double")
+    out = sample_points(images, pts, kernel=kernel, n_bands=n_bands,
+                        strategy=strategy)
+    bcols = [c for c in out.columns if c.startswith("band_")]
+    return out.select(
+        (F.col("point_id") % width).alias("px"),
+        F.expr(f"point_id DIV {width}").alias("py"),
+        "lon", "lat", *bcols)

@@ -255,3 +255,60 @@ def test_sample_cells_split_on_cap_identical(spark):
     b = forced.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_warp_grid_closed_form_and_outside_nan(spark):
+    """warp_grid: bilinear warp of the linear ramp matches the closed
+    form (inverse mercator + inverse affine), pixels outside every tile
+    are NaN, and the join strategy agrees with collect."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.codecs import encode_image, average_hash64
+    from raster2dggs_spark.operators.sample import warp_grid
+    from raster2dggs_spark.sources.images import IMAGE_SCHEMA
+
+    w, h = 64, 48
+    arr = np.arange(h * w, dtype=np.float32).reshape(1, h, w)
+    imgs = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "ramp_00", "bytes": encode_image(arr, "raw"),
+        "w": w, "h": h, "fmt": "raw", "caption": "ramp",
+        "phash": int(average_hash64(arr[0])),
+        "affine_a": 0.013, "affine_b": 0.0, "affine_c": 10.0037,
+        "affine_d": 0.0, "affine_e": -0.013, "affine_f": 50.0041,
+        "crs": "EPSG:4326", "nodata": None, "bands": 1,
+        "band_names": None,
+    }]), IMAGE_SCHEMA)
+    R = 6378137.0
+
+    def merc_y(lat):
+        return R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+
+    # bbox deliberately pokes past the tile's west edge -> NaN column
+    bbox = (math.radians(9.95) * R, merc_y(49.5),
+            math.radians(10.4) * R, merc_y(49.9))
+    out = warp_grid(imgs, bbox, 18, 16, "EPSG:3857",
+                    strategy="collect").toPandas()
+    assert len(out) == 18 * 16
+    dx = (bbox[2] - bbox[0]) / 18
+    dy = (bbox[3] - bbox[1]) / 16
+    for r in out.itertuples():
+        x = bbox[0] + (r.px + 0.5) * dx
+        y = bbox[3] - (r.py + 0.5) * dy
+        lon = math.degrees(x / R)
+        lat = math.degrees(2 * math.atan(math.exp(y / R)) - math.pi / 2)
+        col_f = (lon - 10.0037) / 0.013 - 0.5
+        row_f = (50.0041 - lat) / 0.013 - 0.5
+        if col_f < 0:  # west of the tile (outside; no clamp credit)
+            assert np.isnan(r.band_1)
+        elif col_f > 0.5:
+            assert abs(r.band_1 - (row_f * 64 + col_f)) < 1e-6, r
+    outside = out[out.lon < 10.0037 - 0.013]
+    assert len(outside) > 0 and outside.band_1.isna().all()
+    j = warp_grid(imgs, bbox, 18, 16, "EPSG:3857",
+                  strategy="join").toPandas()
+    a = out.sort_values(["px", "py"]).reset_index(drop=True)
+    b = j.sort_values(["px", "py"]).reset_index(drop=True)
+    assert np.allclose(a.band_1, b.band_1, equal_nan=True)
