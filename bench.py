@@ -592,6 +592,64 @@ def main():
     extras["viewshed_visible_px"] = int(vs_row["v"])
     vs_imgs.unpersist()
 
+    # -- q19: raster reprojection at scale — one 2048x2048 tile warped
+    # bilinearly onto a 1M-pixel EPSG:3857 target grid (gdalwarp shape:
+    # lattice + inverse mercator + kernel, all Arrow-batched)
+    import math
+
+    from raster2dggs_spark.operators.sample import warp_grid
+
+    wn = 2048
+    wr_, wc_ = np.meshgrid(np.arange(wn), np.arange(wn), indexing="ij")
+    warr = ((wr_ * 3 + wc_ * 5) % 251).astype(np.float32)[None]
+    warp_imgs = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "img_warp_src", "bytes": encode_image(warr, "raw"),
+        "w": wn, "h": wn, "fmt": "raw", "caption": "warp bench",
+        "phash": 0,
+        "affine_a": 0.0004, "affine_b": 0.0, "affine_c": 10.0,
+        "affine_d": 0.0, "affine_e": -0.0004, "affine_f": 50.0,
+        "crs": "EPSG:4326", "nodata": None, "bands": 1,
+        "band_names": None,
+    }]), IMAGE_SCHEMA).persist()
+    warp_imgs.count()
+    _R = 6378137.0
+
+    def _my(lat):
+        return _R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+
+    wb = (math.radians(10.05) * _R, _my(49.25),
+          math.radians(10.75) * _R, _my(49.95))
+
+    def run_warp():
+        return (warp_grid(warp_imgs, wb, 1024, 1024, "EPSG:3857",
+                          n_bands=1, strategy="collect")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("band_1").alias("s")).collect()[0])
+
+    wp_row = timed("warp_1m", run_warp)
+    extras["warp_px"] = int(wp_row["n"])
+    warp_imgs.unpersist()
+
+    # -- q20: Douglas-Peucker at scale — 2,000 polylines x 500 vertices
+    # (1M vertices), per-line applyInPandas with exact int64 arithmetic
+    from raster2dggs_spark.operators.vector import simplify_lines
+
+    sl = spark.range(2000 * 500).selectExpr(
+        "id DIV 500 AS line_id", "id % 500 AS seq",
+        "(id % 500) * 3 + ((id DIV 500) * 7 + (id % 500) * 5) % 3 AS x",
+        "(((id % 500) * (id % 500) * 13 + (id DIV 500) * 31) % 200)"
+        " - 100 AS y").repartition(CPUS).persist()
+    sl.count()
+
+    def run_sl():
+        return (simplify_lines(sl, 5.0)
+                .agg(F.count(F.lit(1)).alias("n")).collect()[0])
+
+    sl_row = timed("simplify_1m", run_sl)
+    extras["simplify_vertices_in"] = 2000 * 500
+    extras["simplify_vertices_kept"] = int(sl_row["n"])
+    sl.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
