@@ -3119,6 +3119,85 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time as-of join (backward, inclusive): every click joins
+    the user's most recent purchase at-or-before the click instant —
+    union + single-exchange windowed carry-forward, no join node
+    (operators/temporal.py).  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from raster2dggs_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    r = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pvalue"), "event_id")
+    out = asof_join(l, r, on="ts", by=["user_id"], value_cols=["pvalue"],
+                    tiebreak="event_id")
+    return out.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("string").alias("ts"),
+        F.col("matched_ts").cast("string").alias("matched_ts"),
+        _r4("pvalue").alias("pvalue"),
+    )
+
+
+def q_asof_join_tol(spark, sf_dir):
+    """Forward as-of with a 1-hour tolerance: every signup joins the
+    user's NEXT error within the hour (nulls beyond tolerance, rows kept
+    — left-join semantics)."""
+    from raster2dggs_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    l = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id")
+    r = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("evalue"), "event_id")
+    out = asof_join(l, r, on="ts", by=["user_id"], value_cols=["evalue"],
+                    tiebreak="event_id", direction="forward",
+                    tolerance_s=3600.0)
+    return out.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").cast("string").alias("ts"),
+        F.col("matched_ts").cast("string").alias("matched_ts"),
+        _r4("evalue").alias("evalue"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Bucketized interval-containment join (operators/temporal.py
+    range_join): every click left-joins the same user's 2-hour purchase
+    attribution windows [purchase_ts, purchase_ts + 2h) that cover it,
+    aggregated per click.  The plan is a duplicate-free equi-join on
+    (user_id, time bucket) — a bucket-exploded interval side — never a
+    BroadcastNestedLoopJoin.  Oracle: the plain DuckDB inequality
+    join."""
+    from raster2dggs_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("pvalue"),
+    )
+    out = range_join(pts, iv, on="ts", start="start_ts", end="end_ts",
+                     by=["user_id"], bucket_s=3600.0, how="left")
+    return out.groupBy("user_id", "event_id").agg(
+        F.count("purchase_id").cast("long").alias("n_windows"),
+        F.min(F.col("start_ts").cast("string")).alias("first_start"),
+        _r4(F.sum("pvalue")).alias("sum_pvalue"),
+    ).select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        "n_windows", "first_start", "sum_pvalue",
+    )
+
+
 def q_hex7_pixel_index(spark, sf_dir):
     """FLAGSHIP, oracle-checked against an independent single-node NumPy
     replay (.fixtures/hex7_pixel_index_64.parquet, a straight per-pixel
@@ -3955,6 +4034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "zonal_windowed_events": q_zonal_windowed_events,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "asof_join_tol": q_asof_join_tol,
+        "range_join": q_range_join,
         "sample_bilinear": q_sample_bilinear,
         "sample_bilinear_s2": q_sample_bilinear_s2,
         "sample_bilinear_a5": q_sample_bilinear_a5,
@@ -6161,6 +6243,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(ts) AS VARCHAR) AS start_ts,
                    CAST(max(ts) AS VARCHAR) AS end_ts
             FROM s GROUP BY user_id, session_idx
+        """,
+        "asof_join": """
+            WITH l AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'purchase')
+            SELECT l.user_id, CAST(l.event_id AS BIGINT) AS event_id,
+                   CAST(l.ts AS VARCHAR) AS ts,
+                   CAST(r.ts AS VARCHAR) AS matched_ts,
+                   round(r.value, 4) AS pvalue
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_join_tol": """
+            WITH l AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'signup'),
+                 r AS (SELECT user_id, ts, value FROM events
+                       WHERE event_type = 'error')
+            SELECT l.user_id, CAST(l.event_id AS BIGINT) AS event_id,
+                   CAST(l.ts AS VARCHAR) AS ts,
+                   CAST(CASE WHEN epoch_us(r.ts) - epoch_us(l.ts)
+                                  <= 3600000000
+                             THEN r.ts END AS VARCHAR) AS matched_ts,
+                   CASE WHEN epoch_us(r.ts) - epoch_us(l.ts) <= 3600000000
+                        THEN round(r.value, 4) END AS evalue
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+        """,
+        "range_join": """
+            WITH p AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'click'),
+                 iv AS (SELECT user_id, ts AS start_ts,
+                               ts + INTERVAL 2 HOUR AS end_ts,
+                               event_id AS purchase_id, value AS pvalue
+                        FROM events WHERE event_type = 'purchase')
+            SELECT p.user_id, CAST(p.event_id AS BIGINT) AS event_id,
+                   CAST(count(iv.purchase_id) AS BIGINT) AS n_windows,
+                   min(CAST(iv.start_ts AS VARCHAR)) AS first_start,
+                   round(sum(iv.pvalue), 4) AS sum_pvalue
+            FROM p LEFT JOIN iv
+              ON p.user_id = iv.user_id
+             AND p.ts >= iv.start_ts AND p.ts < iv.end_ts
+            GROUP BY p.user_id, p.event_id
         """,
         "embedding_knn_ivf": _ivf_sql(5, 4),
         "embedding_near_dup": _near_dup_sql(0.9, 16, 2),
