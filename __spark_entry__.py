@@ -715,6 +715,31 @@ def q_focal_mean_quadkey(spark, sf_dir):
     )
 
 
+def q_morphology(spark, sf_dir):
+    """Binary lattice morphology (GRASS r.grow class, focal.py
+    morphology_cells): dilate / erode / open of the customer-point
+    quadkey-res-5 cell set with the 3x3 Chebyshev element — scatter +
+    one groupBy per stage (dilation's distinct and erosion's |SE|
+    support count are the same aggregate), vectorized index->id encode,
+    indices decoded back for the compare.  Oracle replays the Mercator
+    quantizer + offset cross-join relationally (y clips, lon wraps)."""
+    from raster2dggs_spark.operators.focal import morphology_cells
+
+    cells = _quadkey5_density(spark, sf_dir).select("cell")
+    parts = []
+    for op in ("dilate", "erode", "open"):
+        m = morphology_cells(cells, op=op, k=1, dggs="quadkey",
+                             keep_indices=True)
+        parts.append(m.select(
+            F.lit(op).alias("op"),
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _quadkey5_density(spark, sf_dir):
     """Shared deterministic quadkey-res-5 cell layer (customer points,
     v = avg of an integer-derived value) — input of the focal and
@@ -3972,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regrid_geohash_maidenhead": q_regrid_geohash_maidenhead,
         "focal_mean_geohash": q_focal_mean_geohash,
         "focal_mean_quadkey": q_focal_mean_quadkey,
+        "morphology": q_morphology,
         "morans_i_local": q_morans_i_local,
         "morans_i_global": q_morans_i_global,
         "pyramid_rollup": q_pyramid_rollup,
@@ -7520,6 +7546,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT gx, gy, round(v, 4) AS v, round(fv, 4) AS focal_v,
                    CAST(nw AS BIGINT) AS n_window
             FROM f
+        """,
+        "morphology": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            q AS (
+              SELECT CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 32.0), 0), 31)
+                     AS BIGINT) AS gx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 32.0), 0), 31) AS BIGINT) AS gy
+              FROM p),
+            c AS (SELECT DISTINCT gx, gy FROM q),
+            o AS (SELECT dxt.dx AS dx, dyt.dy AS dy
+                  FROM (SELECT unnest([-1, 0, 1]) AS dx) dxt,
+                       (SELECT unnest([-1, 0, 1]) AS dy) dyt),
+            dil AS (
+              SELECT DISTINCT ((c.gx + o.dx + 32) % 32) AS gx,
+                     (c.gy + o.dy) AS gy
+              FROM c CROSS JOIN o
+              WHERE c.gy + o.dy BETWEEN 0 AND 31),
+            ero AS (
+              SELECT a.gx, a.gy
+              FROM c a CROSS JOIN o
+              JOIN c b ON b.gx = ((a.gx + o.dx + 32) % 32)
+                      AND b.gy = a.gy + o.dy
+              GROUP BY a.gx, a.gy HAVING count(*) = 9),
+            opn AS (
+              SELECT DISTINCT ((e.gx + o.dx + 32) % 32) AS gx,
+                     (e.gy + o.dy) AS gy
+              FROM ero e CROSS JOIN o
+              WHERE e.gy + o.dy BETWEEN 0 AND 31)
+            SELECT 'dilate' AS op, gx, gy FROM dil
+            UNION ALL SELECT 'erode' AS op, gx, gy FROM ero
+            UNION ALL SELECT 'open' AS op, gx, gy FROM opn
         """,
         "variogram": f"""
             WITH t AS (SELECT t_id,

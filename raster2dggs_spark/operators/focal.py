@@ -576,3 +576,106 @@ def zonal_geometry(cells_df: DataFrame, zone_col: str,
         F.when(F.col("perimeter") > 0,
                16.0 * F.col("area")
                / (F.col("perimeter") * F.col("perimeter"))))
+
+
+def morphology_cells(cells_df: DataFrame, op: str = "dilate", k: int = 1,
+                     metric: str = "chebyshev", cell_col: str = "cell",
+                     dggs: str = "geohash",
+                     keep_indices: bool = False) -> DataFrame:
+    """Binary morphology on a cell SET (GRASS ``r.grow`` / ``r.buffer``,
+    gdal buffer-by-cells): ``dilate`` | ``erode`` | ``open`` | ``close``
+    with the radius-``k`` Chebyshev (square) or Manhattan (diamond)
+    structuring element, on the power-of-2 rectangle lattices
+    (geohash / quadkey — the curved seam-ambiguous grids have no
+    well-defined k-ring, per the focal_metric adjudication).
+
+    Semantics: the set is binary (presence of a cell row); values do
+    not propagate.  Longitude wraps at the antimeridian; latitude
+    CLIPS — out-of-lattice positions count as ABSENT, so erosion eats
+    pole-adjacent rows (the bounded-raster convention of r.grow).
+    Dilation output is the union of structuring-element translates;
+    erosion keeps a cell iff its ENTIRE element lies in the set.
+    open = erode∘dilate, close = dilate∘erode (both composed here so
+    the intermediate never materializes driver-side).
+
+    Scale shape (100 TB): scatter = |S|·|SE| narrow (gx, gy) rows, ONE
+    exchange per stage (groupBy the target index — dilation's distinct
+    and erosion's support count are the same aggregate), then one
+    vectorized index→id encode pass.  No joins against enumerated
+    bounding boxes, so sparse far-flung sets cost |S|, not bbox area.
+
+    Returns a one-column ``cell`` DataFrame (+ gx/gy/gprec when
+    ``keep_indices`` — the gate query compares raw indices).
+    """
+    if op not in ("dilate", "erode", "open", "close"):
+        raise ValueError(f"op dilate|erode|open|close, got {op!r}")
+    if metric not in ("chebyshev", "manhattan"):
+        raise ValueError(f"metric chebyshev|manhattan, got {metric!r}")
+    if k < 1:
+        raise ValueError("k >= 1 required")
+    if op == "open":
+        inner = morphology_cells(cells_df, "erode", k, metric, cell_col,
+                                 dggs, keep_indices=False)
+        return morphology_cells(inner, "dilate", k, metric, "cell",
+                                dggs, keep_indices=keep_indices)
+    if op == "close":
+        inner = morphology_cells(cells_df, "dilate", k, metric, cell_col,
+                                 dggs, keep_indices=False)
+        return morphology_cells(inner, "erode", k, metric, "cell",
+                                dggs, keep_indices=keep_indices)
+
+    g = lattice_indices(cells_df.select(cell_col), cell_col, dggs)
+    wlon, wlat = _lattice_extent_exprs(dggs)
+    seq = F.sequence(F.lit(-k), F.lit(k))
+    scat = (g.withColumn("dx", F.explode(seq))
+             .withColumn("dy", F.explode(seq)))
+    if metric == "manhattan":
+        scat = scat.where(F.abs(F.col("dx")) + F.abs(F.col("dy")) <= k)
+        n_se = 2 * k * (k + 1) + 1
+    else:
+        n_se = (2 * k + 1) ** 2
+    # dilate scatters s + o; erode scatters SUPPORT to t = s - o (for
+    # fixed (t, o) the source s = t + o is unique, so count(t) == |SE|
+    # iff every element position around t is present).
+    sgn = 1 if op == "dilate" else -1
+    scat = (scat
+            .withColumn("sx", ((F.col("gx") + sgn * F.col("dx")) % wlon
+                               + wlon) % wlon)
+            .withColumn("sy", F.col("gy") + sgn * F.col("dy"))
+            .where((F.col("sy") >= 0) & (F.col("sy") < wlat)))
+    agg = scat.groupBy("sx", "sy").agg(
+        F.count(F.lit(1)).alias("n_sup"),
+        F.first("gprec").alias("gprec"))
+    if op == "erode":
+        agg = agg.where(F.col("n_sup") == n_se)
+    idx = agg.select(F.col("sx").alias("gx"), F.col("sy").alias("gy"),
+                     "gprec")
+
+    out_schema = T.StructType([
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("gx", T.LongType(), False),
+        T.StructField("gy", T.LongType(), False),
+        T.StructField("gprec", T.LongType(), False)])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from raster2dggs_spark.dggs import geohashlib, quadkeylib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            prec = pdf["gprec"].values
+            if len(np.unique(prec)) > 1:
+                raise ValueError("mixed precisions in morphology input")
+            p = int(prec[0])
+            if dggs == "quadkey":
+                ids = quadkeylib.tile_to_cell(pdf["gx"].values,
+                                              pdf["gy"].values, p)
+            else:
+                ids = geohashlib.cell_from_indices(pdf["gx"].values,
+                                                   pdf["gy"].values, p)
+            yield pd.DataFrame({"cell": ids, "gx": pdf["gx"].values,
+                                "gy": pdf["gy"].values,
+                                "gprec": pdf["gprec"].values})
+
+    enc = idx.mapInPandas(encode, out_schema)
+    return enc if keep_indices else enc.select("cell")
