@@ -831,6 +831,37 @@ def q_idw_grid(spark, sf_dir):
                       F.round("idw", 6).alias("idw"), "n_contrib")
 
 
+def q_kde_grid(spark, sf_dir):
+    """Kernel density heatmap (GRASS v.kernel / QGIS Heatmap,
+    joins.py kde_to_cells): supplier stations (value-weighted, quartic
+    kernel, 800 km bandwidth) rendered onto the customer-occupied
+    quadkey-res-6 cells, density in events/km² — the real disk-cover +
+    parent-join + haversine plan; oracle is the brute cross-join twin
+    with the identical center math and kernel expression."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.joins import index_points, kde_to_cells
+
+    pts = _supplier_points(spark, sf_dir).withColumn(
+        "v", ((F.col("t_id") * 13) % 101).cast("double"))
+    cells = (index_points(_customer_points(spark, sf_dir), res=6,
+                          dggs="quadkey")
+             .select("cell").distinct())
+    out = kde_to_cells(pts, cells, bandwidth_m=800_000.0, res=9,
+                       dggs="quadkey", kernel="quartic", value_col="v")
+
+    @F.pandas_udf("string")
+    def qk_str(c):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.cells_to_string(c.values))
+
+    return out.select(
+        qk_str("cell").alias("qk_6"),
+        F.round(F.col("density") * 1.0e6, 6).alias("density_km2"),
+        "n_contrib")
+
+
 def q_getis_gi_star(spark, sf_dir):
     """Getis-Ord Gi* hot-spot z-statistic (3x3 binary weights incl.
     self) on the quadkey density layer — the significance-scored
@@ -4003,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_rollup": q_pyramid_rollup,
         "getis_gi_star": q_getis_gi_star,
         "idw_grid": q_idw_grid,
+        "kde_grid": q_kde_grid,
         "emerging_hotspots": q_emerging_hotspots,
         "variogram": q_variogram,
         "focal_metric_points": q_focal_metric_points,
@@ -7717,6 +7749,59 @@ def oracle_sql() -> dict[str, str]:
                 f" + ((tx >> {6 - 1 - i}) & 1) AS VARCHAR)"
                 for i in range(6)) + """ AS qk_6,
                    round(wv / w, 6) + 0.0 AS idw,
+                   CAST(n AS BIGINT) AS n_contrib
+            FROM g
+        """,
+        "kde_grid": f"""
+            WITH c0 AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            cells AS (
+              SELECT DISTINCT
+                     CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 64.0), 0), 63)
+                     AS BIGINT) AS tx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 64.0), 0), 63) AS BIGINT) AS ty
+              FROM c0),
+            ctr AS (
+              SELECT tx, ty,
+                     (CAST(tx AS DOUBLE) + 0.5) / 64.0 * 360.0 - 180.0
+                         AS clon,
+                     degrees(atan((exp(pi() * (1.0
+                         - 2.0 * (CAST(ty AS DOUBLE) + 0.5) / 64.0))
+                       - exp(-(pi() * (1.0
+                         - 2.0 * (CAST(ty AS DOUBLE) + 0.5) / 64.0))))
+                       / 2.0)) AS clat
+              FROM cells),
+            t AS (SELECT t_id,
+                         CAST((t_id * 13) % 101 AS DOUBLE) AS v,
+                         lon, lat
+                  FROM ({_SUPPLIER_POINTS_SQL})),
+            d AS (
+              SELECT ctr.tx, ctr.ty, t.v,
+                     2.0 * 6371007.1809 * asin(sqrt(
+                       pow(sin(radians(t.lat - ctr.clat) / 2), 2)
+                       + cos(radians(ctr.clat)) * cos(radians(t.lat))
+                       * pow(sin(radians(t.lon - ctr.clon) / 2), 2)
+                     )) AS dist_m
+              FROM ctr CROSS JOIN t),
+            g AS (
+              SELECT tx, ty,
+                     sum((1.0 - (dist_m / 800000.0) * (dist_m / 800000.0))
+                         * (1.0 - (dist_m / 800000.0)
+                                  * (dist_m / 800000.0)) * v) AS kw,
+                     count(*) AS n
+              FROM d WHERE dist_m < 800000.0
+              GROUP BY tx, ty)
+            SELECT """ + " || ".join(
+                f"CAST(2 * ((ty >> {6 - 1 - i}) & 1)"
+                f" + ((tx >> {6 - 1 - i}) & 1) AS VARCHAR)"
+                for i in range(6)) + """ AS qk_6,
+                   round(kw * (3.0 / (pi() * 800000.0 * 800000.0))
+                         * 1.0e6, 6) + 0.0 AS density_km2,
                    CAST(n AS BIGINT) AS n_contrib
             FROM g
         """,

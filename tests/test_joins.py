@@ -699,3 +699,60 @@ def test_polygon_overlay_area_known_rects(spark):
     # quantitative: overlap is 80 sq-deg of rect1's 240 -> frac_a near
     # 1/3 (cell quantization keeps it within a couple of cells)
     assert 0.25 < row.frac_a < 0.42
+
+
+@pytest.mark.parametrize("kernel,weighted",
+                         [("quartic", True), ("epanechnikov", False),
+                          ("triangular", True)])
+def test_kde_to_cells_matches_bruteforce(spark, kernel, weighted):
+    import math
+
+    from raster2dggs_spark.operators.joins import kde_to_cells
+    from raster2dggs_spark.dggs import cover, quadkeylib
+
+    rng = np.random.default_rng(41)
+    n_t = 250
+    tlon = rng.uniform(-20, 20, n_t)
+    tlat = rng.uniform(30, 60, n_t)
+    tv = rng.uniform(1, 9, n_t)
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"t_id": np.arange(n_t, dtype=np.int64),
+         "lon": tlon, "lat": tlat, "v": tv}))
+    clon = rng.uniform(-18, 18, 60)
+    clat = rng.uniform(32, 58, 60)
+    cells = np.unique(quadkeylib.lonlat_to_cell(clon, clat, 7))
+    cdf = spark.createDataFrame(
+        pd.DataFrame({"cell": cells.astype(np.int64)}))
+    h = 400_000.0
+    out = kde_to_cells(pts, cdf, h, res=9, dggs="quadkey", kernel=kernel,
+                       value_col="v" if weighted else None).toPandas()
+    ctr_lon, ctr_lat = cover.cell_center(cells, "quadkey")
+    ck = {"quartic": 3.0, "epanechnikov": 2.0, "triangular": 3.0}[kernel]
+    expected = {}
+    for i, c in enumerate(cells):
+        d = haversine_m(np.full(n_t, ctr_lon[i]),
+                        np.full(n_t, ctr_lat[i]), tlon, tlat)
+        m = d < h
+        if m.any():
+            u = d[m] / h
+            kv = {"quartic": (1 - u * u) ** 2,
+                  "epanechnikov": 1 - u * u,
+                  "triangular": 1 - u}[kernel]
+            w = kv * tv[m] if weighted else kv
+            expected[int(c)] = (w.sum() * ck / (math.pi * h * h),
+                                int(m.sum()))
+    got = {int(r.cell): (r.density, r.n_contrib)
+           for r in out.itertuples(index=False)}
+    assert set(got) == set(expected)
+    for c, (ev, en) in expected.items():
+        assert got[c][1] == en
+        assert abs(got[c][0] - ev) <= 1e-9 * max(1.0, abs(ev))
+    assert len(expected) > 20
+
+
+def test_kde_bad_kernel(spark):
+    from raster2dggs_spark.operators.joins import kde_to_cells
+
+    df = spark.createDataFrame(pd.DataFrame({"cell": [1]}))
+    with pytest.raises(ValueError, match="kernel"):
+        kde_to_cells(df, df, 1000.0, kernel="gauss")
