@@ -1391,6 +1391,41 @@ def q_euclid_allocation(spark, sf_dir):
                       F.col("alloc").cast("long").alias("alloc"))
 
 
+def q_contour(spark, sf_dir):
+    """Iso-contour extraction (gdal_contour / r.contour,
+    operators/vector.py contour_segments): marching-squares segment
+    soup of the md5 surface (z = hex1 % 97, ~1-in-13 holes) at three
+    levels, per image — one applyInPandas over the image key, dense
+    vectorized kernel inside.  The oracle replays the 2x2-corner
+    self-join, the case index, the edge interpolation t = (L - za) /
+    (zb - za) and the center-mean saddle rule term-by-term; the
+    GEOMETRY conventions themselves are pinned independently by the
+    tests/test_contour.py closed-form battery (ramp / pyramid ring /
+    saddles / closure property)."""
+    from raster2dggs_spark.operators.vector import contour_segments
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    hole = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 13 == 0
+    fix = base.where(~hole).select(
+        "img", "x", "y",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 97)
+        .cast("double").alias("z"))
+    out = contour_segments(fix, levels=[24.5, 48.5, 72.5],
+                           group_cols=["img"])
+    return out.select(
+        F.col("img").cast("long").alias("img"),
+        F.col("level"),
+        F.round("x0", 6).alias("x0"), F.round("y0", 6).alias("y0"),
+        F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"))
+
+
 def q_region_group(spark, sf_dir):
     """Region grouping / raster clump (round 7, operators/costdist.py
     clump_cells — GRASS r.clump, ArcGIS RegionGroup): every cell
@@ -4017,6 +4052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euclid_distance": q_euclid_distance,
         "euclid_allocation": q_euclid_allocation,
         "region_group": q_region_group,
+        "contour": q_contour,
         "sieve": q_sieve,
         "flow_length": q_flow_length,
         "watershed_basins": q_watershed_basins,
@@ -5446,6 +5482,105 @@ _MD5_HEX1 = " + ".join(
 _MD5_HEX2 = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {8 + i}, 1)) - 1) * {16 ** (8 - i)}"
     for i in range(1, 9))
+
+def _contour_sql() -> str:
+    """Marching-squares relational twin: 2x2-corner self-join -> case
+    index -> edge interpolation -> per-case segment emission (the same
+    case table as operators/vector.py:_MS_SEGS, saddles by the
+    center-mean rule), canonical endpoint order, zero-length drop."""
+    segtab = {1: ("L", "T"), 2: ("T", "R"), 3: ("L", "R"),
+              4: ("R", "B"), 6: ("T", "B"), 7: ("B", "L"),
+              8: ("B", "L"), 9: ("T", "B"), 11: ("R", "B"),
+              12: ("L", "R"), 13: ("T", "R"), 14: ("L", "T")}
+    # saddle: (connected seg1, seg2, disconnected seg1, seg2)
+    sad = {5: (("T", "R"), ("B", "L"), ("L", "T"), ("R", "B")),
+           10: (("L", "T"), ("R", "B"), ("T", "R"), ("B", "L"))}
+
+    def coord(edge, axis):
+        return f"{axis}{edge.lower()}"
+
+    def slot_expr(slot, axis, end):
+        whens = []
+        if slot == 1:
+            for cs, (e0, e1) in segtab.items():
+                whens.append(
+                    f"WHEN cs = {cs} THEN {coord((e0, e1)[end], axis)}")
+        for cs, (c1, c2, d1, d2) in sad.items():
+            sc = (c1, c2)[slot - 1]
+            sd = (d1, d2)[slot - 1]
+            whens.append(
+                f"WHEN cs = {cs} THEN CASE WHEN ctr THEN "
+                f"{coord(sc[end], axis)} ELSE {coord(sd[end], axis)} END")
+        return "CASE " + " ".join(whens) + " END"
+
+    slots = []
+    for slot, guard in ((1, ""), (2, " WHERE cs IN (5, 10)")):
+        slots.append(
+            f"SELECT img, L, {slot_expr(slot, 'x', 0)} AS x0,"
+            f" {slot_expr(slot, 'y', 0)} AS y0,"
+            f" {slot_expr(slot, 'x', 1)} AS x1,"
+            f" {slot_expr(slot, 'y', 1)} AS y1 FROM pts{guard}")
+    union = " UNION ALL ".join(slots)
+    return f"""
+        WITH base AS (
+          SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                 (i % 256) // 16 AS y,
+                 md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                     CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                     CAST((i % 256) // 16 AS VARCHAR)) AS h
+          FROM range(1024) t(i)),
+        p AS (
+          SELECT img, x, y, CAST(({_MD5_HEX1}) % 97 AS DOUBLE) AS z
+          FROM base WHERE ({_MD5_HEX2}) % 13 != 0),
+        lv AS (SELECT unnest([CAST(24.5 AS DOUBLE),
+                              CAST(48.5 AS DOUBLE),
+                              CAST(72.5 AS DOUBLE)]) AS L),
+        sq AS (
+          SELECT a.img, a.x, a.y, lv.L,
+                 a.z AS z00, b.z AS z10, c.z AS z01, d.z AS z11
+          FROM p a
+          JOIN p b ON b.img = a.img AND b.x = a.x + 1 AND b.y = a.y
+          JOIN p c ON c.img = a.img AND c.x = a.x AND c.y = a.y + 1
+          JOIN p d ON d.img = a.img AND d.x = a.x + 1 AND d.y = a.y + 1
+          CROSS JOIN lv),
+        cs0 AS (
+          SELECT *,
+                 (CASE WHEN z00 >= L THEN 1 ELSE 0 END)
+                 + 2 * (CASE WHEN z10 >= L THEN 1 ELSE 0 END)
+                 + 4 * (CASE WHEN z11 >= L THEN 1 ELSE 0 END)
+                 + 8 * (CASE WHEN z01 >= L THEN 1 ELSE 0 END) AS cs,
+                 ((z00 + z10 + z01 + z11) / 4.0 >= L) AS ctr
+          FROM sq),
+        pts AS (
+          SELECT img, L, cs, ctr,
+                 CAST(x AS DOUBLE) + (L - z00) / (z10 - z00) AS xt,
+                 CAST(y AS DOUBLE) AS yt,
+                 CAST(x AS DOUBLE) + (L - z01) / (z11 - z01) AS xb,
+                 CAST(y + 1 AS DOUBLE) AS yb,
+                 CAST(x AS DOUBLE) AS xl,
+                 CAST(y AS DOUBLE) + (L - z00) / (z01 - z00) AS yl,
+                 CAST(x + 1 AS DOUBLE) AS xr,
+                 CAST(y AS DOUBLE) + (L - z10) / (z11 - z10) AS yr
+          FROM cs0 WHERE cs BETWEEN 1 AND 14),
+        segs AS ({union}),
+        canon AS (
+          SELECT img, L,
+                 CASE WHEN (x1 < x0) OR (x1 = x0 AND y1 < y0)
+                      THEN x1 ELSE x0 END AS x0,
+                 CASE WHEN (x1 < x0) OR (x1 = x0 AND y1 < y0)
+                      THEN y1 ELSE y0 END AS y0,
+                 CASE WHEN (x1 < x0) OR (x1 = x0 AND y1 < y0)
+                      THEN x0 ELSE x1 END AS x1,
+                 CASE WHEN (x1 < x0) OR (x1 = x0 AND y1 < y0)
+                      THEN y0 ELSE y1 END AS y1
+          FROM segs
+          WHERE NOT (x0 = x1 AND y0 = y1))
+        SELECT CAST(img AS BIGINT) AS img, L AS level,
+               round(x0, 6) AS x0, round(y0, 6) AS y0,
+               round(x1, 6) AS x1, round(y1, 6) AS y1
+        FROM canon
+    """
+
 
 def _simplify_sql(eps2: int = 9, levels: int = 16) -> str:
     """Unrolled Douglas-Peucker twin: level k holds the alive segments
@@ -7193,6 +7328,7 @@ def oracle_sql() -> dict[str, str]:
                    AND md.d2 = p.d2
             GROUP BY p.img, p.x, p.y, p.d2
         """,
+        "contour": _contour_sql(),
         "region_group": f"""
             WITH RECURSIVE
             base AS (

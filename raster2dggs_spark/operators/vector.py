@@ -101,3 +101,159 @@ def simplify_lines(df: DataFrame, eps: float, id_col: str = "line_id",
         return pdf[keep]
 
     return sub.groupBy(id_col).applyInPandas(_dp, schema)
+
+
+# marching-squares case table: corner bits TL=1, TR=2, BR=4, BL=8 for
+# (z >= level); each case lists its contour segments as edge pairs of
+# the 2x2 square (T top, B bottom, L left, R right).  Saddles (5, 10)
+# are resolved by the center-mean rule below.
+_MS_SEGS = {
+    1: [("L", "T")], 2: [("T", "R")], 3: [("L", "R")], 4: [("R", "B")],
+    6: [("T", "B")], 7: [("B", "L")], 8: [("B", "L")], 9: [("T", "B")],
+    11: [("R", "B")], 12: [("L", "R")], 13: [("T", "R")], 14: [("L", "T")],
+}
+
+
+def marching_squares(z: np.ndarray, level: float):
+    """Vectorized marching squares on one dense grid: segments of the
+    iso-line ``z == level`` with the inside convention ``z >= level``,
+    linear interpolation along crossing edges, saddle cases decided by
+    the center mean (``(z00+z10+z01+z11)/4 >= level`` connects the
+    inside diagonal).  Squares touching a non-finite corner emit
+    nothing.  Returns (x0, y0, x1, y1) arrays in grid-index space,
+    endpoints lexicographically ordered, exact zero-length segments
+    dropped."""
+    z = np.asarray(z, dtype=np.float64)
+    z00 = z[:-1, :-1]
+    z10 = z[:-1, 1:]
+    z01 = z[1:, :-1]
+    z11 = z[1:, 1:]
+    ok = (np.isfinite(z00) & np.isfinite(z10)
+          & np.isfinite(z01) & np.isfinite(z11))
+    case = np.where(
+        ok,
+        (z00 >= level).astype(np.int8) + 2 * (z10 >= level)
+        + 4 * (z11 >= level) + 8 * (z01 >= level), 0)
+    ys, xs = np.nonzero((case > 0) & (case < 15))
+    if not len(ys):
+        e = np.empty(0)
+        return e, e, e, e
+    c = case[ys, xs]
+    a = z00[ys, xs]
+    b = z10[ys, xs]
+    cc = z01[ys, xs]
+    d = z11[ys, xs]
+    xs = xs.astype(np.float64)
+    ys = ys.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pts = {
+            "T": (xs + (level - a) / (b - a), ys),
+            "B": (xs + (level - cc) / (d - cc), ys + 1.0),
+            "L": (xs, ys + (level - a) / (cc - a)),
+            "R": (xs + 1.0, ys + (level - b) / (d - b)),
+        }
+    center_in = (a + b + cc + d) / 4.0 >= level
+    segs_x0, segs_y0, segs_x1, segs_y1 = [], [], [], []
+
+    def emit(mask, e0, e1):
+        if not mask.any():
+            return
+        x0, y0 = pts[e0][0][mask], pts[e0][1][mask]
+        x1, y1 = pts[e1][0][mask], pts[e1][1][mask]
+        swap = (x1 < x0) | ((x1 == x0) & (y1 < y0))
+        sx0 = np.where(swap, x1, x0)
+        sy0 = np.where(swap, y1, y0)
+        sx1 = np.where(swap, x0, x1)
+        sy1 = np.where(swap, y0, y1)
+        keep = ~((sx0 == sx1) & (sy0 == sy1))
+        segs_x0.append(sx0[keep])
+        segs_y0.append(sy0[keep])
+        segs_x1.append(sx1[keep])
+        segs_y1.append(sy1[keep])
+
+    for case_id, pairs in _MS_SEGS.items():
+        m = c == case_id
+        for e0, e1 in pairs:
+            emit(m, e0, e1)
+    # saddle 5 (TL+BR in): center in -> isolate TR (T,R) + BL (B,L);
+    # center out -> isolate TL (L,T) + BR (R,B).  Saddle 10 mirrors.
+    for case_id, conn, disc in ((5, [("T", "R"), ("B", "L")],
+                                 [("L", "T"), ("R", "B")]),
+                                (10, [("L", "T"), ("R", "B")],
+                                 [("T", "R"), ("B", "L")])):
+        for mask, pairs in (((c == case_id) & center_in, conn),
+                            ((c == case_id) & ~center_in, disc)):
+            for e0, e1 in pairs:
+                emit(mask, e0, e1)
+    return (np.concatenate(segs_x0) if segs_x0 else np.empty(0),
+            np.concatenate(segs_y0) if segs_y0 else np.empty(0),
+            np.concatenate(segs_x1) if segs_x1 else np.empty(0),
+            np.concatenate(segs_y1) if segs_y1 else np.empty(0))
+
+
+def contour_segments(df: DataFrame, levels, value_col: str = "z",
+                     x_col: str = "x", y_col: str = "y",
+                     group_cols: list[str] | None = None) -> DataFrame:
+    """Iso-contour extraction (gdal_contour / GRASS r.contour):
+    marching-squares segments of ``value_col == level`` over a sparse
+    lattice table ``(group…, x, y, z)`` — one row per occupied node,
+    missing nodes are holes (their squares emit nothing).
+
+    Output: ``(group…, level, x0, y0, x1, y1)`` segment soup in grid
+    coordinates, endpoints lex-ordered so the row set is engine- and
+    order-independent (stitching into polylines is a connected-
+    components pass the engine already ships — segment soup is the
+    distributed-friendly form; gdal_contour's line merge is a driver-
+    side luxury the 100-TB shape can't afford).
+
+    Scale shape: ONE applyInPandas over the group key — each group
+    (tile / image / lattice block) assembles its dense grid and runs
+    the vectorized kernel; groups are independent so the operator
+    scales with group count.  Group size is the skew axis: feed
+    tile-sized groups (the decode path's natural unit), not one global
+    key.
+
+    Determinism contract (shared with the SQL oracle): inside means
+    ``z >= level``; crossing-edge interpolation ``t = (L - za) /
+    (zb - za)`` (well-defined — a crossing edge has zb != za); saddles
+    resolved by ``(z00 + z10 + z01 + z11) / 4 >= level`` (left-assoc
+    sum, exactly the oracle's expression order); exact zero-length
+    segments dropped."""
+    levels = [float(v) for v in levels]
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    group_cols = list(group_cols or [])
+    sub = df.select(*group_cols, x_col, y_col, value_col)
+    from pyspark.sql import types as T
+
+    fields = [sub.schema[c] for c in group_cols]
+    fields += [T.StructField("level", T.DoubleType(), False),
+               T.StructField("x0", T.DoubleType(), False),
+               T.StructField("y0", T.DoubleType(), False),
+               T.StructField("x1", T.DoubleType(), False),
+               T.StructField("y1", T.DoubleType(), False)]
+    schema = T.StructType(fields)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf[x_col].values.astype(np.int64)
+        ys = pdf[y_col].values.astype(np.int64)
+        zs = pdf[value_col].values.astype(np.float64)
+        xmin, ymin = int(xs.min()), int(ys.min())
+        w = int(xs.max()) - xmin + 1
+        h = int(ys.max()) - ymin + 1
+        grid = np.full((h, w), np.nan)
+        grid[ys - ymin, xs - xmin] = zs
+        outs = []
+        for lv in levels:
+            x0, y0, x1, y1 = marching_squares(grid, lv)
+            out = {g: np.repeat(k, len(x0))
+                   for g, k in zip(group_cols, key)}
+            out["level"] = np.full(len(x0), lv)
+            out["x0"] = x0 + xmin
+            out["y0"] = y0 + ymin
+            out["x1"] = x1 + xmin
+            out["y1"] = y1 + ymin
+            outs.append(pd.DataFrame(out))
+        return pd.concat(outs, ignore_index=True)
+
+    return sub.groupBy(*group_cols).applyInPandas(fn, schema)
