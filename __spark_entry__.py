@@ -2506,6 +2506,26 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(d, "doc_id", "text")
 
 
+def q_edit_dist_join(spark, sf_dir):
+    """Fuzzy self-join within Levenshtein distance 1 (text.py
+    edit_distance_join): customer-number strings (zero-prefix trimmed,
+    1-in-7 subset) paired by the complete PassJoin pigeonhole blocking
+    — one chunk-key equi-join, exact JVM levenshtein verify.  The
+    oracle is GENUINELY independent: DuckDB's native levenshtein over
+    the id-ordered cross join."""
+    from raster2dggs_spark.operators.text import edit_distance_join
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    strs = c.select(
+        F.col("c_custkey").alias("id"),
+        F.regexp_replace(F.substring("c_name", 10, 9), "^0+", "")
+        .alias("s"))
+    out = edit_distance_join(strs, "s", "id", max_d=1)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      "dist")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 §C style): training docs sharing
     any word 4-gram with the held-out eval split (the md5-bucket 'test'
@@ -4115,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
+        "edit_dist_join": q_edit_dist_join,
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -7329,6 +7350,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.img, p.x, p.y, p.d2
         """,
         "contour": _contour_sql(),
+        "edit_dist_join": """
+            WITH s AS (
+              SELECT c_custkey AS id,
+                     regexp_replace(substring(c_name, 10, 9),
+                                    '^0+', '') AS s
+              FROM customer WHERE c_custkey % 7 = 0)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM s a JOIN s b ON a.id < b.id
+            WHERE levenshtein(a.s, b.s) <= 1
+        """,
         "region_group": f"""
             WITH RECURSIVE
             base AS (
