@@ -1426,6 +1426,42 @@ def q_contour(spark, sf_dir):
         F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"))
 
 
+def q_contour_stitch(spark, sf_dir):
+    """Contour polylines end-to-end (vector.py stitch_segments over
+    contour_segments): the marching-squares soup assembled into
+    polylines by the engine's own pointer-jumping connected components
+    — per polyline its lex-min endpoint anchor, segment/vertex counts,
+    Euclidean length and ring-closure flag.  The oracle closes the
+    same endpoint graph with a recursive min-label CTE (every level
+    MATERIALIZED per the DuckDB-inlining landmine)."""
+    from raster2dggs_spark.operators.vector import (
+        contour_segments, stitch_segments,
+    )
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    hole = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 13 == 0
+    fix = base.where(~hole).select(
+        "img", "x", "y",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 97)
+        .cast("double").alias("z"))
+    segs = contour_segments(fix, levels=[24.5, 48.5, 72.5],
+                            group_cols=["img"])
+    out = stitch_segments(segs, group_cols=["img", "level"])
+    return out.select(
+        F.col("img").cast("long").alias("img"), "level",
+        F.round("anchor_x", 6).alias("anchor_x"),
+        F.round("anchor_y", 6).alias("anchor_y"),
+        "n_segs", "n_vertices",
+        F.round("length", 4).alias("length"), "closed")
+
+
 def q_region_group(spark, sf_dir):
     """Region grouping / raster clump (round 7, operators/costdist.py
     clump_cells — GRASS r.clump, ArcGIS RegionGroup): every cell
@@ -4073,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euclid_allocation": q_euclid_allocation,
         "region_group": q_region_group,
         "contour": q_contour,
+        "contour_stitch": q_contour_stitch,
         "sieve": q_sieve,
         "flow_length": q_flow_length,
         "watershed_basins": q_watershed_basins,
@@ -5504,7 +5541,7 @@ _MD5_HEX2 = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {8 + i}, 1)) - 1) * {16 ** (8 - i)}"
     for i in range(1, 9))
 
-def _contour_sql() -> str:
+def _contour_cte() -> str:
     """Marching-squares relational twin: 2x2-corner self-join -> case
     index -> edge interpolation -> per-case segment emission (the same
     case table as operators/vector.py:_MS_SEGS, saddles by the
@@ -5543,20 +5580,20 @@ def _contour_sql() -> str:
             f" {slot_expr(slot, 'y', 1)} AS y1 FROM pts{guard}")
     union = " UNION ALL ".join(slots)
     return f"""
-        WITH base AS (
+        base AS MATERIALIZED (
           SELECT i // 256 AS img, (i % 256) % 16 AS x,
                  (i % 256) // 16 AS y,
                  md5(CAST(i // 256 AS VARCHAR) || ':' ||
                      CAST((i % 256) % 16 AS VARCHAR) || ':' ||
                      CAST((i % 256) // 16 AS VARCHAR)) AS h
           FROM range(1024) t(i)),
-        p AS (
+        p AS MATERIALIZED (
           SELECT img, x, y, CAST(({_MD5_HEX1}) % 97 AS DOUBLE) AS z
           FROM base WHERE ({_MD5_HEX2}) % 13 != 0),
-        lv AS (SELECT unnest([CAST(24.5 AS DOUBLE),
+        lv AS MATERIALIZED (SELECT unnest([CAST(24.5 AS DOUBLE),
                               CAST(48.5 AS DOUBLE),
                               CAST(72.5 AS DOUBLE)]) AS L),
-        sq AS (
+        sq AS MATERIALIZED (
           SELECT a.img, a.x, a.y, lv.L,
                  a.z AS z00, b.z AS z10, c.z AS z01, d.z AS z11
           FROM p a
@@ -5564,7 +5601,7 @@ def _contour_sql() -> str:
           JOIN p c ON c.img = a.img AND c.x = a.x AND c.y = a.y + 1
           JOIN p d ON d.img = a.img AND d.x = a.x + 1 AND d.y = a.y + 1
           CROSS JOIN lv),
-        cs0 AS (
+        cs0 AS MATERIALIZED (
           SELECT *,
                  (CASE WHEN z00 >= L THEN 1 ELSE 0 END)
                  + 2 * (CASE WHEN z10 >= L THEN 1 ELSE 0 END)
@@ -5572,7 +5609,7 @@ def _contour_sql() -> str:
                  + 8 * (CASE WHEN z01 >= L THEN 1 ELSE 0 END) AS cs,
                  ((z00 + z10 + z01 + z11) / 4.0 >= L) AS ctr
           FROM sq),
-        pts AS (
+        pts AS MATERIALIZED (
           SELECT img, L, cs, ctr,
                  CAST(x AS DOUBLE) + (L - z00) / (z10 - z00) AS xt,
                  CAST(y AS DOUBLE) AS yt,
@@ -5583,8 +5620,8 @@ def _contour_sql() -> str:
                  CAST(x + 1 AS DOUBLE) AS xr,
                  CAST(y AS DOUBLE) + (L - z10) / (z11 - z10) AS yr
           FROM cs0 WHERE cs BETWEEN 1 AND 14),
-        segs AS ({union}),
-        canon AS (
+        segs AS MATERIALIZED ({union}),
+        canon AS MATERIALIZED (
           SELECT img, L,
                  CASE WHEN (x1 < x0) OR (x1 = x0 AND y1 < y0)
                       THEN x1 ELSE x0 END AS x0,
@@ -5596,10 +5633,85 @@ def _contour_sql() -> str:
                       THEN y0 ELSE y1 END AS y1
           FROM segs
           WHERE NOT (x0 = x1 AND y0 = y1))
+    """
+
+
+def _contour_sql() -> str:
+    return "WITH " + _contour_cte() + """
         SELECT CAST(img AS BIGINT) AS img, L AS level,
                round(x0, 6) AS x0, round(y0, 6) AS y0,
                round(x1, 6) AS x1, round(y1, 6) AS y1
         FROM canon
+    """
+
+
+def _stitch_sql() -> str:
+    """contour_stitch twin: recursive min-label closure over shared
+    segment endpoints, then per-component polyline stats.  Every level
+    is MATERIALIZED — under WITH RECURSIVE DuckDB inlines multiply-
+    referenced CTEs (the CLAUDE.md landmine), re-evaluating the float
+    chain per reference."""
+    return "WITH RECURSIVE " + _contour_cte() + """,
+        verts AS MATERIALIZED (
+          -- UNION ALL + outer DISTINCT: inside a WITH RECURSIVE block
+          -- DuckDB does NOT deduplicate a plain UNION in a
+          -- non-self-referencing CTE (verified; CLAUDE.md landmine)
+          SELECT DISTINCT img, L, x, y FROM (
+            SELECT img, L, x0 AS x, y0 AS y FROM canon
+            UNION ALL
+            SELECT img, L, x1 AS x, y1 AS y FROM canon)),
+        vv AS MATERIALIZED (
+          SELECT img, L, x, y,
+                 row_number() OVER (ORDER BY img, L, x, y) AS vid
+          FROM verts),
+        ed AS MATERIALIZED (
+          SELECT s.img, s.L, a.vid AS va, b.vid AS vb
+          FROM canon s
+          JOIN vv a ON a.img = s.img AND a.L = s.L
+                   AND a.x = s.x0 AND a.y = s.y0
+          JOIN vv b ON b.img = s.img AND b.L = s.L
+                   AND b.x = s.x1 AND b.y = s.y1),
+        e2 AS MATERIALIZED (
+          SELECT DISTINCT va, vb FROM (
+            SELECT va, vb FROM ed
+            UNION ALL SELECT vb AS va, va AS vb FROM ed)),
+        reach(v, rid) AS (
+          SELECT vid, vid FROM vv
+          UNION
+          SELECT e.vb, r.rid FROM reach r JOIN e2 e ON e.va = r.v),
+        lab AS MATERIALIZED (
+          SELECT v, MIN(rid) AS comp FROM reach GROUP BY v),
+        incid AS MATERIALIZED (
+          SELECT va AS v FROM ed UNION ALL SELECT vb FROM ed),
+        vdeg AS MATERIALIZED (
+          SELECT v, count(*) AS deg FROM incid GROUP BY v),
+        vstats AS MATERIALIZED (
+          SELECT vv.img, vv.L, lab.comp,
+                 count(*) AS n_vertices,
+                 min({'x': vv.x, 'y': vv.y}) AS anchor,
+                 (min(vdeg.deg) = 2) AS closed
+          FROM vv JOIN lab ON lab.v = vv.vid
+          JOIN vdeg ON vdeg.v = vv.vid
+          GROUP BY vv.img, vv.L, lab.comp),
+        sstats AS MATERIALIZED (
+          SELECT s.img, s.L, lab.comp,
+                 count(*) AS n_segs,
+                 sum(sqrt((s.x1 - s.x0) * (s.x1 - s.x0)
+                          + (s.y1 - s.y0) * (s.y1 - s.y0))) AS length
+          FROM canon s
+          JOIN vv a ON a.img = s.img AND a.L = s.L
+                   AND a.x = s.x0 AND a.y = s.y0
+          JOIN lab ON lab.v = a.vid
+          GROUP BY s.img, s.L, lab.comp)
+        SELECT CAST(v.img AS BIGINT) AS img, v.L AS level,
+               round(v.anchor.x, 6) AS anchor_x,
+               round(v.anchor.y, 6) AS anchor_y,
+               CAST(s.n_segs AS BIGINT) AS n_segs,
+               CAST(v.n_vertices AS BIGINT) AS n_vertices,
+               round(s.length, 4) AS length,
+               v.closed AS closed
+        FROM vstats v JOIN sstats s
+          ON s.img = v.img AND s.L = v.L AND s.comp = v.comp
     """
 
 
@@ -7350,6 +7462,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.img, p.x, p.y, p.d2
         """,
         "contour": _contour_sql(),
+        "contour_stitch": _stitch_sql(),
         "edit_dist_join": """
             WITH s AS (
               SELECT c_custkey AS id,

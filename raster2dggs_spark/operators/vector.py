@@ -257,3 +257,69 @@ def contour_segments(df: DataFrame, levels, value_col: str = "z",
         return pd.concat(outs, ignore_index=True)
 
     return sub.groupBy(*group_cols).applyInPandas(fn, schema)
+
+
+def stitch_segments(segs: DataFrame, group_cols: list[str] | None = None,
+                    x0_col: str = "x0", y0_col: str = "y0",
+                    x1_col: str = "x1", y1_col: str = "y1") -> DataFrame:
+    """Assemble a segment soup (contour_segments output) into
+    POLYLINES: connected components over shared endpoints, one output
+    row per polyline with its lex-min endpoint as the deterministic
+    anchor — the distributed completion of gdal_contour's line merge.
+
+    Output per (group…, polyline): ``anchor_x/anchor_y`` (the
+    component's lexicographically smallest endpoint — a coordinate
+    key, no engine-specific label leaks out), ``n_segs``,
+    ``n_vertices``, ``length`` (Euclidean sum), ``closed`` (every
+    endpoint meets exactly 2 segments — a ring).
+
+    Scale shape: endpoint keys are (group…, x, y) strings; stitching is
+    the engine's own pointer-jumping connected_components —
+    O(log diameter) rounds, three bounded shuffles each — followed by
+    two groupBys.  No driver-side geometry, no quadratic joins.
+    """
+    group_cols = list(group_cols or [])
+
+    def key(xc, yc):
+        return F.concat_ws(
+            ":", *[F.col(g).cast("string") for g in group_cols],
+            F.col(xc).cast("string"), F.col(yc).cast("string"))
+
+    from raster2dggs_spark.operators.dedup import connected_components
+
+    edges = segs.select(key(x0_col, y0_col).alias("id_a"),
+                        key(x1_col, y1_col).alias("id_b"))
+    cc = connected_components(edges)
+
+    ends = segs.select(
+        *group_cols, key(x0_col, y0_col).alias("__k"),
+        F.col(x0_col).alias("__x"), F.col(y0_col).alias("__y")
+    ).unionByName(segs.select(
+        *group_cols, key(x1_col, y1_col).alias("__k"),
+        F.col(x1_col).alias("__x"), F.col(y1_col).alias("__y")))
+    deg = ends.groupBy(*group_cols, "__k", "__x", "__y").agg(
+        F.count(F.lit(1)).alias("__deg"))
+    verts = deg.join(cc, deg["__k"] == cc["vertex"]).groupBy(
+        *group_cols, "component").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min(F.struct(F.col("__x"), F.col("__y"))).alias("__anchor"),
+        (F.min("__deg") == 2).alias("closed"))
+
+    seglen = F.sqrt(
+        (F.col(x1_col) - F.col(x0_col)) * (F.col(x1_col) - F.col(x0_col))
+        + (F.col(y1_col) - F.col(y0_col))
+        * (F.col(y1_col) - F.col(y0_col)))
+    segc = segs.withColumn("__k0", key(x0_col, y0_col)).join(
+        cc, F.col("__k0") == cc["vertex"]).groupBy(
+        *group_cols, "component").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(seglen).alias("length"))
+
+    out = segc.join(verts, [*group_cols, "component"])
+    return out.select(
+        *group_cols,
+        F.col("__anchor.__x").alias("anchor_x"),
+        F.col("__anchor.__y").alias("anchor_y"),
+        F.col("n_segs").cast("long").alias("n_segs"),
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        F.col("length"), F.col("closed"))

@@ -119,3 +119,46 @@ def test_contour_empty_levels_raise(spark):
         {"x": [0], "y": [0], "z": [1.0]}))
     with pytest.raises(ValueError, match="levels"):
         contour_segments(df, levels=[])
+
+
+def test_stitch_ring_and_chain(spark):
+    from raster2dggs_spark.operators.vector import stitch_segments
+
+    # a closed unit square ring + an open 2-segment chain, two groups
+    ring = [(0.0, 0.0, 1.0, 0.0), (1.0, 0.0, 1.0, 1.0),
+            (0.0, 1.0, 1.0, 1.0), (0.0, 0.0, 0.0, 1.0)]
+    chain = [(5.0, 5.0, 6.0, 5.0), (6.0, 5.0, 7.0, 6.0)]
+    rows = ([("g1", *s) for s in ring + chain]
+            + [("g2", *s) for s in ring])
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "x0", "y0", "x1", "y1"]))
+    out = {(r.g, r.anchor_x, r.anchor_y): (r.n_segs, r.n_vertices,
+                                           round(r.length, 9), r.closed)
+           for r in stitch_segments(df, group_cols=["g"]).collect()}
+    assert out[("g1", 0.0, 0.0)] == (4, 4, 4.0, True)
+    assert out[("g1", 5.0, 5.0)] == (2, 3,
+                                     round(1.0 + np.sqrt(2.0), 9), False)
+    assert out[("g2", 0.0, 0.0)] == (4, 4, 4.0, True)
+    assert len(out) == 3
+
+
+def test_stitch_contour_roundtrip(spark):
+    from raster2dggs_spark.operators.vector import (
+        contour_segments, stitch_segments,
+    )
+
+    # pyramid surface -> single closed ring polyline per level
+    n = 21
+    rows = []
+    for y in range(n):
+        for x in range(n):
+            rows.append(("p", x, y,
+                         10.0 - max(abs(x - 10), abs(y - 10))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["img", "x", "y", "z"]))
+    segs = contour_segments(df, levels=[6.5], group_cols=["img"])
+    out = stitch_segments(segs, group_cols=["img", "level"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.closed and r.n_segs == r.n_vertices
+    assert abs(r.length - (4 * 7 - 8 * 0.5 + 4 * np.sqrt(0.5))) < 1e-9
