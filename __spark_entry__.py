@@ -948,6 +948,20 @@ def q_morans_i_global(spark, sf_dir):
                       "n_cells", "s0")
 
 
+def q_geary_c(spark, sf_dir):
+    """Global Geary's C (binary queen weights over present neighbors) on
+    the quadkey density layer — the distance-based sibling of Moran's I
+    computed WITHOUT pair materialization (per-cell algebraic expansion
+    over the same one-exchange focal scatter/gather); the oracle
+    recomputes the statistic from the LITERAL pair join
+    sum((a.v - b.v)^2)."""
+    from raster2dggs_spark.operators.focal import geary_c
+
+    out = geary_c(_quadkey5_density(spark, sf_dir), "v", dggs="quadkey")
+    return out.select(F.round("geary_c", 6).alias("geary_c"),
+                      "n_cells", "w_sum")
+
+
 def q_focal_metric_points(spark, sf_dir):
     """Metric focal mean (radius 750 km) over keyed points (round 7,
     operators/focal.py:focal_metric): the grid-blocked radius self-join
@@ -4124,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morphology": q_morphology,
         "morans_i_local": q_morans_i_local,
         "morans_i_global": q_morans_i_global,
+        "geary_c": q_geary_c,
         "pyramid_rollup": q_pyramid_rollup,
         "getis_gi_star": q_getis_gi_star,
         "idw_grid": q_idw_grid,
@@ -8180,6 +8195,38 @@ def oracle_sql() -> dict[str, str]:
                    round(z.z * (zsum / nn) / z.m2, 6) + 0.0 AS local_i,
                    CAST(nn AS BIGINT) AS n_neighbors
             FROM z JOIN nb ON z.gx = nb.gx AND z.gy = nb.gy
+        """,
+        "geary_c": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            q AS (
+              SELECT CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 32.0), 0), 31)
+                     AS BIGINT) AS gx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 32.0), 0), 31) AS BIGINT) AS gy,
+                     CAST((point_id * 11) % 97 AS DOUBLE) AS v
+              FROM p),
+            c AS (SELECT gx, gy, avg(v) AS v FROM q GROUP BY gx, gy),
+            st AS (SELECT avg(v) AS mu, count(*) AS n FROM c),
+            nb AS (
+              SELECT sum((a.v - b.v) * (a.v - b.v)) AS num,
+                     count(*) AS w
+              FROM c a JOIN c b
+                ON ((b.gx - a.gx + 33) % 32) <= 2
+               AND abs(b.gy - a.gy) <= 1
+               AND NOT (b.gx = a.gx AND b.gy = a.gy)),
+            den AS (SELECT sum((c.v - st.mu) * (c.v - st.mu)) AS ss,
+                           max(st.n) AS n
+                    FROM c, st)
+            SELECT round((den.n - 1) * nb.num / (2.0 * nb.w * den.ss),
+                         6) + 0.0 AS geary_c,
+                   CAST(den.n AS BIGINT) AS n_cells,
+                   CAST(nb.w AS BIGINT) AS w_sum
+            FROM nb, den
         """,
         "morans_i_global": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

@@ -679,3 +679,38 @@ def morphology_cells(cells_df: DataFrame, op: str = "dilate", k: int = 1,
 
     enc = idx.mapInPandas(encode, out_schema)
     return enc if keep_indices else enc.select("cell")
+
+
+def geary_c(cells_df: DataFrame, value_col: str, dggs: str = "geohash",
+            cell_col: str = "cell") -> DataFrame:
+    """Global Geary's C (the distance-based sibling of Moran's I —
+    ArcGIS High/Low Clustering) with binary queen weights over PRESENT
+    neighbors:
+
+    ``C = (n - 1) * Σ_ij w_ij (x_i - x_j)² / (2 W Σ_i (x_i - x̄)²)``
+
+    computed without pair materialization: per cell,
+    ``Σ_j (x_i - x_j)² = nn_i·x_i² - 2·x_i·Σ_j x_j + Σ_j x_j²`` rides
+    the SAME one-exchange focal scatter/gather as Moran (neighbor sums
+    of x and x²); the oracle recomputes it from the literal pair join.
+    Returns one row (geary_c, n_cells, w_sum).  C < 1 = positive
+    autocorrelation, 1 = none, > 1 = negative."""
+    df = cells_df.withColumn("__v2", F.col(value_col) * F.col(value_col))
+    f = focal_lattice(df, [value_col, "__v2"], k=1, agg="sum",
+                      cell_col=cell_col, dggs=dggs)
+    nn = (F.col("n_window") - 1).cast("double")
+    sv = F.col(f"focal_{value_col}") - F.col(value_col)
+    sv2 = F.col("focal___v2") - F.col("__v2")
+    v = F.col(value_col)
+    num_i = nn * v * v - 2.0 * v * sv + sv2
+    st = df.agg(F.avg(value_col).alias("mu"),
+                F.avg("__v2").alias("m2raw"),
+                F.count(F.lit(1)).alias("n"))
+    agg = f.agg(F.sum(num_i).alias("num"), F.sum(nn).alias("w"))
+    denom = (F.col("n") - 1) / (
+        2.0 * F.col("w")
+        * (F.col("n") * (F.col("m2raw") - F.col("mu") * F.col("mu"))))
+    return agg.crossJoin(F.broadcast(st)).select(
+        (F.col("num") * denom).alias("geary_c"),
+        F.col("n").cast("long").alias("n_cells"),
+        F.col("w").cast("long").alias("w_sum"))

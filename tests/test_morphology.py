@@ -121,3 +121,53 @@ def test_morphology_bad_args(spark):
         morphology_cells(df, metric="euclid")
     with pytest.raises(ValueError, match="k >= 1"):
         morphology_cells(df, k=0)
+
+
+def test_geary_c_checkerboard_and_smooth(spark):
+    # checkerboard -> strong negative autocorrelation (C > 1);
+    # a smooth gradient -> strong positive (C < 1); brute-force parity.
+    import numpy as np
+
+    from raster2dggs_spark.operators.focal import geary_c
+
+    def brute(vals):
+        idx = {k: v for k, v in vals.items()}
+        n = len(idx)
+        mu = sum(idx.values()) / n
+        den = sum((v - mu) ** 2 for v in idx.values())
+        num = w = 0.0
+        for (x, y), v in idx.items():
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == dy == 0:
+                        continue
+                    nb = ((x + dx) % 32, y + dy)
+                    if nb in idx:
+                        num += (v - idx[nb]) ** 2
+                        w += 1
+        return (n - 1) * num / (2 * w * den)
+
+    for kind in ("checker", "ramp"):
+        vals = {}
+        for x in range(8):
+            for y in range(8):
+                vals[(x, y)] = (float((x + y) % 2) if kind == "checker"
+                                else float(x + y))
+        df = _mk(spark, sorted(vals), "geohash", 2)
+        from raster2dggs_spark.operators.focal import lattice_indices  # noqa
+        vdf = spark.createDataFrame(
+            [(int(c), vals[k]) for c, k in zip(
+                (geohashlib.cell_from_indices(
+                    np.array([k[0] for k in sorted(vals)]),
+                    np.array([k[1] for k in sorted(vals)]), 2)),
+                sorted(vals))],
+            "cell long, v double")
+        row = geary_c(vdf, "v", dggs="geohash").collect()[0]
+        assert abs(row.geary_c - brute(vals)) < 1e-9
+        # queen weights: the checkerboard's 4 diagonal neighbors are
+        # EQUAL, so C sits just above 1 (rook-only would be ~2); the
+        # smooth ramp is strongly positive-autocorrelated (C << 1)
+        if kind == "checker":
+            assert row.geary_c > 1.0
+        else:
+            assert row.geary_c < 0.2
