@@ -1936,6 +1936,42 @@ def q_line_cells_quadkey(spark, sf_dir):
     return out.select("line_id", qk_str("cell").alias("qk_12"))
 
 
+def q_snap_points(spark, sf_dir):
+    """Map matching (joins.py snap_to_segments): customers snap to
+    their nearest zigzag-polyline segment within 500 km — GRASS
+    v.distance / ST_ClosestPoint semantics, lattice-blocked (segment
+    supercover cells x padded point disk covers, ONE cell equi-join,
+    one groupBy-min; no all-pairs).  Metric is the pinned local
+    equirectangular clamped-projection distance; the oracle is the
+    brute cross-join twin with the identical expressions and the
+    identical total tie-break (round(dist,4), line_id, seg_idx)."""
+    from raster2dggs_spark.operators.joins import snap_to_segments
+
+    ln = spark.range(200).select(
+        F.col("id").alias("line_id"),
+        (F.lit(3) + F.col("id") % 4).cast("int").alias("m"),
+        (F.lit(-170.0) + (F.col("id") * 7 % 340).cast("double")).alias("a"),
+        (F.lit(-55.0) + (F.col("id") * 11 % 110).cast("double")).alias("b"),
+    )
+    ks = F.sequence(F.lit(0), F.col("m"))
+    lines = ln.select(
+        "line_id",
+        F.transform(ks, lambda k: F.col("a")
+                    + F.lit(0.25) * k.cast("double")).alias("xs"),
+        F.transform(ks, lambda k: F.col("b")
+                    + F.lit(0.125) * (k % 2).cast("double")
+                    + F.lit(0.0625) * k.cast("double")).alias("ys"),
+    )
+    out = snap_to_segments(_customer_points(spark, sf_dir), lines,
+                           radius_m=500_000.0, dggs="quadkey")
+    return out.select(
+        F.col("point_id").cast("long").alias("point_id"),
+        "dist_m",
+        F.col("line_id").cast("long").alias("line_id"),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        "t_frac", "snap_lon", "snap_lat")
+
+
 def q_polyfill_quadkey(spark, sf_dir):
     """Polygon -> cells EXACT center-in fill on the quadkey grid
     (operators/joins.py:polygon_fill_cells) — the vector2dggs polygon
@@ -4157,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_gaps": q_interpolate_gaps,
         "rolling_smooth": q_rolling_smooth,
         "line_cells_quadkey": q_line_cells_quadkey,
+        "snap_points": q_snap_points,
         "polyfill_quadkey": q_polyfill_quadkey,
         "polygon_overlay": q_polygon_overlay,
         "dbscan": q_dbscan,
@@ -8346,6 +8383,69 @@ def oracle_sql() -> dict[str, str]:
                        f"ELSE 'loss' END AS band_{i}_class"
                        for i in range(1, 4))}
             FROM g
+        """,
+        "snap_points": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            l AS (
+              SELECT i AS line_id, 3 + i % 4 AS m,
+                     CAST(-170 + (i * 7) % 340 AS DOUBLE) AS a,
+                     CAST(-55 + (i * 11) % 110 AS DOUBLE) AS b
+              FROM range(200) r(i)),
+            seg AS (
+              SELECT line_id, s.j AS j,
+                     a + 0.25 * CAST(s.j AS DOUBLE) AS lon0,
+                     b + 0.125 * CAST(s.j % 2 AS DOUBLE)
+                       + 0.0625 * CAST(s.j AS DOUBLE) AS lat0,
+                     a + 0.25 * CAST(s.j + 1 AS DOUBLE) AS lon1,
+                     b + 0.125 * CAST((s.j + 1) % 2 AS DOUBLE)
+                       + 0.0625 * CAST(s.j + 1 AS DOUBLE) AS lat1
+              FROM l, range(7) s(j) WHERE s.j < m),
+            d0 AS (
+              SELECT p.point_id, p.lon, p.lat, seg.line_id, seg.j,
+                     seg.lon0, seg.lat0, seg.lon1, seg.lat1,
+                     cos(radians(p.lat))
+                       * (radians(1.0) * 6371007.1809) AS k
+              FROM p CROSS JOIN seg),
+            d1 AS (
+              SELECT *,
+                     (((lon0 - lon + 540.0) % 360.0) - 180.0) * k AS axm,
+                     (lat0 - lat) * (radians(1.0) * 6371007.1809) AS aym,
+                     (((lon0 - lon + 540.0) % 360.0) - 180.0) * k
+                       + ((((lon1 - lon0 + 540.0) % 360.0) - 180.0)
+                          * k) AS bxm,
+                     (lat1 - lat) * (radians(1.0) * 6371007.1809) AS bym
+              FROM d0),
+            d2 AS (
+              SELECT *, bxm - axm AS vx, bym - aym AS vy FROM d1),
+            d3 AS (
+              SELECT *,
+                     CASE WHEN vx * vx + vy * vy > 0.0
+                          THEN greatest(0.0, least(1.0,
+                               -(axm * vx + aym * vy)
+                               / (vx * vx + vy * vy)))
+                          ELSE 0.0 END AS t
+              FROM d2),
+            d4 AS (
+              SELECT point_id, lon, lat, line_id, j, k, t,
+                     axm + t * vx AS cx, aym + t * vy AS cy
+              FROM d3),
+            d5 AS (
+              SELECT *, sqrt(cx * cx + cy * cy) AS dist
+              FROM d4 WHERE sqrt(cx * cx + cy * cy) <= 500000.0),
+            rk AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY point_id
+                       ORDER BY round(dist, 4), line_id, j) AS rn
+              FROM d5)
+            SELECT CAST(point_id AS BIGINT) AS point_id,
+                   round(dist, 4) + 0.0 AS dist_m,
+                   CAST(line_id AS BIGINT) AS line_id,
+                   CAST(j AS BIGINT) AS seg_idx,
+                   round(t, 6) + 0.0 AS t_frac,
+                   round(lon + (cx / k), 6) + 0.0 AS snap_lon,
+                   round(lat + cy / (radians(1.0) * 6371007.1809), 6)
+                     + 0.0 AS snap_lat
+            FROM rk WHERE rn = 1
         """,
         "line_cells_quadkey": """
             WITH l AS (

@@ -650,6 +650,105 @@ def main():
     extras["simplify_vertices_kept"] = int(sl_row["n"])
     sl.unpersist()
 
+    # -- q21: as-of join at scale — 1M rows (500k left x 500k right,
+    # 5k keys): union + ONE windowed carry-forward exchange, no join node
+    from raster2dggs_spark.operators.temporal import asof_join
+
+    ev = spark.range(1_000_000).selectExpr(
+        "id % 5000 AS k",
+        "timestamp_micros(CAST(1700000000000000"
+        " + (id * 7919) % 86400000000 AS BIGINT)) AS ts",
+        "id AS event_id",
+        "CAST(id % 97 AS DOUBLE) AS price").persist()
+    ev.count()
+    ao_l = ev.where("id % 2 = 0").select("k", "ts", "event_id")
+    ao_r = ev.where("id % 2 = 1").select(
+        "k", "ts", "price", "event_id")
+
+    def run_asof():
+        out = asof_join(ao_l, ao_r, on="ts", by=["k"],
+                        value_cols=["price"], tiebreak="event_id")
+        return out.agg(F.count(F.lit(1)).alias("n"),
+                       F.count("price").alias("m")).collect()[0]
+
+    ao_row = timed("asof_1m", run_asof)
+    extras["asof_left_rows"] = int(ao_row["n"])
+    extras["asof_matched"] = int(ao_row["m"])
+    ev.unpersist()
+
+    # -- q22: PassJoin edit-distance self-join — 100k numeric strings,
+    # complete d=1 blocking + exact JVM levenshtein verify
+    from raster2dggs_spark.operators.text import edit_distance_join
+
+    eds = spark.range(100_000).selectExpr(
+        "id", "CAST((id * 13) % 1000000 AS STRING) AS s").persist()
+    eds.count()
+
+    def run_ed():
+        return (edit_distance_join(eds, "s", "id", max_d=1)
+                .agg(F.count(F.lit(1)).alias("n")).collect()[0])
+
+    ed_row = timed("edit_dist_100k", run_ed)
+    extras["edit_dist_pairs"] = int(ed_row["n"])
+    eds.unpersist()
+
+    # -- q23: marching-squares contours — 64 tiles x 256x256 (4.2M px),
+    # 3 levels, one applyInPandas over the tile key
+    from raster2dggs_spark.operators.vector import contour_segments
+
+    cg = spark.range(64 * 256 * 256).selectExpr(
+        "id DIV 65536 AS img",
+        "(id % 65536) % 256 AS x",
+        "(id % 65536) DIV 256 AS y").selectExpr(
+        "img", "x", "y",
+        "50.0 + 45.0 * sin(x / 16.0 + img) * cos(y / 16.0) AS z"
+    ).persist()
+    cg.count()
+
+    def run_contour():
+        out = contour_segments(cg, levels=[20.0, 50.0, 80.0],
+                               group_cols=["img"])
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.sqrt((F.col("x1") - F.col("x0"))
+                         * (F.col("x1") - F.col("x0"))
+                         + (F.col("y1") - F.col("y0"))
+                         * (F.col("y1") - F.col("y0")))).alias("len")
+        ).collect()[0]
+
+    ct_row = timed("contour_4m", run_contour)
+    extras["contour_px"] = 64 * 256 * 256
+    extras["contour_segments"] = int(ct_row["n"])
+    cg.unpersist()
+
+    # -- q24: lattice morphology — 1M-cell quadkey-12 set, 3x3 dilation
+    # (9M scatter rows, ONE exchange, vectorized index->id encode)
+    from raster2dggs_spark.operators.focal import morphology_cells
+
+    @F.pandas_udf("long")
+    def _qk12(tx, ty):
+        import pandas as _pd
+
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return _pd.Series(quadkeylib.tile_to_cell(
+            tx.values, ty.values, 12))
+
+    mo = spark.range(1_000_000).selectExpr(
+        "(id * 2654435761) % 4096 AS tx",
+        "(id * 40503) % 4096 AS ty").dropDuplicates().select(
+        _qk12("tx", "ty").alias("cell")).persist()
+    n_mo = mo.count()
+
+    def run_morph():
+        return (morphology_cells(mo, op="dilate", k=1, dggs="quadkey")
+                .agg(F.count(F.lit(1)).alias("n")).collect()[0])
+
+    mo_row = timed("morph_dilate_1m", run_morph)
+    extras["morph_cells_in"] = int(n_mo)
+    extras["morph_cells_out"] = int(mo_row["n"])
+    mo.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -1439,3 +1439,142 @@ def polygon_overlay_area(polys_a: DataFrame, polys_b: DataFrame,
                             / (F.col("n_a") + F.col("n_b")
                                - F.col("n_shared")), 6)
                     .alias("jaccard")))
+
+
+def explode_segments(lines: DataFrame, id_col: str = "line_id",
+                     xs_col: str = "xs", ys_col: str = "ys") -> DataFrame:
+    """Polylines -> one row per segment ``(line_id, seg_idx, ax, ay,
+    bx, by)`` — pure column expressions (posexplode over a transform),
+    no UDF, no shuffle.  Lines with fewer than 2 vertices vanish."""
+    segs = F.expr(
+        f"transform(sequence(0, size({xs_col}) - 2), j -> "
+        f"struct({xs_col}[j] AS ax, {ys_col}[j] AS ay, "
+        f"{xs_col}[j + 1] AS bx, {ys_col}[j + 1] AS by))")
+    return (lines.where(F.expr(f"size({xs_col}) >= 2"))
+            .select(F.col(id_col), F.posexplode(segs)
+                    .alias("seg_idx", "seg"))
+            .select(id_col, F.col("seg_idx").cast("long").alias("seg_idx"),
+                    "seg.ax", "seg.ay", "seg.bx", "seg.by"))
+
+
+MAX_SEGS_PER_LINE = 1 << 20
+
+
+def snap_to_segments(points: DataFrame, lines: DataFrame, radius_m: float,
+                     dggs: str = "quadkey",
+                     point_id: str = "point_id", line_id: str = "line_id",
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     xs_col: str = "xs", ys_col: str = "ys") -> DataFrame:
+    """Map matching: snap each point to its nearest polyline segment
+    within ``radius_m`` — the GPS-trace / road-network join (GRASS
+    ``v.distance``, PostGIS ``ST_ClosestPoint`` per nearest line, the
+    snap step of every map-matching pipeline).  The reference carries
+    no vector-vector machinery at all (raster in, cells out); this is
+    the natural lattice-blocked formulation of the gap.
+
+    Distance metric (pinned; mirrored exactly by the SQL oracle): the
+    local equirectangular frame centred on the point — lon deltas are
+    wrapped into ±180°, scaled by ``cos(point_lat)``, both axes by
+    metres-per-degree on the authalic sphere — then the classic
+    clamped-projection point-to-segment distance.  Planar map-matching
+    semantics, standard at snapping radii (<~1% vs geodesic at
+    |lat| <= 80 for 300 km); NOT a geodesic (the blocking pad below
+    absorbs the discrepancy, so no true neighbour is lost).
+
+    Winner per point: lexicographic min of ``(round(dist_m, 4),
+    line_id, seg_idx)`` — a TOTAL order (the repo's tie-break rule;
+    adjacent segments sharing the snap vertex tie in rounded distance
+    and resolve by id, identically in Spark and DuckDB).
+
+    Plan shape (100-TB): segments explode column-natively and are
+    supercovered ONCE at a radius-adaptive coarse res (exact crossing
+    enumeration on rectangle grids via :func:`line_cells`); points
+    explode to padded disk covers at the same res; ONE cell equi-join
+    makes candidates, one seg-geometry equi-join (AQE-broadcast when
+    small) attaches coordinates, one groupBy(point) takes the min —
+    no window over a global key, no all-pairs, cost follows true
+    point/line proximity.  The disk pad is ANALYTIC: one scalar
+    aggregate reads max|lat|, and the cover radius is inflated by the
+    worst-case equirect-vs-geodesic scale ratio cos(phi)/cos(phi+dr)
+    plus one cover-cell pitch, so the candidate set provably contains
+    every pair whose FINAL metric is within ``radius_m``.
+    """
+    from raster2dggs_spark.dggs import cover as _cover
+
+    m_deg = float(np.radians(1.0) * EARTH_R)
+    # analytic blocking margin (see docstring); one bounded scalar agg
+    row = points.agg(F.max(F.abs(F.col(lat_col))).alias("m")).collect()[0]
+    phi = min(89.0, float(row["m"] or 0.0))
+    dr = radius_m / m_deg
+    margin = np.cos(np.radians(phi)) / np.cos(np.radians(
+        min(89.9, phi + dr)))
+    cres = _res_for_radius(radius_m, dggs, 30)
+    pad_m = np.radians(_cover.pitch_deg(cres, dggs)) * EARTH_R
+    cover_r = radius_m * float(max(1.0, margin)) + pad_m
+
+    segs = explode_segments(lines, line_id, xs_col, ys_col)
+    seg_geom = segs.select(
+        (F.col(line_id) * MAX_SEGS_PER_LINE + F.col("seg_idx"))
+        .alias("seg_id"), "ax", "ay", "bx", "by")
+    seg_lines = segs.select(
+        (F.col(line_id) * MAX_SEGS_PER_LINE + F.col("seg_idx"))
+        .alias("line_id"),
+        F.array("ax", "bx").alias("xs"), F.array("ay", "by").alias("ys"))
+    seg_cells = (line_cells(seg_lines, cres, dggs)
+                 .select(F.col("line_id").alias("seg_id"),
+                         F.col("cell").alias("jcell")))
+
+    q = points.select(F.col(point_id).alias("q_id"), lon_col, lat_col)
+    cand = (disk_cover_cells(q, cover_r, cres, dggs, "q_id",
+                             lon_col, lat_col)
+            .join(seg_cells, "jcell")
+            .join(seg_geom, "seg_id"))
+
+    k = F.cos(F.radians("q_lat")) * F.lit(m_deg)
+
+    def _dx(c):
+        return (((c - F.col("q_lon") + 540.0) % 360.0) - 180.0) * k
+
+    def _dy(c):
+        return (c - F.col("q_lat")) * F.lit(m_deg)
+
+    # wrap endpoint A into ±180° of the point, then keep B CONTINUOUS
+    # with A (wrap the A->B lon step, not B itself): independently
+    # wrapped endpoints flip sign across the antimeridian and turn a
+    # short far-side segment into a fictitious ~33,000 km chord
+    # passing near the origin (found by the snap_points oracle)
+    axm, aym = _dx(F.col("ax")), _dy(F.col("ay"))
+    bxm = axm + ((((F.col("bx") - F.col("ax") + 540.0) % 360.0)
+                  - 180.0) * k)
+    bym = _dy(F.col("by"))
+    vx, vy = bxm - axm, bym - aym
+    l2 = vx * vx + vy * vy
+    t = F.when(l2 > 0.0, F.greatest(F.lit(0.0), F.least(
+        F.lit(1.0), -(axm * vx + aym * vy) / l2))).otherwise(F.lit(0.0))
+    cx, cy = axm + t * vx, aym + t * vy
+    dist = F.sqrt(cx * cx + cy * cy)
+    scored = (cand
+              .withColumn("t_frac", t)
+              .withColumn("dist_m", dist)
+              .withColumn("snap_lon",
+                          F.col("q_lon") + (cx / k))
+              .withColumn("snap_lat",
+                          F.col("q_lat") + cy / F.lit(m_deg))
+              .where(F.col("dist_m") <= F.lit(float(radius_m))))
+    # duplicate (point, seg) candidates from shared cover cells are
+    # ABSORBED by the lexicographic min — no dedupe shuffle needed
+    best = (scored.groupBy("q_id").agg(F.min(F.struct(
+        F.round("dist_m", 4).alias("dist_m"),
+        F.expr(f"seg_id div {MAX_SEGS_PER_LINE}").alias(line_id),
+        (F.col("seg_id") % MAX_SEGS_PER_LINE).alias("seg_idx"),
+        F.round("t_frac", 6).alias("t_frac"),
+        F.round("snap_lon", 6).alias("snap_lon"),
+        F.round("snap_lat", 6).alias("snap_lat"))).alias("b")))
+    return best.select(
+        F.col("q_id").alias(point_id),
+        F.col("b.dist_m").alias("dist_m"),
+        F.col("b." + line_id).alias(line_id),
+        F.col("b.seg_idx").alias("seg_idx"),
+        F.col("b.t_frac").alias("t_frac"),
+        F.col("b.snap_lon").alias("snap_lon"),
+        F.col("b.snap_lat").alias("snap_lat"))
