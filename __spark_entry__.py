@@ -2393,6 +2393,34 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(_supplier_graph(spark, sf_dir))
 
 
+def q_sssp(spark, sf_dir):
+    """Network shortest paths (graph.py sssp — v.net.path / pgRouting
+    class, the edge-list twin of cost_distance): frontier Bellman-Ford
+    supersteps from node 1 over an undirected 3-chord expander on
+    supplier keys (ring, doubling, long-range; integer weights by
+    identical arithmetic in both engines; converges in <=15 rounds at
+    sf0.1).  The oracle unrolls 18 min-fold levels, every level
+    MATERIALIZED (the repo's DuckDB chained-CTE rule); extra levels
+    past convergence are idempotent, so fixpoints agree exactly."""
+    from raster2dggs_spark.operators.graph import sssp
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("u"))
+    nf = s.agg(F.max("u").alias("n"))
+    su = s.crossJoin(F.broadcast(nf))
+    parts = []
+    for mult, wa, wm, wo in ((1, 7, 19, 1), (2, 13, 23, 1),
+                             (37, 11, 29, 3)):
+        parts.append(su.select(
+            F.col("u").alias("src"),
+            ((F.col("u") * mult) % F.col("n") + 1).alias("dst"),
+            ((F.col("u") * wa) % wm + wo).cast("double").alias("w")))
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    out = sssp(edges, [1], directed=False)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("dist").cast("long").alias("dist_w"))
+
+
 def q_sketch_distinct(spark, sf_dir):
     """Mergeable distinct-count sketches (round 7,
     operators/sketches.py — KMV bottom-k and HyperLogLog): built from
@@ -4202,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "sketch_distinct": q_sketch_distinct,
         "pagerank": q_pagerank,
+        "sssp": q_sssp,
         "triangle_count": q_triangle_count,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hilbert_key": q_hilbert_key,
@@ -5829,6 +5858,51 @@ def _simplify_sql(eps2: int = 9, levels: int = 16) -> str:
     return "".join(parts)
 
 
+def _sssp_sql(levels: int = 18) -> str:
+    """Bounded-round Bellman-Ford unroll: ``levels`` min-fold rounds,
+    every level MATERIALIZED (CLAUDE.md: DuckDB inlines chained CTEs
+    that reference the previous level twice -> exponential plans).
+    Idempotent past convergence, so any levels >= the Spark round
+    count reproduce the fixpoint exactly."""
+    lev = "".join(f""",
+            d{i + 1} AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{i}
+                UNION ALL
+                SELECT e.dst AS node, d{i}.dist + e.w AS dist
+                FROM d{i} JOIN e ON e.src = d{i}.node) u
+              GROUP BY node)""" for i in range(levels))
+    return f"""
+            WITH nn AS (SELECT CAST(max(s_suppkey) AS BIGINT) AS n
+                        FROM supplier),
+            base AS (SELECT CAST(s_suppkey AS BIGINT) AS u, n
+                     FROM supplier, nn),
+            e AS MATERIALIZED (
+              SELECT u AS src, (u % n) + 1 AS dst,
+                     CAST((u * 7) % 19 + 1 AS DOUBLE) AS w FROM base
+              UNION ALL
+              SELECT (u % n) + 1, u,
+                     CAST((u * 7) % 19 + 1 AS DOUBLE) FROM base
+              UNION ALL
+              SELECT u, ((u * 2) % n) + 1,
+                     CAST((u * 13) % 23 + 1 AS DOUBLE) FROM base
+              UNION ALL
+              SELECT ((u * 2) % n) + 1, u,
+                     CAST((u * 13) % 23 + 1 AS DOUBLE) FROM base
+              UNION ALL
+              SELECT u, ((u * 37) % n) + 1,
+                     CAST((u * 11) % 29 + 3 AS DOUBLE) FROM base
+              UNION ALL
+              SELECT ((u * 37) % n) + 1, u,
+                     CAST((u * 11) % 29 + 3 AS DOUBLE) FROM base),
+            d0 AS MATERIALIZED (
+              SELECT CAST(1 AS BIGINT) AS node, 0.0 AS dist){lev}
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(dist AS BIGINT) AS dist_w
+            FROM d{levels}
+        """
+
+
 def _pagerank_sql(iters: int = 8) -> str:
     """Unrolled-iteration PageRank twin (chained CTEs, float
     association matching operators/graph.py pagerank exactly)."""
@@ -6310,6 +6384,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # PageRank: the same 8 damped iterations unrolled as chained CTEs
         "pagerank": _pagerank_sql(8),
+        "sssp": _sssp_sql(18),
         # triangles: identical least/greatest fold + a<b<c wedge close
         "triangle_count": """
             WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -85,3 +86,72 @@ def triangle_count(edges: DataFrame, src: str = "src",
     wedges = e1.join(e2, "y")
     tri = wedges.join(e3, ["x", "z"])
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def sssp(edges: DataFrame, sources, src: str = "src", dst: str = "dst",
+         w: str = "w", max_rounds: int = 64, directed: bool = True,
+         stats: dict | None = None) -> DataFrame:
+    """Single-source (or multi-source) shortest path lengths over a
+    weighted edge table — the network-analysis staple (GRASS
+    ``v.net.path`` / pgRouting / Network Analyst reach), the edge-list
+    twin of the engine's lattice ``cost_distance``.
+
+    Frontier Bellman-Ford supersteps (delta-stepping without the
+    bucket refinement): each round relaxes ONLY edges leaving nodes
+    improved last round, folds candidate distances with one
+    ``groupBy(node).min``, and merges improvements into the running
+    labels.  Non-negative weights assumed (negative cycles would never
+    converge; the round cap RAISES rather than return wrong labels).
+    Converges in (max edges on any shortest path) rounds — O(diameter)
+    worst case, far fewer on expander-ish transport graphs.
+
+    Scale shape (100-TB): per round two bounded shuffles (frontier-edge
+    equi-join + min-combine) whose size tracks the FRONTIER, not the
+    graph; per-round eager ``localCheckpoint`` keeps the plan flat
+    (the kNN-loop hygiene); termination is driver-synced on the
+    improved-node count — the connected_components contract.
+
+    ``sources``: iterable of node ids (distance 0 seeds).
+    ``stats``: pass a dict to receive {"rounds": n}.
+    Returns (node, dist) for REACHED nodes only.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"),
+                     F.col(w).cast("double").alias("ew"))
+    if not directed:
+        e = e.unionByName(edges.select(
+            F.col(dst).alias("esrc"), F.col(src).alias("edst"),
+            F.col(w).cast("double").alias("ew")))
+    e = e.localCheckpoint(eager=True)
+    node_t = edges.schema[src].dataType
+    dist = spark.createDataFrame(
+        [(s, 0.0) for s in sources],
+        T.StructType([T.StructField("node", node_t, False),
+                      T.StructField("dist", T.DoubleType(), False)]))
+    dist = dist.groupBy("node").agg(F.min("dist").alias("dist"))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    rounds = 0
+    for _ in range(max_rounds):
+        prop = (frontier.join(e, frontier.node == e.esrc)
+                .select(F.col("edst").alias("node"),
+                        (F.col("dist") + F.col("ew")).alias("nd"))
+                .groupBy("node").agg(F.min("nd").alias("nd")))
+        improved = (prop.join(dist.withColumnRenamed("dist", "old"),
+                              "node", "left")
+                    .where(F.col("old").isNull()
+                           | (F.col("nd") < F.col("old")))
+                    .select("node", F.col("nd").alias("dist"))
+                    .localCheckpoint(eager=True))
+        if improved.isEmpty():
+            if stats is not None:
+                stats["rounds"] = rounds
+            return dist
+        rounds += 1
+        dist = (dist.unionByName(improved)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+        frontier = improved
+    raise RuntimeError(
+        f"sssp did not converge in {max_rounds} rounds — "
+        "negative-weight cycle or raise max_rounds")

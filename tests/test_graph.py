@@ -47,3 +47,71 @@ def test_triangle_count_known_graphs(spark):
                        columns=["src", "dst"])
     out = triangle_count(spark.createDataFrame(pdf)).collect()[0]
     assert out["n_triangles"] == 4
+
+
+def test_sssp_known_chain(spark):
+    from raster2dggs_spark.operators.graph import sssp
+
+    # 1 -2-> 2 -3-> 3 -1-> 4 ; shortcut 1 -10-> 4
+    pdf = pd.DataFrame([(1, 2, 2.0), (2, 3, 3.0), (3, 4, 1.0),
+                        (1, 4, 10.0)], columns=["src", "dst", "w"])
+    st = {}
+    out = {r.node: r.dist
+           for r in sssp(spark.createDataFrame(pdf), [1],
+                         stats=st).collect()}
+    assert out == {1: 0.0, 2: 2.0, 3: 5.0, 4: 6.0}
+    assert st["rounds"] == 3
+
+
+def test_sssp_vs_dijkstra_random(spark):
+    from raster2dggs_spark.operators.graph import sssp
+
+    rng = np.random.default_rng(7)
+    n, m = 40, 160
+    es = [(int(rng.integers(0, n)), int(rng.integers(0, n)),
+           float(rng.integers(1, 20))) for _ in range(m)]
+    out = {r.node: r.dist for r in sssp(
+        spark.createDataFrame(pd.DataFrame(
+            es, columns=["src", "dst", "w"])), [0],
+        directed=False).collect()}
+    # reference: O(n^2) Dijkstra on the undirected graph
+    import heapq
+    adj = {}
+    for s, d, w in es:
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert out == dist
+
+
+def test_sssp_multi_source_and_unreachable(spark):
+    from raster2dggs_spark.operators.graph import sssp
+
+    pdf = pd.DataFrame([(1, 2, 5.0), (3, 4, 1.0), (8, 9, 1.0)],
+                       columns=["src", "dst", "w"])
+    out = {r.node: r.dist for r in sssp(
+        spark.createDataFrame(pdf), [1, 3]).collect()}
+    # 8, 9 unreachable -> absent; directed: 2 via 1, 4 via 3
+    assert out == {1: 0.0, 2: 5.0, 3: 0.0, 4: 1.0}
+
+
+def test_sssp_round_cap_raises(spark):
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.graph import sssp
+
+    # a 5-chain cannot converge in 2 rounds
+    pdf = pd.DataFrame([(i, i + 1, 1.0) for i in range(5)],
+                       columns=["src", "dst", "w"])
+    with _pytest.raises(RuntimeError, match="converge"):
+        sssp(spark.createDataFrame(pdf), [0], max_rounds=2)
