@@ -1440,6 +1440,44 @@ def q_contour(spark, sf_dir):
         F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"))
 
 
+def q_glcm(spark, sf_dir):
+    """Haralick GLCM texture (aggregates.py glcm_texture — GRASS
+    r.texture / skimage graycoprops): six features per (image, offset)
+    over the symmetric 8-level GLCM of the md5 surface; quantize is a
+    column expression, pairing one shifted self-join, the matrix a
+    two-level aggregate — NO UDF.  Sums folded per (gi, gj) are
+    integer-valued doubles, so partial-agg order cannot drift; the
+    oracle replays every expression with matching association."""
+    from raster2dggs_spark.operators.aggregates import glcm_texture
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    hole = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 13 == 0
+    fix = base.where(~hole).select(
+        "img", "x", "y",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 97)
+        .cast("double").alias("z"))
+    out = glcm_texture(fix, "z", levels=8, lo=0.0, hi=97.0,
+                       offsets=[(1, 0), (0, 1)], group_cols=["img"])
+    return out.select(
+        F.col("img").cast("long").alias("img"),
+        F.col("dx").cast("long").alias("dx"),
+        F.col("dy").cast("long").alias("dy"),
+        "n_pairs",
+        F.round("contrast", 6).alias("contrast"),
+        F.round("dissimilarity", 6).alias("dissimilarity"),
+        F.round("homogeneity", 6).alias("homogeneity"),
+        F.round("energy", 6).alias("energy"),
+        F.round("entropy", 6).alias("entropy"),
+        F.round("correlation", 6).alias("correlation"))
+
+
 def q_contour_stitch(spark, sf_dir):
     """Contour polylines end-to-end (vector.py stitch_segments over
     contour_segments): the marching-squares soup assembled into
@@ -4187,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euclid_allocation": q_euclid_allocation,
         "region_group": q_region_group,
         "contour": q_contour,
+        "glcm": q_glcm,
         "contour_stitch": q_contour_stitch,
         "sieve": q_sieve,
         "flow_length": q_flow_length,
@@ -5724,6 +5763,77 @@ def _contour_sql() -> str:
                round(x1, 6) AS x1, round(y1, 6) AS y1
         FROM canon
     """
+
+
+def _glcm_sql() -> str:
+    """glcm_texture twin: same md5 surface, quantize, shifted self-
+    join, symmetric union, two-level aggregate — every per-(gi,gj)
+    folded sum is integer-valued, so aggregation order cannot drift;
+    the mu/var/den chain is staged in CTE levels so the float
+    association matches the Spark expressions exactly."""
+    return f"""
+            WITH base AS MATERIALIZED (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            p AS MATERIALIZED (
+              SELECT img, x, y, CAST(({_MD5_HEX1}) % 97 AS DOUBLE) AS z
+              FROM base WHERE ({_MD5_HEX2}) % 13 != 0),
+            q AS MATERIALIZED (
+              SELECT img, x, y,
+                     least(7, greatest(0, CAST(floor(
+                       (z - 0.0) / 97.0 * 8) AS INT))) AS g
+              FROM p),
+            offs AS (SELECT * FROM (VALUES (1, 0), (0, 1)) o(dx, dy)),
+            pr AS MATERIALIZED (
+              SELECT a.img, o.dx, o.dy, a.g AS ga, b.g AS gb
+              FROM q a CROSS JOIN offs o
+              JOIN q b ON b.img = a.img AND b.x = a.x + o.dx
+                      AND b.y = a.y + o.dy),
+            sym AS (
+              SELECT img, dx, dy, ga AS gi, gb AS gj FROM pr
+              UNION ALL
+              SELECT img, dx, dy, gb, ga FROM pr),
+            cm AS MATERIALIZED (
+              SELECT img, dx, dy, gi, gj,
+                     CAST(count(*) AS DOUBLE) AS c
+              FROM sym GROUP BY img, dx, dy, gi, gj),
+            ag AS MATERIALIZED (
+              SELECT img, dx, dy,
+                     sum(c) AS n,
+                     sum(c * (gi - gj) * (gi - gj)) AS s_con,
+                     sum(c * abs(gi - gj)) AS s_dis,
+                     sum(c / (1.0 + (gi - gj) * (gi - gj))) AS s_hom,
+                     sum(c * c) AS s_asm,
+                     sum(c * ln(c)) AS s_clnc,
+                     sum(c * gi) AS s_i, sum(c * gj) AS s_j,
+                     sum(c * gi * gi) AS s_i2,
+                     sum(c * gj * gj) AS s_j2,
+                     sum(c * gi * gj) AS s_ij
+              FROM cm GROUP BY img, dx, dy),
+            m1 AS MATERIALIZED (
+              SELECT *, s_i / n AS mu_i, s_j / n AS mu_j FROM ag),
+            m2 AS MATERIALIZED (
+              SELECT *, s_i2 / n - mu_i * mu_i AS var_i,
+                     s_j2 / n - mu_j * mu_j AS var_j FROM m1),
+            m3 AS MATERIALIZED (
+              SELECT *, sqrt(var_i) * sqrt(var_j) AS den FROM m2)
+            SELECT CAST(img AS BIGINT) AS img,
+                   CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   round(s_con / n, 6) + 0.0 AS contrast,
+                   round(s_dis / n, 6) + 0.0 AS dissimilarity,
+                   round(s_hom / n, 6) + 0.0 AS homogeneity,
+                   round(sqrt(s_asm / (n * n)), 6) + 0.0 AS energy,
+                   round(ln(n) - s_clnc / n, 6) + 0.0 AS entropy,
+                   round(CASE WHEN den > 0.0
+                         THEN (s_ij / n - mu_i * mu_j) / den END, 6)
+                     + 0.0 AS correlation
+            FROM m3
+        """
 
 
 def _stitch_sql() -> str:
@@ -7589,6 +7699,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.img, p.x, p.y, p.d2
         """,
         "contour": _contour_sql(),
+        "glcm": _glcm_sql(),
         "contour_stitch": _stitch_sql(),
         "edit_dist_join": """
             WITH s AS (

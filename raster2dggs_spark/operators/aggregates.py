@@ -434,3 +434,96 @@ def crosstab_cells(a: DataFrame, b: DataFrame, cell_col: str = "cell",
                     F.round("joint_weight", 4).alias("joint_weight"),
                     F.round(F.col("joint_weight") / F.col("__tot"), 6)
                     .alias("share")))
+
+
+def glcm_texture(df: DataFrame, value_col: str = "z", levels: int = 8,
+                 lo: float = 0.0, hi: float = 1.0,
+                 offsets=((1, 0), (0, 1)),
+                 group_cols=("img",), x_col: str = "x",
+                 y_col: str = "y") -> DataFrame:
+    """Haralick texture features from the gray-level co-occurrence
+    matrix (GRASS ``r.texture`` / skimage ``graycomatrix`` +
+    ``graycoprops``) — per group (image/tile) and per offset, the six
+    classic features over the SYMMETRIC, normalized GLCM::
+
+        contrast      = sum p * (i-j)^2
+        dissimilarity = sum p * |i-j|
+        homogeneity   = sum p / (1 + (i-j)^2)
+        energy        = sqrt(sum p^2)            (ASM under the root)
+        entropy       = -sum p * ln(p)
+        correlation   = (sum p*i*j - mu_i*mu_j) / (sigma_i * sigma_j)
+                        (NULL when either marginal is constant)
+
+    Values quantize to ``levels`` bins over the CLOSED range
+    [lo, hi]: ``g = clip(floor((v - lo) / (hi - lo) * L), 0, L-1)`` —
+    explicit bounds, not per-image min/max, so quantization is
+    deterministic and subset-invariant.  Symmetric: each neighbour
+    pair counts in both orders (the skimage ``symmetric=True``
+    default).
+
+    Spark-first shape — NO UDF anywhere: quantize is a column
+    expression, neighbour pairing is an equi-join of the lattice to
+    itself shifted by (dx, dy) (co-partitioned on the group+coords
+    key, one shuffle), the GLCM is a two-level aggregation
+    (groupBy(group, offset, gi, gj).count -> groupBy(group, offset)
+    feature fold) with map-side combine at both levels.  Output rows =
+    |groups| x |offsets|; cost scales with pixels, never levels^2
+    materialized per pixel.
+    """
+    gcols = list(group_cols)
+    span = float(hi) - float(lo)
+    g = F.least(F.lit(int(levels) - 1), F.greatest(F.lit(0), F.floor(
+        (F.col(value_col) - F.lit(float(lo))) / F.lit(span)
+        * F.lit(int(levels))).cast("int"))).cast("int")
+    base = df.select(*gcols, F.col(x_col).alias("__x"),
+                     F.col(y_col).alias("__y"), g.alias("__g"))
+    offs = df.sparkSession.createDataFrame(
+        [(int(dx), int(dy)) for dx, dy in offsets], "dx int, dy int")
+    left = base.crossJoin(F.broadcast(offs))
+    right = base.select(
+        *[F.col(c).alias(f"__r_{c}") for c in gcols],
+        F.col("__x").alias("__rx"), F.col("__y").alias("__ry"),
+        F.col("__g").alias("__h"))
+    cond = (F.col("__rx") == F.col("__x") + F.col("dx")) \
+        & (F.col("__ry") == F.col("__y") + F.col("dy"))
+    for c in gcols:
+        cond = cond & (F.col(f"__r_{c}") == F.col(c))
+    pairs = left.join(right, cond)
+    # symmetric GLCM: each neighbour pair in both orders (one narrow
+    # explode, no second join)
+    sym = pairs.select(
+        *gcols, "dx", "dy",
+        F.explode(F.array(
+            F.struct(F.col("__g").alias("gi"), F.col("__h").alias("gj")),
+            F.struct(F.col("__h").alias("gi"), F.col("__g").alias("gj")),
+        )).alias("p")).select(*gcols, "dx", "dy", "p.gi", "p.gj")
+    cm = (sym.groupBy(*gcols, "dx", "dy", "gi", "gj")
+          .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    tot = F.sum("c")
+    i, j, c = F.col("gi").cast("double"), F.col("gj").cast("double"), \
+        F.col("c")
+    agg = (cm.groupBy(*gcols, "dx", "dy").agg(
+        tot.alias("n"),
+        F.sum(c * (i - j) * (i - j)).alias("s_con"),
+        F.sum(c * F.abs(i - j)).alias("s_dis"),
+        F.sum(c / (1.0 + (i - j) * (i - j))).alias("s_hom"),
+        F.sum(c * c).alias("s_asm"),
+        F.sum(c * F.log(c)).alias("s_clnc"),
+        F.sum(c * i).alias("s_i"), F.sum(c * j).alias("s_j"),
+        F.sum(c * i * i).alias("s_i2"), F.sum(c * j * j).alias("s_j2"),
+        F.sum(c * i * j).alias("s_ij")))
+    n = F.col("n")
+    mu_i, mu_j = F.col("s_i") / n, F.col("s_j") / n
+    var_i = F.col("s_i2") / n - mu_i * mu_i
+    var_j = F.col("s_j2") / n - mu_j * mu_j
+    den = F.sqrt(var_i) * F.sqrt(var_j)
+    return agg.select(
+        *gcols, "dx", "dy", n.cast("long").alias("n_pairs"),
+        (F.col("s_con") / n).alias("contrast"),
+        (F.col("s_dis") / n).alias("dissimilarity"),
+        (F.col("s_hom") / n).alias("homogeneity"),
+        F.sqrt(F.col("s_asm") / (n * n)).alias("energy"),
+        # -sum p ln p  =  ln n - (sum c ln c) / n
+        (F.log(n) - F.col("s_clnc") / n).alias("entropy"),
+        F.when(den > 0.0, (F.col("s_ij") / n - mu_i * mu_j) / den)
+        .alias("correlation"))
