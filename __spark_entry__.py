@@ -915,6 +915,63 @@ def q_pyramid_rollup(spark, sf_dir):
     )
 
 
+def q_pansharpen(spark, sf_dir):
+    """Brovey pan-sharpening through the lattice (regrid.py
+    pansharpen_cells): a 16x16 quadkey-res-7 multispectral block fused
+    with its 64x64 res-9 panchromatic children — ONE native bitwise
+    parent equi-join + pure column math, no kernel, no UDF.  Bands are
+    md5 integers (strictly positive), the unweighted intensity is an
+    EXACT integer sum / k, and the oracle replays tile arithmetic,
+    join and ratio with matching association."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.regrid import pansharpen_cells
+
+    def h(salt, tx, ty):
+        s = F.md5(F.concat_ws(":", F.lit(salt), tx.cast("string"),
+                              ty.cast("string")))
+        return F.conv(F.substring(s, 1, 8), 16, 10).cast("long")
+
+    @F.pandas_udf("long")
+    def enc(tx, ty, res):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.tile_to_cell(
+            tx.values, ty.values, int(res.iloc[0])))
+
+    msb = spark.range(256).select(
+        (F.lit(100) + F.col("id") % 16).alias("tx"),
+        (F.lit(200) + F.expr("id DIV 16")).alias("ty"))
+    ms = msb.select(
+        enc("tx", "ty", F.lit(7)).alias("cell"),
+        (h("ms1", F.col("tx"), F.col("ty")) % 50 + 1)
+        .cast("double").alias("b1"),
+        (h("ms2", F.col("tx"), F.col("ty")) % 60 + 1)
+        .cast("double").alias("b2"),
+        (h("ms3", F.col("tx"), F.col("ty")) % 70 + 1)
+        .cast("double").alias("b3"))
+    panb = spark.range(4096).select(
+        (F.lit(400) + F.col("id") % 64).alias("tx"),
+        (F.lit(800) + F.expr("id DIV 64")).alias("ty"))
+    pan = panb.select(
+        enc("tx", "ty", F.lit(9)).alias("cell"),
+        (h("pan", F.col("tx"), F.col("ty")) % 90 + 1)
+        .cast("double").alias("pan"))
+    out = pansharpen_cells(ms, pan, ms_res=7, pan_res=9)
+
+    @F.pandas_udf("string")
+    def qk_str(c):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.cells_to_string(c.values))
+
+    return out.select(
+        qk_str("cell").alias("qk_9"), "pan",
+        F.round("sharp_b1", 6).alias("sharp_b1"),
+        F.round("sharp_b2", 6).alias("sharp_b2"),
+        F.round("sharp_b3", 6).alias("sharp_b3"))
+
+
 def q_morans_i_local(spark, sf_dir):
     """Local Moran's I (Anselin LISA) on the quadkey lattice: z-scores
     vs the layer mean, row-standardized queen-neighbor spatial lag,
@@ -4243,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_global": q_morans_i_global,
         "geary_c": q_geary_c,
         "pyramid_rollup": q_pyramid_rollup,
+        "pansharpen": q_pansharpen,
         "getis_gi_star": q_getis_gi_star,
         "idw_grid": q_idw_grid,
         "kde_grid": q_kde_grid,
@@ -5763,6 +5821,63 @@ def _contour_sql() -> str:
                round(x1, 6) AS x1, round(y1, 6) AS y1
         FROM canon
     """
+
+
+def _hex1_col(col: str) -> str:
+    """First-8-hex-digits big-endian integer of an md5 VARCHAR column
+    (the DuckDB twin of conv(substring(md5, 1, 8), 16, 10))."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}" for i in range(1, 9))
+
+
+def _pansharpen_sql() -> str:
+    """pansharpen_cells twin: same md5 band arithmetic, the res-9 ->
+    res-7 parent join as tile // 4, the exact integer intensity sum,
+    and the base-4 digit render of the pan cell."""
+    qk9 = " || ".join(
+        f"CAST(2 * ((ty >> {9 - 1 - i}) & 1)"
+        f" + ((tx >> {9 - 1 - i}) & 1) AS VARCHAR)" for i in range(9))
+
+    def m(salt):
+        return (f"md5('{salt}:' || CAST(tx AS VARCHAR) || ':'"
+                " || CAST(ty AS VARCHAR))")
+
+    return f"""
+            WITH msb AS MATERIALIZED (
+              SELECT 100 + i % 16 AS tx, 200 + i // 16 AS ty
+              FROM range(256) t(i)),
+            msh AS MATERIALIZED (
+              SELECT tx, ty, {m('ms1')} AS h1, {m('ms2')} AS h2,
+                     {m('ms3')} AS h3
+              FROM msb),
+            ms AS MATERIALIZED (
+              SELECT tx, ty,
+                     CAST(({_hex1_col('h1')}) % 50 + 1 AS DOUBLE) AS b1,
+                     CAST(({_hex1_col('h2')}) % 60 + 1 AS DOUBLE) AS b2,
+                     CAST(({_hex1_col('h3')}) % 70 + 1 AS DOUBLE) AS b3
+              FROM msh),
+            pb AS MATERIALIZED (
+              SELECT 400 + j % 64 AS tx, 800 + j // 64 AS ty
+              FROM range(4096) s(j)),
+            ph AS MATERIALIZED (
+              SELECT tx, ty, {m('pan')} AS h FROM pb),
+            pan AS MATERIALIZED (
+              SELECT tx, ty,
+                     CAST(({_hex1_col('h')}) % 90 + 1 AS DOUBLE) AS pan
+              FROM ph),
+            jn AS (
+              SELECT p.tx, p.ty, p.pan, m.b1, m.b2, m.b3
+              FROM pan p JOIN ms m
+                ON m.tx = p.tx // 4 AND m.ty = p.ty // 4),
+            r AS (
+              SELECT *, pan / ((b1 + b2 + b3) / 3.0) AS ratio FROM jn)
+            SELECT {qk9} AS qk_9, pan,
+                   round(b1 * ratio, 6) + 0.0 AS sharp_b1,
+                   round(b2 * ratio, 6) + 0.0 AS sharp_b2,
+                   round(b3 * ratio, 6) + 0.0 AS sharp_b3
+            FROM r
+        """
 
 
 def _glcm_sql() -> str:
@@ -8357,6 +8472,7 @@ def oracle_sql() -> dict[str, str]:
                        + 0.0 AS gi_star
             FROM f, st
         """,
+        "pansharpen": _pansharpen_sql(),
         "pyramid_rollup": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
             b AS (

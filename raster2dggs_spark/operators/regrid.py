@@ -268,3 +268,61 @@ def rasterize_cells(
     vals = cells.select(F.col(cell_col).alias("cell"), *value_cols)
     return enc.join(vals, "cell", "left").select(
         "px", "py", "cell", *value_cols)
+
+
+def pansharpen_cells(ms: DataFrame, pan: DataFrame, ms_res: int,
+                     pan_res: int, dggs: str = "quadkey",
+                     band_cols=("b1", "b2", "b3"), pan_col: str = "pan",
+                     cell_col: str = "cell",
+                     weights=None) -> DataFrame:
+    """Brovey pan-sharpening THROUGH the cell lattice (GRASS
+    ``r.pansharpen`` / the classic Brovey transform): a low-resolution
+    multispectral cell layer at ``ms_res`` is fused with a
+    high-resolution panchromatic layer at ``pan_res`` on the same grid
+    family::
+
+        intensity = sum(b) / k            (unweighted default — the
+                                           integer band sum is EXACT,
+                                           so float association can't
+                                           drift; pass ``weights`` for
+                                           the weighted variant)
+        out_b     = ms_b * (pan / intensity)
+
+    Cells whose intensity is not strictly positive emit NULL sharpened
+    bands (Brovey undefined); pan cells with no multispectral parent
+    are absent (inner join).
+
+    Scale shape (100-TB): ONE equi-join — the pan layer joins its
+    NATIVE bitwise parent key (``parent_expr``, zero Python) to the
+    multispectral cells, then pure column math; no resampling kernel,
+    no UDF, no window.  The MS side is |pan| / 4^(res gap) rows, so
+    AQE broadcasts it when small; otherwise both sides shuffle once on
+    the parent key.
+    """
+    from raster2dggs_spark.operators.joins import parent_expr
+
+    bands = list(band_cols)
+    p = pan.select(
+        F.col(cell_col).alias("__pcell"), F.col(pan_col).alias("__pan"),
+        parent_expr(cell_col, ms_res, dggs, from_res=pan_res)
+        .alias("__parent"))
+    m = ms.select(F.col(cell_col).alias("__parent"),
+                  *[F.col(b) for b in bands])
+    j = p.join(m, "__parent")
+    if weights is None:
+        total = bands[0]
+        acc = F.col(bands[0])
+        for b in bands[1:]:
+            acc = acc + F.col(b)
+        intensity = acc / F.lit(float(len(bands)))
+    else:
+        ws = [float(w) for w in weights]
+        acc = F.lit(ws[0]) * F.col(bands[0])
+        for wgt, b in zip(ws[1:], bands[1:]):
+            acc = acc + F.lit(wgt) * F.col(b)
+        intensity = acc
+    ratio = F.when(intensity > 0.0, F.col("__pan") / intensity)
+    return j.select(
+        F.col("__pcell").alias(cell_col),
+        F.col("__pan").alias(pan_col),
+        *[(F.col(b) * ratio).alias(f"sharp_{b}") for b in bands])

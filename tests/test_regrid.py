@@ -3,6 +3,7 @@ a single-node replay, exact mass conservation under both modes and any
 oversample depth, the hex7 children refinement, and error paths."""
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -197,3 +198,59 @@ def test_rasterize_cells_plumbing_and_nulls(spark):
     exp0 = geohashlib.lonlat_to_cell(np.array([2.0]), np.array([2.0]), 2)[0]
     got = {(r.px, r.py): (r.cell, r.v) for r in gout.itertuples()}
     assert got[(0, 2)] == (exp0, 7)  # centre (2,2) in gh cell of (0.5,0.5)
+
+
+def test_pansharpen_brovey_exact(spark):
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.regrid import pansharpen_cells
+
+    # one MS res-3 cell (tile 2,3) with its 4 res-4 children
+    ms_cell = quadkeylib.tile_to_cell(np.array([2]), np.array([3]), 3)
+    ms = spark.createDataFrame(pd.DataFrame(
+        {"cell": ms_cell, "b1": [10.0], "b2": [20.0], "b3": [30.0]}))
+    ptx = np.array([4, 5, 4, 5]); pty = np.array([6, 6, 7, 7])
+    pan = spark.createDataFrame(pd.DataFrame(
+        {"cell": quadkeylib.tile_to_cell(ptx, pty, 4),
+         "pan": [40.0, 10.0, 20.0, 0.0]}))
+    out = pansharpen_cells(ms, pan, ms_res=3, pan_res=4).toPandas()
+    assert len(out) == 4
+    # intensity = (10+20+30)/3 = 20 -> ratio = pan/20
+    got = dict(zip(out.pan, out.sharp_b1))
+    assert got[40.0] == pytest.approx(10.0 * 2.0)
+    assert got[10.0] == pytest.approx(5.0)
+    assert got[0.0] == pytest.approx(0.0)
+    assert dict(zip(out.pan, out.sharp_b3))[40.0] == pytest.approx(60.0)
+
+
+def test_pansharpen_weighted_and_orphans(spark):
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.regrid import pansharpen_cells
+
+    ms = spark.createDataFrame(pd.DataFrame(
+        {"cell": quadkeylib.tile_to_cell(np.array([0]), np.array([0]), 2),
+         "b1": [8.0], "b2": [4.0], "b3": [0.0]}))
+    # one child of (0,0), one orphan pan cell under tile (3,3)
+    pan = spark.createDataFrame(pd.DataFrame(
+        {"cell": quadkeylib.tile_to_cell(np.array([1, 7]),
+                                         np.array([0, 7]), 3),
+         "pan": [6.0, 9.0]}))
+    out = pansharpen_cells(ms, pan, ms_res=2, pan_res=3,
+                           weights=(0.5, 0.25, 0.25)).toPandas()
+    assert len(out) == 1  # orphan dropped (inner join)
+    # intensity = .5*8 + .25*4 + .25*0 = 5 -> ratio 1.2
+    assert out.sharp_b1.iloc[0] == pytest.approx(9.6)
+    assert out.sharp_b2.iloc[0] == pytest.approx(4.8)
+
+
+def test_pansharpen_null_intensity(spark):
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.regrid import pansharpen_cells
+
+    ms = spark.createDataFrame(pd.DataFrame(
+        {"cell": quadkeylib.tile_to_cell(np.array([0]), np.array([0]), 2),
+         "b1": [0.0], "b2": [0.0], "b3": [0.0]}))
+    pan = spark.createDataFrame(pd.DataFrame(
+        {"cell": quadkeylib.tile_to_cell(np.array([0]), np.array([0]), 3),
+         "pan": [5.0]}))
+    out = pansharpen_cells(ms, pan, ms_res=2, pan_res=3).toPandas()
+    assert len(out) == 1 and pd.isna(out.sharp_b1.iloc[0])
