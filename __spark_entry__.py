@@ -2516,6 +2516,22 @@ def q_sssp(spark, sf_dir):
                       F.col("dist").cast("long").alias("dist_w"))
 
 
+def q_label_prop(spark, sf_dir):
+    """Community detection by synchronous label propagation (graph.py
+    label_propagation — the GraphX/GraphFrames labelPropagation
+    contract): 4 fixed rounds over the undirected supplier multigraph,
+    most-frequent neighbour label with smallest-label tie-break.
+    Synchronous LPA's round count is part of the semantics, so the
+    oracle unrolls the SAME 4 rounds as MATERIALIZED count/argmax/merge
+    levels — integer counts and a total tie order make every round
+    exactly reproducible."""
+    from raster2dggs_spark.operators.graph import label_propagation
+
+    out = label_propagation(_supplier_graph(spark, sf_dir), rounds=4)
+    return out.select(F.col("vertex").cast("long").alias("vertex"),
+                      F.col("community").cast("long").alias("community"))
+
+
 def q_sketch_distinct(spark, sf_dir):
     """Mergeable distinct-count sketches (round 7,
     operators/sketches.py — KMV bottom-k and HyperLogLog): built from
@@ -4328,6 +4344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": q_sketch_distinct,
         "pagerank": q_pagerank,
         "sssp": q_sssp,
+        "label_prop": q_label_prop,
         "triangle_count": q_triangle_count,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hilbert_key": q_hilbert_key,
@@ -6128,6 +6145,46 @@ def _sssp_sql(levels: int = 18) -> str:
         """
 
 
+def _lpa_sql(rounds: int = 4) -> str:
+    """label_propagation twin: the undirected supplier multigraph
+    (NO edge dedup — parallel edges count, as in the operator), then
+    ``rounds`` unrolled count/argmax/merge levels, each MATERIALIZED
+    (the chained-CTE rule)."""
+    head = """
+            WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k
+                       FROM supplier),
+            e0 AS MATERIALIZED (
+              SELECT k AS src, (k * 7 + 3) % 100 + 1 AS dst FROM s
+              UNION ALL SELECT k, (k * 13 + 5) % 100 + 1 FROM s
+              UNION ALL SELECT k, (k * 29 + 11) % 100 + 1 FROM s),
+            e AS MATERIALIZED (
+              SELECT src, dst FROM e0
+              UNION ALL SELECT dst, src FROM e0),
+            v AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM e),
+            l0 AS MATERIALIZED (SELECT vertex, vertex AS lab FROM v)"""
+    blocks = []
+    for i in range(rounds):
+        blocks.append(f""",
+            c{i} AS MATERIALIZED (
+              SELECT e.dst AS vertex, l.lab, count(*) AS c
+              FROM e JOIN l{i} l ON l.vertex = e.src
+              GROUP BY e.dst, l.lab),
+            p{i} AS MATERIALIZED (
+              SELECT vertex, lab FROM (
+                SELECT vertex, lab,
+                       row_number() OVER (PARTITION BY vertex
+                         ORDER BY c DESC, lab ASC) AS rn
+                FROM c{i}) t WHERE rn = 1),
+            l{i + 1} AS MATERIALIZED (
+              SELECT l.vertex, COALESCE(p.lab, l.lab) AS lab
+              FROM l{i} l LEFT JOIN p{i} p ON p.vertex = l.vertex)""")
+    return (head + "".join(blocks) + f"""
+            SELECT CAST(vertex AS BIGINT) AS vertex,
+                   CAST(lab AS BIGINT) AS community
+            FROM l{rounds}
+        """)
+
+
 def _pagerank_sql(iters: int = 8) -> str:
     """Unrolled-iteration PageRank twin (chained CTEs, float
     association matching operators/graph.py pagerank exactly)."""
@@ -6610,6 +6667,7 @@ def oracle_sql() -> dict[str, str]:
         # PageRank: the same 8 damped iterations unrolled as chained CTEs
         "pagerank": _pagerank_sql(8),
         "sssp": _sssp_sql(18),
+        "label_prop": _lpa_sql(4),
         # triangles: identical least/greatest fold + a<b<c wedge close
         "triangle_count": """
             WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k

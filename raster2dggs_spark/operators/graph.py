@@ -155,3 +155,44 @@ def sssp(edges: DataFrame, sources, src: str = "src", dst: str = "dst",
     raise RuntimeError(
         f"sssp did not converge in {max_rounds} rounds — "
         "negative-weight cycle or raise max_rounds")
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    2007; the GraphX/GraphFrames ``labelPropagation`` contract): every
+    vertex starts as its own label; each round every vertex adopts the
+    most frequent label among its NEIGHBOURS (undirected multigraph —
+    parallel edges count), ties broken by the SMALLEST label, isolated
+    vertices keep their label.  Synchronous LPA can oscillate, so the
+    round count is part of the semantics (fixed ``rounds``, no
+    convergence probe) — exactly what the unrolled SQL oracle replays.
+
+    Scale shape (100-TB): per round one edge-label equi-join, one
+    (vertex, label) count with map-side combine, one per-vertex
+    lexicographic min (no window over a global key), one left-join
+    label merge; eager localCheckpoint per round keeps the plan flat.
+    Returns (vertex, community).
+    """
+    e = edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+    e = e.unionByName(edges.select(F.col(dst).alias("esrc"),
+                                   F.col(src).alias("edst")))
+    e = e.localCheckpoint(eager=True)
+    verts = (e.select(F.col("esrc").alias("vertex")).distinct()
+             .localCheckpoint(eager=True))
+    labels = verts.withColumn("lab", F.col("vertex"))
+    for _ in range(rounds):
+        labels = labels.localCheckpoint(eager=True)
+        nb = (e.join(labels, e.esrc == labels.vertex)
+              .select(F.col("edst").alias("vertex"), "lab"))
+        cnt = (nb.groupBy("vertex", "lab")
+               .agg(F.count(F.lit(1)).alias("c")))
+        pick = (cnt.groupBy("vertex")
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                    F.col("lab").alias("lab")))
+                     .alias("b"))
+                .select("vertex", F.col("b.lab").alias("newlab")))
+        labels = (labels.join(pick, "vertex", "left")
+                  .select("vertex",
+                          F.coalesce("newlab", "lab").alias("lab")))
+    return labels.select("vertex", F.col("lab").alias("community"))

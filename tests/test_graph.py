@@ -115,3 +115,40 @@ def test_sssp_round_cap_raises(spark):
                        columns=["src", "dst", "w"])
     with _pytest.raises(RuntimeError, match="converge"):
         sssp(spark.createDataFrame(pdf), [0], max_rounds=2)
+
+
+def test_label_propagation_two_cliques(spark):
+    from raster2dggs_spark.operators.graph import label_propagation
+
+    # two K4 cliques joined by one bridge edge: after enough rounds
+    # each clique converges to its min id; the bridge does not merge
+    a = [(i, j) for i in range(4) for j in range(4) if i < j]
+    b = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    pdf = pd.DataFrame(a + b + [(3, 10)], columns=["src", "dst"])
+    out = {r.vertex: r.community for r in label_propagation(
+        spark.createDataFrame(pdf), rounds=6).collect()}
+    assert {out[i] for i in range(4)} == {0}
+    assert {out[i] for i in range(10, 14)} == {10}
+
+
+def test_label_propagation_tiebreak_and_isolated(spark):
+    from raster2dggs_spark.operators.graph import label_propagation
+
+    # star: leaves 2,3 both see only {1}; hub 1 sees {2:1, 3:1} ->
+    # tie -> smallest label 2.  Vertex 9 isolated via self-loop keeps 9
+    pdf = pd.DataFrame([(1, 2), (1, 3), (9, 9)], columns=["src", "dst"])
+    out = {r.vertex: r.community for r in label_propagation(
+        spark.createDataFrame(pdf), rounds=1).collect()}
+    assert out[2] == 1 and out[3] == 1 and out[1] == 2
+    assert out[9] == 9
+
+
+def test_label_propagation_multigraph_counts(spark):
+    from raster2dggs_spark.operators.graph import label_propagation
+
+    # vertex 5 has TWO parallel edges to 7 and one to 3: label 7 wins
+    # by multiplicity even though 3 < 7
+    pdf = pd.DataFrame([(5, 7), (5, 7), (5, 3)], columns=["src", "dst"])
+    out = {r.vertex: r.community for r in label_propagation(
+        spark.createDataFrame(pdf), rounds=1).collect()}
+    assert out[5] == 7
