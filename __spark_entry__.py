@@ -1497,6 +1497,40 @@ def q_contour(spark, sf_dir):
         F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"))
 
 
+def q_polygonize(spark, sf_dir):
+    """Raster->vector polygonize (vector.py polygonize_boundaries —
+    gdal_polygonize / r.to.vect): boundary rings of the md5 class
+    lattice (4 classes, 1-in-13 holes) per image; unit boundary edges
+    from one 4-neighbour left join, stitched into rings by the
+    pointer-jump CC.  Oracle replays the neighbour join and the
+    recursive min-label closure (the contour_stitch pattern); all
+    coordinates and lengths are exact integers in doubles."""
+    from raster2dggs_spark.operators.vector import polygonize_boundaries
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    hole = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 13 == 0
+    fix = base.where(~hole).select(
+        "img", "x", "y",
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 4)
+        .alias("cls"))
+    out = polygonize_boundaries(fix, label_col="cls",
+                                group_cols=["img"])
+    return out.select(
+        F.col("img").cast("long").alias("img"),
+        F.col("cls").cast("long").alias("cls"),
+        F.round("anchor_x", 6).alias("anchor_x"),
+        F.round("anchor_y", 6).alias("anchor_y"),
+        "n_segs", "n_vertices",
+        F.round("length", 4).alias("length"), "closed")
+
+
 def q_glcm(spark, sf_dir):
     """Haralick GLCM texture (aggregates.py glcm_texture — GRASS
     r.texture / skimage graycoprops): six features per (image, offset)
@@ -4299,6 +4333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_group": q_region_group,
         "contour": q_contour,
         "glcm": q_glcm,
+        "polygonize": q_polygonize,
         "contour_stitch": q_contour_stitch,
         "sieve": q_sieve,
         "flow_length": q_flow_length,
@@ -6035,6 +6070,100 @@ def _stitch_sql() -> str:
                v.closed AS closed
         FROM vstats v JOIN sstats s
           ON s.img = v.img AND s.L = v.L AND s.comp = v.comp
+    """
+
+
+def _polygonize_sql() -> str:
+    """polygonize_boundaries twin: md5 class lattice, four-way
+    neighbour left join emitting unit boundary segments, then the
+    contour_stitch recursive min-label closure over shared corners.
+    Same WITH RECURSIVE landmines handled: DISTINCT over UNION ALL in
+    the non-self-referencing CTEs, every level MATERIALIZED."""
+    emit = """
+          SELECT a.img, a.cls,
+                 CAST(a.x + {x0} AS DOUBLE) AS x0,
+                 CAST(a.y + {y0} AS DOUBLE) AS y0,
+                 CAST(a.x + {x1} AS DOUBLE) AS x1,
+                 CAST(a.y + {y1} AS DOUBLE) AS y1
+          FROM q a LEFT JOIN q b
+            ON b.img = a.img AND b.x = a.x + {dx} AND b.y = a.y + {dy}
+          WHERE b.x IS NULL OR b.cls <> a.cls"""
+    sides = [
+        emit.format(dx=1, dy=0, x0=1, y0=0, x1=1, y1=1),
+        emit.format(dx=-1, dy=0, x0=0, y0=0, x1=0, y1=1),
+        emit.format(dx=0, dy=1, x0=0, y0=1, x1=1, y1=1),
+        emit.format(dx=0, dy=-1, x0=0, y0=0, x1=1, y1=0),
+    ]
+    bnd = " UNION ALL ".join(sides)
+    return f"""
+        WITH RECURSIVE base AS MATERIALIZED (
+          SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                 (i % 256) // 16 AS y,
+                 md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                     CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                     CAST((i % 256) // 16 AS VARCHAR)) AS h
+          FROM range(1024) t(i)),
+        q AS MATERIALIZED (
+          SELECT img, x, y, ({_MD5_HEX1}) % 4 AS cls
+          FROM base WHERE ({_MD5_HEX2}) % 13 != 0),
+        segs AS MATERIALIZED ({bnd}),
+        verts AS MATERIALIZED (
+          SELECT DISTINCT img, cls, x, y FROM (
+            SELECT img, cls, x0 AS x, y0 AS y FROM segs
+            UNION ALL
+            SELECT img, cls, x1 AS x, y1 AS y FROM segs)),
+        vv AS MATERIALIZED (
+          SELECT img, cls, x, y,
+                 row_number() OVER (ORDER BY img, cls, x, y) AS vid
+          FROM verts),
+        ed AS MATERIALIZED (
+          SELECT s.img, s.cls, a.vid AS va, b.vid AS vb
+          FROM segs s
+          JOIN vv a ON a.img = s.img AND a.cls = s.cls
+                   AND a.x = s.x0 AND a.y = s.y0
+          JOIN vv b ON b.img = s.img AND b.cls = s.cls
+                   AND b.x = s.x1 AND b.y = s.y1),
+        e2 AS MATERIALIZED (
+          SELECT DISTINCT va, vb FROM (
+            SELECT va, vb FROM ed
+            UNION ALL SELECT vb AS va, va AS vb FROM ed)),
+        reach(v, rid) AS (
+          SELECT vid, vid FROM vv
+          UNION
+          SELECT e.vb, r.rid FROM reach r JOIN e2 e ON e.va = r.v),
+        lab AS MATERIALIZED (
+          SELECT v, MIN(rid) AS comp FROM reach GROUP BY v),
+        incid AS MATERIALIZED (
+          SELECT va AS v FROM ed UNION ALL SELECT vb FROM ed),
+        vdeg AS MATERIALIZED (
+          SELECT v, count(*) AS deg FROM incid GROUP BY v),
+        vstats AS MATERIALIZED (
+          SELECT vv.img, vv.cls, lab.comp,
+                 count(*) AS n_vertices,
+                 min({{'x': vv.x, 'y': vv.y}}) AS anchor,
+                 (min(vdeg.deg) = 2) AS closed
+          FROM vv JOIN lab ON lab.v = vv.vid
+          JOIN vdeg ON vdeg.v = vv.vid
+          GROUP BY vv.img, vv.cls, lab.comp),
+        sstats AS MATERIALIZED (
+          SELECT s.img, s.cls, lab.comp,
+                 count(*) AS n_segs,
+                 sum(sqrt((s.x1 - s.x0) * (s.x1 - s.x0)
+                          + (s.y1 - s.y0) * (s.y1 - s.y0))) AS length
+          FROM segs s
+          JOIN vv a ON a.img = s.img AND a.cls = s.cls
+                   AND a.x = s.x0 AND a.y = s.y0
+          JOIN lab ON lab.v = a.vid
+          GROUP BY s.img, s.cls, lab.comp)
+        SELECT CAST(v.img AS BIGINT) AS img, CAST(v.cls AS BIGINT) AS cls,
+               round(v.anchor.x, 6) AS anchor_x,
+               round(v.anchor.y, 6) AS anchor_y,
+               CAST(s.n_segs AS BIGINT) AS n_segs,
+               CAST(v.n_vertices AS BIGINT) AS n_vertices,
+               round(s.length, 4) AS length,
+               v.closed AS closed
+        FROM vstats v JOIN sstats s
+          ON s.img = v.img AND s.cls = v.cls AND s.comp = v.comp
     """
 
 
@@ -7873,6 +8002,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contour": _contour_sql(),
         "glcm": _glcm_sql(),
+        "polygonize": _polygonize_sql(),
         "contour_stitch": _stitch_sql(),
         "edit_dist_join": """
             WITH s AS (

@@ -323,3 +323,63 @@ def stitch_segments(segs: DataFrame, group_cols: list[str] | None = None,
         F.col("n_segs").cast("long").alias("n_segs"),
         F.col("n_vertices").cast("long").alias("n_vertices"),
         F.col("length"), F.col("closed"))
+
+
+def polygonize_boundaries(df: DataFrame, label_col: str = "label",
+                          x_col: str = "x", y_col: str = "y",
+                          group_cols=()) -> DataFrame:
+    """Raster -> vector polygonize (GDAL ``gdal_polygonize`` / GRASS
+    ``r.to.vect area``): trace the boundary RINGS of each labeled
+    region on an integer lattice.  A cell edge is a boundary edge when
+    the 4-neighbour across it is absent (nodata hole / map edge) or
+    carries a DIFFERENT label; the unit segments then assemble into
+    rings with :func:`stitch_segments` (pointer-jumping connected
+    components over shared corners — the contour machinery reused
+    verbatim).
+
+    Output: one row per (group…, label, ring) with the stitch stats
+    (lex-min corner anchor, n_segs, n_vertices, length, closed).
+    Every boundary ring is CLOSED by construction (each corner meets
+    an even number of boundary edges) — ``closed`` is an invariant,
+    not information, and regions touching only at a corner merge into
+    one ring component (8-connected boundary contract; the saddle
+    corner has degree 4).
+
+    Scale shape (100-TB): neighbour checks are ONE left equi-join of
+    the lattice to itself over a 4-row broadcast offset frame; segment
+    emission is pure column CASE arithmetic; stitching is the O(log
+    ring-length) pointer-jump CC.  No geometry library, no per-region
+    driver work; cost follows boundary length, not area.
+    """
+    gcols = list(group_cols)
+    base = df.where(F.col(label_col).isNotNull()).select(
+        *gcols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y"),
+        F.col(label_col).alias("__l"))
+    offs = df.sparkSession.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx int, dy int")
+    left = base.crossJoin(F.broadcast(offs))
+    right = base.select(
+        *[F.col(c).alias(f"__r_{c}") for c in gcols],
+        F.col("__x").alias("__rx"), F.col("__y").alias("__ry"),
+        F.col("__l").alias("__rl"))
+    cond = (F.col("__rx") == F.col("__x") + F.col("dx")) \
+        & (F.col("__ry") == F.col("__y") + F.col("dy"))
+    for c in gcols:
+        cond = cond & (F.col(f"__r_{c}") == F.col(c))
+    j = left.join(right, cond, "left")
+    bnd = j.where(F.col("__rx").isNull()
+                  | (F.col("__rl") != F.col("__l")))
+    x, y = F.col("__x").cast("double"), F.col("__y").cast("double")
+    dx1 = F.col("dx") == 1
+    dxm = F.col("dx") == -1
+    dy1 = F.col("dy") == 1
+    x0 = F.when(dx1, x + 1).when(dxm, x).when(dy1, x).otherwise(x)
+    y0 = F.when(dx1, y).when(dxm, y).when(dy1, y + 1).otherwise(y)
+    x1 = F.when(dx1, x + 1).when(dxm, x).when(dy1, x + 1) \
+        .otherwise(x + 1)
+    y1 = F.when(dx1, y + 1).when(dxm, y + 1).when(dy1, y + 1) \
+        .otherwise(y)
+    segs = bnd.select(*gcols, F.col("__l").alias(label_col),
+                      x0.alias("x0"), y0.alias("y0"),
+                      x1.alias("x1"), y1.alias("y1"))
+    return stitch_segments(segs, group_cols=[*gcols, label_col])
