@@ -2689,6 +2689,18 @@ def q_token_stats(spark, sf_dir):
     return token_stats(d, "doc_id", "text")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (text.py chunk_documents — the
+    retrieval / context-window splitter): 16-token windows every 12
+    tokens over the documents table; pure column expressions + one
+    posexplode.  Oracle replays split/trim, the start progression via
+    a range join, and DuckDB's 1-based inclusive list_slice."""
+    from raster2dggs_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=16, overlap=4)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from raster2dggs_spark.operators.text import fingerprint
 
@@ -4393,6 +4405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
+        "chunk_documents": q_chunk_documents,
         "doc_fingerprint": q_doc_fingerprint,
         "pack_sequences": q_pack_sequences,
         "dedup_components": q_dedup_components,
@@ -7073,6 +7086,28 @@ def oracle_sql() -> dict[str, str]:
                                                    'g')) / 4.0) AS BIGINT)
                        AS subword_est
             FROM documents
+        """,
+        "chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents),
+            n AS (SELECT doc_id, toks, len(toks) AS nt FROM t),
+            s AS (
+              SELECT doc_id, toks, nt, g.k AS chunk_idx,
+                     g.k * 12 AS token_start
+              FROM n JOIN range(0, 100000) g(k)
+                ON g.k * 12 < nt),
+            c AS (
+              SELECT doc_id, chunk_idx, token_start,
+                     list_slice(toks, token_start + 1,
+                                token_start + 16) AS chunk
+              FROM s)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(token_start AS BIGINT) AS token_start,
+                   array_to_string(chunk, ' ') AS chunk_text,
+                   CAST(len(chunk) AS BIGINT) AS n_tokens
+            FROM c
         """,
         "doc_fingerprint": f"""
             SELECT doc_id,

@@ -609,3 +609,39 @@ def edit_distance_join(df: DataFrame, text_col: str, id_col: str,
             .withColumn("dist", F.levenshtein("__sa", "__sb"))
             .where(F.col("dist") <= max_d)
             .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Sliding-window document chunking — the retrieval / context-
+    window preprocessing staple (LangChain TokenTextSplitter shape):
+    whitespace tokens, windows of ``chunk_tokens`` starting every
+    ``chunk_tokens - overlap`` positions, the tail window short.
+
+    Pinned contract (mirrored by the SQL oracle): tokens are
+    ``split(trim(text), '\\s+')``; start positions are the arithmetic
+    progression 0, step, 2*step, ... strictly below the token count;
+    chunk text re-joins with single spaces (whitespace-normalizing).
+    Every document yields at least one chunk (empty text included —
+    filter upstream if unwanted).
+
+    Scale shape: pure column expressions + ONE posexplode — no UDF,
+    no shuffle; rows out ~ tokens / step per document.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = int(chunk_tokens) - int(overlap)
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step))
+    ex = df.select(
+        F.col(id_col), toks.alias("__t"),
+        F.posexplode(starts).alias("chunk_idx", "token_start"))
+    chunk = F.expr(f"slice(__t, token_start + 1, {int(chunk_tokens)})")
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("token_start").cast("long").alias("token_start"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"))

@@ -617,3 +617,46 @@ def test_pack_token_stream_layout_invariants(spark):
     a = pdf[pdf.shard != 0].sort_values("doc_id").reset_index(drop=True)
     b = pdf2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_chunk_documents_windows(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import chunk_documents
+
+    txt = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": [txt, "solo"]}))
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.token_start, r.chunk_text,
+                                     r.n_tokens) for r in out}
+    # doc 1: 10 tokens, step 3 -> starts 0,3,6,9
+    assert got[(1, 0)] == (0, "w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == (3, "w3 w4 w5 w6", 4)
+    assert got[(1, 2)] == (6, "w6 w7 w8 w9", 4)
+    assert got[(1, 3)] == (9, "w9", 1)  # short tail
+    assert got[(2, 0)] == (0, "solo", 1)
+    assert len(got) == 5
+
+
+def test_chunk_documents_whitespace_normalizing(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": ["  a\t\tb\n c  "]}))
+    r = chunk_documents(df, chunk_tokens=8, overlap=0).collect()[0]
+    assert r.chunk_text == "a b c" and r.n_tokens == 3
+
+
+def test_chunk_documents_overlap_validation(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": ["x"]}))
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
