@@ -3501,6 +3501,20 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel conversion (temporal.py funnel — the
+    product-analytics staple): signup -> view -> click -> purchase
+    with first-touch strictly-after chaining and a 7-day window
+    anchored at the first step; K-1 entity equi-joins over pushed-down
+    single-type slices, lazy single-row aggregates, no collect.  The
+    oracle replays each step as a min-reach CTE."""
+    from raster2dggs_spark.operators.temporal import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel(e, ["signup", "view", "click", "purchase"],
+                  within_s=7 * 86400)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time as-of join (backward, inclusive): every click joins
     the user's most recent purchase at-or-before the click instant —
@@ -4429,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_events": q_windowed_events,
         "zonal_windowed_events": q_zonal_windowed_events,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "asof_join": q_asof_join,
         "asof_join_tol": q_asof_join_tol,
         "range_join": q_range_join,
@@ -7143,6 +7158,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(ts) AS VARCHAR) AS start_ts,
                    CAST(max(ts) AS VARCHAR) AS end_ts
             FROM s GROUP BY user_id, session_idx
+        """,
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t, s.t1
+              FROM events e JOIN s1 s ON s.user_id = e.user_id
+              WHERE e.event_type = 'view' AND e.ts > s.t1
+                AND e.ts <= s.t1 + INTERVAL 604800 SECONDS
+              GROUP BY e.user_id, s.t1),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t, s.t1
+              FROM events e JOIN s2 s ON s.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s.t
+                AND e.ts <= s.t1 + INTERVAL 604800 SECONDS
+              GROUP BY e.user_id, s.t1),
+            s4 AS (
+              SELECT e.user_id, min(e.ts) AS t, s.t1
+              FROM events e JOIN s3 s ON s.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s.t
+                AND e.ts <= s.t1 + INTERVAL 604800 SECONDS
+              GROUP BY e.user_id, s.t1),
+            n1 AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM s1),
+            u AS (
+              SELECT 1 AS step, 'signup' AS event_type,
+                     count(*) AS n FROM s1
+              UNION ALL SELECT 2, 'view', count(*) FROM s2
+              UNION ALL SELECT 3, 'click', count(*) FROM s3
+              UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+            SELECT CAST(step AS BIGINT) AS step, event_type,
+                   CAST(n AS BIGINT) AS n_entities,
+                   round(n / d, 6) + 0.0 AS frac_of_first
+            FROM u, n1
         """,
         "asof_join": """
             WITH l AS (SELECT user_id, event_id, ts FROM events

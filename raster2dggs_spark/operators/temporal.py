@@ -207,3 +207,56 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str = "ts",
     sel = [p[c] for c in points.columns]
     sel += [iv[c] for c in intervals.columns if c not in by]
     return joined.select(*sel)
+
+
+def funnel(events: DataFrame, steps, entity_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type",
+           within_s: float | None = None) -> DataFrame:
+    """Ordered funnel conversion (the product-analytics staple —
+    Amplitude/Mixpanel funnels, MATCH_RECOGNIZE-lite): per entity,
+    step k is reached at the EARLIEST event of type ``steps[k]``
+    STRICTLY AFTER the step-(k-1) reach time (first-touch semantics;
+    equal timestamps do not chain); ``within_s`` bounds every step's
+    reach time to ``t1 + within_s`` seconds (window anchored at the
+    FIRST step, the common funnel contract).
+
+    Output: one row per step — ``(step, event_type, n_entities,
+    frac_of_first)`` — computed as a union of lazy single-row
+    aggregates (no collect; one job at the action).
+
+    Scale shape (100-TB): K-1 equi-joins on the entity key, each
+    against the single-type event slice (predicate pushdown prunes the
+    scan), each followed by a map-side-combinable min; no window over
+    a global key, state per entity is ONE timestamp per step.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (events.where(F.col(type_col) == steps[0])
+           .groupBy(F.col(entity_col).alias("__e"))
+           .agg(F.min(ts_col).alias("__t")))
+    cur = cur.withColumn("__t1", F.col("__t"))
+    frames = [cur]
+    for s in steps[1:]:
+        ev = events.where(F.col(type_col) == s).select(
+            F.col(entity_col).alias("__e"), F.col(ts_col).alias("__ts"))
+        j = ev.join(frames[-1], "__e").where(F.col("__ts") > F.col("__t"))
+        if within_s is not None:
+            j = j.where(F.col("__ts") <= F.col("__t1")
+                        + F.expr(f"INTERVAL {int(within_s)} SECONDS"))
+        nxt = (j.groupBy("__e")
+               .agg(F.min("__ts").alias("__t"),
+                    F.first("__t1").alias("__t1")))
+        frames.append(nxt)
+    first_n = frames[0].agg(F.count(F.lit(1)).alias("__n1"))
+    rows = None
+    for k, (s, f) in enumerate(zip(steps, frames), start=1):
+        r = f.agg(F.count(F.lit(1)).alias("n_entities")).select(
+            F.lit(k).cast("long").alias("step"),
+            F.lit(s).alias("event_type"), "n_entities")
+        rows = r if rows is None else rows.unionByName(r)
+    return (rows.crossJoin(F.broadcast(first_n))
+            .select("step", "event_type",
+                    F.col("n_entities").cast("long").alias("n_entities"),
+                    F.round(F.col("n_entities") / F.col("__n1"), 6)
+                    .alias("frac_of_first")))

@@ -196,3 +196,74 @@ def test_range_join_guards(spark):
         range_join(l, r, bucket_s=1.0, max_buckets_per_interval=10).collect()
     with pytest.raises(ValueError, match="ambiguous"):
         range_join(l.withColumnRenamed("pid", "iid"), r, bucket_s=1.0)
+
+
+def test_funnel_basic_chain(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from raster2dggs_spark.operators.temporal import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, mins):
+        return (uid, typ, t0 + dt.timedelta(minutes=mins))
+
+    rows = [
+        # u1 completes all three in order
+        ev(1, "a", 0), ev(1, "b", 5), ev(1, "c", 9),
+        # u2: b BEFORE a -> stops after a
+        ev(2, "b", 0), ev(2, "a", 3),
+        # u3: a then c (no b) -> stops at a
+        ev(3, "a", 0), ev(3, "c", 2),
+        # u4: equal timestamps do not chain (strictly after)
+        ev(4, "a", 0), (4, "b", t0),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["user_id", "event_type", "ts"]))
+    out = {r.step: (r.event_type, r.n_entities, r.frac_of_first)
+           for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert out[1] == ("a", 4, 1.0)
+    assert out[2] == ("b", 1, 0.25)
+    assert out[3] == ("c", 1, 0.25)
+
+
+def test_funnel_window_anchored_at_first(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from raster2dggs_spark.operators.temporal import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t0), (1, "b", t0 + dt.timedelta(seconds=50)),
+        (1, "c", t0 + dt.timedelta(seconds=120)),   # outside 100s of t1
+        (2, "a", t0), (2, "b", t0 + dt.timedelta(seconds=30)),
+        (2, "c", t0 + dt.timedelta(seconds=90)),    # inside
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["user_id", "event_type", "ts"]))
+    out = {r.step: r.n_entities
+           for r in funnel(df, ["a", "b", "c"], within_s=100).collect()}
+    assert out == {1: 2, 2: 2, 3: 1}
+
+
+def test_funnel_first_touch_earliest(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from raster2dggs_spark.operators.temporal import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    # second 'a' at +10 would allow the later 'b'; first-touch at 0
+    # requires b AFTER 0 -> the b at +5 chains from the FIRST a
+    rows = [(1, "a", t0), (1, "a", t0 + dt.timedelta(10)),
+            (1, "b", t0 + dt.timedelta(5))]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["user_id", "event_type", "ts"]))
+    out = {r.step: r.n_entities
+           for r in funnel(df, ["a", "b"]).collect()}
+    assert out == {1: 1, 2: 1}
