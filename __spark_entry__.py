@@ -2608,6 +2608,32 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return cms_frequencies(toks, "t", cands, width=512, depth=3)
 
 
+def q_rrf_fuse(spark, sf_dir):
+    """Reciprocal rank fusion (text.py rrf_fuse — the hybrid-retrieval
+    combiner): two md5-scored rankers over (20 queries x documents),
+    ranks by (score DESC, doc ASC), fused 1/(60+rank), top-5 per
+    query.  Two-term IEEE sums are commutative so fusion cannot drift;
+    oracle replays ranks and fusion relationally."""
+    from raster2dggs_spark.operators.text import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    q = spark.range(20).select(F.col("id").alias("query_id"))
+    pairs = q.crossJoin(d)
+
+    def sc(salt):
+        h = F.md5(F.concat_ws(":", F.lit(salt),
+                              F.col("query_id").cast("string"),
+                              F.col("doc_id").cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                % 100003).cast("double")
+
+    r1 = pairs.select("query_id", "doc_id", sc("r1").alias("score"))
+    r2 = pairs.select("query_id", "doc_id", sc("r2").alias("score"))
+    out = rrf_fuse([r1, r2], top_n=5)
+    return out.select(F.col("query_id").cast("long").alias("query_id"),
+                      "doc_id", "rrf_score", "n_rankers", "fused_rank")
+
+
 def q_bm25(spark, sf_dir):
     """BM25 ranked retrieval (round 7, operators/text.py bm25_topk —
     Okapi Robertson weighting, the lexical-search / hard-negative-
@@ -3499,6 +3525,20 @@ def q_sessionize(spark, sf_dir):
         F.col("start_ts").cast("string").alias("start_ts"),
         F.col("end_ts").cast("string").alias("end_ts"),
     )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle (temporal.py cohort_retention):
+    cohort = ISO week of each user's first event; per (cohort, week
+    offset) distinct active users and the retention fraction.  Offsets
+    are date arithmetic (days/7 between Mondays), so both engines agree
+    exactly; the oracle is the direct relational replay."""
+    from raster2dggs_spark.operators.temporal import cohort_retention
+
+    out = cohort_retention(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "n_active", "cohort_size", "retention")
 
 
 def q_funnel(spark, sf_dir):
@@ -4402,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "cell_dwell": q_cell_dwell,
         "bm25": q_bm25,
+        "rrf_fuse": q_rrf_fuse,
         "sketch_distinct": q_sketch_distinct,
         "pagerank": q_pagerank,
         "sssp": q_sssp,
@@ -4444,6 +4485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_windowed_events": q_zonal_windowed_events,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "asof_join": q_asof_join,
         "asof_join_tol": q_asof_join_tol,
         "range_join": q_range_join,
@@ -5792,6 +5834,10 @@ _BASIN_STEP_C = ("CASE WHEN d1 = g THEN 1 WHEN d2 = g THEN 1 "
 
 # big-endian parse of an md5 hex substring (DuckDB lacks conv()): first
 # and second 8 hex digits, matching Spark's conv(substring(h,..,8),16,10)
+_RRF_HEX = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
+    for i in range(1, 9))
+
 _MD5_HEX1 = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
     for i in range(1, 9))
@@ -6900,6 +6946,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BM25: identical score expression and association order; ranks
         # by (round-4dp score DESC, doc_id) via the row_number twin
+        "rrf_fuse": f"""
+            WITH p AS (
+              SELECT q.i AS query_id, d.doc_id
+              FROM range(20) q(i), documents d),
+            h1 AS (
+              SELECT query_id, doc_id,
+                     md5('r1:' || CAST(query_id AS VARCHAR) || ':'
+                         || CAST(doc_id AS VARCHAR)) AS h
+              FROM p),
+            h2 AS (
+              SELECT query_id, doc_id,
+                     md5('r2:' || CAST(query_id AS VARCHAR) || ':'
+                         || CAST(doc_id AS VARCHAR)) AS h
+              FROM p),
+            r1 AS (
+              SELECT query_id, doc_id,
+                     CAST(({_RRF_HEX}) % 100003 AS DOUBLE) AS score
+              FROM h1),
+            r2 AS (
+              SELECT query_id, doc_id,
+                     CAST(({_RRF_HEX}) % 100003 AS DOUBLE) AS score
+              FROM h2),
+            rk AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS rnk
+              FROM r1
+              UNION ALL
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC)
+              FROM r2),
+            g AS (
+              SELECT query_id, doc_id,
+                     sum(1.0 / (60 + rnk)) AS fused,
+                     count(*) AS n_rankers
+              FROM rk GROUP BY query_id, doc_id),
+            f AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY fused DESC, doc_id ASC) AS rn
+              FROM g)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   round(fused, 6) + 0.0 AS rrf_score,
+                   CAST(n_rankers AS BIGINT) AS n_rankers,
+                   CAST(rn AS BIGINT) AS fused_rank
+            FROM f WHERE rn <= 5
+        """,
         "bm25": """
             WITH toks AS (
               SELECT doc_id,
@@ -7158,6 +7251,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(ts) AS VARCHAR) AS start_ts,
                    CAST(max(ts) AS VARCHAR) AS end_ts
             FROM s GROUP BY user_id, session_idx
+        """,
+        "cohort_retention": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cw
+              FROM events GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT e.user_id, f.cw,
+                     CAST(datediff('day', CAST(f.cw AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                          AS BIGINT) AS week_offset
+              FROM events e JOIN f ON f.user_id = e.user_id),
+            s AS (SELECT cw, count(*) AS cohort_size FROM f GROUP BY cw),
+            r AS (SELECT cw, week_offset, count(*) AS n_active
+                  FROM a GROUP BY cw, week_offset)
+            SELECT strftime(r.cw, '%Y-%m-%d') AS cohort_week,
+                   week_offset,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(cohort_size AS BIGINT) AS cohort_size,
+                   round(n_active / CAST(cohort_size AS DOUBLE), 6)
+                     + 0.0 AS retention
+            FROM r JOIN s ON s.cw = r.cw
         """,
         "funnel": """
             WITH s1 AS (

@@ -260,3 +260,41 @@ def funnel(events: DataFrame, steps, entity_col: str = "user_id",
                     F.col("n_entities").cast("long").alias("n_entities"),
                     F.round(F.col("n_entities") / F.col("__n1"), 6)
                     .alias("frac_of_first")))
+
+
+def cohort_retention(events: DataFrame, entity_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention (the classic retention triangle): each
+    entity's cohort is the ISO week (``date_trunc('week', ...)``,
+    Monday) of its FIRST event; for every (cohort, week offset) the
+    number of distinct entities active that week and the retention
+    fraction of the cohort.  Offsets are DATE arithmetic
+    (``datediff(days) / 7`` between the two Mondays — exact integers,
+    immune to timezone/DST epoch drift), so both engines agree
+    bit-for-bit.
+
+    Scale shape: one min-per-entity aggregate, one entity equi-join
+    back to events, one distinct + two groupBys — all map-side
+    combinable; no window, no collect.
+    """
+    first = (events.groupBy(F.col(entity_col).alias("__e"))
+             .agg(F.date_trunc("week", F.min(ts_col)).alias("__cw")))
+    act = (events.select(F.col(entity_col).alias("__e"),
+                         F.date_trunc("week", F.col(ts_col)).alias("__aw"))
+           .join(first, "__e")
+           .select("__e", "__cw",
+                   (F.datediff(F.col("__aw").cast("date"),
+                               F.col("__cw").cast("date")) / 7)
+                   .cast("long").alias("week_offset"))
+           .distinct())
+    size = (first.groupBy("__cw")
+            .agg(F.count(F.lit(1)).alias("cohort_size")))
+    ret = (act.groupBy("__cw", "week_offset")
+           .agg(F.count(F.lit(1)).alias("n_active")))
+    return (ret.join(size, "__cw")
+            .select(F.col("__cw").alias("cohort_week"), "week_offset",
+                    F.col("n_active").cast("long").alias("n_active"),
+                    F.col("cohort_size").cast("long")
+                    .alias("cohort_size"),
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention")))

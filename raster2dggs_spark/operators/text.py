@@ -645,3 +645,47 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
         F.col("token_start").cast("long").alias("token_start"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"))
+
+
+def rrf_fuse(rankings, k: int = 60, query_col: str = "query_id",
+             doc_col: str = "doc_id", score_col: str = "score",
+             top_n: int = 10) -> DataFrame:
+    """Reciprocal rank fusion (Cormack 2009 — the standard hybrid-
+    retrieval combiner, e.g. BM25 + dense-embedding lists): each input
+    ranking contributes ``1 / (k + rank)`` per (query, doc), ranks
+    taken by ``(score DESC, doc ASC)`` (total order); fused docs
+    return top-``top_n`` per query by ``(rrf_score DESC, doc ASC)``.
+
+    With two rankers the fused sum is a two-term IEEE addition —
+    commutative, so aggregation order cannot drift between engines;
+    ranks themselves are integers.  ``n_rankers`` counts the lists
+    that surfaced the doc.
+
+    Scale shape: per-ranker rank is a window over the QUERY key (many
+    small groups — never a global window); fusion is one
+    map-side-combinable groupBy; the final top-n is again a per-query
+    window.  Cost follows sum of ranking sizes.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for r in rankings:
+        w = (Window.partitionBy(query_col)
+             .orderBy(F.col(score_col).desc(), F.col(doc_col).asc()))
+        parts.append(r.select(
+            query_col, doc_col, F.row_number().over(w).alias("__rank")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = (u.groupBy(query_col, doc_col)
+         .agg(F.sum(1.0 / (F.lit(int(k)) + F.col("__rank")))
+              .alias("__fused"),
+              F.count(F.lit(1)).alias("n_rankers")))
+    wf = (Window.partitionBy(query_col)
+          .orderBy(F.col("__fused").desc(), F.col(doc_col).asc()))
+    return (g.withColumn("__rn", F.row_number().over(wf))
+            .where(F.col("__rn") <= int(top_n))
+            .select(query_col, doc_col,
+                    F.round("__fused", 6).alias("rrf_score"),
+                    F.col("n_rankers").cast("long").alias("n_rankers"),
+                    F.col("__rn").cast("long").alias("fused_rank")))

@@ -660,3 +660,38 @@ def test_chunk_documents_overlap_validation(spark):
         {"doc_id": [1], "text": ["x"]}))
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_rrf_fuse_known(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import rrf_fuse
+
+    # ranker A: d1 > d2 > d3 ; ranker B: d3 > d1 (d2 absent)
+    ra = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [7, 7, 7], "doc_id": [1, 2, 3],
+         "score": [30.0, 20.0, 10.0]}))
+    rb = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [7, 7], "doc_id": [3, 1],
+         "score": [9.0, 1.0]}))
+    out = {r.doc_id: (r.rrf_score, r.n_rankers, r.fused_rank)
+           for r in rrf_fuse([ra, rb], k=60, top_n=3).collect()}
+    s1 = 1 / 61 + 1 / 62   # d1: rank 1 in A, rank 2 in B
+    s3 = 1 / 63 + 1 / 61   # d3: rank 3 in A, rank 1 in B
+    s2 = 1 / 62            # d2: rank 2 in A only
+    assert out[1] == (round(s1, 6), 2, 1)
+    assert out[3] == (round(s3, 6), 2, 2)
+    assert out[2] == (round(s2, 6), 1, 3)
+
+
+def test_rrf_fuse_score_tie_doc_order(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import rrf_fuse
+
+    # equal scores: doc ASC breaks the rank tie deterministically
+    ra = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [1, 1], "doc_id": [9, 4], "score": [5.0, 5.0]}))
+    out = {r.doc_id: r.fused_rank
+           for r in rrf_fuse([ra], top_n=2).collect()}
+    assert out == {4: 1, 9: 2}

@@ -267,3 +267,29 @@ def test_funnel_first_touch_earliest(spark):
     out = {r.step: r.n_entities
            for r in funnel(df, ["a", "b"]).collect()}
     assert out == {1: 1, 2: 1}
+
+
+def test_cohort_retention_known(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from raster2dggs_spark.operators.temporal import cohort_retention
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, mon), (1, mon + dt.timedelta(days=8)),    # w0, w1
+        (2, mon + dt.timedelta(days=2)),              # w0 only
+        (3, mon + dt.timedelta(days=7)),              # cohort week 2
+        (3, mon + dt.timedelta(days=22)),             # offset 2
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["user_id", "ts"]))
+    out = {(str(r.cohort_week)[:10], r.week_offset):
+           (r.n_active, r.cohort_size, r.retention)
+           for r in cohort_retention(df).collect()}
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert out[("2024-01-08", 2)] == (1, 1, 1.0)
+    assert len(out) == 4
