@@ -2770,6 +2770,22 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Cluster-representative selection (dedup.py dedup_keep_best):
+    same LSH->CC clusters as dedup_components, but keep the HIGHEST
+    md5-derived quality score per cluster (ties -> smallest id) — the
+    curation step after near-dup detection.  Oracle reuses the
+    recursive-closure pipeline plus a per-component argmax."""
+    from raster2dggs_spark.operators.dedup import dedup_keep_best
+
+    d = (_t(spark, sf_dir, "documents").where("doc_id % 5 = 0")
+         .withColumn("score",
+                     ((F.col("doc_id") * 17) % 101).cast("double")))
+    out = dedup_keep_best(d, "doc_id", "text", "score",
+                          n_hashes=16, bands=2)
+    return out.select("doc_id", "component", "score", "is_kept")
+
+
 def q_curate_docs(spark, sf_dir):
     """The END-TO-END curation pipeline (quality gate → exact-dedup
     canonical filter → deterministic split) as one plan — the DuckDB
@@ -4464,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pack_sequences": q_pack_sequences,
         "dedup_components": q_dedup_components,
+        "dedup_keep_best": q_dedup_keep_best,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curate_docs": q_curate_docs,
         "hash_split": q_hash_split,
@@ -4699,6 +4716,31 @@ def _dedup_components_sql(n_hashes: int = 16, bands: int = 2,
                CAST(s.component_size AS BIGINT) AS component_size,
                c.doc_id = c.component AS is_canonical
         FROM comp c JOIN sizes s USING (component)
+    """
+
+
+def _dedup_keep_best_sql(n_hashes: int = 16, bands: int = 2,
+                         max_bucket: int = 1000) -> str:
+    """DuckDB twin of q_dedup_keep_best: the dedup_components closure
+    pipeline plus the per-component (score DESC, id ASC) argmax."""
+    base = _dedup_components_sql(n_hashes, bands, max_bucket)
+    # reuse everything up to (and including) the comp CTE, then swap
+    # the finale for the argmax selection
+    cut = base.index("sizes AS")
+    head = base[:cut]
+    return head + """scored AS (
+          SELECT c.doc_id, c.component,
+                 CAST((c.doc_id * 17) % 101 AS DOUBLE) AS score
+          FROM comp c),
+        best AS (
+          SELECT component, doc_id AS best_id FROM (
+            SELECT component, doc_id,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY score DESC, doc_id ASC) AS rn
+            FROM scored) t WHERE rn = 1)
+        SELECT s.doc_id, s.component, s.score,
+               s.doc_id = b.best_id AS is_kept
+        FROM scored s JOIN best b USING (component)
     """
 
 
@@ -7357,6 +7399,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_knn_ivfpq_rerank": _ivfpq_sql(
             64, 8, 16, 12, 3, 8, 30, rerank_topn=5),
         "dedup_components": _dedup_components_sql(16, 2, 1000),
+        "dedup_keep_best": _dedup_keep_best_sql(16, 2, 1000),
         "zonal_windowed_events": f"""
             WITH p AS (
               SELECT event_id,

@@ -749,6 +749,36 @@ def main():
     extras["morph_cells_out"] = int(mo_row["n"])
     mo.unpersist()
 
+    # -- q25: map matching at scale — 50k GPS points snapped to 50k
+    # polyline segments (lattice-blocked candidates, one cell equi-join
+    # + groupBy-min; no all-pairs)
+    from raster2dggs_spark.operators.joins import snap_to_segments
+
+    sp = spark.range(50_000).selectExpr(
+        "id AS point_id",
+        "CAST(-30.0 + (id * 7919 % 600000) / 10000.0 AS DOUBLE) AS lon",
+        "CAST(-30.0 + (id * 104729 % 600000) / 10000.0 AS DOUBLE)"
+        " AS lat").persist()
+    sp.count()
+    sl_ln = spark.range(10_000).selectExpr(
+        "id AS line_id",
+        "CAST(-30.0 + (id * 13 % 600) / 10.0 AS DOUBLE) AS a",
+        "CAST(-30.0 + (id * 37 % 600) / 10.0 AS DOUBLE) AS b").selectExpr(
+        "line_id",
+        "array(a, a + 0.3, a + 0.6, a + 0.9, a + 1.2, a + 1.5) AS xs",
+        "array(b, b + 0.2, b, b + 0.2, b, b + 0.2) AS ys")
+
+    def run_snap():
+        out = snap_to_segments(sp, sl_ln, radius_m=30_000.0,
+                               dggs="quadkey")
+        return out.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum("dist_m").alias("s")).collect()[0]
+
+    sn_row = timed("snap_50k", run_snap)
+    extras["snap_points_in"] = 50_000
+    extras["snap_matched"] = int(sn_row["n"])
+    sp.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

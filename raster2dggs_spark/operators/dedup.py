@@ -478,3 +478,35 @@ def phash_near_dup(df: DataFrame, id_col: str = "image_id",
         .select("id_a", "id_b", "hamming")
     )
     return ident.unionByName(near)
+
+
+def dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
+                    score_col: str, n_hashes: int = 16, bands: int = 4,
+                    shingle_n: int = 1,
+                    max_bucket: int | None = 1000) -> DataFrame:
+    """Cluster-representative selection — the step real curation
+    pipelines run after near-dup clustering: keep the HIGHEST-scoring
+    document of each fuzzy cluster (ties -> smallest id; a total
+    order), drop the rest.  ``dedup_clusters`` keeps the min-id doc
+    regardless of quality; this keeps the best one.
+
+    Composes the engine's own primitives: LSH candidate pairs ->
+    pointer-jumping connected components -> one per-component
+    lexicographic min of ``(-score, id)`` -> one equi-join back.
+    Returns per-doc ``(id, component, score, is_kept)``.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands,
+                              shingle_n, max_bucket)
+    comp = connected_components(pairs)
+    base = (df.select(F.col(id_col), F.col(score_col))
+            .join(comp, df[id_col] == comp.vertex, "left")
+            .select(F.col(id_col), F.col(score_col),
+                    F.coalesce("component", F.col(id_col))
+                    .alias("component")))
+    best = (base.groupBy("component")
+            .agg(F.min(F.struct((-F.col(score_col)).alias("ns"),
+                                F.col(id_col).alias("bid"))).alias("b"))
+            .select("component", F.col("b.bid").alias("__best")))
+    return (base.join(best, "component")
+            .select(id_col, "component", score_col,
+                    (F.col(id_col) == F.col("__best")).alias("is_kept")))

@@ -1508,7 +1508,11 @@ def snap_to_segments(points: DataFrame, lines: DataFrame, radius_m: float,
     dr = radius_m / m_deg
     margin = np.cos(np.radians(phi)) / np.cos(np.radians(
         min(89.9, phi + dr)))
-    cres = _res_for_radius(radius_m, dggs, 30)
+    # one level coarser than the kNN family's radius/8 pitch: segments
+    # are EXTENDED objects, so candidate-pair count is ~invariant in
+    # cres while the point-side disk enumeration shrinks 4x — measured
+    # 23% faster on the 50k-point bench with identical output
+    cres = _res_for_radius(2.0 * radius_m, dggs, 30)
     pad_m = np.radians(_cover.pitch_deg(cres, dggs)) * EARTH_R
     cover_r = radius_m * float(max(1.0, margin)) + pad_m
 

@@ -695,3 +695,45 @@ def test_rrf_fuse_score_tie_doc_order(spark):
     out = {r.doc_id: r.fused_rank
            for r in rrf_fuse([ra], top_n=2).collect()}
     assert out == {4: 1, 9: 2}
+
+
+def test_dedup_keep_best(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.dedup import dedup_keep_best
+
+    # docs 1,2,3 near-identical (one cluster); 9 unique
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 9],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy dogs",
+                 "the quick brown fox jumped over the lazy dog",
+                 "completely different content about spark engines"],
+        "score": [0.5, 0.9, 0.7, 0.1],
+    })
+    out = {r.doc_id: (r.component, r.is_kept)
+           for r in dedup_keep_best(spark.createDataFrame(docs),
+                                    "doc_id", "text", "score",
+                                    n_hashes=16, bands=8).collect()}
+    comp = out[1][0]
+    assert out[2] == (comp, True)       # highest score wins
+    assert out[1] == (comp, False) and out[3] == (comp, False)
+    assert out[9] == (9, True)          # singleton keeps itself
+
+
+def test_dedup_keep_best_score_tie_min_id(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.dedup import dedup_keep_best
+
+    docs = pd.DataFrame({
+        "doc_id": [4, 7],
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "alpha beta gamma delta epsilon zeta"],
+        "score": [0.5, 0.5],
+    })
+    out = {r.doc_id: r.is_kept
+           for r in dedup_keep_best(spark.createDataFrame(docs),
+                                    "doc_id", "text", "score",
+                                    n_hashes=16, bands=8).collect()}
+    assert out == {4: True, 7: False}
