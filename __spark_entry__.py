@@ -2252,6 +2252,31 @@ def q_harmonic_fit(spark, sf_dir):
     return harmonic_fit_cells(base, ["v"], t_col="ts", period=12.0)
 
 
+def q_robust_trend(spark, sf_dir):
+    """Theil-Sen + Mann-Kendall robust trend (composite.py
+    robust_trend_cells): 200 cells x 8 epochs of md5 values plus a
+    per-cell deterministic drift; within-key pair self-join, exact
+    interpolated median (Spark percentile == DuckDB quantile_cont),
+    tie-corrected MK variance.  All pair quantities are small
+    rationals / integers, so parity is exact."""
+    from raster2dggs_spark.operators.composite import robust_trend_cells
+
+    base = spark.range(1600).select(
+        (F.col("id") % 200).alias("cell"),
+        F.expr("id DIV 200").alias("ep"))
+    h = F.md5(F.concat_ws(":", F.col("cell").cast("string"),
+                          F.col("ep").cast("string")))
+    d = base.select(
+        "cell", F.col("ep").cast("double").alias("ep"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 50
+         + F.col("ep") * (F.col("cell") % 7)).cast("double").alias("v"))
+    out = robust_trend_cells(d, "v", "ep", ("cell",))
+    return out.select(
+        F.col("cell").cast("long").alias("cell"), "n_obs", "n_pairs",
+        F.round("sen_slope", 6).alias("sen_slope"), "mk_s",
+        F.round("mk_z", 6).alias("mk_z"))
+
+
 def q_trend(spark, sf_dir):
     """Per-cell OLS time-series trend over the 6x3 scene stack (round
     7, operators/composite.py:trend_cells) — the decades-of-scenes
@@ -4444,6 +4469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_median": q_composite_median,
         "change_detection": q_change_detection,
         "trend": q_trend,
+        "robust_trend": q_robust_trend,
         "harmonic_fit": q_harmonic_fit,
         "rasterize": q_rasterize,
         "warp": q_warp,
@@ -9465,6 +9491,55 @@ def oracle_sql() -> dict[str, str]:
                        f"END AS band_{i}_z"
                        for i in range(1, 4))}
             FROM sc JOIN clim ON clim.hex7_06 = sc.hex7_06
+        """,
+        "robust_trend": f"""
+            WITH base AS MATERIALIZED (
+              SELECT i % 200 AS cell, i // 200 AS ep
+              FROM range(1600) t(i)),
+            hh AS MATERIALIZED (
+              SELECT cell, ep,
+                     md5(CAST(cell AS VARCHAR) || ':'
+                         || CAST(ep AS VARCHAR)) AS h
+              FROM base),
+            d AS MATERIALIZED (
+              SELECT cell, CAST(ep AS DOUBLE) AS x,
+                     CAST(({_RRF_HEX}) % 50
+                          + ep * (cell % 7) AS DOUBLE) AS v
+              FROM hh),
+            p AS (
+              SELECT a.cell,
+                     (b.v - a.v) / (b.x - a.x) AS slope,
+                     sign(b.v - a.v) AS sg
+              FROM d a JOIN d b
+                ON b.cell = a.cell AND b.x > a.x),
+            pa AS (
+              SELECT cell, quantile_cont(slope, 0.5) AS sen_slope,
+                     sum(sg) AS mk_s, count(*) AS n_pairs
+              FROM p GROUP BY cell),
+            tt AS (SELECT cell, v, count(*) AS t FROM d
+                   GROUP BY cell, v),
+            tg AS (SELECT cell, sum(t) AS n_obs,
+                          sum(t * (t - 1) * (2 * t + 5)) AS tc
+                   FROM tt GROUP BY cell),
+            j AS (
+              SELECT pa.cell, pa.sen_slope, pa.mk_s, pa.n_pairs,
+                     tg.n_obs,
+                     (CAST(tg.n_obs AS DOUBLE) * (tg.n_obs - 1)
+                      * (2 * CAST(tg.n_obs AS DOUBLE) + 5) - tg.tc)
+                       / 18.0 AS var_s
+              FROM pa JOIN tg USING (cell))
+            SELECT CAST(cell AS BIGINT) AS cell,
+                   CAST(n_obs AS BIGINT) AS n_obs,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   round(sen_slope, 6) + 0.0 AS sen_slope,
+                   CAST(mk_s AS BIGINT) AS mk_s,
+                   round(CASE WHEN var_s > 0 THEN
+                         CASE WHEN mk_s > 0
+                              THEN (mk_s - 1) / sqrt(var_s)
+                              WHEN mk_s < 0
+                              THEN (mk_s + 1) / sqrt(var_s)
+                              ELSE 0.0 END END, 6) + 0.0 AS mk_z
+            FROM j
         """,
         "trend": f"""
             WITH sc AS (

@@ -437,3 +437,72 @@ def harmonic_fit_cells(
             F.round(F.when(ok, F.atan2(b1, a1)), 4).alias(f"{c}_phase"),
         ]
     return g.select(*out)
+
+
+def robust_trend_cells(
+    scene_cells: DataFrame,
+    value_col: str = "v",
+    x_col: str = "scene_ts",
+    key_cols: tuple[str, ...] = ("cell",),
+) -> DataFrame:
+    """Per-cell ROBUST trend: Theil-Sen slope + the Mann-Kendall
+    monotonic-trend test — the outlier-resistant companion of
+    :func:`trend_cells` (the LandTrendr/CCDC-era EO standard for
+    cloud-contaminated stacks; GRASS addons r.series.trend class).
+
+    Per key over all observation pairs ``i < j`` (ordered by x)::
+
+        sen_slope = median of (v_j - v_i) / (x_j - x_i), x_j != x_i
+                    (exact linear-interpolation median — Spark
+                    ``percentile`` == DuckDB ``quantile_cont``)
+        mk_s      = sum sign(v_j - v_i)
+        var_s     = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18
+                    (tie-corrected; t = per-distinct-value counts)
+        mk_z      = (S -/+ 1)/sqrt(var_s) for S >/< 0, else 0
+
+    Scale shape (100-TB): the pair enumeration is a within-key
+    self-join — pairs = n_obs^2 per KEY, bounded by archive depth
+    (decades of scenes = O(10^2..10^3) obs), never cross-key; one
+    shuffle keyed by (key…), two map-side-combinable aggregates (pair
+    fold + tie fold), no window, no UDF.  Keys with fewer than 2
+    distinct x values emit NULL slope and z.
+    """
+    ks = [F.col(k) for k in key_cols]
+    a = scene_cells.select(
+        *ks, F.col(x_col).cast("double").alias("__x"),
+        F.col(value_col).cast("double").alias("__v"))
+    b = a.select(
+        *[F.col(k).alias(f"__b_{k}") for k in key_cols],
+        F.col("__x").alias("__x2"), F.col("__v").alias("__v2"))
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__b_{k}") == F.col(str(k))
+        cond = c if cond is None else cond & c
+    pairs = a.join(b, cond & (F.col("__x2") > F.col("__x")))
+    slope = (F.col("__v2") - F.col("__v")) / (F.col("__x2")
+                                              - F.col("__x"))
+    sgn = F.signum(F.col("__v2") - F.col("__v"))
+    pair_agg = (pairs.groupBy(*ks).agg(
+        F.percentile(slope, F.lit(0.5)).alias("sen_slope"),
+        F.sum(sgn).alias("mk_s"),
+        F.count(F.lit(1)).alias("n_pairs")))
+    # tie fold: per-key distinct-value counts -> correction term + n
+    ties = (a.groupBy(*ks, "__v")
+            .agg(F.count(F.lit(1)).alias("__t"))
+            .groupBy(*ks)
+            .agg(F.sum("__t").alias("n_obs"),
+                 F.sum(F.col("__t") * (F.col("__t") - 1)
+                       * (2 * F.col("__t") + 5)).alias("__tc")))
+    j = pair_agg.join(ties, list(key_cols))
+    n = F.col("n_obs").cast("double")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("__tc")) / 18.0
+    s = F.col("mk_s")
+    z = (F.when(var_s > 0.0,
+                F.when(s > 0, (s - 1) / F.sqrt(var_s))
+                .when(s < 0, (s + 1) / F.sqrt(var_s))
+                .otherwise(F.lit(0.0))))
+    return j.select(
+        *ks, F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        "sen_slope", F.col("mk_s").cast("long").alias("mk_s"),
+        z.alias("mk_z"))

@@ -298,3 +298,74 @@ def test_harmonic_fit_recovers_known_signal(spark):
         assert abs(r.v_a1 - beta[1]) < 1e-3
         assert abs(r.v_b1 - beta[2]) < 1e-3
     assert out[9].v_a0 is None and out[9].n_obs == 2
+
+
+def test_robust_trend_known_series(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.composite import robust_trend_cells
+
+    # cell 1: strictly increasing slope-2 line -> sen=2, S = 10 (all
+    # positive over C(5,2) pairs), no ties
+    rows = [(1, float(t), 2.0 * t + 3.0) for t in range(5)]
+    # cell 2: constant -> sen 0, S 0, all values tied -> var_s 0 -> z null
+    rows += [(2, float(t), 7.0) for t in range(4)]
+    # cell 3: one outlier cannot break the Theil-Sen median (6 of the
+    # 10 pair slopes are 1, so the interpolated median stays 1)
+    rows += [(3, 0.0, 0.0), (3, 1.0, 1.0), (3, 2.0, 2.0),
+             (3, 3.0, 3.0), (3, 4.0, 1000.0)]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["cell", "scene_ts", "v"]))
+    out = {r.cell: r for r in robust_trend_cells(df).collect()}
+    r1 = out[1]
+    assert (r1.n_obs, r1.n_pairs, r1.mk_s) == (5, 10, 10)
+    assert r1.sen_slope == _pytest.approx(2.0)
+    # z = (10-1)/sqrt(5*4*15/18) = 9/sqrt(16.666..)
+    assert r1.mk_z == _pytest.approx(9.0 / (5 * 4 * 15 / 18.0) ** 0.5)
+    r2 = out[2]
+    assert r2.sen_slope == 0.0 and r2.mk_s == 0 and r2.mk_z is None
+    r3 = out[3]
+    assert r3.sen_slope == _pytest.approx(1.0)  # outlier resisted
+    assert r3.mk_s == 10
+
+
+def test_robust_trend_vs_numpy_random(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.composite import robust_trend_cells
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for cell in range(6):
+        for t in range(10):
+            rows.append((cell, float(t),
+                         float(rng.integers(0, 8))))  # ties likely
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["cell", "scene_ts", "v"]))
+    out = {r.cell: r for r in robust_trend_cells(df).collect()}
+    data = {}
+    for cell, t, v in rows:
+        data.setdefault(cell, []).append((t, v))
+    for cell, obs in data.items():
+        slopes, s = [], 0
+        for i in range(len(obs)):
+            for jj in range(i + 1, len(obs)):
+                (xi, vi), (xj, vj) = obs[i], obs[jj]
+                slopes.append((vj - vi) / (xj - xi))
+                s += (vj > vi) - (vj < vi)
+        n = len(obs)
+        _, counts = np.unique([v for _, v in obs], return_counts=True)
+        var_s = (n * (n - 1) * (2 * n + 5)
+                 - sum(t * (t - 1) * (2 * t + 5)
+                       for t in counts)) / 18.0
+        r = out[cell]
+        assert r.sen_slope == _pytest.approx(
+            float(np.percentile(slopes, 50)), rel=1e-12)
+        assert r.mk_s == s
+        if var_s > 0:
+            want = ((s - 1) if s > 0 else (s + 1) if s < 0
+                    else 0) / np.sqrt(var_s) if s != 0 else 0.0
+            assert r.mk_z == _pytest.approx(want, rel=1e-12)
