@@ -100,6 +100,23 @@ def _ramp_images(spark):
 # relational operator family (oracle-checked)
 # --------------------------------------------------------------------------
 
+def q_skyline(spark, sf_dir):
+    """Pareto frontier (aggregates.py skyline — the SKYLINE operator,
+    Borzsonyi 2001): per-brand parts minimizing (retailprice, size),
+    two-phase distributed plan (partition-local frontier prune, one
+    candidate shuffle, per-group finalize).  Oracle is the canonical
+    NOT EXISTS dominance query; ties survive on both sides."""
+    from raster2dggs_spark.operators.aggregates import skyline
+
+    p = _t(spark, sf_dir, "part")
+    out = skyline(p, ["p_retailprice", "p_size"],
+                  group_cols=["p_brand"], keep_cols=["p_partkey"])
+    return out.select(
+        "p_brand", F.col("p_partkey").cast("long").alias("p_partkey"),
+        _r4("p_retailprice").alias("p_retailprice"),
+        F.col("p_size").cast("long").alias("p_size"))
+
+
 def q_agg_mean_sum_count(spark, sf_dir):
     from raster2dggs_spark.operators.aggregates import agg_multi
 
@@ -4402,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_minmax_range": q_agg_minmax_range,
         "agg_stats": q_agg_stats,
         "agg_percentiles": q_agg_percentiles,
+        "skyline": q_skyline,
         "agg_mode": q_agg_mode,
         "agg_majority": q_agg_majority,
         "agg_multi": q_agg_multi,
@@ -6527,6 +6545,20 @@ def oracle_sql() -> dict[str, str]:
                    round(var_samp(l_quantity), 4) AS qty_var,
                    round(median(l_quantity), 4) AS qty_median
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "skyline": """
+            SELECT a.p_brand,
+                   CAST(a.p_partkey AS BIGINT) AS p_partkey,
+                   round(a.p_retailprice, 4) + 0.0 AS p_retailprice,
+                   CAST(a.p_size AS BIGINT) AS p_size
+            FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_brand = a.p_brand
+                AND b.p_retailprice <= a.p_retailprice
+                AND b.p_size <= a.p_size
+                AND (b.p_retailprice < a.p_retailprice
+                     OR b.p_size < a.p_size))
         """,
         "agg_percentiles": """
             SELECT l_returnflag,

@@ -1,0 +1,62 @@
+"""skyline (operators/aggregates.py): Pareto frontier semantics."""
+
+
+def test_skyline_known_frontier(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.aggregates import skyline
+
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "x": [1.0, 2.0, 3.0, 1.0, 5.0],
+        "y": [5.0, 3.0, 1.0, 5.0, 5.0],
+    })
+    # frontier: (1,5) x2 (tie survives), (2,3), (3,1); (5,5) dominated
+    out = skyline(spark.createDataFrame(pdf), ["x", "y"],
+                  keep_cols=["id"]).collect()
+    got = sorted((r.id, r.x, r.y) for r in out)
+    assert got == [(1, 1.0, 5.0), (2, 2.0, 3.0), (3, 3.0, 1.0),
+                   (4, 1.0, 5.0)]
+
+
+def test_skyline_groups_isolate(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.aggregates import skyline
+
+    # group b's (0,0) must NOT prune group a's rows
+    pdf = pd.DataFrame({
+        "g": ["a", "a", "b"],
+        "x": [1.0, 2.0, 0.0],
+        "y": [2.0, 1.0, 0.0],
+    })
+    out = skyline(spark.createDataFrame(pdf), ["x", "y"],
+                  group_cols=["g"]).collect()
+    got = sorted((r.g, r.x, r.y) for r in out)
+    assert got == [("a", 1.0, 2.0), ("a", 2.0, 1.0), ("b", 0.0, 0.0)]
+
+
+def test_skyline_vs_bruteforce_random(spark):
+    import numpy as np
+    import pandas as pd
+
+    from raster2dggs_spark.operators.aggregates import skyline
+
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({
+        "id": range(300),
+        "x": rng.integers(0, 30, 300).astype(float),
+        "y": rng.integers(0, 30, 300).astype(float),
+        "z": rng.integers(0, 30, 300).astype(float),
+    })
+    out = {r.id for r in skyline(
+        spark.createDataFrame(pdf).repartition(7), ["x", "y", "z"],
+        keep_cols=["id"]).collect()}
+    arr = pdf[["x", "y", "z"]].to_numpy()
+    want = set()
+    for i in range(len(arr)):
+        dom = ((arr <= arr[i]).all(axis=1)
+               & (arr < arr[i]).any(axis=1)).any()
+        if not dom:
+            want.add(i)
+    assert out == want
