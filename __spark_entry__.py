@@ -5920,10 +5920,6 @@ _BASIN_STEP_C = ("CASE WHEN d1 = g THEN 1 WHEN d2 = g THEN 1 "
 
 # big-endian parse of an md5 hex substring (DuckDB lacks conv()): first
 # and second 8 hex digits, matching Spark's conv(substring(h,..,8),16,10)
-_RRF_HEX = " + ".join(
-    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
-    for i in range(1, 9))
-
 _MD5_HEX1 = " + ".join(
     f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1) * {16 ** (8 - i)}"
     for i in range(1, 9))
@@ -7062,11 +7058,11 @@ def oracle_sql() -> dict[str, str]:
               FROM p),
             r1 AS (
               SELECT query_id, doc_id,
-                     CAST(({_RRF_HEX}) % 100003 AS DOUBLE) AS score
+                     CAST(({_MD5_HEX1}) % 100003 AS DOUBLE) AS score
               FROM h1),
             r2 AS (
               SELECT query_id, doc_id,
-                     CAST(({_RRF_HEX}) % 100003 AS DOUBLE) AS score
+                     CAST(({_MD5_HEX1}) % 100003 AS DOUBLE) AS score
               FROM h2),
             rk AS (
               SELECT query_id, doc_id,
@@ -9535,7 +9531,7 @@ def oracle_sql() -> dict[str, str]:
               FROM base),
             d AS MATERIALIZED (
               SELECT cell, CAST(ep AS DOUBLE) AS x,
-                     CAST(({_RRF_HEX}) % 50
+                     CAST(({_MD5_HEX1}) % 50
                           + ep * (cell % 7) AS DOUBLE) AS v
               FROM hh),
             p AS (

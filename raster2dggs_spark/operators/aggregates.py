@@ -545,9 +545,9 @@ def skyline(df: DataFrame, dim_cols, group_cols=(),
     Spark-first two-phase plan (the classic distributed skyline):
 
     1. LOCAL skyline per input partition — one narrow ``mapInPandas``,
-       no shuffle: rows sorted by dimension sum (a dominator always
-       has a smaller sum, so a kept-set scan is complete), dominance
-       checks vectorized against the kept set.
+       no shuffle: rows sorted lexicographically over the dim tuple
+       (a dominator always sorts first — exact, no float-sum
+       rounding), dominance checks vectorized against the kept set.
     2. ONE shuffle of the surviving candidates to their group key
        (``applyInPandas``) and the same algorithm finalizes.  The
        global frontier of a group must fit one task — the standard
@@ -567,7 +567,13 @@ def skyline(df: DataFrame, dim_cols, group_cols=(),
 
     def _frontier(pdf: pd.DataFrame) -> pd.DataFrame:
         arr = pdf[dcols].to_numpy(dtype=float)
-        order = np.argsort(arr.sum(axis=1), kind="stable")
+        # LEXICOGRAPHIC order over the dim tuple: a dominator is <= on
+        # every dim and < on the first differing one, so it always
+        # sorts BEFORE the rows it dominates — exact, unlike a
+        # dimension-sum key whose float rounding can put a dominated
+        # row first (code-review finding)
+        order = np.lexsort(tuple(arr[:, i]
+                                 for i in range(arr.shape[1] - 1, -1, -1)))
         kept_rows = []
         kept = np.empty((0, arr.shape[1]))
         for i in order:

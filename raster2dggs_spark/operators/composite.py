@@ -493,14 +493,19 @@ def robust_trend_cells(
             .agg(F.sum("__t").alias("n_obs"),
                  F.sum(F.col("__t") * (F.col("__t") - 1)
                        * (2 * F.col("__t") + 5)).alias("__tc")))
-    j = pair_agg.join(ties, list(key_cols))
+    # ties has EVERY key; pair_agg is empty for keys with <2 distinct
+    # x values — left join so those emit NULL slope/S/z per the
+    # contract instead of vanishing (code-review finding)
+    j = ties.join(pair_agg, list(key_cols), "left")
     n = F.col("n_obs").cast("double")
     var_s = (n * (n - 1) * (2 * n + 5) - F.col("__tc")) / 18.0
     s = F.col("mk_s")
-    z = (F.when(var_s > 0.0,
-                F.when(s > 0, (s - 1) / F.sqrt(var_s))
-                .when(s < 0, (s + 1) / F.sqrt(var_s))
-                .otherwise(F.lit(0.0))))
+    # s NULL (no pairs) must stay NULL — an unguarded .otherwise(0.0)
+    # would claim "no trend" for a key that was never testable
+    z = F.when((var_s > 0.0) & s.isNotNull(),
+               F.when(s > 0, (s - 1) / F.sqrt(var_s))
+               .when(s < 0, (s + 1) / F.sqrt(var_s))
+               .otherwise(F.lit(0.0)))
     return j.select(
         *ks, F.col("n_obs").cast("long").alias("n_obs"),
         F.col("n_pairs").cast("long").alias("n_pairs"),

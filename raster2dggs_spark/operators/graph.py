@@ -132,7 +132,11 @@ def sssp(edges: DataFrame, sources, src: str = "src", dst: str = "dst",
     dist = dist.localCheckpoint(eager=True)
     frontier = dist
     rounds = 0
-    for _ in range(max_rounds):
+    # max_rounds caps IMPROVEMENT rounds; the +1 grants the final
+    # probe that observes the empty frontier (a graph needing exactly
+    # max_rounds relaxations must converge, not raise — code-review
+    # finding)
+    for _ in range(max_rounds + 1):
         prop = (frontier.join(e, frontier.node == e.esrc)
                 .select(F.col("edst").alias("node"),
                         (F.col("dist") + F.col("ew")).alias("nd"))

@@ -1504,10 +1504,19 @@ def snap_to_segments(points: DataFrame, lines: DataFrame, radius_m: float,
     m_deg = float(np.radians(1.0) * EARTH_R)
     # analytic blocking margin (see docstring); one bounded scalar agg
     row = points.agg(F.max(F.abs(F.col(lat_col))).alias("m")).collect()[0]
-    phi = min(89.0, float(row["m"] or 0.0))
+    phi = float(row["m"] or 0.0)
     dr = radius_m / m_deg
-    margin = np.cos(np.radians(phi)) / np.cos(np.radians(
-        min(89.9, phi + dr)))
+    if phi + dr > 89.5:
+        # the equirect metric (and its cover-inflation bound)
+        # degenerates when the snap disk reaches the pole — refuse
+        # rather than silently miss true neighbours (code-review
+        # finding; the repo's lat-distortion bug class)
+        raise ValueError(
+            f"snap_to_segments: points reach |lat| {phi:.2f} with a "
+            f"{dr:.2f} deg radius — within 0.5 deg of the pole the "
+            "local-equirectangular metric is not valid; reduce the "
+            "radius or reproject polar points")
+    margin = np.cos(np.radians(phi)) / np.cos(np.radians(phi + dr))
     # one level coarser than the kNN family's radius/8 pitch: segments
     # are EXTENDED objects, so candidate-pair count is ~invariant in
     # cres while the point-side disk enumeration shrinks 4x — measured
@@ -1517,6 +1526,19 @@ def snap_to_segments(points: DataFrame, lines: DataFrame, radius_m: float,
     cover_r = radius_m * float(max(1.0, margin)) + pad_m
 
     segs = explode_segments(lines, line_id, xs_col, ys_col)
+    # the packed seg id (line_id * 2^20 + seg_idx) is only valid for
+    # non-negative line ids and < 2^20 segments per line — truncating
+    # div on a negative id decodes to the WRONG line (code-review
+    # finding); one bounded scalar agg validates the contract
+    b = segs.agg(F.min(F.col(line_id)).alias("lo"),
+                 F.max("seg_idx").alias("hi")).collect()[0]
+    if b["lo"] is not None and int(b["lo"]) < 0:
+        raise ValueError("snap_to_segments: negative line ids break "
+                         "the packed segment key — reindex to >= 0")
+    if b["hi"] is not None and int(b["hi"]) >= MAX_SEGS_PER_LINE:
+        raise ValueError(
+            f"snap_to_segments: a line has > {MAX_SEGS_PER_LINE} "
+            "segments — split it or raise MAX_SEGS_PER_LINE")
     seg_geom = segs.select(
         (F.col(line_id) * MAX_SEGS_PER_LINE + F.col("seg_idx"))
         .alias("seg_id"), "ax", "ay", "bx", "by")

@@ -221,8 +221,9 @@ def funnel(events: DataFrame, steps, entity_col: str = "user_id",
     FIRST step, the common funnel contract).
 
     Output: one row per step — ``(step, event_type, n_entities,
-    frac_of_first)`` — computed as a union of lazy single-row
-    aggregates (no collect; one job at the action).
+    frac_of_first)``.  Step frames are eagerly checkpointed (each is
+    read twice — the next step's join and its own count — so lineage
+    stays linear in K); counts union lazily, no collect.
 
     Scale shape (100-TB): K-1 equi-joins on the entity key, each
     against the single-type event slice (predicate pushdown prunes the
@@ -235,7 +236,13 @@ def funnel(events: DataFrame, steps, entity_col: str = "user_id",
     cur = (events.where(F.col(type_col) == steps[0])
            .groupBy(F.col(entity_col).alias("__e"))
            .agg(F.min(ts_col).alias("__t")))
-    cur = cur.withColumn("__t1", F.col("__t"))
+    # eager checkpoint per frame: each step frame is read TWICE (the
+    # next step's join and its own count), and frame k's lineage
+    # embeds frames 0..k-1 — without materialization the final union
+    # re-executes the event scan O(K^2) times (code-review finding;
+    # the sssp/label_propagation round hygiene)
+    cur = (cur.withColumn("__t1", F.col("__t"))
+           .localCheckpoint(eager=True))
     frames = [cur]
     for s in steps[1:]:
         ev = events.where(F.col(type_col) == s).select(
@@ -246,7 +253,8 @@ def funnel(events: DataFrame, steps, entity_col: str = "user_id",
                         + F.expr(f"INTERVAL {int(within_s)} SECONDS"))
         nxt = (j.groupBy("__e")
                .agg(F.min("__ts").alias("__t"),
-                    F.first("__t1").alias("__t1")))
+                    F.first("__t1").alias("__t1"))
+               .localCheckpoint(eager=True))
         frames.append(nxt)
     first_n = frames[0].agg(F.count(F.lit(1)).alias("__n1"))
     rows = None

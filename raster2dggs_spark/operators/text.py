@@ -623,8 +623,9 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     ``split(trim(text), '\\s+')``; start positions are the arithmetic
     progression 0, step, 2*step, ... strictly below the token count;
     chunk text re-joins with single spaces (whitespace-normalizing).
-    Every document yields at least one chunk (empty text included —
-    filter upstream if unwanted).
+    Every NON-NULL document yields at least one chunk (empty text
+    included); NULL text yields no rows (posexplode of a null array),
+    matching the SQL twin.
 
     Scale shape: pure column expressions + ONE posexplode — no UDF,
     no shuffle; rows out ~ tokens / step per document.

@@ -60,3 +60,18 @@ def test_skyline_vs_bruteforce_random(spark):
         if not dom:
             want.add(i)
     assert out == want
+
+
+def test_skyline_large_magnitude_no_sum_rounding(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.aggregates import skyline
+
+    # sums of both rows round to the same double (ulp(1e17) = 16) but
+    # (1e17, 1.0) strictly dominates (1e17, 2.0) — the lexicographic
+    # sort must still evict the dominated row
+    pdf = pd.DataFrame({"id": [1, 2],
+                        "x": [1e17, 1e17], "y": [2.0, 1.0]})
+    out = [r.id for r in skyline(spark.createDataFrame(pdf),
+                                 ["x", "y"], keep_cols=["id"]).collect()]
+    assert out == [2]

@@ -369,3 +369,19 @@ def test_robust_trend_vs_numpy_random(spark):
             want = ((s - 1) if s > 0 else (s + 1) if s < 0
                     else 0) / np.sqrt(var_s) if s != 0 else 0.0
             assert r.mk_z == _pytest.approx(want, rel=1e-12)
+
+
+def test_robust_trend_single_epoch_emits_null(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.composite import robust_trend_cells
+
+    rows = [(1, 0.0, 5.0), (1, 0.0, 6.0),   # one distinct x, 2 obs
+            (2, 0.0, 1.0), (2, 1.0, 2.0)]   # normal key
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["cell", "scene_ts", "v"]))
+    out = {r.cell: r for r in robust_trend_cells(df).collect()}
+    assert set(out) == {1, 2}                # key 1 NOT dropped
+    assert out[1].sen_slope is None and out[1].mk_z is None
+    assert out[1].n_obs == 2
+    assert out[2].sen_slope == 1.0

@@ -152,3 +152,17 @@ def test_label_propagation_multigraph_counts(spark):
     out = {r.vertex: r.community for r in label_propagation(
         spark.createDataFrame(pdf), rounds=1).collect()}
     assert out[5] == 7
+
+
+def test_sssp_cap_equals_needed_rounds_converges(spark):
+    from raster2dggs_spark.operators.graph import sssp
+
+    # 3-chain needs exactly 3 improvement rounds; cap 3 must converge
+    pdf = pd.DataFrame([(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)],
+                       columns=["src", "dst", "w"])
+    st = {}
+    out = {r.node: r.dist for r in sssp(
+        spark.createDataFrame(pdf), [0], max_rounds=3,
+        stats=st).collect()}
+    assert out == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+    assert st["rounds"] == 3

@@ -139,3 +139,19 @@ def test_nearest_of_many_lines(spark):
             assert got[2] == pytest.approx(best[0], abs=1e-3)
         else:
             assert pid not in out
+
+
+def test_snap_rejects_negative_line_ids(spark):
+    lines = spark.createDataFrame(
+        [(-1, [0.0, 1.0], [0.0, 0.0])],
+        "line_id long, xs array<double>, ys array<double>")
+    pts = _points(spark, [(1, 0.5, 0.1)])
+    with pytest.raises(ValueError, match="negative line ids"):
+        snap_to_segments(pts, lines, radius_m=50_000.0)
+
+
+def test_snap_rejects_polar_domain(spark):
+    lines = _lines(spark, [(1, [0.0, 1.0], [89.0, 89.0])])
+    pts = _points(spark, [(1, 0.5, 89.4)])
+    with pytest.raises(ValueError, match="pole"):
+        snap_to_segments(pts, lines, radius_m=300_000.0)
