@@ -2608,6 +2608,32 @@ def q_label_prop(spark, sf_dir):
                       F.col("community").cast("long").alias("community"))
 
 
+def q_sssp_multi(spark, sf_dir):
+    """K-source shortest-path matrix (graph.py sssp_multi — the
+    travel-time / accessibility matrix): sources {1, 2, 3} advance
+    simultaneously through shared relaxation joins, state keyed by
+    (source, node); oracle unrolls the same 18 MATERIALIZED min-fold
+    levels with the source in every group key."""
+    from raster2dggs_spark.operators.graph import sssp_multi
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("u"))
+    nf = s.agg(F.max("u").alias("n"))
+    su = s.crossJoin(F.broadcast(nf))
+    parts = []
+    for mult, wa, wm, wo in ((1, 7, 19, 1), (2, 13, 23, 1),
+                             (37, 11, 29, 3)):
+        parts.append(su.select(
+            F.col("u").alias("src"),
+            ((F.col("u") * mult) % F.col("n") + 1).alias("dst"),
+            ((F.col("u") * wa) % wm + wo).cast("double").alias("w")))
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    out = sssp_multi(edges, [1, 2, 3], directed=False)
+    return out.select(F.col("source").cast("long").alias("source"),
+                      F.col("node").cast("long").alias("node"),
+                      F.col("dist").cast("long").alias("dist_w"))
+
+
 def q_sketch_distinct(spark, sf_dir):
     """Mergeable distinct-count sketches (round 7,
     operators/sketches.py — KMV bottom-k and HyperLogLog): built from
@@ -4507,6 +4533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "sssp": q_sssp,
         "label_prop": q_label_prop,
+        "sssp_multi": q_sssp_multi,
         "triangle_count": q_triangle_count,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hilbert_key": q_hilbert_key,
@@ -6470,6 +6497,51 @@ def _lpa_sql(rounds: int = 4) -> str:
         """)
 
 
+def _sssp_multi_sql(levels: int = 18) -> str:
+    """sssp_multi twin: the _sssp_sql unroll with (source, node) keys
+    and a three-row seed frontier."""
+    lev = "".join(f""",
+            d{i + 1} AS MATERIALIZED (
+              SELECT source, node, min(dist) AS dist FROM (
+                SELECT source, node, dist FROM d{i}
+                UNION ALL
+                SELECT d{i}.source, e.dst AS node, d{i}.dist + e.w
+                FROM d{i} JOIN e ON e.src = d{i}.node) u
+              GROUP BY source, node)""" for i in range(levels))
+    return f"""
+            WITH nn AS (SELECT CAST(max(s_suppkey) AS BIGINT) AS n
+                        FROM supplier),
+            base AS (SELECT CAST(s_suppkey AS BIGINT) AS u, n
+                     FROM supplier, nn),
+            e AS MATERIALIZED (
+              SELECT u AS src, (u % n) + 1 AS dst,
+                     CAST((u * 7) % 19 + 1 AS DOUBLE) AS w FROM base
+              UNION ALL
+              SELECT (u % n) + 1, u,
+                     CAST((u * 7) % 19 + 1 AS DOUBLE) FROM base
+              UNION ALL
+              SELECT u, ((u * 2) % n) + 1,
+                     CAST((u * 13) % 23 + 1 AS DOUBLE) FROM base
+              UNION ALL
+              SELECT ((u * 2) % n) + 1, u,
+                     CAST((u * 13) % 23 + 1 AS DOUBLE) FROM base
+              UNION ALL
+              SELECT u, ((u * 37) % n) + 1,
+                     CAST((u * 11) % 29 + 3 AS DOUBLE) FROM base
+              UNION ALL
+              SELECT ((u * 37) % n) + 1, u,
+                     CAST((u * 11) % 29 + 3 AS DOUBLE) FROM base),
+            d0 AS MATERIALIZED (
+              SELECT CAST(v AS BIGINT) AS source, CAST(v AS BIGINT) AS node,
+                     0.0 AS dist
+              FROM (VALUES (1), (2), (3)) s(v)){lev}
+            SELECT CAST(source AS BIGINT) AS source,
+                   CAST(node AS BIGINT) AS node,
+                   CAST(dist AS BIGINT) AS dist_w
+            FROM d{levels}
+        """
+
+
 def _pagerank_sql(iters: int = 8) -> str:
     """Unrolled-iteration PageRank twin (chained CTEs, float
     association matching operators/graph.py pagerank exactly)."""
@@ -6967,6 +7039,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(8),
         "sssp": _sssp_sql(18),
         "label_prop": _lpa_sql(4),
+        "sssp_multi": _sssp_multi_sql(18),
         # triangles: identical least/greatest fold + a<b<c wedge close
         "triangle_count": """
             WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k

@@ -200,3 +200,62 @@ def label_propagation(edges: DataFrame, src: str = "src",
                   .select("vertex",
                           F.coalesce("newlab", "lab").alias("lab")))
     return labels.select("vertex", F.col("lab").alias("community"))
+
+
+def sssp_multi(edges: DataFrame, sources, src: str = "src",
+               dst: str = "dst", w: str = "w", max_rounds: int = 64,
+               directed: bool = True,
+               stats: dict | None = None) -> DataFrame:
+    """K-source shortest-path matrix (the travel-time / accessibility
+    matrix of network analysis — one row per (source, reached node))
+    in ONE superstep loop: the state is keyed by (source, node), so K
+    Bellman-Ford frontiers advance simultaneously through shared
+    relaxation joins instead of K sequential :func:`sssp` runs — the
+    round count is the MAX over sources, not the sum.
+
+    Same contract as :func:`sssp` otherwise: non-negative weights,
+    frontier-proportional work, eager per-round localCheckpoint,
+    driver-synced convergence that raises at the cap.  Returns
+    ``(source, node, dist)`` for reached pairs only.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"),
+                     F.col(w).cast("double").alias("ew"))
+    if not directed:
+        e = e.unionByName(edges.select(
+            F.col(dst).alias("esrc"), F.col(src).alias("edst"),
+            F.col(w).cast("double").alias("ew")))
+    e = e.localCheckpoint(eager=True)
+    node_t = edges.schema[src].dataType
+    dist = spark.createDataFrame(
+        [(s, s, 0.0) for s in sources],
+        T.StructType([T.StructField("source", node_t, False),
+                      T.StructField("node", node_t, False),
+                      T.StructField("dist", T.DoubleType(), False)]))
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    rounds = 0
+    for _ in range(max_rounds + 1):
+        prop = (frontier.join(e, frontier.node == e.esrc)
+                .select("source", F.col("edst").alias("node"),
+                        (F.col("dist") + F.col("ew")).alias("nd"))
+                .groupBy("source", "node").agg(F.min("nd").alias("nd")))
+        improved = (prop.join(dist.withColumnRenamed("dist", "old"),
+                              ["source", "node"], "left")
+                    .where(F.col("old").isNull()
+                           | (F.col("nd") < F.col("old")))
+                    .select("source", "node", F.col("nd").alias("dist"))
+                    .localCheckpoint(eager=True))
+        if improved.isEmpty():
+            if stats is not None:
+                stats["rounds"] = rounds
+            return dist
+        rounds += 1
+        dist = (dist.unionByName(improved)
+                .groupBy("source", "node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True))
+        frontier = improved
+    raise RuntimeError(
+        f"sssp_multi did not converge in {max_rounds} rounds — "
+        "negative-weight cycle or raise max_rounds")

@@ -166,3 +166,19 @@ def test_sssp_cap_equals_needed_rounds_converges(spark):
         stats=st).collect()}
     assert out == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
     assert st["rounds"] == 3
+
+
+def test_sssp_multi_matches_per_source_runs(spark):
+    from raster2dggs_spark.operators.graph import sssp, sssp_multi
+
+    rng = np.random.default_rng(13)
+    es = [(int(rng.integers(0, 20)), int(rng.integers(0, 20)),
+           float(rng.integers(1, 9))) for _ in range(60)]
+    df = spark.createDataFrame(pd.DataFrame(
+        es, columns=["src", "dst", "w"]))
+    multi = {(r.source, r.node): r.dist
+             for r in sssp_multi(df, [0, 5, 11]).collect()}
+    for s in (0, 5, 11):
+        single = {r.node: r.dist for r in sssp(df, [s]).collect()}
+        got = {n: d for (src_, n), d in multi.items() if src_ == s}
+        assert got == single, s
