@@ -2082,6 +2082,49 @@ def q_line_cells_quadkey(spark, sf_dir):
     return out.select("line_id", qk_str("cell").alias("qk_12"))
 
 
+def q_line_intersect(spark, sf_dir):
+    """Line-line crossing join through the lattice (vector.py
+    line_intersections — v.overlay / ST_Intersection on linestrings):
+    the 200 zigzag polylines crossed with 200 tilted diagonals;
+    candidates from one supercover cell equi-join, then the planar
+    2x2 closed form.  The oracle is the brute segment cross-join twin
+    with identical expressions — the lattice blocking must find
+    exactly the same crossing set."""
+    from raster2dggs_spark.operators.vector import line_intersections
+
+    ln = spark.range(200).select(
+        F.col("id").alias("a_id"),
+        (F.lit(3) + F.col("id") % 4).cast("int").alias("m"),
+        (F.lit(-170.0) + (F.col("id") * 7 % 340).cast("double")).alias("a"),
+        (F.lit(-55.0) + (F.col("id") * 11 % 110).cast("double")).alias("b"),
+    )
+    ks = F.sequence(F.lit(0), F.col("m"))
+    la = ln.select(
+        "a_id",
+        F.transform(ks, lambda k: F.col("a")
+                    + F.lit(0.25) * k.cast("double")).alias("xs"),
+        F.transform(ks, lambda k: F.col("b")
+                    + F.lit(0.125) * (k % 2).cast("double")
+                    + F.lit(0.0625) * k.cast("double")).alias("ys"),
+    )
+    lb = spark.range(200).select(
+        F.col("id").alias("b_id"),
+        (F.lit(-170.0) + (F.col("id") * 7 % 340).cast("double")
+         + 0.15).alias("p"),
+        (F.lit(-55.0) + (F.col("id") * 11 % 110).cast("double")
+         + 0.05).alias("q")).select(
+        "b_id",
+        F.array(F.col("p"), F.col("p") + 2.6).alias("xs"),
+        F.array(F.col("q") - 1.0, F.col("q") + 2.4).alias("ys"))
+    out = line_intersections(la, lb, res=12, dggs="quadkey")
+    return out.select(
+        F.col("a_id").cast("long").alias("a_id"),
+        F.col("a_seg").cast("long").alias("a_seg"),
+        F.col("b_id").cast("long").alias("b_id"),
+        F.col("b_seg").cast("long").alias("b_seg"),
+        F.round("ix", 6).alias("ix"), F.round("iy", 6).alias("iy"))
+
+
 def q_snap_points(spark, sf_dir):
     """Map matching (joins.py snap_to_segments): customers snap to
     their nearest zigzag-polyline segment within 500 km — GRASS
@@ -4522,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_smooth": q_rolling_smooth,
         "line_cells_quadkey": q_line_cells_quadkey,
         "snap_points": q_snap_points,
+        "line_intersect": q_line_intersect,
         "polyfill_quadkey": q_polyfill_quadkey,
         "polygon_overlay": q_polygon_overlay,
         "dbscan": q_dbscan,
@@ -9241,6 +9285,53 @@ def oracle_sql() -> dict[str, str]:
                        f"ELSE 'loss' END AS band_{i}_class"
                        for i in range(1, 4))}
             FROM g
+        """,
+        "line_intersect": """
+            WITH l AS (
+              SELECT i AS a_id, 3 + i % 4 AS m,
+                     CAST(-170 + (i * 7) % 340 AS DOUBLE) AS a,
+                     CAST(-55 + (i * 11) % 110 AS DOUBLE) AS b
+              FROM range(200) r(i)),
+            sa AS (
+              SELECT a_id, s.j AS a_seg,
+                     a + 0.25 * CAST(s.j AS DOUBLE) AS ax0,
+                     b + 0.125 * CAST(s.j % 2 AS DOUBLE)
+                       + 0.0625 * CAST(s.j AS DOUBLE) AS ay0,
+                     a + 0.25 * CAST(s.j + 1 AS DOUBLE) AS ax1,
+                     b + 0.125 * CAST((s.j + 1) % 2 AS DOUBLE)
+                       + 0.0625 * CAST(s.j + 1 AS DOUBLE) AS ay1
+              FROM l, range(7) s(j) WHERE s.j < m),
+            sb AS (
+              SELECT i AS b_id, 0 AS b_seg,
+                     CAST(-170 + (i * 7) % 340 AS DOUBLE) + 0.15 AS bx0,
+                     CAST(-55 + (i * 11) % 110 AS DOUBLE) - 1.0
+                       + 0.05 AS by0,
+                     CAST(-170 + (i * 7) % 340 AS DOUBLE) + 0.15
+                       + 2.6 AS bx1,
+                     CAST(-55 + (i * 11) % 110 AS DOUBLE) + 2.4
+                       + 0.05 AS by1
+              FROM range(200) r(i)),
+            c0 AS (
+              SELECT sa.*, sb.b_id, sb.b_seg, sb.bx0, sb.by0,
+                     sb.bx1, sb.by1,
+                     (ax1 - ax0) * (by1 - by0)
+                       - (ay1 - ay0) * (bx1 - bx0) AS den
+              FROM sa CROSS JOIN sb),
+            c1 AS (
+              SELECT *,
+                     ((bx0 - ax0) * (by1 - by0)
+                      - (by0 - ay0) * (bx1 - bx0)) / den AS t,
+                     ((bx0 - ax0) * (ay1 - ay0)
+                      - (by0 - ay0) * (ax1 - ax0)) / den AS u
+              FROM c0 WHERE den != 0.0)
+            SELECT CAST(a_id AS BIGINT) AS a_id,
+                   CAST(a_seg AS BIGINT) AS a_seg,
+                   CAST(b_id AS BIGINT) AS b_id,
+                   CAST(b_seg AS BIGINT) AS b_seg,
+                   round(ax0 + t * (ax1 - ax0), 6) + 0.0 AS ix,
+                   round(ay0 + t * (ay1 - ay0), 6) + 0.0 AS iy
+            FROM c1
+            WHERE t >= 0.0 AND t <= 1.0 AND u >= 0.0 AND u <= 1.0
         """,
         "snap_points": f"""
             WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),

@@ -383,3 +383,88 @@ def polygonize_boundaries(df: DataFrame, label_col: str = "label",
                       x0.alias("x0"), y0.alias("y0"),
                       x1.alias("x1"), y1.alias("y1"))
     return stitch_segments(segs, group_cols=[*gcols, label_col])
+
+
+def line_intersections(lines_a: DataFrame, lines_b: DataFrame,
+                       res: int = 12, dggs: str = "quadkey",
+                       id_a: str = "a_id", id_b: str = "b_id",
+                       xs_col: str = "xs",
+                       ys_col: str = "ys") -> DataFrame:
+    """Line-line intersection join THROUGH the cell lattice (GRASS
+    ``v.overlay``/``v.clean`` line crossing detection, PostGIS
+    ``ST_Intersection`` on linestrings): every crossing point between
+    a segment of layer A and a segment of layer B.
+
+    Geometry is PLANAR in lon/lat (the v.overlay contract; fine at
+    segment scale), closed-form 2x2 solve::
+
+        denom = dxA*dyB - dyA*dxB          (parallel/collinear -> none)
+        t = ((B0x-A0x)*dyB - (B0y-A0y)*dxB) / denom
+        u = ((B0x-A0x)*dyA - (B0y-A0y)*dxA) / denom
+        crossing iff 0 <= t <= 1 and 0 <= u <= 1;
+        point = A0 + t*(A1-A0)
+
+    Collinear overlaps report nothing (denominator zero — a segment
+    pair sharing a sub-segment has no single crossing point); an
+    endpoint exactly on the other segment reports with t or u at the
+    closed boundary.
+
+    Scale shape (100-TB): both layers explode to segments
+    column-natively and supercover ONCE at ``res`` (exact crossing
+    enumeration on rectangle grids); candidates come from ONE cell
+    equi-join (a crossing's point lies in a cell BOTH segments
+    traverse), dedup to the segment pair, then pure column math — no
+    sweep line, no R-tree broadcast, no all-pairs; cost follows true
+    spatial co-occurrence.  Corner-degenerate misses (a crossing
+    exactly ON a shared lattice corner that neither supercover emits)
+    are measure-zero; raise ``res`` to shrink candidate fan-in, lower
+    it to shrink the cover row count.
+    """
+    from raster2dggs_spark.operators.joins import (
+        MAX_SEGS_PER_LINE, explode_segments, line_cells)
+
+    def prep(lines, idc, tag):
+        segs = explode_segments(lines, idc, xs_col, ys_col)
+        sid = (F.col(idc) * MAX_SEGS_PER_LINE
+               + F.col("seg_idx")).alias(f"__{tag}sid")
+        geom = segs.select(
+            sid, F.col("ax").alias(f"{tag}x0"),
+            F.col("ay").alias(f"{tag}y0"),
+            F.col("bx").alias(f"{tag}x1"), F.col("by").alias(f"{tag}y1"))
+        seg_lines = segs.select(
+            (F.col(idc) * MAX_SEGS_PER_LINE + F.col("seg_idx"))
+            .alias("line_id"),
+            F.array("ax", "bx").alias("xs"),
+            F.array("ay", "by").alias("ys"))
+        cells = (line_cells(seg_lines, res, dggs)
+                 .select(F.col("line_id").alias(f"__{tag}sid"),
+                         F.col("cell").alias("__cell")))
+        return cells.join(geom, f"__{tag}sid")
+
+    ca = prep(lines_a, id_a, "a")
+    cb = prep(lines_b, id_b, "b")
+    cand = (ca.join(cb, "__cell")
+            .dropDuplicates(["__asid", "__bsid"]))
+    dxa = F.col("ax1") - F.col("ax0")
+    dya = F.col("ay1") - F.col("ay0")
+    dxb = F.col("bx1") - F.col("bx0")
+    dyb = F.col("by1") - F.col("by0")
+    ex = F.col("bx0") - F.col("ax0")
+    ey = F.col("by0") - F.col("ay0")
+    den = dxa * dyb - dya * dxb
+    t = (ex * dyb - ey * dxb) / den
+    u = (ex * dya - ey * dxa) / den
+    out = (cand.withColumn("__den", den)
+           .where(F.col("__den") != 0.0)
+           .withColumn("__t", t).withColumn("__u", u)
+           .where((F.col("__t") >= 0.0) & (F.col("__t") <= 1.0)
+                  & (F.col("__u") >= 0.0) & (F.col("__u") <= 1.0)))
+    return out.select(
+        F.expr(f"__asid div {MAX_SEGS_PER_LINE}").alias(id_a),
+        (F.col("__asid") % MAX_SEGS_PER_LINE).alias("a_seg"),
+        F.expr(f"__bsid div {MAX_SEGS_PER_LINE}").alias(id_b),
+        (F.col("__bsid") % MAX_SEGS_PER_LINE).alias("b_seg"),
+        (F.col("ax0") + F.col("__t") * (F.col("ax1") - F.col("ax0")))
+        .alias("ix"),
+        (F.col("ay0") + F.col("__t") * (F.col("ay1") - F.col("ay0")))
+        .alias("iy"))
