@@ -100,6 +100,24 @@ def _ramp_images(spark):
 # relational operator family (oracle-checked)
 # --------------------------------------------------------------------------
 
+def q_assoc_rules(spark, sf_dir):
+    """Pairwise association rules (aggregates.py association_rules —
+    the market-basket staple): orders as baskets, part-class (%50) as
+    items, support/confidence/lift over the within-basket pair join.
+    All quantities are integer counts over exact division — parity is
+    exact; oracle is the direct relational replay."""
+    from raster2dggs_spark.operators.aggregates import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 50).cast("long").alias("item"))
+    out = association_rules(li, "basket", "item", min_support=0.005)
+    return out.select(
+        F.col("antecedent").cast("long").alias("antecedent"),
+        F.col("consequent").cast("long").alias("consequent"),
+        "n_joint", "support", "confidence", "lift")
+
+
 def q_skyline(spark, sf_dir):
     """Pareto frontier (aggregates.py skyline — the SKYLINE operator,
     Borzsonyi 2001): per-brand parts minimizing (retailprice, size),
@@ -4489,6 +4507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats": q_agg_stats,
         "agg_percentiles": q_agg_percentiles,
         "skyline": q_skyline,
+        "assoc_rules": q_assoc_rules,
         "agg_mode": q_agg_mode,
         "agg_majority": q_agg_majority,
         "agg_multi": q_agg_multi,
@@ -6657,6 +6676,31 @@ def oracle_sql() -> dict[str, str]:
                    round(var_samp(l_quantity), 4) AS qty_var,
                    round(median(l_quantity), 4) AS qty_median
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "assoc_rules": """
+            WITH it AS (
+              SELECT DISTINCT l_orderkey AS b,
+                     CAST(l_partkey % 50 AS BIGINT) AS i
+              FROM lineitem),
+            nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n
+                   FROM it),
+            cnt AS (SELECT i, count(*) AS c FROM it GROUP BY i),
+            pr AS (
+              SELECT a.i AS ai, b2.i AS bi, count(*) AS nab
+              FROM it a JOIN it b2 ON b2.b = a.b AND b2.i != a.i
+              GROUP BY a.i, b2.i)
+            SELECT CAST(pr.ai AS BIGINT) AS antecedent,
+                   CAST(pr.bi AS BIGINT) AS consequent,
+                   CAST(pr.nab AS BIGINT) AS n_joint,
+                   round(pr.nab / nb.n, 6) + 0.0 AS support,
+                   round(pr.nab / ca.c, 6) + 0.0 AS confidence,
+                   round((pr.nab / ca.c) / (cb.c / nb.n), 6)
+                     + 0.0 AS lift
+            FROM pr
+            JOIN cnt ca ON ca.i = pr.ai
+            JOIN cnt cb ON cb.i = pr.bi
+            CROSS JOIN nb
+            WHERE pr.nab / nb.n >= 0.005
         """,
         "skyline": """
             SELECT a.p_brand,

@@ -610,3 +610,55 @@ def skyline(df: DataFrame, dim_cols, group_cols=(),
             .applyInPandas(
                 lambda key, pdf: _frontier(pdf.drop(columns="__g")),
                 schema))
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_support: float = 0.01,
+                      min_confidence: float = 0.0) -> DataFrame:
+    """Pairwise association rules (the Apriori/market-basket staple,
+    spark.ml FPGrowth's rule surface for itemsets of size 2): for every
+    ordered item pair (a -> b) co-occurring in at least
+    ``min_support`` fraction of baskets::
+
+        support    = n_ab / n_baskets
+        confidence = n_ab / n_a
+        lift       = confidence / (n_b / n_baskets)
+
+    Duplicate (basket, item) rows collapse first (presence, not
+    quantity).  Both directions of a pair are emitted (a->b and b->a
+    differ in confidence).
+
+    Scale shape (100-TB): one distinct, one within-basket self-join on
+    the basket key (pairs ~ sum of per-basket item-count squares — the
+    transactional-data shape, baskets are small), two
+    map-side-combinable counts, one broadcast of the 1-row basket
+    total and one item-count equi-join each side.  No collect, no
+    cross join, no windows.
+    """
+    items = (df.select(F.col(basket_col).alias("__b"),
+                       F.col(item_col).alias("__i")).distinct()
+             .localCheckpoint(eager=True))
+    n_baskets = items.select("__b").distinct().agg(
+        F.count(F.lit(1)).alias("__n"))
+    item_n = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
+    a = items
+    b = items.select(F.col("__b"), F.col("__i").alias("__j"))
+    pairs = (a.join(b, "__b").where(F.col("__i") != F.col("__j"))
+             .groupBy("__i", "__j")
+             .agg(F.count(F.lit(1)).alias("__nab")))
+    out = (pairs
+           .join(item_n.withColumnRenamed("__cnt", "__na"), "__i")
+           .join(item_n.select(F.col("__i").alias("__j"),
+                               F.col("__cnt").alias("__nb")), "__j")
+           .crossJoin(F.broadcast(n_baskets)))
+    support = F.col("__nab") / F.col("__n")
+    confidence = F.col("__nab") / F.col("__na")
+    lift = confidence / (F.col("__nb") / F.col("__n"))
+    return (out.where(support >= float(min_support))
+            .where(confidence >= float(min_confidence))
+            .select(F.col("__i").alias("antecedent"),
+                    F.col("__j").alias("consequent"),
+                    F.col("__nab").cast("long").alias("n_joint"),
+                    F.round(support, 6).alias("support"),
+                    F.round(confidence, 6).alias("confidence"),
+                    F.round(lift, 6).alias("lift")))

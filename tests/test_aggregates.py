@@ -75,3 +75,35 @@ def test_skyline_large_magnitude_no_sum_rounding(spark):
     out = [r.id for r in skyline(spark.createDataFrame(pdf),
                                  ["x", "y"], keep_cols=["id"]).collect()]
     assert out == [2]
+
+
+def test_association_rules_known(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.aggregates import association_rules
+
+    # baskets: {A,B} x3, {A,C} x1, {B} x1, duplicate rows collapse
+    rows = [(1, "A"), (1, "B"), (1, "B"),
+            (2, "A"), (2, "B"),
+            (3, "A"), (3, "B"),
+            (4, "A"), (4, "C"),
+            (5, "B")]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["basket", "item"]))
+    out = {(r.antecedent, r.consequent): r
+           for r in association_rules(df, "basket", "item",
+                                      min_support=0.0).collect()}
+    ab = out[("A", "B")]
+    assert ab.n_joint == 3
+    assert ab.support == _pytest.approx(0.6)       # 3 of 5 baskets
+    assert ab.confidence == _pytest.approx(0.75)   # A in 4 baskets
+    assert ab.lift == _pytest.approx(0.75 / (4 / 5))
+    ba = out[("B", "A")]
+    assert ba.confidence == _pytest.approx(0.75)   # B in 4 baskets
+    assert ("C", "B") not in out                   # never co-occur
+    # min_support filter
+    out2 = association_rules(df, "basket", "item",
+                             min_support=0.5).collect()
+    assert {(r.antecedent, r.consequent) for r in out2} == {
+        ("A", "B"), ("B", "A")}
