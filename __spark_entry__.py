@@ -605,6 +605,18 @@ def _event_points(spark, sf_dir):
          .cast("double") / 10.0 - 80.0).alias("lat"))
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (mobility.py
+    event_transitions — the clickstream page-path staple): per-user
+    consecutive event-type pairs ordered by (ts, event_id) — a TOTAL
+    order — counted and row-normalized.  Integer counts over exact
+    division; the oracle replays the lead() window relationally."""
+    from raster2dggs_spark.operators.mobility import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"),
+                             tiebreak="event_id")
+
+
 def q_od_matrix(spark, sf_dir):
     """Origin-destination matrix (round 7, operators/mobility.py
     od_matrix — the mobility-analytics staple): per-user event streams
@@ -4589,6 +4601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlay": q_polygon_overlay,
         "dbscan": q_dbscan,
         "od_matrix": q_od_matrix,
+        "event_transitions": q_event_transitions,
         "cell_dwell": q_cell_dwell,
         "bm25": q_bm25,
         "rrf_fuse": q_rrf_fuse,
@@ -6944,6 +6957,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # OD matrix: identical synthetic positions + the geohash encoder's
         # own quantization; lag() over the total (ts, event_id) key
+        "event_transitions": """
+            WITH nx AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS to_type
+              FROM events),
+            pr AS (
+              SELECT from_type, to_type, count(*) AS n
+              FROM nx WHERE to_type IS NOT NULL
+              GROUP BY from_type, to_type),
+            mg AS (SELECT from_type, sum(n) AS tot FROM pr
+                   GROUP BY from_type)
+            SELECT pr.from_type, pr.to_type,
+                   CAST(pr.n AS BIGINT) AS n,
+                   round(pr.n / CAST(mg.tot AS DOUBLE), 6)
+                     + 0.0 AS prob
+            FROM pr JOIN mg ON mg.from_type = pr.from_type
+        """,
         "od_matrix": f"""
             WITH e AS (
               SELECT event_id, user_id, ts,

@@ -65,3 +65,41 @@ def cell_dwell(points: DataFrame, entity_col: str, ts_col: str,
     return (t.groupBy(F.col(entity_col).alias("entity"), "cell")
             .agg(F.round(F.sum("dt"), 4).alias("dwell_s"),
                  F.count(F.lit(1)).alias("n_points")))
+
+
+def event_transitions(events: DataFrame, entity_col: str = "user_id",
+                      ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      tiebreak: str | None = None) -> DataFrame:
+    """First-order Markov transition matrix of an event stream (the
+    clickstream / page-path staple): per entity, consecutive events
+    ordered by ``(ts, tiebreak)`` form (from_type, to_type) pairs;
+    output per pair the count and the row-normalized probability
+    ``P(to | from)``.
+
+    The order must be TOTAL for cross-engine determinism — pass
+    ``tiebreak`` (e.g. an event id) when equal timestamps per entity
+    can exist; without it, equal-instant neighbours make the pairing
+    engine-dependent.
+
+    Scale shape: one window over the ENTITY key (many small groups,
+    never global), two map-side-combinable counts, one equi-join on
+    the from-type marginal.  Like :func:`od_matrix` with event types
+    in place of cells.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    pairs = (events
+             .withColumn("__next", F.lead(type_col).over(w))
+             .where(F.col("__next").isNotNull())
+             .groupBy(F.col(type_col).alias("from_type"),
+                      F.col("__next").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    marg = pairs.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return (pairs.join(marg, "from_type")
+            .select("from_type", "to_type",
+                    F.col("n").cast("long").alias("n"),
+                    F.round(F.col("n") / F.col("__tot"), 6)
+                    .alias("prob")))

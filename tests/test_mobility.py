@@ -61,3 +61,34 @@ def test_cell_dwell_intervals(spark):
     # user 2 in B: 2 h; in A: open-ended -> 0
     assert got[(2, B)] == (7200.0, 1)
     assert got[(2, A)] == (0.0, 1)
+
+
+def test_event_transitions_known(spark):
+    import datetime as dt
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.mobility import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, typ, secs):
+        return (i, u, typ, t0 + dt.timedelta(seconds=secs))
+
+    rows = [
+        ev(1, 1, "a", 0), ev(2, 1, "b", 10), ev(3, 1, "a", 20),
+        ev(4, 2, "a", 0), ev(5, 2, "b", 5),
+        # equal timestamps: event_id tiebreak orders 6 before 7
+        ev(6, 3, "x", 0), ev(7, 3, "y", 0),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "ts"]))
+    out = {(r.from_type, r.to_type): (r.n, r.prob)
+           for r in event_transitions(df, tiebreak="event_id").collect()}
+    assert out[("a", "b")] == (2, _pytest.approx(1.0))
+    assert out[("b", "a")] == (1, _pytest.approx(1.0))
+    assert out[("x", "y")] == (1, _pytest.approx(1.0))
+    # user boundaries don't chain: no ("a","a") across users 1->2
+    assert ("a", "a") not in out
+    assert len(out) == 3
