@@ -3058,6 +3058,28 @@ def q_embedding_knn_ivf(spark, sf_dir):
     return out.select("q_id", "t_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_knn_recall(spark, sf_dir):
+    """ANN recall evaluation (similarity.py knn_recall): per-query set
+    recall of the trained-IVF top-5 against the exact cosine top-5 —
+    the recall@k harness composed from the engine's own exact and
+    approximate retrieval operators.  Oracle nests both existing SQL
+    replays as subqueries and intersects them."""
+    from raster2dggs_spark.operators.similarity import (
+        cosine_topk, ivf_topk, knn_recall, train_centroids)
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where("vec_id < 30").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    t = e.select(F.col("vec_id").alias("t_id"),
+                 F.col("embedding").alias("t_vec"))
+    exact = cosine_topk(q, t, k=5)
+    cents = train_centroids(e, k=12, iters=3, round_dp=6)
+    approx = ivf_topk(q, t, cents, k=5, n_probe=4)
+    out = knn_recall(exact, approx)
+    return out.select(F.col("q_id").cast("long").alias("q_id"),
+                      "n_ref", "n_hit", "recall")
+
+
 def q_embedding_knn_pq(spark, sf_dir):
     """Product-quantization ANN, fully oracle-checked INCLUDING the
     quantizer: md5-derived codebooks (deterministic in any engine),
@@ -4637,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dist_join": q_edit_dist_join,
         "embedding_knn": q_embedding_knn,
         "embedding_knn_ivf": q_embedding_knn_ivf,
+        "knn_recall": q_knn_recall,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_knn_pq": q_embedding_knn_pq,
         "embedding_knn_ivfpq": q_embedding_knn_ivfpq,
@@ -10137,4 +10160,19 @@ def oracle_sql() -> dict[str, str]:
     # both sample_points strategies define identical semantics — the
     # join (scale) strategy must match the same closed-form ramp oracle
     out["sample_points_join"] = out["sample_points_bilinear"]
+    # recall eval: intersect the two existing replays as subqueries
+    out["knn_recall"] = f"""
+        SELECT CAST(q_id AS BIGINT) AS q_id,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(n_hit / CAST(n_ref AS DOUBLE), 6) + 0.0 AS recall
+        FROM (
+          SELECT r.q_id, count(*) AS n_ref,
+                 sum(CASE WHEN c.t_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS n_hit
+          FROM ({out["embedding_knn"]}) r
+          LEFT JOIN ({out["embedding_knn_ivf"]}) c
+            ON c.q_id = r.q_id AND c.t_id = r.t_id
+          GROUP BY r.q_id) g
+    """
     return out

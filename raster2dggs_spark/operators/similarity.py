@@ -591,3 +591,34 @@ def ivfpq_rerank_topk(queries: DataFrame, targets: DataFrame,
     out = top_k(cand, [q_id], "__neg", topn, ascending=True,
                 tiebreak=[t_id])
     return out.select(q_id, t_id, "cosine", "rank")
+
+
+def knn_recall(reference: DataFrame, candidate: DataFrame,
+               query_col: str = "q_id",
+               item_col: str = "t_id") -> DataFrame:
+    """ANN index quality evaluation — per-query recall of a candidate
+    top-k result set against the exact reference set (the recall@k
+    curve every vector-index deployment is tuned by; the relational
+    twin of faiss's eval harness).
+
+    Per query: ``recall = |reference ∩ candidate| / |reference|``
+    over the (query, item) pair sets (ranks ignored — set recall).
+    Queries absent from ``candidate`` score 0; queries absent from
+    ``reference`` are not scored.
+
+    Scale shape: two distincts, one pair equi-join, two map-side
+    counts, one left join — no collect, no windows; cost follows the
+    result-set sizes (k · queries), never the corpus.
+    """
+    r = reference.select(F.col(query_col), F.col(item_col)).distinct()
+    c = candidate.select(F.col(query_col), F.col(item_col)).distinct()
+    nref = r.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_ref"))
+    hit = (r.join(c, [query_col, item_col])
+           .groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hit")))
+    return (nref.join(hit, query_col, "left")
+            .select(query_col,
+                    F.col("n_ref").cast("long").alias("n_ref"),
+                    F.coalesce(F.col("n_hit"), F.lit(0))
+                    .cast("long").alias("n_hit"),
+                    F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                            / F.col("n_ref"), 6).alias("recall")))

@@ -327,3 +327,23 @@ def test_hyperplane_near_dup_saturation_observable(spark):
     assert stats2["buckets_dropped"] == 0
     assert stats2["rows_dropped"] == 0
     assert 0 < stats2["max_bucket_size"] <= 100
+
+
+def test_knn_recall_known_sets(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.similarity import knn_recall
+
+    ref = spark.createDataFrame(pd.DataFrame(
+        {"q_id": [1, 1, 1, 2, 2, 3],
+         "t_id": [10, 11, 12, 20, 21, 30]}))
+    cand = spark.createDataFrame(pd.DataFrame(
+        {"q_id": [1, 1, 1, 2, 2],
+         "t_id": [10, 11, 99, 77, 78]}))
+    out = {r.q_id: (r.n_ref, r.n_hit, r.recall)
+           for r in knn_recall(ref, cand).collect()}
+    assert out[1] == (3, 2, _pytest.approx(2 / 3, abs=1e-6))
+    assert out[2] == (2, 0, 0.0)   # no overlap
+    assert out[3] == (1, 0, 0.0)   # query absent from candidate
+    assert len(out) == 3
