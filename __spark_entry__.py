@@ -878,6 +878,33 @@ def q_idw_grid(spark, sf_dir):
                       F.round("idw", 6).alias("idw"), "n_contrib")
 
 
+def q_buffer_cells(spark, sf_dir):
+    """Distance buffer rasterized to the grid (joins.py buffer_cells —
+    v.buffer + v.to.rast class): quadkey-res-11 cells whose centers
+    fall within 120 km of any supplier station, with nearest distance
+    and contributor count.  This is the first DIRECT oracle check of
+    the disk-cover enumeration itself: the DuckDB twin enumerates a
+    superset by integer tile ranges (Mercator fy bands, latitude-
+    inflated lon half-width) and applies the identical center-in
+    haversine filter — both supersets reduce to the same exact set."""
+    import pandas as pd
+
+    from raster2dggs_spark.operators.joins import buffer_cells
+
+    pts = _supplier_points(spark, sf_dir).withColumnRenamed(
+        "t_id", "point_id")
+    out = buffer_cells(pts, radius_m=120_000.0, res=11, dggs="quadkey")
+
+    @F.pandas_udf("string")
+    def qk_str(c):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.cells_to_string(c.values))
+
+    return out.select(qk_str("cell").alias("qk_11"), "dist_m",
+                      "n_contrib")
+
+
 def q_kde_grid(spark, sf_dir):
     """Kernel density heatmap (GRASS v.kernel / QGIS Heatmap,
     joins.py kde_to_cells): supplier stations (value-weighted, quartic
@@ -4602,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getis_gi_star": q_getis_gi_star,
         "idw_grid": q_idw_grid,
         "kde_grid": q_kde_grid,
+        "buffer_cells": q_buffer_cells,
         "emerging_hotspots": q_emerging_hotspots,
         "variogram": q_variogram,
         "focal_metric_points": q_focal_metric_points,
@@ -9081,6 +9109,70 @@ def oracle_sql() -> dict[str, str]:
                 f" + ((tx >> {6 - 1 - i}) & 1) AS VARCHAR)"
                 for i in range(6)) + """ AS qk_6,
                    round(wv / w, 6) + 0.0 AS idw,
+                   CAST(n AS BIGINT) AS n_contrib
+            FROM g
+        """,
+        "buffer_cells": f"""
+            WITH p AS ({_SUPPLIER_POINTS_SQL.strip()}),
+            rg AS (
+              SELECT t_id, lon, lat,
+                     degrees(130000.0 / 6371007.1809) AS dpad
+              FROM p),
+            rg2 AS (
+              SELECT *,
+                     dpad / cos(radians(least(abs(lat) + dpad, 89.0)))
+                       AS dlon
+              FROM rg),
+            bx AS (
+              SELECT *,
+                     CAST(floor((lon - dlon + 180.0) / 360.0 * 2048.0)
+                          AS BIGINT) AS tx0,
+                     CAST(floor((lon + dlon + 180.0) / 360.0 * 2048.0)
+                          AS BIGINT) AS tx1,
+                     CAST(floor(((1.0 - ln(tan(radians(least(greatest(
+                            lat + dpad, -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat + dpad,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 2048.0) AS BIGINT) AS ty0,
+                     CAST(floor(((1.0 - ln(tan(radians(least(greatest(
+                            lat - dpad, -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat - dpad,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 2048.0) AS BIGINT) AS ty1
+              FROM rg2),
+            cand AS (
+              SELECT b.t_id, b.lon, b.lat,
+                     least(greatest(gx.k, 0), 2047) AS tx,
+                     least(greatest(gy.k, 0), 2047) AS ty
+              FROM bx b
+              JOIN range(-1, 2049) gx(k)
+                ON gx.k >= b.tx0 AND gx.k <= b.tx1
+              JOIN range(-1, 2049) gy(k)
+                ON gy.k >= b.ty0 AND gy.k <= b.ty1),
+            ctr AS (
+              SELECT DISTINCT t_id, lon, lat, tx, ty,
+                     (CAST(tx AS DOUBLE) + 0.5) / 2048.0 * 360.0
+                       - 180.0 AS clon,
+                     degrees(atan((exp(pi() * (1.0
+                         - 2.0 * (CAST(ty AS DOUBLE) + 0.5) / 2048.0))
+                       - exp(-(pi() * (1.0
+                         - 2.0 * (CAST(ty AS DOUBLE) + 0.5)
+                           / 2048.0)))) / 2.0)) AS clat
+              FROM cand),
+            d AS (
+              SELECT tx, ty,
+                     2.0 * 6371007.1809 * asin(sqrt(
+                       pow(sin(radians(clat - lat) / 2), 2)
+                       + cos(radians(lat)) * cos(radians(clat))
+                       * pow(sin(radians(clon - lon) / 2), 2)
+                     )) AS dist
+              FROM ctr),
+            g AS (
+              SELECT tx, ty, min(dist) AS dist_m, count(*) AS n
+              FROM d WHERE dist <= 120000.0
+              GROUP BY tx, ty)
+            SELECT CAST(2 * ((ty >> 10) & 1) + ((tx >> 10) & 1) AS VARCHAR) || CAST(2 * ((ty >> 9) & 1) + ((tx >> 9) & 1) AS VARCHAR) || CAST(2 * ((ty >> 8) & 1) + ((tx >> 8) & 1) AS VARCHAR) || CAST(2 * ((ty >> 7) & 1) + ((tx >> 7) & 1) AS VARCHAR) || CAST(2 * ((ty >> 6) & 1) + ((tx >> 6) & 1) AS VARCHAR) || CAST(2 * ((ty >> 5) & 1) + ((tx >> 5) & 1) AS VARCHAR) || CAST(2 * ((ty >> 4) & 1) + ((tx >> 4) & 1) AS VARCHAR) || CAST(2 * ((ty >> 3) & 1) + ((tx >> 3) & 1) AS VARCHAR) || CAST(2 * ((ty >> 2) & 1) + ((tx >> 2) & 1) AS VARCHAR) || CAST(2 * ((ty >> 1) & 1) + ((tx >> 1) & 1) AS VARCHAR) || CAST(2 * ((ty >> 0) & 1) + ((tx >> 0) & 1) AS VARCHAR) AS qk_11,
+                   round(dist_m, 4) + 0.0 AS dist_m,
                    CAST(n AS BIGINT) AS n_contrib
             FROM g
         """,

@@ -1604,3 +1604,60 @@ def snap_to_segments(points: DataFrame, lines: DataFrame, radius_m: float,
         F.col("b.t_frac").alias("t_frac"),
         F.col("b.snap_lon").alias("snap_lon"),
         F.col("b.snap_lat").alias("snap_lat"))
+
+
+def buffer_cells(points: DataFrame, radius_m: float, res: int,
+                 dggs: str = "hex7", point_id: str = "point_id",
+                 lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Distance buffer rasterized to the grid (GRASS ``v.buffer`` +
+    ``v.to.rast`` / ``ST_Buffer`` then zonal use): every cell at
+    ``res`` whose CENTER lies within ``radius_m`` meters (haversine)
+    of at least one input point, with the distance to the nearest
+    point and the contributing-point count.
+
+    Center-in semantics are exact and engine-reproducible (unlike an
+    intersects-buffer contract, whose rim slivers depend on polygon
+    densification); the disk-cover enumeration only needs to be a
+    SUPERSET — one cover-cell pitch of padding guarantees no center
+    within the radius is missed.
+
+    Scale shape (100-TB): one narrow ``mapInPandas`` explodes points
+    to padded disk-cover candidate cells (exact integer enumeration on
+    fixed-degree grids), a second computes centers + haversine
+    vectorized, ONE groupBy(cell) folds min-distance and count.  Cost
+    follows buffered area x point density; no point-point or
+    cell-cell joins.
+    """
+    from raster2dggs_spark.dggs import cover as _cover
+
+    pad_m = np.radians(_cover.pitch_deg(res, dggs)) * EARTH_R
+    q = points.select(F.col(point_id).alias("q_id"), lon_col, lat_col)
+    cand = disk_cover_cells(q, radius_m + pad_m, res, dggs, "q_id",
+                            lon_col, lat_col)
+    schema = T.StructType([
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("dist_m", T.DoubleType(), False)])
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            clon, clat = _cover.cell_center(pdf["jcell"].values, dggs)
+            qlon = pdf["q_lon"].values
+            qlat = pdf["q_lat"].values
+            d = 2.0 * EARTH_R * np.arcsin(np.sqrt(
+                np.sin(np.radians(clat - qlat) / 2.0) ** 2
+                + np.cos(np.radians(qlat)) * np.cos(np.radians(clat))
+                * np.sin(np.radians(clon - qlon) / 2.0) ** 2))
+            keep = d <= radius_m
+            if keep.any():
+                yield pd.DataFrame({
+                    "cell": pdf["jcell"].values[keep],
+                    "dist_m": d[keep]})
+
+    scored = cand.mapInPandas(fn, schema)
+    return (scored.groupBy("cell")
+            .agg(F.min("dist_m").alias("dist_m"),
+                 F.count(F.lit(1)).alias("n_contrib"))
+            .select("cell", F.round("dist_m", 4).alias("dist_m"),
+                    F.col("n_contrib").cast("long").alias("n_contrib")))

@@ -756,3 +756,52 @@ def test_kde_bad_kernel(spark):
     df = spark.createDataFrame(pd.DataFrame({"cell": [1]}))
     with pytest.raises(ValueError, match="kernel"):
         kde_to_cells(df, df, 1000.0, kernel="gauss")
+
+
+def test_buffer_cells_center_in_exact(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.dggs import quadkeylib
+    from raster2dggs_spark.operators.joins import buffer_cells
+
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"point_id": [1], "lon": [10.0], "lat": [0.0]}))
+    out = buffer_cells(pts, radius_m=50_000.0, res=10,
+                       dggs="quadkey").toPandas()
+    # brute-force: enumerate a tile window around the point and apply
+    # the same center-in haversine
+    import numpy as np
+    n = 1 << 10
+    txs, tys = np.meshgrid(np.arange(520, 560),
+                           np.arange(492, 532))
+    cells = quadkeylib.tile_to_cell(txs.ravel(), tys.ravel(), 10)
+    clon, clat = quadkeylib.cell_to_center(cells) if hasattr(
+        quadkeylib, "cell_to_center") else (None, None)
+    if clon is None:
+        from raster2dggs_spark.dggs import cover
+        clon, clat = cover.cell_center(cells, "quadkey")
+    R = 6371007.1809
+    d = 2 * R * np.arcsin(np.sqrt(
+        np.sin(np.radians(clat - 0.0) / 2) ** 2
+        + np.cos(np.radians(0.0)) * np.cos(np.radians(clat))
+        * np.sin(np.radians(clon - 10.0) / 2) ** 2))
+    want = set(cells[d <= 50_000.0].tolist())
+    assert set(out.cell.tolist()) == want
+    assert (out.n_contrib == 1).all()
+    assert (out.dist_m <= 50_000.0).all()
+
+
+def test_buffer_cells_multi_point_min_and_count(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.joins import buffer_cells
+
+    # two points 0.2 deg apart: overlapping buffers; overlap cells have
+    # n_contrib 2 and dist = min of the two
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"point_id": [1, 2], "lon": [20.0, 20.2], "lat": [5.0, 5.0]}))
+    out = buffer_cells(pts, radius_m=30_000.0, res=11,
+                       dggs="quadkey").toPandas()
+    assert (out.n_contrib == 2).sum() > 0
+    assert (out.n_contrib == 1).sum() > 0
+    assert (out.dist_m <= 30_000.0).all()
