@@ -901,7 +901,12 @@ def q_buffer_cells(spark, sf_dir):
 
         return pd.Series(quadkeylib.cells_to_string(c.values))
 
-    return out.select(qk_str("cell").alias("qk_11"), "dist_m",
+    # floor to INTEGER metres for the hash: NumPy and DuckDB libm
+    # differ in the last ulp of the haversine, and at 330k rows the
+    # 1e-4 rounding boundary gets hit (measured: 2 rows at sf0.1);
+    # integer-metre boundaries are 10^4 x sparser
+    return out.select(qk_str("cell").alias("qk_11"),
+                      F.floor("dist_m").cast("long").alias("dist_floor_m"),
                       "n_contrib")
 
 
@@ -9172,7 +9177,8 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE dist <= 120000.0
               GROUP BY tx, ty)
             SELECT CAST(2 * ((ty >> 10) & 1) + ((tx >> 10) & 1) AS VARCHAR) || CAST(2 * ((ty >> 9) & 1) + ((tx >> 9) & 1) AS VARCHAR) || CAST(2 * ((ty >> 8) & 1) + ((tx >> 8) & 1) AS VARCHAR) || CAST(2 * ((ty >> 7) & 1) + ((tx >> 7) & 1) AS VARCHAR) || CAST(2 * ((ty >> 6) & 1) + ((tx >> 6) & 1) AS VARCHAR) || CAST(2 * ((ty >> 5) & 1) + ((tx >> 5) & 1) AS VARCHAR) || CAST(2 * ((ty >> 4) & 1) + ((tx >> 4) & 1) AS VARCHAR) || CAST(2 * ((ty >> 3) & 1) + ((tx >> 3) & 1) AS VARCHAR) || CAST(2 * ((ty >> 2) & 1) + ((tx >> 2) & 1) AS VARCHAR) || CAST(2 * ((ty >> 1) & 1) + ((tx >> 1) & 1) AS VARCHAR) || CAST(2 * ((ty >> 0) & 1) + ((tx >> 0) & 1) AS VARCHAR) AS qk_11,
-                   round(dist_m, 4) + 0.0 AS dist_m,
+                   CAST(floor(round(dist_m, 4)) AS BIGINT)
+                     AS dist_floor_m,
                    CAST(n AS BIGINT) AS n_contrib
             FROM g
         """,
