@@ -3029,6 +3029,22 @@ def q_decontaminate(spark, sf_dir):
     return ngram_decontaminate(train, ev, "doc_id", "text", n=4)
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (text.py weighted_sample —
+    Efraimidis-Spirakis A-Res with md5 in place of the RNG): top-100
+    documents by u^(1/w) keys with an integer weight ramp; one global
+    TakeOrdered, no RNG state.  The oracle replays the key formula and
+    the (key DESC, id ASC) selection."""
+    from raster2dggs_spark.operators.text import weighted_sample
+
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("wt", ((F.col("doc_id") * 13) % 7 + 1)
+                     .cast("double")))
+    out = weighted_sample(d, "doc_id", "wt", k=100)
+    return out.select("doc_id", F.col("wt").alias("weight"),
+                      "sample_key")
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by md5 bucket — stable
     across engines/partitionings/table growth (the property random()
@@ -4686,6 +4702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "curate_docs": q_curate_docs,
         "hash_split": q_hash_split,
+        "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "decontaminate": q_decontaminate,
@@ -7721,6 +7738,20 @@ def oracle_sql() -> dict[str, str]:
               ON p.lon > z.lon0 AND p.lon < z.lon0 + 12.0
              AND p.lat > z.lat0 AND p.lat < z.lat0 + 9.0
             GROUP BY 1, 2
+        """,
+        "weighted_sample": """
+            WITH w AS (
+              SELECT doc_id,
+                     CAST((doc_id * 13) % 7 + 1 AS DOUBLE) AS wt
+              FROM documents),
+            kk AS (
+              SELECT doc_id, wt,
+                     pow((((strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1) * 1) + 1.0) / 4294967296.0,
+                         1.0 / wt) AS sk
+              FROM w)
+            SELECT doc_id, wt AS weight,
+                   round(sk, 6) + 0.0 AS sample_key
+            FROM kk ORDER BY sk DESC, doc_id ASC LIMIT 100
         """,
         "hash_split": _hash_split_sql(10_000),
         "pack_sequences": _pack_sql(512, 16),

@@ -690,3 +690,34 @@ def rrf_fuse(rankings, k: int = 60, query_col: str = "query_id",
                     F.round("__fused", 6).alias("rrf_score"),
                     F.col("n_rankers").cast("long").alias("n_rankers"),
                     F.col("__rn").cast("long").alias("fused_rank")))
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int, salt: str = "ws") -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res with a HASH in place of the RNG): each row draws
+    ``u = (md5_int(salt:id) + 1) / 2^32`` — a uniform-ish (0, 1] value
+    that is a pure function of the id — and keys on
+    ``u ** (1 / weight)``; the top-``k`` keys are the sample.  The
+    inclusion distribution is the classic A-Res weighted-without-
+    replacement scheme, and the draw is REPRODUCIBLE across runs,
+    engines and partitionings — the curation-pipeline property
+    (importance-sample training docs by quality score) that
+    ``rand()``-based sampling lacks.  Rows with non-positive weight
+    are excluded.
+
+    Scale shape: pure column expressions + ONE global top-k
+    (``orderBy().limit()`` = TakeOrdered — per-partition heaps, no full
+    sort); no RNG state, no collect.
+    """
+    u = ((F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double") + 1.0) / F.lit(float(1 << 32)))
+    key = F.pow(u, 1.0 / F.col(weight_col))
+    return (df.where(F.col(weight_col) > 0.0)
+            .select(F.col(id_col), F.col(weight_col),
+                    key.alias("sample_key"))
+            .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+            .limit(int(k))
+            .select(id_col, weight_col,
+                    F.round("sample_key", 6).alias("sample_key")))

@@ -737,3 +737,38 @@ def test_dedup_keep_best_score_tie_min_id(spark):
                                     "doc_id", "text", "score",
                                     n_hashes=16, bands=8).collect()}
     assert out == {4: True, 7: False}
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import weighted_sample
+
+    pdf = pd.DataFrame({
+        "doc_id": range(2000),
+        # half the docs weight 10, half weight 1
+        "w": [10.0 if i % 2 == 0 else 1.0 for i in range(2000)],
+    })
+    df = spark.createDataFrame(pdf)
+    a = weighted_sample(df, "doc_id", "w", k=200).collect()
+    b = weighted_sample(df.repartition(13), "doc_id", "w",
+                        k=200).collect()
+    # deterministic across partitionings
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    # heavy docs dominate the sample (E[share] >> 50%)
+    heavy = sum(1 for r in a if r.doc_id % 2 == 0)
+    assert heavy > 140
+    # keys sorted desc, weights carried through
+    ks = [r.sample_key for r in a]
+    assert all(r.w in (1.0, 10.0) for r in a)
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import weighted_sample
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "w": [1.0, 0.0, -2.0]}))
+    out = weighted_sample(df, "doc_id", "w", k=10).collect()
+    assert [r.doc_id for r in out] == [1]
