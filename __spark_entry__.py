@@ -2959,6 +2959,21 @@ def q_dedup_keep_best(spark, sf_dir):
     return out.select("doc_id", "component", "score", "is_kept")
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (dedup.py leakage_safe_split):
+    near-dup clusters assign as WHOLE units via the md5-bucket split of
+    the component id — paraphrase twins can never straddle train/test.
+    Oracle composes the recursive-closure pipeline with the bucket
+    arithmetic."""
+    from raster2dggs_spark.operators.dedup import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents").where("doc_id % 5 = 0")
+    out = leakage_safe_split(d, "doc_id", "text", n_hashes=16, bands=2)
+    return out.select("doc_id", "component",
+                      F.col("bucket").cast("long").alias("bucket"),
+                      "split")
+
+
 def q_curate_docs(spark, sf_dir):
     """The END-TO-END curation pipeline (quality gate → exact-dedup
     canonical filter → deterministic split) as one plan — the DuckDB
@@ -4699,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_components": q_dedup_components,
         "dedup_keep_best": q_dedup_keep_best,
+        "leakage_split": q_leakage_split,
         "tfidf_top_terms": q_tfidf_top_terms,
         "curate_docs": q_curate_docs,
         "hash_split": q_hash_split,
@@ -4961,6 +4977,29 @@ def _dedup_keep_best_sql(n_hashes: int = 16, bands: int = 2,
         SELECT s.doc_id, s.component, s.score,
                s.doc_id = b.best_id AS is_kept
         FROM scored s JOIN best b USING (component)
+    """
+
+
+def _leakage_split_sql(n_hashes: int = 16, bands: int = 2,
+                       max_bucket: int = 1000) -> str:
+    """DuckDB twin of q_leakage_split: the closure pipeline + the
+    hash_split bucket arithmetic applied to the COMPONENT id."""
+    base = _dedup_components_sql(n_hashes, bands, max_bucket)
+    cut = base.index("sizes AS")
+    head = base[:cut]
+    hexv = " + ".join(
+        "(strpos('0123456789abcdef', substr(md5(CAST(component"
+        f" AS VARCHAR)), {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9))
+    return head + f"""bk AS (
+          SELECT doc_id, component,
+                 ({hexv}) % 10000 AS bucket
+          FROM comp)
+        SELECT doc_id, component, CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM bk
     """
 
 
@@ -7719,6 +7758,7 @@ def oracle_sql() -> dict[str, str]:
             64, 8, 16, 12, 3, 8, 30, rerank_topn=5),
         "dedup_components": _dedup_components_sql(16, 2, 1000),
         "dedup_keep_best": _dedup_keep_best_sql(16, 2, 1000),
+        "leakage_split": _leakage_split_sql(16, 2, 1000),
         "zonal_windowed_events": f"""
             WITH p AS (
               SELECT event_id,

@@ -510,3 +510,38 @@ def dedup_keep_best(df: DataFrame, id_col: str, text_col: str,
     return (base.join(best, "component")
             .select(id_col, "component", score_col,
                     (F.col(id_col) == F.col("__best")).alias("is_kept")))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str, text_col: str,
+                       weights: dict[str, float] | None = None,
+                       buckets: int = 10_000, n_hashes: int = 16,
+                       bands: int = 4, shingle_n: int = 1,
+                       max_bucket: int | None = 1000) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates
+    across splits: documents cluster first (LSH pairs -> pointer-jump
+    connected components), then the WHOLE CLUSTER is assigned by the
+    deterministic md5-bucket split of its component id — eval
+    contamination through paraphrases/boilerplate twins is
+    structurally impossible, the failure mode a per-document
+    ``hash_split`` silently allows.
+
+    Composes the engine's own primitives; returns per-doc
+    ``(id, component, bucket, split)``.  Same split-weight contract as
+    :func:`~raster2dggs_spark.operators.text.hash_split`.
+    """
+    from raster2dggs_spark.operators.text import hash_split
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n_hashes, bands,
+                              shingle_n, max_bucket)
+    comp = connected_components(pairs)
+    docs = (df.select(F.col(id_col))
+            .join(comp, df[id_col] == comp.vertex, "left")
+            .select(F.col(id_col),
+                    F.coalesce("component", F.col(id_col))
+                    .alias("component")))
+    assigned = hash_split(docs, "component", weights, buckets)
+    # hash_split returns one row per input row keyed by the component
+    # value — re-attach the doc ids positionally via the join key
+    return (docs.join(assigned.dropDuplicates(["component"]),
+                      "component")
+            .select(id_col, "component", "bucket", "split"))

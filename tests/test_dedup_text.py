@@ -772,3 +772,28 @@ def test_weighted_sample_excludes_nonpositive(spark):
         {"doc_id": [1, 2, 3], "w": [1.0, 0.0, -2.0]}))
     out = weighted_sample(df, "doc_id", "w", k=10).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_leakage_safe_split_clusters_together(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.dedup import leakage_safe_split
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 9],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy dogs",
+                 "the quick brown fox jumped over the lazy dog",
+                 "completely different content about spark engines"],
+    })
+    out = {r.doc_id: (r.component, r.split)
+           for r in leakage_safe_split(
+               spark.createDataFrame(docs), "doc_id", "text",
+               n_hashes=16, bands=8).collect()}
+    # the three near-dups share a component AND a split
+    comps = {out[i][0] for i in (1, 2, 3)}
+    splits = {out[i][1] for i in (1, 2, 3)}
+    assert len(comps) == 1 and len(splits) == 1
+    assert out[9][0] == 9
+    assert all(s in ("train", "val", "test")
+               for _, s in out.values())
