@@ -328,6 +328,35 @@ def q_class_fractions(spark, sf_dir):
     )
 
 
+def q_layer_corr(spark, sf_dir):
+    """Cross-layer correlation (aggregates.py layer_correlation —
+    r.covar / Band Collection Statistics): two md5 value layers with
+    correlated construction over the 16x16 lattice (one is the other
+    plus independent noise), holes disjointly placed so the inner join
+    drops cells each side; one join + one aggregate.  4-6dp rounding
+    absorbs the engines' different streaming-moment algorithms."""
+    from raster2dggs_spark.operators.aggregates import layer_correlation
+
+    n = 16
+    base = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), F.expr(f"id DIV {n}").alias("y"))
+
+    def h(salt):
+        hh = F.md5(F.concat_ws(":", F.lit(salt),
+                               F.col("x").cast("string"),
+                               F.col("y").cast("string")))
+        return F.conv(F.substring(hh, 1, 8), 16, 10).cast("long")
+
+    cell = (F.col("y") * n + F.col("x")).cast("long")
+    va = (h("la") % 100).cast("double")
+    vb = (va * 2.0 + (h("lb") % 40).cast("double"))
+    a = (base.where(h("ha") % 11 != 0)
+         .select(cell.alias("cell"), va.alias("va")))
+    b = (base.where(h("hb") % 13 != 0)
+         .select(cell.alias("cell"), vb.alias("vb")))
+    return layer_correlation(a, b)
+
+
 def q_crosstab(spark, sf_dir):
     """Categorical cross-tabulation (GRASS r.coin / ArcGIS Combine):
     two md5-classified layers on the 4x16x16 lattice — layer a with
@@ -4618,6 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_by_weight": q_majority_by_weight,
         "class_fractions": q_class_fractions,
         "crosstab": q_crosstab,
+        "layer_corr": q_layer_corr,
         "simplify_lines": q_simplify_lines,
         "vct": q_vct,
         "decimals": q_decimals,
@@ -6948,6 +6978,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders WHERE o_orderpriority IS NOT NULL
                 GROUP BY o_orderstatus, o_orderpriority
             ) WHERE rn = 1
+        """,
+        "layer_corr": """
+            WITH base AS (
+              SELECT i % 16 AS x, i // 16 AS y FROM range(256) t(i)),
+            a AS (
+              SELECT y * 16 + x AS cell,
+                     CAST(((strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 8, 1)) - 1) * 1) % 100 AS DOUBLE) AS va
+              FROM base WHERE ((strpos('0123456789abcdef', substr(md5('ha:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('ha:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('ha:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('ha:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('ha:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('ha:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('ha:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('ha:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 8, 1)) - 1) * 1) % 11 != 0),
+            b AS (
+              SELECT y * 16 + x AS cell,
+                     CAST(((strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('la:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 8, 1)) - 1) * 1) % 100 AS DOUBLE) * 2.0
+                       + CAST(((strpos('0123456789abcdef', substr(md5('lb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('lb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('lb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('lb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('lb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('lb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('lb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('lb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 8, 1)) - 1) * 1) % 40 AS DOUBLE) AS vb
+              FROM base WHERE ((strpos('0123456789abcdef', substr(md5('hb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('hb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('hb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('hb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('hb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('hb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('hb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('hb:' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)), 8, 1)) - 1) * 1) % 13 != 0)
+            SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                   round(corr(va, vb), 6) + 0.0 AS pearson_r,
+                   round(covar_samp(va, vb), 4) + 0.0 AS covar,
+                   round(avg(va), 6) + 0.0 AS mean_a,
+                   round(avg(vb), 6) + 0.0 AS mean_b,
+                   round(stddev_samp(va), 6) + 0.0 AS std_a,
+                   round(stddev_samp(vb), 6) + 0.0 AS std_b
+            FROM a JOIN b USING (cell)
         """,
         "crosstab": f"""
             WITH base AS (

@@ -662,3 +662,34 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
                     F.round(support, 6).alias("support"),
                     F.round(confidence, 6).alias("confidence"),
                     F.round(lift, 6).alias("lift")))
+
+
+def layer_correlation(a: DataFrame, b: DataFrame,
+                      cell_col: str = "cell", a_col: str = "va",
+                      b_col: str = "vb") -> DataFrame:
+    """Cross-layer correlation statistics (GRASS ``r.covar`` / ArcGIS
+    Band Collection Statistics for a layer pair): join two cell-indexed
+    value layers on the cell key and fold Pearson r, sample
+    covariance, means and stds over the SHARED cells in one
+    aggregation — the "do these two rasters co-vary" question asked of
+    every derived-layer pair (NDVI vs rainfall, density vs income).
+
+    Cells present in only one layer are excluded (inner join — the
+    r.covar complete-case contract).
+
+    Scale shape: ONE equi-join on the cell key (AQE broadcasts the
+    smaller layer when it fits) + one map-side-combinable aggregate;
+    output is a single row.
+    """
+    j = (a.select(F.col(cell_col).alias("__c"),
+                  F.col(a_col).alias("__a"))
+         .join(b.select(F.col(cell_col).alias("__c"),
+                        F.col(b_col).alias("__b")), "__c"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.corr("__a", "__b"), 6).alias("pearson_r"),
+        F.round(F.covar_samp("__a", "__b"), 4).alias("covar"),
+        F.round(F.avg("__a"), 6).alias("mean_a"),
+        F.round(F.avg("__b"), 6).alias("mean_b"),
+        F.round(F.stddev_samp("__a"), 6).alias("std_a"),
+        F.round(F.stddev_samp("__b"), 6).alias("std_b"))

@@ -107,3 +107,45 @@ def test_association_rules_known(spark):
                              min_support=0.5).collect()
     assert {(r.antecedent, r.consequent) for r in out2} == {
         ("A", "B"), ("B", "A")}
+
+
+def test_layer_correlation_known(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.aggregates import layer_correlation
+
+    rng = np.random.default_rng(3)
+    va = rng.normal(0, 1, 200)
+    vb = 3.0 * va + rng.normal(0, 0.5, 200)
+    a = spark.createDataFrame(pd.DataFrame(
+        {"cell": range(200), "va": va}))
+    # layer b misses cells 0..49 -> complete-case join on 50..199
+    b = spark.createDataFrame(pd.DataFrame(
+        {"cell": range(50, 200), "vb": vb[50:]}))
+    r = layer_correlation(a, b).collect()[0]
+    assert r.n_cells == 150
+    want = np.corrcoef(va[50:], vb[50:])[0, 1]
+    assert r.pearson_r == _pytest.approx(want, abs=1e-6)
+    assert r.covar == _pytest.approx(
+        np.cov(va[50:], vb[50:], ddof=1)[0, 1], abs=1e-3)
+    assert r.mean_a == _pytest.approx(va[50:].mean(), abs=1e-6)
+
+
+def test_layer_correlation_perfect_and_anti(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.aggregates import layer_correlation
+
+    a = spark.createDataFrame(pd.DataFrame(
+        {"cell": range(10), "va": [float(i) for i in range(10)]}))
+    b_pos = spark.createDataFrame(pd.DataFrame(
+        {"cell": range(10), "vb": [2.0 * i + 1 for i in range(10)]}))
+    b_neg = spark.createDataFrame(pd.DataFrame(
+        {"cell": range(10), "vb": [-i + 5.0 for i in range(10)]}))
+    assert layer_correlation(a, b_pos).collect()[0].pearson_r == \
+        _pytest.approx(1.0)
+    assert layer_correlation(a, b_neg).collect()[0].pearson_r == \
+        _pytest.approx(-1.0)
