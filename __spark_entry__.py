@@ -1639,6 +1639,36 @@ def q_polygonize(spark, sf_dir):
         F.round("length", 4).alias("length"), "closed")
 
 
+def q_zonal_diversity(spark, sf_dir):
+    """Landscape diversity indices (aggregates.py zonal_diversity —
+    r.diversity / r.li class): Shannon, Gini-Simpson, richness and
+    evenness of the md5 class layer per quadkey-ish 4x4 zone; two
+    chained groupBys, entropy via the single-pass c*ln(c) fold.
+    Integer counts make everything exact except ln (1-ulp libm,
+    absorbed at 6dp)."""
+    from raster2dggs_spark.operators.aggregates import zonal_diversity
+
+    n = 16
+    base = spark.range(4 * n * n).select(
+        F.expr(f"id DIV {n * n}").alias("img"),
+        F.expr(f"(id % {n * n}) % {n}").alias("x"),
+        F.expr(f"(id % {n * n}) DIV {n}").alias("y"))
+    h = F.md5(F.concat_ws(
+        ":", F.col("img").cast("string"), F.col("x").cast("string"),
+        F.col("y").cast("string")))
+    hole = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 13 == 0
+    fix = base.select(
+        "img",
+        (F.col("img") * 16 + F.expr("x DIV 4") * 4
+         + F.expr("y DIV 4")).alias("zone"),
+        F.when(~hole, (F.conv(F.substring(h, 1, 8), 16, 10)
+                       .cast("long") % 6)).alias("cls"))
+    out = zonal_diversity(fix, "zone", "cls")
+    return out.select(F.col("zone").cast("long").alias("zone"),
+                      "n_cells", "richness", "shannon_h", "simpson_d",
+                      "evenness")
+
+
 def q_glcm(spark, sf_dir):
     """Haralick GLCM texture (aggregates.py glcm_texture — GRASS
     r.texture / skimage graycoprops): six features per (image, offset)
@@ -4673,6 +4703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_group": q_region_group,
         "contour": q_contour,
         "glcm": q_glcm,
+        "zonal_diversity": q_zonal_diversity,
         "polygonize": q_polygonize,
         "contour_stitch": q_contour_stitch,
         "sieve": q_sieve,
@@ -8666,6 +8697,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.img, p.x, p.y, p.d2
         """,
         "contour": _contour_sql(),
+        "zonal_diversity": f"""
+            WITH base AS (
+              SELECT i // 256 AS img, (i % 256) % 16 AS x,
+                     (i % 256) // 16 AS y,
+                     md5(CAST(i // 256 AS VARCHAR) || ':' ||
+                         CAST((i % 256) % 16 AS VARCHAR) || ':' ||
+                         CAST((i % 256) // 16 AS VARCHAR)) AS h
+              FROM range(1024) t(i)),
+            q AS (
+              SELECT img * 16 + (x // 4) * 4 + (y // 4) AS zone,
+                     ({_MD5_HEX1}) % 6 AS cls
+              FROM base WHERE ({_MD5_HEX2}) % 13 != 0),
+            cnt AS (
+              SELECT zone, cls, CAST(count(*) AS DOUBLE) AS c
+              FROM q GROUP BY zone, cls),
+            g AS (
+              SELECT zone, sum(c) AS n, count(*) AS rich,
+                     sum(c * ln(c)) AS clnc, sum(c * c) AS c2
+              FROM cnt GROUP BY zone)
+            SELECT CAST(zone AS BIGINT) AS zone,
+                   CAST(n AS BIGINT) AS n_cells,
+                   CAST(rich AS BIGINT) AS richness,
+                   round(ln(n) - clnc / n, 6) + 0.0 AS shannon_h,
+                   round(1.0 - c2 / (n * n), 6) + 0.0 AS simpson_d,
+                   round(CASE WHEN rich > 1
+                         THEN (ln(n) - clnc / n)
+                              / ln(CAST(rich AS DOUBLE)) END, 6)
+                     + 0.0 AS evenness
+            FROM g
+        """,
         "glcm": _glcm_sql(),
         "polygonize": _polygonize_sql(),
         "contour_stitch": _stitch_sql(),

@@ -693,3 +693,46 @@ def layer_correlation(a: DataFrame, b: DataFrame,
         F.round(F.avg("__b"), 6).alias("mean_b"),
         F.round(F.stddev_samp("__a"), 6).alias("std_a"),
         F.round(F.stddev_samp("__b"), 6).alias("std_b"))
+
+
+def zonal_diversity(df: DataFrame, zone_col: str,
+                    class_col: str) -> DataFrame:
+    """Landscape-ecology diversity indices per zone (GRASS
+    ``r.diversity`` / ``r.li.shannon``/``r.li.simpson``): from the
+    per-(zone, class) cell counts::
+
+        richness  = distinct classes
+        shannon_h = -sum p ln p
+        simpson_d = 1 - sum p^2          (Gini-Simpson)
+        evenness  = shannon_h / ln(richness)   (NULL for 1 class)
+
+    NULL classes are excluded (nodata cells carry no class).
+
+    Scale shape: two chained map-side-combinable groupBys ((zone,
+    class) counts, then the per-zone fold with the zone total attached
+    by one equi-join) — no windows, no collect; the per-class
+    ``c*ln(c)`` trick keeps the entropy a single-pass sum
+    (``H = ln(n) - sum c ln c / n``).
+    """
+    cnt = (df.where(F.col(class_col).isNotNull())
+           .groupBy(F.col(zone_col).alias("__z"),
+                    F.col(class_col).alias("__k"))
+           .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+    c = F.col("__c")
+    g = (cnt.groupBy("__z").agg(
+        F.sum(c).alias("__n"),
+        F.count(F.lit(1)).alias("richness"),
+        F.sum(c * F.log(c)).alias("__clnc"),
+        F.sum(c * c).alias("__c2")))
+    n = F.col("__n")
+    shannon = F.log(n) - F.col("__clnc") / n
+    simpson = 1.0 - F.col("__c2") / (n * n)
+    rich = F.col("richness")
+    return g.select(
+        F.col("__z").alias(zone_col),
+        n.cast("long").alias("n_cells"),
+        rich.cast("long").alias("richness"),
+        F.round(shannon, 6).alias("shannon_h"),
+        F.round(simpson, 6).alias("simpson_d"),
+        F.round(F.when(rich > 1, shannon / F.log(rich.cast("double"))),
+                6).alias("evenness"))

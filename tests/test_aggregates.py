@@ -149,3 +149,36 @@ def test_layer_correlation_perfect_and_anti(spark):
         _pytest.approx(1.0)
     assert layer_correlation(a, b_neg).collect()[0].pearson_r == \
         _pytest.approx(-1.0)
+
+
+def test_zonal_diversity_known(spark):
+    import math
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.aggregates import zonal_diversity
+
+    rows = (
+        [(1, "a")] * 5 + [(1, "b")] * 5        # even 2-class zone
+        + [(2, "a")] * 9 + [(2, "b")]          # skewed
+        + [(3, "a")] * 4                       # single class
+        + [(4, None)] * 3 + [(4, "x")]         # nulls excluded
+    )
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["zone", "cls"]))
+    out = {r.zone: r for r in zonal_diversity(df, "zone",
+                                              "cls").collect()}
+    z1 = out[1]
+    assert (z1.n_cells, z1.richness) == (10, 2)
+    assert z1.shannon_h == _pytest.approx(math.log(2), abs=1e-6)
+    assert z1.simpson_d == _pytest.approx(0.5)
+    assert z1.evenness == _pytest.approx(1.0)
+    z2 = out[2]
+    want_h = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert z2.shannon_h == _pytest.approx(want_h, abs=1e-6)
+    assert z2.simpson_d == _pytest.approx(1 - 0.81 - 0.01)
+    z3 = out[3]
+    assert (z3.richness, z3.shannon_h, z3.simpson_d) == (1, 0.0, 0.0)
+    assert z3.evenness is None
+    assert out[4].n_cells == 1  # nulls dropped
