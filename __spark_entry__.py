@@ -357,6 +357,37 @@ def q_layer_corr(spark, sf_dir):
     return layer_correlation(a, b)
 
 
+def q_gini(spark, sf_dir):
+    """Spatial concentration (aggregates.py gini_index — the Lorenz/
+    Gini measure per region): customer-count-per-quadkey-cell
+    inequality within each res-3 parent region.  One window over the
+    group key + one aggregate; the rank-coefficient sum is
+    permutation-invariant under ties, so no tie-break is needed and
+    parity is exact."""
+    from raster2dggs_spark.operators.joins import index_points
+    from raster2dggs_spark.operators.aggregates import gini_index
+
+    cells = (index_points(_customer_points(spark, sf_dir), res=6,
+                          dggs="quadkey")
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("pop")))
+    from raster2dggs_spark.operators.joins import parent_expr
+
+    z = cells.select(
+        parent_expr("cell", 3, "quadkey", from_res=6).alias("region"),
+        F.col("pop").cast("double").alias("pop"))
+    out = gini_index(z, "region", "pop")
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def qk_str(c):
+        from raster2dggs_spark.dggs import quadkeylib
+
+        return pd.Series(quadkeylib.cells_to_string(c.values))
+
+    return out.select(qk_str("region").alias("qk_3"), "n", "total",
+                      "gini")
+
+
 def q_crosstab(spark, sf_dir):
     """Categorical cross-tabulation (GRASS r.coin / ArcGIS Combine):
     two md5-classified layers on the 4x16x16 lattice — layer a with
@@ -4678,6 +4709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_fractions": q_class_fractions,
         "crosstab": q_crosstab,
         "layer_corr": q_layer_corr,
+        "gini": q_gini,
         "simplify_lines": q_simplify_lines,
         "vct": q_vct,
         "decimals": q_decimals,
@@ -7030,6 +7062,43 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(va), 6) + 0.0 AS std_a,
                    round(stddev_samp(vb), 6) + 0.0 AS std_b
             FROM a JOIN b USING (cell)
+        """,
+        "gini": f"""
+            WITH p AS ({_CUSTOMER_POINTS_SQL.strip()}),
+            t AS (
+              SELECT CAST(least(greatest(
+                       floor(((lon + 180.0) / 360.0) * 64.0), 0), 63)
+                     AS BIGINT) AS tx,
+                     CAST(least(greatest(floor(
+                       ((1.0 - ln(tan(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))
+                          + 1.0 / cos(radians(least(greatest(lat,
+                            -85.05112878), 85.05112878)))) / pi())
+                        / 2.0) * 64.0), 0), 63) AS BIGINT) AS ty
+              FROM p),
+            cells AS (
+              SELECT tx, ty, CAST(count(*) AS DOUBLE) AS pop
+              FROM t GROUP BY tx, ty),
+            z AS (
+              SELECT tx // 8 AS rx, ty // 8 AS ry, pop,
+                     row_number() OVER (PARTITION BY tx // 8, ty // 8
+                       ORDER BY pop ASC) AS r
+              FROM cells),
+            g AS (
+              SELECT rx, ry, count(*) AS n, sum(pop) AS sx,
+                     sum(r * pop) AS srx
+              FROM z GROUP BY rx, ry)
+            SELECT """ + " || ".join(
+                f"CAST(2 * ((ry >> {3 - 1 - i}) & 1)"
+                f" + ((rx >> {3 - 1 - i}) & 1) AS VARCHAR)"
+                for i in range(3)) + """ AS qk_3,
+                   CAST(n AS BIGINT) AS n,
+                   round(sx, 4) + 0.0 AS total,
+                   round(CASE WHEN sx > 0 THEN
+                         2.0 * srx / (CAST(n AS DOUBLE) * sx)
+                         - (CAST(n AS DOUBLE) + 1.0)
+                           / CAST(n AS DOUBLE) END, 6) + 0.0 AS gini
+            FROM g
         """,
         "crosstab": f"""
             WITH base AS (

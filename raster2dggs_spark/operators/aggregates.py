@@ -736,3 +736,36 @@ def zonal_diversity(df: DataFrame, zone_col: str,
         F.round(simpson, 6).alias("simpson_d"),
         F.round(F.when(rich > 1, shannon / F.log(rich.cast("double"))),
                 6).alias("evenness"))
+
+
+def gini_index(df: DataFrame, group_col: str,
+               value_col: str) -> DataFrame:
+    """Gini concentration index per group (the Lorenz-curve inequality
+    measure applied spatially: how concentrated is population /
+    activity / value across a region's cells)::
+
+        G = 2 * sum(rank * x) / (n * sum x) - (n + 1) / n
+
+    over ascending-value ranks 1..n.  Requires non-negative values
+    (the Lorenz construction); groups with zero total emit NULL.  Tied
+    values need no tie-break: the rank-coefficient SUM over a tied
+    block is permutation-invariant, so G is exact and
+    engine-reproducible regardless of tie order.
+
+    Scale shape: one window over the GROUP key (many small groups) +
+    one map-side-combinable aggregate; integer ranks times values keep
+    the fold exact for integer inputs.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.withColumn("__r", F.row_number().over(w))
+    g = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("__sx"),
+        F.sum(F.col("__r") * F.col(value_col)).alias("__srx"))
+    n = F.col("n").cast("double")
+    gini = (2.0 * F.col("__srx") / (n * F.col("__sx"))
+            - (n + 1.0) / n)
+    return g.select(
+        group_col, F.col("n").cast("long").alias("n"),
+        F.round("__sx", 4).alias("total"),
+        F.round(F.when(F.col("__sx") > 0, gini), 6).alias("gini"))

@@ -182,3 +182,43 @@ def test_zonal_diversity_known(spark):
     assert (z3.richness, z3.shannon_h, z3.simpson_d) == (1, 0.0, 0.0)
     assert z3.evenness is None
     assert out[4].n_cells == 1  # nulls dropped
+
+
+def test_gini_index_known(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.aggregates import gini_index
+
+    rows = (
+        [(1, 5.0)] * 4                       # perfect equality -> 0
+        + [(2, 0.0), (2, 0.0), (2, 0.0), (2, 12.0)]  # near-total conc
+        + [(3, 1.0), (3, 2.0), (3, 3.0), (3, 4.0)]
+        + [(4, 0.0), (4, 0.0)]               # zero total -> NULL
+    )
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["g", "x"]))
+    out = {r.g: r for r in gini_index(df, "g", "x").collect()}
+    assert out[1].gini == _pytest.approx(0.0, abs=1e-9)
+    # one of four holds everything: G = (n-1)/n = 0.75
+    assert out[2].gini == _pytest.approx(0.75)
+    # 1,2,3,4: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    assert out[3].gini == _pytest.approx(0.25)
+    assert out[4].gini is None
+
+
+def test_gini_tie_invariance(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from raster2dggs_spark.operators.aggregates import gini_index
+
+    # heavy ties + different input orders/partitionings -> identical G
+    pdf = pd.DataFrame({"g": [7] * 9,
+                        "x": [2.0, 2.0, 2.0, 5.0, 5.0, 5.0,
+                              9.0, 9.0, 9.0]})
+    a = gini_index(spark.createDataFrame(pdf), "g", "x").collect()[0]
+    b = gini_index(
+        spark.createDataFrame(pdf.iloc[::-1]).repartition(5),
+        "g", "x").collect()[0]
+    assert a.gini == b.gini
