@@ -2897,6 +2897,20 @@ def q_rrf_fuse(spark, sf_dir):
                       "doc_id", "rrf_score", "n_rankers", "fused_rank")
 
 
+def q_doc_similarity(spark, sf_dir):
+    """Sparse lexical "more like this" (text.py tfidf_doc_similarity):
+    top-3 tf-idf cosine neighbours per document over the inverted-
+    index join (1-in-5 doc subset, df-cap 5% — the template corpus is
+    near-dup dense, so the cap bounds the token-join fan-out at every
+    sf).  Ranking by (round(cos,6) DESC, id ASC); the oracle replays
+    tf/idf/norm/dot relationally."""
+    from raster2dggs_spark.operators.text import tfidf_doc_similarity
+
+    d = _t(spark, sf_dir, "documents").where("doc_id % 5 = 0")
+    return tfidf_doc_similarity(d, "doc_id", "text", k=3,
+                                max_df_frac=0.05)
+
+
 def q_bm25(spark, sf_dir):
     """BM25 ranked retrieval (round 7, operators/text.py bm25_topk —
     Okapi Robertson weighting, the lexical-search / hard-negative-
@@ -4784,6 +4798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_dwell": q_cell_dwell,
         "bm25": q_bm25,
         "rrf_fuse": q_rrf_fuse,
+        "doc_similarity": q_doc_similarity,
         "sketch_distinct": q_sketch_distinct,
         "pagerank": q_pagerank,
         "sssp": q_sssp,
@@ -7543,6 +7558,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_rankers AS BIGINT) AS n_rankers,
                    CAST(rn AS BIGINT) AS fused_rank
             FROM f WHERE rn <= 5
+        """,
+        "doc_similarity": f"""
+            WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            tok AS (
+              SELECT doc_id AS d, unnest({_TOKS}) AS t FROM docs),
+            tf AS (
+              SELECT d, t, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok GROUP BY d, t),
+            nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+                   FROM docs),
+            dfq AS (SELECT t, count(*) AS dfc FROM tf GROUP BY t),
+            wt AS (
+              SELECT tf.d, tf.t, tf.tf * ln(nn.n / dfq.dfc) AS w
+              FROM tf JOIN dfq ON dfq.t = tf.t CROSS JOIN nn
+              WHERE dfq.dfc <= nn.n * 0.05),
+            nrm AS (SELECT d, sqrt(sum(w * w)) AS nm FROM wt
+                    GROUP BY d),
+            dots AS (
+              SELECT a.d AS ad, b.d AS bd, sum(a.w * b.w) AS dot
+              FROM wt a JOIN wt b ON b.t = a.t AND b.d != a.d
+              GROUP BY a.d, b.d),
+            sc AS (
+              SELECT ad, bd,
+                     round(dot / (na.nm * nb.nm), 6) AS cosine
+              FROM dots
+              JOIN nrm na ON na.d = ad
+              JOIN nrm nb ON nb.d = bd),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY ad
+                ORDER BY cosine DESC, bd ASC) AS rn
+              FROM sc)
+            SELECT ad AS doc_id, bd AS similar_id,
+                   cosine + 0.0 AS cosine,
+                   CAST(rn AS BIGINT) AS rank
+            FROM rk WHERE rn <= 3
         """,
         "bm25": """
             WITH toks AS (

@@ -797,3 +797,42 @@ def test_leakage_safe_split_clusters_together(spark):
     assert out[9][0] == 9
     assert all(s in ("train", "val", "test")
                for _, s in out.values())
+
+
+def test_tfidf_doc_similarity_ranks_twins_first(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import tfidf_doc_similarity
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "zebra quokka lemur walks in the misty ravine",
+            "zebra quokka lemur walks in the sunny ravine",
+            "quantum flux capacitor drives the temporal engine",
+            "quantum flux capacitor powers the temporal engine",
+        ],
+    })
+    out = {(r.doc_id, r.rank): r.similar_id
+           for r in tfidf_doc_similarity(
+               spark.createDataFrame(docs), "doc_id", "text", k=1,
+               max_df_frac=0.9).collect()}
+    # each doc's nearest lexical neighbour is its paraphrase twin
+    assert out[(1, 1)] == 2 and out[(2, 1)] == 1
+    assert out[(3, 1)] == 4 and out[(4, 1)] == 3
+
+
+def test_tfidf_doc_similarity_df_cap_prunes(spark):
+    import pandas as pd
+
+    from raster2dggs_spark.operators.text import tfidf_doc_similarity
+
+    # the only shared token appears in ALL docs -> pruned by the cap
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["common alpha", "common beta", "common gamma"],
+    })
+    out = tfidf_doc_similarity(spark.createDataFrame(docs),
+                               "doc_id", "text", k=2,
+                               max_df_frac=0.5).collect()
+    assert out == []  # no surviving shared tokens -> no pairs
