@@ -2900,15 +2900,17 @@ def q_rrf_fuse(spark, sf_dir):
 def q_doc_similarity(spark, sf_dir):
     """Sparse lexical "more like this" (text.py tfidf_doc_similarity):
     top-3 tf-idf cosine neighbours per document over the inverted-
-    index join (1-in-5 doc subset, df-cap 5% — the template corpus is
-    near-dup dense, so the cap bounds the token-join fan-out at every
-    sf).  Ranking by (round(cos,6) DESC, id ASC); the oracle replays
-    tf/idf/norm/dot relationally."""
+    index join (df-cap 15%: the template corpus's vocabulary is
+    either df=1 or boilerplate above 15%, so the cap keeps the token
+    join to the rare shared tokens and the fan-out bounded at every
+    sf — probed 625/62.5k candidate pairs).  Ranking by
+    (round(cos,6) DESC, id ASC); the oracle replays tf/idf/norm/dot
+    relationally."""
     from raster2dggs_spark.operators.text import tfidf_doc_similarity
 
-    d = _t(spark, sf_dir, "documents").where("doc_id % 5 = 0")
+    d = _t(spark, sf_dir, "documents")
     return tfidf_doc_similarity(d, "doc_id", "text", k=3,
-                                max_df_frac=0.05)
+                                max_df_frac=0.15)
 
 
 def q_bm25(spark, sf_dir):
@@ -7560,7 +7562,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f WHERE rn <= 5
         """,
         "doc_similarity": f"""
-            WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+            WITH docs AS (SELECT * FROM documents),
             tok AS (
               SELECT doc_id AS d, unnest({_TOKS}) AS t FROM docs),
             tf AS (
@@ -7572,7 +7574,7 @@ def oracle_sql() -> dict[str, str]:
             wt AS (
               SELECT tf.d, tf.t, tf.tf * ln(nn.n / dfq.dfc) AS w
               FROM tf JOIN dfq ON dfq.t = tf.t CROSS JOIN nn
-              WHERE dfq.dfc <= nn.n * 0.05),
+              WHERE dfq.dfc <= nn.n * 0.15),
             nrm AS (SELECT d, sqrt(sum(w * w)) AS nm FROM wt
                     GROUP BY d),
             dots AS (
