@@ -70,7 +70,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -114,6 +114,7 @@ def _shift_in(a: np.ndarray, dy: int, dx: int, wrap_x: bool, fill):
 
 
 def _relax_block(pdf: pd.DataFrame, wlon: int, W: int,
+                 nbx: int = 1, nby: int = 1,
                  clump: bool = False,
                  offs: tuple = _OFFS) -> pd.DataFrame:
     """Exact block-local settle by VECTORIZED lex-min relaxation sweeps.
@@ -216,6 +217,51 @@ def _relax_block(pdf: pd.DataFrame, wlon: int, W: int,
     out["seen"] = np.where(improved, best, seen0)
     out["seena"] = np.where(improved, balloc, seena0)
     out["improved"] = improved.astype(np.int64)
+    bx = int(pdf["bx"].iloc[0])
+    by = int(pdf["by"].iloc[0])
+    out["bx"] = np.int64(bx)
+    out["by"] = np.int64(by)
+    out["ext"] = np.int64(0)
+    # rim exports emitted HERE (vectorized, the same mask algebra the
+    # old driver-side rim_seeds expressed in Spark columns): improved
+    # cells on a block edge ship their settled pair to each adjacent
+    # block, tagged ext=1 — so one checkpoint materializes state AND
+    # next-round seeds in a single job (guide §1.2/§2.4: the per-round
+    # seed scatter no longer needs its own explode + checkpoint pass)
+    if improved.any():
+        m0 = improved
+        egx, egy = igx[m0], igy[m0]
+        ed, ea = best[m0], balloc[m0]
+        ec = internal["cost"].to_numpy(np.float64)[m0]
+        onxlo, onxhi = (egx % W) == 0, (egx % W) == W - 1
+        onylo, onyhi = (egy % W) == 0, (egy % W) == W - 1
+        ones = np.ones(egx.shape[0], bool)
+        exp = []
+        for dbx in (-1, 0, 1):
+            x_ok = onxlo if dbx < 0 else (onxhi if dbx > 0 else ones)
+            tbx = ((bx + dbx) % nbx + nbx) % nbx
+            for dby in (-1, 0, 1):
+                if (dbx, dby) == (0, 0):
+                    continue
+                tby = by + dby
+                if tby < 0 or tby >= nby:
+                    continue
+                m = x_ok & (onylo if dby < 0
+                            else (onyhi if dby > 0 else ones))
+                if not m.any():
+                    continue
+                exp.append(pd.DataFrame({
+                    "cell": np.full(int(m.sum()), -1, np.int64),
+                    "gx": egx[m], "gy": egy[m], "cost": ec[m],
+                    "dist": ed[m], "alloc": ea[m],
+                    "seen": np.inf,
+                    "seena": np.int64(_NO_ALLOC),
+                    "improved": np.int64(0),
+                    "bx": np.int64(tbx), "by": np.int64(tby),
+                    "ext": np.int64(1),
+                }))
+        if exp:
+            out = pd.concat([out] + exp, ignore_index=True)
     return out
 
 
@@ -230,6 +276,15 @@ _STATE_SCHEMA = T.StructType([
     T.StructField("improved", T.LongType()),
 ])
 
+# solver output: state rows (ext=0, own block) + rim exports (ext=1,
+# NEIGHBOUR block ids) — one frame carries both, so a superstep is one
+# materialization instead of a state pass plus a seed-scatter pass
+_STATE_EXT_SCHEMA = T.StructType(
+    _STATE_SCHEMA.fields + [
+        T.StructField("bx", T.LongType()), T.StructField("by", T.LongType()),
+        T.StructField("ext", T.LongType()),
+    ])
+
 
 def _superstep_fixpoint(state: DataFrame, wlon: int, W: int,
                         nbx: int, nby: int, max_rounds: int,
@@ -241,78 +296,67 @@ def _superstep_fixpoint(state: DataFrame, wlon: int, W: int,
     Shared by :func:`cost_distance` (chamfer relaxation) and
     :func:`clump_cells` (zero-weight same-class label propagation).
     """
-    no_alloc = F.lit(int(_NO_ALLOC)).cast("long")
-    moves = F.array(*[F.struct(F.lit(dx).alias("dbx"), F.lit(dy).alias("dby"))
-                      for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-                      if (dx, dy) != (0, 0)])
-
-    def rim_seeds(st: DataFrame) -> DataFrame:
-        """Changed cells exported to every adjacent block they border."""
-        imp = st.where(F.col("improved") > 0)
-        mv = imp.select("cell", "gx", "gy", "cost", "dist", "alloc",
-                        "bx", "by", F.explode(moves).alias("mv"))
-        dbx, dby = F.col("mv.dbx"), F.col("mv.dby")
-        x_ok = (F.when(dbx == 0, F.lit(True))
-                .when(dbx < 0, F.col("gx") % W == 0)
-                .otherwise(F.col("gx") % W == W - 1))
-        y_ok = (F.when(dby == 0, F.lit(True))
-                .when(dby < 0, F.col("gy") % W == 0)
-                .otherwise(F.col("gy") % W == W - 1))
-        return (mv.where(x_ok & y_ok)
-                .select("cell", "gx", "gy", "cost", "dist", "alloc",
-                        (((F.col("bx") + dbx) % nbx + nbx) % nbx).alias("bx"),
-                        (F.col("by") + dby).alias("by"))
-                .where((F.col("by") >= 0) & (F.col("by") < nby)))
-
-    bxy = (F.shiftright(F.col("gx"), W.bit_length() - 1).alias("bx"),
-           F.shiftright(F.col("gy"), W.bit_length() - 1).alias("by"))
-    seeds = None
+    spark = state.sparkSession
+    full = state.withColumn("ext", F.lit(0).cast("long"))
     rounds = 0
     blocks_run = 0
-    # distinct over a just-checkpointed frame is cheap — no checkpoint
-    active = state.where(F.col("improved") > 0).select("bx", "by").distinct()
-    n_active = active.count()
-    if n_active == 0:
-        raise ValueError(f"{op}: no active cells (empty or no sources)")
-    while n_active:
-        # improved interior cells that export no rim seed cannot affect
-        # any other block, and their own block is already exactly
-        # settled — empty seed list (n_active == 0) == global fixpoint
+    first = True
+    while True:
+        # active blocks: round 1 = blocks holding sources (improved>0);
+        # later rounds = blocks that received a rim export (ext=1).
+        # The id list is a bounded driver collect — the SAME rows the
+        # old design broadcast as a join relation, minus the separate
+        # seed-checkpoint and distinct-count jobs it paid per round.
+        cond = (F.col("ext") == 1)
+        if first:
+            cond = cond | (F.col("improved") > 0)
+        act = (full.where(cond).select("bx", "by").distinct().collect())
+        n_active = len(act)
+        if first and n_active == 0:
+            raise ValueError(f"{op}: no active cells (empty or no sources)")
+        if n_active == 0:
+            # a rim-export-free round == global fixpoint: improved
+            # interior cells cannot affect any other block, and their
+            # own block is already exactly settled
+            break
         if rounds >= max_rounds:
             raise RuntimeError(
                 f"{op} did not converge in {max_rounds} rounds")
         rounds += 1
         blocks_run += n_active
-        run = state.join(F.broadcast(active), ["bx", "by"])
-        hold = (state.join(F.broadcast(active), ["bx", "by"], "left_anti")
-                .withColumn("improved", F.lit(0).cast("long")))
-        inner = run.select("bx", "by", "cell", "gx", "gy", "cost", "dist",
-                           "alloc", "seen", "seena",
-                           F.lit(0).cast("long").alias("ext"))
-        if seeds is not None:
-            inner = inner.unionByName(
-                seeds.select("bx", "by", F.lit(-1).cast("long").alias("cell"),
-                             "gx", "gy", "cost", "dist", "alloc",
-                             F.lit(float("inf")).alias("seen"),
-                             no_alloc.alias("seena"),
-                             F.lit(1).cast("long").alias("ext")))
-        solved = (inner.groupBy("bx", "by")
-                  .applyInPandas(
-                      lambda key, pdf: _relax_block(pdf, wlon, W,
-                                                    clump=clump, offs=offs),
-                      _STATE_SCHEMA)
-                  .select("cell", "gx", "gy", "cost", *bxy,
-                          "dist", "alloc", "seen", "seena", "improved"))
-        state = hold.unionByName(solved).localCheckpoint(eager=True)
+        first = False
+        if n_active <= 65536:
+            # the usual case: the active-block id set is small — an
+            # InSet predicate on the packed key costs one hashed
+            # lookup per row and NO broadcast build / join stages
+            packed = F.col("bx") * int(nby) + F.col("by")
+            keys = [int(r["bx"]) * int(nby) + int(r["by"]) for r in act]
+            is_act = packed.isin(keys)
+            run = full.where(is_act)
+            hold = (full.where(~is_act & (F.col("ext") == 0))
+                    .withColumn("improved", F.lit(0).cast("long")))
+        else:
+            # continental frontiers: join against a broadcast relation
+            # instead of an enormous literal list
+            active = F.broadcast(spark.createDataFrame(
+                act, "bx long, by long"))
+            run = full.join(active, ["bx", "by"])
+            hold = (full.where(F.col("ext") == 0)
+                    .join(active, ["bx", "by"], "left_anti")
+                    .withColumn("improved", F.lit(0).cast("long")))
         # seeds land only where a passable cell can hear them, but
-        # re-running an all-impassable block is a harmless no-op
-        seeds = rim_seeds(state).localCheckpoint(eager=True)
-        active = seeds.select("bx", "by").distinct()
-        n_active = active.count()
+        # re-running an all-impassable block is a harmless no-op.
+        # The solver emits next-round seeds itself (ext=1 rows with
+        # neighbour block ids) — one checkpoint per superstep total.
+        solved = run.groupBy("bx", "by").applyInPandas(
+            lambda key, pdf: _relax_block(pdf, wlon, W, nbx, nby,
+                                          clump=clump, offs=offs),
+            _STATE_EXT_SCHEMA)
+        full = hold.unionByName(solved).localCheckpoint(eager=True)
     if stats is not None:
         stats["rounds"] = rounds
         stats["blocks_run"] = blocks_run
-    return state
+    return full.where(F.col("ext") == 0).drop("ext")
 
 
 def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
@@ -362,12 +406,15 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
 
     passable = (F.col("cost").isNotNull() & ~F.isnan("cost")
                 & (F.col("cost") > 0))
-    if g.where(F.col("src")
-               & (~passable | F.col("sid").isNull())).limit(1).count():
-        raise ValueError(
-            "cost_distance: source cell is impassable or has a NULL id")
     no_alloc = F.lit(int(_NO_ALLOC)).cast("long")
-    state = (g.where(passable)
+    # the bad-source guard rides the init checkpoint as an Observation
+    # instead of its own limit(1).count() scan — the lattice-index
+    # Arrow pass over the input runs once, not twice (guide §1.2)
+    bad_src = Observation()
+    state = (g.observe(bad_src, F.sum(
+                 (F.col("src") & (~passable | F.col("sid").isNull()))
+                 .cast("long")).alias("n"))
+             .where(passable)
              .select("cell", "gx", "gy", "cost", *bxy,
                      F.when(F.col("src"), F.lit(0.0))
                      .otherwise(F.lit(float("inf"))).alias("dist"),
@@ -377,6 +424,9 @@ def cost_distance(cells_df: DataFrame, cost_col: str = "cost",
                      no_alloc.alias("seena"),
                      F.col("src").cast("long").alias("improved"))
              .localCheckpoint(eager=True))
+    if int(bad_src.get["n"] or 0):
+        raise ValueError(
+            "cost_distance: source cell is impassable or has a NULL id")
 
     state = _superstep_fixpoint(state, wlon, W, nbx, nby, max_rounds,
                                 stats, op="cost_distance")
@@ -469,10 +519,13 @@ def clump_cells(cells_df: DataFrame, class_col: str, id_col: str,
 
     ok = (F.col("cost").isNotNull() & ~F.isnan("cost")
           & F.col("sid").isNotNull())
-    if g.where(F.col("cost").isNotNull() & ~F.isnan("cost")
-               & F.col("sid").isNull()).limit(1).count():
-        raise ValueError("clump_cells: NULL id on a classed cell")
-    state = (g.where(ok)
+    # NULL-id guard rides the init checkpoint (Observation) — one
+    # lattice-index pass, not two (see cost_distance)
+    bad_id = Observation()
+    state = (g.observe(bad_id, F.sum(
+                 (F.col("cost").isNotNull() & ~F.isnan("cost")
+                  & F.col("sid").isNull()).cast("long")).alias("n"))
+             .where(ok)
              .select("cell", "gx", "gy", "cost", *bxy,
                      F.lit(0.0).alias("dist"),
                      F.col("sid").alias("alloc"),
@@ -480,6 +533,8 @@ def clump_cells(cells_df: DataFrame, class_col: str, id_col: str,
                      F.lit(int(_NO_ALLOC)).cast("long").alias("seena"),
                      F.lit(1).cast("long").alias("improved"))
              .localCheckpoint(eager=True))
+    if int(bad_id.get["n"] or 0):
+        raise ValueError("clump_cells: NULL id on a classed cell")
 
     state = _superstep_fixpoint(
         state, wlon, W, nbx, nby, max_rounds, stats, op="clump_cells",
