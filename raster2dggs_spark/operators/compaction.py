@@ -282,10 +282,16 @@ def compact_cells_3h(df: DataFrame, value_cols: list[str], res: int,
 
     val_struct = F.struct(*[F.col(c) for c in value_cols])
     active = df.select(F.col(cell_col), val_struct.alias("__v"))
-    out_schema = T.StructType([
-        T.StructField("__parent", T.LongType(), False),
-        T.StructField(cell_col, T.LongType(), False),
-    ])
+
+    def _parents_of(c):
+        from raster2dggs_spark.dggs import i3hlib
+
+        cells = c.values.astype(np.int64)
+        par = i3hlib.cell_to_parents(cells)          # (n, 3)
+        return pd.Series([row[row != i3hlib.NO_PARENT]
+                          for row in par])
+
+    parents_of = F.pandas_udf(_parents_of, T.ArrayType(T.LongType()))
 
     for r in range(res, min_res, -1):
         lv = active.where(
@@ -297,25 +303,15 @@ def compact_cells_3h(df: DataFrame, value_cols: list[str], res: int,
              .bitwiseAND(F.lit(0x1F))) != r
         )
 
-        def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from raster2dggs_spark.dggs import i3hlib
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                cells = pdf[cell_col].values.astype(np.int64)
-                par = i3hlib.cell_to_parents(cells)          # (n, 3)
-                keep = par != i3hlib.NO_PARENT
-                reps = keep.sum(axis=1)
-                yield pd.DataFrame({
-                    "__parent": par[keep],
-                    cell_col: np.repeat(cells, reps),
-                })
-
-        e = lv.select(cell_col).mapInPandas(edges, out_schema)
-        e = e.join(lv, cell_col).persist()       # attach child values;
-        # cached: consumed by the parent aggregate AND the per-child
-        # removal pass (without it the edge UDF runs twice per level)
+        # child -> parents explode as a column-native posexplode over a
+        # vectorized parent-array UDF: child VALUES stay on the row, so
+        # the former (edge UDF -> shuffle join back to lv) round trip —
+        # one exchange + a cached edge frame per level — disappears;
+        # the persist only saves the cheap UDF from running twice
+        # (parent aggregate + removal pass)
+        e = lv.select(cell_col, "__v",
+                      F.explode(parents_of(F.col(cell_col)))
+                      .alias("__parent")).persist()
         stats = e.groupBy("__parent").agg(
             F.count(F.lit(1)).alias("__n"),
             F.count_distinct(F.col("__v")).alias("__d"),
