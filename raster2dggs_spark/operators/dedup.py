@@ -41,8 +41,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> DataFrame:
-    """(id, shingle) distinct rows; n-word shingles (n=1 → word set)."""
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1,
+                  distinct: bool = True) -> DataFrame:
+    """(id, shingle) distinct rows; n-word shingles (n=1 → word set).
+
+    ``distinct=False`` skips the dedupe exchange for consumers whose
+    downstream fold is idempotent over duplicates (min/max)."""
     toks = df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
     if n == 1:
         sh = toks.select(id_col, F.explode("toks").alias("shingle"))
@@ -57,7 +61,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 1) -> Data
                 )
             ).alias("shingle"),
         )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
@@ -66,7 +70,10 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     md5-as-hash keeps every value reproducible in the SQL oracle (string
     min over hex digests ≡ min over the 128-bit integers)."""
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    # duplicate shingles are harmless under min (idempotent fold), so
+    # the per-doc dedupe exchange is skipped — one shuffle, not two;
+    # map-side partial aggregation absorbs the duplicate rows
+    sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(n_hashes)
@@ -108,6 +115,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    # materialize the slim bucket rows ONCE: the signature pipeline
+    # behind them is two shuffles deep (shingle distinct + 16-way md5
+    # min agg) and is otherwise re-evaluated for the hot-key count AND
+    # both sides of the self-join — three times (guide §1.2/§5:
+    # cut recomputation of an expensive shared subtree)
+    buckets = buckets.localCheckpoint(eager=True)
     if max_bucket is not None:
         hot = (
             buckets.groupBy("band", "bkey")
