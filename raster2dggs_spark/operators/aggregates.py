@@ -295,10 +295,20 @@ def dedupe_first(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
     order-of-arrival, rasterindexer.py:326-342 — values identical by
     construction there; we pin the ordering so retries/AQE cannot flip
     results)."""
-    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order])
-    return (
-        df.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
-    )
+    # expressed as a min-struct aggregation, NOT a window: row_number
+    # ships every row of a key to one task and sorts it, while the
+    # groupBy folds map-side (partial min) and shuffles one row per
+    # key — the decisive difference on per-cell dedupes with millions
+    # of keys (guide §2.3 "aggregate before you shuffle").  The struct
+    # orders by the caller's order columns then the remaining columns
+    # (asc, nulls first, NaN last — exactly the window's asc order);
+    # under the repo's total-order rule the winning ROW is identical.
+    rest = [c for c in df.columns if c not in keys]
+    ordered = list(order) + [c for c in rest if c not in order]
+    g = df.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c) for c in ordered])).alias("__b"))
+    out = g.select(*keys, *[F.col("__b")[c].alias(c) for c in rest])
+    return out.select(*df.columns)
 
 
 def top_k(df: DataFrame, keys: list[str], order_col: str, k: int,
