@@ -358,7 +358,10 @@ def sample_points(
         for d in sorted(img_rows, key=lambda d: d["image_id"]):
             row = SimpleNamespace(**d)
             for _, arr in _decode_rows(pd.DataFrame([d]), None):
-                decoded.append((row, arr))
+                # float64 ONCE per task: converting inside the batch
+                # loop re-copied every image per Arrow batch (a 2048^2
+                # source at 1M points = ~8 GB of astype churn)
+                decoded.append((row, arr.astype(np.float64)))
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -389,8 +392,7 @@ def sample_points(
                 for i, c in enumerate(bcols):
                     if i < k:
                         vals[c][hit] = _stencil_sample(
-                            arr[i].astype(np.float64), col_f[hit], row_f[hit],
-                            kernel,
+                            arr[i], col_f[hit], row_f[hit], kernel,
                         )
                 unset &= ~hit
             data = {id_col: pdf[id_col].values, lon_col: lon, lat_col: lat}
