@@ -298,40 +298,31 @@ def _superstep_fixpoint(state: DataFrame, wlon: int, W: int,
     """
     spark = state.sparkSession
     full = state.withColumn("ext", F.lit(0).cast("long"))
+    packed = F.col("bx") * int(nby) + F.col("by")
+    # initial active set: blocks holding sources (improved>0) — ONE
+    # bounded driver collect; every later round's set arrives free as
+    # an Observation on that round's checkpoint job (below)
+    act_keys = sorted(int(r["k"]) for r in full.where(
+        F.col("improved") > 0).select(packed.alias("k"))
+        .distinct().collect())
+    if not act_keys:
+        raise ValueError(f"{op}: no active cells (empty or no sources)")
     rounds = 0
     blocks_run = 0
-    first = True
-    while True:
-        # active blocks: round 1 = blocks holding sources (improved>0);
-        # later rounds = blocks that received a rim export (ext=1).
-        # The id list is a bounded driver collect — the SAME rows the
-        # old design broadcast as a join relation, minus the separate
-        # seed-checkpoint and distinct-count jobs it paid per round.
-        cond = (F.col("ext") == 1)
-        if first:
-            cond = cond | (F.col("improved") > 0)
-        act = (full.where(cond).select("bx", "by").distinct().collect())
-        n_active = len(act)
-        if first and n_active == 0:
-            raise ValueError(f"{op}: no active cells (empty or no sources)")
-        if n_active == 0:
-            # a rim-export-free round == global fixpoint: improved
-            # interior cells cannot affect any other block, and their
-            # own block is already exactly settled
-            break
+    while act_keys:
+        # a rim-export-free round == global fixpoint: improved interior
+        # cells cannot affect any other block, and their own block is
+        # already exactly settled
         if rounds >= max_rounds:
             raise RuntimeError(
                 f"{op} did not converge in {max_rounds} rounds")
         rounds += 1
-        blocks_run += n_active
-        first = False
-        if n_active <= 65536:
+        blocks_run += len(act_keys)
+        if len(act_keys) <= 65536:
             # the usual case: the active-block id set is small — an
             # InSet predicate on the packed key costs one hashed
             # lookup per row and NO broadcast build / join stages
-            packed = F.col("bx") * int(nby) + F.col("by")
-            keys = [int(r["bx"]) * int(nby) + int(r["by"]) for r in act]
-            is_act = packed.isin(keys)
+            is_act = packed.isin(act_keys)
             run = full.where(is_act)
             hold = (full.where(~is_act & (F.col("ext") == 0))
                     .withColumn("improved", F.lit(0).cast("long")))
@@ -339,7 +330,8 @@ def _superstep_fixpoint(state: DataFrame, wlon: int, W: int,
             # continental frontiers: join against a broadcast relation
             # instead of an enormous literal list
             active = F.broadcast(spark.createDataFrame(
-                act, "bx long, by long"))
+                [(k // nby, k % nby) for k in act_keys],
+                "bx long, by long"))
             run = full.join(active, ["bx", "by"])
             hold = (full.where(F.col("ext") == 0)
                     .join(active, ["bx", "by"], "left_anti")
@@ -347,12 +339,18 @@ def _superstep_fixpoint(state: DataFrame, wlon: int, W: int,
         # seeds land only where a passable cell can hear them, but
         # re-running an all-impassable block is a harmless no-op.
         # The solver emits next-round seeds itself (ext=1 rows with
-        # neighbour block ids) — one checkpoint per superstep total.
+        # neighbour block ids) — one checkpoint per superstep total,
+        # with the next active set observed on the same job.
         solved = run.groupBy("bx", "by").applyInPandas(
             lambda key, pdf: _relax_block(pdf, wlon, W, nbx, nby,
                                           clump=clump, offs=offs),
             _STATE_EXT_SCHEMA)
-        full = hold.unionByName(solved).localCheckpoint(eager=True)
+        obs = Observation()
+        full = (hold.unionByName(solved)
+                .observe(obs, F.collect_set(
+                    F.when(F.col("ext") == 1, packed)).alias("act"))
+                .localCheckpoint(eager=True))
+        act_keys = sorted(int(k) for k in (obs.get["act"] or []))
     if stats is not None:
         stats["rounds"] = rounds
         stats["blocks_run"] = blocks_run

@@ -331,18 +331,22 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     # hash-partition the persisted edge list by the join key: the
     # per-round edges-join-labels exchange is then satisfied by the
     # cached layout and Catalyst plans no edge shuffle in ANY round
-    # (guide §2.4 — share one exchange across keyed operations)
+    # (guide §2.4 — share one exchange across keyed operations).  No
+    # edge dedupe: min-propagation is idempotent over duplicate edges,
+    # so the distinct() exchange bought nothing per round it saved.
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().repartition(F.col("src")).persist()
+    ).repartition(F.col("src")).persist()
+    nv_obs = Observation()
     lab = (
         edges.select(F.col("src").alias("vertex")).distinct()
         .withColumn("label", F.col("vertex"))
+        # vertex count rides the init checkpoint — gates the
+        # pointer-jump broadcast below (no separate count job)
+        .observe(nv_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    # bounded scalar over the checkpointed frame — gates the
-    # pointer-jump broadcast below (one count, once, not per round)
-    n_vertices = lab.count()
+    n_vertices = int(nv_obs.get["n"])
     for _round in range(max_iters):
         # neighbour-min, own-label carry and the least() fold in ONE
         # aggregation: every vertex receives its neighbours' labels

@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold (guide §9): skips two sorts per join; the
+        # per-partition build side must fit in memory, which the same
+        # size conditions gate — sort-merge still plans when it doesn't
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # image payloads are wide rows: keep scan partitions modest
