@@ -683,12 +683,18 @@ def least_cost_path(cells_df: DataFrame, cost_col: str = "cost",
            .select(F.col("pid").alias("u"), F.col("np").alias("v")))
     nxt = nxt.localCheckpoint(eager=True)
 
-    # pointer doubling: frontier P = nodes known on some target's path
+    # pointer doubling: frontier P = nodes known on some target's path.
+    # jump/path self-join per round -> their carried size estimate
+    # doubles in DIGITS per round without the persist-then-checkpoint
+    # idiom (plans/loops.py; the round-8 stats-overflow class)
+    from raster2dggs_spark.plans.loops import loop_checkpoint
+
     targets = g.where(F.col("tgtf")).select(
         F.col("pid").alias("tgt"), F.col("pid").alias("node"))
-    path = targets.localCheckpoint(eager=True)
+    path, path_cache = loop_checkpoint(targets)
     n_prev = path.count()
     jump = nxt
+    jump_cache = None
     for _ in range(max_rounds):
         # frontier side broadcast into the big jump table, result small
         reach = (jump.join(F.broadcast(path.select(F.col("node")
@@ -698,21 +704,25 @@ def least_cost_path(cells_df: DataFrame, cost_col: str = "cost",
         stepped = (path.join(F.broadcast(reach),
                              F.col("node") == F.col("u"))
                    .select("tgt", F.col("v").alias("node")))
-        path = path.unionByName(stepped).distinct() \
-                   .localCheckpoint(eager=True)
+        path, path_cache = loop_checkpoint(
+            path.unionByName(stepped).distinct(), prev=path_cache)
         n_now = path.count()
         if n_now == n_prev:
             break
         n_prev = n_now
         # double the stride: J2(u) = J(J(u)) (absorbing at chain ends)
-        jump = (jump.alias("a")
-                .join(jump.alias("b"),
-                      F.col("a.v") == F.col("b.u"), "left")
-                .select(F.col("a.u").alias("u"),
-                        F.coalesce(F.col("b.v"), F.col("a.v")).alias("v"))
-                .localCheckpoint(eager=True))
+        jump, jump_cache = loop_checkpoint(
+            jump.alias("a")
+            .join(jump.alias("b"),
+                  F.col("a.v") == F.col("b.u"), "left")
+            .select(F.col("a.u").alias("u"),
+                    F.coalesce(F.col("b.v"), F.col("a.v")).alias("v")),
+            prev=jump_cache)
     else:
         raise RuntimeError("least_cost_path: max_rounds exceeded")
+    path_cache.unpersist()
+    if jump_cache is not None:
+        jump_cache.unpersist()
 
     w = Window.partitionBy("tgt").orderBy(F.col("dist").desc())
     out = (path.join(d.withColumnRenamed("pid", "node_pid"),

@@ -334,17 +334,24 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     # (guide §2.4 — share one exchange across keyed operations).  No
     # edge dedupe: min-propagation is idempotent over duplicate edges,
     # so the distinct() exchange bought nothing per round it saved.
+    from raster2dggs_spark.plans.loops import loop_checkpoint
+
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).repartition(F.col("src")).persist()
     nv_obs = Observation()
-    lab = (
+    # loop_checkpoint (persist-then-checkpoint) rather than a bare
+    # localCheckpoint: the checkpoint PRESERVES the child's size
+    # estimate, and the double pointer-jump self-join below would
+    # compound it ^4 per round until Catalyst's BigInteger stats
+    # arithmetic overflows (the round-8 contour_stitch failure — see
+    # plans/loops.py)
+    lab, prev_cache = loop_checkpoint(
         edges.select(F.col("src").alias("vertex")).distinct()
         .withColumn("label", F.col("vertex"))
         # vertex count rides the init checkpoint — gates the
         # pointer-jump broadcast below (no separate count job)
         .observe(nv_obs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
     )
     n_vertices = int(nv_obs.get["n"])
     for _round in range(max_iters):
@@ -393,14 +400,14 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                 )
             )
         obs = Observation()
-        new = (
+        new, prev_cache = loop_checkpoint(
             cur
             # termination metric rides the checkpoint job (Observation):
             # the old label travelled with the row, so no (vertex) join
             # and no separate driver-synced count job per round
             .observe(obs, F.sum((F.col("label") != F.col("__old"))
-                                .cast("long")).alias("changed"))
-        ).localCheckpoint(eager=True)
+                                .cast("long")).alias("changed")),
+            prev=prev_cache)
         changed = int(obs.get["changed"] or 0)
         lab = new.select("vertex", "label")
         if changed == 0:
@@ -409,10 +416,12 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             break
     else:
         edges.unpersist()
+        prev_cache.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
         )
     edges.unpersist()
+    prev_cache.unpersist()
     out = lab.select("vertex", F.col("label").alias("component"))
     if mapping is not None:
         # recover original vertices; reps whose whole component was

@@ -128,9 +128,16 @@ def sssp(edges: DataFrame, sources, src: str = "src", dst: str = "dst",
         [(s, 0.0) for s in sources],
         T.StructType([T.StructField("node", node_t, False),
                       T.StructField("dist", T.DoubleType(), False)]))
+    from raster2dggs_spark.plans.loops import loop_checkpoint
+
     dist = dist.groupBy("node").agg(F.min("dist").alias("dist"))
-    dist = dist.localCheckpoint(eager=True)
+    # persist-then-checkpoint rounds (plans/loops.py): dist and the
+    # frontier both feed joins that reference the previous round's
+    # frame, so a bare localCheckpoint compounds the carried size
+    # estimate geometrically (the round-8 stats-overflow class)
+    dist, dist_cache = loop_checkpoint(dist)
     frontier = dist
+    fr_cache = None
     rounds = 0
     # max_rounds caps IMPROVEMENT rounds; the +1 grants the final
     # probe that observes the empty frontier (a graph needing exactly
@@ -141,20 +148,24 @@ def sssp(edges: DataFrame, sources, src: str = "src", dst: str = "dst",
                 .select(F.col("edst").alias("node"),
                         (F.col("dist") + F.col("ew")).alias("nd"))
                 .groupBy("node").agg(F.min("nd").alias("nd")))
-        improved = (prop.join(dist.withColumnRenamed("dist", "old"),
-                              "node", "left")
-                    .where(F.col("old").isNull()
-                           | (F.col("nd") < F.col("old")))
-                    .select("node", F.col("nd").alias("dist"))
-                    .localCheckpoint(eager=True))
+        improved, fr_cache = loop_checkpoint(
+            prop.join(dist.withColumnRenamed("dist", "old"),
+                      "node", "left")
+            .where(F.col("old").isNull()
+                   | (F.col("nd") < F.col("old")))
+            .select("node", F.col("nd").alias("dist")),
+            prev=fr_cache)
         if improved.isEmpty():
             if stats is not None:
                 stats["rounds"] = rounds
+            fr_cache.unpersist()
+            dist_cache.unpersist()
             return dist
         rounds += 1
-        dist = (dist.unionByName(improved)
-                .groupBy("node").agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True))
+        dist, dist_cache = loop_checkpoint(
+            dist.unionByName(improved)
+            .groupBy("node").agg(F.min("dist").alias("dist")),
+            prev=dist_cache)
         frontier = improved
     raise RuntimeError(
         f"sssp did not converge in {max_rounds} rounds — "
@@ -184,9 +195,16 @@ def label_propagation(edges: DataFrame, src: str = "src",
     e = e.localCheckpoint(eager=True)
     verts = (e.select(F.col("esrc").alias("vertex")).distinct()
              .localCheckpoint(eager=True))
+    from raster2dggs_spark.plans.loops import loop_checkpoint
+
     labels = verts.withColumn("lab", F.col("vertex"))
+    lab_cache = None
     for _ in range(rounds):
-        labels = labels.localCheckpoint(eager=True)
+        # persist-then-checkpoint: the round references labels twice
+        # (message join + merge join), which doubles the carried size
+        # estimate's digits per round on a bare localCheckpoint
+        # (plans/loops.py)
+        labels, lab_cache = loop_checkpoint(labels, prev=lab_cache)
         nb = (e.join(labels, e.esrc == labels.vertex)
               .select(F.col("edst").alias("vertex"), "lab"))
         cnt = (nb.groupBy("vertex", "lab")
@@ -199,6 +217,8 @@ def label_propagation(edges: DataFrame, src: str = "src",
         labels = (labels.join(pick, "vertex", "left")
                   .select("vertex",
                           F.coalesce("newlab", "lab").alias("lab")))
+    if lab_cache is not None:
+        lab_cache.unpersist()
     return labels.select("vertex", F.col("lab").alias("community"))
 
 
@@ -232,29 +252,37 @@ def sssp_multi(edges: DataFrame, sources, src: str = "src",
         T.StructType([T.StructField("source", node_t, False),
                       T.StructField("node", node_t, False),
                       T.StructField("dist", T.DoubleType(), False)]))
-    dist = dist.localCheckpoint(eager=True)
+    from raster2dggs_spark.plans.loops import loop_checkpoint
+
+    # same round hygiene as sssp (plans/loops.py)
+    dist, dist_cache = loop_checkpoint(dist)
     frontier = dist
+    fr_cache = None
     rounds = 0
     for _ in range(max_rounds + 1):
         prop = (frontier.join(e, frontier.node == e.esrc)
                 .select("source", F.col("edst").alias("node"),
                         (F.col("dist") + F.col("ew")).alias("nd"))
                 .groupBy("source", "node").agg(F.min("nd").alias("nd")))
-        improved = (prop.join(dist.withColumnRenamed("dist", "old"),
-                              ["source", "node"], "left")
-                    .where(F.col("old").isNull()
-                           | (F.col("nd") < F.col("old")))
-                    .select("source", "node", F.col("nd").alias("dist"))
-                    .localCheckpoint(eager=True))
+        improved, fr_cache = loop_checkpoint(
+            prop.join(dist.withColumnRenamed("dist", "old"),
+                      ["source", "node"], "left")
+            .where(F.col("old").isNull()
+                   | (F.col("nd") < F.col("old")))
+            .select("source", "node", F.col("nd").alias("dist")),
+            prev=fr_cache)
         if improved.isEmpty():
             if stats is not None:
                 stats["rounds"] = rounds
+            fr_cache.unpersist()
+            dist_cache.unpersist()
             return dist
         rounds += 1
-        dist = (dist.unionByName(improved)
-                .groupBy("source", "node")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True))
+        dist, dist_cache = loop_checkpoint(
+            dist.unionByName(improved)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist")),
+            prev=dist_cache)
         frontier = improved
     raise RuntimeError(
         f"sssp_multi did not converge in {max_rounds} rounds — "

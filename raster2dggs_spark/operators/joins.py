@@ -1460,6 +1460,25 @@ def explode_segments(lines: DataFrame, id_col: str = "line_id",
 MAX_SEGS_PER_LINE = 1 << 20
 
 
+def check_packed_seg_ids(segs: DataFrame, line_id: str, op: str) -> None:
+    """Validate the packed-segment-key contract shared by
+    snap_to_segments and line_intersections: ``line_id *
+    MAX_SEGS_PER_LINE + seg_idx`` decodes with truncating div/%, which
+    is only injective for non-negative line ids and fewer than
+    ``MAX_SEGS_PER_LINE`` segments per line (a negative id silently
+    decodes to the WRONG line; an oversized line collides keys across
+    lines).  One bounded scalar agg over the exploded segments."""
+    b = segs.agg(F.min(F.col(line_id)).alias("lo"),
+                 F.max("seg_idx").alias("hi")).collect()[0]
+    if b["lo"] is not None and int(b["lo"]) < 0:
+        raise ValueError(f"{op}: negative line ids break "
+                         "the packed segment key — reindex to >= 0")
+    if b["hi"] is not None and int(b["hi"]) >= MAX_SEGS_PER_LINE:
+        raise ValueError(
+            f"{op}: a line has > {MAX_SEGS_PER_LINE} "
+            "segments — split it or raise MAX_SEGS_PER_LINE")
+
+
 def snap_to_segments(points: DataFrame, lines: DataFrame, radius_m: float,
                      dggs: str = "quadkey",
                      point_id: str = "point_id", line_id: str = "line_id",
@@ -1526,19 +1545,7 @@ def snap_to_segments(points: DataFrame, lines: DataFrame, radius_m: float,
     cover_r = radius_m * float(max(1.0, margin)) + pad_m
 
     segs = explode_segments(lines, line_id, xs_col, ys_col)
-    # the packed seg id (line_id * 2^20 + seg_idx) is only valid for
-    # non-negative line ids and < 2^20 segments per line — truncating
-    # div on a negative id decodes to the WRONG line (code-review
-    # finding); one bounded scalar agg validates the contract
-    b = segs.agg(F.min(F.col(line_id)).alias("lo"),
-                 F.max("seg_idx").alias("hi")).collect()[0]
-    if b["lo"] is not None and int(b["lo"]) < 0:
-        raise ValueError("snap_to_segments: negative line ids break "
-                         "the packed segment key — reindex to >= 0")
-    if b["hi"] is not None and int(b["hi"]) >= MAX_SEGS_PER_LINE:
-        raise ValueError(
-            f"snap_to_segments: a line has > {MAX_SEGS_PER_LINE} "
-            "segments — split it or raise MAX_SEGS_PER_LINE")
+    check_packed_seg_ids(segs, line_id, "snap_to_segments")
     seg_geom = segs.select(
         (F.col(line_id) * MAX_SEGS_PER_LINE + F.col("seg_idx"))
         .alias("seg_id"), "ax", "ay", "bx", "by")

@@ -249,8 +249,13 @@ def funnel(events: DataFrame, steps, entity_col: str = "user_id",
             F.col(entity_col).alias("__e"), F.col(ts_col).alias("__ts"))
         j = ev.join(frames[-1], "__e").where(F.col("__ts") > F.col("__t"))
         if within_s is not None:
-            j = j.where(F.col("__ts") <= F.col("__t1")
-                        + F.expr(f"INTERVAL {int(within_s)} SECONDS"))
+            # micros-exact bound (the asof_join tolerance idiom): the
+            # old INTERVAL {int(within_s)} SECONDS silently truncated
+            # fractional windows (0.5 s became 0 s — code-review
+            # finding); identical for integer within_s
+            j = j.where(F.unix_micros(F.col("__ts").cast("timestamp"))
+                        <= F.unix_micros(F.col("__t1").cast("timestamp"))
+                        + int(round(within_s * 1_000_000)))
         nxt = (j.groupBy("__e")
                .agg(F.min("__ts").alias("__t"),
                     F.first("__t1").alias("__t1"))

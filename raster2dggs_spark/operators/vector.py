@@ -270,8 +270,11 @@ def stitch_segments(segs: DataFrame, group_cols: list[str] | None = None,
     Output per (group…, polyline): ``anchor_x/anchor_y`` (the
     component's lexicographically smallest endpoint — a coordinate
     key, no engine-specific label leaks out), ``n_segs``,
-    ``n_vertices``, ``length`` (Euclidean sum), ``closed`` (every
-    endpoint meets exactly 2 segments — a ring).
+    ``n_vertices``, ``length`` (Euclidean sum), ``closed`` (no free
+    ends: MINIMUM endpoint degree 2 — a figure-eight component with a
+    degree-4 saddle vertex also flags closed, matching
+    polygonize_boundaries' degree-4 note; pinned by the oracle twin,
+    so the flag is deliberately min-degree, not exactly-degree-2).
 
     Scale shape: endpoint keys are (group…, x, y) strings; stitching is
     the engine's own pointer-jumping connected_components —
@@ -421,10 +424,15 @@ def line_intersections(lines_a: DataFrame, lines_b: DataFrame,
     it to shrink the cover row count.
     """
     from raster2dggs_spark.operators.joins import (
-        MAX_SEGS_PER_LINE, explode_segments, line_cells)
+        MAX_SEGS_PER_LINE, check_packed_seg_ids, explode_segments,
+        line_cells)
 
     def prep(lines, idc, tag):
         segs = explode_segments(lines, idc, xs_col, ys_col)
+        # same packed-key contract as snap_to_segments (code-review
+        # finding: negative ids / oversized lines silently corrupt
+        # the decode)
+        check_packed_seg_ids(segs, idc, "line_intersections")
         sid = (F.col(idc) * MAX_SEGS_PER_LINE
                + F.col("seg_idx")).alias(f"__{tag}sid")
         geom = segs.select(
