@@ -695,7 +695,8 @@ def least_cost_path(cells_df: DataFrame, cost_col: str = "cost",
     n_prev = path.count()
     jump = nxt
     jump_cache = None
-    for _ in range(max_rounds):
+    for _lcp_round in range(max_rounds):
+        _reset = _lcp_round % 4 == 3
         # frontier side broadcast into the big jump table, result small
         reach = (jump.join(F.broadcast(path.select(F.col("node")
                                                    .alias("u")).distinct()),
@@ -705,7 +706,8 @@ def least_cost_path(cells_df: DataFrame, cost_col: str = "cost",
                              F.col("node") == F.col("u"))
                    .select("tgt", F.col("v").alias("node")))
         path, path_cache = loop_checkpoint(
-            path.unionByName(stepped).distinct(), prev=path_cache)
+            path.unionByName(stepped).distinct(), prev=path_cache,
+            reset=_reset)
         n_now = path.count()
         if n_now == n_prev:
             break
@@ -717,7 +719,7 @@ def least_cost_path(cells_df: DataFrame, cost_col: str = "cost",
                   F.col("a.v") == F.col("b.u"), "left")
             .select(F.col("a.u").alias("u"),
                     F.coalesce(F.col("b.v"), F.col("a.v")).alias("v")),
-            prev=jump_cache)
+            prev=jump_cache, reset=_reset)
     else:
         raise RuntimeError("least_cost_path: max_rounds exceeded")
     path_cache.unpersist()

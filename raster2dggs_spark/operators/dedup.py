@@ -407,7 +407,11 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             # and no separate driver-synced count job per round
             .observe(obs, F.sum((F.col("label") != F.col("__old"))
                                 .cast("long")).alias("changed")),
-            prev=prev_cache)
+            prev=prev_cache,
+            # stats reset every 4th round bounds the carried estimate
+            # under ~5k digits at a quarter of the persist cost
+            # (plans/loops.py); the init checkpoint above seeded it
+            reset=(_round % 4 == 3))
         changed = int(obs.get["changed"] or 0)
         lab = new.select("vertex", "label")
         if changed == 0:

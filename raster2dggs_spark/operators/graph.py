@@ -143,7 +143,9 @@ def sssp(edges: DataFrame, sources, src: str = "src", dst: str = "dst",
     # probe that observes the empty frontier (a graph needing exactly
     # max_rounds relaxations must converge, not raise — code-review
     # finding)
-    for _ in range(max_rounds + 1):
+    for _r in range(max_rounds + 1):
+        # stats reset every 4th round (plans/loops.py digit bound)
+        _reset = _r % 4 == 0
         prop = (frontier.join(e, frontier.node == e.esrc)
                 .select(F.col("edst").alias("node"),
                         (F.col("dist") + F.col("ew")).alias("nd"))
@@ -154,7 +156,7 @@ def sssp(edges: DataFrame, sources, src: str = "src", dst: str = "dst",
             .where(F.col("old").isNull()
                    | (F.col("nd") < F.col("old")))
             .select("node", F.col("nd").alias("dist")),
-            prev=fr_cache)
+            prev=fr_cache, reset=_reset)
         if improved.isEmpty():
             if stats is not None:
                 stats["rounds"] = rounds
@@ -165,7 +167,7 @@ def sssp(edges: DataFrame, sources, src: str = "src", dst: str = "dst",
         dist, dist_cache = loop_checkpoint(
             dist.unionByName(improved)
             .groupBy("node").agg(F.min("dist").alias("dist")),
-            prev=dist_cache)
+            prev=dist_cache, reset=_reset)
         frontier = improved
     raise RuntimeError(
         f"sssp did not converge in {max_rounds} rounds — "
@@ -199,12 +201,13 @@ def label_propagation(edges: DataFrame, src: str = "src",
 
     labels = verts.withColumn("lab", F.col("vertex"))
     lab_cache = None
-    for _ in range(rounds):
+    for _r in range(rounds):
         # persist-then-checkpoint: the round references labels twice
         # (message join + merge join), which doubles the carried size
         # estimate's digits per round on a bare localCheckpoint
-        # (plans/loops.py)
-        labels, lab_cache = loop_checkpoint(labels, prev=lab_cache)
+        # (plans/loops.py); reset every 4th round bounds the digits
+        labels, lab_cache = loop_checkpoint(labels, prev=lab_cache,
+                                            reset=(_r % 4 == 0))
         nb = (e.join(labels, e.esrc == labels.vertex)
               .select(F.col("edst").alias("vertex"), "lab"))
         cnt = (nb.groupBy("vertex", "lab")
@@ -259,7 +262,8 @@ def sssp_multi(edges: DataFrame, sources, src: str = "src",
     frontier = dist
     fr_cache = None
     rounds = 0
-    for _ in range(max_rounds + 1):
+    for _r in range(max_rounds + 1):
+        _reset = _r % 4 == 0
         prop = (frontier.join(e, frontier.node == e.esrc)
                 .select("source", F.col("edst").alias("node"),
                         (F.col("dist") + F.col("ew")).alias("nd"))
@@ -270,7 +274,7 @@ def sssp_multi(edges: DataFrame, sources, src: str = "src",
             .where(F.col("old").isNull()
                    | (F.col("nd") < F.col("old")))
             .select("source", "node", F.col("nd").alias("dist")),
-            prev=fr_cache)
+            prev=fr_cache, reset=_reset)
         if improved.isEmpty():
             if stats is not None:
                 stats["rounds"] = rounds
@@ -282,7 +286,7 @@ def sssp_multi(edges: DataFrame, sources, src: str = "src",
             dist.unionByName(improved)
             .groupBy("source", "node")
             .agg(F.min("dist").alias("dist")),
-            prev=dist_cache)
+            prev=dist_cache, reset=_reset)
         frontier = improved
     raise RuntimeError(
         f"sssp_multi did not converge in {max_rounds} rounds — "

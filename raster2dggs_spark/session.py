@@ -41,11 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # prefer shuffled-hash over sort-merge when the planner's size
-        # conditions hold (guide §9): skips two sorts per join; the
-        # per-partition build side must fit in memory, which the same
-        # size conditions gate — sort-merge still plans when it doesn't
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # preferSortMergeJoin stays at its default (true): an A/B on the
+        # bench queries (round 8; minhash_lsh 2.30 vs 2.81 s, knn_join
+        # 1.87 vs 2.20 s, dedup_components 6.38 vs 6.66 s,
+        # cost_distance 5.70 vs 5.98 s, compact_3h equal) measured the
+        # shuffled-hash preference as a small NET LOSS on this engine's
+        # plan mix, so the guide-§9 suggestion was reverted on evidence
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # image payloads are wide rows: keep scan partitions modest
