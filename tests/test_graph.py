@@ -49,6 +49,47 @@ def test_triangle_count_known_graphs(spark):
     assert out["n_triangles"] == 4
 
 
+def test_triangle_count_vs_bruteforce_random(spark):
+    # random 30-vertex graph vs the adjacency-matrix trace count
+    rng = np.random.default_rng(3)
+    es = {(int(a), int(b))
+          for a, b in rng.integers(0, 30, (200, 2)) if a != b}
+    pdf = pd.DataFrame(sorted(es), columns=["src", "dst"])
+    out = triangle_count(spark.createDataFrame(pdf)).collect()[0]
+    A = np.zeros((30, 30), dtype=np.int64)
+    for a, b in es:
+        A[a, b] = A[b, a] = 1
+    np.fill_diagonal(A, 0)
+    want = int(np.trace(A @ A @ A) // 6)
+    assert out["n_triangles"] == want
+
+
+def test_triangle_count_hub_wedges_linear(spark):
+    # star hub of degree 1000 + 5 disjoint triangles: degree
+    # orientation points every star edge leaf->hub, so the hub emits
+    # ZERO wedge pairs — the candidate volume is linear in edges, not
+    # deg(hub)^2 (the naive a<b<c plan would emit ~500k wedge rows at
+    # the hub; this was the round-7 scale-weak finding)
+    from pyspark.sql import functions as F
+
+    from raster2dggs_spark.operators.graph import _oriented_edges
+
+    star = [(0, i) for i in range(1, 1001)]
+    tris = [(2000 + 3 * k + i, 2000 + 3 * k + j)
+            for k in range(5) for i, j in ((0, 1), (0, 2), (1, 2))]
+    df = spark.createDataFrame(
+        pd.DataFrame(star + tris, columns=["src", "dst"]))
+    out = triangle_count(df).collect()[0]
+    assert out["n_triangles"] == 5
+    e = (df.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+         .where("a <> b").distinct())
+    oe = _oriented_edges(e)
+    lft, rgt = oe.alias("l"), oe.alias("r")
+    wedge_n = (lft.join(rgt, "x")
+               .where(F.col("l.oy") < F.col("r.oy")).count())
+    assert wedge_n == 5   # one wedge per triangle apex, none at the hub
+
+
 def test_sssp_known_chain(spark):
     from raster2dggs_spark.operators.graph import sssp
 
