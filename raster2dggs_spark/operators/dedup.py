@@ -380,18 +380,31 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         # so the mapping lookup is always <= the current label.  The
         # mapping side is one slim (label, ptr) row per vertex — below
         # ``jump_broadcast_rows`` it broadcasts (the jump then adds ZERO
-        # exchanges to the round, and a SECOND jump per round becomes
-        # nearly free, quartering label-chain depth per round: measured
-        # rounds 10 -> 8 and wall -19% on the 1000-diameter bench
-        # graph); above the gate the shuffle join plans as before with
-        # a single jump, so the 100-TB shape is unchanged.
+        # exchanges to the round); above the gate the shuffle join
+        # plans as before with a single jump, so the 100-TB shape is
+        # unchanged.  In broadcast mode ONE mapping m (built from l1)
+        # is applied THREE times: function composition is associative,
+        # so m(m(m(m(v)))) equals the former rebuild-twice round
+        # (m² then m²∘m²) label-for-label, but the plan reuses a single
+        # broadcast exchange — one driver-synced broadcast build per
+        # round instead of two (round 8; ~0.15 s/round on the bench
+        # graph), quartering label-chain depth per round as before.
         bcast = n_vertices <= jump_broadcast_rows
         cur = l1
-        for _ in range(2 if bcast else 1):
+        if bcast:
+            ptr = F.broadcast(l1.select(F.col("vertex").alias("label"),
+                                        F.col("label").alias("__ptr")))
+            for _ in range(3):
+                cur = (
+                    cur.join(ptr, "label", "left")
+                    .select(
+                        "vertex", "__old",
+                        F.coalesce("__ptr", "label").alias("label"),
+                    )
+                )
+        else:
             ptr = cur.select(F.col("vertex").alias("label"),
                              F.col("label").alias("__ptr"))
-            if bcast:
-                ptr = F.broadcast(ptr)
             cur = (
                 cur.join(ptr, "label", "left")
                 .select(
