@@ -70,6 +70,14 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     md5-as-hash keeps every value reproducible in the SQL oracle (string
     min over hex digests ≡ min over the 128-bit integers)."""
+    from raster2dggs_spark.plans.layout import fan_out
+
+    # a single-file corpus scans as ONE partition, which would run the
+    # heavy shingle-explode + n_hashes-way md5 map stage on one core;
+    # fan_out widens it to session parallelism KEYED BY id so the
+    # groupBy below reuses the exchange (no-op on already-parallel
+    # inputs — plans/layout.py)
+    df = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
     # duplicate shingles are harmless under min (idempotent fold), so
     # the per-doc dedupe exchange is skipped — one shuffle, not two;
     # map-side partial aggregation absorbs the duplicate rows

@@ -40,10 +40,15 @@ def cosine_topk(queries: DataFrame, targets: DataFrame, k: int,
 
     Queries are broadcast (the query set is the small side); ties broken
     by target id."""
+    from raster2dggs_spark.plans.layout import fan_out
+
     q = queries.select(
         F.col(q_id), _as_double(F.col(q_vec)).alias("__qv")
     ).withColumn("__qn", _norm(F.col("__qv")))
-    t = targets.select(
+    # a single-file embedding table scans as ONE partition, which would
+    # run every |Q|x|T| dot product on one core (plans/layout.py; no-op
+    # on already-parallel inputs)
+    t = fan_out(targets.select(F.col(t_id), F.col(t_vec))).select(
         F.col(t_id), _as_double(F.col(t_vec)).alias("__tv")
     ).withColumn("__tn", _norm(F.col("__tv")))
     cand = t.crossJoin(F.broadcast(q))
@@ -60,7 +65,10 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                c_id: str = "c_id", c_vec: str = "c_vec") -> DataFrame:
     """Assign each vector to its nearest centroid (by cosine).  Centroids
     are broadcast; output (v_id, centroid) is the IVF partition key."""
-    v = vectors.select(F.col(v_id), _as_double(F.col(v_vec)).alias("__v"))
+    from raster2dggs_spark.plans.layout import fan_out
+
+    v = fan_out(vectors.select(F.col(v_id), F.col(v_vec))).select(
+        F.col(v_id), _as_double(F.col(v_vec)).alias("__v"))
     v = v.withColumn("__vn", _norm(F.col("__v")))
     c = centroids.select(F.col(c_id), _as_double(F.col(c_vec)).alias("__c"))
     c = c.withColumn("__cn", _norm(F.col("__c")))
@@ -334,6 +342,11 @@ def pq_encode(vectors: DataFrame, dim: int, m: int = 8, k: int = 16,
         vectors.sparkSession, dim, m, k)
     if vectorized is None:
         vectorized = dim * k > 4096
+    from raster2dggs_spark.plans.layout import fan_out
+
+    # widen a single-file vector scan before the O(N·dim·k) explode /
+    # einsum (plans/layout.py; no-op on already-parallel inputs)
+    vectors = fan_out(vectors.select(F.col(v_id), F.col(v_vec)), v_id)
     if vectorized:
         return _pq_encode_vectorized(vectors, cb, dim, m, k, v_id, v_vec)
     d = vectors.select(
