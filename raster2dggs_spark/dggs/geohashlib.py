@@ -38,15 +38,18 @@ def lonlat_to_cell(lon_deg, lat_deg, precision: int):
     fy = np.clip((lat + 90.0) / 180.0, 0.0, np.nextafter(1.0, 0.0))
     ix = (fx * (1 << nlon)).astype(np.uint64)
     iy = (fy * (1 << nlat)).astype(np.uint64)
-    bits = np.zeros(lon.shape[0], dtype=np.uint64)
     # interleave: bit k of the hash (from the MSB, k=0..nbits-1) is a lon
-    # bit for even k, lat bit for odd k
-    for k in range(nbits):
-        if k % 2 == 0:  # lon bit, from MSB of ix
-            src = (ix >> np.uint64(nlon - 1 - k // 2)) & np.uint64(1)
-        else:
-            src = (iy >> np.uint64(nlat - 1 - k // 2)) & np.uint64(1)
-        bits |= src << np.uint64(nbits - 1 - k)
+    # bit for even k, lat bit for odd k.  Magic-mask spread
+    # (dggs/_bits.py) replaces the former per-bit loop bit-identically:
+    # for even nbits lon bit m (from the LSB) lands at 2m+1, for odd
+    # nbits at 2m (and lat at the complementary parity).
+    from raster2dggs_spark.dggs._bits import spread
+
+    sx, sy = spread(ix), spread(iy)
+    if nbits % 2 == 0:
+        bits = (sx << np.uint64(1)) | sy
+    else:
+        bits = sx | (sy << np.uint64(1))
     return ((bits << np.uint64(4)) | np.uint64(precision)).astype(np.int64)
 
 
@@ -59,15 +62,16 @@ def cell_from_indices(ix, iy, precision: int):
     nbits = 5 * precision
     nlon = (nbits + 1) // 2
     nlat = nbits // 2
+    from raster2dggs_spark.dggs._bits import spread
+
     ix = np.asarray(ix, dtype=np.uint64).ravel()
     iy = np.asarray(iy, dtype=np.uint64).ravel()
-    bits = np.zeros(ix.shape[0], dtype=np.uint64)
-    for k in range(nbits):
-        if k % 2 == 0:
-            src = (ix >> np.uint64(nlon - 1 - k // 2)) & np.uint64(1)
-        else:
-            src = (iy >> np.uint64(nlat - 1 - k // 2)) & np.uint64(1)
-        bits |= src << np.uint64(nbits - 1 - k)
+    sx, sy = spread(ix), spread(iy)
+    # same parity rule as lonlat_to_cell (bit-identical to the loop)
+    if nbits % 2 == 0:
+        bits = (sx << np.uint64(1)) | sy
+    else:
+        bits = sx | (sy << np.uint64(1))
     return ((bits << np.uint64(4)) | np.uint64(precision)).astype(np.int64)
 
 
@@ -99,15 +103,16 @@ def cell_to_lonlat(cells):
         nbits = int(5 * prec)
         nlon = (nbits + 1) // 2
         nlat = nbits // 2
+        from raster2dggs_spark.dggs._bits import compress
+
         bits = (c[m] >> np.uint64(4)).astype(np.uint64)
-        ix = np.zeros(m.sum(), dtype=np.uint64)
-        iy = np.zeros(m.sum(), dtype=np.uint64)
-        for k in range(nbits):
-            b = (bits >> np.uint64(nbits - 1 - k)) & np.uint64(1)
-            if k % 2 == 0:
-                ix |= b << np.uint64(nlon - 1 - k // 2)
-            else:
-                iy |= b << np.uint64(nlat - 1 - k // 2)
+        # inverse of the encode parity rule (magic-mask compress)
+        if nbits % 2 == 0:
+            ix = compress(bits >> np.uint64(1))
+            iy = compress(bits)
+        else:
+            ix = compress(bits)
+            iy = compress(bits >> np.uint64(1))
         out_lon[m] = (ix.astype(np.float64) + 0.5) / (1 << nlon) * 360.0 - 180.0
         out_lat[m] = (iy.astype(np.float64) + 0.5) / (1 << nlat) * 180.0 - 90.0
     return out_lon, out_lat

@@ -49,21 +49,20 @@ def _tile_xy(lon_deg, lat_deg, level: int):
 
 
 def _morton(ty, tx, level: int):
-    """Interleave (ty, tx) bits, y high — the base-4 quadkey digits."""
-    bits = np.zeros_like(tx)
-    for k in range(level):
-        bits |= ((tx >> k) & 1) << (2 * k)
-        bits |= ((ty >> k) & 1) << (2 * k + 1)
-    return bits
+    """Interleave (ty, tx) bits, y high — the base-4 quadkey digits.
+    Magic-mask spread (dggs/_bits.py): 5 passes per axis instead of 4
+    per BIT — bit-identical to the former per-bit loop."""
+    from raster2dggs_spark.dggs._bits import spread
+
+    return ((spread(ty) << np.uint64(1)) | spread(tx)).astype(np.int64)
 
 
 def _demorton(bits, level: int):
-    tx = np.zeros_like(bits)
-    ty = np.zeros_like(bits)
-    for k in range(level):
-        tx |= ((bits >> (2 * k)) & 1) << k
-        ty |= ((bits >> (2 * k + 1)) & 1) << k
-    return tx, ty
+    from raster2dggs_spark.dggs._bits import compress
+
+    b = np.asarray(bits).astype(np.uint64)
+    return (compress(b).astype(np.int64),
+            compress(b >> np.uint64(1)).astype(np.int64))
 
 
 def lonlat_to_cell(lon_deg, lat_deg, level: int):

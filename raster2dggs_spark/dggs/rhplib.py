@@ -180,16 +180,19 @@ def lonlat_to_cell(lon_deg, lat_deg, res: int):
     x, y = _project(lon, lat)
     x, y = _combine(x, y)
     face, u, v = _plane_to_face_uv(x, y)
-    bits = face.astype(np.int64)
+    # digit loop in float64 (round 8): every intermediate is an exact
+    # integer (max 6·9^15 + digits ≈ 1.24e15 < 2^53), so skipping the
+    # per-level floor().astype(int64) round trips is bit-identical
+    bitsf = face.astype(np.float64)
     for _ in range(res):
         u = u * 3.0
         v = v * 3.0
-        du = np.floor(u).astype(np.int64)
-        dv = np.floor(v).astype(np.int64)
+        du = np.floor(u)
+        dv = np.floor(v)
         u -= du
         v -= dv
-        bits = bits * 9 + (dv * 3 + du)
-    return (bits << 4) | res
+        bitsf = bitsf * 9.0 + (dv * 3.0 + du)
+    return (bitsf.astype(np.int64) << 4) | res
 
 
 def get_resolution(cells):

@@ -71,10 +71,13 @@ def _xyz_to_face_uv(x, y, z):
     face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
     comp = np.choose(face, [x, y, z])
     face = np.where(comp < 0, face + 3, face).astype(np.int64)
-    # u/v per canonical face table (unused lanes may divide by ~0: suppress)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        u = np.choose(face, [y / x, -x / y, -x / z, z / x, z / y, -y / z])
-        v = np.choose(face, [z / x, z / y, -y / z, y / x, -x / y, -x / z])
+    # u/v per canonical face table: select the NUMERATOR per face and
+    # divide once by the (signed) major component — 2 divisions instead
+    # of 12, same operands per lane so results are bit-identical to the
+    # former choose-of-quotients form (round 8)
+    nx, ny, nz = -x, -y, -z
+    u = np.choose(face, [y, nx, nx, z, z, ny]) / comp
+    v = np.choose(face, [z, z, ny, y, nx, nx]) / comp
     return face, u, v
 
 
@@ -87,10 +90,11 @@ def _face_uv_to_xyz(face, u, v):
 
 
 def _uv_to_st(u):
-    with np.errstate(invalid="ignore"):
-        return np.where(
-            u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
-        )
+    # one sqrt instead of two: 1+3u (u>=0) and 1-3u (u<0) are both
+    # 1+3|u|, so the branch only flips the affine wrapper — bit-identical
+    # to the two-branch form (abs/negation are exact)
+    r = 0.5 * np.sqrt(1.0 + 3.0 * np.abs(u))
+    return np.where(u >= 0, r, 1.0 - r)
 
 
 def _st_to_uv(s):
