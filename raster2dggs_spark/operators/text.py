@@ -481,13 +481,20 @@ def pack_token_stream(df: DataFrame, id_col: str, text_col: str,
     the sequences without re-deriving the layout.
 
     Determinism/scale: the stream is sharded by md5 (``shards`` parallel
-    independent streams — at web scale set shards ~ cluster cores so no
-    single window task owns the corpus) and ordered within a shard by
-    the md5 hex string (total order, engine-portable).  The layout is a
-    pure prefix sum, so the whole plan is native window arithmetic: one
-    shuffle, no Python, and adding documents to OTHER shards never moves
-    a document's offsets.  Zero-token documents occupy no slots
-    (``n_seqs = 0``, ``first_seq = last_seq`` = insertion point).
+    independent streams) and ordered within a shard by the md5 hex
+    string (total order, engine-portable).  The prefix sum runs as a
+    TWO-PASS layout (round 8, the VERDICT-r7 #3 shape): each shard
+    splits into 256 ORDER-ALIGNED sub-buckets on the md5's two leading
+    hex chars (lowercase fixed-width hex compares lexicographically ==
+    numerically, so sub-bucket ranges nest inside the shard's sort
+    order); pass 1 aggregates per-bucket token totals (a few thousand
+    slim rows), pass 2 broadcast-joins each bucket's cumulative offset
+    back and runs the running sum per (shard, sub-bucket) — shards×256
+    window tasks instead of one task per shard, NO single-task ceiling,
+    and integer arithmetic makes the result bit-identical to the
+    former global per-shard window.  Adding documents to OTHER shards
+    never moves a document's offsets.  Zero-token documents occupy no
+    slots (``n_seqs = 0``, ``first_seq = last_seq`` = insertion point).
 
     Mirrors the packing step of large-scale LM data pipelines (the
     reference has no analogue; cited here as the training-data surface
@@ -500,17 +507,31 @@ def pack_token_stream(df: DataFrame, id_col: str, text_col: str,
     mk = F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
     shard = (F.conv(F.substring(mk, 1, 8), 16, 10).cast("long")
              % shards)
+    # order-aligned sub-bucket: the two LEADING hex chars of the sort
+    # key — within a shard, (sub asc, __mk asc) == (__mk asc)
+    sub = F.conv(F.substring(mk, 1, 2), 16, 10).cast("long")
     n_tok = F.size(tokens_expr(text_col)).cast("long")
     base = df.select(F.col(id_col), mk.alias("__mk"),
-                     shard.alias("shard"), n_tok.alias("n_tokens"))
-    w = (Window.partitionBy("shard").orderBy("__mk", id_col)
+                     shard.alias("shard"), sub.alias("__sub"),
+                     n_tok.alias("n_tokens"))
+    # pass 1: per-bucket totals -> cumulative offset of every bucket
+    # within its shard (a tiny frame: <= shards*256 rows)
+    woff = (Window.partitionBy("shard").orderBy("__sub")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (base.groupBy("shard", "__sub")
+            .agg(F.sum("n_tokens").alias("__tot"))
+            .select("shard", "__sub",
+                    F.coalesce(F.sum("__tot").over(woff), F.lit(0))
+                    .alias("__off")))
+    # pass 2: running sum inside each (shard, sub-bucket) + the offset
+    w = (Window.partitionBy("shard", "__sub").orderBy("__mk", id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    end = F.sum("n_tokens").over(w)
-    start = (end - F.col("n_tokens")).alias("start_tok")
+    end = F.sum("n_tokens").over(w) + F.col("__off")
     first_seq = F.expr(f"(`__end` - n_tokens) DIV {seq_len}")
     last_seq = F.expr(
         f"greatest(`__end` - n_tokens, `__end` - 1) DIV {seq_len}")
-    return (base.withColumn("__end", end)
+    return (base.join(F.broadcast(offs), ["shard", "__sub"])
+            .withColumn("__end", end)
             .select(F.col(id_col), F.col("shard"), F.col("n_tokens"),
                     (F.col("__end") - F.col("n_tokens")).alias("start_tok"),
                     first_seq.alias("first_seq"),

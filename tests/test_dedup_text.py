@@ -619,6 +619,41 @@ def test_pack_token_stream_layout_invariants(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_pack_token_stream_two_pass_no_shard_ceiling(spark):
+    """Round-8 two-pass layout: the running-sum window partitions by
+    (shard, sub-bucket) — NOT one task per shard — and its output
+    matches a driver-side reference prefix sum exactly."""
+    import hashlib as _h
+
+    from raster2dggs_spark.operators.text import pack_token_stream
+
+    df = spark.range(5000).selectExpr(
+        "CAST(id AS INT) AS doc_id",
+        "repeat('tok ', CAST(id % 13 AS INT)) AS text")
+    out = pack_token_stream(df, "doc_id", "text", seq_len=32, shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the heavy window must be keyed by the sub-bucket as well
+    assert "__sub" in plan
+    pdf = out.toPandas()
+    # window parallelism: many (shard, sub-bucket) groups, not 4
+    mks = {i: _h.md5(f"pack:{i}".encode()).hexdigest() for i in range(5000)}
+    n_groups = len({(int(m[:8], 16) % 4, int(m[:2], 16))
+                    for m in mks.values()})
+    assert n_groups > 100
+    # reference layout: per shard, cumsum in (md5, id) order
+    ref = {}
+    rows = sorted(((int(mks[i][:8], 16) % 4, mks[i], i,
+                    len(("tok " * (i % 13)).split())) for i in range(5000)))
+    acc = {}
+    for sh, mk, i, nt in rows:
+        start = acc.get(sh, 0)
+        ref[i] = (sh, nt, start)
+        acc[sh] = start + nt
+    for r in pdf.itertuples():
+        sh, nt, start = ref[r.doc_id]
+        assert (r.shard, r.n_tokens, r.start_tok) == (sh, nt, start), r
+
+
 def test_chunk_documents_windows(spark):
     import pandas as pd
 
