@@ -29,6 +29,10 @@ def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     downstream ``groupBy(key)`` plans no second exchange; round-robin
     otherwise).  No-op when the scan is already parallel enough —
     results are unchanged either way (pure physical layout)."""
+    if df.isStreaming:
+        # no RDD inspection on streaming frames; micro-batch callers
+        # (foreachBatch) pass batch frames and still get the guard
+        return df
     spark = df.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() * 2 > p:
